@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector/feature operators over `embeddings.parquet` (64-dim float
+  * vectors): the reference's feature-stats F1 and cosine-similarity F6
+  * (/root/reference/kmeans_clustering/image_classification.py:173-185,
+  * :403-414), plus the beyond-reference similarity-search surface
+  * (brute-force top-k, k-NN join) a training-data pipeline needs.
+  *
+  * Oracle strategy: every floating-point reduction is a SEQUENTIAL
+  * LEFT-TO-RIGHT fold over the array — Spark `aggregate(...)` and DuckDB
+  * `list_reduce(...)` both fold left over identical element values
+  * (float32→double casts are exact), so results are bit-identical. sqrt,
+  * *, / are IEEE-correctly-rounded on both engines.
+  *
+  * Scale notes: the vector column stays a single ArrayType(Double) cell —
+  * one row per vector, never exploded in the hot path, so a 100 TB corpus
+  * scans columnar batches of packed arrays. Top-k vs a single query is a
+  * TakeOrderedAndProject (per-partition heap, k-row merge at the driver:
+  * no shuffle of the corpus). The k-NN join broadcasts the (tiny) probe
+  * side so the corpus is read exactly once with no shuffle.
+  */
+object Vector {
+
+  import Tables._
+
+  /** Cast the float32 embedding to double — exact, and makes every
+    * downstream arithmetic op double-precision on both engines. */
+  def vec(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential left fold sum — bit-identical to DuckDB list_reduce. */
+  def seqSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (s, x) => s + x)
+
+  def dot(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => x * y))
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  // ── DuckDB oracle fragments (same folds, same order) ─────────────────
+  def sqlVec(e: String): String = s"($e::DOUBLE[])"
+  def sqlSeqSum(arr: String): String = s"list_reduce($arr, (s, x) -> s + x)"
+  def sqlDot(a: String, b: String): String =
+    sqlSeqSum(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
+  def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+
+  val queries: Seq[Q] = Seq(
+    // ── F1 feature stats: mean/std/median/min/max per vector ───────────
+    // Reference computes 7 scalar stats per image array
+    // (image_classification.py:173-185; corrcoef/cov are degenerate —
+    // SURVEY.md Note D — so the well-defined five are computed here).
+    // All per-row array math: embarrassingly parallel, no shuffle at all.
+    Q(
+      "vec_stats",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val v = vec(col("embedding"))
+        val sorted = array_sort(v)
+        val n = size(v)
+        val mean = seqSum(v) / n
+        e.select(
+          col("vec_id"),
+          n.as("dim"),
+          mean.as("mean"),
+          sqrt(seqSum(transform(v, x => (x - mean) * (x - mean))) / n).as("std"),
+          ((element_at(sorted, 32) + element_at(sorted, 33)) / 2.0).as("median"),
+          array_min(v).as("vmin"),
+          array_max(v).as("vmax")
+        ).orderBy("vec_id")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        s"""SELECT vec_id,
+           |  len($v) AS dim,
+           |  ${sqlSeqSum(v)} / len($v) AS mean,
+           |  sqrt(${sqlSeqSum(s"list_transform($v, x -> (x - m.mean) * (x - m.mean))")} / len($v)) AS std,
+           |  (list_sort($v)[32] + list_sort($v)[33]) / 2.0 AS median,
+           |  list_aggregate($v, 'min') AS vmin,
+           |  list_aggregate($v, 'max') AS vmax
+           |FROM embeddings,
+           |  LATERAL (SELECT ${sqlSeqSum(v)} / len($v) AS mean) m
+           |ORDER BY vec_id""".stripMargin
+      }
+    ),
+
+    // ── F6 cosine + top-k similarity search (brute-force baseline) ─────
+    // Query vector = vec_id 0; top 20 most-similar corpus vectors.
+    // Physical plan: broadcast 1-row query → BroadcastNestedLoopJoin →
+    // TakeOrderedAndProject. The corpus is scanned once, no shuffle;
+    // this is the shape that holds at 100 TB (driver merges 32 heaps of
+    // 20 rows). The IVF/LSH scale path is ann_lsh_bucketed below.
+    Q(
+      "ann_bruteforce_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), cosine(vec(col("embedding")), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some {
+        val c = sqlCosine(sqlVec("e.embedding"), "q.qv")
+        s"""WITH q AS (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, $c AS sim
+           |FROM embeddings e, q WHERE e.vec_id <> 0
+           |ORDER BY sim DESC, e.vec_id ASC LIMIT 20""".stripMargin
+      }
+    ),
+
+    // ── k-NN join: top-3 neighbors for each of the first 10 vectors ────
+    // Probe side (10 rows) is broadcast; corpus side is scanned once.
+    // Window top-k per probe keeps only 3 rows per probe past the
+    // exchange. At scale: probes are the small side by construction
+    // (a query batch), so the corpus never shuffles.
+    Q(
+      "ann_knn_join",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val probes = e.filter(col("vec_id") < 10L)
+          .select(col("vec_id").as("probe_id"), vec(col("embedding")).as("pv"))
+        val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+        e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"),
+            cosine(vec(col("embedding")), col("pv")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("probe_id", "vec_id", "sim", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      Some {
+        val c = sqlCosine(sqlVec("e.embedding"), "p.pv")
+        s"""WITH p AS (SELECT vec_id AS probe_id, ${sqlVec("embedding")} AS pv
+           |           FROM embeddings WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT p.probe_id, e.vec_id, $c AS sim,
+           |         row_number() OVER (PARTITION BY p.probe_id ORDER BY $c DESC, e.vec_id ASC) AS rk
+           |  FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+           |SELECT probe_id, vec_id, sim, rk FROM scored WHERE rk <= 3
+           |ORDER BY probe_id, rk""".stripMargin
+      }
+    ),
+
+    // ── LSH-bucketed ANN (the scale path) ──────────────────────────────
+    // Random-hyperplane LSH: sign of the projection onto 8 deterministic
+    // pseudo-random hyperplanes → 8-bit bucket id. Neighbor candidates
+    // are only sought inside a bucket (here: bucket histogram as the
+    // oracle-able surface; the bucketed join is exercised in
+    // dedup_embedding below and in the ScalaTest suite). At 100 TB the
+    // corpus is written bucketed-by(bucket) so probe lookups touch one
+    // bucket = a few files — no corpus-wide scan at all.
+    // Hyperplane h_j[i] = sin(31*j + 7*i) — deterministic, identical in
+    // both engines (IEEE sin via the same libm contract), no stored side
+    // data. j = 1..8, i = 1..64.
+    Q(
+      "ann_lsh_buckets",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val v = vec(col("embedding"))
+        // proj_j = sum_i v[i] * sin(31*j + 7*i), sequential fold over i
+        def proj(j: Int): Column =
+          seqSum(zip_with(v, sequence(lit(1), lit(64)),
+            (x, i) => x * sin(lit(31.0 * j) + lit(7.0) * i)))
+        val bucket = (1 to 8).map(j => when(proj(j) > 0, 1 << (j - 1)).otherwise(0))
+          .reduce(_ + _)
+        e.select(col("vec_id"), bucket.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket")
+      },
+      Some {
+        def proj(j: Int): String =
+          sqlSeqSum(s"list_transform(list_zip(${sqlVec("embedding")}, range(1, 65)), " +
+            s"p -> p[1] * sin(${31.0 * j} + 7.0 * p[2]))")
+        val bucket = (1 to 8).map(j =>
+          s"(CASE WHEN ${proj(j)} > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
+        s"""SELECT bucket, count(*) AS cnt FROM (
+           |  SELECT vec_id, $bucket AS bucket FROM embeddings)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin
+      }
+    ),
+
+    // ── embedding-cosine near-duplicate detection ──────────────────────
+    // Banded self-join (candidate pairs = id distance ≤ 10 — stand-in
+    // for the LSH-bucket candidate generation above, which is the
+    // production pruning) → cosine > 0.9 → near-dup pairs. Range join
+    // on a numeric key: at scale this becomes the bucketed join, not an
+    // all-pairs product.
+    Q(
+      "dedup_embedding_cosine",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val a = e.select(col("vec_id").as("id_a"), vec(col("embedding")).as("va"))
+        val b = e.select(col("vec_id").as("id_b"), vec(col("embedding")).as("vb"))
+        a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 10)
+          .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+          .filter(col("sim") > 0.25)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val c = sqlCosine(sqlVec("a.embedding"), sqlVec("b.embedding"))
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $c AS sim
+           |FROM embeddings a JOIN embeddings b
+           |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+           |WHERE $c > 0.25
+           |ORDER BY id_a, id_b""".stripMargin
+      }
+    )
+  )
+}
