@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allQueries: Seq[Q] =
-    ops.Relational.queries ++ ops.Vector.queries ++ cluster.KMeans.queries
+    ops.Relational.queries ++ ops.Vector.queries ++ cluster.KMeans.queries ++
+      ops.Text.queries ++ ops.Events.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over `events.parquet` — the streaming-shaped
+  * surface the reference only advertises (README.md:2 promises "Spark &
+  * Kafka streaming"; none exists — SURVEY.md §2.6). These are the
+  * batch/oracle-checkable forms; `graft.streaming.Streams` runs the same
+  * logic as Structured Streaming with watermarks + state.
+  *
+  * Timestamps: events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+  * refuses by default. We read it via
+  * `spark.sql.legacy.parquet.nanosAsLong` (LongType nanos) and truncate
+  * to microseconds with integer division — exactly what DuckDB's
+  * `epoch_ns(ts) // 1000` does, so both engines see identical µs values.
+  *
+  * Value sums: `value` is a double; naive SUM is addition-order-
+  * dependent. We quantize with floor(value·1e6) → exact BIGINT sums
+  * (order-free, partial-aggregation-safe at any scale) → one final
+  * double division. floor() never ties, unlike round().
+  *
+  * Scale notes: tumbling/sliding windows aggregate by (bucket, type) —
+  * partial aggregation map-side, one shuffle of group keys. Sessionize
+  * shuffles once on user_id (the window partition key) and computes
+  * gaps/sessions with a single sort within partitions; at 100 TB the
+  * same plan holds as long as a single user's history fits an executor
+  * (true for any realistic user), with AQE handling celebrity-user skew.
+  */
+object Events {
+
+  import Tables._
+
+  /** events with ts truncated to µs (TimestampType), identical to the
+    * DuckDB oracle's make_timestamp(epoch_ns(ts) // 1000). */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  val sqlTs = "make_timestamp(epoch_ns(ts) // 1000)"
+
+  /** Exact order-free sum of a double column: floor-quantize to micro
+    * units, sum as BIGINT, divide once at the end. */
+  def exactSum(c: Column): Column =
+    (sum(floor(c * 1e6).cast("long")) / 1e6).as("tmp")
+  def sqlExactSum(e: String): String =
+    s"(CAST(sum(CAST(floor($e * 1000000) AS BIGINT)) AS DOUBLE) / 1000000)"
+
+  val queries: Seq[Q] = Seq(
+    // ── tumbling 1-hour event-time window ──────────────────────────────
+    Q(
+      "evt_tumbling_window",
+      (s, d) =>
+        eventsUs(s, d)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("sum_value"))
+          .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+            col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy("window_start", "event_type"),
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', $sqlTs) AS window_start,
+              |  time_bucket(INTERVAL '1 hour', $sqlTs) + INTERVAL '1 hour' AS window_end,
+              |  event_type, count(*) AS cnt, ${sqlExactSum("value")} AS sum_value
+              |FROM events GROUP BY 1, 2, 3
+              |ORDER BY window_start, event_type""".stripMargin)
+    ),
+
+    // ── sliding window: 1 hour every 15 minutes ────────────────────────
+    // Spark assigns each event to 4 overlapping windows; the oracle
+    // reproduces that with an explicit 0..3 offset cross join.
+    Q(
+      "evt_sliding_window",
+      (s, d) =>
+        eventsUs(s, d)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("cnt"),
+            count_distinct(col("user_id")).as("users"))
+          .select(col("w.start").as("window_start"), col("cnt"), col("users"))
+          .orderBy("window_start"),
+      Some(s"""SELECT time_bucket(INTERVAL '15 minutes', $sqlTs) - k * INTERVAL '15 minutes' AS window_start,
+              |  count(*) AS cnt, count(DISTINCT user_id) AS users
+              |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+              |GROUP BY 1 ORDER BY window_start""".stripMargin)
+    ),
+
+    // ── gap-based sessionization (30-minute inactivity) ────────────────
+    // lag → new-session flag → running sum = session index → session agg.
+    Q(
+      "evt_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsUs(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("gap").isNull || col("gap") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(run))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            ((max(col("us")) - min(col("us"))) / lit(1000000L).cast("double")).as("duration_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us($sqlTs) AS us FROM events),
+              |flagged AS (
+              |  SELECT user_id, us,
+              |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+              |           OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM e),
+              |sessions AS (
+              |  SELECT user_id, us,
+              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM flagged)
+              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |  count(*) AS n_events, min(us) AS start_us,
+              |  CAST(max(us) - min(us) AS DOUBLE) / 1000000 AS duration_s
+              |FROM sessions GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin)
+    ),
+
+    // ── pivot: per-user event-type counts ──────────────────────────────
+    Q(
+      "evt_pivot_type_counts",
+      (s, d) =>
+        eventsUs(s, d)
+          .filter(col("user_id") < 20)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+             |FROM events WHERE user_id < 20
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // ── top-k revenue users (purchases only) ───────────────────────────
+    Q(
+      "evt_top_purchasers",
+      (s, d) =>
+        eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("purchases"), exactSum(col("value")).as("revenue"))
+          .orderBy(col("revenue").desc, col("user_id").asc)
+          .limit(10),
+      Some(s"""SELECT user_id, count(*) AS purchases, ${sqlExactSum("value")} AS revenue
+              |FROM events WHERE event_type = 'purchase'
+              |GROUP BY user_id
+              |ORDER BY revenue DESC, user_id ASC LIMIT 10""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,369 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over `documents.parquet` —
+  * the beyond-reference training-data-pipeline surface (SURVEY.md §2.6):
+  * token/quality stats, n-gram language ID, BPE-ish token counting,
+  * rolling-hash fingerprinting, exact dedup, MinHash-LSH near-dup,
+  * SimHash, and n-gram Jaccard near-dup. The reference's own string ops
+  * (lower/contains label matching,
+  * /root/reference/kmeans_clustering/image_classification.py:204-208)
+  * appear here as the language-marker matching.
+  *
+  * Oracle strategy: all numeric reductions are integer arithmetic
+  * (exact, order-free) or sequential folds (Spark `aggregate` ≡ DuckDB
+  * `list_reduce` after `list_prepend(init, …)`). String hashing uses
+  * md5 — identical hex on both engines — parsed to BIGINT via
+  * `conv(hex,16,10)` (Spark) ≡ `('0x'||hex)::BIGINT` (DuckDB), 15 hex
+  * digits so it stays in the positive int64 range.
+  *
+  * Scale notes: every per-doc computation is a narrow map over one text
+  * cell — no shuffle, full whole-stage codegen. The only shuffles are
+  * the dedup group-bys/joins, which key on hashes (uniformly
+  * distributed → no skew). MinHash-LSH candidate pairs come from a
+  * band-bucket equi-join — never an all-pairs product — which is the
+  * O(n·candidates) shape that survives 100 TB.
+  */
+object Text {
+
+  import Tables._
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** 60-bit integer hash of a string, identical in Spark and DuckDB. */
+  def strHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def sqlStrHash(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Integer-fold sum over an array — exact on both engines. */
+  def intFold(arr: Column): Column =
+    aggregate(arr, lit(0L), (s, x) => s + x.cast("long"))
+  def sqlIntFold(arr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($arr, x -> CAST(x AS BIGINT))), (s, x) -> s + x)"
+
+  // language markers for the n-gram-heuristic language ID
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "les", "des"),
+    "zh" -> Seq("的", "是")
+  )
+
+  private def markerScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+  private def sqlMarkerScore(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "der", "le", "el")
+
+  // MinHash parameters: 8 permutations (a_j·h + b_j) mod p over a 32-bit
+  // prime; 2 LSH bands of 4 rows.
+  private val P32 = 4294967291L
+  private def permA(j: Int): Long = 2L * j + 3
+  private def permB(j: Int): Long = 7919L * j + 1
+
+  /** 8-element MinHash signature over word-bigram shingles. */
+  def minhashSig(toks: Column): Column = {
+    val shingles = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val hs = transform(shingles, s => strHash(s) % P32)
+    array((0 until 8).map(j =>
+      array_min(transform(hs, h => (h * permA(j) + permB(j)) % P32))): _*)
+  }
+  def sqlMinhashSig(toks: String, text: String): String = {
+    val shingles =
+      s"""(CASE WHEN len($toks) >= 2
+         | THEN list_transform(range(1, len($toks)), i -> array_to_string($toks[i:i+1], ' '))
+         | ELSE [array_to_string($toks, ' ')] END)""".stripMargin
+    val hs = s"list_transform($shingles, s -> ${sqlStrHash("s")} % $P32)"
+    "[" + (0 until 8).map(j =>
+      s"list_aggregate(list_transform($hs, h -> (h * ${permA(j)} + ${permB(j)}) % $P32), 'min')")
+      .mkString(", ") + "]"
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ── token counting + basic stats ───────────────────────────────────
+    Q(
+      "text_token_stats",
+      (s, d) => {
+        val t = tokens(col("text"))
+        documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct"),
+          (intFold(transform(t, w => length(w))).cast("double") / size(t)).as("avg_token_len")
+        ).orderBy("doc_id")
+      },
+      Some {
+        val t = "string_split(text, ' ')"
+        s"""SELECT doc_id, length(text) AS n_chars, len($t) AS n_tokens,
+           |  len(list_distinct($t)) AS n_distinct,
+           |  CAST(${sqlIntFold(s"list_transform($t, w -> length(w))")} AS DOUBLE) / len($t) AS avg_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ── quality scoring: punctuation / stopword / length signals ───────
+    Q(
+      "text_quality",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val nChars = length(col("text"))
+        val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val stopCnt = markerScore(t, stopwords)
+        documents(s, d).select(
+          col("doc_id"),
+          punct.as("punct_cnt"),
+          (punct.cast("double") / nChars).as("punct_ratio"),
+          (stopCnt.cast("double") / size(t)).as("stopword_ratio"),
+          (when(nChars >= 100 && nChars <= 20000, 1.0).otherwise(0.0) * 0.5 +
+            when(stopCnt > 0, 0.5).otherwise(0.0)).as("quality_score")
+        ).orderBy("doc_id")
+      },
+      Some {
+        val t = "string_split(text, ' ')"
+        val punct = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+        val stop = sqlMarkerScore(t, stopwords)
+        s"""SELECT doc_id,
+           |  $punct AS punct_cnt,
+           |  CAST($punct AS DOUBLE) / length(text) AS punct_ratio,
+           |  CAST($stop AS DOUBLE) / len($t) AS stopword_ratio,
+           |  (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.5 +
+           |  (CASE WHEN $stop > 0 THEN 0.5 ELSE 0.0 END) AS quality_score
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ── language ID (stopword-marker heuristic) vs ground truth ────────
+    // Deterministic tie-break: fixed en→de→es→fr→zh precedence.
+    Q(
+      "text_langid",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val score = markers.map { case (lg, ws) => lg -> markerScore(t, ws) }.toMap
+        def others(lg: String): Column =
+          greatest(markers.filter(_._1 != lg).map(m => score(m._1)): _*)
+        // a non-English lang wins only if its marker count strictly
+        // exceeds every other language's; precedence de→es→fr→zh, else en
+        val predicted = markers.tail.foldRight(lit("en")) { case ((lg, _), els) =>
+          when(score(lg) > others(lg), lg).otherwise(els)
+        }
+        documents(s, d)
+          .select(col("lang"), predicted.as("predicted"))
+          .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "predicted")
+      },
+      Some {
+        val t = "string_split(text, ' ')"
+        val score = markers.map { case (lg, ws) => lg -> sqlMarkerScore(t, ws) }.toMap
+        def others(lg: String) =
+          "greatest(" + markers.filter(_._1 != lg).map(m => score(m._1)).mkString(", ") + ")"
+        val pred = markers.tail.foldRight("'en'") { case ((lg, _), els) =>
+          s"CASE WHEN ${score(lg)} > ${others(lg)} THEN '$lg' ELSE $els END"
+        }
+        s"""SELECT lang, $pred AS predicted, count(*) AS cnt
+           |FROM documents GROUP BY lang, 2 ORDER BY lang, predicted""".stripMargin
+      }
+    ),
+
+    // ── BPE-ish regex token counting per source ────────────────────────
+    Q(
+      "text_token_count_bpe",
+      (s, d) =>
+        documents(s, d)
+          .select(col("source"),
+            regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).as("n"))
+          .groupBy("source")
+          .agg(sum(col("n")).as("bpe_tokens"), count(lit(1)).as("docs"))
+          .orderBy("source"),
+      Some("""SELECT source,
+             |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+             |  count(*) AS docs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // ── rolling-hash document fingerprint ──────────────────────────────
+    // h ← (h·1000003 + len(w)·256 + ascii(w[0])) mod 2^31−1, folded left
+    // over tokens — integer-exact on both engines.
+    Q(
+      "text_fingerprint",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val codes = transform(t, w => length(w).cast("long") * 256 + ascii(substring(w, 1, 1)))
+        val fp = aggregate(codes, lit(0L), (h, c) => (h * 1000003L + c) % 2147483647L)
+        documents(s, d).select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
+      },
+      Some {
+        val codes =
+          "list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT) * 256 + ascii(w[1:1]))"
+        s"""SELECT doc_id,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT), $codes),
+           |              (h, c) -> (h * 1000003 + c) % 2147483647) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ── exact dedup: content-hash group, keep-first ────────────────────
+    Q(
+      "dedup_exact",
+      (s, d) =>
+        documents(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+          .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS copies
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)
+    ),
+
+    // ── MinHash signatures (the per-doc sketch) ────────────────────────
+    Q(
+      "dedup_minhash_sig",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), minhashSig(tokens(col("text"))).as("sig"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${sqlMinhashSig("string_split(text, ' ')", "text")} AS sig
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ── MinHash-LSH near-dup candidate pairs + exact Jaccard verify ────
+    // Bands of 4 signature rows → bucket equi-join (NO all-pairs
+    // product) → exact bigram-set Jaccard on the candidates only.
+    Q(
+      "dedup_minhash_pairs",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("text"), minhashSig(tokens(col("text"))).as("sig"))
+        val bands = docs.select(col("doc_id"),
+          explode(array(
+            struct(lit(0).as("band"), element_at(col("sig"), 1).as("h1"),
+              element_at(col("sig"), 2).as("h2"), element_at(col("sig"), 3).as("h3"),
+              element_at(col("sig"), 4).as("h4")),
+            struct(lit(1).as("band"), element_at(col("sig"), 5).as("h1"),
+              element_at(col("sig"), 6).as("h2"), element_at(col("sig"), 7).as("h3"),
+              element_at(col("sig"), 8).as("h4"))
+          )).as("b"))
+          .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"), col("b.h3"), col("b.h4"))
+        val l = bands.toDF("id_a", "band", "h1", "h2", "h3", "h4")
+        val r = bands.toDF("id_b", "band", "h1", "h2", "h3", "h4")
+        val cand = l.join(r, Seq("band", "h1", "h2", "h3", "h4"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        def sh(c: Column): Column = {
+          val t = tokens(c)
+          array_distinct(when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
+            .otherwise(array(concat_ws(" ", t))))
+        }
+        val da = documents(s, d).select(col("doc_id").as("id_a"), sh(col("text")).as("sa"))
+        val db = documents(s, d).select(col("doc_id").as("id_b"), sh(col("text")).as("sb"))
+        cand.join(da, "id_a").join(db, "id_b")
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb")))).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sig = sqlMinhashSig("string_split(text, ' ')", "text")
+        val sh =
+          """(CASE WHEN len(toks) >= 2
+            | THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
+            | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+        s"""WITH sigs AS (
+           |  SELECT doc_id, $sig AS sig FROM documents),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, sig[1] AS h1, sig[2] AS h2, sig[3] AS h3, sig[4] AS h4 FROM sigs
+           |  UNION ALL
+           |  SELECT doc_id, 1 AS band, sig[5], sig[6], sig[7], sig[8] FROM sigs),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.h4 = b.h4
+           |  WHERE a.doc_id < b.doc_id),
+           |shingled AS (
+           |  SELECT doc_id, $sh AS sh FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+           |SELECT c.id_a, c.id_b,
+           |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+           |  len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+           |FROM cand c
+           |JOIN shingled sa ON sa.doc_id = c.id_a
+           |JOIN shingled sb ON sb.doc_id = c.id_b
+           |ORDER BY id_a, id_b""".stripMargin
+      }
+    ),
+
+    // ── SimHash (16-bit) per document ──────────────────────────────────
+    // bit i of the fingerprint = sign of Σ_tokens (±1 by token-hash bit i).
+    Q(
+      "dedup_simhash",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val hs = transform(t, w => strHash(w) % 65536L)
+        val bits = (0 until 16).map { i =>
+          val vote = aggregate(hs, lit(0L),
+            (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
+          when(vote > 0, 1L << i).otherwise(0L)
+        }
+        documents(s, d)
+          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hs = s"list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % 65536)"
+        val bits = (0 until 16).map { i =>
+          val vote = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+            s"list_transform($hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b)"
+          s"(CASE WHEN $vote > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT doc_id, $bits AS simhash FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ── n-gram Jaccard near-dup over banded id pairs ───────────────────
+    // Candidate pruning here is the id-band; at scale it is the LSH
+    // bucket join above — the Jaccard verify step is identical.
+    Q(
+      "dedup_ngram_jaccard",
+      (s, d) => {
+        def sh(c: Column): Column = {
+          val t = tokens(c)
+          array_distinct(when(size(t) >= 2,
+            transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
+            .otherwise(array(concat_ws(" ", t))))
+        }
+        val a = documents(s, d).select(col("doc_id").as("id_a"), sh(col("text")).as("sa"))
+        val b = documents(s, d).select(col("doc_id").as("id_b"), sh(col("text")).as("sb"))
+        a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.15)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sh =
+          """(CASE WHEN len(toks) >= 2
+            | THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
+            | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+        s"""WITH shingled AS (
+           |  SELECT doc_id, $sh AS sh FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+           |FROM shingled a JOIN shingled b
+           |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
+           |ORDER BY id_a, id_b""".stripMargin
+      }
+    )
+  )
+}
