@@ -1,0 +1,179 @@
+package graft.graph
+
+import graft.{Q, Tables}
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's property-graph data model, Spark-first. The reference
+  * stores Image/Centroid nodes and CLOSEST_TO edges in Neo4j
+  * (/root/reference/kmeans_clustering/image_classification.py:217-221,
+  * :233-240, :438-445; thin Bolt client in database.py). Here the graph
+  * is two DataFrames — columnar, partitioned, Catalyst-optimizable — with
+  * a GraphX view for iterative graph algorithms.
+  *
+  * Node identity is an explicit user key (SURVEY.md §1.3: Neo4j's
+  * internal ID(n) → deterministic keys, oracle-checkable).
+  *
+  * Scale notes: nodes/edges as Parquet tables partition horizontally;
+  * pattern-match queries (edge traversals) are equi-joins on (src, dst)
+  * that Catalyst plans as broadcast or shuffled hash joins by size. The
+  * GraphX view shuffles once to build VertexRDD/EdgeRDD and then runs
+  * Pregel supersteps with vertex-cut partitioning — the standard shape
+  * for 100 TB graphs (edge partitions stream; vertices replicated only
+  * where referenced).
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  /** Label scan — Cypher `MATCH (n:Label)` (SURVEY.md Q2). */
+  def nodesByLabel(label: String): DataFrame =
+    nodes.filter(col("label") === label)
+
+  /** Edge traversal — `MATCH (a)-[r:TYPE]->(b)` as an equi-join. */
+  def expand(relType: String): DataFrame =
+    edges.filter(col("rel_type") === relType)
+      .join(nodes.select(col("id").as("src"), col("label").as("src_label")), "src")
+      .join(nodes.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+
+  /** GraphX view: vertices carry the full property Row, edges the weight. */
+  def toGraphX: Graph[Row, Double] = {
+    val vs = nodes.rdd.map(r => (r.getAs[Long]("id"): VertexId, r))
+    val es = edges.rdd.map(r =>
+      Edge(r.getAs[Long]("src"): VertexId, r.getAs[Long]("dst"): VertexId,
+        r.getAs[Double]("weight")))
+    Graph(vs, es)
+  }
+}
+
+object PropertyGraph {
+
+  import Tables._
+
+  /** The TPC-H-ish testdata as a bipartite supplier→part graph: an edge
+    * for every (supplier, part) pair that appears in lineitem. Part ids
+    * are offset so the two node families share one id space (the same
+    * trick GraphX needs for any multi-label graph). */
+  val PartIdOffset = 1000000L
+
+  def supplierPartGraph(s: SparkSession, d: String): PropertyGraph = {
+    val sup = supplier(s, d)
+      .select(col("s_suppkey").as("id"), lit("Supplier").as("label"), col("s_name").as("name"))
+    val prt = part(s, d)
+      .select((col("p_partkey") + PartIdOffset).as("id"), lit("Part").as("label"),
+        col("p_name").as("name"))
+    val es = lineitem(s, d)
+      .select(col("l_suppkey").as("src"), (col("l_partkey") + PartIdOffset).as("dst"))
+      .distinct()
+      .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"), lit(1.0).as("weight"))
+    PropertyGraph(sup.unionByName(prt), es)
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ── degree per node — `MATCH (s)-[r]->(p) RETURN s, count(r)` ──────
+    // (the count_connections shape, image_classification.py:513-522, on
+    // the generic property graph rather than the cluster edges)
+    Q(
+      "graph_out_degree",
+      (s, d) =>
+        supplierPartGraph(s, d).edges
+          .groupBy("src").agg(count(lit(1)).as("degree"))
+          .orderBy("src"),
+      Some("""SELECT l_suppkey AS src, count(*) AS degree FROM (
+             |  SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+             |GROUP BY src ORDER BY src""".stripMargin)
+    ),
+
+    // ── two-hop traversal: parts co-supplied with part 1 ───────────────
+    // `MATCH (p1)<-[:SUPPLIES]-(s)-[:SUPPLIES]->(p2)` — join through the
+    // shared supplier, the graph-pattern equi-join of SURVEY.md Q13.
+    Q(
+      "graph_two_hop",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(
+          col("src"), (col("dst") - PartIdOffset).as("part"))
+        val fromP1 = es.filter(col("part") === 1L).select(col("src").as("via"))
+        es.join(broadcast(fromP1), col("src") === col("via"))
+          .filter(col("part") =!= 1L)
+          .select(col("part")).distinct()
+          .orderBy("part")
+      },
+      Some("""SELECT DISTINCT l_partkey AS part
+             |FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+             |WHERE l_suppkey IN (
+             |  SELECT DISTINCT l_suppkey FROM lineitem WHERE l_partkey = 1)
+             |  AND l_partkey <> 1
+             |ORDER BY part""".stripMargin)
+    ),
+
+    // ── weighted degree over the cluster graph ─────────────────────────
+    // Build the reference's actual graph — Image-[:CLOSEST_TO]->Centroid
+    // with cosine weight — from the k-means assignment, then aggregate
+    // edge weight per centroid (sum of member similarities). The sum is
+    // a per-group sorted sequential fold (bit-identical to the oracle).
+    Q(
+      "graph_cluster_edge_weight",
+      (s, d) => {
+        val a = graft.cluster.KMeans.assign(
+          embeddings(s, d), graft.cluster.KMeans.initCentroids(embeddings(s, d), 8))
+        a.groupBy("cid")
+          .agg(sort_array(collect_list(col("sim"))).as("sims"))
+          .select(col("cid"),
+            graft.ops.Vector.seqSum(col("sims")).as("total_weight"),
+            size(col("sims")).as("members"))
+          .orderBy("cid")
+      },
+      Some {
+        import graft.ops.Vector._
+        val k = 8
+        val cents =
+          s"""(SELECT vec_id AS cid, ${sqlVec("embedding")} AS cv FROM embeddings
+             | ORDER BY ${detHashSql("vec_id")}, vec_id LIMIT $k)""".stripMargin
+        val c = sqlCosine(sqlVec("e.embedding"), "c.cv")
+        s"""WITH cents AS $cents,
+           |scored AS (
+           |  SELECT e.vec_id, c.cid, $c AS sim,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $c DESC, c.cid ASC) AS rk
+           |  FROM embeddings e, cents c),
+           |assigned AS (SELECT vec_id, cid, sim FROM scored WHERE rk = 1),
+           |grouped AS (SELECT cid, list(sim ORDER BY sim) AS sims FROM assigned GROUP BY cid)
+           |SELECT cid, ${sqlSeqSum("sims")} AS total_weight, len(sims) AS members
+           |FROM grouped ORDER BY cid""".stripMargin
+      }
+    ),
+
+    // ── GraphX connected components (min-id label propagation) ─────────
+    // Deterministic (component label = min vertex id), but iterative
+    // Pregel is not one SQL statement → rows-only driver check; exact
+    // values are asserted in GraphSpec.
+    Q(
+      "graph_connected_components",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val cc = g.toGraphX.connectedComponents().vertices
+        val spark = s
+        import spark.implicits._
+        cc.toDF("id", "component")
+          .groupBy("component").agg(count(lit(1)).as("size"))
+          .orderBy("component")
+      },
+      None
+    ),
+
+    // ── GraphX PageRank over the bipartite graph ───────────────────────
+    // Float accumulation order varies across partitions → rows-only
+    // check; convergence properties asserted in GraphSpec.
+    Q(
+      "graph_pagerank_top",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val pr = g.toGraphX.staticPageRank(10).vertices
+        val spark = s
+        import spark.implicits._
+        pr.toDF("id", "rank")
+          .orderBy(col("rank").desc, col("id").asc)
+          .limit(20)
+      },
+      None
+    )
+  )
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference README advertises "Spark &
+  * Kafka streaming" with zero implementation (/root/reference/README.md:2;
+  * SURVEY.md §2.6) — this module supplies the real thing: watermarked
+  * event-time windows and stateful sessionization, written against
+  * generic DataFrames so the SAME code runs on a batch frame or a
+  * readStream frame (the batch forms are oracle-checked in ops.Events;
+  * the streaming execution is exercised in StreamingSpec via
+  * MemoryStream).
+  *
+  * Scale notes: watermark + windowed aggregation keeps state bounded to
+  * open windows only; flatMapGroupsWithState keys state by user_id so it
+  * shards across executors, and event-time timeout evicts idle sessions
+  * — the standard unbounded-stream shape. File/Kafka sources swap in via
+  * `spark.readStream` without touching the transforms.
+  */
+object Streams {
+
+  final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                              n_events: Long)
+  final case class SessionState(start_us: Long, end_us: Long, n: Long)
+
+  /** Watermarked tumbling 1-hour counts per event type. Works on batch
+    * and streaming frames alike. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Watermarked sliding windows (1 hour every 15 minutes). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("cnt"))
+
+  /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState —
+    * the custom-state operator the batch `evt_sessionize` mirrors.
+    * Emits a session when the gap is exceeded within a batch or when the
+    * event-time timeout fires. */
+  def sessionize(spark: SparkSession, events: Dataset[Evt],
+                 gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[Evt],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, s.start_us, s.end_us, s.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.end_us <= gapUs =>
+              cur = Some(s.copy(end_us = us, n = s.n + 1))
+            case Some(s) =>
+              out ::= SessionOut(userId, s.start_us, s.end_us, s.n)
+              cur = Some(SessionState(us, us, 1))
+            case None =>
+              cur = Some(SessionState(us, us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end_us / 1000L + gapUs / 1000L)
+        }
+        out.reverseIterator
+      }
+    }
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

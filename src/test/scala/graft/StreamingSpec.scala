@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Evt
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermarked tumbling window counts match the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val events = Seq(
+      Evt(1, ts(5), 1, "click", 1.0),
+      Evt(2, ts(20), 1, "click", 1.0),
+      Evt(3, ts(65), 2, "view", 1.0),
+      Evt(4, ts(70), 2, "click", 1.0)
+    )
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // append mode emits only closed windows; push the watermark forward
+      input.addData(Evt(99, ts(600), 9, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select("window_start", "event_type", "cnt")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = Streams.tumblingCounts(events.toDF())
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(batch.subsetOf(got))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization groups events by 30-minute gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = Streams.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h later two
+      // more (second session); a late high-ts event advances the watermark
+      input.addData(
+        Evt(1, ts(0), 1, "click", 1.0),
+        Evt(2, ts(10), 1, "click", 1.0),
+        Evt(3, ts(130), 1, "view", 1.0),
+        Evt(4, ts(135), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Evt(9, ts(1000), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Evt(10, ts(2000), 3, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .filter(col("user_id") === 1L)
+        .collect().map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("n_events")))
+      assert(sessions.length === 2, s"expected 2 sessions, got ${sessions.toList}")
+      assert(sessions.map(_._2).sorted.toList === List(2L, 2L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.{Vector => V}
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cosine similarity: identical → 1, orthogonal → 0, opposite → -1") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0), Array(1.0, 0.0)),
+      (2L, Array(1.0, 0.0), Array(0.0, 1.0)),
+      (3L, Array(1.0, 0.0), Array(-1.0, 0.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), V.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns the true nearest neighbors") {
+    // construct vectors where similarity to the query is by design
+    val q = Array(1.0, 0.0, 0.0)
+    val df = Seq(
+      (1L, Array(0.9, 0.1, 0.0)),   // closest
+      (2L, Array(0.5, 0.5, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0)),   // orthogonal
+      (4L, Array(-1.0, 0.0, 0.0))   // opposite
+    ).toDF("vec_id", "v")
+    val ranked = df.select(col("vec_id"),
+      V.cosine(col("v"), lit(q).cast("array<double>")).as("sim"))
+      .orderBy(col("sim").desc).collect().map(_.getLong(0)).toList
+    assert(ranked === List(1L, 2L, 3L, 4L))
+  }
+
+  test("vec_stats matches manual computation on a literal vector") {
+    val xs = Array(4.0, 1.0, 3.0, 2.0)
+    val df = Seq((1L, xs)).toDF("vec_id", "v")
+    val v = col("v")
+    val mean = V.seqSum(v) / size(v)
+    val out = df.select(
+      mean.as("mean"),
+      sqrt(V.seqSum(transform(v, x => (x - mean) * (x - mean))) / size(v)).as("std"),
+      array_min(v).as("mn"), array_max(v).as("mx")).head()
+    assert(out.getDouble(0) === 2.5)
+    assert(math.abs(out.getDouble(1) - math.sqrt(1.25)) < 1e-12)
+    assert(out.getDouble(2) === 1.0)
+    assert(out.getDouble(3) === 4.0)
+  }
+
+  test("LSH bucket assignment is deterministic across runs") {
+    val q = SparkEntry.queries("ann_lsh_buckets")
+    val a = q(spark, sf).collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    val b = q(spark, sf).collect().map(r => (r.getInt(0), r.getLong(1))).toList
+    assert(a === b)
+    assert(a.map(_._2).sum === Tables.embeddings(spark, sf).count())
+  }
+}
