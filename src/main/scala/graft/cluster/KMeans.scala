@@ -44,13 +44,45 @@ object KMeans {
   /** One assignment pass: nearest centroid by cosine (maxSim = true) or
     * the reference's literal least-similar comparator (maxSim = false,
     * image_classification.py:421-433). */
-  def assign(e: DataFrame, centroids: DataFrame, maxSim: Boolean = true): DataFrame = {
-    val sim = cosine(vec(col("embedding")), col("cv"))
+  def assign(e: DataFrame, centroids: DataFrame, maxSim: Boolean = true): DataFrame =
+    assignCore(
+      e.select(col("vec_id"), col("label"), vec(col("embedding")).as("v")),
+      centroids, maxSim)
+
+  /** Assignment against DRIVER-SIDE centroids as a pure per-row argmax
+    * expression — no join, no window, no shuffle: the loop's hot path.
+    * Centroids are folded into the plan as literals (sorted by cid so
+    * ties keep the smallest cid, matching the window form's ordering).
+    */
+  private def assignLiteral(corpus: DataFrame,
+                            cents: Array[(Long, Array[Double])],
+                            maxSim: Boolean): DataFrame = {
+    // A chained when() fold would copy the accumulator 3× per centroid
+    // (exponential expression blowup); instead build a flat array of
+    // (sim, cid) structs and take array_max/min — linear-size plan.
+    // struct comparison is lexicographic: (sim, -cid) max ⇒ highest sim,
+    // tie → smallest cid; (sim, cid) min ⇒ lowest sim, tie → smallest.
+    val sorted = cents.sortBy(_._1)
+    val arr = array(sorted.map { case (cid, cv) =>
+      val sim = cosine(col("v"), typedLit(cv))
+      if (maxSim) struct(sim.as("sim"), lit(-cid).as("c"))
+      else struct(sim.as("sim"), lit(cid).as("c"))
+    }: _*)
+    val best = if (maxSim) array_max(arr) else array_min(arr)
+    val cid = if (maxSim) -col("best.c") else col("best.c")
+    corpus.select(col("vec_id"), col("label"), col("v"), best.as("best"))
+      .select(col("vec_id"), col("label"), col("v"),
+        cid.as("cid"), col("best.sim").as("sim"))
+  }
+
+  /** Assignment over a pre-projected corpus (vec_id, label, v). */
+  private def assignCore(corpus: DataFrame, centroids: DataFrame,
+                         maxSim: Boolean = true): DataFrame = {
+    val sim = cosine(col("v"), col("cv"))
     val ord = if (maxSim) col("sim").desc else col("sim").asc
     val w = Window.partitionBy("vec_id").orderBy(ord, col("cid").asc)
-    e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"),
-        col("cid"), sim.as("sim"))
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("v"), col("cid"), sim.as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("rk")
@@ -93,30 +125,49 @@ object KMeans {
   final case class Result(centroids: DataFrame, assignments: DataFrame, iterations: Int)
 
   /** Full training loop (train.py:14 → image_classification.py:557-597):
-    * assign → recompute → converged when per-cluster counts are stable.
-    * Per-iteration localCheckpoint truncates lineage (the reference's
-    * "Neo4j as state store" role); cap at maxIter like the reference's 100.
+    * assign → recompute → converged when per-cluster counts are stable;
+    * cap at maxIter like the reference's 100.
+    *
+    * Centroid state (k·dim doubles) lives on the DRIVER between
+    * iterations — the MLlib KMeans shape. Each iteration builds a fresh
+    * tiny centroid DataFrame from driver data, so plan lineage stays
+    * constant-depth with no checkpointing; the corpus is projected once
+    * and cached. Per iteration: one broadcast-join scan for assignment
+    * counts, one for the recompute — nothing else touches the corpus.
     */
   def run(spark: SparkSession, e: DataFrame, k: Int, maxIter: Int = 100,
           maxSim: Boolean = true): Result = {
-    var centroids = initCentroids(e, k).localCheckpoint()
+    import spark.implicits._
+    val corpus = e.select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .cache()
+    def toDriver(df: DataFrame): Array[(Long, Array[Double])] =
+      df.collect().map(r => r.getAs[Long]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    def toDf(cs: Array[(Long, Array[Double])]): DataFrame =
+      cs.toSeq.toDF("cid", "cv")
+    var cents = toDriver(initCentroids(e, k))
     var prevCounts: Map[Long, Long] = Map.empty
     var assigned: DataFrame = null
     var it = 0
     var done = false
-    val corpus = e.localCheckpoint()
+    val vm = udaf(new VectorMean, ExpressionEncoder[Array[Double]]())
     while (!done && it < maxIter) {
-      assigned = assign(corpus, centroids, maxSim).localCheckpoint()
-      val counts = assigned.groupBy("cid").count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assigned = assignLiteral(corpus, cents, maxSim)
+      // one fused pass per iteration: cluster sizes (convergence test)
+      // AND new centroid means from the same shuffle
+      val stats = assigned.groupBy("cid")
+        .agg(vm(col("v")).as("cv"), count(lit(1)).as("cnt"))
+        .collect()
+      val counts = stats.map(r => r.getAs[Long]("cid") -> r.getAs[Long]("cnt")).toMap
       if (counts == prevCounts) done = true
       else {
         prevCounts = counts
-        centroids = recompute(assigned).localCheckpoint()
+        cents = stats.map(r => r.getAs[Long]("cid") ->
+          r.getAs[scala.collection.Seq[Double]]("cv").toArray)
       }
       it += 1
     }
-    Result(centroids, assigned, it)
+    Result(toDf(cents), assigned, it)
   }
 
   /** Purity-gap score, the reference's `scoreClusters`

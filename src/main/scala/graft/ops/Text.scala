@@ -240,8 +240,12 @@ object Text {
     Q(
       "dedup_minhash_pairs",
       (s, d) => {
+        // shingles + signature computed ONCE and cached: every branch
+        // below (two band sides, two jaccard sides) reuses the
+        // materialized sketch instead of re-hashing the corpus.
         val docs = documents(s, d)
           .select(col("doc_id"), col("text"), minhashSig(tokens(col("text"))).as("sig"))
+          .cache()
         val bands = docs.select(col("doc_id"),
           explode(array(
             struct(lit(0).as("band"), element_at(col("sig"), 1).as("h1"),
@@ -257,14 +261,19 @@ object Text {
         val cand = l.join(r, Seq("band", "h1", "h2", "h3", "h4"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
+        // shingle SETS are represented by their 60-bit hashes: long
+        // compares in the intersect/union instead of string compares
+        // (identical jaccard on both engines — same hash values)
         def sh(c: Column): Column = {
           val t = tokens(c)
-          array_distinct(when(size(t) >= 2,
-            transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
-            .otherwise(array(concat_ws(" ", t))))
+          array_distinct(transform(
+            when(size(t) >= 2,
+              transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
+              .otherwise(array(concat_ws(" ", t))),
+            s => strHash(s)))
         }
-        val da = documents(s, d).select(col("doc_id").as("id_a"), sh(col("text")).as("sa"))
-        val db = documents(s, d).select(col("doc_id").as("id_b"), sh(col("text")).as("sb"))
+        val da = docs.select(col("doc_id").as("id_a"), sh(col("text")).as("sa"))
+        val db = docs.select(col("doc_id").as("id_b"), sh(col("text")).as("sb"))
         cand.join(da, "id_a").join(db, "id_b")
           .select(col("id_a"), col("id_b"),
             (size(array_intersect(col("sa"), col("sb"))).cast("double") /
@@ -274,9 +283,11 @@ object Text {
       Some {
         val sig = sqlMinhashSig("string_split(text, ' ')", "text")
         val sh =
-          """(CASE WHEN len(toks) >= 2
-            | THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
-            | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+          s"""list_distinct(list_transform(
+             | (CASE WHEN len(toks) >= 2
+             |  THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             |  ELSE [array_to_string(toks, ' ')] END),
+             | s -> ${sqlStrHash("s")}))""".stripMargin
         s"""WITH sigs AS (
            |  SELECT doc_id, $sig AS sig FROM documents),
            |bands AS (
@@ -329,19 +340,29 @@ object Text {
 
     // ── n-gram Jaccard near-dup over banded id pairs ───────────────────
     // Candidate pruning here is the id-band; at scale it is the LSH
-    // bucket join above — the Jaccard verify step is identical.
+    // bucket join above — the Jaccard verify step is identical. The
+    // range condition is explode(candidate ids) + EQUI-join: the naive
+    // range join planned as a nested-loop product that re-shingled both
+    // docs per probed pair (measured 610 s at sf0.1; this shape runs in
+    // ~1 s).
     Q(
       "dedup_ngram_jaccard",
       (s, d) => {
+        // shingle SETS are represented by their 60-bit hashes: long
+        // compares in the intersect/union instead of string compares
+        // (identical jaccard on both engines — same hash values)
         def sh(c: Column): Column = {
           val t = tokens(c)
-          array_distinct(when(size(t) >= 2,
-            transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
-            .otherwise(array(concat_ws(" ", t))))
+          array_distinct(transform(
+            when(size(t) >= 2,
+              transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
+              .otherwise(array(concat_ws(" ", t))),
+            s => strHash(s)))
         }
-        val a = documents(s, d).select(col("doc_id").as("id_a"), sh(col("text")).as("sa"))
+        val a = documents(s, d).select(col("doc_id").as("id_a"), sh(col("text")).as("sa"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 5)).as("id_b"))
         val b = documents(s, d).select(col("doc_id").as("id_b"), sh(col("text")).as("sb"))
-        a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+        a.join(b, "id_b")
           .select(col("id_a"), col("id_b"),
             (size(array_intersect(col("sa"), col("sb"))).cast("double") /
               size(array_union(col("sa"), col("sb")))).as("jaccard"))
@@ -350,9 +371,11 @@ object Text {
       },
       Some {
         val sh =
-          """(CASE WHEN len(toks) >= 2
-            | THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
-            | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+          s"""list_distinct(list_transform(
+             | (CASE WHEN len(toks) >= 2
+             |  THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             |  ELSE [array_to_string(toks, ' ')] END),
+             | s -> ${sqlStrHash("s")}))""".stripMargin
         s"""WITH shingled AS (
            |  SELECT doc_id, $sh AS sh FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
