@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY.md §2 surface + §2.6 gap operators: the dead-code
+  * feature extractors re-expressed over numeric arrays (F2 histogram,
+  * F4 edge convolution), the node/edge sink path (S6/S7/S9/S10), and
+  * date/time, JSON, as-of-join, and approximate-aggregate operators the
+  * reference lacks entirely.
+  */
+object Extended {
+
+  import Tables._
+  import graft.ops.Vector.{seqSum, sqlSeqSum, sqlVec, vec}
+
+  val queries: Seq[Q] = Seq(
+    // ── F2: histogram (reference: 3-D HSV histogram, 30k bins,
+    // image_classification.py:136-171 — dead code). Relational form:
+    // fixed-width buckets over all embedding values. floor() bucketing
+    // is tie-free; clamped to [0, 21] for outliers. At scale this is
+    // explode → partial-agg count — the shuffle carries only (bucket,
+    // count) pairs per partition.
+    Q(
+      "vec_histogram",
+      (s, d) => {
+        val bucket = least(greatest(
+          floor((col("x") + 0.5) * 20).cast("long"), lit(-1L)), lit(20L))
+        embeddings(s, d)
+          .select(explode(vec(col("embedding"))).as("x"))
+          .select(bucket.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT least(greatest(CAST(floor((x + 0.5) * 20) AS BIGINT), -1), 20) AS bucket,
+             |  count(*) AS cnt
+             |FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
+    // ── F4: edge detection (reference: PIL FIND_EDGES 3×3 Laplacian,
+    // image_classification.py:289-310 — dead code). The 64-dim vector
+    // is treated as an 8×8 grid; edge energy = mean |4x − N−S−E−W| over
+    // the 6×6 interior. Pure per-row arithmetic, sequential fold —
+    // bit-identical on both engines, no shuffle.
+    Q(
+      "vec_edge_energy",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        def at(r: Column, c: Column): Column = element_at(v, (r * 8 + c + 1).cast("int"))
+        val responses = transform(sequence(lit(0), lit(35)), i => {
+          val r = (i / 6).cast("long") + 1
+          val c = (i % 6) + 1
+          abs(at(r, c) * 4.0 - at(r - 1, c) - at(r + 1, c) - at(r, c - 1) - at(r, c + 1))
+        })
+        embeddings(s, d)
+          .select(col("vec_id"), (seqSum(responses) / 36.0).as("edge_energy"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        val at = (r: String, c: String) => s"$v[CAST(($r) * 8 + ($c) + 1 AS INT)]"
+        val resp = s"list_transform(range(0, 36), i -> " +
+          s"abs(${at("i // 6 + 1", "i % 6 + 1")} * 4.0 - ${at("i // 6", "i % 6 + 1")} " +
+          s"- ${at("i // 6 + 2", "i % 6 + 1")} - ${at("i // 6 + 1", "i % 6")} " +
+          s"- ${at("i // 6 + 1", "i % 6 + 2")}))"
+        s"""SELECT vec_id, ${sqlSeqSum(resp)} / 36.0 AS edge_energy
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }
+    ),
+
+    // ── S6/S7/S9/S10: node + relationship sink with truncate-overwrite.
+    // The reference writes one node per Bolt round-trip
+    // (image_classification.py:217-221) and flushes with DETACH DELETE
+    // (database.py:42-48); here the whole graph persists as two
+    // partitioned parquet writes (mode=overwrite ≡ truncate), then reads
+    // back. At 100 TB the node table would be partitioned by label and
+    // bucketed by id — the write path is identical.
+    Q(
+      "sink_graph_roundtrip",
+      (s, d) => {
+        val g = graft.graph.ClusterGraph.build(s, d, k = 8)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sink_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        g.nodes.write.mode("overwrite").partitionBy("label").parquet(s"$dir/nodes")
+        g.edges.write.mode("overwrite").parquet(s"$dir/edges")
+        val nodes = s.read.parquet(s"$dir/nodes")
+        val edges = s.read.parquet(s"$dir/edges")
+        nodes.groupBy("label").agg(count(lit(1)).as("cnt"))
+          .unionByName(edges.select(lit("__edges__").as("label"))
+            .groupBy("label").agg(count(lit(1)).as("cnt")))
+          .orderBy("label")
+      },
+      Some("""SELECT 'Centroid' AS label, 8 AS cnt
+             |UNION ALL SELECT 'Image', count(*) FROM embeddings
+             |UNION ALL SELECT '__edges__', count(*) FROM embeddings
+             |ORDER BY label""".stripMargin)
+    ),
+
+    // ── date/time functions (§2.6 gap) ─────────────────────────────────
+    Q(
+      "dt_orders_by_month",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("revenue"))
+          .orderBy("yr", "mo"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+              |  count(*) AS cnt, sum(${decSql("o_totalprice")}) AS revenue
+              |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
+    ),
+
+    // ── JSON functions (§2.6 gap): extract typed field from props ──────
+    Q(
+      "json_props_extract",
+      (s, d) => {
+        graft.ops.Events.eventsUs(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // ── as-of join (§2.6 gap): latest signup at or before each purchase.
+    // NOT a range join: one window pass carries the running max signup
+    // time per user — the O(n log n) shape that survives 100 TB (single
+    // shuffle on user_id, single sort, no pair explosion).
+    Q(
+      "evt_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.ops.Events.eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("last_signup_us",
+            max(when(col("event_type") === "signup", col("us"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us", "last_signup_us")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, us, last_signup_us FROM (
+              |  SELECT event_id, user_id, event_type, epoch_us(${graft.ops.Events.sqlTs}) AS us,
+              |    max(CASE WHEN event_type = 'signup' THEN epoch_us(${graft.ops.Events.sqlTs}) END)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(${graft.ops.Events.sqlTs}), event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+              |  FROM events)
+              |WHERE event_type = 'purchase'
+              |ORDER BY event_id""".stripMargin)
+    ),
+
+    // ── approximate aggregates (§2.6 gap): HLL distinct + approximate
+    // quantiles. Sketch values are implementation-specific (Spark HLL++ ≠
+    // DuckDB HLL) → rows-only driver check; the exact companions above
+    // (evt_sliding_window count_distinct, vec_stats median) are the
+    // oracle-checked ground truth.
+    Q(
+      "agg_approx",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+          .orderBy("l_returnflag"),
+      None
+    )
+  )
+}
