@@ -67,25 +67,63 @@ object Text {
   private def permA(j: Int): Long = 2L * j + 3
   private def permB(j: Int): Long = 7919L * j + 1
 
-  /** 8-element MinHash signature over word-bigram shingles. */
-  def minhashSig(toks: Column): Column = {
-    val shingles = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    val hs = transform(shingles, s => strHash(s) % P32)
+  /** Per-word hashes — ONE md5 per token (the only hashing pass). */
+  def wordHashes(toks: Column): Column = transform(toks, w => strHash(w) % P32)
+
+  /** Word-bigram shingle hashes from a MATERIALIZED word-hash column.
+    * The staging matters: wh must be a real column (separate projection),
+    * not an inline expression — HOF lambdas re-evaluate captured
+    * subexpressions per element, which turns the hashing quadratic
+    * (measured 250 s at sf0.1 inline vs ~2 s staged). */
+  def shinglesFromWh(wh: Column): Column =
+    when(size(wh) >= 2,
+      transform(sequence(lit(1), size(wh) - 1),
+        i => element_at(wh, i.cast("int")) * 1000003L + element_at(wh, (i + 1).cast("int"))))
+      .otherwise(array(element_at(wh, 1)))
+
+  /** MinHash signature from a materialized shingle-hash column. */
+  def sigFromHs(hs: Column): Column =
     array((0 until 8).map(j =>
-      array_min(transform(hs, h => (h * permA(j) + permB(j)) % P32))): _*)
+      array_min(transform(hs, h => ((h % P32) * permA(j) + permB(j)) % P32))): _*)
+
+  /** Convenience one-shot form for small/test inputs (NOT the query hot
+    * path — see staging note above). */
+  def minhashSig(toks: Column): Column = {
+    val wh = wordHashes(toks)
+    val hs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => element_at(wh, i.cast("int")) * 1000003L + element_at(wh, (i + 1).cast("int"))))
+      .otherwise(array(element_at(wh, 1)))
+    sigFromHs(hs)
   }
-  def sqlMinhashSig(toks: String, text: String): String = {
-    val shingles =
-      s"""(CASE WHEN len($toks) >= 2
-         | THEN list_transform(range(1, len($toks)), i -> array_to_string($toks[i:i+1], ' '))
-         | ELSE [array_to_string($toks, ' ')] END)""".stripMargin
-    val hs = s"list_transform($shingles, s -> ${sqlStrHash("s")} % $P32)"
-    "[" + (0 until 8).map(j =>
-      s"list_aggregate(list_transform($hs, h -> (h * ${permA(j)} + ${permB(j)}) % $P32), 'min')")
+
+  /** Staged per-doc sketch: (doc_id, hs, sig, sh) with each stage a real
+    * projection so nothing is recomputed. `sh` is the distinct shingle
+    * set (for exact Jaccard), `sig` the 8-perm MinHash. */
+  def docSketch(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), wordHashes(tokens(col("text"))).as("wh"))
+      .select(col("doc_id"), shinglesFromWh(col("wh")).as("hs"))
+      .select(col("doc_id"), sigFromHs(col("hs")).as("sig"),
+        array_distinct(col("hs")).as("sh"))
+
+  /** The same staged sketch as DuckDB CTEs (wh/hs are per-row columns of
+    * their CTE, so each stage is evaluated once, mirroring the Spark
+    * projections). */
+  val sqlSketchCtes: String = {
+    val sig = "[" + (0 until 8).map(j =>
+      s"list_aggregate(list_transform(hs, h -> ((h % $P32) * ${permA(j)} + ${permB(j)}) % $P32), 'min')")
       .mkString(", ") + "]"
+    s"""wh AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % $P32) AS wh
+       |  FROM documents),
+       |hst AS (
+       |  SELECT doc_id, CASE WHEN len(wh) >= 2
+       |    THEN list_transform(range(1, len(wh)), i -> wh[i] * 1000003 + wh[i + 1])
+       |    ELSE [wh[1]] END AS hs
+       |  FROM wh),
+       |sketch AS (
+       |  SELECT doc_id, $sig AS sig, list_distinct(hs) AS sh FROM hst)""".stripMargin
   }
 
   val queries: Seq[Q] = Seq(
@@ -226,12 +264,9 @@ object Text {
     // ── MinHash signatures (the per-doc sketch) ────────────────────────
     Q(
       "dedup_minhash_sig",
-      (s, d) =>
-        documents(s, d)
-          .select(col("doc_id"), minhashSig(tokens(col("text"))).as("sig"))
-          .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, ${sqlMinhashSig("string_split(text, ' ')", "text")} AS sig
-              |FROM documents ORDER BY doc_id""".stripMargin)
+      (s, d) => docSketch(s, d).select("doc_id", "sig").orderBy("doc_id"),
+      Some(s"""WITH $sqlSketchCtes
+              |SELECT doc_id, sig FROM sketch ORDER BY doc_id""".stripMargin)
     ),
 
     // ── MinHash-LSH near-dup candidate pairs + exact Jaccard verify ────
@@ -240,12 +275,10 @@ object Text {
     Q(
       "dedup_minhash_pairs",
       (s, d) => {
-        // shingles + signature computed ONCE and cached: every branch
-        // below (two band sides, two jaccard sides) reuses the
+        // sketch (sig + shingle set) computed ONCE and cached: every
+        // branch below (two band sides, two jaccard sides) reuses the
         // materialized sketch instead of re-hashing the corpus.
-        val docs = documents(s, d)
-          .select(col("doc_id"), col("text"), minhashSig(tokens(col("text"))).as("sig"))
-          .cache()
+        val docs = docSketch(s, d).cache()
         val bands = docs.select(col("doc_id"),
           explode(array(
             struct(lit(0).as("band"), element_at(col("sig"), 1).as("h1"),
@@ -261,19 +294,8 @@ object Text {
         val cand = l.join(r, Seq("band", "h1", "h2", "h3", "h4"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-        // shingle SETS are represented by their 60-bit hashes: long
-        // compares in the intersect/union instead of string compares
-        // (identical jaccard on both engines — same hash values)
-        def sh(c: Column): Column = {
-          val t = tokens(c)
-          array_distinct(transform(
-            when(size(t) >= 2,
-              transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
-              .otherwise(array(concat_ws(" ", t))),
-            s => strHash(s)))
-        }
-        val da = docs.select(col("doc_id").as("id_a"), sh(col("text")).as("sa"))
-        val db = docs.select(col("doc_id").as("id_b"), sh(col("text")).as("sb"))
+        val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
         cand.join(da, "id_a").join(db, "id_b")
           .select(col("id_a"), col("id_b"),
             (size(array_intersect(col("sa"), col("sb"))).cast("double") /
@@ -281,32 +303,22 @@ object Text {
           .orderBy("id_a", "id_b")
       },
       Some {
-        val sig = sqlMinhashSig("string_split(text, ' ')", "text")
-        val sh =
-          s"""list_distinct(list_transform(
-             | (CASE WHEN len(toks) >= 2
-             |  THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
-             |  ELSE [array_to_string(toks, ' ')] END),
-             | s -> ${sqlStrHash("s")}))""".stripMargin
-        s"""WITH sigs AS (
-           |  SELECT doc_id, $sig AS sig FROM documents),
+        s"""WITH $sqlSketchCtes,
            |bands AS (
-           |  SELECT doc_id, 0 AS band, sig[1] AS h1, sig[2] AS h2, sig[3] AS h3, sig[4] AS h4 FROM sigs
+           |  SELECT doc_id, 0 AS band, sig[1] AS h1, sig[2] AS h2, sig[3] AS h3, sig[4] AS h4 FROM sketch
            |  UNION ALL
-           |  SELECT doc_id, 1 AS band, sig[5], sig[6], sig[7], sig[8] FROM sigs),
+           |  SELECT doc_id, 1 AS band, sig[5], sig[6], sig[7], sig[8] FROM sketch),
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM bands a JOIN bands b
            |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.h4 = b.h4
-           |  WHERE a.doc_id < b.doc_id),
-           |shingled AS (
-           |  SELECT doc_id, $sh AS sh FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+           |  WHERE a.doc_id < b.doc_id)
            |SELECT c.id_a, c.id_b,
            |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
            |  len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
            |FROM cand c
-           |JOIN shingled sa ON sa.doc_id = c.id_a
-           |JOIN shingled sb ON sb.doc_id = c.id_b
+           |JOIN sketch sa ON sa.doc_id = c.id_a
+           |JOIN sketch sb ON sb.doc_id = c.id_b
            |ORDER BY id_a, id_b""".stripMargin
       }
     ),
@@ -348,20 +360,10 @@ object Text {
     Q(
       "dedup_ngram_jaccard",
       (s, d) => {
-        // shingle SETS are represented by their 60-bit hashes: long
-        // compares in the intersect/union instead of string compares
-        // (identical jaccard on both engines — same hash values)
-        def sh(c: Column): Column = {
-          val t = tokens(c)
-          array_distinct(transform(
-            when(size(t) >= 2,
-              transform(sequence(lit(1), size(t) - 1), i => concat_ws(" ", slice(t, i, lit(2)))))
-              .otherwise(array(concat_ws(" ", t))),
-            s => strHash(s)))
-        }
-        val a = documents(s, d).select(col("doc_id").as("id_a"), sh(col("text")).as("sa"),
+        val sk = docSketch(s, d)
+        val a = sk.select(col("doc_id").as("id_a"), col("sh").as("sa"),
           explode(sequence(col("doc_id") + 1, col("doc_id") + 5)).as("id_b"))
-        val b = documents(s, d).select(col("doc_id").as("id_b"), sh(col("text")).as("sb"))
+        val b = sk.select(col("doc_id").as("id_b"), col("sh").as("sb"))
         a.join(b, "id_b")
           .select(col("id_a"), col("id_b"),
             (size(array_intersect(col("sa"), col("sb"))).cast("double") /
@@ -370,18 +372,11 @@ object Text {
           .orderBy("id_a", "id_b")
       },
       Some {
-        val sh =
-          s"""list_distinct(list_transform(
-             | (CASE WHEN len(toks) >= 2
-             |  THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
-             |  ELSE [array_to_string(toks, ' ')] END),
-             | s -> ${sqlStrHash("s")}))""".stripMargin
-        s"""WITH shingled AS (
-           |  SELECT doc_id, $sh AS sh FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        s"""WITH $sqlSketchCtes
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
            |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-           |FROM shingled a JOIN shingled b
+           |FROM sketch a JOIN sketch b
            |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
            |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
            |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15

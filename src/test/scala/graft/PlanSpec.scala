@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions: the properties that make these
+  * operators survive a 100 TB scale-up must be visible in the plan, not
+  * just hoped for. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Parquet scans of a query plan, unwrapping the AQE leaf wrapper. */
+  private def scansOf(name: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    val unwrapped = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    unwrapped.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val p = plan("rel_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("GreaterThan(l_quantity,30.0)") ||
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      s"expected quantity filter pushed to scan:\n$p")
+  }
+
+  test("projection pruning reaches the scan (ReadSchema is narrow)") {
+    // lineitem has 11 columns; the query needs 4 projected + 2 filter cols
+    val scans = scansOf("rel_scan_filter_project")
+    assert(scans.nonEmpty)
+    val cols = scans.head.requiredSchema.fields.length
+    assert(cols <= 6, s"scan reads $cols columns, expected <= 6")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = plan("rel_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"dims should broadcast:\n$p")
+  }
+
+  test("top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("rel_top100_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("k-means assignment broadcasts the centroid side") {
+    val p = plan("kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+  }
+
+  test("near-dup candidate join is an equi-join, not a nested-loop product") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded near-dup must not plan a product join:\n$p")
+  }
+
+  test("semi join stays a semi join in the physical plan") {
+    val p = plan("rel_semi_join")
+    assert(p.contains("LeftSemi"), s"expected semi join:\n$p")
+  }
+
+  test("events scan prunes to the columns the window query needs") {
+    val scans = scansOf("evt_top_purchasers")
+    assert(scans.nonEmpty)
+    assert(!scans.head.requiredSchema.fieldNames.contains("props"),
+      "props column must be pruned from the purchase aggregation")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.cluster.KMeans
+import graft.ops.{Vector => V}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests for the numeric cores (SURVEY.md §5.3): seeded
+  * ScalaCheck generators driven in a deterministic loop (the
+  * scalatest-scalacheck bridge isn't in the offline cache, and batching
+  * cases into one Spark job per property is much faster than forAll's
+  * one-job-per-case anyway). */
+class PropertiesSpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](8, Gen.chooseNum(-10.0, 10.0))
+      .suchThat(v => v.exists(_ != 0.0))
+
+  test("cosine similarity is within [-1,1], reflexive at 1, for 200 random pairs") {
+    import spark.implicits._
+    val vs = (1 to 200).map(i => (i.toLong, sample(vecGen, i), sample(vecGen, i + 1000)))
+    val df = vs.toDF("id", "a", "b")
+    val rows = df.select(
+      V.cosine(col("a"), col("b")).as("ab"),
+      V.cosine(col("a"), col("a")).as("aa")).collect()
+    rows.foreach { r =>
+      val ab = r.getDouble(0); val aa = r.getDouble(1)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, s"out of range: $ab")
+      assert(math.abs(aa - 1.0) < 1e-9, s"not reflexive: $aa")
+    }
+  }
+
+  test("assignment covers every point exactly once for varied n and k") {
+    import spark.implicits._
+    for ((k, n, seed) <- Seq((1, 10, 7L), (3, 25, 11L), (6, 40, 13L))) {
+      val rng = new scala.util.Random(seed)
+      val data = (0 until n).map(i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian()), rng.nextInt(3)))
+      val df = data.toDF("vec_id", "embedding", "label")
+      val a = KMeans.assign(df, KMeans.initCentroids(df, k))
+      assert(a.count() === n.toLong)
+      assert(a.select("vec_id").distinct().count() === n.toLong)
+      assert(a.select("cid").distinct().count() <= k.toLong)
+    }
+  }
+
+  test("recomputed centroids are convex: within the min/max envelope of members") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val data = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian()), 0))
+    val df = data.toDF("vec_id", "embedding", "label")
+    val a = KMeans.assign(df, KMeans.initCentroids(df, 4))
+    val members = a.select(col("cid"), col("v")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        cid -> rows.map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+      }
+    val rec = KMeans.recompute(a).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("cv").toArray)
+      .toMap
+    for ((cid, vs) <- members; d <- 0 until 8) {
+      val lo = vs.map(_(d)).min; val hi = vs.map(_(d)).max
+      val c = rec(cid)(d)
+      assert(c >= lo - 1e-9 && c <= hi + 1e-9,
+        s"centroid $cid dim $d: $c outside [$lo, $hi]")
+    }
+  }
+
+  test("rolling-hash fingerprint stays within [0, 2^31) on random token lists") {
+    import spark.implicits._
+    val textGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))
+      .map(_.take(20).mkString(" "))
+    val texts = (1 to 100).map(i => (i.toLong, sample(textGen, i)))
+    val df = texts.toDF("doc_id", "text")
+    val codes = transform(graft.ops.Text.tokens(col("text")),
+      w => length(w).cast("long") * 256 + ascii(substring(w, 1, 1)))
+    val fp = aggregate(codes, lit(0L), (h, c) => (h * 1000003L + c) % 2147483647L)
+    val fps = df.select(fp.as("f")).collect().map(_.getLong(0))
+    assert(fps.forall(f => f >= 0L && f < 2147483647L))
+  }
+
+  test("minhash signature agreement is monotone in true Jaccard for nested docs") {
+    import spark.implicits._
+    // doc B ⊂ doc A ⊂ doc C token-wise: agreement(A,B) ≥ agreement(A, unrelated)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val subset = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val unrelated = (100 to 130).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, subset), (3L, unrelated)).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.Text.minhashSig(graft.ops.Text.tokens(col("text"))).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) ->
+      r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    def agree(x: Long, y: Long) = sigs(x).zip(sigs(y)).count { case (a, b) => a == b }
+    assert(agree(1L, 2L) >= agree(1L, 3L))
+  }
+}
