@@ -156,6 +156,53 @@ object Extended {
               |ORDER BY event_id""".stripMargin)
     ),
 
+    // ── corr / covar_pop (SURVEY.md Note D): the reference's corrcoef/
+    // cov "features" are degenerate (row-0-only); these are the
+    // well-defined analogues between embedding dims 1 and 2 per label.
+    // Doubles are floor-quantized to 2^20 units → all five sufficient
+    // statistics are exact BIGINT sums (order-free, partial-agg-safe);
+    // the closed forms evaluate in double from exact integers, so both
+    // engines get bit-identical results.
+    Q(
+      "vec_dim_corr",
+      (s, d) => {
+        val q = (c: Column) => floor(c * 1048576.0).cast("long")
+        val x = q(element_at(vec(col("embedding")), 1))
+        val y = q(element_at(vec(col("embedding")), 2))
+        embeddings(s, d)
+          .select(col("label"), x.as("x"), y.as("y"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+          .select(col("label"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .as("corr_q"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("n")).cast("double") / 1048576.0 / 1048576.0)
+              .as("covar_pop_q"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (
+             |  SELECT label,
+             |    CAST(floor((embedding::DOUBLE[])[1] * 1048576) AS BIGINT) AS x,
+             |    CAST(floor((embedding::DOUBLE[])[2] * 1048576) AS BIGINT) AS y
+             |  FROM embeddings),
+             |stats AS (
+             |  SELECT label, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM q GROUP BY label)
+             |SELECT label,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_q,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) / 1048576 / 1048576 AS covar_pop_q
+             |FROM stats ORDER BY label""".stripMargin)
+    ),
+
     // ── approximate aggregates (§2.6 gap): HLL distinct + approximate
     // quantiles. Sketch values are implementation-specific (Spark HLL++ ≠
     // DuckDB HLL) → rows-only driver check; the exact companions above
