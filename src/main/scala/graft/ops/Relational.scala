@@ -361,6 +361,75 @@ object Relational {
               |ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
 
+    // ── scalar subquery: orders above the global average price ─────────
+    // The avg comparison is cross-multiplied (price·n > total) so it
+    // evaluates in exact DECIMAL arithmetic — no division, no float
+    // order-dependence, identical row set on both engines.
+    Q(
+      "rel_scalar_subquery",
+      (s, d) => {
+        val stats = orders(s, d)
+          .agg(sum(dec(col("o_totalprice"))).as("total"), count(lit(1)).as("n"))
+        orders(s, d).crossJoin(broadcast(stats))
+          .filter(dec(col("o_totalprice")) * col("n") > col("total"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("above_avg"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH stats AS (
+              |  SELECT sum(${decSql("o_totalprice")}) AS total, count(*) AS n FROM orders)
+              |SELECT o_orderpriority, count(*) AS above_avg
+              |FROM orders, stats
+              |WHERE ${decSql("o_totalprice")} * n > total
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ── string function battery (exact ops only) ───────────────────────
+    Q(
+      "rel_string_funcs",
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_partkey") <= 50)
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("up"),
+            substring(col("p_name"), 1, 5).as("pre"),
+            length(trim(col("p_name"))).as("trimlen"),
+            lpad(col("p_brand"), 12, "_").as("padded"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("vowelcaps"),
+            reverse(col("p_name")).as("rev"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pre,
+             |  length(trim(p_name)) AS trimlen, lpad(p_brand, 12, '_') AS padded,
+             |  concat_ws('|', p_brand, p_type) AS joined,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS vowelcaps,
+             |  reverse(p_name) AS rev
+             |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // ── null-handling operators: nullif / coalesce / null-aware agg ────
+    Q(
+      "rel_null_funcs",
+      (s, d) =>
+        lineitem(s, d)
+          .select(col("l_returnflag"),
+            nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(col("disc_or_null")).as("nonzero_disc"),
+            count(lit(1)).as("total"),
+            sum(when(col("disc_or_null").isNull, 1).otherwise(0)).as("zero_disc"),
+            min(coalesce(col("disc_or_null"), lit(9.99))).as("min_disc"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  count(nullif(l_discount, 0.0)) AS nonzero_disc,
+             |  count(*) AS total,
+             |  CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zero_disc,
+             |  min(coalesce(nullif(l_discount, 0.0), 9.99)) AS min_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // ── rollup / grouping sets (§2.6 gap) ──────────────────────────────
     Q(
       "rel_rollup",

@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming over real event parquet matches the batch result") {
+    // the harness events table, µs-converted, written as a streaming
+    // source dir — the swap-in path for a production file/Kafka feed
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batchDf = graft.ops.Events.eventsUs(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream
+      .schema(batchDf.schema)
+      .parquet(dir)
+    val q = Streams.tumblingCounts(streamDf)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val got = spark.table("file_tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      val expect = Streams.tumblingCounts(batchDf)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("stateful sessionization groups events by 30-minute gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
