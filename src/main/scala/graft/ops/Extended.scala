@@ -40,6 +40,30 @@ object Extended {
              |GROUP BY bucket ORDER BY bucket""".stripMargin)
     ),
 
+    // ── F2 via custom TypedImperativeAggregate (the scale path) ────────
+    // Same buckets and same ORACLE as vec_histogram, but one long[]
+    // buffer per partition and a single merged row per partition on the
+    // shuffle — instead of one row per element (see FusedHistogram).
+    Q(
+      "vec_histogram_fused",
+      (s, d) => {
+        import org.apache.spark.sql.graft.{Bridge, FusedHistogram}
+        val agg = Bridge.column(
+          FusedHistogram(Bridge.expression(vec(col("embedding"))), -0.5, 0.5, 20)
+            .toAggregateExpression())
+        embeddings(s, d)
+          .agg(agg.as("hist"))
+          .select(posexplode(col("hist")).as(Seq("idx", "cnt")))
+          .select((col("idx") - 1).cast("long").as("bucket"), col("cnt"))
+          .filter(col("cnt") > 0)
+          .orderBy("bucket")
+      },
+      Some("""SELECT least(greatest(CAST(floor((x + 0.5) * 20) AS BIGINT), -1), 20) AS bucket,
+             |  count(*) AS cnt
+             |FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
     // ── F4: edge detection (reference: PIL FIND_EDGES 3×3 Laplacian,
     // image_classification.py:289-310 — dead code). The 64-dim vector
     // is treated as an 8×8 grid; edge energy = mean |4x − N−S−E−W| over
