@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.CosineSimilarity
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so `spark.sql("... cosine_similarity(a,
+  * b) ...")` works in any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * public, documented injection path (no internal registry access).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(a, b) takes two array<double> arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+  }
+}

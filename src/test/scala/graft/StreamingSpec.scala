@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops events that arrive later than the allowed lateness") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_data")
+      .outputMode("append").start()
+    try {
+      input.addData(Evt(1, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the 2h watermark...
+      input.addData(Evt(2, ts(600), 1, "click", 1.0))
+      q.processAllAvailable()
+      // ...then send an event for the long-closed first window
+      input.addData(Evt(3, ts(12), 1, "click", 1.0))
+      q.processAllAvailable()
+      // close everything out
+      input.addData(Evt(4, ts(2000), 1, "click", 1.0))
+      q.processAllAvailable()
+      val firstWindow = spark.table("late_data")
+        .filter(col("window_start") === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+        .select("cnt").collect().map(_.getLong(0))
+      // the late event (id 3) must NOT be counted into the first window
+      assert(firstWindow.toList === List(1L),
+        s"late event leaked into closed window: ${firstWindow.toList}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization groups events by 30-minute gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
