@@ -268,6 +268,53 @@ object KMeans {
               |GROUP BY cid ORDER BY cid""".stripMargin)
     ),
 
+    // ── IVF approximate nearest-neighbor search ────────────────────────
+    // Inverted-file index: corpus vectors are assigned to k-means cells;
+    // a query probes only its nProbe nearest cells and ranks within
+    // them. At 100 TB the corpus is written partitioned by cell, so a
+    // probe reads nProbe partitions instead of the whole corpus — the
+    // complement of the ann_lsh_buckets path. Fully SQL-expressible, so
+    // unlike most ANN indexes the oracle can check it exactly.
+    Q(
+      "ann_ivf_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val cents = initCentroids(e, 8)
+        val assigned = assign(e, cents).select("vec_id", "cid", "v")
+        val query = assigned.filter(col("vec_id") === 0L)
+          .select(col("v").as("qv"))
+        // the query's 2 nearest cells
+        val probeCells = cents.crossJoin(broadcast(query))
+          .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .select("cid")
+        // rank only vectors inside the probed cells
+        assigned.join(broadcast(probeCells), "cid")
+          .filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val k = 8
+        val cents = sqlCentroids(k)
+        val c = sqlCosine(sqlVec("e.embedding"), "c.cv")
+        s"""WITH cents AS $cents,
+           |scored AS (${sqlAssign(k)}),
+           |assigned AS (SELECT vec_id, cid, ${sqlVec("embedding")} AS v FROM scored WHERE rk = 1),
+           |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cid FROM cents c, q
+           |  ORDER BY ${sqlCosine("c.cv", "q.qv")} DESC, cid ASC LIMIT 2)
+           |SELECT a.vec_id, ${sqlCosine("a.v", "q.qv")} AS sim
+           |FROM assigned a JOIN probe p ON a.cid = p.cid, q
+           |WHERE a.vec_id <> 0
+           |ORDER BY sim DESC, a.vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
     // Full convergent loop — not one SQL statement (SURVEY.md §7 risk
     // register), so rows-only check here; semantics are covered by the
     // ScalaTest suite incl. an MLlib KMeans cross-check.
