@@ -122,6 +122,33 @@ object Extended {
              |ORDER BY label""".stripMargin)
     ),
 
+    // ── CSV + JSON source/sink round-trips ─────────────────────────────
+    // The engine's source surface beyond parquet: documents written as
+    // JSON-lines and CSV, read back through the respective sources with
+    // explicit schemas, aggregated identically. (The reference's only
+    // sources are a directory scan and a pickle file, S1/S2.)
+    Q(
+      "src_json_csv_roundtrip",
+      (s, d) => {
+        val base = documents(s, d).select("doc_id", "lang", "n_chars")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        base.write.mode("overwrite").json(s"$dir/json")
+        base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+        val fromJson = s.read.schema(base.schema).json(s"$dir/json")
+        val fromCsv = s.read.schema(base.schema).option("header", "true").csv(s"$dir/csv")
+        fromJson.select(col("lang"), col("n_chars"), lit("json").as("src"))
+          .unionByName(fromCsv.select(col("lang"), col("n_chars"), lit("csv").as("src")))
+          .groupBy("src", "lang")
+          .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+          .orderBy("src", "lang")
+      },
+      Some("""SELECT src, lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM (SELECT lang, n_chars, 'json' AS src FROM documents
+             |      UNION ALL
+             |      SELECT lang, n_chars, 'csv' AS src FROM documents)
+             |GROUP BY src, lang ORDER BY src, lang""".stripMargin)
+    ),
+
     // ── date/time functions (§2.6 gap) ─────────────────────────────────
     Q(
       "dt_orders_by_month",

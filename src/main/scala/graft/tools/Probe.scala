@@ -1,15 +1,18 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Ad-hoc schema/plan probe main (not part of the driver contract). */
+/** Ad-hoc probe main (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    e.printSchema()
-    e.orderBy("event_id").select("event_id", "ts").show(3, truncate = false)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val t0 = System.nanoTime()
+      val r = graft.cluster.KMeans.run(spark, graft.Tables.embeddings(spark, d), k = 8)
+      println(s"PROBE $d iterations=${r.iterations} sec=${(System.nanoTime() - t0) / 1e9}")
+    }
     spark.stop()
   }
 }
