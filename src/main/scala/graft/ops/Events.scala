@@ -123,6 +123,39 @@ object Events {
               |ORDER BY user_id, session_id""".stripMargin)
     ),
 
+    // ── native session windows (session_window + merge semantics) ─────
+    // Spark's built-in gap-session operator; the oracle reproduces the
+    // merge semantics with the lag/cumsum formulation (same sessions as
+    // evt_sessionize): start = first event, end = last event + gap.
+    Q(
+      "evt_session_window_native",
+      (s, d) =>
+        eventsUs(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("start_us"),
+            unix_micros(col("w.end")).as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us"),
+      Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us($sqlTs) AS us FROM events),
+              |flagged AS (
+              |  SELECT user_id, us,
+              |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+              |           OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM e),
+              |sessions AS (
+              |  SELECT user_id, us,
+              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM flagged)
+              |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+              |  count(*) AS n_events
+              |FROM sessions GROUP BY user_id, sid
+              |ORDER BY user_id, start_us""".stripMargin)
+    ),
+
     // ── pivot: per-user event-type counts ──────────────────────────────
     Q(
       "evt_pivot_type_counts",
