@@ -430,6 +430,55 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // ── window-function battery: rank family + lag/lead + ntile ───────
+    // percent_rank's (rank−1)/(n−1) division is the same IEEE op from
+    // identical integers on both engines → exact.
+    Q(
+      "rel_window_battery",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        orders(s, d)
+          .filter(col("o_custkey") < 30)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"),
+            percent_rank().over(w).as("prk"),
+            ntile(4).over(w).as("quartile"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"))
+          .orderBy("o_orderpriority", "rk", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  rank() OVER w AS rk, dense_rank() OVER w AS drk,
+             |  percent_rank() OVER w AS prk, ntile(4) OVER w AS quartile,
+             |  lag(o_orderkey, 1) OVER w AS prev_key,
+             |  lead(o_orderkey, 1) OVER w AS next_key
+             |FROM orders WHERE o_custkey < 30
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+             |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin)
+    ),
+
+    // ── RANGE interval frame: orders in the preceding 30 days ──────────
+    Q(
+      "rel_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("ts"))
+          .rangeBetween(-30L * 86400, 0)
+        orders(s, d)
+          .filter(col("o_custkey") < 10)
+          .withColumn("ts", unix_timestamp(col("o_orderdate")))
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).as("orders_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS orders_30d
+             |FROM orders WHERE o_custkey < 10
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
     // ── rollup / grouping sets (§2.6 gap) ──────────────────────────────
     Q(
       "rel_rollup",

@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to signups within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val su = signups.toDF().select(col("user_id").as("s_user"),
+      col("ts").as("s_ts")).withWatermark("s_ts", "1 hour")
+    val pu = purchases.toDF().select(col("event_id").as("p_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+    val joined = pu.join(su,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      signups.addData(Evt(1, ts(0), 1, "signup", 0), Evt(2, ts(0), 2, "signup", 0))
+      purchases.addData(
+        Evt(10, ts(30), 1, "purchase", 5.0),   // within 2h of user 1 signup
+        Evt(11, ts(200), 2, "purchase", 5.0),  // beyond 2h of user 2 signup
+        Evt(12, ts(40), 3, "purchase", 5.0))   // no signup at all
+      q.processAllAvailable()
+      val matched = spark.table("ss_join").select("p_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(matched === Set(10L), s"unexpected join matches: $matched")
+    } finally q.stop()
+  }
+
   test("stateful sessionization groups events by 30-minute gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
