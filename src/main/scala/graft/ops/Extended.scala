@@ -254,6 +254,35 @@ object Extended {
              |FROM stats ORDER BY label""".stripMargin)
     ),
 
+    // ── array-function battery over the embedding lists ────────────────
+    Q(
+      "vec_array_funcs",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        embeddings(s, d)
+          .filter(col("vec_id") < 50)
+          .select(
+            col("vec_id"),
+            size(v).as("n"),
+            element_at(v, 1).as("first"),
+            element_at(v, -1).as("last"),
+            slice(v, 1, 3).as("head3"),
+            size(filter(v, x => x > 0.0)).as("n_pos"),
+            array_position(sort_array(v), array_max(v)).as("max_rank"),
+            reverse(sequence(lit(1), lit(5))).as("seq_rev"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        s"""SELECT vec_id, len($v) AS n, $v[1] AS first, $v[-1] AS last,
+           |  $v[1:3] AS head3,
+           |  len(list_filter($v, x -> x > 0.0)) AS n_pos,
+           |  CAST(list_position(list_sort($v), list_aggregate($v, 'max')) AS BIGINT) AS max_rank,
+           |  list_reverse(range(1, 6)) AS seq_rev
+           |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
+      }
+    ),
+
     // ── approximate aggregates (§2.6 gap): HLL distinct + approximate
     // quantiles. Sketch values are implementation-specific (Spark HLL++ ≠
     // DuckDB HLL) → rows-only driver check; the exact companions above

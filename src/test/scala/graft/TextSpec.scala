@@ -35,11 +35,7 @@ class TextSpec extends SparkSpec {
       (2L, "the cat and the dog of the house"),
       (3L, "le chat et les chiens des villes le matin")
     ).toDF("doc_id", "text")
-    // reuse the query implementation through a temp table by mimicking
-    // its predicted-language expression
-    val out = Text.queries.find(_.name == "text_langid").get
-    // run on a temp dir is not possible for literal data; assert via the
-    // marker scores directly instead
+    // assert via the marker scores the query's CASE chain is built from
     val t = Text.tokens(col("text"))
     def score(ws: Seq[String]) =
       size(filter(t, x => array_contains(array(ws.map(lit): _*), x)))
