@@ -280,15 +280,17 @@ object KMeans {
       (s, d) => {
         val e = embeddings(s, d)
         val cents = initCentroids(e, 8)
-        val assigned = assign(e, cents).select("vec_id", "cid", "v")
-        val query = assigned.filter(col("vec_id") === 0L)
-          .select(col("v").as("qv"))
-        // the query's 2 nearest cells
+        // the query vector needs no assignment — read it directly, so
+        // the (comparatively expensive) assignment pipeline runs exactly
+        // once, for cell membership
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
         val probeCells = cents.crossJoin(broadcast(query))
           .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
           .orderBy(col("csim").desc, col("cid").asc)
           .limit(2)
           .select("cid")
+        val assigned = assign(e, cents).select("vec_id", "cid", "v")
         // rank only vectors inside the probed cells
         assigned.join(broadcast(probeCells), "cid")
           .filter(col("vec_id") =!= 0L)
