@@ -50,6 +50,17 @@ class VectorSpec extends SparkSpec {
     assert(out.getDouble(3) === 4.0)
   }
 
+  test("IVF search recalls most of the brute-force top-10") {
+    val ivf = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recall = ivf.intersect(bf).size / 10.0
+    // measured 1.0 on the harness data (cosine-near vectors share their
+    // cosine-nearest cell); 0.5 guards against fixture drift
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+  }
+
   test("LSH bucket assignment is deterministic across runs") {
     val q = SparkEntry.queries("ann_lsh_buckets")
     val a = q(spark, sf).collect().map(r => (r.getInt(0), r.getLong(1))).toList
