@@ -63,7 +63,7 @@ object KMeans {
     // struct comparison is lexicographic: (sim, -cid) max ⇒ highest sim,
     // tie → smallest cid; (sim, cid) min ⇒ lowest sim, tie → smallest.
     val sorted = cents.sortBy(_._1)
-    val arr = array(sorted.map { case (cid, cv) =>
+    val arr = array(sorted.toIndexedSeq.map { case (cid, cv) =>
       val sim = cosine(col("v"), typedLit(cv))
       if (maxSim) struct(sim.as("sim"), lit(-cid).as("c"))
       else struct(sim.as("sim"), lit(cid).as("c"))
