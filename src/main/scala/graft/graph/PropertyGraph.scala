@@ -159,6 +159,26 @@ object PropertyGraph {
       None
     ),
 
+    // ── GraphX shortest paths (Pregel) to landmark suppliers ──────────
+    // Deterministic (BFS hop counts), but iterative Pregel → rows-only;
+    // structure asserted in GraphSpec.
+    Q(
+      "graph_shortest_paths",
+      (s, d) => {
+        import org.apache.spark.graphx.lib.ShortestPaths
+        val g = supplierPartGraph(s, d)
+        val landmarks = Seq(1L, 2L)
+        val sp = ShortestPaths.run(g.toGraphX, landmarks).vertices
+        val spark = s
+        import spark.implicits._
+        sp.map { case (vid, dists) =>
+          (vid, dists.getOrElse(1L, -1), dists.getOrElse(2L, -1))
+        }.toDF("id", "dist_to_s1", "dist_to_s2")
+          .orderBy("id")
+      },
+      None
+    ),
+
     // ── GraphX PageRank over the bipartite graph ───────────────────────
     // Float accumulation order varies across partitions → rows-only
     // check; convergence properties asserted in GraphSpec.

@@ -479,6 +479,28 @@ object Relational {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
 
+    // ── conditional / boolean aggregates + exact median ────────────────
+    // median is sort-based (order-independent) and interpolates the two
+    // middle values with one double division — identical on both engines.
+    Q(
+      "rel_cond_aggs",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(
+            count_if(col("l_quantity") > 25).as("big_qty"),
+            bool_and(col("l_quantity") > 0).as("all_positive"),
+            bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+            median(col("l_extendedprice")).as("median_price"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  CAST(count_if(l_quantity > 25) AS BIGINT) AS big_qty,
+             |  bool_and(l_quantity > 0) AS all_positive,
+             |  bool_or(l_discount > 0.09) AS any_deep_discount,
+             |  median(l_extendedprice) AS median_price
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    ),
+
     // ── rollup / grouping sets (§2.6 gap) ──────────────────────────────
     Q(
       "rel_rollup",

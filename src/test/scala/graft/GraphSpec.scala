@@ -35,6 +35,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortest paths: landmark suppliers are at distance 0 from themselves") {
+    val out = SparkEntry.queries("graph_shortest_paths")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L)._1 === 0)
+    assert(out(2L)._2 === 0)
+    // ShortestPaths follows edge direction; in the supplier→part graph
+    // parts are unreachable FROM other vertices' perspective toward
+    // suppliers only via the landmark-propagation convention: parts
+    // supplied by landmark 1 see distance... assert instead the global
+    // invariant: every recorded distance is -1 (unreachable) or >= 0
+    assert(out.values.forall { case (a, b) => a >= -1 && b >= -1 })
+  }
+
   test("static PageRank mass is conserved approximately") {
     val g = PropertyGraph.supplierPartGraph(spark, sf)
     val pr = g.toGraphX.staticPageRank(10).vertices.map(_._2).sum()
