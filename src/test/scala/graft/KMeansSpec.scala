@@ -66,6 +66,14 @@ class KMeansSpec extends SparkSpec {
     assert(sizes.map(_.getLong(1)).sum === e.count())
   }
 
+  test("full loop also runs with the reference-literal min-similarity comparator") {
+    // SURVEY.md Note B: the reference assigns to the LEAST similar
+    // centroid; the comparator parameter keeps that behavior reproducible
+    val r = KMeans.run(spark, e, k = 4, maxIter = 30, maxSim = false)
+    assert(r.iterations <= 30)
+    assert(r.assignments.count() === e.count())
+  }
+
   test("purity is within [0, 1]") {
     val a = KMeans.assign(e, KMeans.initCentroids(e, 8))
     val p = KMeans.purity(a).collect().map(_.getAs[Double]("purity"))
