@@ -3,8 +3,6 @@ package graft.cluster
 import graft.{Q, Tables}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
-import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,13 +21,12 @@ object Classify {
 
   import Tables._
 
-  def featurize(s: SparkSession, d: String): DataFrame = {
-    val toVec = udf((xs: Seq[Double]) => Vectors.dense(xs.toArray))
+  def featurize(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"),
-      toVec(col("embedding").cast("array<double>")).as("features"),
+      org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("features"),
       col("label").cast("double").as("label"))
-  }
 
   /** Deterministic 80/20 split on the id hash, train LR, score held-out. */
   def trainEval(s: SparkSession, d: String): DataFrame = {

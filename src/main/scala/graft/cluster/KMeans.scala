@@ -194,12 +194,18 @@ object KMeans {
   }
 
   val queries: Seq[Q] = Seq(
-    // Q7: deterministic centroid init (hash-ordered k-sample).
+    // Q7: deterministic centroid init (hash-ordered k-sample). The
+    // centroid vector is emitted one (cid, pos, v) row per dimension:
+    // the driver comparator can only hash scalar cells, and doubles
+    // compared as float64 stay bit-checked (a string rendering would
+    // trade bit-parity for format-parity).
     Q(
       "kmeans_init",
-      (s, d) => initCentroids(embeddings(s, d), 8).orderBy("cid")
-        .select(col("cid"), col("cv").as("centroid")),
-      Some(s"""SELECT cid, cv AS centroid FROM ${sqlCentroids(8)} ORDER BY cid""")
+      (s, d) => initCentroids(embeddings(s, d), 8)
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .orderBy("cid", "pos"),
+      Some(s"""SELECT cid, CAST(generate_subscripts(cv, 1) - 1 AS INT) AS pos, unnest(cv) AS v
+              |FROM ${sqlCentroids(8)} ORDER BY cid, pos""".stripMargin)
     ),
 
     // Q20+Q21: one nearest-centroid assignment pass (argmax cosine).
@@ -229,7 +235,9 @@ object KMeans {
     // needs order-independent double summation, so each (cid, pos) group
     // sums its values in SORTED order on both engines (sort_array +
     // sequential fold ≡ list(ORDER BY) + list_reduce) → bit-identical.
-    // The production path is the VectorMean Aggregator above.
+    // Output is one scalar (cid, pos, m) row per dimension (comparator
+    // can't hash array cells). The production path is the VectorMean
+    // Aggregator above.
     Q(
       "kmeans_recompute",
       (s, d) => {
@@ -239,19 +247,15 @@ object KMeans {
           .agg(sort_array(collect_list(col("x"))).as("xs"))
           .select(col("cid"), col("pos"),
             (seqSum(col("xs")) / size(col("xs"))).as("m"))
-          .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            p => p.getField("m")).as("centroid"))
-          .orderBy("cid")
+          .orderBy("cid", "pos")
       },
       Some(s"""WITH cents AS ${sqlCentroids(8)},
               |scored AS (${sqlAssign(8)}),
               |assigned AS (SELECT vec_id, cid, ${sqlVec("embedding")} AS v FROM scored WHERE rk = 1),
-              |ex AS (SELECT cid, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM assigned),
-              |dims AS (SELECT cid, pos, list(x ORDER BY x) AS xs FROM ex GROUP BY cid, pos),
-              |means AS (SELECT cid, pos, ${sqlSeqSum("xs")} / len(xs) AS m FROM dims)
-              |SELECT cid, list(m ORDER BY pos) AS centroid FROM means
-              |GROUP BY cid ORDER BY cid""".stripMargin)
+              |ex AS (SELECT cid, CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos, unnest(v) AS x FROM assigned),
+              |dims AS (SELECT cid, pos, list(x ORDER BY x) AS xs FROM ex GROUP BY cid, pos)
+              |SELECT cid, pos, ${sqlSeqSum("xs")} / len(xs) AS m FROM dims
+              |ORDER BY cid, pos""".stripMargin)
     ),
 
     // Q24: purity over the ground-truth label (scoreClusters shape).

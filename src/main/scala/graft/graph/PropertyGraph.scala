@@ -43,6 +43,19 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         r.getAs[Double]("weight")))
     Graph(vs, es)
   }
+
+  /** Undirected GraphX view: every edge plus its reverse, so Pregel
+    * message flows (which follow edge direction) see the undirected
+    * structure — BFS distances become graph distances, not
+    * directed-path distances. */
+  def toGraphXUndirected: Graph[Row, Double] = {
+    val vs = nodes.rdd.map(r => (r.getAs[Long]("id"): VertexId, r))
+    val es = edges.rdd.flatMap { r =>
+      val (s, d, w) = (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Double]("weight"))
+      Iterator(Edge(s: VertexId, d: VertexId, w), Edge(d: VertexId, s: VertexId, w))
+    }
+    Graph(vs, es)
+  }
 }
 
 object PropertyGraph {
@@ -61,10 +74,16 @@ object PropertyGraph {
     val prt = part(s, d)
       .select((col("p_partkey") + PartIdOffset).as("id"), lit("Part").as("label"),
         col("p_name").as("name"))
+    // The edge list (lineitem.distinct, the expensive part) is cached:
+    // Spark's CacheManager matches on the canonicalized plan, so every
+    // graph query in a session reuses ONE materialization instead of
+    // recomputing the distinct per query. At 100 TB this is a persisted
+    // edge table written once.
     val es = lineitem(s, d)
       .select(col("l_suppkey").as("src"), (col("l_partkey") + PartIdOffset).as("dst"))
       .distinct()
       .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"), lit(1.0).as("weight"))
+      .cache()
     PropertyGraph(sup.unionByName(prt), es)
   }
 
@@ -142,9 +161,11 @@ object PropertyGraph {
     ),
 
     // ── GraphX connected components (min-id label propagation) ─────────
-    // Deterministic (component label = min vertex id), but iterative
-    // Pregel is not one SQL statement → rows-only driver check; exact
-    // values are asserted in GraphSpec.
+    // Deterministic (component label = min vertex id reachable over the
+    // undirected structure — GraphX CC ignores direction), so the oracle
+    // replays the same min-label propagation as a DuckDB recursive CTE:
+    // tuples (id, label) grow monotonically and the UNION fixpoint
+    // terminates at reachable-pairs.
     Q(
       "graph_connected_components",
       (s, d) => {
@@ -156,19 +177,33 @@ object PropertyGraph {
           .groupBy("component").agg(count(lit(1)).as("size"))
           .orderBy("component")
       },
-      None
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+              |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+              |n AS (SELECT s_suppkey AS id FROM supplier
+              |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+              |lbl(id, lbl) AS (
+              |  SELECT id, id FROM n
+              |  UNION
+              |  SELECT ue.dst, lbl.lbl FROM lbl JOIN ue ON ue.src = lbl.id),
+              |comp AS (SELECT id, min(lbl) AS component FROM lbl GROUP BY id)
+              |SELECT component, count(*) AS size FROM comp
+              |GROUP BY component ORDER BY component""".stripMargin)
     ),
 
-    // ── GraphX shortest paths (Pregel) to landmark suppliers ──────────
-    // Deterministic (BFS hop counts), but iterative Pregel → rows-only;
-    // structure asserted in GraphSpec.
+    // ── GraphX shortest paths (Pregel BFS) to landmark suppliers ──────
+    // Runs over the UNDIRECTED view (supplier↔part), so distances are
+    // graph distances (supplier→part→supplier…), and the oracle is a
+    // bounded-depth recursive BFS with min(d) per (landmark, vertex) —
+    // the bipartite graph's diameter is far below the 24-hop bound, and
+    // UNION-dedup keeps the frontier at ≤ bound/2 tuples per vertex.
     Q(
       "graph_shortest_paths",
       (s, d) => {
         import org.apache.spark.graphx.lib.ShortestPaths
         val g = supplierPartGraph(s, d)
         val landmarks = Seq(1L, 2L)
-        val sp = ShortestPaths.run(g.toGraphX, landmarks).vertices
+        val sp = ShortestPaths.run(g.toGraphXUndirected, landmarks).vertices
         val spark = s
         import spark.implicits._
         sp.map { case (vid, dists) =>
@@ -176,7 +211,24 @@ object PropertyGraph {
         }.toDF("id", "dist_to_s1", "dist_to_s2")
           .orderBy("id")
       },
-      None
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+              |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+              |n AS (SELECT s_suppkey AS id FROM supplier
+              |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+              |bfs(lm, id, d) AS (
+              |  SELECT * FROM (VALUES (1, 1, 0), (2, 2, 0)) t(lm, id, d)
+              |  UNION
+              |  SELECT b.lm, ue.dst, b.d + 1 FROM bfs b JOIN ue ON ue.src = b.id
+              |  WHERE b.d < 24),
+              |dist AS (SELECT lm, id, min(d) AS d FROM bfs GROUP BY lm, id)
+              |SELECT n.id,
+              |  CAST(coalesce(d1.d, -1) AS INT) AS dist_to_s1,
+              |  CAST(coalesce(d2.d, -1) AS INT) AS dist_to_s2
+              |FROM n
+              |LEFT JOIN dist d1 ON d1.id = n.id AND d1.lm = 1
+              |LEFT JOIN dist d2 ON d2.id = n.id AND d2.lm = 2
+              |ORDER BY n.id""".stripMargin)
     ),
 
     // ── GraphX PageRank over the bipartite graph ───────────────────────

@@ -34,12 +34,16 @@ object Events {
   import Tables._
 
   /** events with ts truncated to µs (TimestampType), identical to the
-    * DuckDB oracle's make_timestamp(epoch_ns(ts) // 1000). */
-  def eventsUs(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * DuckDB oracle's make_timestamp(epoch_ns(ts) // 1000).
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (events.parquet is TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default) — set in the Verify/Bench/test session BUILDERS, never
+    * mutated here: a table loader must not side-effect global session
+    * config. */
+  def eventsUs(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   val sqlTs = "make_timestamp(epoch_ns(ts) // 1000)"
 
   /** Exact order-free sum of a double column: floor-quantize to micro
@@ -106,14 +110,14 @@ object Events {
       },
       Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us($sqlTs) AS us FROM events),
               |flagged AS (
-              |  SELECT user_id, us,
+              |  SELECT user_id, us, event_id,
               |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
               |           OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
               |         THEN 1 ELSE 0 END AS new_session
               |  FROM e),
               |sessions AS (
               |  SELECT user_id, us,
-              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               |  FROM flagged)
               |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -140,14 +144,14 @@ object Events {
           .orderBy("user_id", "start_us"),
       Some(s"""WITH e AS (SELECT event_id, user_id, epoch_us($sqlTs) AS us FROM events),
               |flagged AS (
-              |  SELECT user_id, us,
+              |  SELECT user_id, us, event_id,
               |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
               |           OR lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
               |         THEN 1 ELSE 0 END AS new_session
               |  FROM e),
               |sessions AS (
               |  SELECT user_id, us,
-              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+              |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               |  FROM flagged)
               |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,

@@ -150,15 +150,21 @@ object Extended {
     ),
 
     // ── date/time functions (§2.6 gap) ─────────────────────────────────
+    // The DECIMAL sum stays exact/order-free internally; the FINAL value
+    // is cast to DOUBLE on both engines because Spark widens
+    // sum(DECIMAL(18,2)) to DECIMAL(28,2) vs DuckDB's (38,2) and the
+    // comparator compares renderings. Sums here are < 2^53 cents, so the
+    // decimal→double conversion is exact and bit-identical.
     Q(
       "dt_orders_by_month",
       (s, d) =>
         orders(s, d)
           .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-          .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("revenue"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
           .orderBy("yr", "mo"),
       Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-              |  count(*) AS cnt, sum(${decSql("o_totalprice")}) AS revenue
+              |  count(*) AS cnt, CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS revenue
               |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
     ),
 
@@ -255,10 +261,15 @@ object Extended {
     ),
 
     // ── array-function battery over the embedding lists ────────────────
+    // Final projection is scalar-only for the driver comparator: the
+    // slice() result is read back element-wise (doubles stay float64 →
+    // bit-checked), the integer sequence is serialized "5,4,3,2,1"
+    // (integer→string is format-identical on both engines).
     Q(
       "vec_array_funcs",
       (s, d) => {
         val v = vec(col("embedding"))
+        val head3 = slice(v, 1, 3)
         embeddings(s, d)
           .filter(col("vec_id") < 50)
           .select(
@@ -266,19 +277,21 @@ object Extended {
             size(v).as("n"),
             element_at(v, 1).as("first"),
             element_at(v, -1).as("last"),
-            slice(v, 1, 3).as("head3"),
+            element_at(head3, 2).as("head3_2"),
+            element_at(head3, 3).as("head3_3"),
             size(filter(v, x => x > 0.0)).as("n_pos"),
             array_position(sort_array(v), array_max(v)).as("max_rank"),
-            reverse(sequence(lit(1), lit(5))).as("seq_rev"))
+            array_join(transform(reverse(sequence(lit(1), lit(5))), _.cast("string")), ",")
+              .as("seq_rev"))
           .orderBy("vec_id")
       },
       Some {
         val v = sqlVec("embedding")
         s"""SELECT vec_id, len($v) AS n, $v[1] AS first, $v[-1] AS last,
-           |  $v[1:3] AS head3,
+           |  ($v[1:3])[2] AS head3_2, ($v[1:3])[3] AS head3_3,
            |  len(list_filter($v, x -> x > 0.0)) AS n_pos,
            |  CAST(list_position(list_sort($v), list_aggregate($v, 'max')) AS BIGINT) AS max_rank,
-           |  list_reverse(range(1, 6)) AS seq_rev
+           |  array_to_string(list_transform(list_reverse(range(1, 6)), x -> CAST(x AS VARCHAR)), ',') AS seq_rev
            |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin
       }
     ),

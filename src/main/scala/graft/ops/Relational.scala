@@ -178,16 +178,21 @@ object Relational {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
             count(lit(1)).as("cnt"),
-            sum(dec(col("l_quantity"))).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).as("sum_price"),
+            // sums accumulate in exact DECIMAL (order-free partial agg);
+            // the FINAL values cast to DOUBLE because Spark widens
+            // sum(DECIMAL(18,2)) to (28,2) vs DuckDB's (38,2) and the
+            // comparator compares renderings. All sums < 2^53 quanta →
+            // the decimal→double conversion is exact on both engines.
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
             sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-              .as("sum_disc_price")
+              .cast("double").as("sum_disc_price")
           )
           .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-              |       sum(${decSql("l_quantity")}) AS sum_qty,
-              |       sum(${decSql("l_extendedprice")}) AS sum_price,
-              |       sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS sum_disc_price
+              |       CAST(sum(${decSql("l_quantity")}) AS DOUBLE) AS sum_qty,
+              |       CAST(sum(${decSql("l_extendedprice")}) AS DOUBLE) AS sum_price,
+              |       CAST(sum(${decSql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,2)) - ${decSql("l_discount")})) AS DOUBLE) AS sum_disc_price
               |FROM lineitem
               |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
               |GROUP BY l_returnflag, l_linestatus
@@ -258,16 +263,18 @@ object Relational {
     // ── Q18 collect-list aggregation (deterministic: sorted) ───────────
     // Reference: collect({centroid, difference})
     // (image_classification.py:346). sort_array makes the result
-    // independent of shuffle arrival order.
+    // independent of shuffle arrival order; the sorted list is then
+    // serialized "a,b,c" (the driver comparator hashes scalar cells
+    // only — injective, semantics stay fully checked).
     Q(
       "rel_collect_sorted",
       (s, d) =>
         broadcast(nation(s, d))
           .join(supplier(s, d), col("s_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
-          .agg(sort_array(collect_list(col("s_name"))).as("suppliers"))
+          .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"))
           .orderBy("n_name"),
-      Some("""SELECT n_name, list(s_name ORDER BY s_name) AS suppliers
+      Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
              |FROM nation JOIN supplier ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
@@ -351,12 +358,14 @@ object Relational {
         orders(s, d)
           .filter(col("o_custkey") < 10)
           .select(col("o_custkey"), col("o_orderkey"),
-            sum(dec(col("o_totalprice"))).over(w).as("running_total"))
+            // exact DECIMAL accumulation; final DOUBLE cast for the
+            // comparator (Spark/DuckDB widen sum-decimals differently)
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some(s"""SELECT o_custkey, o_orderkey,
-              |  sum(${decSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+              |  CAST(sum(${decSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
               |FROM orders WHERE o_custkey < 10
               |ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),

@@ -262,11 +262,19 @@ object Text {
     ),
 
     // ── MinHash signatures (the per-doc sketch) ────────────────────────
+    // The 8-perm signature is serialized "h1,...,h8" — integer→string is
+    // format-identical on both engines, and the driver comparator can
+    // only hash scalar cells (injective, so semantics stay fully checked).
     Q(
       "dedup_minhash_sig",
-      (s, d) => docSketch(s, d).select("doc_id", "sig").orderBy("doc_id"),
+      (s, d) => docSketch(s, d)
+        .select(col("doc_id"),
+          array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
+        .orderBy("doc_id"),
       Some(s"""WITH $sqlSketchCtes
-              |SELECT doc_id, sig FROM sketch ORDER BY doc_id""".stripMargin)
+              |SELECT doc_id,
+              |  array_to_string(list_transform(sig, h -> CAST(h AS VARCHAR)), ',') AS sig
+              |FROM sketch ORDER BY doc_id""".stripMargin)
     ),
 
     // ── MinHash-LSH near-dup candidate pairs + exact Jaccard verify ────
@@ -325,28 +333,36 @@ object Text {
 
     // ── SimHash (16-bit) per document ──────────────────────────────────
     // bit i of the fingerprint = sign of Σ_tokens (±1 by token-hash bit i).
+    // The token-hash array is STAGED as a real column in its own select:
+    // the 16 bit-votes each reference the `hs` attribute, so tokens are
+    // md5-hashed once per row instead of once per row PER BIT (HOF
+    // lambdas re-evaluate captured subexpressions; CollapseProject keeps
+    // the stage because hs is referenced 16×). Oracle mirrors with a CTE.
     Q(
       "dedup_simhash",
       (s, d) => {
-        val t = tokens(col("text"))
-        val hs = transform(t, w => strHash(w) % 65536L)
         val bits = (0 until 16).map { i =>
-          val vote = aggregate(hs, lit(0L),
+          val vote = aggregate(col("hs"), lit(0L),
             (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
           when(vote > 0, 1L << i).otherwise(0L)
         }
         documents(s, d)
+          .select(col("doc_id"),
+            transform(tokens(col("text")), w => strHash(w) % 65536L).as("hs"))
           .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
           .orderBy("doc_id")
       },
       Some {
-        val hs = s"list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % 65536)"
         val bits = (0 until 16).map { i =>
           val vote = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-            s"list_transform($hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b)"
+            s"list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b)"
           s"(CASE WHEN $vote > 0 THEN ${1L << i} ELSE 0 END)"
         }.mkString(" + ")
-        s"""SELECT doc_id, $bits AS simhash FROM documents ORDER BY doc_id""".stripMargin
+        s"""WITH hsc AS (
+           |  SELECT doc_id,
+           |    list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % 65536) AS hs
+           |  FROM documents)
+           |SELECT doc_id, $bits AS simhash FROM hsc ORDER BY doc_id""".stripMargin
       }
     ),
 

@@ -64,6 +64,50 @@ object Vector {
   def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
 
+  // ── random-hyperplane LSH (shared by ann_lsh_buckets / ann_lsh_topk) ─
+  // Hyperplane coefficients are Knuth-multiplicative-hash values mapped
+  // to [-0.5, 0.5): k/2^32 − 0.5 is exactly representable in double, and
+  // the SQL side embeds the LITERAL decimal text printed from these same
+  // doubles (shortest round-trip repr → DuckDB parses back the identical
+  // bits). No per-row trig, no libm-parity dependence — the plane array
+  // is a plan literal evaluated once, not 512 sin() calls per row.
+  private[graft] def hyperplane(j: Int): Array[Double] =
+    Array.tabulate(64) { i =>
+      (((31L * j + 7L * (i + 1)) * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+    }
+
+  /** Bucket id from a plane set: bit b = sign of the projection onto
+    * planes(b). */
+  private def lshBucketOf(v: Column, planes: Seq[Int]): Column =
+    planes.zipWithIndex.map { case (p, bit) =>
+      val proj = seqSum(zip_with(v, typedLit(hyperplane(p)), (x, w) => x * w))
+      when(proj > 0, 1 << bit).otherwise(0)
+    }.reduce(_ + _)
+
+  private def sqlLshBucketOf(vexpr: String, planes: Seq[Int]): String =
+    planes.zipWithIndex.map { case (p, bit) =>
+      val planeLit = "[" + hyperplane(p).map(_.toString).mkString(", ") + "]"
+      val proj = sqlSeqSum(s"list_transform(list_zip($vexpr, $planeLit), p -> p[1] * p[2])")
+      s"(CASE WHEN $proj > 0 THEN ${1 << bit} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Single-table 8-bit bucket (the ann_lsh_buckets histogram surface). */
+  private[graft] def lshBucket(v: Column): Column = lshBucketOf(v, 1 to 8)
+  private[graft] def sqlLshBucket(vexpr: String): String = sqlLshBucketOf(vexpr, 1 to 8)
+
+  // Multi-table LSH for the top-k probe: L tables of k bits each. One
+  // table of b bits has collision probability p^b per neighbor (p =
+  // 1 − θ/π per plane), near zero for useful b — the standard fix is L
+  // independent tables probed together (recall 1 − (1 − p^k)^L). Tuned
+  // k=4/L=8 for the harness corpus; both are literals a deployment sizes
+  // to its own sim distribution.
+  private[graft] val LshTables = 8
+  private[graft] val LshBits = 4
+  private def tablePlanes(t: Int): Seq[Int] = (t * LshBits + 1) to (t * LshBits + LshBits)
+  private[graft] def lshTableBucket(v: Column, t: Int): Column = lshBucketOf(v, tablePlanes(t))
+  private[graft] def sqlLshTableBucket(vexpr: String, t: Int): String =
+    sqlLshBucketOf(vexpr, tablePlanes(t))
+
   val queries: Seq[Q] = Seq(
     // ── F1 feature stats: mean/std/median/min/max per vector ───────────
     // Reference computes 7 scalar stats per image array
@@ -75,18 +119,24 @@ object Vector {
       (s, d) => {
         val e = embeddings(s, d)
         val v = vec(col("embedding"))
-        val sorted = array_sort(v)
-        val n = size(v)
-        val mean = seqSum(v) / n
-        e.select(
-          col("vec_id"),
-          n.as("dim"),
-          mean.as("mean"),
-          sqrt(seqSum(transform(v, x => (x - mean) * (x - mean))) / n).as("std"),
-          ((element_at(sorted, 32) + element_at(sorted, 33)) / 2.0).as("median"),
-          array_min(v).as("vmin"),
-          array_max(v).as("vmax")
-        ).orderBy("vec_id")
+        // mean and the sorted copy are STAGED as real columns in their
+        // own select: the std lambda then captures the `mean` attribute
+        // (evaluated once per row) instead of the fold expression — HOF
+        // lambdas re-evaluate captured subexpressions per element, which
+        // would make std O(d²) per row. CollapseProject keeps the stage
+        // because mean is referenced twice inside the lambda.
+        e.select(col("vec_id"), v.as("v"), array_sort(v).as("sorted"),
+            (seqSum(v) / size(v)).as("mean"))
+          .select(
+            col("vec_id"),
+            size(col("v")).as("dim"),
+            col("mean"),
+            sqrt(seqSum(transform(col("v"),
+              x => (x - col("mean")) * (x - col("mean")))) / size(col("v"))).as("std"),
+            ((element_at(col("sorted"), 32) + element_at(col("sorted"), 33)) / 2.0).as("median"),
+            array_min(col("v")).as("vmin"),
+            array_max(col("v")).as("vmax")
+          ).orderBy("vec_id")
       },
       Some {
         val v = sqlVec("embedding")
@@ -164,41 +214,67 @@ object Vector {
       }
     ),
 
-    // ── LSH-bucketed ANN (the scale path) ──────────────────────────────
+    // ── LSH-bucketed ANN: bucket histogram ─────────────────────────────
     // Random-hyperplane LSH: sign of the projection onto 8 deterministic
-    // pseudo-random hyperplanes → 8-bit bucket id. Neighbor candidates
-    // are only sought inside a bucket (here: bucket histogram as the
-    // oracle-able surface; the bucketed join is exercised in
-    // dedup_embedding below and in the ScalaTest suite). At 100 TB the
-    // corpus is written bucketed-by(bucket) so probe lookups touch one
-    // bucket = a few files — no corpus-wide scan at all.
-    // Hyperplane h_j[i] = sin(31*j + 7*i) — deterministic, identical in
-    // both engines (IEEE sin via the same libm contract), no stored side
-    // data. j = 1..8, i = 1..64.
+    // pseudo-random hyperplanes (literal arrays — see `hyperplane`) →
+    // 8-bit bucket id. At 100 TB the corpus is written bucketed-by
+    // (bucket) so probe lookups touch one bucket = a few files — no
+    // corpus-wide scan at all. The end-to-end probe→rank query is
+    // ann_lsh_topk below.
     Q(
       "ann_lsh_buckets",
-      (s, d) => {
-        val e = embeddings(s, d)
-        val v = vec(col("embedding"))
-        // proj_j = sum_i v[i] * sin(31*j + 7*i), sequential fold over i
-        def proj(j: Int): Column =
-          seqSum(zip_with(v, sequence(lit(1), lit(64)),
-            (x, i) => x * sin(lit(31.0 * j) + lit(7.0) * i)))
-        val bucket = (1 to 8).map(j => when(proj(j) > 0, 1 << (j - 1)).otherwise(0))
-          .reduce(_ + _)
-        e.select(col("vec_id"), bucket.as("bucket"))
+      (s, d) =>
+        embeddings(s, d)
+          .select(col("vec_id"), lshBucket(vec(col("embedding"))).as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-          .orderBy("bucket")
+          .orderBy("bucket"),
+      Some(s"""SELECT bucket, count(*) AS cnt FROM (
+              |  SELECT vec_id, ${sqlLshBucket(sqlVec("embedding"))} AS bucket FROM embeddings)
+              |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
+    // ── LSH-bucketed ANN: end-to-end bucket→probe→rank top-k ───────────
+    // The full approximate-nearest-neighbor pipeline at corpus scale
+    // (the reference's nearest-neighbor assignment generalized,
+    // image_classification.py:416-445): each corpus vector lands in L
+    // (table, bucket) cells; the probe's L cells are broadcast and
+    // EQUI-joined; exact cosine ranks inside the candidate union only
+    // (max-dedup since a neighbor can collide in several tables). The
+    // corpus is scanned once and never self-joined; at 100 TB with
+    // storage bucketed by (table, bucket) a probe reads L buckets
+    // instead of the corpus. Recall vs exact brute-force is asserted in
+    // VectorSpec.
+    Q(
+      "ann_lsh_topk",
+      (s, d) => {
+        val cells = explode(array((0 until LshTables).map(t =>
+          struct(lit(t).as("tbl"), lshTableBucket(col("v"), t).as("bucket"))): _*)).as("cell")
+        val withB = embeddings(s, d)
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+          .select(col("vec_id"), col("v"), cells)
+          .select(col("vec_id"), col("v"), col("cell.tbl"), col("cell.bucket"))
+        val probe = withB.filter(col("vec_id") === 0L)
+          .select(col("tbl"), col("bucket"), col("v").as("qv"))
+        withB.join(broadcast(probe), Seq("tbl", "bucket"))
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .groupBy("vec_id").agg(max(col("sim")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
       },
       Some {
-        def proj(j: Int): String =
-          sqlSeqSum(s"list_transform(list_zip(${sqlVec("embedding")}, range(1, 65)), " +
-            s"p -> p[1] * sin(${31.0 * j} + 7.0 * p[2]))")
-        val bucket = (1 to 8).map(j =>
-          s"(CASE WHEN ${proj(j)} > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
-        s"""SELECT bucket, count(*) AS cnt FROM (
-           |  SELECT vec_id, $bucket AS bucket FROM embeddings)
-           |GROUP BY bucket ORDER BY bucket""".stripMargin
+        val buckets = (0 until LshTables).map(t =>
+          s"WHEN $t THEN ${sqlLshTableBucket("v", t)}").mkString(" ")
+        s"""WITH base AS (SELECT vec_id, ${sqlVec("embedding")} AS v FROM embeddings),
+           |cells AS (
+           |  SELECT vec_id, v, t.tbl, CASE t.tbl $buckets END AS bucket
+           |  FROM base, (SELECT unnest(range(0, $LshTables)) AS tbl) t),
+           |q AS (SELECT tbl, bucket, v AS qv FROM cells WHERE vec_id = 0)
+           |SELECT c.vec_id, max(${sqlCosine("c.v", "q.qv")}) AS sim
+           |FROM cells c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           |WHERE c.vec_id <> 0
+           |GROUP BY c.vec_id
+           |ORDER BY sim DESC, c.vec_id ASC LIMIT 10""".stripMargin
       }
     ),
 

@@ -35,17 +35,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  test("shortest paths: landmark suppliers are at distance 0 from themselves") {
+  test("shortest paths (undirected): landmarks at 0, their parts at 1, bipartite parity") {
+    val g = PropertyGraph.supplierPartGraph(spark, sf)
     val out = SparkEntry.queries("graph_shortest_paths")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     assert(out(1L)._1 === 0)
     assert(out(2L)._2 === 0)
-    // ShortestPaths follows edge direction; in the supplier→part graph
-    // parts are unreachable FROM other vertices' perspective toward
-    // suppliers only via the landmark-propagation convention: parts
-    // supplied by landmark 1 see distance... assert instead the global
-    // invariant: every recorded distance is -1 (unreachable) or >= 0
-    assert(out.values.forall { case (a, b) => a >= -1 && b >= -1 })
+    // parts supplied by landmark 1 are exactly one hop away
+    val direct = g.edges.filter(col("src") === 1L)
+      .select("dst").collect().map(_.getLong(0)).toSet
+    assert(direct.nonEmpty)
+    direct.foreach(p => assert(out(p)._1 === 1, s"part $p supplied by s1"))
+    // bipartite invariant: suppliers sit at even distances, parts at odd
+    out.foreach { case (id, (d1, _)) =>
+      if (d1 >= 0)
+        assert((id < PropertyGraph.PartIdOffset) === (d1 % 2 === 0),
+          s"vertex $id at distance $d1 violates bipartite parity")
+    }
   }
 
   test("static PageRank mass is conserved approximately") {

@@ -31,4 +31,28 @@ class MultimodalSpec extends SparkSpec {
     val frames = SparkEntry.queries("mm_frame_sample")(spark, sf)
     assert(frames.count() === 4 * n)
   }
+
+  test("real JPEG decode: distributed stats equal a local decode of the same file") {
+    val files = new java.io.File(Multimodal.JpegDir).listFiles()
+      .filter(_.getName.endsWith(".jpeg")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    val rows = SparkEntry.queries("mm_decode_real")(spark, sf).collect()
+    assert(rows.length === files.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pixels") === 1024L)
+      val (mn, mx) = (r.getAs[Double]("vmin"), r.getAs[Double]("vmax"))
+      assert(mn >= 0.0 && mx <= 255.0 && mn <= mx)
+      assert(r.getAs[Double]("std") > 0.0, "a real photo has non-zero variance")
+    }
+    // the distributed path must produce EXACTLY the local kernel's stats
+    val f = files.head
+    val local = Multimodal.imageStats(f.getName,
+      Multimodal.decodeJpegGray32(java.nio.file.Files.readAllBytes(f.toPath)))
+    val got = rows.find(_.getAs[String]("file") == f.getName).get
+    assert(got.getAs[Double]("mean") === local.mean)
+    assert(got.getAs[Double]("std") === local.std)
+    assert(got.getAs[Double]("median") === local.median)
+    assert(got.getAs[Double]("vmin") === local.vmin)
+    assert(got.getAs[Double]("vmax") === local.vmax)
+  }
 }

@@ -63,6 +63,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"expected semi join:\n$p")
   }
 
+  test("vec_stats stages the mean as a real column (no per-element refold)") {
+    // if CollapseProject inlined the mean back into the std lambda, the
+    // staged attribute would vanish from the optimized plan and the fold
+    // would re-run per element (O(d²) per row)
+    val p = SparkEntry.queries("vec_stats")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("mean#"), s"mean must survive as a staged attribute:\n$p")
+  }
+
+  test("dedup_simhash stages the token-hash array as a real column") {
+    val p = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("hs#"), s"hs must survive as a staged attribute:\n$p")
+  }
+
+  test("LSH top-k probes via an equi-join on the bucket, not a product") {
+    val p = plan("ann_lsh_topk")
+    assert(!p.contains("CartesianProduct"), s"bucket probe must be a join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe side should broadcast:\n$p")
+  }
+
   test("events scan prunes to the columns the window query needs") {
     val scans = scansOf("evt_top_purchasers")
     assert(scans.nonEmpty)

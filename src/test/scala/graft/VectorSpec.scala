@@ -68,4 +68,33 @@ class VectorSpec extends SparkSpec {
     assert(a === b)
     assert(a.map(_._2).sum === Tables.embeddings(spark, sf).count())
   }
+
+  test("LSH top-k ranks exactly within the candidate union and recalls brute-force hits") {
+    val lsh = SparkEntry.queries("ann_lsh_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toList
+    assert(lsh.nonEmpty)
+    // the ranking must be EXACT within the multi-table candidate union:
+    // recompute it via an independent formulation (per-row array of all
+    // table buckets, OR-collision filter) and compare the top-k
+    val withB = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), V.vec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array((0 until V.LshTables).map(t => V.lshTableBucket(col("v"), t)): _*).as("bs"))
+    val q = withB.filter(col("vec_id") === 0L)
+      .select(col("bs").as("qbs"), col("v").as("qv"))
+    val expect = withB.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0L)
+      .filter(exists(zip_with(col("bs"), col("qbs"), (a, b) => a === b), x => x))
+      .select(col("vec_id"), V.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toList
+    assert(lsh === expect)
+    // approximate recall vs the exact brute-force top-10 (mirrors the
+    // IVF recall test; sims here top out ~0.33 → per-plane p≈0.6, so
+    // k=4/L=8 predicts recall ≈ 1−(1−p⁴)⁸ ≈ 0.67)
+    val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val recall = lsh.map(_._1).toSet.intersect(bf).size / 10.0
+    assert(recall >= 0.3, s"LSH recall@10 = $recall")
+  }
 }
