@@ -13,7 +13,8 @@ object SparkEntry {
   private def allQueries: Seq[Q] =
     ops.Relational.queries ++ ops.Vector.queries ++ cluster.KMeans.queries ++
       ops.Text.queries ++ ops.Events.queries ++ ops.Multimodal.queries ++
-      graph.PropertyGraph.queries ++ ops.Extended.queries ++ cluster.Classify.queries
+      graph.PropertyGraph.queries ++ ops.Extended.queries ++
+      cluster.Classify.queries ++ ops.Image.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

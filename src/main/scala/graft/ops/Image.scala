@@ -1,0 +1,384 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pixel-domain operators over the LIVE decode path (Multimodal.
+  * decodeJpegGray32) — the reference's remaining image surface, now that
+  * a real codec (javax.imageio) backs S4:
+  *
+  *  - S5 blur preprocess: GaussianBlur(5×5, σ=0) + medianBlur(5) —
+  *    /root/reference/kmeans_clustering/image_classification.py:123-124.
+  *    cv2 with σ≤0 and ksize=5 uses the FIXED binomial kernel
+  *    [1,4,6,4,1]/16 (separable), mirrored here exactly; borders use
+  *    cv2's defaults (reflect-101 for Gaussian, replicate for median).
+  *  - F3 contour features: threshold(127) → external contours →
+  *    [perimeter, area, solidity, extent, equivalent_diameter, angle]
+  *    (image_classification.py:242-287). The reference hardcodes
+  *    angle = 3.14/2 (:278) and its solidity divides by a hull INDEX
+  *    array (a bug in dead code); here: 8-connected foreground
+  *    components with pixel-count area, exposed-edge perimeter, and a
+  *    well-defined convex-hull solidity (monotone chain + shoelace).
+  *  - F5 GLCM texture: Haralick-style co-occurrence features
+  *    (image_classification.py:312-334 — mahotas.haralick). Here the
+  *    well-defined core subset (contrast, energy, homogeneity, entropy)
+  *    over an 8-level quantization × 4 directions.
+  *
+  * JPEG decode is not DuckDB-expressible → the img_* queries are
+  * rows-only driver checks, each cross-checked against a local
+  * single-image run of the same kernel in ImageSpec. The ORACLE-checked
+  * forms of S5/F5 run over the embeddings 8×8 grid (vec_blur,
+  * vec_glcm_texture below), the same pattern vec_edge_energy uses for
+  * F4 — bit-identical in DuckDB.
+  *
+  * Scale notes: every kernel is a narrow per-row map over one image
+  * cell (mapPartitions over binaryFile row-groups — no shuffle); the
+  * vec_* forms are per-row HOF folds in whole-stage codegen, and the
+  * relational GLCM shape would shuffle only (level-pair, count) rows.
+  */
+object Image {
+
+  import Tables._
+  import graft.ops.Vector.{seqSum, sqlSeqSum, sqlVec, vec}
+
+  // ── pure kernels (also exercised locally in ImageSpec) ──────────────
+
+  /** Separable binomial blur, cv2 GaussianBlur(ksize=5, σ=0) weights
+    * [1,4,6,4,1]/16, reflect-101 border (cv2 default). */
+  def gaussianBlur5(img: Array[Double], w: Int, h: Int): Array[Double] = {
+    val k = Array(1.0, 4.0, 6.0, 4.0, 1.0).map(_ / 16.0)
+    def reflect(i: Int, n: Int): Int = // BORDER_REFLECT_101: dcb|abcd|cba
+      if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+    val tmp = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0; var t = -2
+        while (t <= 2) { s += k(t + 2) * img(y * w + reflect(x + t, w)); t += 1 }
+        tmp(y * w + x) = s; x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](w * h)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0; var t = -2
+        while (t <= 2) { s += k(t + 2) * tmp(reflect(y + t, h) * w + x); t += 1 }
+        out(y * w + x) = s; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 5×5 median filter, replicate border (cv2 medianBlur default). */
+  def medianBlur5(img: Array[Double], w: Int, h: Int): Array[Double] = {
+    def clamp(i: Int, n: Int): Int = if (i < 0) 0 else if (i >= n) n - 1 else i
+    val out = new Array[Double](w * h)
+    val window = new Array[Double](25)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var n = 0; var dy = -2
+        while (dy <= 2) {
+          var dx = -2
+          while (dx <= 2) {
+            window(n) = img(clamp(y + dy, h) * w + clamp(x + dx, w)); n += 1; dx += 1
+          }
+          dy += 1
+        }
+        val sorted = window.sorted
+        out(y * w + x) = sorted(12); x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Binary threshold: > 127 → 255 else 0 (cv2.threshold(img,127,255)). */
+  def threshold127(img: Array[Double]): Array[Boolean] = img.map(_ > 127.0)
+
+  final case class Contour(perimeter: Double, area: Double, solidity: Double,
+                           extent: Double, equivalent_diameter: Double, angle: Double)
+
+  /** External contour features over 8-connected foreground components.
+    * area = pixel count; perimeter = exposed 4-neighbor edges; solidity
+    * = area / convex-hull area of pixel centers (0 if degenerate);
+    * extent = area / bounding-box area; angle = 3.14/2 exactly as the
+    * reference hardcodes. Components returned largest-area-first,
+    * ties by top-left pixel. */
+  def contourFeatures(bin: Array[Boolean], w: Int, h: Int): Seq[Contour] = {
+    val comp = Array.fill(w * h)(-1)
+    var nComp = 0
+    var i = 0
+    while (i < w * h) {
+      if (bin(i) && comp(i) < 0) {
+        var stack = List(i); comp(i) = nComp
+        while (stack.nonEmpty) {
+          val p = stack.head; stack = stack.tail
+          val (py, px) = (p / w, p % w)
+          var dy = -1
+          while (dy <= 1) {
+            var dx = -1
+            while (dx <= 1) {
+              val (ny, nx) = (py + dy, px + dx)
+              if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+                val q = ny * w + nx
+                if (bin(q) && comp(q) < 0) { comp(q) = nComp; stack = q :: stack }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+        }
+        nComp += 1
+      }
+      i += 1
+    }
+    def hullArea(pts: Seq[(Int, Int)]): Double = {
+      val s = pts.distinct.sorted
+      if (s.size < 3) return 0.0
+      def cross(o: (Int, Int), a: (Int, Int), b: (Int, Int)): Long =
+        (a._1 - o._1).toLong * (b._2 - o._2) - (a._2 - o._2).toLong * (b._1 - o._1)
+      def half(ps: Seq[(Int, Int)]): List[(Int, Int)] =
+        ps.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          var a = acc
+          while (a.size >= 2 && cross(a(1), a.head, p) <= 0) a = a.tail
+          p :: a
+        }
+      val hull = (half(s).reverse.tail ++ half(s.reverse).reverse.tail).toIndexedSeq
+      // shoelace over the closed hull
+      math.abs(hull.indices.map { j =>
+        val a = hull(j); val b = hull((j + 1) % hull.size)
+        a._1.toLong * b._2 - b._1.toLong * a._2
+      }.sum) / 2.0
+    }
+    (0 until nComp).map { c =>
+      val pts = (0 until w * h).filter(p => comp(p) == c).map(p => (p % w, p / w))
+      val area = pts.size.toDouble
+      var perim = 0
+      pts.foreach { case (x, y) =>
+        Seq((x - 1, y), (x + 1, y), (x, y - 1), (x, y + 1)).foreach { case (nx, ny) =>
+          if (nx < 0 || nx >= w || ny < 0 || ny >= h || !bin(ny * w + nx)) perim += 1
+        }
+      }
+      val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+      val rectArea = ((xs.max - xs.min + 1) * (ys.max - ys.min + 1)).toDouble
+      val ha = hullArea(pts)
+      Contour(
+        perimeter = perim.toDouble,
+        area = area,
+        solidity = if (ha > 0) area / ha else 0.0,
+        extent = area / rectArea,
+        equivalent_diameter = math.sqrt(4.0 * area / math.Pi),
+        angle = 3.14 / 2)
+    }.sortBy(c => (-c.area, -c.perimeter))
+  }
+
+  /** GLCM features for one direction (dy, dx): 8-level quantization of
+    * 0..255, symmetric counts not applied (mahotas uses symmetric; the
+    * direction set below covers both signs). Returns (contrast, energy,
+    * homogeneity, entropy). */
+  def glcm(img: Array[Double], w: Int, h: Int, dy: Int, dx: Int): (Double, Double, Double, Double) = {
+    val levels = 8
+    def lvl(v: Double): Int = math.min((v / 256.0 * levels).toInt, levels - 1)
+    val counts = Array.ofDim[Long](levels, levels)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (ny, nx) = (y + dy, x + dx)
+        if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
+          counts(lvl(img(y * w + x)))(lvl(img(ny * w + nx))) += 1
+          total += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var contrast = 0.0; var energy = 0.0; var homog = 0.0; var entropy = 0.0
+    var a = 0
+    while (a < levels) {
+      var b = 0
+      while (b < levels) {
+        val p = counts(a)(b).toDouble / total
+        if (p > 0) {
+          contrast += (a - b) * (a - b) * p
+          energy += p * p
+          homog += p / (1 + math.abs(a - b))
+          entropy -= p * math.log(p)
+        }
+        b += 1
+      }
+      a += 1
+    }
+    (contrast, energy, homog, entropy)
+  }
+
+  /** The 4 Haralick directions (offset 1). */
+  val Directions: Seq[(String, Int, Int)] =
+    Seq(("d0", 0, 1), ("d45", -1, 1), ("d90", -1, 0), ("d135", -1, -1))
+
+  // ── live queries over the decoded JPEG corpus ────────────────────────
+
+  final case class BlurStats(file: String, mean: Double, std: Double,
+                             median: Double, vmin: Double, vmax: Double)
+  final case class ContourRow(file: String, contour_idx: Int, perimeter: Double,
+                              area: Double, solidity: Double, extent: Double,
+                              equivalent_diameter: Double, angle: Double)
+  final case class GlcmRow(file: String, direction: String, contrast: Double,
+                           energy: Double, homogeneity: Double, entropy: Double)
+
+  private def decoded(s: SparkSession) = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", "*.jpeg")
+      .load(Multimodal.JpegDir)
+      .select(element_at(split(col("path"), "/"), -1).as("file"), col("content"))
+      .as[(String, Array[Byte])]
+  }
+
+  val queries: Seq[Q] = Seq(
+    // ── S5 live: decode → Gaussian(5,σ=0) → median(5) → F1 stats ──────
+    Q(
+      "img_blur_stats",
+      (s, _) => {
+        import s.implicits._
+        decoded(s).mapPartitions(_.map { case (f, bytes) =>
+          val g = Multimodal.decodeJpegGray32(bytes)
+          val b = medianBlur5(gaussianBlur5(g, 32, 32), 32, 32)
+          val st = Multimodal.imageStats(f, b)
+          BlurStats(f, st.mean, st.std, st.median, st.vmin, st.vmax)
+        }).toDF().orderBy("file")
+      },
+      None
+    ),
+
+    // ── F3 live: threshold(127) → external contours → 6 features ──────
+    Q(
+      "img_contour_features",
+      (s, _) => {
+        import s.implicits._
+        decoded(s).flatMap { case (f, bytes) =>
+          val g = Multimodal.decodeJpegGray32(bytes)
+          contourFeatures(threshold127(g), 32, 32).zipWithIndex.map { case (c, i) =>
+            ContourRow(f, i, c.perimeter, c.area, c.solidity, c.extent,
+              c.equivalent_diameter, c.angle)
+          }
+        }.toDF().orderBy("file", "contour_idx")
+      },
+      None
+    ),
+
+    // ── F5 live: GLCM core features × 4 directions ─────────────────────
+    Q(
+      "img_glcm_texture",
+      (s, _) => {
+        import s.implicits._
+        decoded(s).flatMap { case (f, bytes) =>
+          val g = Multimodal.decodeJpegGray32(bytes)
+          Directions.map { case (name, dy, dx) =>
+            val (c, e, hm, en) = glcm(g, 32, 32, dy, dx)
+            GlcmRow(f, name, c, e, hm, en)
+          }
+        }.toDF().orderBy("file", "direction")
+      },
+      None
+    ),
+
+    // ── S5 oracle form: binomial 3×3 blur over the 8×8 grid ────────────
+    // Same pattern as vec_edge_energy (F4): the 64-dim embedding as an
+    // 8×8 image, blurred with the separable binomial [1,2,1]/4 kernel
+    // over the 6×6 interior; per-vector mean blurred value. Sequential
+    // fold, bit-identical in DuckDB, no shuffle.
+    Q(
+      "vec_blur",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        def at(r: Column, c: Column): Column = element_at(v, (r * 8 + c + 1).cast("int"))
+        val blurred = transform(sequence(lit(0), lit(35)), i => {
+          val r = (i / 6).cast("long") + 1
+          val c = (i % 6) + 1
+          (at(r - 1, c - 1) * 1.0 + at(r - 1, c) * 2.0 + at(r - 1, c + 1) * 1.0 +
+            at(r, c - 1) * 2.0 + at(r, c) * 4.0 + at(r, c + 1) * 2.0 +
+            at(r + 1, c - 1) * 1.0 + at(r + 1, c) * 2.0 + at(r + 1, c + 1) * 1.0) / 16.0
+        })
+        embeddings(s, d)
+          .select(col("vec_id"), (seqSum(blurred) / 36.0).as("blur_mean"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        val at = (r: String, c: String) => s"$v[CAST(($r) * 8 + ($c) + 1 AS INT)]"
+        val rr = "i // 6 + 1"; val cc = "i % 6 + 1"
+        val blurred = s"list_transform(range(0, 36), i -> (" +
+          s"${at(s"$rr - 1", s"$cc - 1")} * 1.0 + ${at(s"$rr - 1", cc)} * 2.0 + ${at(s"$rr - 1", s"$cc + 1")} * 1.0 + " +
+          s"${at(rr, s"$cc - 1")} * 2.0 + ${at(rr, cc)} * 4.0 + ${at(rr, s"$cc + 1")} * 2.0 + " +
+          s"${at(s"$rr + 1", s"$cc - 1")} * 1.0 + ${at(s"$rr + 1", cc)} * 2.0 + ${at(s"$rr + 1", s"$cc + 1")} * 1.0) / 16.0)"
+        s"""SELECT vec_id, ${sqlSeqSum(blurred)} / 36.0 AS blur_mean
+           |FROM embeddings ORDER BY vec_id""".stripMargin
+      }
+    ),
+
+    // ── F5 oracle form: GLCM over the 8×8 grid, horizontal pairs ───────
+    // 4-level quantization of [-0.5, 0.5); 56 horizontal neighbor pairs
+    // per vector. All counts are exact integers; the three features are
+    // a FIXED-ORDER expression over those integers, so doubles are
+    // bit-identical on both engines. Per-row HOFs — no shuffle (the
+    // relational explode+groupBy form would shuffle only (pair, count)).
+    Q(
+      "vec_glcm_texture",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        def lvlOf(x: Column): Column =
+          least(greatest(floor((x + 0.5) * 4).cast("int"), lit(0)), lit(3))
+        // codes[p] = 4·level(left) + level(right) over the 56 horizontal pairs
+        val codes = transform(sequence(lit(0), lit(55)), i => {
+          val r = (i / 7).cast("long"); val c = i % 7
+          lvlOf(element_at(v, (r * 8 + c + 1).cast("int"))) * 4 +
+            lvlOf(element_at(v, (r * 8 + c + 2).cast("int")))
+        })
+        def cntWhere(f: Column => Column): Column =
+          size(filter(col("codes"), f)).cast("long")
+        def diffIs(d0: Int): Column => Column =
+          c => abs((c / lit(4)).cast("int") - c % 4) === d0
+        val energyNum = seqSum(transform(sequence(lit(0), lit(15)),
+          k => { val n = size(filter(col("codes"), c => c === k)); (n * n).cast("double") }))
+        embeddings(s, d)
+          .select(col("vec_id"), codes.as("codes"))
+          .select(col("vec_id"),
+            (seqSum(transform(col("codes"),
+              c => { val dd = (c / lit(4)).cast("int") - c % 4; (dd * dd).cast("double") }))
+              / 56.0).as("contrast"),
+            (energyNum / 3136.0).as("energy"),
+            (cntWhere(diffIs(0)) / 1.0 + cntWhere(diffIs(1)) / 2.0 +
+              cntWhere(diffIs(2)) / 3.0 + cntWhere(diffIs(3)) / 4.0)
+              .multiply(1.0 / 56.0).as("homogeneity"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        val lvl = (e: String) => s"least(greatest(CAST(floor(($e + 0.5) * 4) AS INT), 0), 3)"
+        val codes = s"list_transform(range(0, 56), i -> " +
+          s"${lvl(s"$v[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]")} * 4 + " +
+          s"${lvl(s"$v[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)]")})"
+        val contrast = sqlSeqSum(
+          "list_transform(codes, c -> CAST(((c // 4) - (c % 4)) * ((c // 4) - (c % 4)) AS DOUBLE))")
+        val energy = sqlSeqSum(
+          "list_transform(range(0, 16), k -> CAST(len(list_filter(codes, c -> c = k)) * len(list_filter(codes, c -> c = k)) AS DOUBLE))")
+        val cnt = (d0: Int) => s"len(list_filter(codes, c -> abs((c // 4) - (c % 4)) = $d0))"
+        s"""WITH q AS (SELECT vec_id, $codes AS codes FROM embeddings)
+           |SELECT vec_id,
+           |  $contrast / 56.0 AS contrast,
+           |  $energy / 3136.0 AS energy,
+           |  (${cnt(0)} / 1.0 + ${cnt(1)} / 2.0 + ${cnt(2)} / 3.0 + ${cnt(3)} / 4.0) * ${1.0 / 56.0} AS homogeneity
+           |FROM q ORDER BY vec_id""".stripMargin
+      }
+    )
+  )
+}

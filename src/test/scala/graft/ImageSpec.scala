@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.{Image => I, Multimodal}
+
+class ImageSpec extends SparkSpec {
+
+  test("gaussian blur preserves a constant image and the total mass shape") {
+    val flat = Array.fill(32 * 32)(100.0)
+    val out = I.gaussianBlur5(flat, 32, 32)
+    assert(out.forall(v => math.abs(v - 100.0) < 1e-9),
+      "binomial kernel is normalized: a constant image is a fixed point")
+    // an impulse spreads the separable [1,4,6,4,1]/16 weights
+    val imp = Array.fill(32 * 32)(0.0); imp(16 * 32 + 16) = 256.0
+    val b = I.gaussianBlur5(imp, 32, 32)
+    assert(math.abs(b(16 * 32 + 16) - 256.0 * 36 / 256) < 1e-9) // (6/16)² · 256
+    assert(math.abs(b.sum - 256.0) < 1e-9, "blur conserves mass away from borders")
+  }
+
+  test("median blur removes salt noise from a flat image") {
+    val img = Array.fill(32 * 32)(50.0)
+    img(5 * 32 + 5) = 255.0 // single salt pixel
+    val out = I.medianBlur5(img, 32, 32)
+    assert(out.forall(_ === 50.0))
+  }
+
+  test("contour features of a synthetic square match hand computation") {
+    // one 10×10 foreground square at (8,8)..(17,17)
+    val bin = Array.tabulate(32 * 32) { p =>
+      val (y, x) = (p / 32, p % 32); y >= 8 && y < 18 && x >= 8 && x < 18
+    }
+    val Seq(c) = I.contourFeatures(bin, 32, 32)
+    assert(c.area === 100.0)
+    assert(c.perimeter === 40.0) // 10 exposed edges per side
+    assert(c.extent === 1.0)     // fills its bounding box exactly
+    // hull of pixel centers is a 9×9 square → solidity = 100/81
+    assert(math.abs(c.solidity - 100.0 / 81.0) < 1e-12)
+    assert(math.abs(c.equivalent_diameter - math.sqrt(400.0 / math.Pi)) < 1e-12)
+    assert(c.angle === 3.14 / 2) // the reference's hardcoded value
+  }
+
+  test("contours: two components are ordered by area descending") {
+    val bin = Array.tabulate(32 * 32) { p =>
+      val (y, x) = (p / 32, p % 32)
+      (y >= 2 && y < 4 && x >= 2 && x < 4) ||   // 2×2
+        (y >= 10 && y < 20 && x >= 10 && x < 15) // 10×5
+    }
+    val cs = I.contourFeatures(bin, 32, 32)
+    assert(cs.map(_.area) === Seq(50.0, 4.0))
+  }
+
+  test("GLCM of a constant image: zero contrast, full energy and homogeneity") {
+    val flat = Array.fill(32 * 32)(100.0)
+    val (c, e, hm, en) = I.glcm(flat, 32, 32, 0, 1)
+    assert(c === 0.0)
+    assert(e === 1.0)
+    assert(hm === 1.0)
+    assert(en === 0.0)
+  }
+
+  test("GLCM of vertical stripes: d0 sees transitions, d90 does not") {
+    // alternating columns of level-0 and level-7 gray
+    val img = Array.tabulate(32 * 32)(p => if (p % 32 % 2 == 0) 0.0 else 255.0)
+    val (c0, _, _, _) = I.glcm(img, 32, 32, 0, 1)  // horizontal pairs cross stripes
+    val (c90, _, _, _) = I.glcm(img, 32, 32, -1, 0) // vertical pairs stay inside
+    assert(c0 === 49.0, "every horizontal pair jumps 7 levels → contrast 49")
+    assert(c90 === 0.0)
+  }
+
+  test("live img queries run over the JPEG corpus and match local kernels") {
+    val files = new java.io.File(Multimodal.JpegDir).listFiles()
+      .filter(_.getName.endsWith(".jpeg")).sortBy(_.getName)
+    val f = files.head
+    val gray = Multimodal.decodeJpegGray32(java.nio.file.Files.readAllBytes(f.toPath))
+
+    val blur = SparkEntry.queries("img_blur_stats")(spark, sf).collect()
+    assert(blur.length === files.length)
+    val localBlur = Multimodal.imageStats(f.getName,
+      I.medianBlur5(I.gaussianBlur5(gray, 32, 32), 32, 32))
+    val gotBlur = blur.find(_.getAs[String]("file") == f.getName).get
+    assert(gotBlur.getAs[Double]("mean") === localBlur.mean)
+    assert(gotBlur.getAs[Double]("std") === localBlur.std)
+
+    val glcm = SparkEntry.queries("img_glcm_texture")(spark, sf).collect()
+    assert(glcm.length === files.length * 4)
+    val (lc, le, lh, len_) = I.glcm(gray, 32, 32, 0, 1)
+    val gotG = glcm.find(r => r.getAs[String]("file") == f.getName &&
+      r.getAs[String]("direction") == "d0").get
+    assert(gotG.getAs[Double]("contrast") === lc)
+    assert(gotG.getAs[Double]("energy") === le)
+    assert(gotG.getAs[Double]("homogeneity") === lh)
+    assert(gotG.getAs[Double]("entropy") === len_)
+
+    val cont = SparkEntry.queries("img_contour_features")(spark, sf).collect()
+    assert(cont.nonEmpty)
+    val localCont = I.contourFeatures(I.threshold127(gray), 32, 32)
+    val gotC = cont.filter(_.getAs[String]("file") == f.getName)
+    assert(gotC.length === localCont.length)
+    gotC.zip(localCont).foreach { case (r, c) =>
+      assert(r.getAs[Double]("perimeter") === c.perimeter)
+      assert(r.getAs[Double]("area") === c.area)
+      assert(r.getAs[Double]("solidity") === c.solidity)
+    }
+  }
+}
