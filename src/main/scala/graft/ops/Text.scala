@@ -128,17 +128,22 @@ object Text {
 
   val queries: Seq[Q] = Seq(
     // ── token counting + basic stats ───────────────────────────────────
+    // the token array is STAGED once (4 downstream references would
+    // otherwise each re-split the text per row)
     Q(
       "text_token_stats",
       (s, d) => {
-        val t = tokens(col("text"))
-        documents(s, d).select(
-          col("doc_id"),
-          length(col("text")).as("n_chars"),
-          size(t).as("n_tokens"),
-          size(array_distinct(t)).as("n_distinct"),
-          (intFold(transform(t, w => length(w))).cast("double") / size(t)).as("avg_token_len")
-        ).orderBy("doc_id")
+        documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            tokens(col("text")).as("t"))
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            size(col("t")).as("n_tokens"),
+            size(array_distinct(col("t"))).as("n_distinct"),
+            (intFold(transform(col("t"), w => length(w))).cast("double") / size(col("t")))
+              .as("avg_token_len")
+          ).orderBy("doc_id")
       },
       Some {
         val t = "string_split(text, ' ')"
@@ -150,21 +155,25 @@ object Text {
     ),
 
     // ── quality scoring: punctuation / stopword / length signals ───────
+    // punct (a regexp pass) and the stopword count (a token-array scan)
+    // are staged once; the final projection reads attributes only
     Q(
       "text_quality",
       (s, d) => {
-        val t = tokens(col("text"))
-        val nChars = length(col("text"))
-        val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
-        val stopCnt = markerScore(t, stopwords)
-        documents(s, d).select(
-          col("doc_id"),
-          punct.as("punct_cnt"),
-          (punct.cast("double") / nChars).as("punct_ratio"),
-          (stopCnt.cast("double") / size(t)).as("stopword_ratio"),
-          (when(nChars >= 100 && nChars <= 20000, 1.0).otherwise(0.0) * 0.5 +
-            when(stopCnt > 0, 0.5).otherwise(0.0)).as("quality_score")
-        ).orderBy("doc_id")
+        documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+              .as("punct"),
+            markerScore(tokens(col("text")), stopwords).as("stop_cnt"),
+            size(tokens(col("text"))).as("n_tokens"))
+          .select(
+            col("doc_id"),
+            col("punct").as("punct_cnt"),
+            (col("punct").cast("double") / col("n_chars")).as("punct_ratio"),
+            (col("stop_cnt").cast("double") / col("n_tokens")).as("stopword_ratio"),
+            (when(col("n_chars") >= 100 && col("n_chars") <= 20000, 1.0).otherwise(0.0) * 0.5 +
+              when(col("stop_cnt") > 0, 0.5).otherwise(0.0)).as("quality_score")
+          ).orderBy("doc_id")
       },
       Some {
         val t = "string_split(text, ' ')"
@@ -185,8 +194,11 @@ object Text {
     Q(
       "text_langid",
       (s, d) => {
-        val t = tokens(col("text"))
-        val score = markers.map { case (lg, ws) => lg -> markerScore(t, ws) }.toMap
+        // the 5 marker scores are STAGED as real columns from ONE staged
+        // token array: the CASE chain references each score ~5 times, and
+        // inline that meant ~25 re-splits + array scans per row (showed
+        // up as a 10× bench swing)
+        val score = markers.map { case (lg, _) => lg -> col(s"s_$lg") }.toMap
         def others(lg: String): Column =
           greatest(markers.filter(_._1 != lg).map(m => score(m._1)): _*)
         // a non-English lang wins only if its marker count strictly
@@ -195,6 +207,9 @@ object Text {
           when(score(lg) > others(lg), lg).otherwise(els)
         }
         documents(s, d)
+          .select(col("lang"), tokens(col("text")).as("t"))
+          .select(col("lang") +:
+            markers.map { case (lg, ws) => markerScore(col("t"), ws).as(s"s_$lg") }: _*)
           .select(col("lang"), predicted.as("predicted"))
           .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
           .orderBy("lang", "predicted")

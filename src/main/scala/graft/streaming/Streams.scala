@@ -21,6 +21,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Kafka-source wiring: `spark.readStream.format("kafka")` with the
+    * standard options, projected to the Evt schema. The spark-sql-kafka
+    * connector jar is NOT in this container (/opt/spark/jars has no
+    * kafka artifact, and the build has zero egress), so this is the
+    * documented wiring point, not a tested path — the transforms above
+    * are source-agnostic and run unchanged once the connector is on the
+    * classpath. */
+  def kafkaEvents(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.Encoders.product[Evt].schema).as("e"))
+      .select("e.*")
+
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                        event_type: String, value: Double)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
