@@ -296,6 +296,41 @@ object Extended {
       }
     ),
 
+    // ── map functions (§2.6 gap): build/inspect/fold MapType columns ──
+    // status→count map per returnflag via map_from_entries over a SORTED
+    // entry list (deterministic key order), then scalar-only projections
+    // (size, joined keys, element_at lookup, map_values fold, map_filter)
+    // — the comparator hashes scalar cells only. The oracle computes the
+    // same scalars map-free from the grouped counts.
+    Q(
+      "rel_map_funcs",
+      (s, d) => {
+        val counts = lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+        val m = map_from_entries(
+          sort_array(collect_list(struct(col("l_linestatus"), col("cnt")))))
+        counts.groupBy("l_returnflag")
+          .agg(m.as("m"))
+          .select(col("l_returnflag"),
+            size(col("m")).as("n_status"),
+            array_join(map_keys(col("m")), ",").as("statuses"),
+            coalesce(element_at(col("m"), "O"), lit(0L)).as("o_cnt"),
+            aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("total"),
+            size(map_filter(col("m"), (_, v) => v > 1000)).as("big_statuses"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, l_linestatus, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag,
+             |  CAST(count(*) AS INT) AS n_status,
+             |  string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+             |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN cnt END), 0) AS BIGINT) AS o_cnt,
+             |  CAST(sum(cnt) AS BIGINT) AS total,
+             |  CAST(count_if(cnt > 1000) AS INT) AS big_statuses
+             |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // ── approximate aggregates (§2.6 gap): HLL distinct + approximate
     // quantiles. Sketch values are implementation-specific (Spark HLL++ ≠
     // DuckDB HLL) → rows-only driver check; the exact companions above
