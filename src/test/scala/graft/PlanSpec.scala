@@ -84,6 +84,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"probe side should broadcast:\n$p")
   }
 
+  test("MinHash-LSH candidate generation never plans a product join") {
+    val p = plan("dedup_minhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band-bucket candidates must equi-join:\n$p")
+  }
+
+  test("embedding near-dup joins candidates by key, not by range product") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exploded id-band must equi-join:\n$p")
+  }
+
+  test("per-row vector ops shuffle only for their final global sort") {
+    for (q <- Seq("vec_blur", "vec_glcm_texture", "vec_stats", "vec_edge_energy")) {
+      val p = plan(q)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q should be map-only + one sort exchange:\n$p")
+    }
+  }
+
   test("events scan prunes to the columns the window query needs") {
     val scans = scansOf("evt_top_purchasers")
     assert(scans.nonEmpty)
