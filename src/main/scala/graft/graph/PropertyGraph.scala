@@ -87,6 +87,12 @@ object PropertyGraph {
     PropertyGraph(sup.unionByName(prt), es)
   }
 
+  /** Fixed-point scale (1.0 ≡ 1e9) and reset mass (0.15 ≡ 1.5e8) for
+    * `graph_pagerank_exact`; 5 power iterations. */
+  private val Scale = 1000000000L
+  private val Reset = 150000000L
+  private val PrIters = 5
+
   val queries: Seq[Q] = Seq(
     // ── degree per node — `MATCH (s)-[r]->(p) RETURN s, count(r)` ──────
     // (the count_connections shape, image_classification.py:513-522, on
@@ -246,6 +252,63 @@ object PropertyGraph {
           .limit(20)
       },
       None
+    ),
+
+    // ── exact fixed-point PageRank (oracle-checked) ────────────────────
+    // The float PageRank above is rows-only because IEEE sums depend on
+    // partition order. This variant makes the whole iteration
+    // order-independent: ranks are BIGINT fixed-point (scaled 1e9), each
+    // edge contribution is integer-truncated `(rank*85) div (deg*100)`
+    // (≡ rank*0.85/deg), and integer sums are exact under any shuffle
+    // order — so a DuckDB unrolled-CTE power iteration reproduces every
+    // bit. Runs over the undirected supplier↔part view so mass flows
+    // both ways and the ranks genuinely iterate. Per iteration the plan
+    // is one equi-join (ranks are node-sized, edges are the big side)
+    // plus one partial-agg shuffle on dst — the same shape per superstep
+    // that GraphX/Pregel runs at 100 TB, minus the float nondeterminism.
+    Q(
+      "graph_pagerank_exact",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val ue = g.edges.select(col("src"), col("dst"))
+          .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodeIds = g.nodes.select(col("id"))
+        val withDeg = ue.join(deg, "src")
+        var ranks = nodeIds.select(col("id"), lit(Scale).as("rank"))
+        for (_ <- 1 to PrIters) {
+          val contribs = withDeg
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(col("dst"),
+              expr("(rank * 85L) div (deg * 100L)").as("contrib"))
+            .groupBy("dst").agg(sum("contrib").as("inflow"))
+          ranks = nodeIds
+            .join(contribs, col("id") === col("dst"), "left")
+            .select(col("id"),
+              (lit(Reset) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        }
+        ranks.orderBy(col("rank").desc, col("id").asc).limit(20)
+      },
+      Some {
+        val iters = (1 to PrIters).map { i =>
+          s"""c$i AS (
+             |  SELECT ue.dst, CAST(sum((r.rank * 85) // (deg.deg * 100)) AS BIGINT) AS inflow
+             |  FROM ue JOIN deg USING (src) JOIN r${i - 1} r ON r.id = ue.src
+             |  GROUP BY ue.dst),
+             |r$i AS (
+             |  SELECT n.id, $Reset + coalesce(c$i.inflow, 0) AS rank
+             |  FROM n LEFT JOIN c$i ON c$i.dst = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH
+           |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+           |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |deg AS (SELECT src, count(*) AS deg FROM ue GROUP BY src),
+           |n AS (SELECT s_suppkey AS id FROM supplier
+           |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+           |r0 AS (SELECT id, CAST($Scale AS BIGINT) AS rank FROM n),
+           |$iters
+           |SELECT id, rank FROM r$PrIters ORDER BY rank DESC, id LIMIT 20""".stripMargin
+      }
     )
   )
 }
