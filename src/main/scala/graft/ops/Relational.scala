@@ -199,6 +199,34 @@ object Relational {
               |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     ),
 
+    // ── skew-safe two-stage (salted) aggregation ───────────────────────
+    // The 100 TB recipe for a hot grouping key: salt the key with a
+    // deterministic shard (pmod of a uniform column), partially
+    // aggregate per (key, salt) — the hot key's rows now land on 16
+    // reducers instead of one — then re-aggregate the 16 partials per
+    // key. Counts and DECIMAL sums re-aggregate losslessly, so the
+    // result is provably identical to the direct GROUP BY the oracle
+    // runs. (Spark's map-side combine already handles most skew for
+    // algebraic aggs; the salt stage is the pattern for when one key's
+    // final reduce — e.g. a giant collect or distinct — is the
+    // straggler, and for AQE-less engines.)
+    Q(
+      "rel_skew_salted_agg",
+      (s, d) => {
+        val partials = lineitem(s, d)
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(count(lit(1)).as("pc"), sum(dec(col("l_quantity"))).as("pq"))
+        partials
+          .groupBy("l_returnflag")
+          .agg(sum(col("pc")).as("cnt"), sum(col("pq")).cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS cnt,
+              |       CAST(sum(${decSql("l_quantity")}) AS DOUBLE) AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // ── Q12 per-group top-1 (argmin window form) ───────────────────────
     // Reference: collect({…})[0] after ORDER BY
     // (image_classification.py:345-346).
