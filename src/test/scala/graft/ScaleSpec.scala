@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Data-layout scale evidence: the cluster-side techniques that keep a
+  * 100 TB job off the shuffle wire — bucketed co-located joins,
+  * partition pruning at the scan, and salted two-stage aggregation —
+  * demonstrated against the physical plan, not described in prose. */
+class ScaleSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+  }
+
+  test("bucketed tables co-locate their join and aggregation: zero shuffles") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/bo").saveAsTable("bucketed_orders")
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/bl").saveAsTable("bucketed_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // join on the bucket key, then aggregate by it: both the join and
+      // the aggregation are satisfied by the on-disk hashpartitioning,
+      // so the whole query runs without a single Exchange. This is the
+      // write-once-join-many layout for 100 TB fact tables.
+      val joined = spark.table("bucketed_orders")
+        .join(spark.table("bucketed_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+      joined.collect()
+      val p = finalPlan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join+agg must not shuffle:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scan should be bucket-aware:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bucketed_orders")
+      spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
+    }
+  }
+
+  test("hive-style partitioned layout prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_prio", substring(col("o_orderpriority"), 1, 1))
+      .write.mode("overwrite").partitionBy("o_prio").parquet(tmp)
+    val rd = spark.read.parquet(tmp).filter(col("o_prio") === "1")
+      .select(count(lit(1)).as("cnt"))
+    rd.collect()
+    val p = finalPlan(rd)
+    // the partition predicate must be a PartitionFilter (directory
+    // pruning — only 1 of 5 partition dirs listed), not a row filter.
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_prio[^\\]]*\\].*"),
+      s"o_prio filter should prune partitions at the scan:\n$p")
+  }
+
+  test("salted aggregation plans two distinct hash-partition stages") {
+    val p = finalPlan(SparkEntry.queries("rel_skew_salted_agg")(spark, sf))
+    assert(p.matches("(?s).*hashpartitioning\\(l_returnflag#\\d+, salt#\\d+.*"),
+      s"stage 1 must shard the hot key by salt:\n$p")
+    assert(p.matches("(?s).*hashpartitioning\\(l_returnflag#\\d+, \\d+\\).*"),
+      s"stage 2 must re-aggregate per key:\n$p")
+  }
+}
