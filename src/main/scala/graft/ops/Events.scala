@@ -195,6 +195,47 @@ object Events {
               |FROM events WHERE event_type = 'purchase'
               |GROUP BY user_id
               |ORDER BY revenue DESC, user_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ── interval range join: clicks attributed to a purchase window ────
+    // Count, per purchase, the same user's clicks in the 10 minutes
+    // before it. The naive plan is a non-equi theta join — a
+    // BroadcastNestedLoopJoin that re-evaluates every pair (the measured
+    // 610 s landmine, see dedup_embedding_cosine). The scale-safe form:
+    // quantize time into window-sized buckets, explode each purchase's
+    // interval to the ≤2 buckets it covers, equi-join on
+    // (user_id, bucket), then apply the exact bounds as a residual
+    // filter. Each (purchase, click) pair meets in exactly one bucket
+    // (the click's), so no dedup is needed. Shuffles only on the join
+    // key — the same plan at any SF. The oracle runs the literal
+    // non-equi join, proving the rewrite exact.
+    Q(
+      "evt_range_join",
+      (s, d) => {
+        val W = 600000000L // 10 min in µs = bucket width = window length
+        val e = eventsUs(s, d).withColumn("us", unix_micros(col("ts")))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("us").as("ps"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("us").as("cs"))
+        val pb = p.withColumn("bucket",
+          explode(sequence(expr(s"(ps - ${W}L) div ${W}L"), expr(s"(ps - 1L) div ${W}L"))))
+        val cb = c.withColumn("bucket", expr(s"cs div ${W}L"))
+        val matches = pb
+          .join(cb, pb("user_id") === cb("cu") && pb("bucket") === cb("bucket"))
+          .filter(col("cs") >= col("ps") - lit(W) && col("cs") < col("ps"))
+          .groupBy("pid").agg(count(lit(1)).as("n"))
+        p.join(matches, Seq("pid"), "left")
+          .select(col("pid"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+          .orderBy("pid")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us($sqlTs) AS us FROM events),
+              |p AS (SELECT event_id AS pid, user_id, us AS ps FROM e WHERE event_type = 'purchase'),
+              |c AS (SELECT user_id, us AS cs FROM e WHERE event_type = 'click')
+              |SELECT p.pid, count(c.cs) AS n_clicks
+              |FROM p LEFT JOIN c
+              |  ON c.user_id = p.user_id AND c.cs >= p.ps - 600000000 AND c.cs < p.ps
+              |GROUP BY p.pid ORDER BY p.pid""".stripMargin)
     )
   )
 }

@@ -549,6 +549,28 @@ object Relational {
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ── cube + grouping_id: all 4 grouping sets in one pass ────────────
+    // Spark expands CUBE into a single expand+aggregate (each input row
+    // feeds all 2^n grouping sets map-side — one shuffle, not 4 scans).
+    // grouping_id()'s bitmask (first key = high bit) matches DuckDB's
+    // GROUPING(a, b), and it also disambiguates rolled-up NULLs from
+    // data NULLs.
+    Q(
+      "rel_cube",
+      (s, d) =>
+        orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+            grouping_id().as("gid"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              |       CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS sum_price,
+              |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     )
   )
 }

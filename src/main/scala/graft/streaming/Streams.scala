@@ -62,6 +62,18 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("cnt"))
 
+  /** Streaming exact dedup by event_id. dropDuplicatesWithinWatermark
+    * keys state on event_id and evicts each key once the watermark
+    * passes it — bounded state on an unbounded stream, unlike plain
+    * dropDuplicates which retains every key forever. This is the
+    * streaming face of `dedup_exact`: at 100 TB/day the state store
+    * holds only the 2-hour lateness horizon, sharded by key across
+    * executors. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState —
     * the custom-state operator the batch `evt_sessionize` mirrors.
     * Emits a session when the gap is exceeded within a batch or when the

@@ -104,6 +104,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval range join plans as a bucketed equi-join, not a theta join") {
+    val p = plan("evt_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must equi-join on (user, bucket):\n$p")
+  }
+
   test("events scan prunes to the columns the window query needs") {
     val scans = scansOf("evt_top_purchasers")
     assert(scans.nonEmpty)

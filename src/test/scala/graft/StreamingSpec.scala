@@ -120,6 +120,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per event_id with watermark-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = Streams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Evt(1, ts(5), 1, "click", 1.0),
+        Evt(1, ts(5), 1, "click", 1.0),  // same-batch duplicate
+        Evt(2, ts(10), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Evt(1, ts(30), 1, "click", 9.9)) // cross-batch duplicate id
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toList.sorted
+      // exactly one row per id, and for id 1 it is the FIRST arrival
+      assert(ids === List((1L, 1.0), (2L, 1.0)), s"dedup emitted: $ids")
+    } finally q.stop()
+  }
+
   test("stateful sessionization groups events by 30-minute gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
