@@ -274,7 +274,11 @@ object PropertyGraph {
           .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
         val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
         val nodeIds = g.nodes.select(col("id"))
-        val withDeg = ue.join(deg, "src")
+        // the degree-annotated edge list is loop-invariant: cache it so
+        // the 5 iterations scan ONE materialization instead of
+        // recomputing union+degree+join each superstep (at 100 TB this
+        // is the persisted adjacency table every Pregel engine keeps).
+        val withDeg = ue.join(deg, "src").cache()
         var ranks = nodeIds.select(col("id"), lit(Scale).as("rank"))
         for (_ <- 1 to PrIters) {
           val contribs = withDeg
