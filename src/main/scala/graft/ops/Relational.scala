@@ -551,6 +551,31 @@ object Relational {
              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     ),
 
+    // ── stratified deterministic sampling (training-data mixing) ───────
+    // Per-stratum sampling rates — the upsample-rare / downsample-common
+    // mixing step of a training-data pipeline — via the deterministic
+    // multiplicative hash (Q4 decision: reproducible, partition-order-
+    // free, no rand()). A narrow per-row filter before the shuffle, so
+    // the scan prunes and the sample never materializes the full table.
+    Q(
+      "rel_stratified_sample",
+      (s, d) => {
+        val rate = when(col("o_orderpriority") === "1-URGENT", 50L).otherwise(10L)
+        orders(s, d)
+          .filter(detHash(col("o_orderkey")) % 100 < rate)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+              |       CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS sum_price
+              |FROM orders
+              |WHERE ${detHashSql("o_orderkey")} % 100 <
+              |      CASE WHEN o_orderpriority = '1-URGENT' THEN 50 ELSE 10 END
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     // ── cube + grouping_id: all 4 grouping sets in one pass ────────────
     // Spark expands CUBE into a single expand+aggregate (each input row
     // feeds all 2^n grouping sets map-side — one shuffle, not 4 scans).

@@ -126,6 +126,59 @@ object Text {
        |  SELECT doc_id, $sig AS sig, list_distinct(hs) AS sh FROM hst)""".stripMargin
   }
 
+  /** MinHash-LSH candidate pairs with exact Jaccard: bands of 4
+    * signature rows → bucket equi-join (NO all-pairs product) → exact
+    * bigram-set Jaccard on the candidates only. Shared by
+    * `dedup_minhash_pairs` (reports scores) and
+    * `dedup_cluster_canonical` (clusters above a threshold). */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // sketch (sig + shingle set) computed ONCE and cached: every
+    // branch below (two band sides, two jaccard sides) reuses the
+    // materialized sketch instead of re-hashing the corpus.
+    val docs = docSketch(s, d).cache()
+    val bands = docs.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), element_at(col("sig"), 1).as("h1"),
+          element_at(col("sig"), 2).as("h2"), element_at(col("sig"), 3).as("h3"),
+          element_at(col("sig"), 4).as("h4")),
+        struct(lit(1).as("band"), element_at(col("sig"), 5).as("h1"),
+          element_at(col("sig"), 6).as("h2"), element_at(col("sig"), 7).as("h3"),
+          element_at(col("sig"), 8).as("h4"))
+      )).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"), col("b.h3"), col("b.h4"))
+    val l = bands.toDF("id_a", "band", "h1", "h2", "h3", "h4")
+    val r = bands.toDF("id_b", "band", "h1", "h2", "h3", "h4")
+    val cand = l.join(r, Seq("band", "h1", "h2", "h3", "h4"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    cand.join(da, "id_a").join(db, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+  }
+
+  /** The pair pipeline as DuckDB CTEs (append after `sqlSketchCtes`);
+    * yields a `pairs(id_a, id_b, jaccard)` CTE. */
+  val sqlPairCtes: String =
+    s"""bands AS (
+       |  SELECT doc_id, 0 AS band, sig[1] AS h1, sig[2] AS h2, sig[3] AS h3, sig[4] AS h4 FROM sketch
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, sig[5], sig[6], sig[7], sig[8] FROM sketch),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.h4 = b.h4
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+       |  FROM cand c
+       |  JOIN sketch sa ON sa.doc_id = c.id_a
+       |  JOIN sketch sb ON sb.doc_id = c.id_b)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // ── token counting + basic stats ───────────────────────────────────
     // the token array is STAGED once (4 downstream references would
@@ -297,53 +350,64 @@ object Text {
     // product) → exact bigram-set Jaccard on the candidates only.
     Q(
       "dedup_minhash_pairs",
+      (s, d) => minhashPairs(s, d).orderBy("id_a", "id_b"),
+      Some(s"""WITH $sqlSketchCtes,
+              |$sqlPairCtes
+              |SELECT id_a, id_b, jaccard FROM pairs
+              |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
+    // ── near-dup clusters → canonical doc per cluster ──────────────────
+    // The step that turns pair DETECTION into an actual dedup pipeline:
+    // connected components over the ≥0.5-Jaccard pair graph, keep the
+    // min doc_id per component (so transitive chains a~b~c collapse to
+    // one keeper even when a,c never paired directly). Min-label
+    // propagation runs distributed to a driver-counted fixpoint — the
+    // k-means loop shape: per iteration one equi-join on the (tiny,
+    // cached) pair edges + one min-agg; iterations = cluster diameter
+    // (near-dup clusters are shallow). The oracle replays the same
+    // fixpoint as a recursive CTE, so convergence — not an iteration
+    // guess — is what's checked.
+    Q(
+      "dedup_cluster_canonical",
       (s, d) => {
-        // sketch (sig + shingle set) computed ONCE and cached: every
-        // branch below (two band sides, two jaccard sides) reuses the
-        // materialized sketch instead of re-hashing the corpus.
-        val docs = docSketch(s, d).cache()
-        val bands = docs.select(col("doc_id"),
-          explode(array(
-            struct(lit(0).as("band"), element_at(col("sig"), 1).as("h1"),
-              element_at(col("sig"), 2).as("h2"), element_at(col("sig"), 3).as("h3"),
-              element_at(col("sig"), 4).as("h4")),
-            struct(lit(1).as("band"), element_at(col("sig"), 5).as("h1"),
-              element_at(col("sig"), 6).as("h2"), element_at(col("sig"), 7).as("h3"),
-              element_at(col("sig"), 8).as("h4"))
-          )).as("b"))
-          .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"), col("b.h3"), col("b.h4"))
-        val l = bands.toDF("id_a", "band", "h1", "h2", "h3", "h4")
-        val r = bands.toDF("id_b", "band", "h1", "h2", "h3", "h4")
-        val cand = l.join(r, Seq("band", "h1", "h2", "h3", "h4"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
-        val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
-        cand.join(da, "id_a").join(db, "id_b")
-          .select(col("id_a"), col("id_b"),
-            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-              size(array_union(col("sa"), col("sb")))).as("jaccard"))
-          .orderBy("id_a", "id_b")
+        val pairs = minhashPairs(s, d)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+        val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .cache()
+        val nodes = ue.select(col("src").as("id")).distinct()
+        var lbl = nodes.select(col("id"), col("id").as("l"))
+        var changed = 1L
+        while (changed > 0) {
+          val prop = ue
+            .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+            .groupBy(col("dst")).agg(min("nl").as("ml"))
+          val next = lbl.join(prop, col("id") === col("dst"), "left")
+            .select(col("id"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
+            .cache()
+          changed = next
+            .join(lbl.select(col("id").as("id2"), col("l").as("old")), col("id") === col("id2"))
+            .filter(col("l") < col("old")).count()
+          lbl = next
+        }
+        lbl.groupBy(col("l").as("canonical_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy("canonical_id")
       },
-      Some {
-        s"""WITH $sqlSketchCtes,
-           |bands AS (
-           |  SELECT doc_id, 0 AS band, sig[1] AS h1, sig[2] AS h2, sig[3] AS h3, sig[4] AS h4 FROM sketch
-           |  UNION ALL
-           |  SELECT doc_id, 1 AS band, sig[5], sig[6], sig[7], sig[8] FROM sketch),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.h4 = b.h4
-           |  WHERE a.doc_id < b.doc_id)
-           |SELECT c.id_a, c.id_b,
-           |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-           |  len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-           |FROM cand c
-           |JOIN sketch sa ON sa.doc_id = c.id_a
-           |JOIN sketch sb ON sb.doc_id = c.id_b
-           |ORDER BY id_a, id_b""".stripMargin
-      }
+      Some(s"""WITH RECURSIVE $sqlSketchCtes,
+              |$sqlPairCtes,
+              |dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |ue AS (SELECT id_a AS src, id_b AS dst FROM dup
+              |       UNION SELECT id_b, id_a FROM dup),
+              |n AS (SELECT DISTINCT src AS id FROM ue),
+              |lbl(id, l) AS (
+              |  SELECT id, id FROM n
+              |  UNION
+              |  SELECT ue.dst, lbl.l FROM lbl JOIN ue ON ue.src = lbl.id),
+              |comp AS (SELECT id, min(l) AS component FROM lbl GROUP BY id)
+              |SELECT component AS canonical_id, count(*) AS n_members
+              |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin)
     ),
 
     // ── SimHash (16-bit) per document ──────────────────────────────────
