@@ -410,6 +410,45 @@ object Text {
               |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin)
     ),
 
+    // ── the preprocessing pipeline as ONE query ────────────────────────
+    // What a training-data run actually executes: exact-dup drop (md5
+    // keep-first) → length gate → quality gate, each doc tagged with the
+    // FIRST reason it fails (or 'kept'). One narrow per-row pass plus
+    // one hash-groupBy shuffle for the dup keeper — the whole funnel is
+    // a single plan, so at 100 TB the corpus is scanned once, not once
+    // per filter.
+    Q(
+      "text_filter_pipeline",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            md5(col("text")).as("h"),
+            markerScore(tokens(col("text")), stopwords).as("stop_cnt"))
+        val keeper = base.groupBy("h").agg(min("doc_id").as("keeper"))
+        base.join(keeper, "h")
+          .select(col("doc_id"),
+            when(col("doc_id") =!= col("keeper"), "dup")
+              .when(col("n_chars") < 100, "too_short")
+              .when(col("n_chars") > 20000 || col("stop_cnt") === 0, "low_quality")
+              .otherwise("kept").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val t = "string_split(text, ' ')"
+        s"""WITH base AS (
+           |  SELECT doc_id, length(text) AS n_chars, md5(text) AS h,
+           |         ${sqlMarkerScore(t, stopwords)} AS stop_cnt
+           |  FROM documents),
+           |keeper AS (SELECT h, min(doc_id) AS keeper FROM base GROUP BY h)
+           |SELECT b.doc_id,
+           |  CASE WHEN b.doc_id <> k.keeper THEN 'dup'
+           |       WHEN b.n_chars < 100 THEN 'too_short'
+           |       WHEN b.n_chars > 20000 OR b.stop_cnt = 0 THEN 'low_quality'
+           |       ELSE 'kept' END AS verdict
+           |FROM base b JOIN keeper k USING (h) ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // ── SimHash (16-bit) per document ──────────────────────────────────
     // bit i of the fingerprint = sign of Σ_tokens (±1 by token-hash bit i).
     // The token-hash array is STAGED as a real column in its own select:
