@@ -413,19 +413,20 @@ object Text {
     // ── the preprocessing pipeline as ONE query ────────────────────────
     // What a training-data run actually executes: exact-dup drop (md5
     // keep-first) → length gate → quality gate, each doc tagged with the
-    // FIRST reason it fails (or 'kept'). One narrow per-row pass plus
-    // one hash-groupBy shuffle for the dup keeper — the whole funnel is
-    // a single plan, so at 100 TB the corpus is scanned once, not once
-    // per filter.
+    // FIRST reason it fails (or 'kept'). The dup keeper is a window
+    // min over the md5 partition — NOT a groupBy + join-back, which
+    // plans a second corpus scan (asserted in PlanSpec): one narrow
+    // per-row pass, ONE shuffle on the hash, and at 100 TB the corpus
+    // is read once, not once per filter.
     Q(
       "text_filter_pipeline",
       (s, d) => {
-        val base = documents(s, d)
+        import org.apache.spark.sql.expressions.Window
+        documents(s, d)
           .select(col("doc_id"), length(col("text")).as("n_chars"),
             md5(col("text")).as("h"),
             markerScore(tokens(col("text")), stopwords).as("stop_cnt"))
-        val keeper = base.groupBy("h").agg(min("doc_id").as("keeper"))
-        base.join(keeper, "h")
+          .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
           .select(col("doc_id"),
             when(col("doc_id") =!= col("keeper"), "dup")
               .when(col("n_chars") < 100, "too_short")

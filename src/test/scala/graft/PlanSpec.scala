@@ -110,6 +110,11 @@ class PlanSpec extends SparkSpec {
       s"range join must equi-join on (user, bucket):\n$p")
   }
 
+  test("preprocessing funnel scans the corpus once") {
+    val scans = scansOf("text_filter_pipeline")
+    assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")
+  }
+
   test("events scan prunes to the columns the window query needs") {
     val scans = scansOf("evt_top_purchasers")
     assert(scans.nonEmpty)
