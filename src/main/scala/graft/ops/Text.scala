@@ -450,6 +450,73 @@ object Text {
       }
     ),
 
+    // ── inverted index build (term → sorted posting list) ──────────────
+    // The retrieval-side structure for corpus curation: distinct
+    // (doc, term) pairs → per-term df + sorted postings. Explode +
+    // distinct + groupBy — every stage partial-aggregates map-side and
+    // shuffles once on term; posting lists serialize as sorted
+    // comma-joined strings (scalar output, injective). At 100 TB the
+    // same plan writes the index as a term-bucketed table.
+    Q(
+      "text_inverted_index",
+      (s, d) => {
+        val pairs = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .distinct()
+        pairs.groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            array_join(
+              transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+              ",").as("postings"))
+          .orderBy("term")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT doc_id, term FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+             |SELECT term, count(*) AS df,
+             |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+             |FROM pairs GROUP BY term ORDER BY term""".stripMargin)
+    ),
+
+    // ── index-driven search: candidates via postings, integer tf rank ──
+    // Term-at-a-time retrieval: the (tiny) query term set semi-joins the
+    // exploded term pairs for candidate docs — the posting-list lookup,
+    // same candidate-generation shape as LSH buckets — then only the
+    // candidates are scored (total term frequency, exact integers; no
+    // float idf, so the ranking is bit-stable on any engine) and top-k'd
+    // via TakeOrderedAndProject.
+    Q(
+      "text_search_topk",
+      (s, d) => {
+        val qterms = Seq("spark", "join", "filter")
+        val docs = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val cand = docs
+          .select(col("doc_id"), explode(array_distinct(col("t"))).as("term"))
+          .filter(col("term").isin(qterms: _*))
+          .select("doc_id").distinct()
+        cand.join(docs, "doc_id")
+          .select(col("doc_id"),
+            qterms.map(w =>
+              size(org.apache.spark.sql.functions.filter(col("t"), x => x === w)))
+              .reduce(_ + _).cast("long").as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some {
+        val score = Seq("spark", "join", "filter")
+          .map(w => s"len(list_filter(d.t, x -> x = '$w'))").mkString(" + ")
+        s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |cand AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT doc_id, unnest(t) AS term FROM docs)
+           |  WHERE term IN ('spark', 'join', 'filter'))
+           |SELECT d.doc_id, CAST($score AS BIGINT) AS score
+           |FROM cand c JOIN docs d USING (doc_id)
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }
+    ),
+
     // ── SimHash (16-bit) per document ──────────────────────────────────
     // bit i of the fingerprint = sign of Σ_tokens (±1 by token-hash bit i).
     // The token-hash array is STAGED as a real column in its own select:
