@@ -236,6 +236,87 @@ object Events {
               |FROM p LEFT JOIN c
               |  ON c.user_id = p.user_id AND c.cs >= p.ps - 600000000 AND c.cs < p.ps
               |GROUP BY p.pid ORDER BY p.pid""".stripMargin)
+    ),
+
+    // ── time-bounded funnel: view → click → purchase per user ──────────
+    // Sequential-pattern analytics (the MATCH_RECOGNIZE shape): a view
+    // opens (or re-opens) the funnel, a click within 4 h of that view
+    // advances it, a purchase within 4 h of that click completes it —
+    // the step-within-window-of-previous-step semantics, with restart
+    // on a fresher view while un-clicked. One shuffle on user_id, then
+    // a per-user sorted fold: each event becomes one BIGINT
+    // `code·10¹⁸ + µs` and the state is one BIGINT
+    // `stage·10¹⁸ + anchor_µs` — a single linear state-machine fold in
+    // pure integer arithmetic, so both engines fold the identical list
+    // to the identical result. Scales like sessionize: a user's
+    // history fits a task; the fold is O(events-per-user).
+    Q(
+      "evt_funnel",
+      (s, d) => {
+        val E = 1000000000000000000L // stage/code radix (3e18 < 2^63)
+        val W = 14400000000L // 4 h step window in µs
+        val stepCode = (t: Column) =>
+          when(t === "view", 1L).when(t === "click", 2L).when(t === "purchase", 3L).otherwise(0L)
+        eventsUs(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("us"), col("event_id"),
+            stepCode(col("event_type")).as("code")))).as("seq"))
+          .select(col("user_id"),
+            transform(col("seq"),
+              e => e.getField("code") * lit(E) + e.getField("us")).as("codes"))
+          .select(col("user_id"), expr(
+            s"""aggregate(codes, 0L, (st, c) -> CASE
+               |  WHEN (st div ${E}L = 0 OR st div ${E}L = 1) AND c div ${E}L = 1
+               |    THEN ${E}L + c % ${E}L
+               |  WHEN st div ${E}L = 1 AND c div ${E}L = 2 AND c % ${E}L - st % ${E}L <= ${W}L
+               |    THEN ${2 * E}L + c % ${E}L
+               |  WHEN st div ${E}L = 2 AND c div ${E}L = 3 AND c % ${E}L - st % ${E}L <= ${W}L
+               |    THEN ${3 * E}L + st % ${E}L
+               |  ELSE st END)""".stripMargin).as("acc"))
+          .select(col("user_id"), expr(s"acc div ${E}L").as("funnel_stage"))
+          .groupBy("funnel_stage").agg(count(lit(1)).as("users"))
+          .orderBy("funnel_stage")
+      },
+      Some {
+        // The natural DuckDB form (list(... ORDER BY) + list_reduce)
+        // returned RUN-VARYING results on DuckDB 1.0.0 — the ordered
+        // list aggregate is stable in isolation, but list_reduce over
+        // those lists inside the full projection is not. The oracle
+        // therefore replays the fold as a recursive-CTE state machine
+        // (one step per (user, event index)) — lambda-free and
+        // deterministic, same integer transition function.
+        val E = "1000000000000000000"
+        val W = "14400000000"
+        s"""WITH RECURSIVE e AS (
+           |  SELECT user_id, epoch_us($sqlTs) AS us, event_id,
+           |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+           |         WHEN 'purchase' THEN 3 ELSE 0 END AS code
+           |  FROM events),
+           |ord AS (
+           |  SELECT user_id, us, code,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS i
+           |  FROM e),
+           |n AS (SELECT user_id, max(i) AS n FROM ord GROUP BY user_id),
+           |fold(user_id, i, st) AS (
+           |  SELECT user_id, 0, CAST(0 AS BIGINT) FROM n
+           |  UNION ALL
+           |  SELECT f.user_id, f.i + 1,
+           |    CASE
+           |      WHEN (f.st // $E = 0 OR f.st // $E = 1) AND o.code = 1
+           |        THEN $E + o.us
+           |      WHEN f.st // $E = 1 AND o.code = 2 AND o.us - f.st % $E <= $W
+           |        THEN 2 * $E + o.us
+           |      WHEN f.st // $E = 2 AND o.code = 3 AND o.us - f.st % $E <= $W
+           |        THEN 3 * $E + f.st % $E
+           |      ELSE f.st END
+           |  FROM fold f JOIN ord o ON o.user_id = f.user_id AND o.i = f.i + 1),
+           |stages AS (
+           |  SELECT f.user_id, f.st // $E AS funnel_stage
+           |  FROM fold f JOIN n ON n.user_id = f.user_id AND f.i = n.n)
+           |SELECT funnel_stage, count(*) AS users
+           |FROM stages GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin
+      }
     )
   )
 }
