@@ -258,6 +258,35 @@ object KMeans {
               |ORDER BY cid, pos""".stripMargin)
     ),
 
+    // ── balanced per-cluster sampling (training-data curation) ─────────
+    // Keep 5 docs per k-means cell, chosen by the deterministic hash —
+    // the diversity-sampling step that mixes a training set evenly
+    // across semantic clusters instead of by corpus frequency. One
+    // window rank per cell partition over the assignment; at 100 TB the
+    // assignment is written partitioned by cid, so the rank runs
+    // per-partition with no extra shuffle.
+    Q(
+      "kmeans_balanced_sample",
+      (s, d) => {
+        val a = assign(embeddings(s, d), initCentroids(embeddings(s, d), 8))
+        val w = Window.partitionBy("cid")
+          .orderBy(Tables.detHash(col("vec_id")), col("vec_id"))
+        a.select(col("cid"), col("vec_id"), row_number().over(w).as("rk"))
+          .filter(col("rk") <= 5)
+          .orderBy("cid", "rk")
+      },
+      Some(s"""WITH cents AS ${sqlCentroids(8)},
+              |scored AS (${sqlAssign(8)}),
+              |assigned AS (SELECT vec_id, cid FROM scored WHERE rk = 1),
+              |ranked AS (
+              |  SELECT cid, vec_id,
+              |    row_number() OVER (PARTITION BY cid
+              |      ORDER BY ${Tables.detHashSql("vec_id")}, vec_id) AS rk
+              |  FROM assigned)
+              |SELECT cid, vec_id, rk FROM ranked WHERE rk <= 5
+              |ORDER BY cid, rk""".stripMargin)
+    ),
+
     // Q24: purity over the ground-truth label (scoreClusters shape).
     Q(
       "kmeans_purity",
