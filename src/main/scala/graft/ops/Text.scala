@@ -179,6 +179,34 @@ object Text {
        |  JOIN sketch sa ON sa.doc_id = c.id_a
        |  JOIN sketch sb ON sb.doc_id = c.id_b)""".stripMargin
 
+  /** 16-bit SimHash per doc (shared by `dedup_simhash` and the banded
+    * pair search). */
+  def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val bits = (0 until 16).map { i =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, 1L << i).otherwise(0L)
+    }
+    documents(s, d)
+      .select(col("doc_id"),
+        transform(tokens(col("text")), w => strHash(w) % 65536L).as("hs"))
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** The same SimHash as DuckDB CTEs, yielding `sims(doc_id, simhash)`. */
+  val sqlSimhashCtes: String = {
+    val bits = (0 until 16).map { i =>
+      val vote = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b)"
+      s"(CASE WHEN $vote > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""hsc AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % 65536) AS hs
+       |  FROM documents),
+       |sims AS (SELECT doc_id, $bits AS simhash FROM hsc)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     // ── token counting + basic stats ───────────────────────────────────
     // the token array is STAGED once (4 downstream references would
@@ -526,30 +554,46 @@ object Text {
     // the stage because hs is referenced 16×). Oracle mirrors with a CTE.
     Q(
       "dedup_simhash",
+      (s, d) => simhashSigs(s, d).orderBy("doc_id"),
+      Some(s"""WITH $sqlSimhashCtes
+              |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ── SimHash near-dup pairs (banded hamming search) ─────────────────
+    // The pair-generation half of SimHash dedup: split the 16-bit
+    // fingerprint into four 4-bit bands — pigeonhole: any pair within
+    // hamming distance 3 agrees on ≥1 band (we keep the exact-collision tier, hamming = 0, as the near-dup verdict on this tiny-vocab corpus) — equi-join per band (NO
+    // all-pairs product, same bucket shape as MinHash-LSH), then verify
+    // with the exact popcount of the XOR. Pure integer ops end to end,
+    // and bit_count is a codegen'd builtin on both engines.
+    Q(
+      "dedup_simhash_pairs",
       (s, d) => {
-        val bits = (0 until 16).map { i =>
-          val vote = aggregate(col("hs"), lit(0L),
-            (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
-          when(vote > 0, 1L << i).otherwise(0L)
-        }
-        documents(s, d)
-          .select(col("doc_id"),
-            transform(tokens(col("text")), w => strHash(w) % 65536L).as("hs"))
-          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-          .orderBy("doc_id")
+        val sigs = simhashSigs(s, d).cache()
+        val bands = sigs.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("bi"), (shiftright(col("simhash"), 4 * j) % 16).as("bv"))): _*)).as("b"))
+          .select(col("doc_id"), col("simhash"), col("b.bi"), col("b.bv"))
+        val l = bands.toDF("id_a", "sa", "bi", "bv")
+        val r = bands.toDF("id_b", "sb", "bi", "bv")
+        l.join(r, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") === 0)
+          .orderBy("id_a", "id_b")
       },
-      Some {
-        val bits = (0 until 16).map { i =>
-          val vote = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-            s"list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b)"
-          s"(CASE WHEN $vote > 0 THEN ${1L << i} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH hsc AS (
-           |  SELECT doc_id,
-           |    list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % 65536) AS hs
-           |  FROM documents)
-           |SELECT doc_id, $bits AS simhash FROM hsc ORDER BY doc_id""".stripMargin
-      }
+      Some(s"""WITH $sqlSimhashCtes,
+              |bands AS (
+              |  SELECT doc_id, simhash, bi, (simhash // dv) % 16 AS bv
+              |  FROM sims, (VALUES (0, 1), (1, 16), (2, 256), (3, 4096)) t(bi, dv)),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+              |  WHERE a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, hamming FROM cand WHERE hamming = 0
+              |ORDER BY id_a, id_b""".stripMargin)
     ),
 
     // ── n-gram Jaccard near-dup over banded id pairs ───────────────────
