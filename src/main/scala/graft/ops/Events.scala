@@ -238,6 +238,35 @@ object Events {
               |GROUP BY p.pid ORDER BY p.pid""".stripMargin)
     ),
 
+    // ── time-series gap fill: dense daily counts for one user ──────────
+    // Downstream time-series consumers need DENSE series; aggregation
+    // alone silently drops empty buckets. Generate the full day grid
+    // with sequence()/generate_series between the observed bounds and
+    // left-join the sparse counts back, zero-filling holes. The grid is
+    // driver-free (sequence over an aggregated 1-row bound), the join
+    // keys on the bucket — at scale the grid side is tiny and
+    // broadcasts.
+    Q(
+      "evt_gap_fill",
+      (s, d) => {
+        val e = eventsUs(s, d).filter(col("user_id") === 1)
+          .withColumn("day", date_trunc("DAY", col("ts")))
+        val days = e.agg(min("day").as("d0"), max("day").as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        days.join(e.groupBy("day").agg(count(lit(1)).as("cnt")), Seq("day"), "left")
+          .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("day")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT date_trunc('day', $sqlTs) AS day FROM events WHERE user_id = 1),
+              |grid AS (
+              |  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day FROM e),
+              |cnts AS (SELECT day, count(*) AS cnt FROM e GROUP BY day)
+              |SELECT g.day, coalesce(c.cnt, 0) AS cnt
+              |FROM grid g LEFT JOIN cnts c ON g.day = c.day
+              |ORDER BY g.day""".stripMargin)
+    ),
+
     // ── time-bounded funnel: view → click → purchase per user ──────────
     // Sequential-pattern analytics (the MATCH_RECOGNIZE shape): a view
     // opens (or re-opens) the funnel, a click within 4 h of that view

@@ -359,6 +359,34 @@ object Relational {
              |ORDER BY p_partkey""".stripMargin)
     ),
 
+    // ── full outer join: customers × high-value orders, both-side nulls ─
+    // Completes the join-type battery (inner/semi/anti/left via other
+    // queries): null-extension on BOTH sides, with the null-safe
+    // aggregation that makes outer joins useful. Same shuffle keys as an
+    // inner join — outer-ness costs nothing extra at scale.
+    Q(
+      "rel_full_outer",
+      (s, d) => {
+        val bigOrders = orders(s, d)
+          .filter(dec(col("o_totalprice")) > lit(500000).cast("decimal(18,2)"))
+          .select(col("o_custkey").as("ock"), col("o_orderkey"))
+        customer(s, d)
+          .filter(col("c_custkey") <= 100)
+          .select(col("c_custkey"), col("c_name"))
+          .join(bigOrders, col("c_custkey") === col("ock"), "full_outer")
+          .groupBy(coalesce(col("c_custkey"), lit(-1L)).as("cust"))
+          .agg(max(col("c_name")).as("name"), count(col("o_orderkey")).as("big_orders"))
+          .orderBy("cust")
+      },
+      Some(s"""WITH bo AS (SELECT o_custkey AS ock, o_orderkey FROM orders
+              |           WHERE ${decSql("o_totalprice")} > CAST(500000 AS DECIMAL(18,2))),
+              |c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100)
+              |SELECT coalesce(c_custkey, -1) AS cust, max(c_name) AS name,
+              |       count(o_orderkey) AS big_orders
+              |FROM c FULL OUTER JOIN bo ON c_custkey = ock
+              |GROUP BY 1 ORDER BY cust""".stripMargin)
+    ),
+
     // ── window functions (§2.6 gap): top-3 orders per customer ─────────
     Q(
       "rel_window_topk",

@@ -65,6 +65,21 @@ class ScaleSpec extends SparkSpec {
       s"o_prio filter should prune partitions at the scan:\n$p")
   }
 
+  test("shuffle-hash-join hint switches the join strategy (no sort at 100 TB)") {
+    // The third strategy in the 100 TB join toolbox: when both sides
+    // are large but one fits a task's memory per partition, SHJ skips
+    // the SMJ sort entirely. The hint is honored per-join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sf).select("o_orderkey").hint("shuffle_hash")
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), s"hint should pick SHJ:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("salted aggregation plans two distinct hash-partition stages") {
     val p = finalPlan(SparkEntry.queries("rel_skew_salted_agg")(spark, sf))
     assert(p.matches("(?s).*hashpartitioning\\(l_returnflag#\\d+, salt#\\d+.*"),
