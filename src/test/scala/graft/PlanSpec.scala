@@ -110,6 +110,13 @@ class PlanSpec extends SparkSpec {
       s"range join must equi-join on (user, bucket):\n$p")
   }
 
+  test("index-driven search plans candidate semi-join + top-k, no product") {
+    val p = plan("text_search_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"posting lookup must stay an equi-join:\n$p")
+  }
+
   test("preprocessing funnel scans the corpus once") {
     val scans = scansOf("text_filter_pipeline")
     assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")

@@ -80,6 +80,31 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("range-partitioned sorted write yields disjoint per-file key ranges") {
+    // The write layout that makes 100 TB scans prunable: global range
+    // partitioning + within-partition sort ⇒ every file owns a disjoint
+    // key interval, so parquet row-group stats (and any min/max file
+    // index) eliminate files for point/range predicates.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range").toString
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(tmp)
+    val files = new java.io.File(tmp).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2, s"expected multiple range files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.toList.sliding(2).foreach {
+      case List((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"file ranges overlap: hi=$hiA lo=$loB in ${ranges.toList}")
+      case _ => ()
+    }
+  }
+
   test("salted aggregation plans two distinct hash-partition stages") {
     val p = finalPlan(SparkEntry.queries("rel_skew_salted_agg")(spark, sf))
     assert(p.matches("(?s).*hashpartitioning\\(l_returnflag#\\d+, salt#\\d+.*"),
