@@ -181,6 +181,34 @@ object Events {
              |GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // ── unpivot (melt): wide per-type counts back to long form ─────────
+    // The inverse of the pivot above — and NOT a groupBy: unpivot keeps
+    // the zero cells the pivot filled in, which a re-aggregation would
+    // silently drop. Narrow per-row expansion (5 rows out per row in),
+    // no shuffle beyond the pivot's own.
+    Q(
+      "evt_unpivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        eventsUs(s, d)
+          .filter(col("user_id") < 20)
+          .groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "cnt")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+             |t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+             |c AS (SELECT user_id, event_type, count(*) AS cnt
+             |      FROM events WHERE user_id < 20 GROUP BY 1, 2)
+             |SELECT u.user_id, t.event_type, coalesce(c.cnt, 0) AS cnt
+             |FROM u CROSS JOIN t
+             |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+             |ORDER BY u.user_id, t.event_type""".stripMargin)
+    ),
+
     // ── top-k revenue users (purchases only) ───────────────────────────
     Q(
       "evt_top_purchasers",

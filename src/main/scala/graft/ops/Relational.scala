@@ -387,6 +387,34 @@ object Relational {
               |GROUP BY 1 ORDER BY cust""".stripMargin)
     ),
 
+    // ── LATERAL top-k join (SQL surface) ───────────────────────────────
+    // The correlated per-row subquery form of top-k-per-group, via
+    // spark.sql — proves the SQL entry point handles DecorrelateInner-
+    // Query + per-group limits (Catalyst rewrites this into the same
+    // window/limit plan the DataFrame form produces; no per-row re-scan
+    // survives in the physical plan).
+    Q(
+      "rel_lateral_topk",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_orders_tv")
+        customer(s, d).createOrReplaceTempView("graft_customer_tv")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
+                |FROM graft_customer_tv c, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM graft_orders_tv o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                |WHERE c.c_custkey <= 50
+                |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |WHERE c.c_custkey <= 50
+             |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin)
+    ),
+
     // ── window functions (§2.6 gap): top-3 orders per customer ─────────
     Q(
       "rel_window_topk",
