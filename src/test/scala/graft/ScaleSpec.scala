@@ -105,6 +105,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema unifies drifted parquet generations") {
+    // A 100 TB table is written over years by drifting jobs; readers
+    // must union generations without rewrites. Two generations with
+    // disjoint new columns merge into one schema, absent columns null.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    spark.range(5).select(col("id"), lit(1.0).as("v1"))
+      .write.parquet(s"$tmp/g=1")
+    spark.range(5).select(col("id"), lit("x").as("v2"))
+      .write.parquet(s"$tmp/g=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(df.columns.toSet === Set("id", "v1", "v2", "g"))
+    assert(df.filter(col("v2").isNull).count() === 5L)
+    assert(df.filter(col("v1").isNull).count() === 5L)
+  }
+
   test("salted aggregation plans two distinct hash-partition stages") {
     val p = finalPlan(SparkEntry.queries("rel_skew_salted_agg")(spark, sf))
     assert(p.matches("(?s).*hashpartitioning\\(l_returnflag#\\d+, salt#\\d+.*"),
