@@ -217,6 +217,35 @@ object Multimodal {
              |  md5(substr(text, f * 100 + 1, 100)) AS frame_md5
              |FROM documents, (SELECT unnest([0, 1, 2, 3]) AS f)
              |ORDER BY media_id, frame""".stripMargin)
+    ),
+
+    // ── cross-modality fusion: text features ⋈ embedding features ──────
+    // The training-example assembly step: per-example text signals and
+    // vector signals come from different tables and meet on the example
+    // id — a 1:1 equi-join that stays broadcast/co-partitioned at scale
+    // (both sides pre-pruned to the needed columns; the scan reads 2 of
+    // each table's columns). The embedding norm folds sequentially over
+    // the array's storage order, identical on both engines.
+    Q(
+      "mm_fusion_features",
+      (s, d) => {
+        import graft.ops.Vector.{seqSum, vec}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+        docs.join(emb, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("n_chars"),
+            seqSum(transform(col("v"), x => x * x)).as("norm_sq"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.ops.Vector.{sqlSeqSum, sqlVec}
+        s"""SELECT d.doc_id, length(d.text) AS n_chars,
+           |  ${sqlSeqSum(s"list_transform(${sqlVec("e.embedding")}, x -> x * x)")} AS norm_sq
+           |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+           |ORDER BY d.doc_id""".stripMargin
+      }
     )
   )
 }
