@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: a library is judged by what it does on the
+  * inputs nobody planned for — empty frames, single elements, all-equal
+  * keys. These must return well-formed (usually empty) results, not
+  * throw. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("minhash signature of a single-token document is well-formed") {
+    val df = Seq((1L, "hello")).toDF("doc_id", "text")
+      .select(col("doc_id"), ops.Text.minhashSig(ops.Text.tokens(col("text"))).as("sig"))
+    val sig = df.head.getSeq[Long](1)
+    assert(sig.length == 8 && sig.forall(_ >= 0L))
+  }
+
+  test("k-means assignment of an empty corpus returns an empty frame, not an error") {
+    val empty = Seq.empty[(Long, Array[Double], Long)]
+      .toDF("vec_id", "embedding", "label")
+    val cents = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cid", "cv")
+    val out = cluster.KMeans.assign(empty, cents)
+    assert(out.count() === 0L)
+    assert(out.columns.contains("cid"))
+  }
+
+  test("sessionize emits only closed sessions; the open tail stays in state") {
+    def ev(id: Long, hhmm: String) = streaming.Streams.Evt(
+      id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 7L, "click", 1.0)
+    // 40-minute gap closes session 1; the second session has no
+    // following gap, so batch execution holds it in state (streaming
+    // would emit it via the event-time timeout).
+    val e = Seq(ev(1, "00:00"), ev(2, "00:10"), ev(3, "00:50")).toDS()
+    val rows = streaming.Streams.sessionize(spark, e).collect()
+    assert(rows.length == 1 && rows.head.n_events == 2L,
+      s"expected the closed 2-event session only, got ${rows.toList}")
+  }
+
+  test("tumbling window over an empty frame is empty with the right schema") {
+    val empty = Seq.empty[streaming.Streams.Evt].toDF()
+    val out = streaming.Streams.tumblingCounts(empty)
+    assert(out.columns.toList === List("window_start", "event_type", "cnt"))
+    assert(out.count() === 0L)
+  }
+
+  test("all-duplicate corpus dedups to a single keeper") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val keeper = df
+      .withColumn("h", md5(col("text")))
+      .groupBy("h").agg(min("doc_id").as("keep"))
+    assert(keeper.collect().map(_.getLong(1)).toList === List(1L))
+  }
+}
