@@ -117,6 +117,15 @@ class PlanSpec extends SparkSpec {
       s"posting lookup must stay an equi-join:\n$p")
   }
 
+  test("fusion join prunes both scans to the needed columns") {
+    val scans = scansOf("mm_fusion_features")
+    assert(scans.size == 2, s"expected two scans, got ${scans.size}")
+    scans.foreach { sc =>
+      assert(sc.requiredSchema.fields.length <= 2,
+        s"scan should read <=2 columns, got ${sc.requiredSchema.catalogString}")
+    }
+  }
+
   test("preprocessing funnel scans the corpus once") {
     val scans = scansOf("text_filter_pipeline")
     assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")
