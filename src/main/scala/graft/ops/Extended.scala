@@ -149,6 +149,29 @@ object Extended {
              |GROUP BY src, lang ORDER BY src, lang""".stripMargin)
     ),
 
+    // ── ORC source/sink round-trip ─────────────────────────────────────
+    // The third columnar format (orc-core ships with Spark): DECIMAL and
+    // timestamp columns must survive the ORC writer/reader exactly —
+    // verified by aggregating the round-tripped frame against the oracle
+    // over the original table.
+    Q(
+      "src_orc_roundtrip",
+      (s, d) => {
+        val base = orders(s, d).filter(col("o_custkey") <= 50)
+          .select(col("o_orderpriority"), dec(col("o_totalprice")).as("price"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        base.write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), sum(col("price")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+              |       CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS sum_price
+              |FROM orders WHERE o_custkey <= 50
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     // ── date/time functions (§2.6 gap) ─────────────────────────────────
     // The DECIMAL sum stays exact/order-free internally; the FINAL value
     // is cast to DOUBLE on both engines because Spark widens
