@@ -36,7 +36,8 @@ object Bench {
     // page-cache variance); the per-query minimum is the stable
     // steady-state estimate.
     val results = runAll().zip(runAll()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    def ms(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // the driver keeps only ~2.3 KB of stdout tail; with 90+ queries a
     // full per-query map no longer fits, so emit the slowest 40 (the
     // informative ones — everything omitted ran < the 40th time) and

@@ -87,6 +87,14 @@ object PropertyGraph {
     PropertyGraph(sup.unionByName(prt), es)
   }
 
+  /** Landmark vertices and the BFS depth bound shared by the Spark and
+    * oracle sides of `graph_shortest_paths`. The bound must exceed the
+    * graph's diameter (the bipartite supplier-part graph's is ~6;
+    * asserted safe margin 24) or the oracle under-reports distances
+    * GraphX finds. */
+  private val SpLandmarks = Seq(1L, 2L)
+  private val SpMaxDepth = 24
+
   /** Fixed-point scale (1.0 ≡ 1e9) and reset mass (0.15 ≡ 1.5e8) for
     * `graph_pagerank_exact`; 5 power iterations. */
   private val Scale = 1000000000L
@@ -208,12 +216,11 @@ object PropertyGraph {
       (s, d) => {
         import org.apache.spark.graphx.lib.ShortestPaths
         val g = supplierPartGraph(s, d)
-        val landmarks = Seq(1L, 2L)
-        val sp = ShortestPaths.run(g.toGraphXUndirected, landmarks).vertices
+        val sp = ShortestPaths.run(g.toGraphXUndirected, SpLandmarks).vertices
         val spark = s
         import spark.implicits._
         sp.map { case (vid, dists) =>
-          (vid, dists.getOrElse(1L, -1), dists.getOrElse(2L, -1))
+          (vid, dists.getOrElse(SpLandmarks.head, -1), dists.getOrElse(SpLandmarks(1), -1))
         }.toDF("id", "dist_to_s1", "dist_to_s2")
           .orderBy("id")
       },
@@ -223,17 +230,18 @@ object PropertyGraph {
               |n AS (SELECT s_suppkey AS id FROM supplier
               |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
               |bfs(lm, id, d) AS (
-              |  SELECT * FROM (VALUES (1, 1, 0), (2, 2, 0)) t(lm, id, d)
+              |  SELECT * FROM (VALUES (${SpLandmarks.head}, ${SpLandmarks.head}, 0),
+              |                        (${SpLandmarks(1)}, ${SpLandmarks(1)}, 0)) t(lm, id, d)
               |  UNION
               |  SELECT b.lm, ue.dst, b.d + 1 FROM bfs b JOIN ue ON ue.src = b.id
-              |  WHERE b.d < 24),
+              |  WHERE b.d < $SpMaxDepth),
               |dist AS (SELECT lm, id, min(d) AS d FROM bfs GROUP BY lm, id)
               |SELECT n.id,
               |  CAST(coalesce(d1.d, -1) AS INT) AS dist_to_s1,
               |  CAST(coalesce(d2.d, -1) AS INT) AS dist_to_s2
               |FROM n
-              |LEFT JOIN dist d1 ON d1.id = n.id AND d1.lm = 1
-              |LEFT JOIN dist d2 ON d2.id = n.id AND d2.lm = 2
+              |LEFT JOIN dist d1 ON d1.id = n.id AND d1.lm = ${SpLandmarks.head}
+              |LEFT JOIN dist d2 ON d2.id = n.id AND d2.lm = ${SpLandmarks(1)}
               |ORDER BY n.id""".stripMargin)
     ),
 

@@ -158,8 +158,16 @@ object Image {
         a._1.toLong * b._2 - b._1.toLong * a._2
       }.sum) / 2.0
     }
+    // one O(w·h) pass groups pixels by component — NOT a rescan of the
+    // whole image per component (quadratic for speckled thresholds)
+    val ptsByComp = Array.fill(nComp)(List.newBuilder[(Int, Int)])
+    var p = 0
+    while (p < w * h) {
+      if (comp(p) >= 0) ptsByComp(comp(p)) += ((p % w, p / w))
+      p += 1
+    }
     (0 until nComp).map { c =>
-      val pts = (0 until w * h).filter(p => comp(p) == c).map(p => (p % w, p / w))
+      val pts = ptsByComp(c).result()
       val area = pts.size.toDouble
       var perim = 0
       pts.foreach { case (x, y) =>
@@ -235,13 +243,7 @@ object Image {
   final case class GlcmRow(file: String, direction: String, contrast: Double,
                            energy: Double, homogeneity: Double, entropy: Double)
 
-  private def decoded(s: SparkSession) = {
-    import s.implicits._
-    s.read.format("binaryFile").option("pathGlobFilter", "*.jpeg")
-      .load(Multimodal.JpegDir)
-      .select(element_at(split(col("path"), "/"), -1).as("file"), col("content"))
-      .as[(String, Array[Byte])]
-  }
+  private def decoded(s: SparkSession) = Multimodal.jpegBytes(s)
 
   val queries: Seq[Q] = Seq(
     // ── S5 live: decode → Gaussian(5,σ=0) → median(5) → F1 stats ──────

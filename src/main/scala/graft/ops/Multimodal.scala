@@ -114,13 +114,22 @@ object Multimodal {
     * (read-only; 20 files). */
   val JpegDir = "/root/reference/data"
 
-  /** binaryFile source → per-partition decode → stats. Same
-    * mapPartitions seam as the stub path; payloads never shuffle. */
-  def decodeReal(s: SparkSession, dir: String = JpegDir): DataFrame = {
+  /** The (file, bytes) JPEG source stage — the ONE place the corpus
+    * dir, glob, and filename extraction live (Image.scala's pixel
+    * kernels read the same Dataset, so a corpus change can't desync
+    * the live paths). */
+  def jpegBytes(s: SparkSession, dir: String = JpegDir): org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
     import s.implicits._
     s.read.format("binaryFile").option("pathGlobFilter", "*.jpeg").load(dir)
       .select(element_at(split(col("path"), "/"), -1).as("file"), col("content"))
       .as[(String, Array[Byte])]
+  }
+
+  /** binaryFile source → per-partition decode → stats. Same
+    * mapPartitions seam as the stub path; payloads never shuffle. */
+  def decodeReal(s: SparkSession, dir: String = JpegDir): DataFrame = {
+    import s.implicits._
+    jpegBytes(s, dir)
       .mapPartitions(_.map { case (f, bytes) => imageStats(f, decodeJpegGray32(bytes)) })
       .toDF()
   }

@@ -396,15 +396,19 @@ object Relational {
     Q(
       "rel_lateral_topk",
       (s, d) => {
-        orders(s, d).createOrReplaceTempView("graft_orders_tv")
-        customer(s, d).createOrReplaceTempView("graft_customer_tv")
-        s.sql("""SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
-                |FROM graft_customer_tv c, LATERAL (
-                |  SELECT o_orderkey, o_totalprice FROM graft_orders_tv o
-                |  WHERE o.o_custkey = c.c_custkey
-                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-                |WHERE c.c_custkey <= 50
-                |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin)
+        // temp-view names carry the sf dir so two sf dirs in one session
+        // can never read each other's table (a bare createOrReplace
+        // would key the view to whichever sf ran last)
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        orders(s, d).createOrReplaceTempView(s"graft_orders_$tag")
+        customer(s, d).createOrReplaceTempView(s"graft_customer_$tag")
+        s.sql(s"""SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
+                 |FROM graft_customer_$tag c, LATERAL (
+                 |  SELECT o_orderkey, o_totalprice FROM graft_orders_$tag o
+                 |  WHERE o.o_custkey = c.c_custkey
+                 |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                 |WHERE c.c_custkey <= 50
+                 |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin)
       },
       Some("""SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS price
              |FROM customer c, LATERAL (

@@ -406,6 +406,7 @@ object Text {
           .cache()
         val nodes = ue.select(col("src").as("id")).distinct()
         var lbl = nodes.select(col("id"), col("id").as("l"))
+        var cached: Option[DataFrame] = None
         var changed = 1L
         while (changed > 0) {
           val prop = ue
@@ -417,6 +418,9 @@ object Text {
           changed = next
             .join(lbl.select(col("id").as("id2"), col("l").as("old")), col("id") === col("id2"))
             .filter(col("l") < col("old")).count()
+          // the superseded generation's cache is dead weight from here on
+          cached.foreach(_.unpersist())
+          cached = Some(next)
           lbl = next
         }
         lbl.groupBy(col("l").as("canonical_id"))

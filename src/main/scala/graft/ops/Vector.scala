@@ -71,9 +71,17 @@ object Vector {
   // doubles (shortest round-trip repr → DuckDB parses back the identical
   // bits). No per-row trig, no libm-parity dependence — the plane array
   // is a plan literal evaluated once, not 512 sin() calls per row.
+  // Seed = j·64+i (unique per plane/coordinate), then a xorshift-multiply
+  // mix: a LINEAR seed (a·j + b·i) makes plane pairs shifted copies of
+  // each other (seed(j,i) = seed(j+7, i−31) under the old 31j+7i form),
+  // so the L "independent" tables shared projections and the
+  // 1−(1−p^k)^L recall model overestimated. The mix breaks the lattice.
   private[graft] def hyperplane(j: Int): Array[Double] =
     Array.tabulate(64) { i =>
-      (((31L * j + 7L * (i + 1)) * 2654435761L) % 4294967296L).toDouble / 4294967296.0 - 0.5
+      var h = ((j.toLong * 64 + i + 1) * 2654435761L) % 4294967296L
+      h = ((h ^ (h >> 16)) * 2246822519L) % 4294967296L
+      h = h ^ (h >> 13)
+      h.toDouble / 4294967296.0 - 0.5
     }
 
   /** Bucket id from a plane set: bit b = sign of the projection onto
