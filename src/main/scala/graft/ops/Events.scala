@@ -266,6 +266,32 @@ object Events {
               |GROUP BY p.pid ORDER BY p.pid""".stripMargin)
     ),
 
+    // ── weekly cohort retention ────────────────────────────────────────
+    // The product-analytics staple: users grouped by first-seen week
+    // (their cohort), then distinct-active counts per (cohort, week).
+    // Two shuffles — first-seen agg on user_id, then the (cohort, week)
+    // distinct-count (partial aggregation both times). Both engines
+    // truncate weeks to Monday, and counts are integers, so the matrix
+    // matches exactly.
+    Q(
+      "evt_retention",
+      (s, d) => {
+        val e = eventsUs(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        val firstSeen = e.groupBy("user_id").agg(min("week").as("cohort"))
+        e.join(firstSeen, "user_id")
+          .groupBy("cohort", "week")
+          .agg(count_distinct(col("user_id")).as("active"))
+          .orderBy("cohort", "week")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, date_trunc('week', $sqlTs) AS week FROM events),
+              |fs AS (SELECT user_id, min(week) AS cohort FROM e GROUP BY user_id)
+              |SELECT fs.cohort, e.week, count(DISTINCT e.user_id) AS active
+              |FROM e JOIN fs ON e.user_id = fs.user_id
+              |GROUP BY 1, 2 ORDER BY fs.cohort, e.week""".stripMargin)
+    ),
+
     // ── time-series gap fill: dense daily counts for one user ──────────
     // Downstream time-series consumers need DENSE series; aggregation
     // alone silently drops empty buckets. Generate the full day grid

@@ -549,6 +549,31 @@ object Text {
       }
     ),
 
+    // ── the cleaned corpus: greedy near-dup keep list ──────────────────
+    // The last step of the dedup pipeline — emit what SURVIVES. Greedy
+    // keep-first: drop any doc with a ≥0.5-Jaccard neighbor of smaller
+    // id (the standard corpus-dedup rule; unlike the component form it
+    // needs no fixpoint, just the pair list and an anti-join — one
+    // candidate join + one anti-join at any scale). Summarized per lang.
+    Q(
+      "dedup_keep_list",
+      (s, d) => {
+        val drops = minhashPairs(s, d)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        documents(s, d)
+          .join(drops, Seq("doc_id"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |$sqlPairCtes,
+              |drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= 0.5)
+              |SELECT lang, count(*) AS kept FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+              |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     // ── SimHash (16-bit) per document ──────────────────────────────────
     // bit i of the fingerprint = sign of Σ_tokens (±1 by token-hash bit i).
     // The token-hash array is STAGED as a real column in its own select:
