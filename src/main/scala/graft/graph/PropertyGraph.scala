@@ -245,6 +245,32 @@ object PropertyGraph {
               |ORDER BY n.id""".stripMargin)
     ),
 
+    // ── common neighbors: supplier pairs ranked by shared parts ────────
+    // The link-prediction/co-occurrence primitive — `MATCH (a)-[:X]->(p)
+    // <-[:X]-(b)`: self-join the edge list on the shared endpoint,
+    // count per pair, top-k. Pair volume is Σ deg(part)² — bounded by
+    // part-degree skew, which is exactly what the salting recipe
+    // (rel_skew_salted_agg) handles when a mega-hub part appears; the
+    // join itself stays an equi-join on dst at any scale.
+    Q(
+      "graph_common_neighbors",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
+        val a = es.toDF("sa", "dst")
+        val b = es.toDF("sb", "dst")
+        a.join(b, "dst").filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("shared_parts"))
+          .orderBy(col("shared_parts").desc, col("sa").asc, col("sb").asc)
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+             |SELECT a.src AS sa, b.src AS sb, count(*) AS shared_parts
+             |FROM e a JOIN e b ON a.dst = b.dst
+             |WHERE a.src < b.src
+             |GROUP BY a.src, b.src
+             |ORDER BY shared_parts DESC, sa ASC, sb ASC LIMIT 20""".stripMargin)
+    ),
+
     // ── GraphX PageRank over the bipartite graph ───────────────────────
     // Float accumulation order varies across partitions → rows-only
     // check; convergence properties asserted in GraphSpec.
