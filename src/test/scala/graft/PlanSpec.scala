@@ -131,6 +131,16 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")
   }
 
+  test("common-neighbors and keep-list plan equi/anti joins, never products") {
+    for (q <- Seq("graph_common_neighbors", "dedup_keep_list", "evt_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a product join:\n$p")
+    }
+    assert(plan("dedup_keep_list").contains("LeftAnti"),
+      "keep list should drop via an anti join")
+  }
+
   test("events scan prunes to the columns the window query needs") {
     val scans = scansOf("evt_top_purchasers")
     assert(scans.nonEmpty)
