@@ -46,7 +46,14 @@ object Bench {
     val qjson = slowest.map { case (k, v) => s"""\"$k\":${ms(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","timed":${results.size},"queries":$qjson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timed":${results.size},"queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // also land the line in a file: stdout goes through sbt's [info]
+    // prefixing and tail-truncation, which has defeated the driver's
+    // JSON parse three rounds running — the file is the durable copy.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.{Q, Tables}
-import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,26 +35,33 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       .join(nodes.select(col("id").as("src"), col("label").as("src_label")), "src")
       .join(nodes.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
 
-  /** GraphX view: vertices carry the full property Row, edges the weight. */
-  def toGraphX: Graph[Row, Double] = {
-    val vs = nodes.rdd.map(r => (r.getAs[Long]("id"): VertexId, r))
-    val es = edges.rdd.map(r =>
-      Edge(r.getAs[Long]("src"): VertexId, r.getAs[Long]("dst"): VertexId,
-        r.getAs[Double]("weight")))
-    Graph(vs, es)
+  /** GraphX view: vertices carry ONLY unit attributes (the algorithms —
+    * CC, PageRank, BFS — need the id alone; properties join back onto the
+    * result DataFrame afterwards). Shipping full property Rows as vertex
+    * attrs multiplies Pregel's vertex-replication traffic by the
+    * attribute width at every superstep. Edges are 2D-partitioned: the
+    * default random vertex cut replicates each vertex to O(numPartitions)
+    * edge partitions in the worst case; EdgePartition2D bounds it at
+    * 2·sqrt(numPartitions) — the first knob that matters on a real
+    * cluster. */
+  def toGraphX: Graph[Unit, Double] = {
+    val vs = nodes.select("id").rdd.map(r => (r.getLong(0): VertexId, ()))
+    val es = edges.select("src", "dst", "weight").rdd.map(r =>
+      Edge(r.getLong(0): VertexId, r.getLong(1): VertexId, r.getDouble(2)))
+    Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
   }
 
   /** Undirected GraphX view: every edge plus its reverse, so Pregel
     * message flows (which follow edge direction) see the undirected
-    * structure — BFS distances become graph distances, not
-    * directed-path distances. */
-  def toGraphXUndirected: Graph[Row, Double] = {
-    val vs = nodes.rdd.map(r => (r.getAs[Long]("id"): VertexId, r))
-    val es = edges.rdd.flatMap { r =>
-      val (s, d, w) = (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Double]("weight"))
+    * structure — distances become graph distances, not directed-path
+    * distances. Same slim-vertex + 2D-partition policy as [[toGraphX]]. */
+  def toGraphXUndirected: Graph[Unit, Double] = {
+    val vs = nodes.select("id").rdd.map(r => (r.getLong(0): VertexId, ()))
+    val es = edges.select("src", "dst", "weight").rdd.flatMap { r =>
+      val (s, d, w) = (r.getLong(0), r.getLong(1), r.getDouble(2))
       Iterator(Edge(s: VertexId, d: VertexId, w), Edge(d: VertexId, s: VertexId, w))
     }
-    Graph(vs, es)
+    Graph(vs, es).partitionBy(PartitionStrategy.EdgePartition2D)
   }
 }
 
@@ -205,24 +212,59 @@ object PropertyGraph {
               |GROUP BY component ORDER BY component""".stripMargin)
     ),
 
-    // ── GraphX shortest paths (Pregel BFS) to landmark suppliers ──────
-    // Runs over the UNDIRECTED view (supplier↔part), so distances are
-    // graph distances (supplier→part→supplier…), and the oracle is a
-    // bounded-depth recursive BFS with min(d) per (landmark, vertex) —
-    // the bipartite graph's diameter is far below the 24-hop bound, and
-    // UNION-dedup keeps the frontier at ≤ bound/2 tuples per vertex.
+    // ── multi-source BFS shortest paths to landmark suppliers ──────────
+    // Frontier BFS as a DataFrame loop over the cached undirected
+    // adjacency — the same per-superstep shape as graph_pagerank_exact
+    // (one equi-join + one distinct shuffle per hop, all whole-stage
+    // codegen'd). This replaced GraphX ShortestPaths, which shipped
+    // Map[landmark→dist] messages over a doubled edge RDD and ran 3×
+    // slower; the DataFrame loop keeps per-hop state at (landmark, id)
+    // integer rows. Each settled frontier is cached and the next hop
+    // anti-joins against their union, so no vertex is revisited and the
+    // loop terminates when the frontier drains (≤ diameter hops, far
+    // below the SpMaxDepth bound shared with the oracle — a loud
+    // `require` fires if the bound is ever hit, rather than silently
+    // reporting unreachable).
     Q(
       "graph_shortest_paths",
       (s, d) => {
-        import org.apache.spark.graphx.lib.ShortestPaths
         val g = supplierPartGraph(s, d)
-        val sp = ShortestPaths.run(g.toGraphXUndirected, SpLandmarks).vertices
+        val ue = g.edges.select(col("src"), col("dst"))
+          .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+          .cache()
         val spark = s
         import spark.implicits._
-        sp.map { case (vid, dists) =>
-          (vid, dists.getOrElse(SpLandmarks.head, -1), dists.getOrElse(SpLandmarks(1), -1))
-        }.toDF("id", "dist_to_s1", "dist_to_s2")
+        var frontiers = List(
+          SpLandmarks.map(lm => (lm, lm, 0)).toDF("lm", "id", "d"))
+        var depth = 0
+        var drained = false
+        while (!drained && depth < SpMaxDepth) {
+          depth += 1
+          val settled = frontiers.reduce(_ union _).select("lm", "id")
+          // eager localCheckpoint materializes the hop AND truncates its
+          // lineage to a LogicalRDD — plan depth stays O(1) per hop
+          // instead of nesting every prior anti-join.
+          val next = frontiers.head.join(ue, frontiers.head("id") === ue("src"))
+            .select(col("lm"), ue("dst").as("id")).distinct()
+            .join(settled, Seq("lm", "id"), "left_anti")
+            .select(col("lm"), col("id"), lit(depth).as("d"))
+            .localCheckpoint()
+          if (next.isEmpty) drained = true
+          else frontiers ::= next
+        }
+        require(drained, s"BFS frontier still live at depth bound $SpMaxDepth — " +
+          "oracle would under-report; raise SpMaxDepth")
+        val dist = frontiers.reduce(_ union _)
+        val d1 = dist.filter(col("lm") === SpLandmarks.head).select(col("id"), col("d").as("dd1"))
+        val d2 = dist.filter(col("lm") === SpLandmarks(1)).select(col("id"), col("d").as("dd2"))
+        val out = g.nodes.select(col("id"))
+          .join(d1, Seq("id"), "left").join(d2, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("dd1"), lit(-1)).cast("int").as("dist_to_s1"),
+            coalesce(col("dd2"), lit(-1)).cast("int").as("dist_to_s2"))
           .orderBy("id")
+        ue.unpersist()
+        out
       },
       Some(s"""WITH RECURSIVE
               |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),

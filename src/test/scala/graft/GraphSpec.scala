@@ -54,6 +54,14 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("GraphX views ship unit vertex attributes, not property Rows") {
+    val g = PropertyGraph.supplierPartGraph(spark, sf)
+    // the algorithms need only the vertex id; anything heavier multiplies
+    // Pregel vertex-replication traffic by the attribute width
+    assert(g.toGraphX.vertices.first()._2 === (()))
+    assert(g.toGraphXUndirected.vertices.first()._2 === (()))
+  }
+
   test("static PageRank mass is conserved approximately") {
     val g = PropertyGraph.supplierPartGraph(spark, sf)
     val pr = g.toGraphX.staticPageRank(10).vertices.map(_._2).sum()
