@@ -381,6 +381,140 @@ object Image {
            |  (${cnt(0)} / 1.0 + ${cnt(1)} / 2.0 + ${cnt(2)} / 3.0 + ${cnt(3)} / 4.0) * ${1.0 / 56.0} AS homogeneity
            |FROM q ORDER BY vec_id""".stripMargin
       }
+    ),
+
+    // ── F3 oracle form: contour features over the thresholded 8×8 grid ─
+    // Closes the last §2 verification gap: the same component / area /
+    // perimeter kernel as img_contour_features (reference
+    // image_classification.py:242-287), but over the embeddings grid
+    // where DuckDB can replay it exactly. Mask: cell on iff value > the
+    // per-vector median ((srt[32]+srt[33])/2 — exact in both engines).
+    // Components: 8-connected min-label propagation run distributed to a
+    // driver-counted fixpoint (the dedup_cluster_canonical shape) with
+    // localCheckpoint'd generations, so plan depth stays O(1) per
+    // iteration; the oracle replays the fixpoint as a recursive CTE, so
+    // CONVERGENCE is what's checked, not an iteration guess. Features
+    // per component: area (cell count), perimeter (exposed 4-edges),
+    // extent (area / bbox area), equivalent diameter — all fixed-order
+    // arithmetic over exact integers → bit-identical doubles.
+    // Scale: cells = on-cells exploded once and cached (≤ 32·rows);
+    // candidate neighbors equi-join back to cells on (vec_id, pos) —
+    // never an all-pairs product; each fixpoint iteration is ONE
+    // equi-join + ONE partial min-agg, hash-partitioned on the
+    // composite key; iterations = max component diameter (a handful on
+    // real masks, driver-counted).
+    Q(
+      "vec_contours",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        val srt = array_sort(v)
+        val cells = embeddings(s, d)
+          .select(col("vec_id"), v.as("g"),
+            ((element_at(srt, 32) + element_at(srt, 33)) / 2.0).as("med"))
+          .select(col("vec_id"), col("med"), posexplode(col("g")))
+          .filter(col("col") > col("med"))
+          .select(col("vec_id"), col("pos"))
+          .cache()
+        val offs = for { dr <- -1 to 1; dc <- -1 to 1 if dr != 0 || dc != 0 } yield (dr, dc)
+        val offCol = array(offs.map { case (dr, dc) =>
+          struct(lit(dr).as("dr"), lit(dc).as("dc"))
+        }: _*)
+        val edges = cells
+          .select(col("vec_id"), col("pos"), explode(offCol).as("o"))
+          .select(col("vec_id"), col("pos"),
+            ((col("pos") / 8).cast("int") + col("o.dr")).as("nr"),
+            (col("pos") % 8 + col("o.dc")).as("nc"),
+            (col("o.dr") === 0 || col("o.dc") === 0).as("is4"))
+          .filter(col("nr").between(0, 7) && col("nc").between(0, 7))
+          .select(col("vec_id"), col("pos").as("a"),
+            (col("nr") * 8 + col("nc")).cast("int").as("b"), col("is4"))
+          .join(cells.select(col("vec_id"), col("pos").as("b")), Seq("vec_id", "b"))
+          .cache()
+        var lbl = cells.select(col("vec_id"), col("pos"), col("pos").as("l"))
+        var changed = 1L
+        while (changed > 0) {
+          val prop = edges
+            .join(lbl.select(col("vec_id"), col("pos").as("a"), col("l").as("nl")),
+              Seq("vec_id", "a"))
+            .groupBy(col("vec_id"), col("b")).agg(min("nl").as("ml"))
+            .select(col("vec_id"), col("b").as("pos"), col("ml"))
+          // eager localCheckpoint: materializes the generation AND
+          // truncates lineage — plan depth is O(1) per iteration.
+          val next = lbl.join(prop, Seq("vec_id", "pos"), "left")
+            .select(col("vec_id"), col("pos"),
+              least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
+            .localCheckpoint()
+          changed = next
+            .join(lbl.select(col("vec_id"), col("pos"), col("l").as("old")),
+              Seq("vec_id", "pos"))
+            .filter(col("l") < col("old")).count()
+          lbl = next
+        }
+        val n4 = edges.filter(col("is4"))
+          .groupBy(col("vec_id"), col("a")).agg(count(lit(1)).as("n4"))
+          .select(col("vec_id"), col("a").as("pos"), col("n4"))
+        cells
+          .join(lbl, Seq("vec_id", "pos"))
+          .join(n4, Seq("vec_id", "pos"), "left")
+          .select(col("vec_id"), col("l").as("comp"),
+            (col("pos") / 8).cast("int").as("r"), (col("pos") % 8).as("c"),
+            coalesce(col("n4"), lit(0L)).as("n4"))
+          .groupBy(col("vec_id"), col("comp"))
+          .agg(count(lit(1)).as("area"),
+            sum(lit(4L) - col("n4")).as("perimeter"),
+            min("r").as("minr"), max("r").as("maxr"),
+            min("c").as("minc"), max("c").as("maxc"))
+          .select(col("vec_id"), col("comp"), col("area"), col("perimeter"),
+            (col("area").cast("double") /
+              ((col("maxc") - col("minc") + 1) * (col("maxr") - col("minr") + 1))
+                .cast("double")).as("extent"),
+            sqrt(lit(4.0) * col("area").cast("double") / lit(3.141592653589793))
+              .as("eq_diameter"))
+          .orderBy("vec_id", "comp")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        s"""WITH RECURSIVE
+           |m AS (SELECT vec_id, $v AS g,
+           |             (list_sort($v)[32] + list_sort($v)[33]) / 2.0 AS med
+           |      FROM embeddings),
+           |cells AS (SELECT vec_id, pos FROM (
+           |            SELECT vec_id, med,
+           |                   CAST(generate_subscripts(g, 1) - 1 AS INT) AS pos,
+           |                   unnest(g) AS x
+           |            FROM m) WHERE x > med),
+           |off(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+           |                       (0,1),(1,-1),(1,0),(1,1)),
+           |cand AS (SELECT c.vec_id, c.pos AS a,
+           |                CAST(((c.pos // 8) + o.dr) * 8 + ((c.pos % 8) + o.dc) AS INT) AS b,
+           |                (o.dr = 0 OR o.dc = 0) AS is4
+           |         FROM cells c CROSS JOIN off o
+           |         WHERE (c.pos // 8) + o.dr BETWEEN 0 AND 7
+           |           AND (c.pos % 8) + o.dc BETWEEN 0 AND 7),
+           |e AS (SELECT cand.vec_id, cand.a, cand.b, cand.is4 FROM cand
+           |      JOIN cells t ON t.vec_id = cand.vec_id AND t.pos = cand.b),
+           |lbl(vec_id, pos, l) AS (
+           |  SELECT vec_id, pos, pos FROM cells
+           |  UNION
+           |  SELECT e.vec_id, e.b, lbl.l FROM lbl
+           |  JOIN e ON e.vec_id = lbl.vec_id AND e.a = lbl.pos),
+           |comp AS (SELECT vec_id, pos, min(l) AS comp FROM lbl GROUP BY 1, 2),
+           |n4 AS (SELECT vec_id, a AS pos, count(*) AS n FROM e
+           |       WHERE is4 GROUP BY 1, 2),
+           |feat AS (SELECT c.vec_id, comp.comp, count(*) AS area,
+           |                CAST(sum(4 - coalesce(n4.n, 0)) AS BIGINT) AS perimeter,
+           |                min(c.pos // 8) AS minr, max(c.pos // 8) AS maxr,
+           |                min(c.pos % 8) AS minc, max(c.pos % 8) AS maxc
+           |         FROM cells c
+           |         JOIN comp ON comp.vec_id = c.vec_id AND comp.pos = c.pos
+           |         LEFT JOIN n4 ON n4.vec_id = c.vec_id AND n4.pos = c.pos
+           |         GROUP BY 1, 2)
+           |SELECT vec_id, comp, area, perimeter,
+           |       CAST(area AS DOUBLE) /
+           |         CAST((maxc - minc + 1) * (maxr - minr + 1) AS DOUBLE) AS extent,
+           |       sqrt(4.0 * CAST(area AS DOUBLE) / 3.141592653589793) AS eq_diameter
+           |FROM feat ORDER BY vec_id, comp""".stripMargin
+      }
     )
   )
 }

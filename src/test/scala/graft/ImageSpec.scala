@@ -101,4 +101,56 @@ class ImageSpec extends SparkSpec {
       assert(r.getAs[Double]("solidity") === c.solidity)
     }
   }
+
+  test("vec_contours matches a local flood-fill on every sf0.001 vector") {
+    // independent local kernel: same mask (value > per-vector median),
+    // 8-connected flood fill, min-pos component label, exposed-4-edge
+    // perimeter — nothing shared with the DataFrame implementation.
+    def local(g: Array[Double]): Map[Int, (Long, Long, Double, Double)] = {
+      val srt = g.sorted
+      val med = (srt(31) + srt(32)) / 2.0
+      val on = g.map(_ > med)
+      val comp = Array.fill(64)(-1)
+      for (seed <- 0 until 64 if on(seed) && comp(seed) < 0) {
+        var stack = List(seed); comp(seed) = seed
+        while (stack.nonEmpty) {
+          val p = stack.head; stack = stack.tail
+          for {
+            dr <- -1 to 1; dc <- -1 to 1 if dr != 0 || dc != 0
+            nr = p / 8 + dr; nc = p % 8 + dc
+            if nr >= 0 && nr < 8 && nc >= 0 && nc < 8
+            q = nr * 8 + nc if on(q) && comp(q) < 0
+          } { comp(q) = seed; stack = q :: stack }
+        }
+      }
+      (0 until 64).filter(on).groupBy(comp).map { case (lbl, cells) =>
+        val perim = cells.map { p =>
+          4 - Seq((p / 8 - 1, p % 8), (p / 8 + 1, p % 8),
+            (p / 8, p % 8 - 1), (p / 8, p % 8 + 1))
+            .count { case (r, c) => r >= 0 && r < 8 && c >= 0 && c < 8 && on(r * 8 + c) }
+        }.sum.toLong
+        val (rs, cs) = (cells.map(_ / 8), cells.map(_ % 8))
+        val area = cells.size.toLong
+        val extent = area.toDouble /
+          ((cs.max - cs.min + 1) * (rs.max - rs.min + 1)).toDouble
+        (lbl, (area, perim, extent, math.sqrt(4.0 * area / 3.141592653589793)))
+      }
+    }
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as g").collect()
+      .map(r => r.getAs[Number]("vec_id").longValue() ->
+        r.getSeq[Double](1).toArray).toMap
+    val got = SparkEntry.queries("vec_contours")(spark, sf).collect()
+    val byVec = got.groupBy(_.getAs[Number]("vec_id").longValue())
+    assert(byVec.keySet === embs.keySet, "every vector yields components")
+    for ((vid, g) <- embs) {
+      val want = local(g)
+      val rows = byVec(vid).map { r =>
+        r.getAs[Number]("comp").intValue() ->
+          (r.getAs[Long]("area"), r.getAs[Long]("perimeter"),
+            r.getAs[Double]("extent"), r.getAs[Double]("eq_diameter"))
+      }.toMap
+      assert(rows === want, s"vec $vid component features diverge")
+    }
+  }
 }

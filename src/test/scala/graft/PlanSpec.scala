@@ -104,6 +104,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("contour fixpoint output joins stay equi-joins over checkpointed state") {
+    val p = plan("vec_contours")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell/label/n4 joins must be (vec_id, pos) equi-joins:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("InMemoryTableScan"),
+      s"labels should come from a checkpointed generation, not replanned lineage:\n$p")
+  }
+
   test("interval range join plans as a bucketed equi-join, not a theta join") {
     val p = plan("evt_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
