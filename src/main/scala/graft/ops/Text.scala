@@ -134,7 +134,13 @@ object Text {
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // sketch (sig + shingle set) computed ONCE and cached: every
     // branch below (two band sides, two jaccard sides) reuses the
-    // materialized sketch instead of re-hashing the corpus.
+    // materialized sketch instead of re-hashing the corpus. The cache is
+    // deliberately NOT unpersisted here: Spark's CacheManager matches on
+    // the canonicalized plan, so all five dedup queries in a session
+    // share ONE sketch materialization (the same policy as the graph
+    // edge cache); it is bounded by the corpus sketch size and released
+    // at session stop. Re-cache attempts on later queries log a benign
+    // "already cached" warning.
     val docs = docSketch(s, d).cache()
     val bands = docs.select(col("doc_id"),
       explode(array(
@@ -389,13 +395,12 @@ object Text {
     // The step that turns pair DETECTION into an actual dedup pipeline:
     // connected components over the ≥0.5-Jaccard pair graph, keep the
     // min doc_id per component (so transitive chains a~b~c collapse to
-    // one keeper even when a,c never paired directly). Min-label
-    // propagation runs distributed to a driver-counted fixpoint — the
-    // k-means loop shape: per iteration one equi-join on the (tiny,
-    // cached) pair edges + one min-agg; iterations = cluster diameter
-    // (near-dup clusters are shallow). The oracle replays the same
-    // fixpoint as a recursive CTE, so convergence — not an iteration
-    // guess — is what's checked.
+    // one keeper even when a,c never paired directly). The min-label
+    // fixpoint is the shared graph.Components kernel: one equi-join on
+    // the (tiny, cached) pair edges + one min-agg per iteration, each
+    // generation localCheckpoint'd so plan depth is O(1) at any cluster
+    // diameter. The oracle replays the same fixpoint as a recursive CTE,
+    // so convergence — not an iteration guess — is what's checked.
     Q(
       "dedup_cluster_canonical",
       (s, d) => {
@@ -404,25 +409,10 @@ object Text {
         val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
           .cache()
-        val nodes = ue.select(col("src").as("id")).distinct()
-        var lbl = nodes.select(col("id"), col("id").as("l"))
-        var cached: Option[DataFrame] = None
-        var changed = 1L
-        while (changed > 0) {
-          val prop = ue
-            .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
-            .groupBy(col("dst")).agg(min("nl").as("ml"))
-          val next = lbl.join(prop, col("id") === col("dst"), "left")
-            .select(col("id"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
-            .cache()
-          changed = next
-            .join(lbl.select(col("id").as("id2"), col("l").as("old")), col("id") === col("id2"))
-            .filter(col("l") < col("old")).count()
-          // the superseded generation's cache is dead weight from here on
-          cached.foreach(_.unpersist())
-          cached = Some(next)
-          lbl = next
-        }
+        val lbl = graft.graph.Components.minLabel(ue)
+        // labels are checkpointed (lineage-free) — the edge cache is dead
+        // weight for the final aggregation, so release it now.
+        ue.unpersist()
         lbl.groupBy(col("l").as("canonical_id"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy("canonical_id")

@@ -53,4 +53,21 @@ class EdgeCaseSpec extends SparkSpec {
       .groupBy("h").agg(min("doc_id").as("keep"))
     assert(keeper.collect().map(_.getLong(1)).toList === List(1L))
   }
+
+  test("min-label fixpoint converges on a 30-link chain without planner blowup") {
+    // worst case for label propagation: a path graph, where the min
+    // label crawls one hop per iteration (30 iterations here — the depth
+    // a naive cache-only loop would nest into a 30-deep logical plan).
+    // Generations are localCheckpoint'd, so the final plan must be a
+    // single LogicalRDD scan, not 30 nested joins.
+    val links = (0L until 30L).map(i => (i, i + 1))
+    val ue = (links ++ links.map(_.swap)).toDF("src", "dst")
+    val lbl = graph.Components.minLabel(ue)
+    val got = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 30L).map(_ -> 0L).toMap,
+      "every chain vertex must settle on component label 0")
+    val plan = lbl.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") && !plan.contains("Join"),
+      s"converged labels must be a checkpointed scan, got:\n$plan")
+  }
 }
