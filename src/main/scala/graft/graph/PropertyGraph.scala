@@ -108,6 +108,25 @@ object PropertyGraph {
   private val Reset = 150000000L
   private val PrIters = 5
 
+  /** Common-neighbor pair counts with the salted two-stage aggregation
+    * (the rel_skew_salted_agg recipe applied to the graph side). A hub
+    * endpoint of degree d emits d² pairs out of the self-join, and a
+    * popular PAIR then funnels all its rows into one reducer; salting by
+    * the shared endpoint spreads each hot pair's partial counts over
+    * `salts` subkeys — counts re-aggregate losslessly, so the result is
+    * provably identical to the direct groupBy. Both stages shuffle by
+    * hash partitioning ((sa, sb, salt) then (sa, sb)) — asserted in
+    * SkewSpec on a hub-heavy corpus. The join itself stays an equi-join
+    * on dst; AQE skew-join splitting handles the join-task imbalance. */
+  def commonNeighborsSalted(edges: DataFrame, salts: Int = 16): DataFrame = {
+    val a = edges.select(col("src").as("sa"), col("dst"))
+    val b = edges.select(col("src").as("sb"), col("dst"))
+    a.join(b, "dst").filter(col("sa") < col("sb"))
+      .withColumn("salt", pmod(hash(col("dst")), lit(salts)))
+      .groupBy("sa", "sb", "salt").agg(count(lit(1)).as("pc"))
+      .groupBy("sa", "sb").agg(sum("pc").as("shared_parts"))
+  }
+
   val queries: Seq[Q] = Seq(
     // ── degree per node — `MATCH (s)-[r]->(p) RETURN s, count(r)` ──────
     // (the count_connections shape, image_classification.py:513-522, on
@@ -307,6 +326,28 @@ object PropertyGraph {
       },
       Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
              |SELECT a.src AS sa, b.src AS sb, count(*) AS shared_parts
+             |FROM e a JOIN e b ON a.dst = b.dst
+             |WHERE a.src < b.src
+             |GROUP BY a.src, b.src
+             |ORDER BY shared_parts DESC, sa ASC, sb ASC LIMIT 20""".stripMargin)
+    ),
+
+    // ── common neighbors, salted for hub skew ──────────────────────────
+    // Same result as graph_common_neighbors (same oracle), computed via
+    // the two-stage salted aggregation in [[commonNeighborsSalted]]: the
+    // variant a user runs when one mega-hub part makes a single pair's
+    // count the straggling reducer. Counts sum losslessly across salts,
+    // so the driver gate proves the rewrite exact.
+    Q(
+      "graph_common_neighbors_salted",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
+        commonNeighborsSalted(es)
+          .orderBy(col("shared_parts").desc, col("sa").asc, col("sb").asc)
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+             |SELECT a.src AS sa, b.src AS sb, CAST(count(*) AS BIGINT) AS shared_parts
              |FROM e a JOIN e b ON a.dst = b.dst
              |WHERE a.src < b.src
              |GROUP BY a.src, b.src

@@ -39,4 +39,33 @@ class SkewSpec extends SparkSpec {
       .filter(col("k") === 0L).select("salt").distinct().count()
     assert(hotParts > salt / 2, s"hot key only hit $hotParts of $salt salts")
   }
+
+  test("salted common-neighbors equals the direct count and hash-partitions both stages") {
+    import spark.implicits._
+    // hub-heavy corpus: every supplier supplies part 999 (hub degree
+    // 60 → 1770 pairs all sharing it), plus a sparse unique tail
+    val hub = (1L to 60L).map(s => (s, 999L))
+    val tail = (1L to 60L).map(s => (s, s % 7))
+    val es = (hub ++ tail).distinct.toDF("src", "dst")
+
+    val direct = es.toDF("sa", "dst").join(es.toDF("sb", "dst2"),
+        col("dst") === col("dst2")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("shared_parts"))
+    val salted = graph.PropertyGraph.commonNeighborsSalted(es)
+
+    val d = direct.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sm = salted.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d === sm, "salted two-stage count must equal the direct groupBy")
+
+    // both aggregation stages shuffle by hash partitioning: the partial
+    // on (sa, sb, salt) — spreading the hub pairs — then the final on
+    // (sa, sb). (Unwrap AQE; attribute ids vary, so match by prefix.)
+    val plan = salted.queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\(sa#\\d+L?, sb#\\d+L?(, salt#\\d+)?".r
+      .findAllIn(plan).toList
+    assert(parts.exists(_.contains("salt")),
+      s"partial stage must hash-partition on (sa, sb, salt):\n$plan")
+    assert(parts.exists(!_.contains("salt")),
+      s"final stage must hash-partition on (sa, sb):\n$plan")
+  }
 }
