@@ -159,7 +159,10 @@ object Extended {
       (s, d) => {
         val base = orders(s, d).filter(col("o_custkey") <= 50)
           .select(col("o_orderpriority"), dec(col("o_totalprice")).as("price"))
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // keyed by sf AND process: two JVMs on the same sf (Verify + a
+        // test run) must not overwrite each other's files mid-read.
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
         base.write.mode("overwrite").orc(dir)
         s.read.orc(dir)
           .groupBy("o_orderpriority")
@@ -355,20 +358,38 @@ object Extended {
     ),
 
     // ── approximate aggregates (§2.6 gap): HLL distinct + approximate
-    // quantiles. Sketch values are implementation-specific (Spark HLL++ ≠
-    // DuckDB HLL) → rows-only driver check; the exact companions above
-    // (evt_sliding_window count_distinct, vec_stats median) are the
-    // oracle-checked ground truth.
+    // quantiles. Raw sketch values are implementation-specific (Spark
+    // HLL++ ≠ DuckDB HLL) so they can't hash-match — instead the ERROR
+    // BOUND is what the oracle checks: the query emits the exact
+    // companion (hash-matched cell-for-cell) plus booleans asserting the
+    // sketch lands within 5% relative error, which the oracle pins to
+    // literal TRUE. A drifting sketch now fails the driver gate loudly
+    // instead of passing a rows-only smoke test. The exact countDistinct
+    // here exists for verification; at 100 TB the HLL is the operator you
+    // run (one pass, fixed-register state, partial-merge — no distinct
+    // shuffle).
     Q(
       "agg_approx",
       (s, d) =>
         lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("hll"),
+            percentile_approx(col("l_extendedprice").cast("double"),
+              lit(0.5), lit(1000)).as("amed"),
+            expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("emed"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("hll") - col("exact_orders")) <=
+              col("exact_orders") * 0.05).as("hll_within_5pct"),
+            (abs(col("amed") - col("emed")) <=
+              abs(col("emed")) * 0.05).as("median_within_5pct"))
           .orderBy("l_returnflag"),
-      None
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |  TRUE AS hll_within_5pct,
+             |  TRUE AS median_within_5pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

@@ -189,9 +189,12 @@ object Image {
   }
 
   /** GLCM features for one direction (dy, dx): 8-level quantization of
-    * 0..255, symmetric counts not applied (mahotas uses symmetric; the
-    * direction set below covers both signs). Returns (contrast, energy,
-    * homogeneity, entropy). */
+    * 0..255 over a single-offset (asymmetric) co-occurrence matrix — a
+    * deliberate divergence from mahotas.haralick's symmetrized counts.
+    * The four features reported are all transpose-invariant, so each
+    * direction's values equal its sign-reversed twin's; they are NOT the
+    * symmetrized-matrix values. Returns (contrast, energy, homogeneity,
+    * entropy). */
   def glcm(img: Array[Double], w: Int, h: Int, dy: Int, dx: Int): (Double, Double, Double, Double) = {
     val levels = 8
     def lvl(v: Double): Int = math.min((v / 256.0 * levels).toInt, levels - 1)

@@ -68,6 +68,11 @@ object Multimodal {
   /** JPEG bytes → 32×32 grayscale plane (row-major, values 0..255). */
   def decodeJpegGray32(bytes: Array[Byte]): Array[Double] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read signals an unsupported/corrupt payload with null, not
+    // an exception — without this check the executor dies on an opaque
+    // NPE instead of naming the bad record.
+    require(img != null,
+      s"undecodable image payload (${bytes.length} bytes) — not a supported JPEG")
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new Array[Double](32 * 32)
     var ty = 0

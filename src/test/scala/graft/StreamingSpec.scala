@@ -11,6 +11,20 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
+  test("kafka wiring reaches the classpath boundary (connector absent by scope cut)") {
+    // The spark-sql-kafka connector jar is not shipped in this container
+    // (no egress), so the source can't execute — but the wiring must be
+    // real: resolution has to fail looking up the 'kafka' DataSource,
+    // NOT with a wiring error (bad option, bad schema, NPE). See
+    // SURVEY.md §2.5a "Kafka source" for the scope-cut record.
+    val e = intercept[Exception] {
+      Streams.kafkaEvents(spark, "localhost:9092", "events").isStreaming
+    }
+    val msg = Option(e.getMessage).getOrElse("") + e.getClass.getName
+    assert(msg.toLowerCase.contains("kafka"),
+      s"expected the connector-missing failure naming 'kafka', got: $e")
+  }
+
   test("watermarked tumbling window counts match the batch computation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
