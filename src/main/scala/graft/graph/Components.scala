@@ -32,9 +32,14 @@ object Components {
       val prop = ue
         .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
         .groupBy(col("dst")).agg(min("nl").as("ml"))
+      // LAZY checkpoint: the convergence count below is a full action
+      // over every partition, so it both materializes the generation and
+      // truncates its lineage — one job per iteration, not two. (Lazy is
+      // safe only because count() is a full scan; partial actions like
+      // isEmpty would checkpoint a partition subset.)
       val next = lbl.join(prop, col("id") === col("dst"), "left")
         .select(col("id"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next
         .join(lbl.select(col("id").as("id2"), col("l").as("old")), col("id") === col("id2"))
         .filter(col("l") < col("old")).count()

@@ -104,13 +104,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("contour fixpoint output joins stay equi-joins over checkpointed state") {
+  test("contour extraction is a narrow per-row map: no joins, one sort exchange") {
+    // the component graph is row-local (64 cells) — the plan must be a
+    // single scan + flatMap, not a distributed fixpoint (no join, no
+    // aggregate); the only exchange is the final presentation sort.
     val p = plan("vec_contours")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"cell/label/n4 joins must be (vec_id, pos) equi-joins:\n$p")
-    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
-      p.contains("InMemoryTableScan"),
-      s"labels should come from a checkpointed generation, not replanned lineage:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"row-local kernel must not shuffle for joins/aggs:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected only the orderBy exchange:\n$p")
   }
 
   test("interval range join plans as a bucketed equi-join, not a theta join") {
