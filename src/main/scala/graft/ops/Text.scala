@@ -432,6 +432,42 @@ object Text {
               |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin)
     ),
 
+    // ── triangle participation over the near-dup graph ─────────────────
+    // Cluster-cohesion analytics: how many documents sit in fully
+    // mutually-similar triples (a~b, b~c, a~c all ≥ 0.5)? Triangle
+    // enumeration uses the oriented-edge pattern: pairs already carry
+    // id_a < id_b, so each triangle {x<y<z} is found exactly once by two
+    // equi-joins — (x,y)⋈(y,z) wedges closed by (x,z). Wedge volume is
+    // Σ out-deg² of the ORIENTED graph; near-dup degrees are bounded by
+    // cluster size, and on hub-skewed graphs the standard refinement is
+    // degree-ordering the orientation (compact-forward) — same plan
+    // shape, smaller wedge count. No products anywhere (PlanSpec).
+    Q(
+      "dedup_triangles",
+      (s, d) => {
+        val dup = minhashPairs(s, d)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b").cache()
+        val tri = dup.toDF("x", "y")
+          .join(dup.toDF("y", "z"), "y")
+          .join(dup.toDF("x", "z"), Seq("x", "z"))
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |$sqlPairCtes,
+              |dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+              |        FROM dup e1
+              |        JOIN dup e2 ON e2.id_a = e1.id_b
+              |        JOIN dup e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+              |v AS (SELECT x AS doc_id FROM tri
+              |      UNION ALL SELECT y FROM tri
+              |      UNION ALL SELECT z FROM tri)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
+              |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── the preprocessing pipeline as ONE query ────────────────────────
     // What a training-data run actually executes: exact-dup drop (md5
     // keep-first) → length gate → quality gate, each doc tagged with the

@@ -316,6 +316,77 @@ object Vector {
            |WHERE $c > 0.25
            |ORDER BY id_a, id_b""".stripMargin
       }
+    ),
+
+    // ── product-quantization ANN top-k (the memory-compression path) ───
+    // IVF prunes WHICH vectors to score; PQ compresses HOW each vector
+    // is stored: 64 dims → 8 subspaces × 8 dims, each subvector replaced
+    // by the index of its nearest sub-codebook entry (16 entries from
+    // the deterministic hash-ordered sample). A vector becomes 8 small
+    // codes; query scoring is the asymmetric distance Σ_m ‖q_m −
+    // cb[m][code_m]‖² — at 100 TB this is why PQ exists: the scored
+    // index is codes (8 bytes/vector), not raw floats (256 bytes), and
+    // encoding is a NARROW PER-ROW MAP against a broadcast codebook
+    // (crossJoin of two 1-row broadcast sides; no shuffle, asserted in
+    // PlanSpec). Every distance is a fixed-order sequential fold and
+    // argmins tie-break on the code index, so codes AND distances are
+    // bit-identical in the DuckDB replay. Top-10 by asymmetric distance.
+    Q(
+      "ann_pq_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val cb = graft.cluster.KMeans.initCentroids(e, 16)
+          .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb"))
+        val q = e.filter(col("vec_id") === 0L).select(vec(col("embedding")).as("qv"))
+        // ‖a_m − b_m‖² over subspace m (dims m·8+1 .. m·8+8, 1-indexed)
+        def l2sub(a: Column, b: Column, m: Column): Column =
+          seqSum(transform(sequence(lit(1), lit(8)), i => {
+            val ix = (m * 8 + i).cast("int")
+            val dd = element_at(a, ix) - element_at(b, ix)
+            dd * dd
+          }))
+        e.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+          .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+          .select(col("vec_id"), col("cb"), col("qv"),
+            transform(sequence(lit(0), lit(7)), m =>
+              array_min(transform(sequence(lit(1), lit(16)), ci => struct(
+                l2sub(col("v"),
+                  element_at(col("cb"), ci.cast("int")).getField("cv"), m).as("dist"),
+                ci.as("ci")))).getField("ci")).as("codes"))
+          .select(col("vec_id"),
+            seqSum(transform(sequence(lit(0), lit(7)), m =>
+              l2sub(col("qv"),
+                element_at(col("cb"),
+                  element_at(col("codes"), (m + 1).cast("int")).cast("int"))
+                  .getField("cv"), m))).as("adist"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val l2sub = (a: String, b: String) => sqlSeqSum(
+          s"list_transform(range(1, 9), i -> " +
+            s"($a[m * 8 + i] - $b[m * 8 + i]) * ($a[m * 8 + i] - $b[m * 8 + i]))")
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, ${sqlVec("embedding")} AS cv FROM embeddings
+           |  ORDER BY ${Tables.detHashSql("vec_id")}, vec_id LIMIT 16),
+           |cbt AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cb
+           |        FROM cents),
+           |q AS (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |enc AS (
+           |  SELECT e.vec_id, cbt.cb, q.qv,
+           |    list_transform(range(0, 8), m ->
+           |      list_reduce(
+           |        list_transform(range(1, 17), ci -> struct_pack(
+           |          dist := ${l2sub(s"(${sqlVec("e.embedding")})", "cb[ci].cv")},
+           |          ci := ci)),
+           |        (a, b) -> CASE WHEN b.dist < a.dist THEN b ELSE a END).ci) AS codes
+           |  FROM embeddings e, cbt, q WHERE e.vec_id <> 0)
+           |SELECT vec_id,
+           |  ${sqlSeqSum(s"list_transform(range(0, 8), m -> ${l2sub("qv", "cb[codes[m + 1]].cv")})")} AS adist
+           |FROM enc
+           |ORDER BY adist ASC, vec_id ASC LIMIT 10""".stripMargin
+      }
     )
   )
 }

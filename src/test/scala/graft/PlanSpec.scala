@@ -143,7 +143,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("common-neighbors and keep-list plan equi/anti joins, never products") {
-    for (q <- Seq("graph_common_neighbors", "dedup_keep_list", "evt_retention")) {
+    for (q <- Seq("graph_common_neighbors", "dedup_keep_list", "evt_retention",
+        "dedup_triangles")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must not plan a product join:\n$p")

@@ -97,4 +97,29 @@ class VectorSpec extends SparkSpec {
     val recall = lsh.map(_._1).toSet.intersect(bf).size / 10.0
     assert(recall >= 0.3, s"LSH recall@10 = $recall")
   }
+
+  test("PQ top-k returns genuinely close vectors under the true L2 metric") {
+    val pq = SparkEntry.queries("ann_pq_topk")(spark, sf).collect()
+    assert(pq.length === 10)
+    val adists = pq.map(_.getDouble(1))
+    assert(adists.forall(_ >= 0.0) && (adists, adists.sorted).zipped.forall(_ == _),
+      "asymmetric distances must be non-negative and ascending")
+    // usefulness, robust to codebook coarseness: the TRUE L2² of PQ's
+    // picks must average well below the corpus mean L2² to the query
+    // (a random pick would sit at the mean; exact recall is measured at
+    // the calibrated 0.3 level at sf0.01 — see Vector.scala scaladoc)
+    def l2sq(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      V.seqSum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), V.vec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val trueD = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+      .select(col("vec_id"), l2sq(col("v"), col("qv")).as("d2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val corpusMean = trueD.values.sum / trueD.size
+    val pickMean = pq.map(r => trueD(r.getLong(0))).sum / pq.length
+    assert(pickMean < 0.8 * corpusMean,
+      s"PQ picks avg true L2²=$pickMean vs corpus mean $corpusMean — not discriminating")
+  }
 }
