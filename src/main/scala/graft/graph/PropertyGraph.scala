@@ -75,24 +75,30 @@ object PropertyGraph {
     * trick GraphX needs for any multi-label graph). */
   val PartIdOffset = 1000000L
 
-  def supplierPartGraph(s: SparkSession, d: String): PropertyGraph = {
-    val sup = supplier(s, d)
-      .select(col("s_suppkey").as("id"), lit("Supplier").as("label"), col("s_name").as("name"))
-    val prt = part(s, d)
-      .select((col("p_partkey") + PartIdOffset).as("id"), lit("Part").as("label"),
-        col("p_name").as("name"))
-    // The edge list (lineitem.distinct, the expensive part) is cached:
-    // Spark's CacheManager matches on the canonicalized plan, so every
-    // graph query in a session reuses ONE materialization instead of
-    // recomputing the distinct per query. At 100 TB this is a persisted
-    // edge table written once.
-    val es = lineitem(s, d)
-      .select(col("l_suppkey").as("src"), (col("l_partkey") + PartIdOffset).as("dst"))
-      .distinct()
-      .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"), lit(1.0).as("weight"))
-      .cache()
-    PropertyGraph(sup.unionByName(prt), es)
-  }
+  // The edge list (lineitem.distinct, the expensive part) is cached once
+  // per (session, dir) and the handle memoized: every graph query in a
+  // session reuses ONE materialization instead of recomputing the
+  // distinct per query, and no query re-issues cache() on an
+  // already-cached plan (which only logs CacheManager warning spam). At
+  // 100 TB this is a persisted edge table written once. The map is
+  // bounded by (#sessions × #sf dirs) — a handful in any harness run.
+  private val graphMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), PropertyGraph]
+
+  def supplierPartGraph(s: SparkSession, d: String): PropertyGraph =
+    graphMemo.computeIfAbsent((s, d), { _ =>
+      val sup = supplier(s, d)
+        .select(col("s_suppkey").as("id"), lit("Supplier").as("label"), col("s_name").as("name"))
+      val prt = part(s, d)
+        .select((col("p_partkey") + PartIdOffset).as("id"), lit("Part").as("label"),
+          col("p_name").as("name"))
+      val es = lineitem(s, d)
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + PartIdOffset).as("dst"))
+        .distinct()
+        .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"), lit(1.0).as("weight"))
+        .cache()
+      PropertyGraph(sup.unionByName(prt), es)
+    })
 
   /** Landmark vertices and the BFS depth bound shared by the Spark and
     * oracle sides of `graph_shortest_paths`. The bound must exceed the
@@ -391,11 +397,15 @@ object PropertyGraph {
           .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
         val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
         val nodeIds = g.nodes.select(col("id"))
-        // the degree-annotated edge list is loop-invariant: cache it so
-        // the 5 iterations scan ONE materialization instead of
-        // recomputing union+degree+join each superstep (at 100 TB this
-        // is the persisted adjacency table every Pregel engine keeps).
-        val withDeg = ue.join(deg, "src").cache()
+        // the degree-annotated edge list is loop-invariant: eagerly
+        // localCheckpoint it so the 5 iterations scan ONE materialization
+        // instead of recomputing union+degree+join each superstep (at
+        // 100 TB this is the persisted adjacency table every Pregel
+        // engine keeps). localCheckpoint, not cache(): the blocks are
+        // query-scoped — the ContextCleaner reclaims them when the RDD is
+        // dereferenced, so five bench/verify runs don't accumulate dead
+        // entries in the CacheManager (the r5 pagerank regression).
+        val withDeg = ue.join(deg, "src").localCheckpoint()
         var ranks = nodeIds.select(col("id"), lit(Scale).as("rank"))
         for (_ <- 1 to PrIters) {
           val contribs = withDeg
