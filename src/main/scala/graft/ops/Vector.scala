@@ -116,6 +116,105 @@ object Vector {
   private[graft] def sqlLshTableBucket(vexpr: String, t: Int): String =
     sqlLshBucketOf(vexpr, tablePlanes(t))
 
+  // ── product-quantization kernel (benched path of ann_pq_topk) ────────
+  final case class PqScore(vec_id: Long, adist: Double)
+
+  /** PQ encode + asymmetric-distance scoring as a typed per-partition
+    * kernel: the 16-entry codebook (deterministic hash-ordered seeds,
+    * cid-sorted) and the query vector are collected at the driver — the
+    * same k-row loop-state boundary KMeans.run uses — and broadcast; each
+    * corpus row is encoded and scored in one narrow pass of while-loops.
+    * Fold order matches [[pqTopkHof]] exactly: per-subspace ‖·‖² is a
+    * left-to-right sum over the 8 dims, the argmin's strict `<` keeps
+    * the lowest code index on ties (array_min struct semantics), and
+    * adist accumulates subspaces m = 0..7 in order — bit-identical to
+    * the HOF form and the DuckDB oracle. */
+  private[graft] def pqTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val cb: Array[Array[Double]] = graft.cluster.KMeans.initCentroids(e, 16)
+      .collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("cv").toArray)
+      .sortBy(_._1).map(_._2)
+    val qv: Array[Double] = e.filter(col("vec_id") === 0L)
+      .select(vec(col("embedding")))
+      .head().getAs[scala.collection.Seq[Double]](0).toArray
+    val bcb = s.sparkContext.broadcast(cb)
+    val bq = s.sparkContext.broadcast(qv)
+    e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val codebook = bcb.value
+        val q = bq.value
+        def l2sub(a: Array[Double], b: Array[Double], m: Int): Double = {
+          var sum = 0.0
+          var i = 0
+          while (i < 8) {
+            val dd = a(m * 8 + i) - b(m * 8 + i)
+            sum += dd * dd
+            i += 1
+          }
+          sum
+        }
+        it.map { case (id, v) =>
+          var adist = 0.0
+          var m = 0
+          while (m < 8) {
+            var bestD = Double.PositiveInfinity
+            var bestC = 0
+            var ci = 0
+            while (ci < codebook.length) {
+              val dd = l2sub(v, codebook(ci), m)
+              if (dd < bestD) { bestD = dd; bestC = ci }
+              ci += 1
+            }
+            adist += l2sub(q, codebook(bestC), m)
+            m += 1
+          }
+          PqScore(id, adist)
+        }
+      }
+      .toDF()
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** The original declarative PQ composition — the oracle's structural
+    * mirror, kept as the bit-parity witness for [[pqTopk]] (VectorSpec
+    * asserts kernel ≡ HOF on collected rows). */
+  private[graft] def pqTopkHof(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cb = graft.cluster.KMeans.initCentroids(e, 16)
+      .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb"))
+    val q = e.filter(col("vec_id") === 0L).select(vec(col("embedding")).as("qv"))
+    // ‖a_m − b_m‖² over subspace m (dims m·8+1 .. m·8+8, 1-indexed)
+    def l2sub(a: Column, b: Column, m: Column): Column =
+      seqSum(transform(sequence(lit(1), lit(8)), i => {
+        val ix = (m * 8 + i).cast("int")
+        val dd = element_at(a, ix) - element_at(b, ix)
+        dd * dd
+      }))
+    e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cb"), col("qv"),
+        transform(sequence(lit(0), lit(7)), m =>
+          array_min(transform(sequence(lit(1), lit(16)), ci => struct(
+            l2sub(col("v"),
+              element_at(col("cb"), ci.cast("int")).getField("cv"), m).as("dist"),
+            ci.as("ci")))).getField("ci")).as("codes"))
+      .select(col("vec_id"),
+        seqSum(transform(sequence(lit(0), lit(7)), m =>
+          l2sub(col("qv"),
+            element_at(col("cb"),
+              element_at(col("codes"), (m + 1).cast("int")).cast("int"))
+              .getField("cv"), m))).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Seq[Q] = Seq(
     // ── F1 feature stats: mean/std/median/min/max per vector ───────────
     // Reference computes 7 scalar stats per image array
@@ -248,10 +347,12 @@ object Vector {
     // (table, bucket) cells; the probe's L cells are broadcast and
     // EQUI-joined; exact cosine ranks inside the candidate union only
     // (max-dedup since a neighbor can collide in several tables). The
-    // corpus is scanned once and never self-joined; at 100 TB with
-    // storage bucketed by (table, bucket) a probe reads L buckets
-    // instead of the corpus. Recall vs exact brute-force is asserted in
-    // VectorSpec.
+    // corpus is scanned once and never self-joined; at 100 TB the cells
+    // table is written `bucketBy(N, cell)` (cell = tbl·256 + bucket, one
+    // column so Spark bucket-prunes) and a probe reads L storage buckets
+    // instead of the corpus — PROVEN in VectorSpec ("LSH cells stored
+    // bucketed"): SelectedBucketsCount ≤ L in the probe plan, identical
+    // top-k. Recall vs exact brute-force is also asserted in VectorSpec.
     Q(
       "ann_lsh_topk",
       (s, d) => {
@@ -326,43 +427,18 @@ object Vector {
     // codes; query scoring is the asymmetric distance Σ_m ‖q_m −
     // cb[m][code_m]‖² — at 100 TB this is why PQ exists: the scored
     // index is codes (8 bytes/vector), not raw floats (256 bytes), and
-    // encoding is a NARROW PER-ROW MAP against a broadcast codebook
-    // (crossJoin of two 1-row broadcast sides; no shuffle, asserted in
-    // PlanSpec). Every distance is a fixed-order sequential fold and
-    // argmins tie-break on the code index, so codes AND distances are
-    // bit-identical in the DuckDB replay. Top-10 by asymmetric distance.
+    // encoding is a NARROW PER-ROW MAP against a broadcast codebook.
+    // The benched path is [[pqTopk]], a typed mapPartitions kernel: one
+    // corpus scan, broadcast codebook, per-row while-loops, top-10 via
+    // TakeOrderedAndProject — no shuffle of the corpus. Its arithmetic
+    // replays the HOF composition [[pqTopkHof]] fold-for-fold (strict <
+    // argmin keeps the lowest code index, += is the left fold), so all
+    // three of kernel, HOF form, and DuckDB replay are bit-identical —
+    // kernel ≡ HOF is asserted in VectorSpec; kernel ≡ oracle is this
+    // query's CORRECTNESS row.
     Q(
       "ann_pq_topk",
-      (s, d) => {
-        val e = embeddings(s, d)
-        val cb = graft.cluster.KMeans.initCentroids(e, 16)
-          .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb"))
-        val q = e.filter(col("vec_id") === 0L).select(vec(col("embedding")).as("qv"))
-        // ‖a_m − b_m‖² over subspace m (dims m·8+1 .. m·8+8, 1-indexed)
-        def l2sub(a: Column, b: Column, m: Column): Column =
-          seqSum(transform(sequence(lit(1), lit(8)), i => {
-            val ix = (m * 8 + i).cast("int")
-            val dd = element_at(a, ix) - element_at(b, ix)
-            dd * dd
-          }))
-        e.filter(col("vec_id") =!= 0L)
-          .select(col("vec_id"), vec(col("embedding")).as("v"))
-          .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
-          .select(col("vec_id"), col("cb"), col("qv"),
-            transform(sequence(lit(0), lit(7)), m =>
-              array_min(transform(sequence(lit(1), lit(16)), ci => struct(
-                l2sub(col("v"),
-                  element_at(col("cb"), ci.cast("int")).getField("cv"), m).as("dist"),
-                ci.as("ci")))).getField("ci")).as("codes"))
-          .select(col("vec_id"),
-            seqSum(transform(sequence(lit(0), lit(7)), m =>
-              l2sub(col("qv"),
-                element_at(col("cb"),
-                  element_at(col("codes"), (m + 1).cast("int")).cast("int"))
-                  .getField("cv"), m))).as("adist"))
-          .orderBy(col("adist").asc, col("vec_id").asc)
-          .limit(10)
-      },
+      (s, d) => pqTopk(s, d),
       Some {
         val l2sub = (a: String, b: String) => sqlSeqSum(
           s"list_transform(range(1, 9), i -> " +

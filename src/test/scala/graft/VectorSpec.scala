@@ -98,6 +98,69 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall@10 = $recall")
   }
 
+  test("LSH cells stored bucketed by cell key: a probe scans L buckets, not the corpus") {
+    // the 100 TB claim behind ann_lsh_topk: the (table, bucket) cells are
+    // WRITTEN bucketed, so a probe's IN-filter on its L cells is pruned
+    // to L storage buckets at plan time instead of scanning the corpus.
+    // Spark prunes buckets only for single-column bucketing, so the cell
+    // key is the combined integer tbl·256 + bucket.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshcells").toString
+    val nBuckets = 32
+    // DisableUnnecessaryBucketedScan turns the bucketed read OFF when the
+    // plan has no bucket-key join/agg — which also drops bucket PRUNING.
+    // A production LSH probe sets this too: pruning IS the utilization.
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoWas = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val withCell = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), V.vec(col("embedding")).as("v"))
+        .select(col("vec_id"), col("v"),
+          explode(array((0 until V.LshTables).map(t =>
+            lit(t * 256) + V.lshTableBucket(col("v"), t)): _*)).as("cell"))
+      withCell.write.mode("overwrite").bucketBy(nBuckets, "cell")
+        .option("path", s"$tmp/cells").saveAsTable("lsh_cells")
+      val probe = withCell.filter(col("vec_id") === 0L)
+        .select(col("cell"), col("v").as("qv")).collect()
+      val cellIds = probe.map(_.getInt(0)).distinct.toSeq
+      val qv = probe.head.getAs[scala.collection.Seq[Double]]("qv").toArray
+      val scan = spark.table("lsh_cells").filter(col("cell").isin(cellIds: _*))
+      // plan-time proof: the scan reads only the probe's buckets
+      val plan = scan.queryExecution.executedPlan.toString()
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"scan must be bucket-pruned:\n$plan")
+      assert(sel.get.group(1).toInt <= cellIds.size &&
+        sel.get.group(2).toInt == nBuckets,
+        s"expected ≤${cellIds.size} of $nBuckets buckets: ${sel.get.matched}")
+      // result-equivalence proof: the bucket-pruned probe ranks the same
+      // top-k as the full ann_lsh_topk pipeline
+      val pruned = scan.filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          V.cosine(col("v"), typedLit(qv)).as("sim"))
+        .groupBy("vec_id").agg(max(col("sim")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toList
+      val full = SparkEntry.queries("ann_lsh_topk")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toList
+      assert(pruned === full)
+    } finally {
+      spark.conf.set(autoKey, autoWas)
+      spark.sql("DROP TABLE IF EXISTS lsh_cells")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("PQ typed kernel is bit-identical to the HOF composition") {
+    val kernel = V.pqTopk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toList
+    val hof = V.pqTopkHof(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toList
+    // exact double equality on purpose: the kernel claims the same fold
+    // order as the HOF form (which the DuckDB oracle replays)
+    assert(kernel === hof)
+  }
+
   test("PQ top-k returns genuinely close vectors under the true L2 metric") {
     val pq = SparkEntry.queries("ann_pq_topk")(spark, sf).collect()
     assert(pq.length === 10)
