@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
   *    array (a bug in dead code); here: 8-connected foreground
   *    components with pixel-count area, exposed-edge perimeter, and a
   *    well-defined convex-hull solidity (monotone chain + shoelace).
-  *  - F5 GLCM texture: Haralick-style co-occurrence features
-  *    (image_classification.py:312-334 — mahotas.haralick). Here the
-  *    well-defined core subset (contrast, energy, homogeneity, entropy)
-  *    over an 8-level quantization × 4 directions.
+  *  - F5 GLCM texture: Haralick co-occurrence features
+  *    (image_classification.py:312-334 — mahotas.haralick). The full
+  *    13-feature Haralick set over a symmetrized 8-level GLCM × 4
+  *    directions (the mahotas shape: 4 rows of 13).
   *
   * JPEG decode is not DuckDB-expressible → the img_* queries are
   * rows-only driver checks, each cross-checked against a local
@@ -188,14 +188,25 @@ object Image {
     }.sortBy(c => (-c.area, -c.perimeter))
   }
 
+  /** All 13 Haralick (1973) texture features for one direction, as the
+    * reference's declared surface (mahotas.haralick via
+    * image_classification.py:312-334) defines them. */
+  final case class Haralick(
+      contrast: Double, energy: Double, homogeneity: Double, entropy: Double,
+      correlation: Double, variance: Double, sum_average: Double,
+      sum_variance: Double, sum_entropy: Double, diff_variance: Double,
+      diff_entropy: Double, imc1: Double, imc2: Double)
+
   /** GLCM features for one direction (dy, dx): 8-level quantization of
-    * 0..255 over a single-offset (asymmetric) co-occurrence matrix — a
-    * deliberate divergence from mahotas.haralick's symmetrized counts.
-    * The four features reported are all transpose-invariant, so each
-    * direction's values equal its sign-reversed twin's; they are NOT the
-    * symmetrized-matrix values. Returns (contrast, energy, homogeneity,
-    * entropy). */
-  def glcm(img: Array[Double], w: Int, h: Int, dy: Int, dx: Int): (Double, Double, Double, Double) = {
+    * 0..255 over a SYMMETRIZED co-occurrence matrix — each pixel pair is
+    * counted in both orders, matching mahotas.haralick's symmetric GLCM
+    * (so px == py and the correlation denominator is simply σx²).
+    * Returns the full 13-feature Haralick set; homogeneity is the
+    * inverse difference moment Σ p/(1+(i−j)²) and all entropies use the
+    * natural log. Degenerate guards: a constant image has σ² = 0 →
+    * correlation = 0, and HX = 0 → imc1 = 0 (mahotas yields NaN there;
+    * a defined 0 keeps the distributed output orderable). */
+  def glcm(img: Array[Double], w: Int, h: Int, dy: Int, dx: Int): Haralick = {
     val levels = 8
     def lvl(v: Double): Int = math.min((v / 256.0 * levels).toInt, levels - 1)
     val counts = Array.ofDim[Long](levels, levels)
@@ -206,30 +217,88 @@ object Image {
       while (x < w) {
         val (ny, nx) = (y + dy, x + dx)
         if (ny >= 0 && ny < h && nx >= 0 && nx < w) {
-          counts(lvl(img(y * w + x)))(lvl(img(ny * w + nx))) += 1
-          total += 1
+          val (a, b) = (lvl(img(y * w + x)), lvl(img(ny * w + nx)))
+          counts(a)(b) += 1
+          counts(b)(a) += 1
+          total += 2
         }
         x += 1
       }
       y += 1
     }
+    // marginals: px(i) (= py(i) by symmetry), p_{x+y}(k), p_{|x−y|}(k)
+    val px = new Array[Double](levels)
+    val ps = new Array[Double](2 * levels - 1)
+    val pd = new Array[Double](levels)
     var contrast = 0.0; var energy = 0.0; var homog = 0.0; var entropy = 0.0
+    var sAB = 0.0; var hxy1 = 0.0
     var a = 0
     while (a < levels) {
       var b = 0
       while (b < levels) {
         val p = counts(a)(b).toDouble / total
+        px(a) += p; ps(a + b) += p; pd(math.abs(a - b)) += p
         if (p > 0) {
           contrast += (a - b) * (a - b) * p
           energy += p * p
-          homog += p / (1 + math.abs(a - b))
+          homog += p / (1 + (a - b) * (a - b))
           entropy -= p * math.log(p)
+          sAB += a * b * p
         }
         b += 1
       }
       a += 1
     }
-    (contrast, energy, homog, entropy)
+    var mu = 0.0; var hx = 0.0
+    a = 0
+    while (a < levels) {
+      mu += a * px(a)
+      if (px(a) > 0) hx -= px(a) * math.log(px(a))
+      a += 1
+    }
+    var variance = 0.0
+    a = 0
+    while (a < levels) { variance += (a - mu) * (a - mu) * px(a); a += 1 }
+    // HXY1/HXY2 need px(i)·py(j) over the full matrix (py = px)
+    var hxy2 = 0.0
+    a = 0
+    while (a < levels) {
+      var b = 0
+      while (b < levels) {
+        val q = px(a) * px(b)
+        if (q > 0) {
+          hxy2 -= q * math.log(q)
+          if (counts(a)(b) > 0) hxy1 -= counts(a)(b).toDouble / total * math.log(q)
+        }
+        b += 1
+      }
+      a += 1
+    }
+    var sumAvg = 0.0; var sumEnt = 0.0
+    var k = 0
+    while (k < 2 * levels - 1) {
+      sumAvg += k * ps(k)
+      if (ps(k) > 0) sumEnt -= ps(k) * math.log(ps(k))
+      k += 1
+    }
+    var sumVar = 0.0
+    k = 0
+    while (k < 2 * levels - 1) { sumVar += (k - sumAvg) * (k - sumAvg) * ps(k); k += 1 }
+    var dMean = 0.0; var diffEnt = 0.0
+    k = 0
+    while (k < levels) {
+      dMean += k * pd(k)
+      if (pd(k) > 0) diffEnt -= pd(k) * math.log(pd(k))
+      k += 1
+    }
+    var diffVar = 0.0
+    k = 0
+    while (k < levels) { diffVar += (k - dMean) * (k - dMean) * pd(k); k += 1 }
+    val corr = if (variance > 0) (sAB - mu * mu) / variance else 0.0
+    val imc1 = if (hx > 0) (entropy - hxy1) / hx else 0.0
+    val imc2 = math.sqrt(math.max(0.0, 1.0 - math.exp(-2.0 * (hxy2 - entropy))))
+    Haralick(contrast, energy, homog, entropy, corr, variance, sumAvg,
+      sumVar, sumEnt, diffVar, diffEnt, imc1, imc2)
   }
 
   /** The 4 Haralick directions (offset 1). */
@@ -299,7 +368,11 @@ object Image {
                               area: Double, solidity: Double, extent: Double,
                               equivalent_diameter: Double, angle: Double)
   final case class GlcmRow(file: String, direction: String, contrast: Double,
-                           energy: Double, homogeneity: Double, entropy: Double)
+                           energy: Double, homogeneity: Double, entropy: Double,
+                           correlation: Double, variance: Double,
+                           sum_average: Double, sum_variance: Double,
+                           sum_entropy: Double, diff_variance: Double,
+                           diff_entropy: Double, imc1: Double, imc2: Double)
 
   private def decoded(s: SparkSession) = Multimodal.jpegBytes(s)
 
@@ -335,7 +408,7 @@ object Image {
       None
     ),
 
-    // ── F5 live: GLCM core features × 4 directions ─────────────────────
+    // ── F5 live: all 13 Haralick features × 4 directions ───────────────
     Q(
       "img_glcm_texture",
       (s, _) => {
@@ -343,8 +416,11 @@ object Image {
         decoded(s).flatMap { case (f, bytes) =>
           val g = Multimodal.decodeJpegGray32(bytes)
           Directions.map { case (name, dy, dx) =>
-            val (c, e, hm, en) = glcm(g, 32, 32, dy, dx)
-            GlcmRow(f, name, c, e, hm, en)
+            val hk = glcm(g, 32, 32, dy, dx)
+            GlcmRow(f, name, hk.contrast, hk.energy, hk.homogeneity,
+              hk.entropy, hk.correlation, hk.variance, hk.sum_average,
+              hk.sum_variance, hk.sum_entropy, hk.diff_variance,
+              hk.diff_entropy, hk.imc1, hk.imc2)
           }
         }.toDF().orderBy("file", "direction")
       },
@@ -385,12 +461,19 @@ object Image {
       }
     ),
 
-    // ── F5 oracle form: GLCM over the 8×8 grid, horizontal pairs ───────
-    // 4-level quantization of [-0.5, 0.5); 56 horizontal neighbor pairs
-    // per vector. All counts are exact integers; the three features are
-    // a FIXED-ORDER expression over those integers, so doubles are
-    // bit-identical on both engines. Per-row HOFs — no shuffle (the
-    // relational explode+groupBy form would shuffle only (pair, count)).
+    // ── F5 oracle form: Haralick GLCM over the 8×8 grid ────────────────
+    // 4-level quantization of [-0.5, 0.5); the 56 horizontal neighbor
+    // pairs, SYMMETRIZED (each pair in both orders → 112 codes) to match
+    // mahotas' symmetric GLCM, so px == py and correlation's denominator
+    // is σx². Emits the 8 log-free Haralick features — contrast, energy,
+    // homogeneity (inverse difference moment), correlation, variance,
+    // sum average, sum variance, difference variance. The 5 log-based
+    // features (entropies, IMC1/2) are exercised by the full kernel in
+    // img_glcm_texture + ImageSpec; ln() is not bit-stable across libm
+    // implementations, so they stay out of the hash-matched form. Every
+    // sum here is an exact small integer folded in fixed order, and the
+    // feature expressions apply the same double ops in the same order on
+    // both engines → bit-identical. Per-row HOFs — no shuffle.
     Q(
       "vec_glcm_texture",
       (s, d) => {
@@ -398,46 +481,77 @@ object Image {
         def lvlOf(x: Column): Column =
           least(greatest(floor((x + 0.5) * 4).cast("int"), lit(0)), lit(3))
         // codes[p] = 4·level(left) + level(right) over the 56 horizontal pairs
-        val codes = transform(sequence(lit(0), lit(55)), i => {
+        val codesAsym = transform(sequence(lit(0), lit(55)), i => {
           val r = (i / 7).cast("long"); val c = i % 7
           lvlOf(element_at(v, (r * 8 + c + 1).cast("int"))) * 4 +
             lvlOf(element_at(v, (r * 8 + c + 2).cast("int")))
         })
-        def cntWhere(f: Column => Column): Column =
-          size(filter(col("codes"), f)).cast("long")
-        def diffIs(d0: Int): Column => Column =
-          c => abs((c / lit(4)).cast("int") - c % 4) === d0
+        val codes2 = concat(codesAsym,
+          transform(codesAsym, c => (c % 4) * 4 + (c / lit(4)).cast("int")))
+        def aOf(c: Column): Column = (c / lit(4)).cast("int")
+        def bOf(c: Column): Column = c % 4
+        def sumOver(f: Column => Column): Column =
+          seqSum(transform(col("codes"), c => f(c).cast("double")))
+        def nd(k: Int): Column =
+          size(filter(col("codes"), c => abs(aOf(c) - bOf(c)) === k)).cast("long")
         val energyNum = seqSum(transform(sequence(lit(0), lit(15)),
           k => { val n = size(filter(col("codes"), c => c === k)); (n * n).cast("double") }))
         embeddings(s, d)
-          .select(col("vec_id"), codes.as("codes"))
+          .select(col("vec_id"), codes2.as("codes"))
           .select(col("vec_id"),
-            (seqSum(transform(col("codes"),
-              c => { val dd = (c / lit(4)).cast("int") - c % 4; (dd * dd).cast("double") }))
-              / 56.0).as("contrast"),
-            (energyNum / 3136.0).as("energy"),
-            (cntWhere(diffIs(0)) / 1.0 + cntWhere(diffIs(1)) / 2.0 +
-              cntWhere(diffIs(2)) / 3.0 + cntWhere(diffIs(3)) / 4.0)
-              .multiply(1.0 / 56.0).as("homogeneity"))
+            (sumOver(c => { val dd = aOf(c) - bOf(c); dd * dd }) / 112.0).as("contrast"),
+            (energyNum / 12544.0).as("energy"),
+            ((nd(0) / 1.0 + nd(1) / 2.0 + nd(2) / 5.0 + nd(3) / 10.0) / 112.0)
+              .as("homogeneity"),
+            (sumOver(c => aOf(c) * bOf(c)) / 112.0).as("sab"),
+            (sumOver(c => aOf(c)) / 112.0).as("mu"),
+            (sumOver(c => aOf(c) * aOf(c)) / 112.0).as("sx2n"),
+            (sumOver(c => aOf(c) + bOf(c)) / 112.0).as("sum_average"),
+            (sumOver(c => { val t = aOf(c) + bOf(c); t * t }) / 112.0).as("ss2n"),
+            (sumOver(c => abs(aOf(c) - bOf(c))) / 112.0).as("sd1n"))
+          .withColumn("variance", col("sx2n") - col("mu") * col("mu"))
+          .select(col("vec_id"), col("contrast"), col("energy"), col("homogeneity"),
+            when(col("variance") === 0.0, 0.0)
+              .otherwise((col("sab") - col("mu") * col("mu")) / col("variance"))
+              .as("correlation"),
+            col("variance"), col("sum_average"),
+            (col("ss2n") - col("sum_average") * col("sum_average")).as("sum_variance"),
+            (col("contrast") - col("sd1n") * col("sd1n")).as("diff_variance"))
           .orderBy("vec_id")
       },
       Some {
         val v = sqlVec("embedding")
         val lvl = (e: String) => s"least(greatest(CAST(floor(($e + 0.5) * 4) AS INT), 0), 3)"
-        val codes = s"list_transform(range(0, 56), i -> " +
+        val codesAsym = s"list_transform(range(0, 56), i -> " +
           s"${lvl(s"$v[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]")} * 4 + " +
           s"${lvl(s"$v[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)]")})"
-        val contrast = sqlSeqSum(
-          "list_transform(codes, c -> CAST(((c // 4) - (c % 4)) * ((c // 4) - (c % 4)) AS DOUBLE))")
+        def sumOver(body: String) = sqlSeqSum(s"list_transform(codes, c -> CAST($body AS DOUBLE))")
         val energy = sqlSeqSum(
           "list_transform(range(0, 16), k -> CAST(len(list_filter(codes, c -> c = k)) * len(list_filter(codes, c -> c = k)) AS DOUBLE))")
-        val cnt = (d0: Int) => s"len(list_filter(codes, c -> abs((c // 4) - (c % 4)) = $d0))"
-        s"""WITH q AS (SELECT vec_id, $codes AS codes FROM embeddings)
-           |SELECT vec_id,
-           |  $contrast / 56.0 AS contrast,
-           |  $energy / 3136.0 AS energy,
-           |  (${cnt(0)} / 1.0 + ${cnt(1)} / 2.0 + ${cnt(2)} / 3.0 + ${cnt(3)} / 4.0) * ${1.0 / 56.0} AS homogeneity
-           |FROM q ORDER BY vec_id""".stripMargin
+        val nd = (d0: Int) => s"len(list_filter(codes, c -> abs((c // 4) - (c % 4)) = $d0))"
+        s"""WITH raw AS (SELECT vec_id, $codesAsym AS codes FROM embeddings),
+           |q AS (SELECT vec_id,
+           |        list_concat(codes, list_transform(codes, c -> (c % 4) * 4 + (c // 4))) AS codes
+           |      FROM raw),
+           |s AS (SELECT vec_id,
+           |  ${sumOver("((c // 4) - (c % 4)) * ((c // 4) - (c % 4))")} / 112.0 AS contrast,
+           |  $energy / 12544.0 AS energy,
+           |  (${nd(0)} / 1.0 + ${nd(1)} / 2.0 + ${nd(2)} / 5.0 + ${nd(3)} / 10.0) / 112.0 AS homogeneity,
+           |  ${sumOver("(c // 4) * (c % 4)")} / 112.0 AS sab,
+           |  ${sumOver("c // 4")} / 112.0 AS mu,
+           |  ${sumOver("(c // 4) * (c // 4)")} / 112.0 AS sx2n,
+           |  ${sumOver("(c // 4) + (c % 4)")} / 112.0 AS sum_average,
+           |  ${sumOver("((c // 4) + (c % 4)) * ((c // 4) + (c % 4))")} / 112.0 AS ss2n,
+           |  ${sumOver("abs((c // 4) - (c % 4))")} / 112.0 AS sd1n
+           |FROM q),
+           |vv AS (SELECT *, sx2n - mu * mu AS variance FROM s)
+           |SELECT vec_id, contrast, energy, homogeneity,
+           |  CASE WHEN variance = 0.0 THEN 0.0
+           |       ELSE (sab - mu * mu) / variance END AS correlation,
+           |  variance, sum_average,
+           |  ss2n - sum_average * sum_average AS sum_variance,
+           |  contrast - sd1n * sd1n AS diff_variance
+           |FROM vv ORDER BY vec_id""".stripMargin
       }
     ),
 

@@ -50,20 +50,53 @@ class ImageSpec extends SparkSpec {
 
   test("GLCM of a constant image: zero contrast, full energy and homogeneity") {
     val flat = Array.fill(32 * 32)(100.0)
-    val (c, e, hm, en) = I.glcm(flat, 32, 32, 0, 1)
-    assert(c === 0.0)
-    assert(e === 1.0)
-    assert(hm === 1.0)
-    assert(en === 0.0)
+    val hk = I.glcm(flat, 32, 32, 0, 1)
+    assert(hk.contrast === 0.0)
+    assert(hk.energy === 1.0)
+    assert(hk.homogeneity === 1.0)
+    assert(hk.entropy === 0.0)
+    assert(hk.correlation === 0.0, "σ² = 0 → guarded to 0")
+    assert(hk.variance === 0.0)
+    assert(hk.sum_average === 6.0, "all mass at level 3 → i+j = 6")
+    assert(hk.sum_variance === 0.0)
+    assert(hk.sum_entropy === 0.0)
+    assert(hk.diff_variance === 0.0)
+    assert(hk.diff_entropy === 0.0)
+    assert(hk.imc1 === 0.0, "HX = 0 → guarded to 0")
+    assert(hk.imc2 === 0.0)
   }
 
   test("GLCM of vertical stripes: d0 sees transitions, d90 does not") {
     // alternating columns of level-0 and level-7 gray
     val img = Array.tabulate(32 * 32)(p => if (p % 32 % 2 == 0) 0.0 else 255.0)
-    val (c0, _, _, _) = I.glcm(img, 32, 32, 0, 1)  // horizontal pairs cross stripes
-    val (c90, _, _, _) = I.glcm(img, 32, 32, -1, 0) // vertical pairs stay inside
+    val c0 = I.glcm(img, 32, 32, 0, 1).contrast  // horizontal pairs cross stripes
+    val c90 = I.glcm(img, 32, 32, -1, 0).contrast // vertical pairs stay inside
     assert(c0 === 49.0, "every horizontal pair jumps 7 levels → contrast 49")
     assert(c90 === 0.0)
+  }
+
+  test("all 13 Haralick features of a 2×2 two-column fixture match hand computation") {
+    // img = [0 255; 0 255], d0: two (0,7) pairs, symmetrized → p(0,7) =
+    // p(7,0) = 0.5. Hand-derived: px = {0→.5, 7→.5}, μ = 3.5, σ² = 12.25,
+    // Σij·p = 0 → correlation = −1; p_{x+y}(7) = 1, p_{|x−y|}(7) = 1;
+    // HX = ln2, HXY = ln2, HXY1 = ln4, HXY2 = ln4 →
+    // imc1 = (ln2−ln4)/ln2 = −1, imc2 = √(1−e^{−2(ln4−ln2)}) = √0.75.
+    val img = Array(0.0, 255.0, 0.0, 255.0)
+    val hk = I.glcm(img, 2, 2, 0, 1)
+    val eps = 1e-12
+    assert(hk.contrast === 49.0)
+    assert(hk.energy === 0.5)
+    assert(hk.homogeneity === 1.0 / 50.0)
+    assert(math.abs(hk.entropy - math.log(2)) < eps)
+    assert(hk.correlation === -1.0)
+    assert(hk.variance === 12.25)
+    assert(hk.sum_average === 7.0)
+    assert(hk.sum_variance === 0.0)
+    assert(hk.sum_entropy === 0.0)
+    assert(hk.diff_variance === 0.0)
+    assert(hk.diff_entropy === 0.0)
+    assert(math.abs(hk.imc1 - -1.0) < eps)
+    assert(math.abs(hk.imc2 - math.sqrt(0.75)) < eps)
   }
 
   test("live img queries run over the JPEG corpus and match local kernels") {
@@ -82,13 +115,22 @@ class ImageSpec extends SparkSpec {
 
     val glcm = SparkEntry.queries("img_glcm_texture")(spark, sf).collect()
     assert(glcm.length === files.length * 4)
-    val (lc, le, lh, len_) = I.glcm(gray, 32, 32, 0, 1)
+    val lhk = I.glcm(gray, 32, 32, 0, 1)
     val gotG = glcm.find(r => r.getAs[String]("file") == f.getName &&
       r.getAs[String]("direction") == "d0").get
-    assert(gotG.getAs[Double]("contrast") === lc)
-    assert(gotG.getAs[Double]("energy") === le)
-    assert(gotG.getAs[Double]("homogeneity") === lh)
-    assert(gotG.getAs[Double]("entropy") === len_)
+    assert(gotG.getAs[Double]("contrast") === lhk.contrast)
+    assert(gotG.getAs[Double]("energy") === lhk.energy)
+    assert(gotG.getAs[Double]("homogeneity") === lhk.homogeneity)
+    assert(gotG.getAs[Double]("entropy") === lhk.entropy)
+    assert(gotG.getAs[Double]("correlation") === lhk.correlation)
+    assert(gotG.getAs[Double]("variance") === lhk.variance)
+    assert(gotG.getAs[Double]("sum_average") === lhk.sum_average)
+    assert(gotG.getAs[Double]("sum_variance") === lhk.sum_variance)
+    assert(gotG.getAs[Double]("sum_entropy") === lhk.sum_entropy)
+    assert(gotG.getAs[Double]("diff_variance") === lhk.diff_variance)
+    assert(gotG.getAs[Double]("diff_entropy") === lhk.diff_entropy)
+    assert(gotG.getAs[Double]("imc1") === lhk.imc1)
+    assert(gotG.getAs[Double]("imc2") === lhk.imc2)
 
     val cont = SparkEntry.queries("img_contour_features")(spark, sf).collect()
     assert(cont.nonEmpty)
