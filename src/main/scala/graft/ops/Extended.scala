@@ -64,6 +64,65 @@ object Extended {
              |GROUP BY bucket ORDER BY bucket""".stripMargin)
     ),
 
+    // ── F2 fidelity form: 3-channel JOINT histogram + L2 normalize ─────
+    // The reference's extract_color_histogram is a 3-D HSV histogram —
+    // cv2.calcHist over channels [0,1,2] with [30,32,32] bins, then
+    // cv2.normalize (default NORM_L2) and reshape(-1)
+    // (image_classification.py:136-171). Same pipeline here at reduced
+    // bins [3,4,4] over three 21-dim slices of the embedding as H/S/V
+    // stand-ins (the testdata has no color images): joint-bucketize each
+    // of the 21 "pixels", count per 48-way joint bin, divide by the
+    // vector's L2 norm of counts, emit the flattened (bin, value) rows
+    // INCLUDING zero bins, exactly as reshape(-1) would. Counts are
+    // exact integers and the L2 norm is one sqrt of an exact integer →
+    // bit-identical doubles. Per-row HOFs + a 48-way explode — narrow,
+    // no shuffle.
+    Q(
+      "vec_histogram_hsv",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        def b3(x: Column): Column =
+          least(greatest(floor((x + 0.5) * 3).cast("int"), lit(0)), lit(2))
+        def b4(x: Column): Column =
+          least(greatest(floor((x + 0.5) * 4).cast("int"), lit(0)), lit(3))
+        val codes = transform(sequence(lit(0), lit(20)), i => {
+          b3(element_at(v, (i + 1).cast("int"))) * 16 +
+            b4(element_at(v, (i + 22).cast("int"))) * 4 +
+            b4(element_at(v, (i + 43).cast("int")))
+        })
+        embeddings(s, d)
+          .select(col("vec_id"), codes.as("codes"))
+          .select(col("vec_id"), col("codes"),
+            sqrt(seqSum(transform(sequence(lit(0), lit(47)), k => {
+              val n = size(filter(col("codes"), c => c === k))
+              (n * n).cast("double")
+            }))).as("l2"))
+          .select(col("vec_id"), col("codes"), col("l2"),
+            explode(sequence(lit(0), lit(47))).as("bin"))
+          .select(col("vec_id"), col("bin").cast("long").as("bin"),
+            (size(filter(col("codes"), c => c === col("bin"))).cast("double")
+              / col("l2")).as("hval"))
+          .orderBy("vec_id", "bin")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        val b3 = (e: String) => s"least(greatest(CAST(floor(($e + 0.5) * 3) AS INT), 0), 2)"
+        val b4 = (e: String) => s"least(greatest(CAST(floor(($e + 0.5) * 4) AS INT), 0), 3)"
+        val codes = s"list_transform(range(0, 21), i -> " +
+          s"${b3(s"$v[CAST(i + 1 AS INT)]")} * 16 + " +
+          s"${b4(s"$v[CAST(i + 22 AS INT)]")} * 4 + " +
+          s"${b4(s"$v[CAST(i + 43 AS INT)]")})"
+        val l2 = "sqrt(" + sqlSeqSum(
+          "list_transform(range(0, 48), k -> CAST(len(list_filter(codes, c -> c = k)) * len(list_filter(codes, c -> c = k)) AS DOUBLE))") + ")"
+        s"""WITH q AS (SELECT vec_id, $codes AS codes FROM embeddings),
+           |n AS (SELECT vec_id, codes, $l2 AS l2 FROM q)
+           |SELECT vec_id, CAST(bin AS BIGINT) AS bin,
+           |       CAST(len(list_filter(codes, c -> c = bin)) AS DOUBLE) / l2 AS hval
+           |FROM n CROSS JOIN (SELECT unnest(range(0, 48)) AS bin) b
+           |ORDER BY vec_id, bin""".stripMargin
+      }
+    ),
+
     // ── F4: edge detection (reference: PIL FIND_EDGES 3×3 Laplacian,
     // image_classification.py:289-310 — dead code). The 64-dim vector
     // is treated as an 8×8 grid; edge energy = mean |4x − N−S−E−W| over
