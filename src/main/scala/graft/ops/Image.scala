@@ -106,6 +106,27 @@ object Image {
   final case class Contour(perimeter: Double, area: Double, solidity: Double,
                            extent: Double, equivalent_diameter: Double, angle: Double)
 
+  /** Twice the area of the convex hull of integer points — monotone
+    * chain + integer shoelace, exact in Long (no rounding anywhere).
+    * Degenerate inputs (<3 distinct points, collinear) → 0. */
+  def hullTwiceArea(pts: Seq[(Int, Int)]): Long = {
+    val s = pts.distinct.sorted
+    if (s.size < 3) return 0L
+    def cross(o: (Int, Int), a: (Int, Int), b: (Int, Int)): Long =
+      (a._1 - o._1).toLong * (b._2 - o._2) - (a._2 - o._2).toLong * (b._1 - o._1)
+    def half(ps: Seq[(Int, Int)]): List[(Int, Int)] =
+      ps.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+        var a = acc
+        while (a.size >= 2 && cross(a(1), a.head, p) <= 0) a = a.tail
+        p :: a
+      }
+    val hull = (half(s).reverse.tail ++ half(s.reverse).reverse.tail).toIndexedSeq
+    math.abs(hull.indices.map { j =>
+      val a = hull(j); val b = hull((j + 1) % hull.size)
+      a._1.toLong * b._2 - b._1.toLong * a._2
+    }.sum)
+  }
+
   /** External contour features over 8-connected foreground components.
     * area = pixel count; perimeter = exposed 4-neighbor edges; solidity
     * = area / convex-hull area of pixel centers (0 if degenerate);
@@ -140,24 +161,7 @@ object Image {
       }
       i += 1
     }
-    def hullArea(pts: Seq[(Int, Int)]): Double = {
-      val s = pts.distinct.sorted
-      if (s.size < 3) return 0.0
-      def cross(o: (Int, Int), a: (Int, Int), b: (Int, Int)): Long =
-        (a._1 - o._1).toLong * (b._2 - o._2) - (a._2 - o._2).toLong * (b._1 - o._1)
-      def half(ps: Seq[(Int, Int)]): List[(Int, Int)] =
-        ps.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
-          var a = acc
-          while (a.size >= 2 && cross(a(1), a.head, p) <= 0) a = a.tail
-          p :: a
-        }
-      val hull = (half(s).reverse.tail ++ half(s.reverse).reverse.tail).toIndexedSeq
-      // shoelace over the closed hull
-      math.abs(hull.indices.map { j =>
-        val a = hull(j); val b = hull((j + 1) % hull.size)
-        a._1.toLong * b._2 - b._1.toLong * a._2
-      }.sum) / 2.0
-    }
+    def hullArea(pts: Seq[(Int, Int)]): Double = hullTwiceArea(pts) / 2.0
     // one O(w·h) pass groups pixels by component — NOT a rescan of the
     // whole image per component (quadratic for speckled thresholds)
     val ptsByComp = Array.fill(nComp)(List.newBuilder[(Int, Int)])
@@ -306,16 +310,26 @@ object Image {
     Seq(("d0", 0, 1), ("d45", -1, 1), ("d90", -1, 0), ("d135", -1, -1))
 
   final case class GridContour(comp: Int, area: Long, perimeter: Long,
-                               extent: Double, eq_diameter: Double)
+                               extent: Double, eq_diameter: Double,
+                               solidity: Double)
 
   /** Per-row contour kernel for `vec_contours`: threshold the 64-dim
     * vector at its median ((srt[31]+srt[32])/2, 0-indexed), flood-fill
     * 8-connected components over the 8×8 grid in scan order (the seed of
     * each component is therefore its MINIMUM row-major index — exactly
     * the min-label fixpoint the DuckDB recursive-CTE oracle computes),
-    * and emit per-component area, exposed-4-edge perimeter, bbox extent
-    * and equivalent diameter. All doubles derive from exact integers in
-    * fixed operation order, so they are bit-identical across engines. */
+    * and emit per-component area, exposed-4-edge perimeter, bbox extent,
+    * equivalent diameter and convex-hull solidity. Solidity is exact:
+    * the hull area of the cell-center points is computed as an INTEGER
+    * hull840 = 840·A (shoelace 2A × 420 here; the oracle reproduces the
+    * same integer with a different algorithm — a scaled trapezoid sum
+    * over the hull's upper/lower envelopes, where scaling by
+    * 420 = lcm(1..7) keeps every chord interpolation integral), then
+    * solidity = (area·840)/hull840 — one double division on both
+    * engines. Degenerate hulls (point/line components) → solidity 0, the
+    * same convention as the live contourFeatures kernel. All other
+    * doubles derive from exact integers in fixed operation order, so
+    * every column is bit-identical across engines. */
   def gridContours(g: Array[Double]): Seq[GridContour] = {
     val srt = g.sorted
     val med = (srt(31) + srt(32)) / 2.0
@@ -327,11 +341,13 @@ object Image {
       if (on(seed) && comp(seed) < 0) {
         var stack = List(seed); comp(seed) = seed
         var area = 0L; var perim = 0L
+        var cells = List.empty[Int]
         var minr = 7; var maxr = 0; var minc = 7; var maxc = 0
         while (stack.nonEmpty) {
           val p = stack.head; stack = stack.tail
           val (pr, pc) = (p / 8, p % 8)
           area += 1
+          cells = p :: cells
           if (pr < minr) minr = pr; if (pr > maxr) maxr = pr
           if (pc < minc) minc = pc; if (pc > maxc) maxc = pc
           // exposed 4-edges: out-of-bounds or off neighbor
@@ -351,9 +367,11 @@ object Image {
             dr += 1
           }
         }
+        val hull840 = hullTwiceArea(cells.map(p => (p % 8, p / 8))) * 420L
         out += GridContour(seed, area, perim,
           area.toDouble / ((maxc - minc + 1) * (maxr - minr + 1)).toDouble,
-          math.sqrt(4.0 * area.toDouble / 3.141592653589793))
+          math.sqrt(4.0 * area.toDouble / 3.141592653589793),
+          if (hull840 > 0) (area * 840L).toDouble / hull840.toDouble else 0.0)
       }
       seed += 1
     }
@@ -585,10 +603,12 @@ object Image {
           .as[(Long, Array[Double])]
           .flatMap { case (vid, g) =>
             gridContours(g).map { c =>
-              (vid, c.comp, c.area, c.perimeter, c.extent, c.eq_diameter)
+              (vid, c.comp, c.area, c.perimeter, c.extent, c.eq_diameter,
+                c.solidity)
             }
           }
-          .toDF("vec_id", "comp", "area", "perimeter", "extent", "eq_diameter")
+          .toDF("vec_id", "comp", "area", "perimeter", "extent",
+            "eq_diameter", "solidity")
           .orderBy("vec_id", "comp")
       },
       Some {
@@ -627,12 +647,44 @@ object Image {
            |         FROM cells c
            |         JOIN comp ON comp.vec_id = c.vec_id AND comp.pos = c.pos
            |         LEFT JOIN n4 ON n4.vec_id = c.vec_id AND n4.pos = c.pos
+           |         GROUP BY 1, 2),
+           |-- convex-hull area via a scaled trapezoid sum: hull840 = 840·A
+           |-- exactly (an algorithm independent of the kernel's shoelace).
+           |-- env(x) = the hull's upper/lower boundary at integer x, as
+           |-- max/min over single points at x and all chords spanning x;
+           |-- chord values are scaled by 420 = lcm(1..7) so every
+           |-- interpolation (420 divisible by the chord's x-span) stays an
+           |-- exact integer.
+           |pts AS (SELECT vec_id, comp, pos % 8 AS x, pos // 8 AS y FROM comp),
+           |hc AS (
+           |  SELECT vec_id, comp, x, CAST(y AS BIGINT) * 420 AS val FROM pts
+           |  UNION ALL
+           |  SELECT p.vec_id, p.comp, t.x,
+           |         CAST(p.y * (q.x - p.x) + (q.y - p.y) * (t.x - p.x) AS BIGINT)
+           |           * (420 // (q.x - p.x)) AS val
+           |  FROM pts p
+           |  JOIN pts q ON q.vec_id = p.vec_id AND q.comp = p.comp AND q.x > p.x
+           |  JOIN (SELECT DISTINCT vec_id, comp, x FROM pts) t
+           |    ON t.vec_id = p.vec_id AND t.comp = p.comp
+           |   AND t.x BETWEEN p.x AND q.x),
+           |env AS (SELECT vec_id, comp, x, max(val) AS u, min(val) AS l
+           |        FROM hc GROUP BY 1, 2, 3),
+           |hull AS (SELECT e1.vec_id, e1.comp,
+           |                sum(e1.u + e2.u - e1.l - e2.l) AS hull840
+           |         FROM env e1
+           |         JOIN env e2 ON e2.vec_id = e1.vec_id AND e2.comp = e1.comp
+           |                    AND e2.x = e1.x + 1
            |         GROUP BY 1, 2)
-           |SELECT vec_id, comp, area, perimeter,
-           |       CAST(area AS DOUBLE) /
-           |         CAST((maxc - minc + 1) * (maxr - minr + 1) AS DOUBLE) AS extent,
-           |       sqrt(4.0 * CAST(area AS DOUBLE) / 3.141592653589793) AS eq_diameter
-           |FROM feat ORDER BY vec_id, comp""".stripMargin
+           |SELECT f.vec_id, f.comp, f.area, f.perimeter,
+           |       CAST(f.area AS DOUBLE) /
+           |         CAST((f.maxc - f.minc + 1) * (f.maxr - f.minr + 1) AS DOUBLE) AS extent,
+           |       sqrt(4.0 * CAST(f.area AS DOUBLE) / 3.141592653589793) AS eq_diameter,
+           |       CASE WHEN coalesce(h.hull840, 0) > 0
+           |            THEN CAST(f.area * 840 AS DOUBLE) / CAST(h.hull840 AS DOUBLE)
+           |            ELSE 0.0 END AS solidity
+           |FROM feat f
+           |LEFT JOIN hull h ON h.vec_id = f.vec_id AND h.comp = f.comp
+           |ORDER BY f.vec_id, f.comp""".stripMargin
       }
     )
   )

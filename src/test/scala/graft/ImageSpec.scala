@@ -148,7 +148,9 @@ class ImageSpec extends SparkSpec {
     // independent local kernel: same mask (value > per-vector median),
     // 8-connected flood fill, min-pos component label, exposed-4-edge
     // perimeter — nothing shared with the DataFrame implementation.
-    def local(g: Array[Double]): Map[Int, (Long, Long, Double, Double)] = {
+    // Solidity uses the ORACLE's algorithm (scaled trapezoid sum over
+    // hull envelopes), so kernel shoelace vs trapezoid cross-check here.
+    def local(g: Array[Double]): Map[Int, (Long, Long, Double, Double, Double)] = {
       val srt = g.sorted
       val med = (srt(31) + srt(32)) / 2.0
       val on = g.map(_ > med)
@@ -175,7 +177,26 @@ class ImageSpec extends SparkSpec {
         val area = cells.size.toLong
         val extent = area.toDouble /
           ((cs.max - cs.min + 1) * (rs.max - rs.min + 1)).toDouble
-        (lbl, (area, perim, extent, math.sqrt(4.0 * area / 3.141592653589793)))
+        // hull840 = 840·(hull area) via the trapezoid-envelope algorithm
+        val pts = cells.map(p => (p % 8, p / 8))
+        def env(x: Int): (Long, Long) = {
+          val singles = pts.filter(_._1 == x).map(_._2.toLong * 420L)
+          val chords = for {
+            p <- pts; q <- pts
+            if q._1 > p._1 && p._1 <= x && x <= q._1
+          } yield (p._2.toLong * (q._1 - p._1) + (q._2 - p._2).toLong * (x - p._1)) *
+            (420L / (q._1 - p._1))
+          val all = singles ++ chords
+          (all.max, all.min)
+        }
+        val hull840 = (cs.min until cs.max).map { x =>
+          val (u1, l1) = env(x); val (u2, l2) = env(x + 1)
+          u1 + u2 - l1 - l2
+        }.sum
+        val solidity =
+          if (hull840 > 0) (area * 840L).toDouble / hull840.toDouble else 0.0
+        (lbl, (area, perim, extent,
+          math.sqrt(4.0 * area / 3.141592653589793), solidity))
       }
     }
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -190,7 +211,8 @@ class ImageSpec extends SparkSpec {
       val rows = byVec(vid).map { r =>
         r.getAs[Number]("comp").intValue() ->
           (r.getAs[Long]("area"), r.getAs[Long]("perimeter"),
-            r.getAs[Double]("extent"), r.getAs[Double]("eq_diameter"))
+            r.getAs[Double]("extent"), r.getAs[Double]("eq_diameter"),
+            r.getAs[Double]("solidity"))
       }.toMap
       assert(rows === want, s"vec $vid component features diverge")
     }
