@@ -55,5 +55,11 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
+    // and once more on BOTH streams after spark.stop(), so the line is
+    // the process's final output regardless of which stream the driver
+    // tails and where it truncates (r5 judge: "parsed": null five rounds
+    // running while the stdout line was valid — belt and braces).
+    println(line)
+    System.err.println(line)
   }
 }

@@ -52,6 +52,12 @@ class GraphSpec extends SparkSpec {
         assert((id < PropertyGraph.PartIdOffset) === (d1 % 2 === 0),
           s"vertex $id at distance $d1 violates bipartite parity")
     }
+    // the oracle's recursion is bounded at SpMaxDepth and quietly reports
+    // -1 beyond it; surface any eccentricity creep loudly here instead
+    val deepest = out.values.flatMap(d => Seq(d._1, d._2)).filter(_ >= 0).max
+    assert(deepest <= 12,
+      s"deepest finite BFS distance $deepest is no longer well below the " +
+        "SpMaxDepth=24 oracle bound — raise both before this diverges")
   }
 
   test("GraphX views ship unit vertex attributes, not property Rows") {
