@@ -609,6 +609,9 @@ object Image {
           }
           .toDF("vec_id", "comp", "area", "perimeter", "extent",
             "eq_diameter", "solidity")
+          // the reference's 6th feature is a hardcoded 3.14/2
+          // (image_classification.py:278) — carried for full parity
+          .withColumn("angle", lit(3.14 / 2))
           .orderBy("vec_id", "comp")
       },
       Some {
@@ -681,7 +684,8 @@ object Image {
            |       sqrt(4.0 * CAST(f.area AS DOUBLE) / 3.141592653589793) AS eq_diameter,
            |       CASE WHEN coalesce(h.hull840, 0) > 0
            |            THEN CAST(f.area * 840 AS DOUBLE) / CAST(h.hull840 AS DOUBLE)
-           |            ELSE 0.0 END AS solidity
+           |            ELSE 0.0 END AS solidity,
+           |       3.14 / 2 AS angle
            |FROM feat f
            |LEFT JOIN hull h ON h.vec_id = f.vec_id AND h.comp = f.comp
            |ORDER BY f.vec_id, f.comp""".stripMargin

@@ -97,7 +97,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("per-row vector ops shuffle only for their final global sort") {
-    for (q <- Seq("vec_blur", "vec_glcm_texture", "vec_stats", "vec_edge_energy")) {
+    // vec_histogram_hsv includes a 48-way per-row explode; still narrow —
+    // one scan, no join/agg, only the presentation-sort exchange
+    for (q <- Seq("vec_blur", "vec_glcm_texture", "vec_stats", "vec_edge_energy",
+                  "vec_histogram_hsv")) {
       val p = plan(q)
       val exchanges = "Exchange ".r.findAllIn(p).size
       assert(exchanges <= 1, s"$q should be map-only + one sort exchange:\n$p")
