@@ -138,12 +138,14 @@ object KMeans {
   def run(spark: SparkSession, e: DataFrame, k: Int, maxIter: Int = 100,
           maxSim: Boolean = true): Result = {
     import spark.implicits._
-    // eagerly materialized + lineage-truncated: every iteration's two
-    // scans read these blocks, and — unlike cache() — the ContextCleaner
-    // reclaims them once the returned assignments are dereferenced, so
-    // repeated run() calls in one session don't accumulate dead entries.
+    // lineage-truncated and materialized by iteration 1's action (LAZY:
+    // iterations are strictly sequential driver-loop jobs, so the first
+    // scan persists the blocks — no dedicated materialization pass); and
+    // — unlike cache() — the ContextCleaner reclaims the blocks once the
+    // returned assignments are dereferenced, so repeated run() calls in
+    // one session don't accumulate dead entries.
     val corpus = e.select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def toDriver(df: DataFrame): Array[(Long, Array[Double])] =
       df.collect().map(r => r.getAs[Long]("cid") ->
         r.getAs[scala.collection.Seq[Double]]("cv").toArray)

@@ -266,15 +266,17 @@ object PropertyGraph {
         while (!drained && depth < SpMaxDepth) {
           depth += 1
           val settled = frontiers.reduce(_ union _).select("lm", "id")
-          // eager localCheckpoint materializes the hop AND truncates its
-          // lineage to a LogicalRDD — plan depth stays O(1) per hop
-          // instead of nesting every prior anti-join.
+          // LAZY localCheckpoint + count: the drain check is a full scan,
+          // so it materializes the hop AND truncates its lineage to a
+          // LogicalRDD in ONE job per hop (eager + isEmpty was two) —
+          // plan depth stays O(1) per hop instead of nesting every prior
+          // anti-join.
           val next = frontiers.head.join(ue, frontiers.head("id") === ue("src"))
             .select(col("lm"), ue("dst").as("id")).distinct()
             .join(settled, Seq("lm", "id"), "left_anti")
             .select(col("lm"), col("id"), lit(depth).as("d"))
-            .localCheckpoint()
-          if (next.isEmpty) drained = true
+            .localCheckpoint(false)
+          if (next.count() == 0L) drained = true
           else frontiers ::= next
         }
         require(drained, s"BFS frontier still live at depth bound $SpMaxDepth — " +
@@ -397,15 +399,18 @@ object PropertyGraph {
           .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
         val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
         val nodeIds = g.nodes.select(col("id"))
-        // the degree-annotated edge list is loop-invariant: eagerly
-        // localCheckpoint it so the 5 iterations scan ONE materialization
-        // instead of recomputing union+degree+join each superstep (at
-        // 100 TB this is the persisted adjacency table every Pregel
-        // engine keeps). localCheckpoint, not cache(): the blocks are
-        // query-scoped — the ContextCleaner reclaims them when the RDD is
-        // dereferenced, so five bench/verify runs don't accumulate dead
-        // entries in the CacheManager (the r5 pagerank regression).
-        val withDeg = ue.join(deg, "src").localCheckpoint()
+        // the degree-annotated edge list is loop-invariant: localCheckpoint
+        // it so the 5 iterations scan ONE materialization instead of
+        // recomputing union+degree+join each superstep (at 100 TB this is
+        // the persisted adjacency table every Pregel engine keeps).
+        // localCheckpoint, not cache(): the blocks are query-scoped — the
+        // ContextCleaner reclaims them when the RDD is dereferenced, so
+        // five bench/verify runs don't accumulate dead entries in the
+        // CacheManager (the r5 pagerank regression). LAZY: the iteration
+        // reads are strictly sequential (each superstep depends on the
+        // last), so the first one persists the blocks as a side effect —
+        // no dedicated materialization pass, no duplicate-compute race.
+        val withDeg = ue.join(deg, "src").localCheckpoint(false)
         var ranks = nodeIds.select(col("id"), lit(Scale).as("rank"))
         for (_ <- 1 to PrIters) {
           val contribs = withDeg
