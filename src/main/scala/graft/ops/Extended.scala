@@ -449,6 +449,45 @@ object Extended {
              |  TRUE AS hll_within_5pct,
              |  TRUE AS median_within_5pct
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ── MERGEABLE sketch storage + rollup (the incremental pattern) ────
+    // agg_approx shows a one-shot sketch; at 100 TB the pattern that
+    // actually matters is STORED mergeable sketches: build a DataSketches
+    // HLL per (year, month) partition, persist the binary sketch column,
+    // and answer the yearly distinct-customer question by UNIONING the
+    // stored sketches — rereading per-month sketch rows (bytes) instead
+    // of rescanning the raw fact table. Exact per-year distincts cannot
+    // be rolled up from per-month exact counts (overlap), which is
+    // precisely why the sketch column earns its storage. Verification
+    // follows the agg_approx pattern: exact companion hash-matched, the
+    // union-estimate's 5% error bound pinned TRUE by the oracle.
+    Q(
+      "agg_sketch_rollup",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+        orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+          .write.mode("overwrite").parquet(dir)
+        val rolled = s.read.parquet(dir)
+          .groupBy("yr")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("hll_custs"))
+        val exact = orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+        rolled.join(exact, "yr")
+          .select(col("yr"), col("exact_custs"),
+            (abs(col("hll_custs") - col("exact_custs")) <=
+              col("exact_custs") * 0.05).as("union_within_5pct"))
+          .orderBy("yr")
+      },
+      Some("""SELECT year(o_orderdate) AS yr,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+             |  TRUE AS union_within_5pct
+             |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
     )
   )
 }
