@@ -54,6 +54,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(keeper.collect().map(_.getLong(1)).toList === List(1L))
   }
 
+  test("vector queries on a constant embedding hit their degenerate guards") {
+    // a constant vector never occurs in the generated testdata, so the
+    // σ²=0 correlation guard and the empty-mask contour case only get
+    // exercised here: write a one-row embeddings table and point the
+    // SAME query functions at it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-const-emb").toString
+    Seq((0L, Array.fill(64)(0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // GLCM: one level everywhere → contrast 0, energy 1, homogeneity 1,
+    // variance 0 → correlation takes the guarded-0 branch (not NaN)
+    val g = SparkEntry.queries("vec_glcm_texture")(spark, dir).collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Double]("contrast") === 0.0)
+    assert(g(0).getAs[Double]("energy") === 1.0)
+    assert(g(0).getAs[Double]("homogeneity") === 1.0)
+    assert(g(0).getAs[Double]("variance") === 0.0)
+    assert(g(0).getAs[Double]("correlation") === 0.0, "σ²=0 must guard to 0")
+
+    // contours: mask is (x > median) = all false → no components, and
+    // that is a well-formed empty result, not an error
+    val c = SparkEntry.queries("vec_contours")(spark, dir).collect()
+    assert(c.isEmpty, "a constant vector has no foreground components")
+
+    // hsv histogram: all 21 pixels in one joint bin → that bin is
+    // count/L2 = 21/21 = 1.0 and the other 47 are exact zeros
+    val h = SparkEntry.queries("vec_histogram_hsv")(spark, dir).collect()
+    assert(h.length === 48)
+    val vals = h.map(r => r.getAs[Long]("bin") -> r.getAs[Double]("hval")).toMap
+    assert(vals.values.count(_ === 1.0) === 1)
+    assert(vals.values.count(_ === 0.0) === 47)
+  }
+
   test("min-label fixpoint converges on a 30-link chain without planner blowup") {
     // worst case for label propagation: a path graph, where the min
     // label crawls one hop per iteration (30 iterations here — the depth
