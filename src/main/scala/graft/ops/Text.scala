@@ -665,6 +665,45 @@ object Text {
     // docs per probed pair (measured 610 s at sf0.1; this shape runs in
     // ~1 s).
     Q(
+      "text_decontaminate",
+      (s, d) => {
+        // train/eval DECONTAMINATION — the n-gram overlap check every
+        // training pipeline runs before an eval claim (the GPT-3/Pile
+        // methodology): a train doc is contaminated if its shingle
+        // overlap with the eval set crosses a bar. Production uses long
+        // n-grams where ANY hit contaminates; with word bigrams the
+        // equivalent signal is a HIGH distinct-overlap count (≥ 20 —
+        // common word pairs alone stay well under it, near-copies sail
+        // over). Eval = doc_id % 100 = 7 (deterministic stand-in for a
+        // held-out benchmark). SCALE SHAPE: the eval shingle set is tiny
+        // → deduped and BROADCAST; the train corpus is scanned once,
+        // exploded to (doc, shingle), hash-joined against the broadcast
+        // — no corpus self-join, and only MATCHED shingles reach the
+        // per-doc count shuffle.
+        val sh = documents(s, d)
+          .select(col("doc_id"), wordHashes(tokens(col("text"))).as("wh"))
+          .select(col("doc_id"), array_distinct(shinglesFromWh(col("wh"))).as("sh"))
+        val evalShingles = sh.filter(col("doc_id") % 100 === 7)
+          .select(explode(col("sh")).as("h")).distinct()
+        sh.filter(col("doc_id") % 100 =!= 7)
+          .select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(broadcast(evalShingles), "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 20)
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH $sqlSketchCtes,
+           |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sketch WHERE doc_id % 100 = 7),
+           |tr AS (SELECT doc_id, unnest(sh) AS h FROM sketch WHERE doc_id % 100 <> 7)
+           |SELECT tr.doc_id, count(*) AS n_overlap
+           |FROM tr JOIN ev USING (h)
+           |GROUP BY tr.doc_id HAVING count(*) >= 20
+           |ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    Q(
       "dedup_ngram_jaccard",
       (s, d) => {
         val sk = docSketch(s, d)

@@ -156,6 +156,14 @@ class PlanSpec extends SparkSpec {
       "keep list should drop via an anti join")
   }
 
+  test("decontamination broadcasts the eval shingle set, never a product") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny eval shingle set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"train corpus must hash-join the broadcast, not product:\n$p")
+  }
+
   test("events scan prunes to the columns the window query needs") {
     val scans = scansOf("evt_top_purchasers")
     assert(scans.nonEmpty)
