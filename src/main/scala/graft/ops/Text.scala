@@ -277,6 +277,60 @@ object Text {
       }
     ),
 
+    // ── Gopher-style repetition signals (quality rule family) ──────────
+    // The filter that catches DEGENERATE documents (boilerplate loops,
+    // keyword stuffing, decode glitches) that length/stopword checks
+    // miss: duplicate-word fraction, duplicate-bigram fraction, and the
+    // top single word's frequency share, each an exact integer ratio per
+    // row (Rae et al. 2021 "Gopher" §A1.1 thresholds; flagged =
+    // dup_word > 0.6 OR dup_bigram > 0.6 OR top_word > 0.3 here).
+    // Counts run over the SAME staged word-hash column the dedup family
+    // uses (hash equality ≡ word equality on both engines, so the ratios
+    // are bit-identical). Narrow per-row map: the top-word scan is
+    // O(distinct·n) per row — fine at doc granularity; the corpus-scale
+    // form of the same signal is explode + groupBy, which no query here
+    // needs because the signal is per-document by definition.
+    Q(
+      "text_repetition",
+      (s, d) => {
+        documents(s, d)
+          .select(col("doc_id"), wordHashes(tokens(col("text"))).as("wh"))
+          .select(col("doc_id"), col("wh"),
+            shinglesFromWh(col("wh")).as("bg"))
+          .select(col("doc_id"),
+            ((size(col("wh")) - size(array_distinct(col("wh")))).cast("double") /
+              size(col("wh"))).as("dup_word_ratio"),
+            ((size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+              size(col("bg"))).as("dup_bigram_ratio"),
+            (array_max(transform(array_distinct(col("wh")), w =>
+              size(filter(col("wh"), z => z === w))))
+              .cast("double") / size(col("wh"))).as("top_word_ratio"))
+          .select(col("doc_id"), col("dup_word_ratio"), col("dup_bigram_ratio"),
+            col("top_word_ratio"),
+            (col("dup_word_ratio") > 0.6 || col("dup_bigram_ratio") > 0.6 ||
+              col("top_word_ratio") > 0.3).as("flagged"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val wh = s"list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % $P32)"
+        s"""WITH w AS (SELECT doc_id, $wh AS wh FROM documents),
+           |b AS (SELECT doc_id, wh, CASE WHEN len(wh) >= 2
+           |        THEN list_transform(range(1, len(wh)), i -> wh[i] * 1000003 + wh[i + 1])
+           |        ELSE [wh[1]] END AS bg FROM w),
+           |r AS (SELECT doc_id,
+           |  CAST(len(wh) - len(list_distinct(wh)) AS DOUBLE) / len(wh) AS dup_word_ratio,
+           |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_ratio,
+           |  CAST(list_aggregate(list_transform(list_distinct(wh),
+           |    w -> len(list_filter(wh, z -> z = w))), 'max')
+           |    AS DOUBLE) / len(wh) AS top_word_ratio
+           |FROM b)
+           |SELECT doc_id, dup_word_ratio, dup_bigram_ratio, top_word_ratio,
+           |  (dup_word_ratio > 0.6 OR dup_bigram_ratio > 0.6 OR
+           |   top_word_ratio > 0.3) AS flagged
+           |FROM r ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // ── language ID (stopword-marker heuristic) vs ground truth ────────
     // Deterministic tie-break: fixed en→de→es→fr→zh precedence.
     Q(
