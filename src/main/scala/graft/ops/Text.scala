@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators over `documents.parquet` —
@@ -239,6 +240,46 @@ object Text {
            |  len(list_distinct($t)) AS n_distinct,
            |  CAST(${sqlIntFold(s"list_transform($t, w -> length(w))")} AS DOUBLE) / len($t) AS avg_token_len
            |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ── sequence packing: the batch-construction stage ─────────────────
+    // The last step of a pretraining data pipeline: place documents into
+    // fixed token-budget bins (512 here). The scalable shape is LANED
+    // greedy packing: docs hash into 8 independent lanes (at 100 TB,
+    // O(partitions) lanes), each lane packs by an exclusive running
+    // token sum over deterministic doc order, bin = cumsum div budget.
+    // One hash shuffle by lane; no global sort, no sequential driver
+    // scan — lanes pack in parallel and a doc straddling a bin boundary
+    // is the consumer's truncate/pad (standard practice). offset = the
+    // doc's start position inside its bin. Pure integer window math →
+    // bit-identical in DuckDB.
+    Q(
+      "text_pack_sequences",
+      (s, d) => {
+        val w = Window.partitionBy(col("lane")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 8).as("lane"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("lane"), col("n_tokens"),
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("start_tok"))
+          .select(col("doc_id"), col("lane"), col("n_tokens"),
+            (col("start_tok") / 512).cast("long").as("bin"),
+            (col("start_tok") % 512).as("offset"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val t = "string_split(text, ' ')"
+        s"""WITH n AS (SELECT doc_id, doc_id % 8 AS lane,
+           |             CAST(len($t) AS BIGINT) AS n_tokens FROM documents),
+           |c AS (SELECT doc_id, lane, n_tokens,
+           |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lane ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+           |      FROM n)
+           |SELECT doc_id, lane, n_tokens,
+           |       start_tok // 512 AS bin, start_tok % 512 AS offset
+           |FROM c ORDER BY doc_id""".stripMargin
       }
     ),
 
