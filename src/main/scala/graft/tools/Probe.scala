@@ -14,6 +14,8 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names; pass <- 1 to 2) {
+      if (pass == 1 && sys.env.contains("PROBE_EXPLAIN"))
+        graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
       println(s"PROBE $n pass=$pass rows=$rows sec=${(System.nanoTime() - t0) / 1e9}")
