@@ -80,4 +80,50 @@ class TextSpec extends SparkSpec {
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
+
+  // semantic invariants the oracle CANNOT catch: a bug written
+  // symmetrically into both the Spark query and its SQL mirror would
+  // still hash-match, so the train/eval separation and the packing
+  // arithmetic are pinned here independently.
+  test("decontamination separates train from eval and counts real overlaps") {
+    val out = SparkEntry.queries("text_decontaminate")(spark, sf).collect()
+    assert(out.nonEmpty, "sf0.001 corpus must surface contaminated docs")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 100 !== 7L,
+        "an eval doc must never appear in the contaminated-train list")
+      assert(r.getAs[Long]("n_overlap") >= 20L)
+    }
+    // independent recount for one flagged doc: local bigram sets
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(t: String): Set[(String, String)] =
+      t.split(" ").sliding(2).collect { case Array(a, b) => (a, b) }.toSet
+    val evalSh = docs.filter(_._1 % 100 == 7).values.map(bigrams)
+      .foldLeft(Set.empty[(String, String)])(_ ++ _)
+    val probe = out.head.getAs[Long]("doc_id")
+    assert((bigrams(docs(probe)) & evalSh).size ===
+      out.head.getAs[Long]("n_overlap"),
+      s"doc $probe overlap count must equal a local set intersection")
+  }
+
+  test("sequence packing respects the budget arithmetic per lane") {
+    val rows = SparkEntry.queries("text_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lane"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"), r.getAs[Long]("offset")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, bin, off) =>
+      assert(off >= 0 && off < 512, "a doc starts strictly inside its bin")
+      assert(bin >= 0)
+    }
+    // per lane: replay the greedy cumsum locally and compare placements
+    rows.groupBy(_._2).foreach { case (lane, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, _, n, bin, off) =>
+        assert(bin === cum / 512 && off === cum % 512,
+          s"doc $id in lane $lane placed at ($bin,$off), expected (${cum / 512},${cum % 512})")
+        cum += n
+      }
+    }
+  }
 }
