@@ -329,6 +329,46 @@ object Text {
       }
     ),
 
+    // ── PII redaction (scrub stage) ────────────────────────────────────
+    // Every corpus headed for training passes a PII scrub. The synthetic
+    // corpus contains no PII, so the query INJECTS deterministic email
+    // fixtures in-query (docs with doc_id % 50 = 3 get one appended —
+    // the injection is part of the operator's test harness, stated
+    // openly) and then redacts: regexp_replace to a <EMAIL> token. The
+    // regex sticks to character classes + greedy repetition, semantics
+    // Java regex (Spark) and RE2 (DuckDB) share, so the redacted TEXT is
+    // verified byte-exact via md5 on both engines — not just the match
+    // counts. Narrow per-row map; at 100 TB this is one scan, no
+    // shuffle except the presentation sort.
+    Q(
+      "text_pii_scrub",
+      (s, d) => {
+        val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+        val injected = when(col("doc_id") % 50 === 3,
+          concat(col("text"), lit(" contact user."), col("doc_id"),
+            lit("@example.com now")))
+          .otherwise(col("text"))
+        documents(s, d)
+          .select(col("doc_id"), injected.as("t2"))
+          .select(col("doc_id"),
+            regexp_count(col("t2"), lit(EmailRe)).cast("long").as("n_emails"),
+            md5(regexp_replace(col("t2"), EmailRe, "<EMAIL>")).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val re = "[a-z0-9.]+@[a-z0-9.]+"
+        s"""WITH i AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 50 = 3
+           |       THEN text || ' contact user.' || doc_id || '@example.com now'
+           |       ELSE text END AS t2
+           |FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t2, '$re')) AS BIGINT) AS n_emails,
+           |  md5(regexp_replace(t2, '$re', '<EMAIL>', 'g')) AS scrubbed_md5
+           |FROM i ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // ── Gopher-style repetition signals (quality rule family) ──────────
     // The filter that catches DEGENERATE documents (boilerplate loops,
     // keyword stuffing, decode glitches) that length/stopword checks
