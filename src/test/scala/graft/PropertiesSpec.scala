@@ -97,4 +97,41 @@ class PropertiesSpec extends SparkSpec {
     def agree(x: Long, y: Long) = sigs(x).zip(sigs(y)).count { case (a, b) => a == b }
     assert(agree(1L, 2L) >= agree(1L, 3L))
   }
+
+  test("hull area: shoelace equals the trapezoid-envelope sum on random masks") {
+    // the two independent hull840 algorithms behind vec_contours'
+    // solidity (kernel shoelace × 420 vs the oracle's scaled trapezoid
+    // sum) must agree on ANY point set, including the degenerate shapes
+    // the corpus never produces: single cells, rows, columns, diagonals,
+    // L-shapes. 300 random masks over the 8×8 grid, 1..10 cells each.
+    def trapezoid840(pts: Seq[(Int, Int)]): Long = {
+      val xs = pts.map(_._1)
+      def env(x: Int): (Long, Long) = {
+        val singles = pts.filter(_._1 == x).map(_._2.toLong * 420L)
+        val chords = for {
+          p <- pts; q <- pts
+          if q._1 > p._1 && p._1 <= x && x <= q._1
+        } yield (p._2.toLong * (q._1 - p._1) + (q._2 - p._2).toLong * (x - p._1)) *
+          (420L / (q._1 - p._1))
+        val all = singles ++ chords
+        (all.max, all.min)
+      }
+      (xs.min until xs.max).map { x =>
+        val (u1, l1) = env(x); val (u2, l2) = env(x + 1)
+        u1 + u2 - l1 - l2
+      }.sum
+    }
+    val rng = new scala.util.Random(42L)
+    for (_ <- 1 to 300) {
+      val n = 1 + rng.nextInt(10)
+      val pts = Seq.fill(n)((rng.nextInt(8), rng.nextInt(8))).distinct
+      val shoelace840 = graft.ops.Image.hullTwiceArea(pts) * 420L
+      assert(shoelace840 === trapezoid840(pts),
+        s"hull algorithms diverge on $pts")
+    }
+    // pinned degenerate shapes
+    assert(graft.ops.Image.hullTwiceArea(Seq((3, 3))) === 0L, "point")
+    assert(graft.ops.Image.hullTwiceArea(Seq((0, 0), (7, 7), (3, 3))) === 0L, "diagonal line")
+    assert(graft.ops.Image.hullTwiceArea(Seq((0, 0), (0, 7), (7, 0), (7, 7))) === 98L, "7×7 square")
+  }
 }
