@@ -400,6 +400,102 @@ object Events {
            |SELECT funnel_stage, count(*) AS users
            |FROM stages GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin
       }
+    ),
+
+    // ── per-user exponential moving average (sequential fold) ──────────
+    // EMA is inherently order-dependent — exactly the class of operator
+    // naive SQL gets wrong. The deterministic distributed shape: one
+    // shuffle by user, each user's purchases collected and sorted by
+    // (ts, event_id) — bounded per-user state, same caveat as
+    // sessionize — then a zero-seeded fold e_i = e_{i-1}·0.5 + x_i·0.5.
+    // α = 0.5 is exactly representable and both engines fold the same
+    // doubles in the same order (the oracle prepends the 0.0 seed so
+    // list_reduce replays Spark's aggregate() step-for-step) →
+    // bit-identical.
+    Q(
+      "evt_ema",
+      (s, d) =>
+        eventsUs(s, d).filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+          .select(col("user_id"), size(col("seq")).as("n_events"),
+            aggregate(col("seq"), lit(0.0),
+              (acc, e) => acc * 0.5 + e.getField("value") * 0.5).as("ema"))
+          .orderBy("user_id"),
+      Some {
+        s"""WITH p AS (
+           |  SELECT user_id, $sqlTs AS ts, event_id, value
+           |  FROM events WHERE event_type = 'purchase'),
+           |g AS (
+           |  SELECT user_id, list_sort(list(struct_pack(
+           |           ts := ts, event_id := event_id, value := value))) AS seq
+           |  FROM p GROUP BY user_id)
+           |SELECT user_id, CAST(len(seq) AS INT) AS n_events,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(seq, e -> e.value)),
+           |    (acc, x) -> acc * 0.5 + x * 0.5) AS ema
+           |FROM g ORDER BY user_id""".stripMargin
+      }
+    ),
+
+    // ── rolling z-score anomaly detection ──────────────────────────────
+    // Each purchase is scored against the user's previous ≤20 purchases:
+    // |x − μ| > 3σ flags it. The mean/variance come from EXACT integer
+    // window sums (value quantized to 1e-4 units: q ≤ ~5·10⁶, q² ≤
+    // ~2.4·10¹³, ×20 ≈ 5·10¹⁴ — ample BIGINT headroom; never float
+    // stddev, whose merge order isn't reproducible), then one fixed
+    // double expression per row → bit-identical. One shuffle by user;
+    // the frame is ROWS-bounded so state is O(1) per row at any scale.
+    Q(
+      "evt_rolling_zscore",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        eventsUs(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1e4).cast("long").as("q"))
+          .select(col("user_id"), col("event_id"), col("q"),
+            count(col("q")).over(w).as("n"),
+            sum(col("q")).over(w).as("s1"),
+            sum(col("q") * col("q")).over(w).as("s2"))
+          .filter(col("n") >= 10)
+          .withColumn("mean", col("s1").cast("double") / col("n"))
+          .withColumn("varr",
+            col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+          .filter(col("varr") > 0.0)
+          .withColumn("z",
+            (col("q").cast("double") - col("mean")) / sqrt(col("varr")))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("user_id"), col("event_id"), col("z"))
+          .orderBy("user_id", "event_id")
+      },
+      Some {
+        s"""WITH p AS (
+           |  SELECT user_id, $sqlTs AS ts, event_id,
+           |         CAST(floor(value * 10000) AS BIGINT) AS q
+           |  FROM events WHERE event_type = 'purchase'),
+           |wf AS (
+           |  SELECT user_id, event_id, q,
+           |         count(q) OVER w AS n,
+           |         CAST(sum(q) OVER w AS BIGINT) AS s1,
+           |         CAST(sum(q * q) OVER w AS BIGINT) AS s2
+           |  FROM p
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+           |m AS (
+           |  SELECT user_id, event_id, q, n,
+           |         CAST(s1 AS DOUBLE) / n AS mean,
+           |         CAST(s2 AS DOUBLE) / n -
+           |           (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS varr
+           |  FROM wf WHERE n >= 10),
+           |z AS (
+           |  SELECT user_id, event_id,
+           |         (CAST(q AS DOUBLE) - mean) / sqrt(varr) AS z
+           |  FROM m WHERE varr > 0.0)
+           |SELECT user_id, event_id, z FROM z
+           |WHERE abs(z) > 3.0 ORDER BY user_id, event_id""".stripMargin
+      }
     )
   )
 }
