@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * equi-join on the (cached) edges plus ONE partial min-agg — the
   * per-superstep shape Pregel runs at 100 TB.
   *
-  * Every generation is eagerly `localCheckpoint`'d: the hop is
+  * Every generation is `localCheckpoint`'d (lazily — the convergence
+  * count materializes it in the same job): the hop is
   * materialized AND its lineage truncated to a LogicalRDD, so plan depth
   * stays O(1) per iteration instead of nesting one join per generation —
   * a deep-diameter graph (chain corpus, long near-dup chains) converges
@@ -46,5 +47,44 @@ object Components {
       lbl = next
     }
     lbl
+  }
+
+  /** Min-plus single-source shortest paths over a weighted undirected
+    * edge list — the same relaxation kernel as [[minLabel]] lifted from
+    * the (min, id) semiring to (min, +): Bellman-Ford frontier rounds to
+    * a driver-counted fixpoint, one equi-join + one partial min-agg per
+    * round, every generation lazily localCheckpoint'd and materialized
+    * by the convergence count (one job per round, O(1) plan depth).
+    * The distance frontier stays SPARSE (only reached vertices carry a
+    * row) so there is no +∞ sentinel to overflow.
+    *
+    * @param ue weighted undirected edges (src, dst, w) — both
+    *           directions present, w a non-negative integer (long).
+    * @return (dist, rounds): dist = (id, d) exact shortest distances
+    *         for every vertex reachable from `src`; rounds = relaxation
+    *         rounds until no distance improved (callers with an
+    *         unrolled-CTE oracle must assert rounds ≤ their unroll
+    *         depth, or the oracle under-relaxes). */
+  def minDist(ue: DataFrame, src: Long): (DataFrame, Int) = {
+    val spark = ue.sparkSession
+    import spark.implicits._
+    var dist = Seq((src, 0L)).toDF("id", "d")
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      val cand = ue
+        .join(dist.select(col("id").as("src"), col("d").as("sd")), "src")
+        .select(col("dst").as("id"), (col("sd") + col("w")).as("d"))
+      val next = dist.union(cand)
+        .groupBy("id").agg(min(col("d")).as("d"))
+        .localCheckpoint(false)
+      changed = next
+        .join(dist.select(col("id").as("id2"), col("d").as("old")),
+          col("id") === col("id2"), "left")
+        .filter(col("old").isNull || col("d") < col("old")).count()
+      dist = next
+    }
+    (dist, rounds)
   }
 }

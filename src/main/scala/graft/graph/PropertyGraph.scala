@@ -108,6 +108,12 @@ object PropertyGraph {
   private val SpLandmarks = Seq(1L, 2L)
   private val SpMaxDepth = 24
 
+  /** Unroll depth for `graph_weighted_sssp`'s oracle — must be ≥ the
+    * relaxation rounds the Spark fixpoint actually needed (require'd in
+    * the query; weighted-optimal paths can use more hops than the
+    * unweighted diameter, hence the margin over BFS's observed ~12). */
+  private val WSsspUnroll = 20
+
   /** Fixed-point scale (1.0 ≡ 1e9) and reset mass (0.15 ≡ 1.5e8) for
     * `graph_pagerank_exact`; 5 power iterations. */
   private val Scale = 1000000000L
@@ -444,6 +450,68 @@ object PropertyGraph {
            |r0 AS (SELECT id, CAST($Scale AS BIGINT) AS rank FROM n),
            |$iters
            |SELECT id, rank FROM r$PrIters ORDER BY rank DESC, id LIMIT 20""".stripMargin
+      }
+    ),
+
+    // ── weighted single-source shortest paths (min-plus relaxation) ────
+    // The weighted generalization of graph_shortest_paths — GraphX's
+    // ShortestPaths is hop-count only, so this runs the shared
+    // Components.minDist kernel: Bellman-Ford frontier rounds over
+    // edges weighted by min l_quantity (exact integers 1..50), one
+    // equi-join + one partial min-agg per round, lazily checkpointed.
+    // CONVERGENCE is what the Spark side proves (the loop runs until no
+    // distance improves); the oracle is the pagerank-style UNROLLED CTE
+    // — $WSsspUnroll relaxation layers — and a loud `require` pins
+    // rounds ≤ the unroll depth, so the oracle can never silently
+    // under-relax. A weighted-optimal path may use MORE hops than the
+    // unweighted diameter (a cheap long detour beats an expensive short
+    // edge), hence the generous margin over BFS's observed ~12.
+    Q(
+      "graph_weighted_sssp",
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
+          .agg(min(col("l_quantity")).cast("long").as("w"))
+        val ue = e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
+          .cache()
+        val (dist, rounds) = Components.minDist(ue, SpLandmarks.head)
+        ue.unpersist()
+        require(rounds <= WSsspUnroll,
+          s"weighted SSSP converged in $rounds rounds > unroll depth $WSsspUnroll — " +
+            "raise WSsspUnroll or the oracle under-relaxes")
+        supplierPartGraph(s, d).nodes.select(col("id"))
+          .join(dist, Seq("id"), "left")
+          .select(col("id"), coalesce(col("d"), lit(-1L)).as("dist_w"))
+          .orderBy("id")
+      },
+      Some {
+        // AS MATERIALIZED on every layer: each references its
+        // predecessor TWICE (carry ∪ relax), and DuckDB inlines plain
+        // CTEs — 2^20 plan copies (and a fd explosion on the parquet
+        // scan) without it.
+        val layers = (1 to WSsspUnroll).map { k =>
+          s"""d$k AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+             |  SELECT id, d FROM d${k - 1}
+             |  UNION ALL
+             |  SELECT ue.dst AS id, p.d + ue.w AS d
+             |  FROM d${k - 1} p JOIN ue ON ue.src = p.id) GROUP BY id)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT l_suppkey AS a, l_partkey + $PartIdOffset AS b,
+           |         CAST(min(l_quantity) AS BIGINT) AS w
+           |  FROM lineitem GROUP BY 1, 2),
+           |ue AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst, w FROM e0
+           |  UNION ALL SELECT b, a, w FROM e0),
+           |n AS (SELECT s_suppkey AS id FROM supplier
+           |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+           |d0 AS (SELECT CAST(${SpLandmarks.head} AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+           |$layers
+           |SELECT n.id, coalesce(dd.d, -1) AS dist_w
+           |FROM n LEFT JOIN d$WSsspUnroll dd ON dd.id = n.id
+           |ORDER BY n.id""".stripMargin
       }
     )
   )

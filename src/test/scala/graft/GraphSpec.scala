@@ -60,6 +60,22 @@ class GraphSpec extends SparkSpec {
         "SpMaxDepth=24 oracle bound — raise both before this diverges")
   }
 
+  test("weighted SSSP agrees with BFS on reachability and hop bounds") {
+    val bfs = SparkEntry.queries("graph_shortest_paths")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wd = SparkEntry.queries("graph_weighted_sssp")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfs.keySet === wd.keySet)
+    assert(wd(1L) === 0L, "the source sits at distance 0")
+    for ((id, h) <- bfs) {
+      if (h < 0) assert(wd(id) === -1L, s"$id: reachability must match BFS")
+      else {
+        assert(wd(id) >= h, s"$id: every hop costs ≥ 1, so wdist ≥ hops")
+        assert(wd(id) <= h * 50L, s"$id: the BFS path itself costs ≤ hops × 50")
+      }
+    }
+  }
+
   test("GraphX views ship unit vertex attributes, not property Rows") {
     val g = PropertyGraph.supplierPartGraph(spark, sf)
     // the algorithms need only the vertex id; anything heavier multiplies
