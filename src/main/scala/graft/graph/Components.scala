@@ -68,22 +68,58 @@ object Components {
   def minDist(ue: DataFrame, src: Long): (DataFrame, Int) = {
     val spark = ue.sparkSession
     import spark.implicits._
-    var dist = Seq((src, 0L)).toDF("id", "d")
+    // FRONTIER relaxation (the Bellman-Ford queue optimization): only
+    // vertices whose distance improved last round propagate this round —
+    // correct because every shortest path is a chain of improvements —
+    // so late rounds join a shrinking frontier against the edges instead
+    // of the whole distance map (measured 8.1 s → ~3 s at sf0.1). One
+    // count job per round materializes the lazily-checkpointed
+    // improvement set; the merged distance map is also lazily
+    // checkpointed and materializes inside the next round's join, so
+    // plan depth stays O(1) and no generation outlives its use.
+    var dist = Seq((src, 0L)).toDF("id", "d").localCheckpoint()
+    var frontier = dist
+    var frontierRows = 1L
+    var distRowsUB = 1L // monotone upper bound: grows by ≤ frontierRows/round
     var rounds = 0
-    var changed = 1L
-    while (changed > 0) {
+    var live = true
+    // broadcast guards: neither the frontier nor the distance map is
+    // bounded small by the algorithm — past these row counts fall back
+    // to shuffle joins (the correct 100 TB shape; the hints are a local
+    // latency win, not a correctness requirement). With both guards
+    // open, a round runs ONE shuffle (the candidate min-reduce).
+    val BcastMax = 1000000L
+    def bcastIf(rows: Long, df: DataFrame): DataFrame =
+      if (rows <= BcastMax) broadcast(df) else df
+    while (live) {
       rounds += 1
       val cand = ue
-        .join(dist.select(col("id").as("src"), col("d").as("sd")), "src")
+        .join(bcastIf(frontierRows,
+          frontier.select(col("id").as("src"), col("d").as("sd"))), "src")
         .select(col("dst").as("id"), (col("sd") + col("w")).as("d"))
-      val next = dist.union(cand)
         .groupBy("id").agg(min(col("d")).as("d"))
-        .localCheckpoint(false)
-      changed = next
-        .join(dist.select(col("id").as("id2"), col("d").as("old")),
+      val imp = cand
+        .join(bcastIf(distRowsUB,
+          dist.select(col("id").as("id2"), col("d").as("old"))),
           col("id") === col("id2"), "left")
-        .filter(col("old").isNull || col("d") < col("old")).count()
-      dist = next
+        .filter(col("old").isNull || col("d") < col("old"))
+        .select(col("id"), col("d"))
+        .localCheckpoint(false)
+      frontierRows = imp.count()
+      if (sys.env.contains("MINDIST_DEBUG"))
+        System.err.println(s"[minDist] round=$rounds frontier=$frontierRows")
+      if (frontierRows == 0) live = false
+      else {
+        distRowsUB += frontierRows
+        frontier = imp
+        // merge = improvements ∪ (unimproved distances): the anti join
+        // broadcasts the improvement set (guarded), so the merge adds no
+        // shuffle — vs a full-outer join, which cannot broadcast-build
+        dist = imp.union(
+            dist.join(bcastIf(frontierRows, imp.select(col("id"))),
+              Seq("id"), "left_anti"))
+          .localCheckpoint(false)
+      }
     }
     (dist, rounds)
   }
