@@ -134,4 +134,43 @@ class PropertiesSpec extends SparkSpec {
     assert(graft.ops.Image.hullTwiceArea(Seq((0, 0), (7, 7), (3, 3))) === 0L, "diagonal line")
     assert(graft.ops.Image.hullTwiceArea(Seq((0, 0), (0, 7), (7, 0), (7, 7))) === 98L, "7×7 square")
   }
+
+  test("minDist matches a local Dijkstra on random weighted graphs") {
+    import spark.implicits._
+    // the distributed min-plus kernel vs the textbook sequential
+    // algorithm, on graphs the sf corpus can't produce: disconnected
+    // pieces, self-loops, parallel edges with different weights
+    def dijkstra(n: Int, edges: Seq[(Int, Int, Long)], src: Int): Map[Int, Long] = {
+      val adj = edges.flatMap { case (a, b, w) => Seq((a, (b, w)), (b, (a, w))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map(src -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, src))(
+        Ordering.by[(Long, Int), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (dist(u) == d)
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            if (dist.getOrElse(v, Long.MaxValue) > d + w) {
+              dist(v) = d + w; pq.enqueue((d + w, v))
+            }
+          }
+      }
+      dist.toMap
+    }
+    val rng = new scala.util.Random(7L)
+    for (trial <- 1 to 5) {
+      val n = 8 + rng.nextInt(6)
+      val edges = Seq.fill(n * 2)(
+        (rng.nextInt(n), rng.nextInt(n), 1L + rng.nextInt(9)))
+      val ue = edges.flatMap { case (a, b, w) =>
+        Seq((a.toLong, b.toLong, w), (b.toLong, a.toLong, w))
+      }.toDF("src", "dst", "w")
+      val (got, _) = graft.graph.Components.minDist(ue, 0L)
+      val gotMap = got.collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val want = dijkstra(n, edges, 0)
+      // minDist reports vertices REACHED from src; Dijkstra the same set
+      assert(gotMap === want.filter(_._2 != Long.MaxValue),
+        s"trial $trial diverges (n=$n, edges=$edges)")
+    }
+  }
 }
