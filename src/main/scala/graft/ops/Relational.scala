@@ -656,6 +656,59 @@ object Relational {
               |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
               |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
               |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+
+    // ── SCD2 upsert (MERGE-into / slowly-changing dimension) ───────────
+    // The lakehouse merge pattern every warehouse runs: apply a changes
+    // batch to a dimension producing a validity-interval history —
+    // unchanged rows stay open, matched rows are CLOSED at the change
+    // date and a new current version opens. The changes batch is
+    // synthesized deterministically in-query (custkey % 10 = 1 gets a
+    // +100 balance revision; the corpus ships no changes feed — fixture
+    // stated openly, same convention as text_pii_scrub). SCALE SHAPE:
+    // anti/semi joins on the dimension key with the (small) changes
+    // batch broadcast — at 100 TB this is MERGE's shuffle-free fast
+    // path; partition-overwrite would land the result. Balances go
+    // through DECIMAL(18,2) → DOUBLE (exact: 2-decimal cents < 2^53), so
+    // +100.0 is the identical IEEE op on both engines.
+    Q(
+      "rel_scd2_upsert",
+      (s, d) => {
+        val dim = customer(s, d)
+          .select(col("c_custkey"), dec(col("c_acctbal")).cast("double").as("acctbal"))
+        val ch = dim.filter(col("c_custkey") % 10 === 1)
+          .select(col("c_custkey"), (col("acctbal") + 100.0).as("acctbal"))
+        val from0 = lit("1992-01-01").cast("date")
+        val chDate = lit("2026-06-01").cast("date")
+        val nullDate = lit(null).cast("date")
+        val unchanged = dim
+          .join(broadcast(ch.select(col("c_custkey"))), Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("acctbal"), from0.as("valid_from"),
+            nullDate.as("valid_to"), lit(true).as("is_current"))
+        val closed = dim
+          .join(broadcast(ch.select(col("c_custkey"))), Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("acctbal"), from0.as("valid_from"),
+            chDate.as("valid_to"), lit(false).as("is_current"))
+        val opened = ch
+          .select(col("c_custkey"), col("acctbal"), chDate.as("valid_from"),
+            nullDate.as("valid_to"), lit(true).as("is_current"))
+        unchanged.union(closed).union(opened)
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some(s"""WITH dim AS (
+              |  SELECT c_custkey, CAST(${decSql("c_acctbal")} AS DOUBLE) AS acctbal
+              |  FROM customer),
+              |ch AS (SELECT c_custkey, acctbal + 100.0 AS acctbal
+              |       FROM dim WHERE c_custkey % 10 = 1)
+              |SELECT c_custkey, acctbal, DATE '1992-01-01' AS valid_from,
+              |       CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+              |FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM ch)
+              |UNION ALL
+              |SELECT c_custkey, acctbal, DATE '1992-01-01', DATE '2026-06-01', FALSE
+              |FROM dim WHERE c_custkey IN (SELECT c_custkey FROM ch)
+              |UNION ALL
+              |SELECT c_custkey, acctbal, DATE '2026-06-01', NULL, TRUE FROM ch
+              |ORDER BY c_custkey, valid_from""".stripMargin)
     )
   )
 }
