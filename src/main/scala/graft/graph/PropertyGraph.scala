@@ -2,7 +2,7 @@ package graft.graph
 
 import graft.{Q, Tables}
 import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's property-graph data model, Spark-first. The reference
@@ -448,6 +448,67 @@ object PropertyGraph {
            |n AS (SELECT s_suppkey AS id FROM supplier
            |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
            |r0 AS (SELECT id, CAST($Scale AS BIGINT) AS rank FROM n),
+           |$iters
+           |SELECT id, rank FROM r$PrIters ORDER BY rank DESC, id LIMIT 20""".stripMargin
+      }
+    ),
+
+    // ── personalized PageRank (seeded reset — the recommender variant) ─
+    // Same BIGINT fixed-point power iteration as graph_pagerank_exact,
+    // but the reset mass re-injects at ONE seed vertex instead of
+    // uniformly: r_{i+1}(v) = [v = seed]·0.15·S + 0.85·Σ inflow. The
+    // result ranks vertices by proximity to the seed — the
+    // similar-items/recommendation primitive. Identical per-iteration
+    // plan (one equi-join + one integer partial-agg shuffle against the
+    // checkpointed adjacency); identical unrolled-CTE oracle shape, so
+    // the order-free integer arithmetic stays hash-exact.
+    Q(
+      "graph_ppr_seed",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val ue = g.edges.select(col("src"), col("dst"))
+          .union(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
+        val nodeIds = g.nodes.select(col("id"))
+        val withDeg = ue.join(deg, "src").localCheckpoint(false)
+        val seed = SpLandmarks.head
+        def resetAt(idCol: Column): Column =
+          when(idCol === seed, lit(Reset)).otherwise(lit(0L))
+        var ranks = nodeIds.select(col("id"),
+          when(col("id") === seed, lit(Scale)).otherwise(lit(0L)).as("rank"))
+        for (_ <- 1 to PrIters) {
+          val contribs = withDeg
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(col("dst"),
+              expr("(rank * 85L) div (deg * 100L)").as("contrib"))
+            .groupBy("dst").agg(sum("contrib").as("inflow"))
+          ranks = nodeIds
+            .join(contribs, col("id") === col("dst"), "left")
+            .select(col("id"),
+              (resetAt(col("id")) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        }
+        ranks.orderBy(col("rank").desc, col("id").asc).limit(20)
+      },
+      Some {
+        val seed = SpLandmarks.head
+        val iters = (1 to PrIters).map { i =>
+          s"""c$i AS (
+             |  SELECT ue.dst, CAST(sum((r.rank * 85) // (deg.deg * 100)) AS BIGINT) AS inflow
+             |  FROM ue JOIN deg USING (src) JOIN r${i - 1} r ON r.id = ue.src
+             |  GROUP BY ue.dst),
+             |r$i AS (
+             |  SELECT n.id,
+             |         CASE WHEN n.id = $seed THEN $Reset ELSE 0 END
+             |           + coalesce(c$i.inflow, 0) AS rank
+             |  FROM n LEFT JOIN c$i ON c$i.dst = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH
+           |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+           |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |deg AS (SELECT src, count(*) AS deg FROM ue GROUP BY src),
+           |n AS (SELECT s_suppkey AS id FROM supplier
+           |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+           |r0 AS (SELECT id, CAST(CASE WHEN id = $seed THEN $Scale ELSE 0 END AS BIGINT) AS rank FROM n),
            |$iters
            |SELECT id, rank FROM r$PrIters ORDER BY rank DESC, id LIMIT 20""".stripMargin
       }

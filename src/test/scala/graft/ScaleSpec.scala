@@ -105,6 +105,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("small-files compaction: many tiny files → few sized files, content-exact") {
+    // the 100 TB maintenance op streaming/incremental sinks make
+    // necessary: a directory of tiny files (one per micro-batch) is
+    // compacted to a handful of target-sized files — fewer tasks, fewer
+    // namenode entries, full row fidelity. maxRecordsPerFile bounds the
+    // file size from above; repartition sets the parallelism floor.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val src = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    src.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+    def parquetFiles(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(s"$tmp/small")
+    assert(before >= 32, s"fixture must fragment: $before files")
+    spark.read.parquet(s"$tmp/small")
+      .repartition(2)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000000)
+      .parquet(s"$tmp/compact")
+    val after = parquetFiles(s"$tmp/compact")
+    assert(after <= 4, s"compaction must collapse the file count: $after")
+    // content equality: same keys, same checksum of prices
+    val a = spark.read.parquet(s"$tmp/small")
+      .agg(count(lit(1)), sum("o_orderkey"), sum(Tables.dec(col("o_totalprice")))).head
+    val b = spark.read.parquet(s"$tmp/compact")
+      .agg(count(lit(1)), sum("o_orderkey"), sum(Tables.dec(col("o_totalprice")))).head
+    assert(a === b, "compaction must preserve every row")
+  }
+
   test("schema evolution: mergeSchema unifies drifted parquet generations") {
     // A 100 TB table is written over years by drifting jobs; readers
     // must union generations without rewrites. Two generations with
