@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "cosine_similarity(a, b) takes two array<double> arguments")
         CosineSimilarity(args.head, args(1))
       }))
+    // the whole-operator extension: plans graft.plans.AsOf joins
+    // (AsOfJoinPlan logical nodes) as the native sort-merge AsOfJoinExec
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }

