@@ -29,7 +29,10 @@ import org.apache.spark.sql.internal.SQLConf
   *
   * Both time expressions must be LongType (the graft.plans.AsOf API
   * converts timestamps to epoch micros); a null left time matches
-  * nothing and null right times are skipped.
+  * nothing and null right times are skipped. Several right rows with
+  * EQUAL (key, time) tie on sort order — which of their payloads wins
+  * is sort-stability-dependent; callers needing determinism there must
+  * pre-reduce the right side to one row per (key, time).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,

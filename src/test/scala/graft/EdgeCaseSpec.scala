@@ -88,6 +88,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(vals.values.count(_ === 0.0) === 47)
   }
 
+  test("native as-of join: version selection, no-match nulls, empty right side") {
+    // drive the custom operator directly on adversarial inputs the
+    // corpus query never produces
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "v1"), (1L, 15L, "v2"), (1L, 25L, "v3"), (2L, 6L, "x"))
+      .toDF("k", "rt", "payload")
+    val out = graft.plans.AsOf.join(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    assert(out === Seq(
+      (1L, 10L, "v1"),  // 5 ≤ 10, 15 > 10 → v1
+      (1L, 20L, "v2"),  // latest ≤ 20 is 15 → v2, never v3
+      (2L, 5L, null),   // right exists at 6 > 5 → no version yet
+      (3L, 7L, null)),  // key absent on the right entirely
+      s"as-of version selection diverged: $out")
+    // an empty right side yields all-null payloads, not an error
+    val none = graft.plans.AsOf.join(left, right.filter(col("k") < 0L),
+      Seq("k"), "t", "rt", Seq("payload")).collect()
+    assert(none.length === 4 && none.forall(_.isNullAt(3)))
+  }
+
   test("min-label fixpoint converges on a 30-link chain without planner blowup") {
     // worst case for label propagation: a path graph, where the min
     // label crawls one hop per iteration (30 iterations here — the depth
