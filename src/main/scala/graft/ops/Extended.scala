@@ -340,6 +340,75 @@ object Extended {
               |ORDER BY event_id""".stripMargin)
     ),
 
+    // ── as-of join, FORWARD direction ──────────────────────────────────
+    // The native operator's direction="forward" mode (the merge_asof
+    // surface): for each purchase, the EARLIEST signup at or after it.
+    // Oracle is the symmetric window composition (min over the FOLLOWING
+    // frame) — exact for the same reason the backward pair is: the
+    // testdata has no same-microsecond signup/purchase pair, so the
+    // window's event_id tie-break and the pure time merge coincide.
+    Q(
+      "evt_asof_join_forward",
+      (s, d) => {
+        val ev = graft.ops.Events.eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("us").as("next_signup_us"))
+        graft.plans.AsOf.join(purchases, signups, Seq("user_id"),
+            leftTime = "us", rightTime = "next_signup_us",
+            carried = Seq("next_signup_us"), direction = "forward")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, us, next_signup_us FROM (
+              |  SELECT event_id, user_id, event_type, epoch_us(${graft.ops.Events.sqlTs}) AS us,
+              |    min(CASE WHEN event_type = 'signup' THEN epoch_us(${graft.ops.Events.sqlTs}) END)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(${graft.ops.Events.sqlTs}), event_id
+              |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_us
+              |  FROM events)
+              |WHERE event_type = 'purchase'
+              |ORDER BY event_id""".stripMargin)
+    ),
+
+    // ── as-of join, NEAREST direction ──────────────────────────────────
+    // direction="nearest": whichever of {latest signup ≤ t, earliest
+    // signup ≥ t} is closer in time, equal gaps breaking backward. The
+    // oracle composes BOTH window forms and replays the same
+    // gap-comparison rule — a full cell-exact DuckDB check of the
+    // three-way candidate selection, not just of one direction.
+    Q(
+      "evt_asof_join_nearest",
+      (s, d) => {
+        val ev = graft.ops.Events.eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("us").as("near_signup_us"))
+        graft.plans.AsOf.join(purchases, signups, Seq("user_id"),
+            leftTime = "us", rightTime = "near_signup_us",
+            carried = Seq("near_signup_us"), direction = "nearest")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, us,
+              |  CASE WHEN last_s IS NOT NULL AND (next_s IS NULL OR us - last_s <= next_s - us)
+              |       THEN last_s ELSE next_s END AS near_signup_us
+              |FROM (
+              |  SELECT event_id, user_id, event_type, epoch_us(${graft.ops.Events.sqlTs}) AS us,
+              |    max(CASE WHEN event_type = 'signup' THEN epoch_us(${graft.ops.Events.sqlTs}) END)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(${graft.ops.Events.sqlTs}), event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_s,
+              |    min(CASE WHEN event_type = 'signup' THEN epoch_us(${graft.ops.Events.sqlTs}) END)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(${graft.ops.Events.sqlTs}), event_id
+              |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_s
+              |  FROM events)
+              |WHERE event_type = 'purchase'
+              |ORDER BY event_id""".stripMargin)
+    ),
+
     // ── corr / covar_pop (SURVEY.md Note D): the reference's corrcoef/
     // cov "features" are degenerate (row-0-only); these are the
     // well-defined analogues between embedding dims 1 and 2 per label.

@@ -1,14 +1,21 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.graft.{AsOfJoinPlan, AsOfJoinStrategy, Bridge}
+import org.apache.spark.sql.graft.{AsOfDirection, AsOfJoinPlan, AsOfJoinStrategy, Bridge}
 
 /** DataFrame-facing API for the native as-of join (the tier-(c)
   * whole-operator extension in org.apache.spark.sql.graft.AsOfJoin):
-  * for each left row, attach the `carried` columns of the LATEST right
-  * row with equal keys and rightTime ≤ leftTime, nulls when no such row
-  * exists. Both time columns must be LongType (epoch micros — use
-  * unix_micros upstream).
+  * for each left row, attach the `carried` columns of the right row
+  * selected by `direction` — "backward" (default): the LATEST right
+  * row with equal keys and rightTime ≤ leftTime; "forward": the
+  * EARLIEST with rightTime ≥ leftTime; "nearest": whichever of those
+  * two has the smaller |rightTime − leftTime| (ties break backward) —
+  * nulls when no such row exists. `tolerance` (same units as the time
+  * columns) drops candidates whose gap exceeds it. This is the public
+  * `merge_asof` surface (pandas / Spark's pandas-API). Both time
+  * columns must be LongType (epoch micros — use unix_micros upstream).
+  * NULL keys never match on either side (equi-join semantics); see the
+  * operator scaladoc for tie behavior on equal (key, time).
   *
   * The planner strategy registers idempotently through
   * `spark.experimental.extraStrategies` (the public runtime hook); a
@@ -22,7 +29,11 @@ object AsOf {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      carried: Seq[String]): DataFrame = {
+      carried: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    val dir = AsOfDirection.parse(direction)
+    require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -49,6 +60,7 @@ object AsOf {
       keys.map(attr(rPlan, "right")),
       attr(lPlan, "left")(leftTime),
       attr(rPlan, "right")(rightTime),
-      carried.map(attr(rPlan, "right"))))
+      carried.map(attr(rPlan, "right")),
+      dir, tolerance))
   }
 }

@@ -8,12 +8,30 @@ import org.apache.spark.sql.catalyst.plans.physical.{Distribution, Partitioning,
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
 
+/** The as-of join's match direction. Mirrors the public `merge_asof`
+  * surface (pandas; Spark's pandas-API `merge_asof`): backward takes
+  * the LATEST right row with rightTime ≤ leftTime, forward the
+  * EARLIEST right row with rightTime ≥ leftTime, nearest whichever of
+  * those two candidates has the smaller absolute time gap (equal gaps
+  * break toward the backward candidate).
+  */
+object AsOfDirection extends Enumeration {
+  val Backward, Forward, Nearest = Value
+  def parse(s: String): Value = s.toLowerCase match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"as-of direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 /** A whole-operator Catalyst extension — tier (c) of the build plan's
   * preference order, with the as-of join as its canonical subject: the
   * logical node below, a planner strategy, and a sort-merge physical
-  * operator that matches each left row to the LATEST right row of the
-  * same key with rightTime ≤ leftTime in ONE forward pass per
-  * co-partition.
+  * operator that matches each left row to the right row selected by
+  * `direction` (latest-past / earliest-future / nearest, optionally
+  * within `tolerance` time units) in ONE forward pass per co-partition.
   *
   * Scale design: `requiredChildDistribution` is
   * [[StatefulOpClusteredDistribution]] on the join keys — the exact
@@ -22,17 +40,28 @@ import org.apache.spark.sql.internal.SQLConf
   * AQE may not coalesce asymmetrically (partition counts are pinned) —
   * and `requiredChildOrdering` is (keys, time), so Catalyst plans the
   * per-partition sorts. The merge itself is O(|L| + |R|) per partition
-  * with O(1) state (one held payload row), versus the window
-  * composition's union + carry-forward over the concatenated stream.
-  * `zipPartitions` hard-fails on a partition-count mismatch, so a
-  * broken co-partitioning is loud, never silent.
+  * with O(1) state (at most one held payload row and the one-row right
+  * lookahead), versus the window composition's union + carry-forward
+  * over the concatenated stream. `zipPartitions` hard-fails on a
+  * partition-count mismatch, so a broken co-partitioning is loud,
+  * never silent.
   *
   * Both time expressions must be LongType (the graft.plans.AsOf API
-  * converts timestamps to epoch micros); a null left time matches
-  * nothing and null right times are skipped. Several right rows with
-  * EQUAL (key, time) tie on sort order — which of their payloads wins
-  * is sort-stability-dependent; callers needing determinism there must
-  * pre-reduce the right side to one row per (key, time).
+  * converts timestamps to epoch micros). Semantics at the edges:
+  *   - a null left time matches nothing; right rows with a null time
+  *     are skipped;
+  *   - NULL join keys never match, on either side — SQL equi-join
+  *     semantics, NOT null-safe equality (right rows with any null key
+  *     are skipped; left rows with any null key get null payloads);
+  *   - several right rows with EQUAL (key, time) tie on sort order —
+  *     which payload wins is sort-stability-dependent (backward takes
+  *     the sort-last of the tied group, forward/nearest the
+  *     sort-first); callers needing determinism there must pre-reduce
+  *     the right side to one row per (key, time);
+  *   - `tolerance` (in the time column's units) drops a candidate
+  *     whose gap exceeds it: backward requires leftTime − rightTime ≤
+  *     tolerance, forward rightTime − leftTime ≤ tolerance, nearest
+  *     applies the bound to each candidate before comparing gaps.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -41,7 +70,9 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    carried: Seq[Attribute]) extends BinaryNode {
+    carried: Seq[Attribute],
+    direction: AsOfDirection.Value = AsOfDirection.Backward,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ carried.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,8 +82,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, carried) =>
-      AsOfJoinExec(lk, rk, lt, rt, carried, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, carried, dir, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, carried, dir, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -63,6 +95,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     carried: Seq[Attribute],
+    direction: AsOfDirection.Value,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -93,6 +127,8 @@ case class AsOfJoinExec(
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
     val carriedExprs: Seq[Expression] = carried
+    val dir = direction
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val lKeyProj = UnsafeProjection.create(
@@ -105,15 +141,29 @@ case class AsOfJoinExec(
         BindReferences.bindReferences(carriedExprs, rOut))
       val nullPayload = new GenericInternalRow(carried.length)
       val joined = new JoinedRow
-      val resultProj = UnsafeProjection.create(output, lOut ++ carried)
+      // bind the result against the NULLABLE carried schema — the
+      // operator's output nulls unmatched rows regardless of the right
+      // child's declared nullability, and a BoundReference built from a
+      // non-nullable field would skip the null check and read the type
+      // default (e.g. 0L) out of nullPayload instead of NULL
+      val resultProj = UnsafeProjection.create(
+        output, lOut ++ carried.map(_.withNullability(true)))
+      // backward consumes right rows with time ≤ left time (holding the
+      // last — the latest version); forward/nearest consume strictly
+      // earlier rows and leave the earliest ≥-time row as the lookahead
+      // candidate; nearest additionally holds what it consumes so both
+      // candidates are in hand
+      val consumeEqualTime = dir == AsOfDirection.Backward
+      val holdConsumed = dir != AsOfDirection.Forward
 
       new Iterator[InternalRow] {
         // one-row lookahead into the right side (copied: sort iterators
         // reuse row objects) plus the held latest-version payload
         private var rRow: InternalRow = _
         private var rKey: UnsafeRow = _
-        private var rTimeVal: Any = _
+        private var rTimeVal: Long = 0L
         private var heldKey: UnsafeRow = _
+        private var heldTime: Long = 0L
         private var heldPayload: UnsafeRow = _
         advanceRight()
 
@@ -123,9 +173,12 @@ case class AsOfJoinExec(
             val r = rIt.next()
             val t = rTimeBound.eval(r)
             if (t != null) { // null right times never match anything
-              rRow = r.copy()
-              rKey = rKeyProj(rRow).copy()
-              rTimeVal = t
+              val k = rKeyProj(r)
+              if (!k.anyNull) { // null right keys never match (equi-join)
+                rRow = r.copy()
+                rKey = rKeyProj(rRow).copy()
+                rTimeVal = t.asInstanceOf[Long]
+              }
             }
           }
         }
@@ -135,24 +188,47 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIt.next()
           val lKey = lKeyProj(l)
-          val lTimeVal = lTimeBound.eval(l)
-          // consume right rows with key < leftKey (stale groups) or
-          // key == leftKey and time ≤ leftTime (usable versions — the
-          // LAST one wins, which the (key, time) sort guarantees)
-          var scanning = lTimeVal != null
+          val lTimeRaw = lTimeBound.eval(l)
+          // null left time or null left key → unmatched, and no right
+          // rows are consumed on their behalf (null keys sort first, so
+          // skipping them cannot strand usable right rows)
+          val usable = lTimeRaw != null && !lKey.anyNull
+          val lT = if (usable) lTimeRaw.asInstanceOf[Long] else 0L
+          var scanning = usable
           while (scanning && rRow != null) {
             val c = keyOrd.compare(rKey, lKey)
             if (c < 0) advanceRight()
             else if (c == 0 &&
-              rTimeVal.asInstanceOf[Long] <= lTimeVal.asInstanceOf[Long]) {
-              heldKey = rKey
-              heldPayload = payloadProj(rRow).copy()
+              (rTimeVal < lT || (consumeEqualTime && rTimeVal == lT))) {
+              if (holdConsumed) {
+                heldKey = rKey
+                heldTime = rTimeVal
+                heldPayload = payloadProj(rRow).copy()
+              }
               advanceRight()
             } else scanning = false
           }
-          val matched = lTimeVal != null && heldKey != null &&
-            keyOrd.compare(heldKey, lKey) == 0
-          resultProj(joined(l, if (matched) heldPayload else nullPayload))
+          val backOk = usable && heldKey != null &&
+            keyOrd.compare(heldKey, lKey) == 0 &&
+            tol.forall(lT - heldTime <= _)
+          val fwdOk = usable && rRow != null &&
+            keyOrd.compare(rKey, lKey) == 0 &&
+            tol.forall(rTimeVal - lT <= _)
+          val payload = dir match {
+            case AsOfDirection.Backward =>
+              if (backOk) heldPayload else nullPayload
+            case AsOfDirection.Forward =>
+              if (fwdOk) payloadProj(rRow) else nullPayload
+            case AsOfDirection.Nearest =>
+              if (backOk && fwdOk) {
+                // equal gaps break toward the backward (earlier) row
+                if (lT - heldTime <= rTimeVal - lT) heldPayload
+                else payloadProj(rRow)
+              } else if (backOk) heldPayload
+              else if (fwdOk) payloadProj(rRow)
+              else nullPayload
+          }
+          resultProj(joined(l, payload))
         }
       }
     }

@@ -110,6 +110,76 @@ class EdgeCaseSpec extends SparkSpec {
     assert(none.length === 4 && none.forall(_.isNullAt(3)))
   }
 
+  test("as-of join: forward and nearest directions, tolerance bound") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "v1"), (1L, 15L, "v2"), (1L, 25L, "v3"), (2L, 6L, "x"))
+      .toDF("k", "rt", "payload")
+    def run(dir: String, tol: Option[Long] = None) =
+      graft.plans.AsOf.join(left, right, Seq("k"), "t", "rt", Seq("payload"),
+        direction = dir, tolerance = tol)
+        .orderBy("k", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+
+    // forward: EARLIEST right with rt ≥ t
+    assert(run("forward") === Seq(
+      (1L, 10L, "v2"),  // 15 is the first ≥ 10
+      (1L, 20L, "v3"),  // 25 is the first ≥ 20
+      (2L, 5L, "x"),    // 6 ≥ 5
+      (3L, 7L, null)),  // key absent on the right
+      "forward direction diverged")
+
+    // nearest: min |rt − t|, equal gaps break backward
+    assert(run("nearest") === Seq(
+      (1L, 10L, "v1"),  // gaps 5 (back to 5) vs 5 (fwd to 15) → backward wins the tie
+      (1L, 20L, "v2"),  // gaps 5 (back to 15) vs 5 (fwd to 25) → backward
+      (2L, 5L, "x"),    // only a forward candidate (6)
+      (3L, 7L, null)),
+      "nearest direction / tie-break diverged")
+
+    // tolerance drops candidates whose gap exceeds the bound
+    assert(run("backward", tol = Some(4L)) === Seq(
+      (1L, 10L, null),  // gap to 5 is 5 > 4
+      (1L, 20L, null),  // gap to 15 is 5 > 4
+      (2L, 5L, null),
+      (3L, 7L, null)), "backward tolerance diverged")
+    assert(run("forward", tol = Some(5L)) === Seq(
+      (1L, 10L, "v2"), (1L, 20L, "v3"), (2L, 5L, "x"), (3L, 7L, null)),
+      "forward tolerance (all within 5) diverged")
+    assert(run("nearest", tol = Some(1L)) === Seq(
+      (1L, 10L, null), (1L, 20L, null), (2L, 5L, "x"), (3L, 7L, null)),
+      "nearest tolerance diverged")
+
+    intercept[IllegalArgumentException] { run("sideways") }
+  }
+
+  test("as-of join: non-nullable carried column nulls correctly; null keys never match") {
+    // the carried column here is a primitive Long — non-nullable in the
+    // right child's schema. Unmatched left rows must still read NULL,
+    // not the type default 0L (the result projection binds against the
+    // nullable output schema, not the child's)
+    val left = Seq((1L, 10L), (9L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 777L)).toDF("k", "rt", "payload")
+    val out = graft.plans.AsOf.join(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy("k").collect()
+    assert(out(0).getLong(2) === 777L)
+    assert(out(1).isNullAt(2),
+      s"unmatched row must carry NULL, not a type default: ${out(1)}")
+
+    // NULL join keys: equi-join semantics, never null-safe equality —
+    // a null-keyed left row matches nothing even when a null-keyed
+    // right row exists at an earlier time
+    val lNull = Seq((Option.empty[Long], 10L, "ln"), (Some(1L), 10L, "l1"))
+      .toDF("k", "t", "tag")
+    val rNull = Seq((Option.empty[Long], 5L, "rn"), (Some(1L), 5L, "r1"))
+      .toDF("k", "rt", "payload")
+    val nout = graft.plans.AsOf.join(lNull, rNull, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy(col("k").asc_nulls_first).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getString(3))).toSeq
+    assert(nout === Seq((null, null), (1L, "r1")),
+      s"null keys must never match: $nout")
+  }
+
   test("min-label fixpoint converges on a 30-link chain without planner blowup") {
     // worst case for label propagation: a path graph, where the min
     // label crawls one hop per iteration (30 iterations here — the depth
