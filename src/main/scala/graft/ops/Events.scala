@@ -405,24 +405,38 @@ object Events {
     // ── per-user exponential moving average (sequential fold) ──────────
     // EMA is inherently order-dependent — exactly the class of operator
     // naive SQL gets wrong. The deterministic distributed shape: one
-    // shuffle by user, each user's purchases collected and sorted by
-    // (ts, event_id) — bounded per-user state, same caveat as
-    // sessionize — then a zero-seeded fold e_i = e_{i-1}·0.5 + x_i·0.5.
-    // α = 0.5 is exactly representable and both engines fold the same
-    // doubles in the same order (the oracle prepends the 0.0 seed so
-    // list_reduce replays Spark's aggregate() step-for-step) →
-    // bit-identical.
+    // shuffle by user, then flatMapSortedGroups — Spark's SECONDARY SORT
+    // (a spillable per-partition external sort on (user, ts, event_id),
+    // no aggregation buffer) hands each user's purchases as a
+    // time-ordered ITERATOR, and the zero-seeded fold
+    // e_i = e_{i-1}·0.5 + x_i·0.5 streams over it with O(1) state per
+    // user — a power user's history never materializes in memory, unlike
+    // a collect_list buffer. α = 0.5 is exactly representable, the fold
+    // is the same left-to-right double recurrence on both engines (the
+    // oracle prepends the 0.0 seed so list_reduce replays it
+    // step-for-step) → bit-identical. (A (scale, offset) affine-pair
+    // partial agg would also bound state — the maps compose — but a
+    // tree-shaped buffer merge rounds its additions in a different
+    // order than the sequential fold, so it is NOT guaranteed
+    // bit-stable; the sorted-iterator fold is.)
     Q(
       "evt_ema",
-      (s, d) =>
+      (s, d) => {
+        import s.implicits._
         eventsUs(s, d).filter(col("event_type") === "purchase")
-          .groupBy("user_id")
-          .agg(sort_array(collect_list(
-            struct(col("ts"), col("event_id"), col("value")))).as("seq"))
-          .select(col("user_id"), size(col("seq")).as("n_events"),
-            aggregate(col("seq"), lit(0.0),
-              (acc, e) => acc * 0.5 + e.getField("value") * 0.5).as("ema"))
-          .orderBy("user_id"),
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value"))
+          .as[(Long, Long, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("us"), col("event_id")) { (uid, it) =>
+            var e = 0.0
+            var n = 0
+            it.foreach { r => e = e * 0.5 + r._4 * 0.5; n += 1 }
+            Iterator((uid, n, e))
+          }
+          .toDF("user_id", "n_events", "ema")
+          .orderBy("user_id")
+      },
       Some {
         s"""WITH p AS (
            |  SELECT user_id, $sqlTs AS ts, event_id, value
