@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through VERBATIM instead of
+// routing them through sbt's logger: Bench's one-line JSON result
+// reaches the caller un-prefixed (no "[info] ") and un-truncated, so
+// the driver's parse sees the bare line as emitted.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
