@@ -192,9 +192,18 @@ object Image {
     }.sortBy(c => (-c.area, -c.perimeter))
   }
 
-  /** All 13 Haralick (1973) texture features for one direction, as the
-    * reference's declared surface (mahotas.haralick via
-    * image_classification.py:312-334) defines them. */
+  /** All 13 Haralick (1973) texture features for one direction — the
+    * feature SET the reference's declared surface exposes
+    * (mahotas.haralick via image_classification.py:312-334). Three of
+    * the formulas intentionally follow the 1973 paper's textbook
+    * definitions rather than mahotas' exact implementation quirks:
+    * sum_variance here is the weighted variance of p_{x+y} about
+    * sum_average (mahotas computes it about sum_entropy, the paper's
+    * own transcription quirk), diff_variance is the weighted variance
+    * of p_{|x−y|} (mahotas takes np.var of the vector), and levels are
+    * 0-indexed (mahotas' 1-indexing shifts sum_average by 2). Both
+    * engines here agree bit-for-bit with EACH OTHER — the oracle and
+    * fixture pin these definitions, not mahotas' outputs. */
   final case class Haralick(
       contrast: Double, energy: Double, homogeneity: Double, entropy: Double,
       correlation: Double, variance: Double, sum_average: Double,

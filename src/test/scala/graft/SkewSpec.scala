@@ -68,4 +68,53 @@ class SkewSpec extends SparkSpec {
     assert(parts.exists(!_.contains("salt")),
       s"final stage must hash-partition on (sa, sb):\n$plan")
   }
+
+  test("AQE skew-join splits the hot partition automatically (no manual salt)") {
+    import spark.implicits._
+    // The automatic counterpart to the manual salting above: with
+    // adaptive skew-join handling on, the runtime detects the oversized
+    // shuffle partition from map-output sizes and splits it into
+    // advisory-sized sub-reads, so a hot join key stops being a
+    // straggler WITHOUT query rewrites. Thresholds are scaled down to
+    // test size (the production defaults fire at 256 MB); the plan
+    // assertion is the point — the SMJ must report skew=true.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      // hub-heavy fact side: 95% of rows hit key 0; dimension side flat
+      val rng = new scala.util.Random(11)
+      val fact = (1 to 60000).map { i =>
+        val k = if (rng.nextDouble() < 0.95) 0L else (rng.nextInt(50) + 1).toLong
+        (k, s"payload_${i}_${"x" * 32}")
+      }.toDF("k", "v")
+      val dim = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+      val joined = fact.join(dim, "k")
+      // materialize THIS Dataset's QueryExecution (count() would build
+      // its own), so the adaptive plan below is the final executed one
+      assert(joined.collect().length === 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot partition's sort-merge join skew=true:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
