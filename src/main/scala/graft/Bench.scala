@@ -31,11 +31,16 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     runAll() // warm-up pass at the sf under test (untimed)
-    // best-of-2 timed passes: single-pass timings on this shared box
+    // best-of-3 timed passes: single-pass timings on this shared box
     // swing ±30-50% (same bytecode, both directions — scheduling/JIT/
-    // page-cache variance); the per-query minimum is the stable
-    // steady-state estimate.
-    val results = runAll().zip(runAll()).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    // page-cache variance, plus sustained EXTERNAL load spikes from
+    // other tenants); the per-query minimum over three passes is the
+    // stable steady-state estimate and rides out a noisy window that
+    // best-of-2 cannot.
+    val passes = Seq(runAll(), runAll(), runAll())
+    val results = passes.head.indices.map { i =>
+      passes.head(i)._1 -> passes.map(_(i)._2).min
+    }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // the driver keeps only ~2.3 KB of stdout tail; with 90+ queries a

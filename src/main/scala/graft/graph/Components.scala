@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * stays O(1) per iteration instead of nesting one join per generation —
   * a deep-diameter graph (chain corpus, long near-dup chains) converges
   * without planner blowup (EdgeCaseSpec drives a 30-link chain).
+  *
+  * The per-round driver `count()` is NOT removable by checking
+  * convergence every second round: the count is the one full action
+  * that materializes the LAZY localCheckpoint, so skipping it would
+  * either leave a generation unmaterialized (plan depth grows again) or
+  * force eager checkpoints (two jobs per round — strictly worse). One
+  * job per round is already the minimum for a driver-counted fixpoint.
   * Superseded generations are dereferenced and reclaimed by the
   * ContextCleaner; the caller owns the edge cache.
   */

@@ -58,6 +58,41 @@ object Multimodal {
   def decodeStub(content: Array[Byte]): Array[Double] =
     content.take(8).map(b => (b & 0xff).toDouble)
 
+  final case class AudioFrame(media_id: Long, win_id: Long, n_samples: Long,
+                              sumsq: Long, zcr: Long)
+
+  /** AUDIO stub kernel: payload bytes as synthetic 8-bit PCM (sample =
+    * byte − 100, centered near the corpus's lowercase-letter byte range
+    * so the derived signal actually crosses zero at word boundaries —
+    * a deterministic fake per the multimodal-stub convention; a real
+    * PCM/FLAC decoder drops into this exact seam). Per 256-sample
+    * window: exact integer sum of squares (|s| ≤ 155 → s² ≤ 24 025,
+    * ×256 ≪ 2⁶³) and the zero-crossing count (sign(s_i) ≠ sign(s_{i+1}),
+    * zero counted nonnegative). RMS = sqrt(sumsq/n) is computed later in
+    * ONE double expression from the exact integers — bit-identical on
+    * both engines (sqrt and division are IEEE-exact). */
+  def pcmFrames(mediaId: Long, content: Array[Byte], win: Int): Seq[AudioFrame] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+    var w = 0
+    while (w * win < content.length) {
+      val start = w * win
+      val end = math.min(start + win, content.length)
+      var i = start; var sumsq = 0L; var zcr = 0L
+      var prevNonNeg = false; var first = true
+      while (i < end) {
+        val v = (content(i) & 0xff) - 100
+        sumsq += v.toLong * v
+        val nonNeg = v >= 0
+        if (!first && nonNeg != prevNonNeg) zcr += 1
+        prevNonNeg = nonNeg; first = false
+        i += 1
+      }
+      out += AudioFrame(mediaId, w.toLong, (end - start).toLong, sumsq, zcr)
+      w += 1
+    }
+    out.toSeq
+  }
+
   // ── S4 live path: real JPEG decode (JDK javax.imageio — no new dep) ──
   // Mirrors the reference's cv2.imread → resize(32,32) → BGR2GRAY
   // (image_classification.py:77-97): decode, deterministic area-average
@@ -231,6 +266,46 @@ object Multimodal {
              |  md5(substr(text, f * 100 + 1, 100)) AS frame_md5
              |FROM documents, (SELECT unnest([0, 1, 2, 3]) AS f)
              |ORDER BY media_id, frame""".stripMargin)
+    ),
+
+    // ── audio-modality windowed features (RMS energy + zero crossings) ─
+    // The audio counterpart of the frame-sample stage: payloads as
+    // synthetic PCM, framed into 256-sample windows by the typed
+    // mapPartitions kernel (the seam a real audio decoder occupies —
+    // embarrassingly parallel, payloads never shuffle), then RMS from
+    // the exact integer sum-of-squares in one double expression. The
+    // oracle replays the framing relationally: explode samples with an
+    // index, window = idx/256, lag() for the crossing test.
+    Q(
+      "mm_audio_energy",
+      (s, d) => {
+        import s.implicits._
+        media(s, d)
+          .select(col("media_id"), col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) => pcmFrames(id, bytes, 256) })
+          .toDF()
+          .select(col("media_id"), col("win_id"), col("n_samples"), col("zcr"),
+            sqrt(col("sumsq").cast("double") / col("n_samples")).as("rms"))
+          .orderBy("media_id", "win_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id AS media_id, CAST(i - 1 AS BIGINT) AS idx,
+             |    ascii(text[CAST(i AS INT)]) - 100 AS v
+             |  FROM documents, LATERAL unnest(range(1, len(text) + 1)) AS t(i)),
+             |g AS (
+             |  SELECT media_id, idx // 256 AS win_id, v,
+             |    lag(v) OVER (PARTITION BY media_id, idx // 256 ORDER BY idx) AS pv
+             |  FROM e),
+             |f AS (
+             |  SELECT media_id, win_id, CAST(count(*) AS BIGINT) AS n_samples,
+             |    CAST(sum(v * v) AS BIGINT) AS sumsq,
+             |    CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+             |  FROM g GROUP BY media_id, win_id)
+             |SELECT media_id, win_id, n_samples, zcr,
+             |  sqrt(CAST(sumsq AS DOUBLE) / n_samples) AS rms
+             |FROM f ORDER BY media_id, win_id""".stripMargin)
     ),
 
     // ── cross-modality fusion: text features ⋈ embedding features ──────
