@@ -401,6 +401,33 @@ object Text {
       }
     ),
 
+    // ── text normalization (canonical form ahead of exact dedup) ───────
+    // The canonicalization pass every dedup pipeline runs before exact
+    // hashing: lowercase, strip everything outside [a-z0-9 ], collapse
+    // whitespace runs, trim. Regexes stick to character classes +
+    // greedy repetition (semantics Java regex and RE2 share — the PII
+    // convention), so the normalized TEXT is verified byte-exact via
+    // md5 on both engines. Narrow per-row map, no shuffle except the
+    // presentation sort.
+    Q(
+      "text_normalize",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            trim(regexp_replace(regexp_replace(lower(col("text")),
+              "[^a-z0-9 ]", ""), "  +", " ")).as("norm"))
+          .select(col("doc_id"), length(col("norm")).as("n_norm"),
+            md5(col("norm")).as("norm_md5"))
+          .orderBy("doc_id"),
+      Some("""WITH n AS (SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS norm
+             |FROM documents)
+             |SELECT doc_id, CAST(length(norm) AS INT) AS n_norm,
+             |  md5(norm) AS norm_md5
+             |FROM n ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── Gopher-style repetition signals (quality rule family) ──────────
     // The filter that catches DEGENERATE documents (boilerplate loops,
     // keyword stuffing, decode glitches) that length/stopword checks

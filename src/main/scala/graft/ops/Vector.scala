@@ -260,6 +260,47 @@ object Vector {
       }
     ),
 
+    // ── Johnson-Lindenstrauss random projection (64 → 16 dims) ─────────
+    // The dimensionality-reduction stage ahead of ANN at scale: project
+    // onto 16 deterministic ±1 directions (sign = parity of an integer
+    // hash of (i, j) — the Achlioptas database-friendly scheme, no
+    // stored matrix, reproducible on any engine). Inputs are
+    // floor-quantized to 2^20 units so every dot product is an EXACT
+    // BIGINT sum (order-free, partial-agg-safe) — bit-identical across
+    // engines with no float-fold ceremony. Per-row map + explode; no
+    // shuffle except the presentation sort.
+    Q(
+      "vec_random_projection",
+      (s, d) => {
+        embeddings(s, d)
+          .select(col("vec_id"),
+            transform(vec(col("embedding")),
+              x => floor(x * 1048576.0).cast("long")).as("q"))
+          .select(col("vec_id"), explode(sequence(lit(0), lit(15))).as("j"), col("q"))
+          .select(col("vec_id"), col("j"),
+            aggregate(
+              zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
+                (x, i) => x * when((i * 131071 + col("j") * 524287) % 2 === 0, 1L)
+                  .otherwise(-1L)),
+              lit(0L), (acc, t) => acc + t).as("y"))
+          .orderBy("vec_id", "j")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        s"""WITH q AS (
+           |  SELECT vec_id,
+           |    list_transform($v, x -> CAST(floor(x * 1048576) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |js AS (SELECT unnest(range(0, 16)) AS j)
+           |SELECT vec_id, CAST(js.j AS INT) AS j,
+           |  CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
+           |    i -> q.q[i] * CASE WHEN ((i - 1) * 131071 + js.j * 524287) % 2 = 0
+           |                       THEN 1 ELSE -1 END), 'sum') AS BIGINT) AS y
+           |FROM q, js
+           |ORDER BY vec_id, j""".stripMargin
+      }
+    ),
+
     // ── F6 cosine + top-k similarity search (brute-force baseline) ─────
     // Query vector = vec_id 0; top 20 most-similar corpus vectors.
     // Physical plan: broadcast 1-row query → BroadcastNestedLoopJoin →

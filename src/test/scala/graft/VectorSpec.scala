@@ -185,4 +185,24 @@ class VectorSpec extends SparkSpec {
     assert(pickMean < 0.8 * corpusMean,
       s"PQ picks avg true L2²=$pickMean vs corpus mean $corpusMean — not discriminating")
   }
+
+  test("JL random projection preserves norms in expectation (±20% over the corpus)") {
+    // For ±1 rows r_j, E[(r_j·q)²] = ||q||², so Σ_j y_j² / 16 ≈ ||q||².
+    // Per-vector concentration over 16 dims is loose; averaged over the
+    // corpus the ratio must sit near 1 — the property that makes the
+    // projection usable for distance-based pruning at all.
+    val proj = SparkEntry.queries("vec_random_projection")(spark, sf)
+      .groupBy("vec_id").agg(sum(col("y") * col("y")).as("pn2"))
+    val orig = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        V.seqSum(transform(V.vec(col("embedding")),
+          x => floor(x * 1048576.0).cast("long").cast("double") *
+            floor(x * 1048576.0).cast("long").cast("double"))).as("n2"))
+    val joined = proj.join(orig, "vec_id")
+      .agg(sum(col("pn2").cast("double") / 16.0).as("p"), sum(col("n2")).as("o"))
+      .collect()(0)
+    val ratio = joined.getDouble(0) / joined.getDouble(1)
+    assert(ratio > 0.8 && ratio < 1.2,
+      s"projected/original norm² ratio $ratio outside [0.8, 1.2]")
+  }
 }
