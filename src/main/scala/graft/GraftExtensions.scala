@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the whole-operator extension: plans graft.plans.AsOf joins
     // (AsOfJoinPlan logical nodes) as the native sort-merge AsOfJoinExec
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // the optimizer-rule extension: users who write the textbook HOF
+    // cosine composition get the fused codegen kernel transparently
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.CosineRewriteRule)
   }
 }
