@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface. The reference README advertises "Spark &
   * Kafka streaming" with zero implementation (/root/reference/README.md:2;
@@ -114,5 +114,46 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  // ── transformWithState (Spark 4's arbitrary-state processor API) ─────
+
+  final case class RunningOut(user_id: Long, n: Long, total: Double)
+  final case class RunningState(n: Long, total: Double)
+
+  /** Per-user running (count, total) via the [[StatefulProcessor]]
+    * API — the successor to flatMapGroupsWithState: typed state handles
+    * (ValueState/ListState/MapState) backed by the RocksDB state store,
+    * per-state TTLs, and timers, so per-key state spills to disk
+    * instead of living in executor heap — the shape that carries
+    * billions of keys. State here is ONE fixed-size row per user
+    * (O(1) regardless of history length); each batch's rows fold in
+    * deterministic (ts, event_id) order on top of it. */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, Evt, RunningOut] {
+    @transient private var st: ValueState[RunningState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("totals",
+        Encoders.product[RunningState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Evt],
+                                 tv: TimerValues): Iterator[RunningOut] = {
+      var cur = if (st.exists()) st.get() else RunningState(0L, 0.0)
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        cur = RunningState(cur.n + 1, cur.total + e.value)
+      }
+      st.update(cur)
+      Iterator(RunningOut(key, cur.n, cur.total))
+    }
+  }
+
+  /** Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState's
+    * contract; rocksdbjni ships with Spark. */
+  def runningTotals(spark: SparkSession, events: Dataset[Evt]): Dataset[RunningOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

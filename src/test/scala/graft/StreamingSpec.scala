@@ -208,4 +208,42 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.map(_._2).sorted.toList === List(2L, 2L))
     } finally q.stop()
   }
+
+  test("transformWithState running totals accumulate across triggers on RocksDB state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Evt]
+    val q = Streams.runningTotals(spark, input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Evt(1, ts(0), 1, "p", 2.0),
+        Evt(2, ts(5), 1, "p", 3.0),
+        Evt(3, ts(6), 2, "p", 10.0))
+      q.processAllAvailable()
+      // second trigger: the ValueState from batch 1 must still be there
+      input.addData(Evt(4, ts(10), 1, "p", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("running")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // update mode emits per-trigger snapshots; the LAST row per user
+      // is the accumulated state
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      assert(last(1L) === ((1L, 3L, 10.0)),
+        s"user 1 must have n=3 total=10 after two triggers, got ${last(1L)}")
+      assert(last(2L) === ((2L, 1L, 10.0)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
