@@ -401,6 +401,37 @@ object Text {
       }
     ),
 
+    // ── training-mix rebalancing (language quota downsampling) ─────────
+    // The data-mixing stage: cap each language at ~300 docs by
+    // DETERMINISTIC rate-based sampling — per-lang keep-rate in 2^20
+    // fixed point (exact integer division, no float rates), keep a doc
+    // iff hash(doc_id) mod 2^20 < rate_px. Per-lang counts are a tiny
+    // broadcast; the corpus is scanned once and filtered at the source
+    // — the shape that rebalances a 100 TB mix without a shuffle
+    // (the final per-lang count here is the report, not the pipeline).
+    // Rate-based (not exact-quota) sampling is the standard at scale:
+    // selection is a pure per-row predicate, reproducible under
+    // re-partitioning, retries, and incremental reruns.
+    Q(
+      "text_mix_rebalance",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("lang"))
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("rate_px", least(lit(1048576L), expr("314572800 DIV n")))
+        docs.join(broadcast(counts), "lang")
+          .filter(Tables.detHash(col("doc_id")) % 1048576 < col("rate_px"))
+          .groupBy(col("lang"), col("n"), col("rate_px"))
+          .agg(count(lit(1)).as("kept"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+              |r AS (SELECT lang, n, CAST(least(1048576, 314572800 // n) AS BIGINT) AS rate_px FROM c),
+              |k AS (SELECT d.lang, r.n, r.rate_px FROM documents d JOIN r USING (lang)
+              |      WHERE ${Tables.detHashSql("d.doc_id")} % 1048576 < r.rate_px)
+              |SELECT lang, n, rate_px, count(*) AS kept
+              |FROM k GROUP BY lang, n, rate_px ORDER BY lang""".stripMargin)
+    ),
+
     // ── vocabulary construction: corpus-wide top-k tokens ──────────────
     // The first step of tokenizer training (BPE/unigram start from
     // exact corpus token counts): explode once, partial-agg count (the
