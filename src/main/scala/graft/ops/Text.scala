@@ -401,6 +401,37 @@ object Text {
       }
     ),
 
+    // ── document chunking (strided token windows) ──────────────────────
+    // The segmentation stage ahead of embedding/pretraining: 64-token
+    // windows at stride 32 (trailing windows run short — start positions
+    // are every 32 tokens while they fit, unambiguous and documented).
+    // One explode over chunk indices + array slices — per-row map, no
+    // shuffle; each chunk's text is verified byte-exact via md5 of the
+    // space-rejoined window on both engines.
+    Q(
+      "text_chunk_windows",
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L), expr("CAST(size(toks) - 1 AS BIGINT) DIV 32"))).as("k"))
+          .select(col("doc_id"), col("k").as("chunk_id"),
+            slice(col("toks"), (col("k") * 32 + 1).cast("int"), lit(64)).as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).as("n_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |e AS (SELECT doc_id, toks, unnest(range(0, (len(toks) + 31) // 32)) AS k FROM t),
+             |c AS (SELECT doc_id, k AS chunk_id,
+             |        toks[(k * 32 + 1):least(k * 32 + 64, len(toks))] AS chunk
+             |      FROM e)
+             |SELECT doc_id, chunk_id,
+             |  CAST(len(chunk) AS INT) AS n_tokens,
+             |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
     // ── training-mix rebalancing (language quota downsampling) ─────────
     // The data-mixing stage: cap each language at ~300 docs by
     // DETERMINISTIC rate-based sampling — per-lang keep-rate in 2^20
