@@ -173,4 +173,56 @@ class PropertiesSpec extends SparkSpec {
         s"trial $trial diverges (n=$n, edges=$edges)")
     }
   }
+
+  test("chunk windows cover every token and respect the stride for random doc lengths") {
+    import spark.implicits._
+    // random token counts, including the edge lengths the corpus never
+    // hits: 1 (single short chunk), exactly 64, 64+1, stride multiples
+    val rng = new scala.util.Random(23L)
+    val lengths = Seq(1, 31, 32, 33, 63, 64, 65, 96, 97, 200) ++
+      Seq.fill(10)(1 + rng.nextInt(300))
+    val docs = lengths.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(t => s"t$t").mkString(" "), "en", "src", n)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_prop").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_chunk_windows")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byDoc = out.groupBy(_._1)
+    lengths.zipWithIndex.foreach { case (n, i) =>
+      val chunks = byDoc(i.toLong).sortBy(_._2)
+      // chunk count = floor((n-1)/32) + 1 — starts every 32 tokens
+      assert(chunks.length === (n - 1) / 32 + 1,
+        s"doc len $n: wrong chunk count ${chunks.length}")
+      // sizes: all full 64 except the trailing windows; total coverage ≥ n
+      chunks.dropRight(2).foreach { c =>
+        assert(c._3 === 64, s"doc len $n: interior chunk ${c._2} short (${c._3})")
+      }
+      val last = chunks.last
+      assert(last._3 === n - last._2.toInt * 32,
+        s"doc len $n: trailing chunk size ${last._3}")
+      // stride coverage: token index n-1 falls inside the last window
+      assert(last._2 * 32 + last._3 === n)
+    }
+  }
+
+  test("mix rebalance keeps counts near quota and is a deterministic per-row predicate") {
+    import spark.implicits._
+    val out1 = SparkEntry.queries("text_mix_rebalance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out2 = SparkEntry.queries("text_mix_rebalance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out1.toSeq === out2.toSeq, "selection must be deterministic across runs")
+    out1.foreach { case (lang, n, ratePx, kept) =>
+      assert(kept <= n, s"$lang keeps more than exists")
+      if (ratePx == 1048576L) assert(kept === n, s"$lang: rate 1 must keep all")
+      else {
+        // hash-rate sampling concentrates around n * rate (±40% at these
+        // small n — the property is the mechanism, not tight bounds)
+        val expect = n.toDouble * ratePx / 1048576.0
+        assert(kept > expect * 0.6 && kept < expect * 1.4,
+          s"$lang: kept $kept far from expected $expect")
+      }
+    }
+  }
 }
