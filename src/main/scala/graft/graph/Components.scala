@@ -72,6 +72,45 @@ object Components {
     *         rounds until no distance improved (callers with an
     *         unrolled-CTE oracle must assert rounds ≤ their unroll
     *         depth, or the oracle under-relaxes). */
+  /** k-core decomposition by iterative degree peeling — a third
+    * fixpoint shape next to [[minLabel]] (label spreading) and
+    * [[minDist]] (min-plus relaxation): here the EDGE SET itself
+    * shrinks monotonically. Each round: one partial-agg degree count,
+    * drop every vertex with degree < k (two anti joins, build side
+    * broadcast when small), repeat until no vertex falls below k.
+    * Same lazy-localCheckpoint discipline — each generation's lineage
+    * truncates, and the next round's driver count materializes it —
+    * so plan depth stays O(1) at any peel depth.
+    *
+    * @param ue undirected edges (src, dst), both directions present.
+    * @return (edges, rounds): the surviving k-core edge set (still both
+    *         directions) and the peel rounds to convergence (callers
+    *         with an unrolled-CTE oracle must assert rounds ≤ unroll).
+    */
+  def kCorePeel(ue: DataFrame, k: Int): (DataFrame, Int) = {
+    val BcastMax = 1000000L
+    var edges = ue.localCheckpoint(false)
+    var rounds = 0
+    var live = true
+    while (live) {
+      rounds += 1
+      val bad = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("src").as("v"))
+        .localCheckpoint(false)
+      val nBad = bad.count() // materializes bad AND the current edge gen
+      if (nBad == 0) live = false
+      else {
+        val b = if (nBad <= BcastMax) broadcast(bad) else bad
+        edges = edges
+          .join(b.select(col("v").as("src")), Seq("src"), "left_anti")
+          .join(b.select(col("v").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst")
+          .localCheckpoint(false)
+      }
+    }
+    (edges, rounds)
+  }
+
   def minDist(ue: DataFrame, src: Long): (DataFrame, Int) = {
     val spark = ue.sparkSession
     import spark.implicits._

@@ -185,6 +185,11 @@ object Text {
   private def cachedSimhash(s: SparkSession, d: String): DataFrame =
     simhashMemo.computeIfAbsent((s, d), { _ => simhashSigs(s, d).cache() })
 
+  /** Unroll depth for `dedup_kcore`'s oracle — must be ≥ the peel
+    * rounds the Spark fixpoint actually needed (require'd in the
+    * query); layers past convergence are no-op filters, linear cost. */
+  private val KCoreUnroll = 10
+
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = cachedSketch(s, d)
     val bands = docs.select(col("doc_id"),
@@ -755,6 +760,55 @@ object Text {
               |      UNION ALL SELECT z FROM tri)
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
               |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ── k-core of the near-dup graph (cyclic similarity cores) ─────────
+    // The structural step past triangles: iteratively peel every doc
+    // with < 2 SURVIVING near-dup neighbors. A chain peels from its
+    // endpoints inward — each round the new endpoints drop to degree 1
+    // and fall (the cascade is the point) — until only CYCLES survive:
+    // docs whose similarity is mutually corroborated around a loop
+    // (template families), never pendant or chain-incidental overlap.
+    // (The corpus's ≥0.5 pair graph is near-matching — max degree 3 —
+    // so this is the k that separates structure from noise here; the
+    // kernel takes any k.)
+    // Runs on Components.kCorePeel — a third fixpoint shape next to
+    // min-label and min-plus: the EDGE SET itself shrinks monotonically
+    // (one partial-agg degree count + two anti joins per round, lazily
+    // checkpointed generations). The oracle unrolls the peel as
+    // MATERIALIZED CTE layers — each layer references its predecessor
+    // three times, and materialization stops DuckDB's inliner from
+    // exponentiating the chain; Spark's rounds are `require`'d ≤ the
+    // unroll, so the oracle can never under-peel.
+    Q(
+      "dedup_kcore",
+      (s, d) => {
+        val dup = dupEdges(s, d)
+        val ue = dup.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(dup.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val (edges, rounds) = graft.graph.Components.kCorePeel(ue, 2)
+        require(rounds <= KCoreUnroll,
+          s"k-core peel used $rounds rounds > oracle unroll $KCoreUnroll")
+        edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("core_deg"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val layers = (1 to KCoreUnroll).map { i =>
+          s"""ue$i AS MATERIALIZED (
+             |  SELECT src, dst FROM ue${i - 1}
+             |  WHERE src IN (SELECT src FROM ue${i - 1} GROUP BY src HAVING count(*) >= 2)
+             |    AND dst IN (SELECT src FROM ue${i - 1} GROUP BY src HAVING count(*) >= 2))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlSketchCtes,
+           |$sqlPairCtes,
+           |dup AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+           |ue0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dup
+           |                     UNION ALL SELECT id_b, id_a FROM dup),
+           |$layers
+           |SELECT src AS doc_id, count(*) AS core_deg FROM ue$KCoreUnroll
+           |GROUP BY src ORDER BY doc_id""".stripMargin
+      }
     ),
 
     // ── the preprocessing pipeline as ONE query ────────────────────────
