@@ -183,4 +183,39 @@ class PlanSpec extends SparkSpec {
     assert(!scans.head.requiredSchema.fieldNames.contains("props"),
       "props column must be pruned from the purchase aggregation")
   }
+
+  test("forward/nearest as-of modes plan the same custom operator") {
+    for (q <- Seq("evt_asof_join_forward", "evt_asof_join_nearest")) {
+      val p = plan(q)
+      assert(p.contains("AsOfJoin"), s"$q must plan AsOfJoinExec:\n$p")
+      assert(!p.contains("Window"), s"$q must not fall back to windows:\n$p")
+    }
+  }
+
+  test("mix rebalance broadcasts the per-language rate table") {
+    val p = plan("text_mix_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny per-lang counts must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"selection must be a hash join against the broadcast:\n$p")
+  }
+
+  test("per-row pipeline stages shuffle only for their presentation sort") {
+    // chunking, audio framing, and the JL projection are narrow maps —
+    // exactly ONE exchange (the final ORDER BY's range partitioning)
+    for (q <- Seq("text_chunk_windows", "mm_audio_energy", "vec_random_projection")) {
+      val p = plan(q)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q plans $exchanges exchanges, expected <= 1:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q must not product-join:\n$p")
+    }
+  }
+
+  test("vocab top-k partial-aggregates before the shuffle and takes ordered k") {
+    val p = plan("text_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrderedAndProject, not a full sort:\n$p")
+    assert(p.contains("partial_count") || p.matches("(?s).*HashAggregate.*partial.*"),
+      s"token counts must map-side combine before the shuffle:\n$p")
+  }
 }
