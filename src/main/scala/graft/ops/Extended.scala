@@ -621,6 +621,37 @@ object Extended {
              |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
              |  TRUE AS union_within_5pct
              |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
+    ),
+
+    // ── mergeable frequent-items sketch (approx_top_k family) ──────────
+    // The heavy-hitters counterpart of the HLL rollup: per-language
+    // ApproxTopK sketches ACCUMULATED in one pass, COMBINED across
+    // languages, then estimated — the DataSketches frequent-items
+    // merge path that answers "top tokens overall" from per-partition
+    // sketch rows at 100 TB. Verification follows the agg_approx
+    // convention: the exact top-10 (companion aggregation, hash-
+    // matched) must all appear in the sketch estimate — pinned TRUE by
+    // the oracle. Capacity 64 > the corpus's 31-token vocabulary, so
+    // the guarantee is structural, not probabilistic, at any sf here.
+    Q(
+      "agg_topk_sketch",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("lang"), explode(graft.ops.Text.tokens(col("text"))).as("token"))
+        val sketchItems = toks
+          .groupBy("lang").agg(expr("approx_top_k_accumulate(token, 64)").as("acc"))
+          .agg(expr("approx_top_k_estimate(approx_top_k_combine(acc, 64), 20)").as("tk"))
+          .select(expr("transform(tk, e -> e.item)").as("items"))
+        val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token").asc).limit(10)
+        exact.crossJoin(broadcast(sketchItems))
+          .select(col("token"), col("cnt"),
+            array_contains(col("items"), col("token")).as("in_sketch_topk"))
+          .orderBy(col("cnt").desc, col("token").asc)
+      },
+      Some("""SELECT token, count(*) AS cnt, TRUE AS in_sketch_topk
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10""".stripMargin)
     )
   )
 }

@@ -173,10 +173,10 @@ case class AsOfJoinExec(
             val r = rIt.next()
             val t = rTimeBound.eval(r)
             if (t != null) { // null right times never match anything
-              val k = rKeyProj(r)
+              val k = rKeyProj(r) // projection buffer — copy() detaches it
               if (!k.anyNull) { // null right keys never match (equi-join)
                 rRow = r.copy()
-                rKey = rKeyProj(rRow).copy()
+                rKey = k.copy()
                 rTimeVal = t.asInstanceOf[Long]
               }
             }
