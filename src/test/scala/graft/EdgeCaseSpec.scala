@@ -180,6 +180,28 @@ class EdgeCaseSpec extends SparkSpec {
       s"null keys must never match: $nout")
   }
 
+  test("k-core peel: chains vanish, cliques survive, pendant tails drop") {
+    def core(links: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val ue = (links ++ links.map(_.swap)).toDF("src", "dst")
+      val (edges, _) = graph.Components.kCorePeel(ue, k)
+      edges.groupBy("src").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // a 6-vertex path has no 2-core: endpoints peel, cascade consumes it
+    assert(core((0L to 4L).map(i => (i, i + 1)), 2) === Map.empty,
+      "a path must peel to nothing at k=2")
+    // K4 is its own 3-core (every vertex keeps degree 3)
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(core(k4, 3) === (0L to 3L).map(_ -> 3L).toMap,
+      "a 4-clique must survive k=3 intact")
+    // triangle with a pendant 3-chain: the tail peels (including the
+    // attachment edge), the triangle alone survives
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val tail = Seq((2L, 10L), (10L, 11L), (11L, 12L))
+    assert(core(tri ++ tail, 2) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L),
+      "only the triangle survives; the pendant tail cascades away")
+  }
+
   test("min-label fixpoint converges on a 30-link chain without planner blowup") {
     // worst case for label propagation: a path graph, where the min
     // label crawls one hop per iteration (30 iterations here — the depth
