@@ -126,4 +126,18 @@ class TextSpec extends SparkSpec {
       }
     }
   }
+
+  test("triangle participants are contained in the 2-core (cross-query consistency)") {
+    // two INDEPENDENT structural computations over the same pair graph:
+    // triangle enumeration (two oriented equi-joins) and k-core peeling
+    // (iterative degree removal). Every triangle is a cycle, so every
+    // triangle participant must survive the 2-core — if either
+    // implementation drifts, this containment breaks.
+    val tri = SparkEntry.queries("dedup_triangles")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val core = SparkEntry.queries("dedup_kcore")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(tri.subsetOf(core),
+      s"triangle docs missing from the 2-core: ${tri -- core}")
+  }
 }
