@@ -282,6 +282,43 @@ object Extended {
               |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)
     ),
 
+    // ── recursive CTE EXECUTED BY SPARK (4.x WITH RECURSIVE) ───────────
+    // The engine's iterative graph queries run as driver-looped
+    // DataFrame fixpoints; this query demonstrates the DECLARATIVE
+    // iteration surface Spark 4 added — WITH RECURSIVE (UNION ALL +
+    // monotone guard) executed by Catalyst itself, not a driver loop.
+    // A recursive month-series generator left-joined to orders: the
+    // same recursion DuckDB runs, so the oracle is the structurally
+    // identical statement. (Cycle-safe UNION recursion is not yet in
+    // Spark — the guard bounds this one — so graph closures stay on the
+    // driver-loop kernels.)
+    Q(
+      "rel_recursive_series",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("graft_rec_orders")
+        s.sql("""WITH RECURSIVE months(m) AS (
+                |  SELECT DATE '1992-01-01' AS m
+                |  UNION ALL
+                |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+                |  WHERE m < DATE '1998-12-01'
+                |)
+                |SELECT m, count(o_orderkey) AS n_orders
+                |FROM months LEFT JOIN graft_rec_orders
+                |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+                |GROUP BY m ORDER BY m""".stripMargin)
+      },
+      Some("""WITH RECURSIVE months(m) AS (
+             |  SELECT DATE '1992-01-01' AS m
+             |  UNION ALL
+             |  SELECT CAST(m + INTERVAL '1 month' AS DATE) FROM months
+             |  WHERE m < DATE '1998-12-01'
+             |)
+             |SELECT m, count(o_orderkey) AS n_orders
+             |FROM months LEFT JOIN orders
+             |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+             |GROUP BY m ORDER BY m""".stripMargin)
+    ),
+
     // ── JSON functions (§2.6 gap): extract typed field from props ──────
     Q(
       "json_props_extract",
