@@ -336,6 +336,33 @@ object Extended {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // ── VARIANT semi-structured extraction (Spark 4 type) ──────────────
+    // The modern path for the same JSON props: parse ONCE into the
+    // binary VARIANT encoding (parse_json), then typed variant_get
+    // extractions — at scale this replaces per-path get_json_object
+    // re-parses with one decode per row, and a VARIANT column persisted
+    // to parquet is shredded/pruned like any other. Same aggregation as
+    // json_props_extract, so the values tie the two extraction paths
+    // together; the oracle reads the raw JSON.
+    Q(
+      "json_variant_extract",
+      (s, d) => {
+        graft.ops.Events.eventsUs(s, d)
+          .select(col("event_type"), parse_json(col("props")).as("v"))
+          .select(col("event_type"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            (sum(col("k") * col("k")) - sum(col("k"))).as("ssq_minus_sum"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(k) AS BIGINT) AS sum_k,
+             |  CAST(sum(k * k) - sum(k) AS BIGINT) AS ssq_minus_sum
+             |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // ── as-of join (§2.6 gap): latest signup at or before each purchase.
     // NOT a range join: one window pass carries the running max signup
     // time per user — the O(n log n) shape that survives 100 TB (single
