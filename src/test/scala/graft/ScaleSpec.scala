@@ -156,6 +156,27 @@ class ScaleSpec extends SparkSpec {
       s"stage 2 must re-aggregate per key:\n$p")
   }
 
+  test("observe() collects pipeline metrics in the same pass as the job") {
+    // The 100 TB metrics pattern: data-quality counters ride the main
+    // job's single scan (an AggregatingAccumulator on the executors)
+    // instead of a second pass over the corpus. Here the dedup filter
+    // pipeline reports rows seen / empty texts / total chars while its
+    // real output materializes once.
+    val obs = new org.apache.spark.sql.Observation("corpus_quality")
+    val out = Tables.documents(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty_texts"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .filter(length(col("text")) > 0)
+      .count()
+    val m = obs.get
+    assert(m("rows_seen").asInstanceOf[Long] === 500L)
+    assert(m("empty_texts").asInstanceOf[Long] === 0L)
+    assert(m("total_chars").asInstanceOf[Long] > 0L)
+    assert(out === 500L)
+  }
+
   test("runtime bloom filter prunes the fact scan from a selective dimension") {
     // Runtime row-level filtering: when a shuffle join's build side is
     // small and selective, Catalyst injects a bloom-filter aggregate on
