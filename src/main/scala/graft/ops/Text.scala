@@ -811,6 +811,45 @@ object Text {
       }
     ),
 
+    // ── per-source quality report (pipeline observability) ─────────────
+    // The audit table a data-curation team actually reads: per ingest
+    // source — docs, exact total chars, and how many of its docs sit in
+    // the ≥0.5 near-dup graph. Composes the corpus scan with the shared
+    // memoized pair set (tiny → broadcast); one groupBy shuffle on the
+    // 20-source key. At 100 TB this is the nightly per-source health
+    // rollup, not a per-doc export.
+    Q(
+      "text_source_report",
+      (s, d) => {
+        val dup = dupEdges(s, d)
+        val dupDocs = dup.select(col("id_a").as("doc_id"))
+          .union(dup.select(col("id_b").as("doc_id"))).distinct()
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("nc"))
+        val perSource = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("total_chars"))
+        val dupPerSource = docs.join(broadcast(dupDocs), "doc_id")
+          .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+        perSource.join(dupPerSource, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("total_chars"),
+            coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |$sqlPairCtes,
+              |dupdocs AS (SELECT DISTINCT doc_id FROM (
+              |  SELECT id_a AS doc_id FROM pairs WHERE jaccard >= 0.5
+              |  UNION ALL SELECT id_b FROM pairs WHERE jaccard >= 0.5)),
+              |d AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS nc FROM documents),
+              |per AS (SELECT source, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS total_chars
+              |        FROM d GROUP BY source),
+              |dps AS (SELECT source, count(*) AS dup_docs
+              |        FROM d JOIN dupdocs USING (doc_id) GROUP BY source)
+              |SELECT source, n_docs, total_chars,
+              |  coalesce(dup_docs, 0) AS dup_docs
+              |FROM per LEFT JOIN dps USING (source) ORDER BY source""".stripMargin)
+    ),
+
     // ── the preprocessing pipeline as ONE query ────────────────────────
     // What a training-data run actually executes: exact-dup drop (md5
     // keep-first) → length gate → quality gate, each doc tagged with the
