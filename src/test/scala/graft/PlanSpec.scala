@@ -200,6 +200,13 @@ class PlanSpec extends SparkSpec {
       s"selection must be a hash join against the broadcast:\n$p")
   }
 
+  test("source report broadcasts the dup-doc set against one corpus pass") {
+    val p = plan("text_source_report")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny dup-doc set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
   test("per-row pipeline stages shuffle only for their presentation sort") {
     // chunking, audio framing, and the JL projection are narrow maps —
     // exactly ONE exchange (the final ORDER BY's range partitioning)
