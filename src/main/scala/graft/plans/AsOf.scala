@@ -11,7 +11,10 @@ import org.apache.spark.sql.graft.{AsOfDirection, AsOfJoinPlan, AsOfJoinStrategy
   * EARLIEST with rightTime ≥ leftTime; "nearest": whichever of those
   * two has the smaller |rightTime − leftTime| (ties break backward) —
   * nulls when no such row exists. `tolerance` (same units as the time
-  * columns) drops candidates whose gap exceeds it. This is the public
+  * columns) drops candidates whose gap exceeds it;
+  * `allowExactMatches = false` excludes rightTime == leftTime (strict
+  * inequality — supported for backward/forward; strict nearest is
+  * rejected, see the operator scaladoc). This is the public
   * `merge_asof` surface (pandas / Spark's pandas-API). Both time
   * columns must be LongType (epoch micros — use unix_micros upstream).
   * NULL keys never match on either side (equi-join semantics); see the
@@ -31,9 +34,14 @@ object AsOf {
       rightTime: String,
       carried: Seq[String],
       direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     val dir = AsOfDirection.parse(direction)
     require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
+    require(allowExactMatches || dir != AsOfDirection.Nearest,
+      "allowExactMatches=false is not supported with direction=nearest " +
+        "(needs multi-row lookahead past equal-time runs; pre-filter the " +
+        "right side instead)")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -61,6 +69,6 @@ object AsOf {
       attr(lPlan, "left")(leftTime),
       attr(rPlan, "right")(rightTime),
       carried.map(attr(rPlan, "right")),
-      dir, tolerance))
+      dir, tolerance, allowExactMatches))
   }
 }

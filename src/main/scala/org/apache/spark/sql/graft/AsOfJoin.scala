@@ -61,7 +61,14 @@ object AsOfDirection extends Enumeration {
   *   - `tolerance` (in the time column's units) drops a candidate
   *     whose gap exceeds it: backward requires leftTime − rightTime ≤
   *     tolerance, forward rightTime − leftTime ≤ tolerance, nearest
-  *     applies the bound to each candidate before comparing gaps.
+  *     applies the bound to each candidate before comparing gaps;
+  *   - `allowExactMatches = false` (pandas' strict mode) excludes
+  *     rightTime == leftTime: backward takes the latest STRICTLY
+  *     earlier row, forward the earliest STRICTLY later. Supported for
+  *     backward and forward; strict nearest is rejected at the API
+  *     (it needs multi-row lookahead past an equal-time run, which
+  *     breaks the O(1)-state merge — pre-filter the right side
+  *     instead).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -72,7 +79,8 @@ case class AsOfJoinPlan(
     rightTime: Attribute,
     carried: Seq[Attribute],
     direction: AsOfDirection.Value = AsOfDirection.Backward,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    allowExactMatches: Boolean = true) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ carried.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,8 +90,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, carried, dir, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, carried, dir, tol,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, carried, dir, tol, exact) =>
+      AsOfJoinExec(lk, rk, lt, rt, carried, dir, tol, exact,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -97,6 +105,7 @@ case class AsOfJoinExec(
     carried: Seq[Attribute],
     direction: AsOfDirection.Value,
     tolerance: Option[Long],
+    allowExactMatches: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -152,8 +161,15 @@ case class AsOfJoinExec(
       // last — the latest version); forward/nearest consume strictly
       // earlier rows and leave the earliest ≥-time row as the lookahead
       // candidate; nearest additionally holds what it consumes so both
-      // candidates are in hand
-      val consumeEqualTime = dir == AsOfDirection.Backward
+      // candidates are in hand. Strict (allowExactMatches=false) flips
+      // the equal-time handling: backward STOPS at equal rows (they
+      // stay heldable for later, larger left times), forward consumes
+      // them unheld (useless for any later strict-forward match, and
+      // there is no backward side to hold them for).
+      val exact = allowExactMatches
+      val consumeEqualTime =
+        (dir == AsOfDirection.Backward && exact) ||
+          (dir == AsOfDirection.Forward && !exact)
       val holdConsumed = dir != AsOfDirection.Forward
 
       new Iterator[InternalRow] {

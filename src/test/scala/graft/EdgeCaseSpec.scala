@@ -153,6 +153,49 @@ class EdgeCaseSpec extends SparkSpec {
     intercept[IllegalArgumentException] { run("sideways") }
   }
 
+  test("as-of join: allowExactMatches=false excludes equal-time rows per direction") {
+    // right rows AT the left times, plus strictly earlier/later ones —
+    // strict mode must skip the equal-time row but still find the others
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "at10"), (1L, 15L, "at15"), (1L, 20L, "at20"),
+      (2L, 5L, "at5")).toDF("k", "rt", "payload")
+    def run(dir: String, exact: Boolean) =
+      graft.plans.AsOf.join(left, right, Seq("k"), "t", "rt", Seq("payload"),
+        direction = dir, allowExactMatches = exact)
+        .orderBy("k", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+    // non-strict baseline: equal-time rows match
+    assert(run("backward", exact = true) ===
+      Seq((1L, 10L, "at10"), (1L, 20L, "at20"), (2L, 5L, "at5")))
+    assert(run("forward", exact = true) ===
+      Seq((1L, 10L, "at10"), (1L, 20L, "at20"), (2L, 5L, "at5")))
+
+    // strict backward: latest STRICTLY earlier (none exists for t=10)
+    assert(run("backward", exact = false) ===
+      Seq((1L, 10L, null), (1L, 20L, "at15"), (2L, 5L, null)),
+      "strict backward must skip the equal-time version")
+    // strict forward: earliest STRICTLY later — and the skipped
+    // equal-time row at 20 must still have served t=10's lookahead
+    assert(run("forward", exact = false) ===
+      Seq((1L, 10L, "at15"), (1L, 20L, null), (2L, 5L, null)),
+      "strict forward must skip the equal-time version")
+
+    // the equal-time row consumed by an earlier left row must remain
+    // heldable for a later one under strict backward
+    val l2 = Seq((1L, 10L), (1L, 30L)).toDF("k", "t")
+    val r2 = Seq((1L, 10L, "v10")).toDF("k", "rt", "payload")
+    val got = graft.plans.AsOf.join(l2, r2, Seq("k"), "t", "rt", Seq("payload"),
+      direction = "backward", allowExactMatches = false)
+      .orderBy("t").collect().map(r => Option(r.getString(2))).toSeq
+    assert(got === Seq(None, Some("v10")),
+      "a row equal to an earlier left time is strictly-earlier for a later one")
+
+    intercept[IllegalArgumentException] {
+      run("nearest", exact = false)
+    }
+  }
+
   test("as-of join: non-nullable carried column nulls correctly; null keys never match") {
     // the carried column here is a primitive Long — non-nullable in the
     // right child's schema. Unmatched left rows must still read NULL,
