@@ -356,6 +356,100 @@ object KMeans {
       }
     ),
 
+    // ── IVF-PQ with exact re-rank: the billion-scale ANN composition ──
+    // The standard large-scale ANN architecture (FAISS IVFPQ / SPANN
+    // shape): (1) a coarse quantizer prunes the corpus to the nProbe=2
+    // cells nearest the query — at 100 TB the corpus is written
+    // partitioned by cell, so this is a partition-pruned read, not a
+    // scan; (2) product-quantization asymmetric distance ranks the
+    // surviving candidates with a broadcast 16-entry codebook — a narrow
+    // per-row map, no shuffle; (3) only the 40 best PQ candidates pay
+    // the exact-distance re-rank. Every stage is deterministic (hash-
+    // seeded centroids, strict-< argmin ties, fixed fold orders), so
+    // unlike production ANN the whole pipeline is oracle-checkable.
+    // PQ folds replay graft.ops.Vector.pqTopkHof expression-for-
+    // expression (per-subspace ‖·‖² left-to-right over 8 dims, subspaces
+    // accumulated m = 0..7); the exact re-rank reuses the fused cosine.
+    Q(
+      "ann_ivfpq_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val cents = initCentroids(e, 8)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        val probeCells = cents.crossJoin(broadcast(query))
+          .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .select("cid")
+        val cand = assign(e, cents).select("vec_id", "cid", "v")
+          .join(broadcast(probeCells), "cid")
+          .filter(col("vec_id") =!= 0L)
+        val cb = initCentroids(e, 16)
+          .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb"))
+        def l2sub(a: Column, b: Column, m: Column): Column =
+          seqSum(transform(sequence(lit(1), lit(8)), i => {
+            val ix = (m * 8 + i).cast("int")
+            val dd = element_at(a, ix) - element_at(b, ix)
+            dd * dd
+          }))
+        cand.crossJoin(broadcast(cb)).crossJoin(broadcast(query))
+          .select(col("vec_id"), col("v"), col("qv"), col("cb"),
+            transform(sequence(lit(0), lit(7)), m =>
+              array_min(transform(sequence(lit(1), lit(16)), ci => struct(
+                l2sub(col("v"),
+                  element_at(col("cb"), ci.cast("int")).getField("cv"), m).as("dist"),
+                ci.as("ci")))).getField("ci")).as("codes"))
+          .select(col("vec_id"), col("v"), col("qv"),
+            seqSum(transform(sequence(lit(0), lit(7)), m =>
+              l2sub(col("qv"),
+                element_at(col("cb"),
+                  element_at(col("codes"), (m + 1).cast("int")).cast("int"))
+                  .getField("cv"), m))).as("adist"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+          .limit(40)
+          .select(col("vec_id"), col("adist"), cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val l2sub = (a: String, b: String) => graft.ops.Vector.sqlSeqSum(
+          s"list_transform(range(1, 9), i -> " +
+            s"($a[m * 8 + i] - $b[m * 8 + i]) * ($a[m * 8 + i] - $b[m * 8 + i]))")
+        s"""WITH cents AS ${sqlCentroids(8)},
+           |scored AS (${sqlAssign(8)}),
+           |assigned AS (SELECT vec_id, cid, ${sqlVec("embedding")} AS v FROM scored WHERE rk = 1),
+           |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cid FROM cents c, q
+           |  ORDER BY ${sqlCosine("c.cv", "q.qv")} DESC, cid ASC LIMIT 2),
+           |cents16 AS (
+           |  SELECT vec_id AS cid, ${sqlVec("embedding")} AS cv FROM embeddings
+           |  ORDER BY ${detHashSql("vec_id")}, vec_id LIMIT 16),
+           |cbt AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cb
+           |        FROM cents16),
+           |cand AS (
+           |  SELECT a.vec_id, a.v FROM assigned a JOIN probe p ON a.cid = p.cid
+           |  WHERE a.vec_id <> 0),
+           |enc AS (
+           |  SELECT c.vec_id, c.v, q.qv, cbt.cb,
+           |    list_transform(range(0, 8), m ->
+           |      list_reduce(
+           |        list_transform(range(1, 17), ci -> struct_pack(
+           |          dist := ${l2sub("c.v", "cb[ci].cv")},
+           |          ci := ci)),
+           |        (a, b) -> CASE WHEN b.dist < a.dist THEN b ELSE a END).ci) AS codes
+           |  FROM cand c, cbt, q),
+           |pq AS (
+           |  SELECT vec_id, v, qv,
+           |    ${graft.ops.Vector.sqlSeqSum("list_transform(range(0, 8), m -> " + l2sub("qv", "cb[codes[m + 1]].cv") + ")")} AS adist
+           |  FROM enc),
+           |top40 AS (SELECT * FROM pq ORDER BY adist ASC, vec_id ASC LIMIT 40)
+           |SELECT vec_id, adist, ${sqlCosine("v", "qv")} AS sim
+           |FROM top40 ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
     // Full convergent loop — not one SQL statement (SURVEY.md §7 risk
     // register), so rows-only check here; semantics are covered by the
     // ScalaTest suite incl. an MLlib KMeans cross-check.

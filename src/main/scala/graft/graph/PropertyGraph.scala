@@ -114,6 +114,10 @@ object PropertyGraph {
     * unweighted diameter, hence the margin over BFS's observed ~12). */
   private val WSsspUnroll = 20
 
+  /** LPA superstep count — FIXED (not convergence-driven) so the DuckDB
+    * oracle is an exact unroll of the same depth. */
+  private val LpaIters = 4
+
   /** Fixed-point scale (1.0 ≡ 1e9) and reset mass (0.15 ≡ 1.5e8) for
     * `graph_pagerank_exact`; 5 power iterations. */
   private val Scale = 1000000000L
@@ -574,6 +578,108 @@ object PropertyGraph {
            |FROM n LEFT JOIN d$WSsspUnroll dd ON dd.id = n.id
            |ORDER BY n.id""".stripMargin
       }
+    ),
+
+    // ── label-propagation community detection (synchronous, 4 rounds) ──
+    // Classic LPA (Raghavan et al. 2007) made fully deterministic so the
+    // oracle can check it: every vertex starts as its own community and
+    // each round adopts the most frequent label among its neighbors,
+    // ties broken toward the SMALLEST label (max of a (cnt, -label)
+    // struct — lexicographic, exactly row_number ORDER BY cnt DESC,
+    // label ASC). A FIXED 4 supersteps (not convergence-tested) keeps
+    // the oracle an exact 4-layer unroll; synchronous LPA on a bipartite
+    // graph can oscillate, which a fixed depth also sidesteps. Per
+    // superstep: one equi-join (edges × labels) + two hash aggregations,
+    // all partial-agg'd map-side; the label frontier is lazily
+    // localCheckpoint'd per layer so plan depth stays O(1). At 100 TB
+    // this is the same superstep shape as PageRank-exact: shuffle on
+    // vertex id, nothing driver-side.
+    Q(
+      "graph_label_propagation",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val e = g.edges.select(col("src"), col("dst"))
+        val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        var lbl = g.nodes.select(col("id"), col("id").as("l"))
+        for (_ <- 1 to LpaIters) {
+          val votes = ue
+            .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+            .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
+          val best = votes.groupBy(col("dst"))
+            .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
+            .select(col("dst"), (-col("b.negl")).as("bl"))
+          lbl = lbl.join(best, col("id") === col("dst"), "left")
+            .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
+            .localCheckpoint(false)
+        }
+        lbl.select(col("id"), col("l").as("community")).orderBy("id")
+      },
+      Some {
+        // Each layer references its predecessor twice (votes + carry):
+        // AS MATERIALIZED, or DuckDB's CTE inlining goes exponential.
+        val layers = (1 to LpaIters).map { k =>
+          s"""l$k AS MATERIALIZED (
+             |  SELECT p.id, coalesce(b.bl, p.l) AS l
+             |  FROM l${k - 1} p LEFT JOIN (
+             |    SELECT dst, nl AS bl FROM (
+             |      SELECT ue.dst, l.l AS nl, count(*) AS cnt,
+             |        row_number() OVER (PARTITION BY ue.dst
+             |          ORDER BY count(*) DESC, l.l ASC) AS rk
+             |      FROM ue JOIN l${k - 1} l ON ue.src = l.id
+             |      GROUP BY ue.dst, l.l) WHERE rk = 1
+             |  ) b ON b.dst = p.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+           |  FROM lineitem),
+           |ue AS MATERIALIZED (
+           |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |n AS (SELECT s_suppkey AS id FROM supplier
+           |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+           |l0 AS (SELECT id, id AS l FROM n),
+           |$layers
+           |SELECT id, l AS community FROM l$LpaIters ORDER BY id""".stripMargin
+      }
+    ),
+
+    // ── Jaccard-coefficient link prediction over supplier pairs ────────
+    // The classic neighborhood link predictor: for supplier pairs that
+    // share at least one part, jaccard = |N(a)∩N(b)| / |N(a)∪N(b)|
+    // computed as common / (deg(a) + deg(b) − common) — all BIGINT
+    // counts until one final IEEE-exact double division, so the score is
+    // bit-stable across engines. Candidates come from the oriented
+    // wedge equi-join (same no-product shape as common-neighbors: only
+    // pairs that actually co-occur on a part are ever materialized —
+    // never |S|² pairs); degrees join back on the pair keys. The degree
+    // table is O(|V|), so it is NOT broadcast-hinted — at 100 TB these
+    // are shuffle hash joins on supplier id, which AQE may still demote
+    // to broadcast when the dimension fits.
+    Q(
+      "graph_jaccard_linkpred",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
+        val deg = es.groupBy(col("src").as("sid")).agg(count(lit(1)).as("deg"))
+        val common = es.toDF("sa", "dst").join(es.toDF("sb", "dst"), "dst")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+        common
+          .join(deg.select(col("sid").as("sa"), col("deg").as("da")), "sa")
+          .join(deg.select(col("sid").as("sb"), col("deg").as("db")), "sb")
+          .select(col("sa"), col("sb"), col("common"),
+            (col("common").cast("double") /
+              (col("da") + col("db") - col("common"))).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("sa").asc, col("sb").asc)
+          .limit(30)
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+             |deg AS (SELECT src AS sid, count(*) AS deg FROM e GROUP BY src),
+             |c AS (SELECT a.src AS sa, b.src AS sb, count(*) AS common
+             |      FROM e a JOIN e b ON a.dst = b.dst
+             |      WHERE a.src < b.src GROUP BY 1, 2)
+             |SELECT c.sa, c.sb, c.common,
+             |  CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common) AS jaccard
+             |FROM c JOIN deg da ON da.sid = c.sa JOIN deg db ON db.sid = c.sb
+             |ORDER BY jaccard DESC, sa ASC, sb ASC LIMIT 30""".stripMargin)
     )
   )
 }

@@ -1101,6 +1101,42 @@ object Text {
            |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
            |ORDER BY id_a, id_b""".stripMargin
       }
+    ),
+
+    // ── blocked fuzzy matching (record linkage / entity resolution) ────
+    // The standard ER pipeline: a cheap BLOCKING key prunes the pair
+    // space to an equi-join (here (brand, head noun of the name) — at
+    // sf0.1 that is ~1M candidate pairs instead of the 200M all-pairs
+    // product), then an edit-distance verify runs only inside blocks.
+    // `levenshtein` is a codegen'd built-in on both engines and exact-
+    // integer, so the whole query stays hash-checkable. At 100 TB the
+    // block key is the shuffle key; a skewed mega-block would get the
+    // same salting treatment as the dedup wedge joins (SkewSpec).
+    Q(
+      "dedup_fuzzy_blocked",
+      (s, d) => {
+        val p = part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            split(col("p_name"), " ").getItem(1).as("noun"))
+        val a = p.toDF("pa", "name_a", "brand", "noun")
+        val b = p.toDF("pb", "name_b", "brand", "noun")
+        a.join(b, Seq("brand", "noun"))
+          .filter(col("pa") < col("pb"))
+          .select(col("pa"), col("pb"), col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).as("dist"))
+          .filter(col("dist") <= 4)
+          .orderBy(col("dist").asc, col("pa").asc, col("pb").asc)
+          .limit(100)
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_name, p_brand,
+             |              split_part(p_name, ' ', 2) AS noun FROM part)
+             |SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+             |  a.p_name AS name_a, b.p_name AS name_b,
+             |  levenshtein(a.p_name, b.p_name) AS dist
+             |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.noun = b.noun
+             |WHERE a.p_partkey < b.p_partkey
+             |  AND levenshtein(a.p_name, b.p_name) <= 4
+             |ORDER BY dist ASC, pa ASC, pb ASC LIMIT 100""".stripMargin)
     )
   )
 }
