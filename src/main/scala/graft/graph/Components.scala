@@ -56,6 +56,38 @@ object Components {
     lbl
   }
 
+  /** Synchronous label-propagation (Raghavan et al. 2007), made fully
+    * deterministic: each round every vertex adopts the most frequent
+    * label among its NEIGHBORS (no self-vote), ties toward the smallest
+    * label — max over (cnt, -label) structs is lexicographic, exactly
+    * `ORDER BY cnt DESC, label ASC`. Runs a FIXED number of supersteps
+    * (no convergence test): synchronous LPA can oscillate (notably on
+    * bipartite graphs), so a fixed depth is both the determinism the
+    * oracle needs and the standard mitigation. Per superstep: one
+    * equi-join + two partial-agg'd hash aggregations, frontier lazily
+    * localCheckpoint'd — the same O(1)-plan-depth superstep shape as
+    * [[minLabel]].
+    *
+    * @param nodes (id) — every vertex, including isolated ones (they
+    *              keep their own label).
+    * @param ue    undirected edges (src, dst) — both directions present.
+    * @return (id, l) after exactly `iters` supersteps. */
+  def lpa(nodes: DataFrame, ue: DataFrame, iters: Int): DataFrame = {
+    var lbl = nodes.select(col("id"), col("id").as("l"))
+    for (_ <- 1 to iters) {
+      val votes = ue
+        .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+        .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
+        .select(col("dst"), (-col("b.negl")).as("bl"))
+      lbl = lbl.join(best, col("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
+        .localCheckpoint(false)
+    }
+    lbl
+  }
+
   /** Min-plus single-source shortest paths over a weighted undirected
     * edge list — the same relaxation kernel as [[minLabel]] lifted from
     * the (min, id) semiring to (min, +): Bellman-Ford frontier rounds to

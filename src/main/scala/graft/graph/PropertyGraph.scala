@@ -600,19 +600,8 @@ object PropertyGraph {
         val g = supplierPartGraph(s, d)
         val e = g.edges.select(col("src"), col("dst"))
         val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        var lbl = g.nodes.select(col("id"), col("id").as("l"))
-        for (_ <- 1 to LpaIters) {
-          val votes = ue
-            .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
-            .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
-          val best = votes.groupBy(col("dst"))
-            .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
-            .select(col("dst"), (-col("b.negl")).as("bl"))
-          lbl = lbl.join(best, col("id") === col("dst"), "left")
-            .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
-            .localCheckpoint(false)
-        }
-        lbl.select(col("id"), col("l").as("community")).orderBy("id")
+        Components.lpa(g.nodes.select(col("id")), ue, LpaIters)
+          .select(col("id"), col("l").as("community")).orderBy("id")
       },
       Some {
         // Each layer references its predecessor twice (votes + carry):

@@ -225,4 +225,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.matches("(?s).*HashAggregate.*partial.*"),
       s"token counts must map-side combine before the shuffle:\n$p")
   }
+
+  test("IVF-PQ probes cells and ranks via broadcasts, never a large product") {
+    val p = plan("ann_ivfpq_topk")
+    // the probe-cell filter and the 1-row codebook/query sides broadcast;
+    // the corpus side must never be the build side of a product over
+    // anything non-tiny — assert top-k operators carry the two limits
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PQ top-40 and exact top-10 must be TakeOrderedAndProject:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"probe cells / codebook / query vector must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product anywhere in IVF-PQ:\n$p")
+  }
+
+  test("fuzzy-match blocking is an equi-join; levenshtein runs inside blocks only") {
+    val p = plan("dedup_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked ER must equi-join on the block key, not product:\n$p")
+    assert(p.contains("levenshtein"),
+      s"edit-distance verify must appear above the join, not in a scan:\n$p")
+  }
+
+  test("jaccard link prediction builds candidates from the wedge equi-join") {
+    val p = plan("graph_jaccard_linkpred")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairs must come from the shared-part equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-30 must be TakeOrderedAndProject:\n$p")
+  }
 }

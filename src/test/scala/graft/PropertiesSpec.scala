@@ -174,6 +174,46 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("distributed LPA matches a local reference on random graphs") {
+    import spark.implicits._
+    // the distributed superstep vs a sequential implementation of the
+    // SAME deterministic rules (most frequent neighbor label, tie → min,
+    // synchronous update, no self-vote), incl. isolated vertices
+    def localLpa(n: Int, edges: Seq[(Int, Int)], iters: Int): Map[Int, Long] = {
+      val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = (0 until n).map(i => i -> i.toLong).toMap
+      for (_ <- 1 to iters) {
+        lbl = lbl.map { case (v, l) =>
+          val nbrs = adj.getOrElse(v, Nil)
+          if (nbrs.isEmpty) v -> l
+          else {
+            val counts = nbrs.groupBy(lbl).view.mapValues(_.size)
+            // max count, then smallest label
+            val best = counts.toSeq.maxBy { case (nl, c) => (c.toLong, -nl) }._1
+            v -> best
+          }
+        }
+      }
+      lbl
+    }
+    val rng = new scala.util.Random(17L)
+    for (trial <- 1 to 5) {
+      val n = 8 + rng.nextInt(8)
+      // sparse enough to leave isolated vertices sometimes
+      val edges = Seq.fill(n)((rng.nextInt(n), rng.nextInt(n)))
+        .filter { case (a, b) => a != b }.distinct
+      val ue = edges.flatMap { case (a, b) =>
+        Seq((a.toLong, b.toLong), (b.toLong, a.toLong))
+      }.toDF("src", "dst")
+      val nodes = (0 until n).map(_.toLong).toDF("id")
+      val got = graft.graph.Components.lpa(nodes, ue, 4)
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val want = localLpa(n, edges, 4)
+      assert(got === want, s"trial $trial diverges (n=$n, edges=$edges)")
+    }
+  }
+
   test("chunk windows cover every token and respect the stride for random doc lengths") {
     import spark.implicits._
     // random token counts, including the edge lengths the corpus never
