@@ -89,6 +89,48 @@ object Events {
               |GROUP BY 1 ORDER BY window_start""".stripMargin)
     ),
 
+    // ── OHLC resampling: 15-minute bars over purchase values ───────────
+    // The time-series downsampling primitive (pandas `resample().ohlc()`,
+    // kdb xbar): open/close are the values of the earliest/latest event
+    // in the bar, selected by a min/max over (ts, event_id, value)
+    // structs — lexicographic, and (ts, event_id) is unique, so `value`
+    // never drives the comparison and the pick is total-ordered on both
+    // engines. high/low are plain min/max (no summation anywhere, so no
+    // float-fold ceremony needed). One partial-agg'd shuffle on the bar
+    // key; at 100 TB bars are the natural write-partition key.
+    Q(
+      "evt_ohlc_resample",
+      (s, d) =>
+        eventsUs(s, d).filter(col("event_type") === "purchase")
+          .groupBy(window(col("ts"), "15 minutes").as("w"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+            max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            count(lit(1)).as("n"))
+          .select(col("w.start").as("bar_start"),
+            col("o.value").as("open"), col("high"), col("low"),
+            col("c.value").as("close"), col("n"))
+          .orderBy("bar_start"),
+      Some(s"""WITH p AS (
+              |  SELECT $sqlTs AS tsu, event_id, value FROM events
+              |  WHERE event_type = 'purchase'),
+              |r AS (
+              |  SELECT time_bucket(INTERVAL '15 minutes', tsu) AS bar_start, value,
+              |    row_number() OVER (PARTITION BY time_bucket(INTERVAL '15 minutes', tsu)
+              |      ORDER BY tsu ASC, event_id ASC) AS rko,
+              |    row_number() OVER (PARTITION BY time_bucket(INTERVAL '15 minutes', tsu)
+              |      ORDER BY tsu DESC, event_id DESC) AS rkc
+              |  FROM p)
+              |SELECT bar_start,
+              |  max(CASE WHEN rko = 1 THEN value END) AS open,
+              |  max(value) AS high, min(value) AS low,
+              |  max(CASE WHEN rkc = 1 THEN value END) AS close,
+              |  count(*) AS n
+              |FROM r GROUP BY bar_start ORDER BY bar_start""".stripMargin)
+    ),
+
     // ── gap-based sessionization (30-minute inactivity) ────────────────
     // lag → new-session flag → running sum = session index → session agg.
     Q(

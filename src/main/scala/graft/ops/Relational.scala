@@ -152,6 +152,45 @@ object Relational {
               |GROUP BY n_name ORDER BY n_name""".stripMargin)
     ),
 
+    // ── shipping-priority revenue (the TPC-H Q3 shape) ─────────────────
+    // The canonical fact-fact join: filtered customers ⋈ orders on
+    // custkey, then orders ⋈ lineitem on orderkey — BOTH sides large, so
+    // this is the query bucketed/co-partitioned storage exists for
+    // (BucketedJoinSpec demonstrates the exchange-free plan). No
+    // broadcast hints: the mktsegment filter keeps ~1/5 of customers,
+    // which at 100 TB is not a dimension — AQE may still demote locally.
+    // Revenue l_extendedprice·(1−l_discount) is floor-quantized to cents
+    // → exact BIGINT partial sums (order-free at any parallelism), one
+    // double division at the end; both date filters reach the scans.
+    Q(
+      "rel_shipping_priority",
+      (s, d) => {
+        val cutoff = lit("1996-06-30").cast("timestamp")
+        val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, d).filter(col("o_orderdate") < cutoff)
+        val l = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).cast("double") / 100).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+             |  o_orderdate, o_orderpriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1996-06-30'
+             |  AND l_shipdate > TIMESTAMP '1996-06-30'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin)
+    ),
+
     // ── Q14 group-by count (count_connections) ─────────────────────────
     // Reference: MATCH (i)-[r]->(c) RETURN c, count(r)
     // (image_classification.py:513-522). Partial+final hash aggregate.

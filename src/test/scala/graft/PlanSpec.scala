@@ -226,6 +226,26 @@ class PlanSpec extends SparkSpec {
       s"token counts must map-side combine before the shuffle:\n$p")
   }
 
+  test("shipping-priority pushes both date filters to the scans, takes ordered 10") {
+    val p = plan("rel_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject, not a global sort:\n$p")
+    val scans = scansOf("rel_shipping_priority")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("o_orderdate") && pushed.contains("l_shipdate"),
+      s"date filters must reach the parquet scans:\n$pushed")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
+  test("OHLC resample is one partial-agg'd shuffle plus the presentation sort") {
+    val p = plan("evt_ohlc_resample")
+    assert(!p.contains("Join"), s"OHLC is a single-table aggregation:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected bar-key shuffle + sort only, got $exchanges:\n$p")
+    assert(p.matches("(?s).*HashAggregate.*partial.*") || p.contains("partial_"),
+      s"bar aggregates must map-side combine:\n$p")
+  }
+
   test("IVF-PQ probes cells and ranks via broadcasts, never a large product") {
     val p = plan("ann_ivfpq_topk")
     // the probe-cell filter and the 1-row codebook/query sides broadcast;
