@@ -45,7 +45,51 @@ object Extended {
       dir
     })
 
+  // ── Z-order (Morton) interleave ──────────────────────────────────────
+  /** Morton/Z-order key of two pre-quantized codes in [0, 2^bits):
+    * result bit 2i is bit i of `a`, bit 2i+1 is bit i of `b`. Sorting or
+    * range-partitioning the write by this key clusters BOTH dimensions
+    * at once, so per-file min/max stats prune scans filtered on either —
+    * the multi-dimensional layout primitive behind Delta's
+    * OPTIMIZE ZORDER (ScaleSpec measures the skipping win). Pure integer
+    * bit expressions: codegen'd, engine-portable, oracle-checkable. */
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+    }
+
+  /** The same interleave as DuckDB SQL (operators &, |, << on BIGINT). */
+  def sqlZOrderKey(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"(($a & ${1L << i}) << $i)", s"(($b & ${1L << i}) << ${i + 1})")
+    }.mkString(" | ")
+
   val queries: Seq[Q] = Seq(
+    // ── Z-order key computation over orders (layout primitive) ─────────
+    // The key a z-ordered table write sorts by: custkey and order-day
+    // quantized to 16-bit codes and bit-interleaved. All integer bit
+    // ops, whole-stage codegen, bit-identical across engines.
+    Q(
+      "rel_zorder_key",
+      (s, d) =>
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day"),
+            zOrderKey(col("o_custkey") % 65536, col("day") % 65536).as("zkey"))
+          .orderBy(col("zkey").asc, col("o_orderkey").asc)
+          .limit(50),
+      Some(s"""WITH q AS (
+              |  SELECT o_orderkey, o_custkey,
+              |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day
+              |  FROM orders)
+              |SELECT o_orderkey, o_custkey, day,
+              |  ${sqlZOrderKey("(o_custkey % 65536)", "(day % 65536)")} AS zkey
+              |FROM q ORDER BY zkey ASC, o_orderkey ASC LIMIT 50""".stripMargin)
+    ),
+
     // ── F2: histogram (reference: 3-D HSV histogram, 30k bins,
     // image_classification.py:136-171 — dead code). Relational form:
     // fixed-width buckets over all embedding values. floor() bucketing

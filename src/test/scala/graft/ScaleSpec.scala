@@ -105,6 +105,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout clusters BOTH dims; single-key sort cannot") {
+    // The multi-dimensional skipping argument, measured: orders written
+    // range-partitioned by custkey alone vs by the Morton key of
+    // (custkey, order-day). Per-file min/max day spans tell a scan
+    // filtered on day how many files it can skip — under the custkey
+    // layout every file spans ~the whole date range (no skipping);
+    // under z-order each file owns a fraction of BOTH dimensions.
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+      .withColumn("zkey",
+        graft.ops.Extended.zOrderKey(col("o_custkey") % 65536, col("day") % 65536))
+    def avgDaySpanFrac(dir: String): Double = {
+      val files = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length >= 4, s"expected >=4 files in $dir")
+      val (glo, ghi) = {
+        val r = spark.read.parquet(dir).agg(min("day"), max("day")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val fracs = files.map { f =>
+        val r = spark.read.parquet(f).agg(min("day"), max("day")).head
+        (r.getLong(1) - r.getLong(0)).toDouble / (ghi - glo)
+      }
+      fracs.sum / fracs.length
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    src.repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/bykey")
+    src.repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(s"$tmp/byz")
+    val keyFrac = avgDaySpanFrac(s"$tmp/bykey")
+    val zFrac = avgDaySpanFrac(s"$tmp/byz")
+    // custkey order is independent of date: every file spans ~all days
+    assert(keyFrac > 0.8, s"custkey layout should not cluster days: $keyFrac")
+    // z-order gives each file a bounded slice of the day dimension too
+    assert(zFrac < 0.6 * keyFrac,
+      s"z-order must shrink per-file day spans: z=$zFrac vs key=$keyFrac")
+  }
+
   test("small-files compaction: many tiny files → few sized files, content-exact") {
     // the 100 TB maintenance op streaming/incremental sinks make
     // necessary: a directory of tiny files (one per micro-batch) is
