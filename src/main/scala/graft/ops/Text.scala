@@ -1103,6 +1103,51 @@ object Text {
       }
     ),
 
+    // ── exact per-group length quantiles (type-1, integer-exact) ───────
+    // The length-percentile curation filter's calibration step: p50/p90
+    // token counts per language, computed EXACTLY — rank every doc
+    // within its language (total order: token count, then doc_id) and
+    // pick the value at rank ceil(q·n). Type-1 (no interpolation), so
+    // the answer is an actual integer from the data and bit-questions
+    // never arise — unlike percentile_approx (sketch) or interpolating
+    // quantiles (float fold). One shuffle on lang; the rank window and
+    // the final aggregation share that partitioning. At 100 TB the same
+    // plan holds per language; a single giant language is the documented
+    // skew case (same salting story as the dedup joins).
+    Q(
+      "text_length_quantiles",
+      (s, d) => {
+        val byLang = Window.partitionBy("lang")
+          .orderBy(col("n_tokens").asc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+          .withColumn("rk", row_number().over(byLang))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+          .groupBy("lang")
+          .agg(
+            max(when(col("rk") === ceil(col("cnt") * 0.5), col("n_tokens"))).as("p50"),
+            max(when(col("rk") === ceil(col("cnt") * 0.9), col("n_tokens"))).as("p90"),
+            max(col("n_tokens")).as("pmax"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, n_tokens,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_tokens ASC, doc_id ASC) AS rk,
+             |    count(*) OVER (PARTITION BY lang) AS cnt
+             |  FROM t)
+             |SELECT lang,
+             |  max(CASE WHEN rk = ceil(cnt * 0.5) THEN n_tokens END) AS p50,
+             |  max(CASE WHEN rk = ceil(cnt * 0.9) THEN n_tokens END) AS p90,
+             |  max(n_tokens) AS pmax,
+             |  count(*) AS n_docs
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     // ── blocked fuzzy matching (record linkage / entity resolution) ────
     // The standard ER pipeline: a cheap BLOCKING key prunes the pair
     // space to an equi-join (here (brand, head noun of the name) — at
