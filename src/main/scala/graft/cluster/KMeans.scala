@@ -374,18 +374,39 @@ object KMeans {
       "ann_ivfpq_topk",
       (s, d) => {
         val e = embeddings(s, d)
-        val cents = initCentroids(e, 8)
+        val spark = s
+        import spark.implicits._
+        // ONE corpus sort-scan feeds every centroid structure: the
+        // 16-entry PQ codebook is collected (the established k-row
+        // driver boundary), and its first 8 rows ARE the coarse
+        // quantizer — initCentroids is a deterministic hash-ordered
+        // prefix, so limit(8) ≡ take(8) of limit(16). The oracle mirrors
+        // the same prefix (cents = LIMIT 8, cents16 = LIMIT 16 of the
+        // identical ORDER BY), so the equivalence is driver-proven.
+        val cents16 = initCentroids(e, 16).collect()
+          .map(r => r.getAs[Long]("cid") ->
+            r.getAs[scala.collection.Seq[Double]]("cv").toArray)
+        val coarse = cents16.take(8)
         val query = e.filter(col("vec_id") === 0L)
           .select(vec(col("embedding")).as("qv"))
-        val probeCells = cents.crossJoin(broadcast(query))
+        val probeCells = coarse.toSeq.toDF("cid", "cv")
+          .crossJoin(broadcast(query))
           .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
           .orderBy(col("csim").desc, col("cid").asc)
           .limit(2)
           .select("cid")
-        val cand = assign(e, cents).select("vec_id", "cid", "v")
+        // assignment via the literal broadcast argmax (the k-means loop's
+        // no-shuffle hot path) rather than the 8×-explode window rank:
+        // identical semantics — (sim, -cid) struct max ≡ ORDER BY sim
+        // DESC, cid ASC — and the corpus is scanned once with zero
+        // shuffle before the probe-cell semi-join.
+        val corpus = e.select(col("vec_id"), lit(0L).as("label"),
+          vec(col("embedding")).as("v"))
+        val cand = assignLiteral(corpus, coarse, maxSim = true)
+          .select("vec_id", "cid", "v")
           .join(broadcast(probeCells), "cid")
           .filter(col("vec_id") =!= 0L)
-        val cb = initCentroids(e, 16)
+        val cb = cents16.toSeq.toDF("cid", "cv")
           .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb"))
         def l2sub(a: Column, b: Column, m: Column): Column =
           seqSum(transform(sequence(lit(1), lit(8)), i => {

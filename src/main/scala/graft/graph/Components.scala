@@ -73,9 +73,16 @@ object Components {
     * @param ue    undirected edges (src, dst) — both directions present.
     * @return (id, l) after exactly `iters` supersteps. */
   def lpa(nodes: DataFrame, ue: DataFrame, iters: Int): DataFrame = {
+    // the edge list is loop-invariant: shuffle it onto the JOIN key once
+    // and localCheckpoint (lazily — the first superstep's join
+    // materializes it). LogicalRDD keeps the hash partitioning, so every
+    // later superstep shuffles only the label frontier (|V| rows), not
+    // the edges (|E| rows) — the persisted-adjacency shape
+    // graph_pagerank_exact uses, measured 7.0 s → ~3 s at sf0.1.
+    val ueBySrc = ue.repartition(col("src")).localCheckpoint(false)
     var lbl = nodes.select(col("id"), col("id").as("l"))
     for (_ <- 1 to iters) {
-      val votes = ue
+      val votes = ueBySrc
         .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
         .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
       val best = votes.groupBy(col("dst"))
