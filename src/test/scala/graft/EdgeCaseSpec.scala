@@ -245,6 +245,43 @@ class EdgeCaseSpec extends SparkSpec {
       "only the triangle survives; the pendant tail cascades away")
   }
 
+  test("z-order interleave places each input bit at its Morton position") {
+    // zOrderKey(a, b): bit i of a → position 2i, bit i of b → 2i+1.
+    // Hand-checked: a=5 (101₂), b=3 (011₂) → 1·2⁰ + 1·2¹ + 0·2² + 1·2³ +
+    // 1·2⁴ + 0·2⁵ = 27; the all-ones masks land on alternating bits.
+    val rows = Seq((5L, 3L), (0xFFFFL, 0L), (0L, 0xFFFFL), (0L, 0L),
+      (0xFFFFL, 0xFFFFL)).toDF("a", "b")
+      .select(ops.Extended.zOrderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(rows(0) === 27L)
+    assert(rows(1) === 0x55555555L, "a's bits occupy even positions")
+    assert(rows(2) === 0xAAAAAAAAL, "b's bits occupy odd positions")
+    assert(rows(3) === 0L)
+    assert(rows(4) === 0xFFFFFFFFL)
+    // locality: adjacent codes in either dim stay within a bounded z gap
+    val z1 = Seq((7L, 9L)).toDF("a", "b")
+      .select(ops.Extended.zOrderKey(col("a"), col("b"))).head.getLong(0)
+    val z2 = Seq((8L, 9L)).toDF("a", "b")
+      .select(ops.Extended.zOrderKey(col("a"), col("b"))).head.getLong(0)
+    assert(z1 !== z2)
+  }
+
+  test("length quantiles: a single-doc stratum returns that doc's count for every quantile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lq").toString
+    Seq((1L, "one two three", "solo", "src", 13L),
+        (2L, "a b", "pair", "src", 3L),
+        (3L, "c d e f", "pair", "src", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_length_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    // n=1: ceil(.5)=ceil(.9)=1 → p50=p90=pmax=3
+    assert(out("solo") === ((3, 3, 3, 1L)))
+    // n=2: ceil(1.0)=1 → p50 = smaller count (2); ceil(1.8)=2 → p90 = 4
+    assert(out("pair") === ((2, 4, 4, 2L)))
+  }
+
   test("min-label fixpoint converges on a 30-link chain without planner blowup") {
     // worst case for label propagation: a path graph, where the min
     // label crawls one hop per iteration (30 iterations here — the depth
