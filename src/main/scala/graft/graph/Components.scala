@@ -80,6 +80,16 @@ object Components {
     // the edges (|E| rows) — the persisted-adjacency shape
     // graph_pagerank_exact uses, measured 7.0 s → ~3 s at sf0.1.
     val ueBySrc = ue.repartition(col("src")).localCheckpoint(false)
+    // isolated vertices never receive votes and never change label —
+    // compute them ONCE (anti-join against the edge endpoints) instead
+    // of left-joining the whole label frontier back every superstep: in
+    // an undirected edge list every non-isolated vertex has ≥1 neighbor,
+    // so it always appears in `best`, and lbl_{t+1} = best ∪ isolated
+    // exactly. One shuffle join per superstep saved.
+    val isolated = nodes
+      .join(ue.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("l"))
+      .localCheckpoint(false)
     var lbl = nodes.select(col("id"), col("id").as("l"))
     for (_ <- 1 to iters) {
       val votes = ueBySrc
@@ -87,10 +97,8 @@ object Components {
         .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
       val best = votes.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
-        .select(col("dst"), (-col("b.negl")).as("bl"))
-      lbl = lbl.join(best, col("id") === col("dst"), "left")
-        .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
-        .localCheckpoint(false)
+        .select(col("dst").as("id"), (-col("b.negl")).as("l"))
+      lbl = best.union(isolated).localCheckpoint(false)
     }
     lbl
   }

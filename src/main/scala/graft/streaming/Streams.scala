@@ -54,6 +54,25 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
 
+  /** Watermarked 15-minute OHLC bars over purchase values — the
+    * streaming form of `evt_ohlc_resample`'s aggregation, identical
+    * struct-pick open/close (min/max over unique (ts, event_id, value)
+    * structs, total-ordered). Works on batch and streaming frames
+    * alike; in streaming the watermark bounds per-bar state. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("bar_start"), col("o.value").as("open"),
+        col("high"), col("low"), col("c.value").as("close"), col("n"))
+
   /** Watermarked sliding windows (1 hour every 15 minutes). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

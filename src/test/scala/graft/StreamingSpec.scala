@@ -78,6 +78,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars equal the batch resample on real event parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc_src").toString
+    val batchDf = graft.ops.Events.eventsUs(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = Streams.ohlcBars(streamDf)
+      .writeStream.format("memory").queryName("ohlc_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0).toString, r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5))
+      val got = spark.table("ohlc_stream").collect().map(key).toSet
+      val expect = Streams.ohlcBars(batchDf).collect().map(key).toSet
+      assert(got === expect)
+      assert(expect.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops events that arrive later than the allowed lateness") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
