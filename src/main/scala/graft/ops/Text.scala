@@ -1103,6 +1103,21 @@ object Text {
       }
     ),
 
+    // ── prefix-filtered exact similarity join: evaluated, REJECTED ─────
+    // The PPJoin family (prefix filtering: J ≥ t pairs must share a
+    // token within their (sz − ⌈t·sz⌉ + 1)-prefixes under a global df
+    // order) was implemented and measured here as the exact counterpart
+    // to the banded candidates — and removed on the numbers. This
+    // corpus's template families make whole shingle runs co-occur
+    // across hundreds of moderately-similar docs, so prefix buckets
+    // (even with the positional filter, a 0.8 threshold, or 2-shingle
+    // blocking keys) generated 0.66M–3.6M candidate pairs for 256 true
+    // pairs at sf0.1 (~40 s vs ~1 s for the MinHash path). A 4-minhash
+    // band only collides at high overall similarity, which is exactly
+    // the selectivity single- or double-shingle blocks lack here;
+    // exactness is instead recovered by verifying TRUE Jaccard on the
+    // banded candidates (dedup_minhash_pairs / dedup_ngram_jaccard).
+
     // ── exact per-group length quantiles (type-1, integer-exact) ───────
     // The length-percentile curation filter's calibration step: p50/p90
     // token counts per language, computed EXACTLY — rank every doc
