@@ -90,4 +90,26 @@ class GraphSpec extends SparkSpec {
     val n = g.toGraphX.numVertices
     assert(math.abs(pr / n - 1.0) < 0.2, s"mean rank ${pr / n} should be ~1")
   }
+
+  test("every LPA community lies inside one connected component") {
+    // cross-query invariant: labels propagate only along edges, so an
+    // LPA community can never straddle two components of the same graph
+    val g = PropertyGraph.supplierPartGraph(spark, sf)
+    val e = g.edges.select(col("src"), col("dst"))
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val lpa = SparkEntry.queries("graph_label_propagation")(spark, sf)
+    val cc = graph.Components.minLabel(ue)
+      .withColumnRenamed("l", "component")
+    val straddling = lpa.join(cc, "id")
+      .groupBy("community")
+      .agg(countDistinct(col("component")).as("ncomp"))
+      .filter(col("ncomp") > 1)
+      .count()
+    assert(straddling === 0L,
+      "no LPA community may span multiple connected components")
+    // and communities refine components: at least as many communities
+    val nComm = lpa.select("community").distinct().count()
+    val nComp = cc.select("component").distinct().count()
+    assert(nComm >= nComp)
+  }
 }
