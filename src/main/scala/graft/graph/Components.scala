@@ -78,7 +78,10 @@ object Components {
     // materializes it). LogicalRDD keeps the hash partitioning, so every
     // later superstep shuffles only the label frontier (|V| rows), not
     // the edges (|E| rows) — the persisted-adjacency shape
-    // graph_pagerank_exact uses, measured 7.0 s → ~3 s at sf0.1.
+    // graph_pagerank_exact uses, measured 7.0 s → ~4.3 s warm at sf0.1
+    // under concurrent external load (per-superstep cost is then on par
+    // with a pagerank_exact superstep, which is the floor this shape
+    // targets).
     val ueBySrc = ue.repartition(col("src")).localCheckpoint(false)
     // isolated vertices never receive votes and never change label —
     // compute them ONCE (anti-join against the edge endpoints) instead
