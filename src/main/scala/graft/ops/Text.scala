@@ -1175,7 +1175,13 @@ object Text {
     Q(
       "dedup_fuzzy_blocked",
       (s, d) => {
+        // the head-noun block key is defined only for multi-word names:
+        // filter explicitly (all corpus names qualify) rather than let
+        // the engines diverge on the degenerate case — Spark's
+        // split()[1] yields NULL (null-rejected by the equi-join) where
+        // DuckDB's split_part yields '' (which would join).
         val p = part(s, d)
+          .filter(col("p_name").contains(" "))
           .select(col("p_partkey"), col("p_name"), col("p_brand"),
             split(col("p_name"), " ").getItem(1).as("noun"))
         val a = p.toDF("pa", "name_a", "brand", "noun")
@@ -1189,7 +1195,8 @@ object Text {
           .limit(100)
       },
       Some("""WITH p AS (SELECT p_partkey, p_name, p_brand,
-             |              split_part(p_name, ' ', 2) AS noun FROM part)
+             |              split_part(p_name, ' ', 2) AS noun FROM part
+             |            WHERE p_name LIKE '% %')
              |SELECT a.p_partkey AS pa, b.p_partkey AS pb,
              |  a.p_name AS name_a, b.p_name AS name_b,
              |  levenshtein(a.p_name, b.p_name) AS dist
