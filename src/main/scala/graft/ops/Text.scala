@@ -723,6 +723,56 @@ object Text {
               |FROM comp GROUP BY component ORDER BY canonical_id""".stripMargin)
     ),
 
+    // ── leakage-safe train/val split (cluster-level assignment) ────────
+    // The split a dedup pipeline must END with: assigning raw documents
+    // to train/val independently leaks near-duplicates across the
+    // boundary (the eval-contamination failure the GPT-3/Pile dedup
+    // sections document). Here the unit of assignment is the NEAR-DUP
+    // CLUSTER: connected docs take their component's label (the shared
+    // minLabel fixpoint over the cached pair set), singletons their own
+    // id, and the deterministic multiplicative hash of that CLUSTER id
+    // — not the doc id — picks the side (80/20). Every member of a
+    // cluster therefore lands on the same side by construction;
+    // TextSpec asserts no dup pair straddles the split. Cost on top of
+    // clustering: one broadcast-size left join + a per-row hash.
+    Q(
+      "text_leakage_safe_split",
+      (s, d) => {
+        val pairs = dupEdges(s, d)
+        val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .cache()
+        val lbl = graft.graph.Components.minLabel(ue)
+        ue.unpersist()
+        documents(s, d).select(col("doc_id"))
+          .join(lbl, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("l"), col("doc_id")).as("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"),
+            when(detHash(col("cluster_id")) % 10 < 8, "train")
+              .otherwise("val").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlSketchCtes,
+              |$sqlPairCtes,
+              |dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |ue AS (SELECT id_a AS src, id_b AS dst FROM dup
+              |       UNION SELECT id_b, id_a FROM dup),
+              |n AS (SELECT DISTINCT src AS id FROM ue),
+              |lbl(id, l) AS (
+              |  SELECT id, id FROM n
+              |  UNION
+              |  SELECT ue.dst, lbl.l FROM lbl JOIN ue ON ue.src = lbl.id),
+              |comp AS (SELECT id, min(l) AS component FROM lbl GROUP BY id),
+              |wc AS (
+              |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN ${detHashSql("cluster_id")} % 10 < 8
+              |       THEN 'train' ELSE 'val' END AS split
+              |FROM wc ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── triangle participation over the near-dup graph ─────────────────
     // Cluster-cohesion analytics: how many documents sit in fully
     // mutually-similar triples (a~b, b~c, a~c all ≥ 0.5)? Triangle

@@ -140,4 +140,22 @@ class TextSpec extends SparkSpec {
     assert(tri.subsetOf(core),
       s"triangle docs missing from the 2-core: ${tri -- core}")
   }
+
+  test("leakage-safe split: no near-dup pair straddles train/val") {
+    // the property the query exists for, checked against the INDEPENDENT
+    // pair list: both endpoints of every ≥0.5-Jaccard pair share a side
+    val split = SparkEntry.queries("text_leakage_safe_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_pairs")(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b),
+        s"dup pair ($a,$b) straddles the split: ${split(a)} vs ${split(b)}")
+    }
+    // and the hash split lands near 80/20 at the cluster level
+    val frac = split.values.count(_ == "train").toDouble / split.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of range")
+  }
 }
