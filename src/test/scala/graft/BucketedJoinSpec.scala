@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class BucketedJoinSpec extends SparkSpec {
 
   test("join of two tables bucketed on the key plans without a shuffle") {
-    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val wh = tempDir("graft_bucketed")
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
     Tables.lineitem(spark, sf).write

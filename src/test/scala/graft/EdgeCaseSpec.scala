@@ -59,7 +59,7 @@ class EdgeCaseSpec extends SparkSpec {
     // σ²=0 correlation guard and the empty-mask contour case only get
     // exercised here: write a one-row embeddings table and point the
     // SAME query functions at it.
-    val dir = java.nio.file.Files.createTempDirectory("graft-const-emb").toString
+    val dir = tempDir("graft-const-emb")
     Seq((0L, Array.fill(64)(0.25f), 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -267,7 +267,7 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("length quantiles: a single-doc stratum returns that doc's count for every quantile") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_lq").toString
+    val dir = tempDir("graft_lq")
     Seq((1L, "one two three", "solo", "src", 13L),
         (2L, "a b", "pair", "src", 3L),
         (3L, "c d e f", "pair", "src", 7L))

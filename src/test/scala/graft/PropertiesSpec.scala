@@ -224,7 +224,7 @@ class PropertiesSpec extends SparkSpec {
     val docs = lengths.zipWithIndex.map { case (n, i) =>
       (i.toLong, (0 until n).map(t => s"t$t").mkString(" "), "en", "src", n)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_prop").toString
+    val dir = tempDir("graft_chunk_prop")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("text_chunk_windows")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -19,7 +19,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables co-locate their join and aggregation: zero shuffles") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val tmp = tempDir("graft-bucketed")
     Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$tmp/bo").saveAsTable("bucketed_orders")
@@ -51,7 +51,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("hive-style partitioned layout prunes partitions at the scan") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val tmp = tempDir("graft-part")
     Tables.orders(spark, sf)
       .withColumn("o_prio", substring(col("o_orderpriority"), 1, 1))
       .write.mode("overwrite").partitionBy("o_prio").parquet(tmp)
@@ -85,7 +85,7 @@ class ScaleSpec extends SparkSpec {
     // partitioning + within-partition sort ⇒ every file owns a disjoint
     // key interval, so parquet row-group stats (and any min/max file
     // index) eliminate files for point/range predicates.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-range").toString
+    val tmp = tempDir("graft-range")
     Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
       .repartitionByRange(4, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
@@ -131,7 +131,7 @@ class ScaleSpec extends SparkSpec {
       }
       fracs.sum / fracs.length
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val tmp = tempDir("graft-zorder")
     src.repartitionByRange(8, col("o_custkey"))
       .sortWithinPartitions("o_custkey")
       .write.mode("overwrite").parquet(s"$tmp/bykey")
@@ -153,7 +153,7 @@ class ScaleSpec extends SparkSpec {
     // compacted to a handful of target-sized files — fewer tasks, fewer
     // namenode entries, full row fidelity. maxRecordsPerFile bounds the
     // file size from above; repartition sets the parallelism floor.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val tmp = tempDir("graft-compact")
     val src = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     src.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
     def parquetFiles(p: String) = new java.io.File(p).listFiles
@@ -179,7 +179,7 @@ class ScaleSpec extends SparkSpec {
     // A 100 TB table is written over years by drifting jobs; readers
     // must union generations without rewrites. Two generations with
     // disjoint new columns merge into one schema, absent columns null.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val tmp = tempDir("graft-drift")
     spark.range(5).select(col("id"), lit(1.0).as("v1"))
       .write.parquet(s"$tmp/g=1")
     spark.range(5).select(col("id"), lit("x").as("v2"))

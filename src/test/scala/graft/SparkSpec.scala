@@ -25,4 +25,19 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = TestSpark.sf0001
+
+  /** Test scratch directory, deleted when the test JVM exits — repeated
+    * `sbt test` runs must not accumulate fixture dirs in java.io.tmpdir
+    * (the same hygiene rule agg_sketch_rollup follows for its sketch
+    * table). */
+  protected def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    p.toString
+  }
 }

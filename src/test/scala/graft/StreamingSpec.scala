@@ -56,7 +56,7 @@ class StreamingSpec extends SparkSpec {
   test("file-source streaming over real event parquet matches the batch result") {
     // the harness events table, µs-converted, written as a streaming
     // source dir — the swap-in path for a production file/Kafka feed
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val dir = tempDir("graft_stream_src")
     val batchDf = graft.ops.Events.eventsUs(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
     batchDf.write.mode("overwrite").parquet(dir)
@@ -79,7 +79,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming OHLC bars equal the batch resample on real event parquet") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc_src").toString
+    val dir = tempDir("graft_ohlc_src")
     val batchDf = graft.ops.Events.eventsUs(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
     batchDf.write.mode("overwrite").parquet(dir)
@@ -182,7 +182,7 @@ class StreamingSpec extends SparkSpec {
   test("file sink + checkpoint restarts without loss or duplication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = tempDir("graft-ckpt")
     val input = MemoryStream[Evt]
     def start() = input.toDF().writeStream.format("parquet")
       .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")

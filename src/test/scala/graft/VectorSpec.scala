@@ -104,7 +104,7 @@ class VectorSpec extends SparkSpec {
     // to L storage buckets at plan time instead of scanning the corpus.
     // Spark prunes buckets only for single-column bucketing, so the cell
     // key is the combined integer tbl·256 + bucket.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-lshcells").toString
+    val tmp = tempDir("graft-lshcells")
     val nBuckets = 32
     // DisableUnnecessaryBucketedScan turns the bucketed read OFF when the
     // plan has no bucket-key join/agg — which also drops bucket PRUNING.
