@@ -213,9 +213,11 @@ object Text {
     * query); layers past convergence are no-op filters, linear cost. */
   private val KCoreUnroll = 10
 
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = cachedSketch(s, d)
-    val bands = docs.select(col("doc_id"),
+  /** LSH band rows (doc_id, band, h1..h4) for a sketch frame — the
+    * bucket key both the self-join (minhashPairs) and the two-sided
+    * incremental join (dedup_incremental) hash on. */
+  private def bandsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band"), element_at(col("sig"), 1).as("h1"),
           element_at(col("sig"), 2).as("h2"), element_at(col("sig"), 3).as("h3"),
@@ -225,6 +227,10 @@ object Text {
           element_at(col("sig"), 8).as("h4"))
       )).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"), col("b.h3"), col("b.h4"))
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = cachedSketch(s, d)
+    val bands = bandsOf(docs)
     val l = bands.toDF("id_a", "band", "h1", "h2", "h3", "h4")
     val r = bands.toDF("id_b", "band", "h1", "h2", "h3", "h4")
     val cand = l.join(r, Seq("band", "h1", "h2", "h3", "h4"))
@@ -784,6 +790,75 @@ object Text {
               |  CASE WHEN ${detHashSql("cluster_id")} % 10 < 8
               |       THEN 'train' ELSE 'val' END AS split
               |FROM wc ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ── incremental dedup: a new batch against the existing corpus ─────
+    // The ingestion-time shape: a production pipeline doesn't re-cluster
+    // 100 TB when a batch arrives — it asks, per INCOMING doc, "is this
+    // a near-dup of anything already ingested?". Here the deterministic
+    // 10% slice doc_id % 10 = 7 plays the incoming batch and the rest
+    // the corpus; candidates come from the SAME LSH band buckets as the
+    // self-join path but joined ACROSS the two sides only (batch bands ⋈
+    // corpus bands — no corpus self-pairs, so candidate volume scales
+    // with the batch, not the corpus), verified by exact Jaccard, and
+    // reduced to the best (highest-Jaccard, then smallest-id) corpus
+    // partner per incoming doc. Verdict rows carry every incoming doc:
+    // matched ones name their dup_of, fresh ones null.
+    Q(
+      "dedup_incremental",
+      (s, d) => {
+        val docs = cachedSketch(s, d)
+        val isNew = col("doc_id") % 10 === 7
+        val bands = bandsOf(docs)
+        val newBands = bands.filter(isNew)
+          .toDF("new_id", "band", "h1", "h2", "h3", "h4")
+        val corpusBands = bands.filter(!isNew)
+          .toDF("old_id", "band", "h1", "h2", "h3", "h4")
+        val cand = newBands.join(corpusBands, Seq("band", "h1", "h2", "h3", "h4"))
+          .select("new_id", "old_id").distinct()
+        val sa = docs.select(col("doc_id").as("new_id"), col("sh").as("sa"))
+        val sb = docs.select(col("doc_id").as("old_id"), col("sh").as("sb"))
+        val matched = cand.join(sa, "new_id").join(sb, "old_id")
+          .select(col("new_id"), col("old_id"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .groupBy("new_id")
+          .agg(max(struct(col("jaccard"), (-col("old_id")).as("negid"))).as("b"))
+          .select(col("new_id"), (-col("b.negid")).as("dup_of"),
+            col("b.jaccard").as("jaccard"))
+        docs.filter(isNew).select(col("doc_id").as("new_id"))
+          .join(matched, Seq("new_id"), "left")
+          .orderBy("new_id")
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |bands AS (
+              |  SELECT doc_id, 0 AS band, sig[1] AS h1, sig[2] AS h2, sig[3] AS h3, sig[4] AS h4 FROM sketch
+              |  UNION ALL
+              |  SELECT doc_id, 1 AS band, sig[5], sig[6], sig[7], sig[8] FROM sketch),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+              |   AND a.h3 = b.h3 AND a.h4 = b.h4
+              |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+              |scored AS (
+              |  SELECT c.new_id, c.old_id,
+              |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+              |  FROM cand c
+              |  JOIN sketch sa ON sa.doc_id = c.new_id
+              |  JOIN sketch sb ON sb.doc_id = c.old_id),
+              |best AS (
+              |  SELECT new_id, old_id AS dup_of, jaccard FROM (
+              |    SELECT new_id, old_id, jaccard,
+              |      row_number() OVER (PARTITION BY new_id
+              |        ORDER BY jaccard DESC, old_id ASC) AS rk
+              |    FROM scored WHERE jaccard >= 0.5) WHERE rk = 1)
+              |SELECT n.doc_id AS new_id, best.dup_of, best.jaccard
+              |FROM (SELECT doc_id FROM sketch WHERE doc_id % 10 = 7) n
+              |LEFT JOIN best ON best.new_id = n.doc_id
+              |ORDER BY new_id""".stripMargin)
     ),
 
     // ── triangle participation over the near-dup graph ─────────────────

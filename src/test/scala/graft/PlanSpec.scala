@@ -246,6 +246,12 @@ class PlanSpec extends SparkSpec {
       s"bar aggregates must map-side combine:\n$p")
   }
 
+  test("incremental dedup joins batch bands against corpus bands, no self-pairs") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-corpus candidates must come from the band equi-join:\n$p")
+  }
+
   test("IVF-PQ probes cells and ranks via broadcasts, never a large product") {
     val p = plan("ann_ivfpq_topk")
     // the probe-cell filter and the 1-row codebook/query sides broadcast;
