@@ -13,9 +13,34 @@ import org.apache.spark.sql.SparkSession
   * which is why BENCH_r{1,2}.parsed came back null.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable —
+    * non-Linux or restricted proc; the bench still runs, just unannotated). */
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** This box hosts an external tenant whose load oscillates on ~10-min
+    * cycles; a bench pass that overlaps a spike inflates iterative
+    * (driver-synced) queries 3-6x with zero code change (judge r7: the
+    * driver's 150.9 s total vs 89.8 s quiet-box). Wait out a spike for a
+    * bounded time rather than record a lie. */
+  private val LoadThreshold = 2.0
+
+  private def awaitQuietStart(): Unit = {
+    var waited = 0
+    while (loadAvg1m() > LoadThreshold && waited < 180) {
+      System.err.println(s"[bench] 1-min load ${loadAvg1m()} > $LoadThreshold; waiting 30s (${waited}s so far)")
+      Thread.sleep(30000)
+      waited += 30
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    awaitQuietStart()
+    val loadStart = loadAvg1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,10 +62,13 @@ object Bench {
     // other tenants); the per-query minimum over three passes is the
     // stable steady-state estimate and rides out a noisy window that
     // best-of-2 cannot.
+    val tWall0 = System.nanoTime()
     val passes = Seq(runAll(), runAll(), runAll())
+    val wallTimed = (System.nanoTime() - tWall0) / 1e9
     val results = passes.head.indices.map { i =>
       passes.head(i)._1 -> passes.map(_(i)._2).min
     }
+    val loadEnd = loadAvg1m()
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // the driver keeps only ~2.3 KB of stdout tail; with 90+ queries a
@@ -51,7 +79,19 @@ object Bench {
     val qjson = slowest.map { case (k, v) => s"""\"$k\":${ms(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timed":${results.size},"queries":$qjson,"sf":"$sfDir"}"""
+    // Load annotations (judge r7 task 1): the reported total is the
+    // best-of-3 per-query minimum, but external tenant load can still
+    // contaminate all three passes. Make a corrupted run machine-
+    // detectable: 1-min loadavg at start/end, mean-pass-wall vs
+    // best-of-total skew (quiet box: passes agree, skew ~1.0-1.15;
+    // loaded box: some pass inflates, skew climbs), and a "tainted"
+    // flag when either signal trips. A tainted number should be
+    // re-measured, not compared across rounds.
+    val passTotals = passes.map(_.map(_._2).sum)
+    val skew = if (total > 0) (wallTimed / passes.size) / total else 1.0
+    val tainted = loadStart > LoadThreshold || loadEnd > LoadThreshold || skew > 1.35
+    val loadJson = s""""load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"wall_timed":${ms(wallTimed)},"pass_totals":[${passTotals.map(ms).mkString(",")}],"skew":${ms(skew)},"tainted":$tainted"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timed":${results.size},$loadJson,"queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout goes through sbt's [info]
     // prefixing and tail-truncation, which has defeated the driver's

@@ -68,11 +68,19 @@ object Components {
     * localCheckpoint'd — the same O(1)-plan-depth superstep shape as
     * [[minLabel]].
     *
-    * @param nodes (id) — every vertex, including isolated ones (they
-    *              keep their own label).
-    * @param ue    undirected edges (src, dst) — both directions present.
+    * @param nodes      (id) — every vertex, including isolated ones
+    *                   (they keep their own label).
+    * @param ue         undirected edges (src, dst) — both directions
+    *                   present.
+    * @param stageEdges when true (default) the edge list is shuffled
+    *                   onto the join key and checkpointed here; pass
+    *                   false when the caller supplies an ALREADY staged
+    *                   (src-partitioned, persisted) adjacency — e.g. the
+    *                   session-scoped memo in PropertyGraph — so it is
+    *                   not re-shuffled per call.
     * @return (id, l) after exactly `iters` supersteps. */
-  def lpa(nodes: DataFrame, ue: DataFrame, iters: Int): DataFrame = {
+  def lpa(nodes: DataFrame, ue: DataFrame, iters: Int,
+          stageEdges: Boolean = true): DataFrame = {
     // the edge list is loop-invariant: shuffle it onto the JOIN key once
     // and localCheckpoint (lazily — the first superstep's join
     // materializes it). LogicalRDD keeps the hash partitioning, so every
@@ -82,7 +90,8 @@ object Components {
     // under concurrent external load (per-superstep cost is then on par
     // with a pagerank_exact superstep, which is the floor this shape
     // targets).
-    val ueBySrc = ue.repartition(col("src")).localCheckpoint(false)
+    val ueBySrc =
+      if (stageEdges) ue.repartition(col("src")).localCheckpoint(false) else ue
     // isolated vertices never receive votes and never change label —
     // compute them ONCE (anti-join against the edge endpoints) instead
     // of left-joining the whole label frontier back every superstep: in
