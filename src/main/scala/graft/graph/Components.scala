@@ -91,7 +91,20 @@ object Components {
     // with a pagerank_exact superstep, which is the floor this shape
     // targets).
     val ueBySrc =
-      if (stageEdges) ue.repartition(col("src")).localCheckpoint(false) else ue
+      if (stageEdges) ue.repartition(col("src")).localCheckpoint(false)
+      else {
+        // precondition (r8 advice): a caller claiming pre-staged edges
+        // must pass a persisted artifact (cache()'d or a checkpoint
+        // LogicalRDD) — an unstaged frame would give correct results
+        // while silently reintroducing the per-superstep full-edge
+        // shuffle this flag exists to avoid, so fail loudly instead.
+        val persisted = ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+          ue.queryExecution.analyzed.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+        require(persisted,
+          "lpa(stageEdges = false) requires a persisted, src-partitioned edge list " +
+            "(cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")
+        ue
+      }
     // isolated vertices never receive votes and never change label —
     // compute them ONCE (anti-join against the edge endpoints) instead
     // of left-joining the whole label frontier back every superstep: in

@@ -82,11 +82,10 @@ object PropertyGraph {
   // already-cached plan (which only logs CacheManager warning spam). At
   // 100 TB this is a persisted edge table written once. The map is
   // bounded by (#sessions × #sf dirs) — a handful in any harness run.
-  private val graphMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), PropertyGraph]
+  private val graphMemo = graft.SessionMemo[PropertyGraph]()
 
   def supplierPartGraph(s: SparkSession, d: String): PropertyGraph =
-    graphMemo.computeIfAbsent((s, d), { _ =>
+    graphMemo.getOrCompute(s, d) {
       val sup = supplier(s, d)
         .select(col("s_suppkey").as("id"), lit("Supplier").as("label"), col("s_name").as("name"))
       val prt = part(s, d)
@@ -98,7 +97,7 @@ object PropertyGraph {
         .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"), lit(1.0).as("weight"))
         .cache()
       PropertyGraph(sup.unionByName(prt), es)
-    })
+    }
 
   // ── session-scoped staged adjacency (judge r7 task 2) ───────────────
   // The five fixpoint queries (shortest-paths, PageRank-exact, PPR,
@@ -114,20 +113,18 @@ object PropertyGraph {
   // and the CacheManager keeps the hash-partitioning-on-src metadata,
   // so every superstep join shuffles only the small frontier side.
 
-  private val undirectedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val undirectedMemo = graft.SessionMemo[DataFrame]()
 
   /** Undirected (src, dst) edge view — both directions, hash-partitioned
     * on the superstep join key `src`, cached once per (session, dir). */
   def undirectedEdges(s: SparkSession, d: String): DataFrame =
-    undirectedMemo.computeIfAbsent((s, d), { _ =>
+    undirectedMemo.getOrCompute(s, d) {
       val e = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src")).cache()
-    })
+    }
 
-  private val degAdjMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val degAdjMemo = graft.SessionMemo[DataFrame]()
 
   /** Degree-annotated undirected adjacency (src, dst, deg) — the
     * loop-invariant artifact PageRank-exact and PPR scan every
@@ -135,26 +132,25 @@ object PropertyGraph {
     * and the join both reuse its src partitioning, so the build adds no
     * extra shuffle of the edge list. */
   def degreeAdjacency(s: SparkSession, d: String): DataFrame =
-    degAdjMemo.computeIfAbsent((s, d), { _ =>
+    degAdjMemo.getOrCompute(s, d) {
       val ue = undirectedEdges(s, d)
       val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
       ue.join(deg, "src").cache()
-    })
+    }
 
-  private val weightedUeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val weightedUeMemo = graft.SessionMemo[DataFrame]()
 
   /** Weighted undirected edges (src, dst, w) with w = min l_quantity per
     * (supplier, part) — the SSSP relaxation input, staged once. */
   def weightedUndirectedEdges(s: SparkSession, d: String): DataFrame =
-    weightedUeMemo.computeIfAbsent((s, d), { _ =>
+    weightedUeMemo.getOrCompute(s, d) {
       val e0 = lineitem(s, d)
         .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
         .agg(min(col("l_quantity")).cast("long").as("w"))
       e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
         .repartition(col("src")).cache()
-    })
+    }
 
   /** Landmark vertices and the BFS depth bound shared by the Spark and
     * oracle sides of `graph_shortest_paths`. The bound must exceed the

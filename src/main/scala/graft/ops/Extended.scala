@@ -21,11 +21,10 @@ object Extended {
   // point is that rollups reread stored sketch bytes, not re-derive
   // them), and the pid-scoped directory is deleted at JVM exit so
   // repeated Verify/Bench runs leave no orphans behind.
-  private val sketchDirMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private val sketchDirMemo = graft.SessionMemo[String]()
 
   private def monthlySketchDir(s: SparkSession, d: String): String =
-    sketchDirMemo.computeIfAbsent((s, d), { _ =>
+    sketchDirMemo.getOrCompute(s, d) {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_" +
         s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
       orders(s, d)
@@ -43,7 +42,7 @@ object Extended {
         }
       }))
       dir
-    })
+    }
 
   // ── Z-order (Morton) interleave ──────────────────────────────────────
   /** Morton/Z-order key of two pre-quantized codes in [0, 2^bits):

@@ -139,8 +139,7 @@ object Text {
   // deliberately session-lifetime — bounded by the corpus sketch size and
   // released at session stop — and the memo means cache() is issued once,
   // not once per query (repeat calls only log CacheManager warning spam).
-  private val sketchMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val sketchMemo = graft.SessionMemo[DataFrame]()
 
   /** The memoized cached corpus sketch — shared by the dedup family and
     * decontamination. Besides amortizing the hashing, the cache is an
@@ -151,7 +150,7 @@ object Text {
     * (the quadratic re-evaluation pitfall; measured 65 s vs 1.5 s on
     * text_decontaminate at sf0.1). */
   private def cachedSketch(s: SparkSession, d: String): DataFrame =
-    sketchMemo.computeIfAbsent((s, d), { _ => docSketch(s, d).cache() })
+    sketchMemo.getOrCompute(s, d) { docSketch(s, d).cache() }
 
   // The ≥0.5-Jaccard near-dup pair set — the SPINE of the dedup
   // pipeline: clustering, triangle counting, and the keep list all
@@ -167,14 +166,13 @@ object Text {
   // memo restores the sharing EXPLICITLY with the same bounded,
   // session-lifetime policy as the sketch, instead of as an accident of
   // plan canonicalization.
-  private val dupEdgesMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val dupEdgesMemo = graft.SessionMemo[DataFrame]()
 
   private def dupEdges(s: SparkSession, d: String): DataFrame =
-    dupEdgesMemo.computeIfAbsent((s, d), { _ =>
+    dupEdgesMemo.getOrCompute(s, d) {
       minhashPairs(s, d).filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b").cache()
-    })
+    }
 
   // Near-dup cluster labels (doc_id → component min-label) — ONE
   // minLabel fixpoint per (session, dir), shared by
@@ -183,11 +181,10 @@ object Text {
   // the split read its output. The returned frame is the fixpoint's
   // lazily-checkpointed final generation (one row per dup-connected
   // doc); the memo reference keeps those blocks alive for the session.
-  private val clusterLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val clusterLabelsMemo = graft.SessionMemo[DataFrame]()
 
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    clusterLabelsMemo.computeIfAbsent((s, d), { _ =>
+    clusterLabelsMemo.getOrCompute(s, d) {
       val pairs = dupEdges(s, d)
       val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -197,16 +194,15 @@ object Text {
       // weight once they exist, so release it before consumers run.
       ue.unpersist()
       lbl
-    })
+    }
 
   // SimHash fingerprints, shared by the per-doc dump and the banded
   // pair search (both band sides + the XOR verify) — same memo policy;
   // two longs per document.
-  private val simhashMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val simhashMemo = graft.SessionMemo[DataFrame]()
 
   private def cachedSimhash(s: SparkSession, d: String): DataFrame =
-    simhashMemo.computeIfAbsent((s, d), { _ => simhashSigs(s, d).cache() })
+    simhashMemo.getOrCompute(s, d) { simhashSigs(s, d).cache() }
 
   /** Unroll depth for `dedup_kcore`'s oracle — must be ≥ the peel
     * rounds the Spark fixpoint actually needed (require'd in the
