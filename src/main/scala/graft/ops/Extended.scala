@@ -545,6 +545,51 @@ object Extended {
               |ORDER BY event_id""".stripMargin)
     ),
 
+    // ── as-of join, STRICT NEAREST (the last merge_asof matrix cell) ──
+    // direction="nearest" + allowExactMatches=false: the closer of
+    // {latest STRICTLY earlier, earliest STRICTLY later} right row —
+    // the two-slot merge (AsOfJoin.scala). Times are HOUR buckets so
+    // the testdata genuinely exercises strictness (39 purchases at
+    // sf0.01 share an hour with a click of the same user; microsecond
+    // times have zero collisions and would make strict ≡ non-strict).
+    // The oracle's RANGE frames are VALUE-based — `1 PRECEDING` over
+    // ORDER BY h means h' ≤ h−1, exactly the strict bound, immune to
+    // peer-row ordering — and the payload is the hour itself, so
+    // equal-time payload ties cannot appear in the compared cells.
+    Q(
+      "evt_asof_join_nearest_strict",
+      (s, d) => {
+        val ev = graft.ops.Events.eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "h")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("h").as("near_click_h"))
+        graft.plans.AsOf.join(purchases, clicks, Seq("user_id"),
+            leftTime = "h", rightTime = "near_click_h",
+            carried = Seq("near_click_h"), direction = "nearest",
+            allowExactMatches = false)
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, h,
+              |  CASE WHEN last_h IS NOT NULL AND (next_h IS NULL OR h - last_h <= next_h - h)
+              |       THEN last_h ELSE next_h END AS near_click_h
+              |FROM (
+              |  SELECT event_id, user_id, event_type, h,
+              |    max(CASE WHEN event_type = 'click' THEN h END)
+              |      OVER (PARTITION BY user_id ORDER BY h
+              |            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_h,
+              |    min(CASE WHEN event_type = 'click' THEN h END)
+              |      OVER (PARTITION BY user_id ORDER BY h
+              |            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_h
+              |  FROM (SELECT event_id, user_id, event_type,
+              |          epoch_us(${graft.ops.Events.sqlTs}) // 3600000000 AS h
+              |        FROM events WHERE event_type IN ('purchase', 'click')))
+              |WHERE event_type = 'purchase'
+              |ORDER BY event_id""".stripMargin)
+    ),
+
     // ── corr / covar_pop (SURVEY.md Note D): the reference's corrcoef/
     // cov "features" are degenerate (row-0-only); these are the
     // well-defined analogues between embedding dims 1 and 2 per label.

@@ -13,8 +13,9 @@ import org.apache.spark.sql.graft.{AsOfDirection, AsOfJoinPlan, AsOfJoinStrategy
   * nulls when no such row exists. `tolerance` (same units as the time
   * columns) drops candidates whose gap exceeds it;
   * `allowExactMatches = false` excludes rightTime == leftTime (strict
-  * inequality — supported for backward/forward; strict nearest is
-  * rejected, see the operator scaladoc). This is the public
+  * inequality, all three directions — the full `merge_asof` matrix;
+  * strict nearest uses the two-slot merge, see the operator scaladoc).
+  * This is the public
   * `merge_asof` surface (pandas / Spark's pandas-API). Both time
   * columns must be LongType (epoch micros — use unix_micros upstream).
   * NULL keys never match on either side (equi-join semantics); see the
@@ -38,10 +39,6 @@ object AsOf {
       allowExactMatches: Boolean = true): DataFrame = {
     val dir = AsOfDirection.parse(direction)
     require(tolerance.forall(_ >= 0L), "as-of tolerance must be >= 0")
-    require(allowExactMatches || dir != AsOfDirection.Nearest,
-      "allowExactMatches=false is not supported with direction=nearest " +
-        "(needs multi-row lookahead past equal-time runs; pre-filter the " +
-        "right side instead)")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =

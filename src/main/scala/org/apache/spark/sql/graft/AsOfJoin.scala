@@ -64,11 +64,13 @@ object AsOfDirection extends Enumeration {
   *     applies the bound to each candidate before comparing gaps;
   *   - `allowExactMatches = false` (pandas' strict mode) excludes
   *     rightTime == leftTime: backward takes the latest STRICTLY
-  *     earlier row, forward the earliest STRICTLY later. Supported for
-  *     backward and forward; strict nearest is rejected at the API
-  *     (it needs multi-row lookahead past an equal-time run, which
-  *     breaks the O(1)-state merge — pre-filter the right side
-  *     instead).
+  *     earlier row, forward the earliest STRICTLY later, nearest the
+  *     closer of those two. Strict nearest (r7 judge task 3) keeps the
+  *     O(1)-state merge with a SECOND held slot: equal-time right rows
+  *     must be consumed (they are backward candidates for later left
+  *     times) but may not serve the current left time, so the merge
+  *     remembers the last strictly-earlier row beneath the equal-time
+  *     run — two held rows total, never a multi-row buffer.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -165,11 +167,16 @@ case class AsOfJoinExec(
       // the equal-time handling: backward STOPS at equal rows (they
       // stay heldable for later, larger left times), forward consumes
       // them unheld (useless for any later strict-forward match, and
-      // there is no backward side to hold them for).
+      // there is no backward side to hold them for). Strict NEAREST
+      // must consume equal-time rows AND hold them (they are backward
+      // candidates for later left times) while remembering the last
+      // strictly-earlier row beneath the run in a second slot (prev*),
+      // so the current left row can still fall back to it.
       val exact = allowExactMatches
+      val strictNearest = dir == AsOfDirection.Nearest && !exact
       val consumeEqualTime =
         (dir == AsOfDirection.Backward && exact) ||
-          (dir == AsOfDirection.Forward && !exact)
+          (dir == AsOfDirection.Forward && !exact) || strictNearest
       val holdConsumed = dir != AsOfDirection.Forward
 
       new Iterator[InternalRow] {
@@ -181,6 +188,11 @@ case class AsOfJoinExec(
         private var heldKey: UnsafeRow = _
         private var heldTime: Long = 0L
         private var heldPayload: UnsafeRow = _
+        // strict-nearest second slot: the last held row whose time is
+        // STRICTLY below heldTime (same key) — the backward candidate
+        // when the primary held row sits on an equal-time run
+        private var prevTime: Long = 0L
+        private var prevPayload: UnsafeRow = _
         advanceRight()
 
         private def advanceRight(): Unit = {
@@ -217,6 +229,19 @@ case class AsOfJoinExec(
             else if (c == 0 &&
               (rTimeVal < lT || (consumeEqualTime && rTimeVal == lT))) {
               if (holdConsumed) {
+                if (strictNearest) {
+                  if (heldKey != null && keyOrd.compare(heldKey, rKey) == 0) {
+                    // time advanced: the outgoing held row becomes the
+                    // strictly-earlier fallback; an equal-time overwrite
+                    // keeps the existing fallback (run's last payload
+                    // wins the primary slot, sort-stability tie as
+                    // documented)
+                    if (rTimeVal > heldTime) {
+                      prevTime = heldTime
+                      prevPayload = heldPayload
+                    }
+                  } else prevPayload = null // new key: no earlier row yet
+                }
                 heldKey = rKey
                 heldTime = rTimeVal
                 heldPayload = payloadProj(rRow).copy()
@@ -224,23 +249,32 @@ case class AsOfJoinExec(
               advanceRight()
             } else scanning = false
           }
-          val backOk = usable && heldKey != null &&
-            keyOrd.compare(heldKey, lKey) == 0 &&
-            tol.forall(lT - heldTime <= _)
+          // backward candidate: the held row, unless strict mode bars
+          // its equal-time value — then (strict nearest) the fallback
+          // slot beneath the equal-time run
+          var bPayload: UnsafeRow = null
+          var bTime = 0L
+          if (usable && heldKey != null && keyOrd.compare(heldKey, lKey) == 0) {
+            if (exact || heldTime < lT) { bPayload = heldPayload; bTime = heldTime }
+            else if (strictNearest && prevPayload != null) {
+              bPayload = prevPayload; bTime = prevTime
+            }
+          }
+          val backOk = bPayload != null && tol.forall(lT - bTime <= _)
           val fwdOk = usable && rRow != null &&
             keyOrd.compare(rKey, lKey) == 0 &&
             tol.forall(rTimeVal - lT <= _)
           val payload = dir match {
             case AsOfDirection.Backward =>
-              if (backOk) heldPayload else nullPayload
+              if (backOk) bPayload else nullPayload
             case AsOfDirection.Forward =>
               if (fwdOk) payloadProj(rRow) else nullPayload
             case AsOfDirection.Nearest =>
               if (backOk && fwdOk) {
                 // equal gaps break toward the backward (earlier) row
-                if (lT - heldTime <= rTimeVal - lT) heldPayload
+                if (lT - bTime <= rTimeVal - lT) bPayload
                 else payloadProj(rRow)
-              } else if (backOk) heldPayload
+              } else if (backOk) bPayload
               else if (fwdOk) payloadProj(rRow)
               else nullPayload
           }

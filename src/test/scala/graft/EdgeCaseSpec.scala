@@ -191,9 +191,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === Seq(None, Some("v10")),
       "a row equal to an earlier left time is strictly-earlier for a later one")
 
-    intercept[IllegalArgumentException] {
-      run("nearest", exact = false)
-    }
+    // strict nearest (two-slot merge): equal-time rows are excluded for
+    // the current left row but stay backward candidates for later ones,
+    // and the strictly-earlier row BENEATH an equal-time run must
+    // survive the run's consumption (the case a single held slot loses)
+    val l3 = Seq((1L, 10L), (1L, 12L), (2L, 7L)).toDF("k", "t")
+    val r3 = Seq((1L, 5L, "e5"), (1L, 10L, "e10a"), (1L, 10L, "e10b"),
+      (2L, 7L, "f7")).toDF("k", "rt", "payload")
+    val sn = graft.plans.AsOf.join(l3, r3, Seq("k"), "t", "rt", Seq("payload"),
+      direction = "nearest", allowExactMatches = false)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(sn === Seq(
+      (1L, 10L, Some("e5")),   // both 10s excluded → falls back past the run to 5
+      (1L, 12L, Some("e10b")), // the run is strictly earlier now; its sort-last payload wins
+      (2L, 7L, None)),         // the only right row is the equal-time one
+      s"strict nearest two-slot fallback diverged: $sn")
+
+    // strict nearest still compares gaps and breaks ties backward
+    val l4 = Seq((1L, 10L), (1L, 14L)).toDF("k", "t")
+    val r4 = Seq((1L, 8L, "b8"), (1L, 12L, "b12")).toDF("k", "rt", "payload")
+    val sn2 = graft.plans.AsOf.join(l4, r4, Seq("k"), "t", "rt", Seq("payload"),
+      direction = "nearest", allowExactMatches = false)
+      .orderBy("t").collect().map(r => r.getString(2)).toSeq
+    assert(sn2 === Seq("b8", "b12"),
+      s"strict nearest gap comparison / backward tie-break diverged: $sn2")
   }
 
   test("as-of join: non-nullable carried column nulls correctly; null keys never match") {
