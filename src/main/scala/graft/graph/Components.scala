@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Min-label connected components over an undirected edge list, run
@@ -126,6 +126,118 @@ object Components {
       lbl = best.union(isolated).localCheckpoint(false)
     }
     lbl
+  }
+
+  /** One [[lpaConverged]] run: the final labels plus the per-superstep
+    * changed-vertex counts (length = supersteps executed; a trailing 0
+    * means the run CONVERGED rather than hit the cap). */
+  final case class LpaRun(labels: DataFrame,
+                          changeCounts: Seq[Long]) {
+    def rounds: Int = changeCounts.size
+    def converged: Boolean = changeCounts.lastOption.contains(0L)
+  }
+
+  /** Convergence-mode LPA — the usable community detector next to the
+    * fixed-depth oracle form [[lpa]]. SEMI-SYNCHRONOUS (Cordasco &
+    * Gargano 2012): each superstep updates the vertices one color class
+    * at a time (two half-steps for a 2-coloring), each half-step voting
+    * over the LATEST labels. When `color` is a proper coloring — e.g.
+    * the bipartition side of a bipartite graph — no vertex ever votes
+    * with a stale neighbor label, which removes the 2-cycle label
+    * oscillation synchronous LPA exhibits on bipartite structure (the
+    * reason [[lpa]] runs a fixed depth). Votes and ties stay exactly
+    * [[lpa]]'s deterministic rule: most frequent neighbor label, ties
+    * toward the smallest.
+    *
+    * Termination is a driver-counted change fixpoint: stop when a full
+    * superstep changes 0 labels, with two guards for improper colorings
+    * (where semi-sync convergence is only empirical): a hard `maxIters`
+    * cap and an oscillation cap (3 consecutive non-decreasing change
+    * counts). Change counts are also require'd non-explosive (≤ 2× the
+    * previous superstep past a small floor) — a diverging count means
+    * the coloring is fighting the vote rule and the caller should pass
+    * a proper coloring instead.
+    *
+    * Per half-step: the edge scan is pre-filtered to the updating
+    * color's dst rows (so a full superstep touches each edge ONCE, same
+    * vote volume as a synchronous step) and the two vote aggregations
+    * stay partial-agg'd. Exchanges are kept to the two vote shuffles
+    * plus one frontier-scale repartition: every label generation is
+    * hash-partitioned on id before its (lazy) localCheckpoint, so the
+    * next vote join (id aliased to src — alias-aware partitioning) and
+    * the old-label lookup both plan WITHOUT an exchange against the
+    * src-partitioned edge cache / the best-by-dst agg output. Change
+    * detection is FUSED into that lookup as a boolean column, so the
+    * per-superstep driver count is a filter over the just-materialized
+    * generation, not a separate join job — one action per superstep,
+    * O(1) plan depth, the [[minLabel]] discipline.
+    *
+    * @param color 0/1 color of a vertex id column; DEFAULT id parity
+    *              (improper in general — the caps then bound the run);
+    *              pass the true bipartition for bipartite graphs.
+    * @return final labels plus the change-count trace (monotone
+    *         evidence for the caller to assert on). */
+  def lpaConverged(nodes: DataFrame, ue: DataFrame, maxIters: Int = 30,
+      color: Column => Column = pmod(_, lit(2)),
+      stageEdges: Boolean = true): LpaRun = {
+    val ueBySrc =
+      if (stageEdges) ue.repartition(col("src")).localCheckpoint(false)
+      else {
+        val persisted = ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+          ue.queryExecution.analyzed.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+        require(persisted,
+          "lpaConverged(stageEdges = false) requires a persisted, src-partitioned " +
+            "edge list (cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")
+        ue
+      }
+    val isolated = nodes
+      .join(ue.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("l"), lit(false).as("ch"))
+      .repartition(col("id"))
+      .localCheckpoint(false)
+    var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
+      .repartition(col("id"))
+      .localCheckpoint(false)
+    val history = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var live = true
+    while (live && history.size < maxIters) {
+      for (c <- 0 to 1) {
+        val votes = ueBySrc.filter(color(col("dst")) === c)
+          .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+          .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
+        val best = votes.groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
+          .select(col("dst").as("id"), (-col("b.negl")).as("l"))
+        // old-label lookup doubles as change detection; both sides are
+        // hash(id)-partitioned (best via its dst agg + alias), so this
+        // join and the vote join above add no exchange
+        val updated = best
+          .join(lbl.select(col("id"), col("l").as("old")), "id")
+          .select(col("id"), col("l"), (col("l") =!= col("old")).as("ch"))
+        // half-step 1 resets the other color's stale flags from the
+        // previous superstep; half-step 2 carries half-step 1's flags
+        val carryCh = if (c == 0) lit(false) else col("ch")
+        lbl = updated
+          .union(lbl.filter(color(col("id")) =!= c)
+            .select(col("id"), col("l"), carryCh.as("ch")))
+          .union(isolated.filter(color(col("id")) === c))
+          .repartition(col("id"))
+          .localCheckpoint(false)
+      }
+      val changed = lbl.filter(col("ch")).count()
+      if (history.nonEmpty)
+        require(changed <= math.max(2L * history.last, 16L),
+          s"LPA change count exploded (${history.last} -> $changed): the " +
+            "coloring is fighting the vote rule; pass a proper coloring")
+      history += changed
+      if (sys.env.contains("LPA_DEBUG"))
+        System.err.println(s"[lpaConverged] superstep=${history.size} changed=$changed")
+      val oscillating = history.size >= 3 &&
+        changed > 0 && changed >= history(history.size - 2) &&
+        history(history.size - 2) >= history(history.size - 3)
+      if (changed == 0 || oscillating) live = false
+    }
+    LpaRun(lbl.select(col("id"), col("l")), history.toSeq)
   }
 
   /** Min-plus single-source shortest paths over a weighted undirected

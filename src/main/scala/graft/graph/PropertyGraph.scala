@@ -664,6 +664,33 @@ object PropertyGraph {
       }
     ),
 
+    // ── convergence-mode LPA (semi-synchronous, change fixpoint) ───────
+    // The usable community detector next to the fixed-4-step oracle form
+    // above: Components.lpaConverged runs half-step updates colored by
+    // the BIPARTITION side (suppliers then parts — a PROPER 2-coloring
+    // of this graph, so no vertex ever votes over a stale neighbor label
+    // and the synchronous 2-cycle oscillation cannot occur), to a
+    // driver-counted zero-change fixpoint with an oscillation cap.
+    // Iteration depth is data-dependent → not SQL-expressible → rows-only
+    // (the kmeans_full convention); the determinism, refinement-vs-4-step
+    // and monotone-change-trace invariants are pinned in GraphSpec.
+    // Same per-superstep scale shape as the oracle form: each edge
+    // scanned once per superstep from the session-staged adjacency,
+    // frontier-only shuffles, O(1) plan depth.
+    Q(
+      "graph_lpa_converged",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val run = Components.lpaConverged(
+          g.nodes.select(col("id")), undirectedEdges(s, d),
+          maxIters = 30,
+          color = id => (id >= PartIdOffset).cast("int"),
+          stageEdges = false)
+        run.labels.select(col("id"), col("l").as("community")).orderBy("id")
+      },
+      None
+    ),
+
     // ── Jaccard-coefficient link prediction over supplier pairs ────────
     // The classic neighborhood link predictor: for supplier pairs that
     // share at least one part, jaccard = |N(a)∩N(b)| / |N(a)∪N(b)|

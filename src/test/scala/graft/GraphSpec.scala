@@ -91,6 +91,51 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr / n - 1.0) < 0.2, s"mean rank ${pr / n} should be ~1")
   }
 
+  test("convergence-mode LPA: fixpoint, shrinking change trace, 4-step refines it") {
+    import spark.implicits._
+    // two triangles bridged at 3-4, plus an isolated vertex — the graph
+    // where hand-running the semi-synchronous schedule (default id-parity
+    // coloring: evens then odds) is tractable. Expected trace: supersteps
+    // change 5, 3, 1 then 0 labels; label 1 floods both triangles across
+    // the bridge (smallest-label ties are aggressive — legitimate LPA
+    // coarsening); the isolated vertex keeps its own label.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val run = graph.Components.lpaConverged(nodes, ue, maxIters = 30)
+    assert(run.converged, s"must reach a zero-change superstep: ${run.changeCounts}")
+    assert(run.changeCounts === Seq(5L, 3L, 1L, 0L),
+      "the change trace must shrink monotonically to the fixpoint")
+    val got = run.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 9L -> 9L))
+    // partition relation to the fixed-depth oracle form: more supersteps
+    // only COARSEN, so every 4-step community sits inside one converged
+    // community (the 4-step labels refine the converged labels)
+    val l4 = graph.Components.lpa(nodes, ue, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    l4.groupBy(_._2).foreach { case (lbl4, members) =>
+      assert(members.keys.map(got).toSet.size === 1,
+        s"4-step community $lbl4 straddles converged communities")
+    }
+  }
+
+  test("graph_lpa_converged labels every vertex and respects components") {
+    val g = PropertyGraph.supplierPartGraph(spark, sf)
+    val out = SparkEntry.queries("graph_lpa_converged")(spark, sf)
+    assert(out.count() === g.nodes.count(), "one label per vertex")
+    // labels spread only along edges: no community may straddle two
+    // connected components (same invariant as the fixed-depth form)
+    val e = g.edges.select(col("src"), col("dst"))
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val cc = graph.Components.minLabel(ue).withColumnRenamed("l", "component")
+    val straddling = out.join(cc, "id")
+      .groupBy("community").agg(countDistinct(col("component")).as("ncomp"))
+      .filter(col("ncomp") > 1).count()
+    assert(straddling === 0L)
+  }
+
   test("every LPA community lies inside one connected component") {
     // cross-query invariant: labels propagate only along edges, so an
     // LPA community can never straddle two components of the same graph
