@@ -49,6 +49,18 @@ object KMeans {
       e.select(col("vec_id"), col("label"), vec(col("embedding")).as("v")),
       centroids, maxSim)
 
+  /** [[assignLiteral]] against the deterministic k-prefix centroids —
+    * the no-join, no-shuffle corpus-assignment shape the k-means loop
+    * uses, exposed for cell-bucketed consumers (SemDeDup). One k-row
+    * collect folds the prefix into the plan as literals. */
+  def assignPrefix(e: DataFrame, k: Int): DataFrame = {
+    val cents = initCentroids(e, k).collect().map(r =>
+      r.getAs[Long]("cid") -> r.getAs[scala.collection.Seq[Double]]("cv").toArray)
+    assignLiteral(
+      e.select(col("vec_id"), col("label"), vec(col("embedding")).as("v")),
+      cents, maxSim = true)
+  }
+
   /** Assignment against DRIVER-SIDE centroids as a pure per-row argmax
     * expression — no join, no window, no shuffle: the loop's hot path.
     * Centroids are folded into the plan as literals (sorted by cid so
@@ -187,6 +199,13 @@ object KMeans {
       ).cast("double") / count(lit(1))).as("purity"))
 
   // ── oracle-checked single passes ─────────────────────────────────────
+
+  /** SemDeDup cell count / similarity threshold (dedup_semantic_cells):
+    * 16 shares the PQ codebook prefix; 0.35 sits at the p99 of the
+    * within-cell pair-similarity distribution on the synthetic
+    * embeddings, so the drop set is sparse but non-trivial. */
+  private val SemCells = 16
+  private val SemTau = 0.35
 
   private def sqlCentroids(k: Int): String =
     s"""(SELECT vec_id AS cid, ${sqlVec("embedding")} AS cv FROM embeddings
@@ -469,6 +488,57 @@ object KMeans {
            |SELECT vec_id, adist, ${sqlCosine("v", "qv")} AS sim
            |FROM top40 ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
       }
+    ),
+
+    // ── SemDeDup: embedding-cluster near-dup removal ───────────────────
+    // The public SemDeDup recipe (Abbas et al. 2023) composed from
+    // existing kernels, and the semantic tier of the dedup stack (exact
+    // → MinHash → SimHash → banded embedding pairs → THIS): k-means
+    // cells from the deterministic centroid prefix (literal argmax — no
+    // join, no shuffle), then pairwise cosine ONLY within a cell, then
+    // greedy keep-first (drop any vector with a >τ neighbor of smaller
+    // id in its cell). The candidate stage is a cid EQUI self-join —
+    // never the |corpus|² product (plan-asserted in KMeansSpec): pair
+    // volume is Σ_c n_c², the 1/k quadratic reduction that lets semantic
+    // dedup run at 100 TB without a global ANN index. There k also
+    // scales (~√n cells from a real k-means fit, not the 16-prefix) and
+    // the cid shuffle spreads over executors; the assignment stage stays
+    // a broadcast-literal map either way. The checkpoint boundary on
+    // `cells` keeps constraint inference from re-deriving the argmax
+    // under the join (the text_decontaminate lesson) and feeds all three
+    // consumers (both join sides + the per-cell rollup) one scan.
+    // Output: per-cell total vs kept counts — all BIGINT, bit-exact; the
+    // τ comparison reuses the bit-stable cosine both engines share.
+    Q(
+      "dedup_semantic_cells",
+      (s, d) => {
+        val cells = assignPrefix(embeddings(s, d), SemCells)
+          .select(col("vec_id"), col("cid"), col("v"))
+          .localCheckpoint(false)
+        val a = cells.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+        val b = cells.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+        val drops = a.join(b, "cid").filter(col("id_a") < col("id_b"))
+          .filter(cosine(col("va"), col("vb")) > SemTau)
+          .select(col("id_b").as("vec_id")).distinct()
+        cells.join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("dropped").isNull, 1).otherwise(0)).as("n_kept"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH cents AS ${sqlCentroids(SemCells)},
+              |scored AS (${sqlAssign(SemCells)}),
+              |cells AS (SELECT vec_id, ${sqlVec("embedding")} AS v, cid
+              |          FROM scored WHERE rk = 1),
+              |pairs AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+              |          FROM cells a JOIN cells b
+              |            ON a.cid = b.cid AND b.vec_id > a.vec_id
+              |          WHERE ${sqlCosine("a.v", "b.v")} > $SemTau),
+              |drops AS (SELECT DISTINCT id_b FROM pairs)
+              |SELECT c.cid, count(*) AS n_total,
+              |       CAST(sum(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              |FROM cells c LEFT JOIN drops d ON c.vec_id = d.id_b
+              |GROUP BY c.cid ORDER BY c.cid""".stripMargin)
     ),
 
     // Full convergent loop — not one SQL statement (SURVEY.md §7 risk

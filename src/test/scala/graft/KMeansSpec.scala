@@ -80,6 +80,22 @@ class KMeansSpec extends SparkSpec {
     assert(p.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("dedup_semantic_cells: cell-bucketed candidates (no product), counts conserve") {
+    val df = SparkEntry.queries("dedup_semantic_cells")(spark, sf)
+    val rows = df.collect() // materialize so the AQE final plan is readable
+    // the candidate stage must be the cid equi-join, never a corpus²
+    // product — the property that makes SemDeDup viable at scale
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup candidate stage degenerated to a product:\n$plan")
+    val nTotal = rows.map(_.getLong(1)).sum
+    val nKept = rows.map(_.getLong(2)).sum
+    assert(nTotal === Tables.embeddings(spark, sf).count(),
+      "every vector sits in exactly one cell")
+    assert(nKept <= nTotal && nKept > 0)
+  }
+
   test("cost is comparable to MLlib KMeans at the same k") {
     import spark.implicits._
     // our loop's mean squared distance to assigned centroid vs MLlib's
