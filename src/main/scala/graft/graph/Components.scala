@@ -161,16 +161,18 @@ object Components {
     * Per half-step: the edge scan is pre-filtered to the updating
     * color's dst rows (so a full superstep touches each edge ONCE, same
     * vote volume as a synchronous step) and the two vote aggregations
-    * stay partial-agg'd. Exchanges are kept to the two vote shuffles
-    * plus one frontier-scale repartition: every label generation is
-    * hash-partitioned on id before its (lazy) localCheckpoint, so the
-    * next vote join (id aliased to src — alias-aware partitioning) and
-    * the old-label lookup both plan WITHOUT an exchange against the
-    * src-partitioned edge cache / the best-by-dst agg output. Change
-    * detection is FUSED into that lookup as a boolean column, so the
-    * per-superstep driver count is a filter over the just-materialized
-    * generation, not a separate join job — one action per superstep,
-    * O(1) plan depth, the [[minLabel]] discipline.
+    * stay partial-agg'd — the ONLY two exchanges in a half-step. The
+    * initial label frame is hash-partitioned on id once; each generation
+    * is then `lbl LEFT JOIN best` — both sides already hash(id) (best
+    * via its final by-dst agg + alias-aware partitioning), so the merge
+    * join, the next half-step's vote-join frontier (id aliased to src),
+    * and the generation's partitioning itself all plan with NO exchange:
+    * no isolated-vertex precompute, no union, no repartition. Change
+    * detection is FUSED into the merge as a boolean column (coalesce
+    * carries unvoted vertices, resetting stale flags in half-step 1), so
+    * the per-superstep driver count is a filter over the
+    * just-materialized generation, not a separate join job — one action
+    * per superstep, O(1) plan depth, the [[minLabel]] discipline.
     *
     * @param color 0/1 color of a vertex id column; DEFAULT id parity
     *              (improper in general — the caps then bound the run);
@@ -190,11 +192,6 @@ object Components {
             "edge list (cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")
         ue
       }
-    val isolated = nodes
-      .join(ue.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("l"), lit(false).as("ch"))
-      .repartition(col("id"))
-      .localCheckpoint(false)
     var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
       .repartition(col("id"))
       .localCheckpoint(false)
@@ -207,21 +204,19 @@ object Components {
           .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
         val best = votes.groupBy(col("dst"))
           .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
-          .select(col("dst").as("id"), (-col("b.negl")).as("l"))
-        // old-label lookup doubles as change detection; both sides are
-        // hash(id)-partitioned (best via its dst agg + alias), so this
-        // join and the vote join above add no exchange
-        val updated = best
-          .join(lbl.select(col("id"), col("l").as("old")), "id")
-          .select(col("id"), col("l"), (col("l") =!= col("old")).as("ch"))
-        // half-step 1 resets the other color's stale flags from the
-        // previous superstep; half-step 2 carries half-step 1's flags
+          .select(col("dst").as("id"), (-col("b.negl")).as("bl"))
+        // merge = one zero-exchange left join: vertices best covers (the
+        // updating color's non-isolated set) take the vote winner; every
+        // other vertex — the other color AND this color's isolated
+        // vertices — coalesces to its current label. Half-step 1 resets
+        // the previous superstep's stale flags on unvoted rows;
+        // half-step 2 carries half-step 1's.
         val carryCh = if (c == 0) lit(false) else col("ch")
-        lbl = updated
-          .union(lbl.filter(color(col("id")) =!= c)
-            .select(col("id"), col("l"), carryCh.as("ch")))
-          .union(isolated.filter(color(col("id")) === c))
-          .repartition(col("id"))
+        lbl = lbl
+          .join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("bl"), col("l")).as("l"),
+            when(col("bl").isNotNull, col("bl") =!= col("l"))
+              .otherwise(carryCh).as("ch"))
           .localCheckpoint(false)
       }
       val changed = lbl.filter(col("ch")).count()
