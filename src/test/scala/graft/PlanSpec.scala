@@ -147,7 +147,7 @@ class PlanSpec extends SparkSpec {
 
   test("common-neighbors and keep-list plan equi/anti joins, never products") {
     for (q <- Seq("graph_common_neighbors", "dedup_keep_list", "evt_retention",
-        "dedup_triangles")) {
+        "dedup_triangles", "dedup_triangles_ordered")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q must not plan a product join:\n$p")
