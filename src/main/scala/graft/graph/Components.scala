@@ -33,8 +33,18 @@ object Components {
     * @return (id, l) — one row per vertex that appears in `ue`, with
     *         l = min vertex id reachable (the component label). */
   def minLabel(ue: DataFrame): DataFrame = {
+    // zero-exchange generation discipline (see [[lpaConverged]]): labels
+    // are hash(id)-partitioned once up front; the propagation agg output
+    // is hash(dst) (≡ id after the alias), so the merge left-join, the
+    // next round's frontier join (when ue is src-partitioned), and the
+    // generation's own partitioning plan without exchanges — each round
+    // pays the one min-agg shuffle. Change detection is fused into the
+    // merge as a boolean, so the per-round driver count is a filter over
+    // the just-materialized generation, not a join job.
+    // the distinct's own agg exchange already leaves this hash(id)
     val nodes = ue.select(col("src").as("id")).distinct()
-    var lbl = nodes.select(col("id"), col("id").as("l"))
+    var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
+      .localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {
       val prop = ue
@@ -45,15 +55,15 @@ object Components {
       // truncates its lineage — one job per iteration, not two. (Lazy is
       // safe only because count() is a full scan; partial actions like
       // isEmpty would checkpoint a partition subset.)
-      val next = lbl.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
+      lbl = lbl.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("l"), coalesce(col("ml"), col("l"))).as("l"),
+          (col("ml") < col("l")).as("chRaw"))
+        .select(col("id"), col("l"), coalesce(col("chRaw"), lit(false)).as("ch"))
         .localCheckpoint(false)
-      changed = next
-        .join(lbl.select(col("id").as("id2"), col("l").as("old")), col("id") === col("id2"))
-        .filter(col("l") < col("old")).count()
-      lbl = next
+      changed = lbl.filter(col("ch")).count()
     }
-    lbl
+    lbl.select(col("id"), col("l"))
   }
 
   /** Synchronous label-propagation (Raghavan et al. 2007), made fully
@@ -105,25 +115,27 @@ object Components {
             "(cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")
         ue
       }
-    // isolated vertices never receive votes and never change label —
-    // compute them ONCE (anti-join against the edge endpoints) instead
-    // of left-joining the whole label frontier back every superstep: in
-    // an undirected edge list every non-isolated vertex has ≥1 neighbor,
-    // so it always appears in `best`, and lbl_{t+1} = best ∪ isolated
-    // exactly. One shuffle join per superstep saved.
-    val isolated = nodes
-      .join(ue.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("l"))
-      .localCheckpoint(false)
+    // zero-exchange generation discipline (see [[lpaConverged]]): the
+    // label frame is hash(id)-partitioned once; `best` comes out of its
+    // by-dst agg hash(dst) (≡ id after the alias), so the merge
+    // left-join — non-voters, i.e. isolated vertices, coalesce to their
+    // current label — the next superstep's frontier join, and the
+    // generation's partitioning all plan with no exchange. Each
+    // superstep pays exactly the two partial-agg'd vote shuffles; no
+    // isolated-vertex anti-join, no union.
     var lbl = nodes.select(col("id"), col("id").as("l"))
+      .repartition(col("id"))
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val votes = ueBySrc
         .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
         .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
       val best = votes.groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
-        .select(col("dst").as("id"), (-col("b.negl")).as("l"))
-      lbl = best.union(isolated).localCheckpoint(false)
+        .select(col("dst").as("id"), (-col("b.negl")).as("bl"))
+      lbl = lbl.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
+        .localCheckpoint(false)
     }
     lbl
   }
