@@ -590,6 +590,45 @@ object Extended {
               |ORDER BY event_id""".stripMargin)
     ),
 
+    // ── as-of join with TOLERANCE (bounded-staleness backward) ─────────
+    // The last merge_asof knob to reach the driver gate (EdgeCaseSpec
+    // covers it unit-level): backward join of each purchase to the
+    // user's latest click, but a candidate older than 24 h is rejected →
+    // NULL. Backward picks the minimal-gap earlier row, so the bound is
+    // equivalently applied to the window-composition oracle's picked
+    // value (if the latest earlier click is too old, every earlier one
+    // is). Microsecond times have zero cross-type collisions in the
+    // testdata, so the row-frame oracle and the time-based merge
+    // coincide; the 24 h bound nulls a meaningful fraction (median
+    // purchase→click gap is ~36 h at sf0.01).
+    Q(
+      "evt_asof_join_tolerance",
+      (s, d) => {
+        val ev = graft.ops.Events.eventsUs(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us").as("recent_click_us"))
+        graft.plans.AsOf.join(purchases, clicks, Seq("user_id"),
+            leftTime = "us", rightTime = "recent_click_us",
+            carried = Seq("recent_click_us"), direction = "backward",
+            tolerance = Some(86400000000L))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, us,
+              |  CASE WHEN us - last_c <= 86400000000 THEN last_c END AS recent_click_us
+              |FROM (
+              |  SELECT event_id, user_id, event_type, epoch_us(${graft.ops.Events.sqlTs}) AS us,
+              |    max(CASE WHEN event_type = 'click' THEN epoch_us(${graft.ops.Events.sqlTs}) END)
+              |      OVER (PARTITION BY user_id ORDER BY epoch_us(${graft.ops.Events.sqlTs}), event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_c
+              |  FROM events)
+              |WHERE event_type = 'purchase'
+              |ORDER BY event_id""".stripMargin)
+    ),
+
     // ── corr / covar_pop (SURVEY.md Note D): the reference's corrcoef/
     // cov "features" are degenerate (row-0-only); these are the
     // well-defined analogues between embedding dims 1 and 2 per label.

@@ -216,6 +216,21 @@ class EdgeCaseSpec extends SparkSpec {
       .orderBy("t").collect().map(r => r.getString(2)).toSeq
     assert(sn2 === Seq("b8", "b12"),
       s"strict nearest gap comparison / backward tie-break diverged: $sn2")
+
+    // strict nearest + tolerance: the two-slot FALLBACK row must also
+    // respect the bound — at t=10 the equal-time 10s are excluded, the
+    // fallback 5 is 5 away (outside tol=3), the forward 12 is 2 away
+    // (inside) → forward wins; at t=12 the backward 10-run is 2 away →
+    // backward wins
+    val snt = graft.plans.AsOf.join(l3, r3, Seq("k"), "t", "rt", Seq("payload"),
+      direction = "nearest", allowExactMatches = false, tolerance = Some(3L))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(snt === Seq(
+      (1L, 10L, None),         // e5 outside tolerance, no forward row ≤ 13
+      (1L, 12L, Some("e10b")), // run fallback within tolerance
+      (2L, 7L, None)),
+      s"strict nearest + tolerance diverged: $snt")
   }
 
   test("as-of join: non-nullable carried column nulls correctly; null keys never match") {
