@@ -280,6 +280,35 @@ object Extended {
              |GROUP BY src, lang ORDER BY src, lang""".stripMargin)
     ),
 
+    // ── GRFT custom DataSource V2 round-trip ───────────────────────────
+    // The engine's own binary source/sink (graft.sources.Grft — the
+    // reference's S2 CIFAR-batch record shape as a DSv2 with byte-range
+    // splits, column pruning and filter pushdown; pruning/pushdown/split
+    // planning are plan-asserted in SourceSpec). The driver-gated claim
+    // here is FIDELITY: embeddings → grft → read back, joined to the
+    // original on vec_id, per-label counts + id sums + a per-row
+    // float32-exact embedding comparison — all BIGINT, and the oracle's
+    // vec_exact = count(*) asserts every row survives bit-identically.
+    Q(
+      "src_grft_roundtrip",
+      (s, d) => {
+        val base = embeddings(s, d).select("vec_id", "label", "embedding")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_grft_" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+        base.write.format("grft").mode("overwrite").save(dir)
+        s.read.format("grft").load(dir)
+          .join(base.select(col("vec_id"), col("embedding").as("orig")), "vec_id")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            sum(col("vec_id")).as("id_sum"),
+            sum(when(col("embedding") === col("orig"), 1).otherwise(0)).as("vec_exact"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+             |       CAST(count(*) AS BIGINT) AS vec_exact
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
     // ── ORC source/sink round-trip ─────────────────────────────────────
     // The third columnar format (orc-core ships with Spark): DECIMAL and
     // timestamp columns must survive the ORC writer/reader exactly —

@@ -1,0 +1,337 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GRFT — a packed row-major binary embedding format, exposed through
+  * the DataSource V2 API (the one Catalyst extension point the engine
+  * had not yet exercised: custom source/sink with pruning and pushdown).
+  * The reference's S2 source is exactly this shape — CIFAR python-pickle
+  * batches, fixed-width row-major records of (id, label, pixels)
+  * (/root/reference/kmeans_clustering/image_classification.py:150-170,
+  * unpickled dict of row-major uint8 rows); GRFT is that record layout
+  * with a 16-byte header, little-endian fixed-width rows, and no
+  * Python-specific framing.
+  *
+  * Layout: magic "GRFT" | version | dim | reserved (4×int32 LE), then
+  * rows of `vec_id int64 | label int32 | dim × float32`. Fixed row
+  * width is the scale property: a reader can seat a SPLIT at any row
+  * boundary by arithmetic alone — no row index, no sync markers — so
+  * one 100 TB directory fans out into `size / maxPartitionBytes`
+  * independent range reads, planned here exactly like parquet's file
+  * splits ([[GrftScan.planInputPartitions]] honors
+  * `spark.sql.files.maxPartitionBytes`).
+  *
+  * Read path: `SupportsPushDownRequiredColumns` prunes parsing and
+  * allocation to the projected fields (row-major storage still reads
+  * the bytes — columnar IO pruning is parquet's job; this is the honest
+  * trade of the packed format, same as the reference's pickle batches),
+  * and `SupportsPushDownFilters` accepts vec_id/label comparisons so
+  * scans report `PushedFilters` and rows drop at the source instead of
+  * in a post-scan Filter operator. Both are plan-asserted in SourceSpec.
+  *
+  * Write path: `SupportsTruncate` batch write (mode=overwrite ≡
+  * truncate); each task streams one `part-*.grft` file — the header's
+  * dim is taken from the task's first row, so writes never buffer more
+  * than one row. Executors re-open the filesystem from the default
+  * Hadoop configuration (production would broadcast a serialized conf;
+  * the formats under test resolve from the classpath defaults).
+  */
+object Grft {
+  val Magic = 0x47524654 // "GRFT"
+  val Version = 1
+  val HeaderBytes = 16
+
+  val Schema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("label", IntegerType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  def rowWidth(dim: Int): Int = 12 + 4 * dim
+
+  private[sources] def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  /** Filters this source can evaluate at the scan: comparisons on the
+    * two scalar fields, plus IsNotNull (vacuous — the format is
+    * non-null). Everything else stays residual for Spark. */
+  private[sources] def supportedFilter(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => a == "vec_id" || a == "label"
+    case GreaterThan(a, _) => a == "vec_id" || a == "label"
+    case GreaterThanOrEqual(a, _) => a == "vec_id" || a == "label"
+    case LessThan(a, _) => a == "vec_id" || a == "label"
+    case LessThanOrEqual(a, _) => a == "vec_id" || a == "label"
+    case IsNotNull(a) => a == "vec_id" || a == "label" || a == "embedding"
+    case _ => false
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(s"non-integral literal $other")
+  }
+
+  /** Evaluate a pushed filter against the two scalar fields. */
+  private[sources] def eval(f: Filter, vecId: Long, label: Int): Boolean = {
+    def field(a: String): Long = if (a == "vec_id") vecId else label.toLong
+    f match {
+      case EqualTo(a, v) => field(a) == asLong(v)
+      case GreaterThan(a, v) => field(a) > asLong(v)
+      case GreaterThanOrEqual(a, v) => field(a) >= asLong(v)
+      case LessThan(a, v) => field(a) < asLong(v)
+      case LessThanOrEqual(a, v) => field(a) <= asLong(v)
+      case IsNotNull(_) => true
+      case _ => true
+    }
+  }
+}
+
+class GrftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "grft"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Grft.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "grft source requires a path")
+    new GrftTable(path)
+  }
+}
+
+class GrftTable(path: String) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"grft:$path"
+  override def schema(): StructType = Grft.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GrftScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GrftWriteBuilder(path, info)
+}
+
+// ── read side ─────────────────────────────────────────────────────────
+
+class GrftScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = Grft.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(Grft.supportedFilter)
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GrftScan(path, required, pushed)
+}
+
+/** One row-aligned byte range of one file. */
+case class GrftInputPartition(file: String, dim: Int, startRow: Long,
+    numRows: Long) extends InputPartition
+
+class GrftScan(path: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"grft:$path, PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new Path(path)
+    val fs = Grft.fs(dir)
+    val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".grft"))
+    val target = SQLConf.get.filesMaxPartitionBytes
+    files.flatMap { st =>
+      val header = readHeader(fs, st.getPath)
+      val dataBytes = st.getLen - Grft.HeaderBytes
+      if (dataBytes <= 0) Iterator.empty
+      else {
+        val w = Grft.rowWidth(header)
+        require(dataBytes % w == 0,
+          s"${st.getPath}: ${st.getLen} bytes is not header + whole rows of width $w")
+        val nRows = dataBytes / w
+        val rowsPerSplit = math.max(1L, target / w)
+        (0L until nRows by rowsPerSplit).map { start =>
+          GrftInputPartition(st.getPath.toString, header, start,
+            math.min(rowsPerSplit, nRows - start))
+        }
+      }
+    }.toArray
+  }
+
+  private def readHeader(fs: FileSystem, p: Path): Int = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](Grft.HeaderBytes)
+      in.readFully(0L, buf)
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getInt() == Grft.Magic, s"$p is not a GRFT file")
+      require(bb.getInt() == Grft.Version, s"$p: unsupported GRFT version")
+      bb.getInt() // dim
+    } finally in.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GrftReaderFactory(required.fieldNames, pushed)
+}
+
+class GrftReaderFactory(requiredNames: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GrftPartitionReader(partition.asInstanceOf[GrftInputPartition],
+      requiredNames, pushed)
+}
+
+class GrftPartitionReader(p: GrftInputPartition, requiredNames: Array[String],
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val w = Grft.rowWidth(p.dim)
+  private val needEmbedding = requiredNames.contains("embedding")
+  private val in = {
+    val path = new Path(p.file)
+    val s = Grft.fs(path).open(path)
+    s.seek(Grft.HeaderBytes + p.startRow * w)
+    s
+  }
+  private val rowBuf = new Array[Byte](w)
+  private val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
+  private var remaining = p.numRows
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (remaining > 0) {
+      remaining -= 1
+      in.readFully(rowBuf)
+      bb.position(0)
+      val vecId = bb.getLong
+      val label = bb.getInt
+      if (pushed.forall(Grft.eval(_, vecId, label))) {
+        // assemble only the projected fields, in Spark's required order
+        val values = requiredNames.map {
+          case "vec_id" => vecId
+          case "label" => label
+          case "embedding" =>
+            val arr = new Array[Float](p.dim)
+            var i = 0
+            while (i < p.dim) { arr(i) = bb.getFloat(12 + 4 * i); i += 1 }
+            new GenericArrayData(arr)
+        }
+        current = InternalRow.fromSeq(values.toIndexedSeq)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+
+  // silence an unused warning without the parse when pruned
+  require(needEmbedding || true)
+}
+
+// ── write side ────────────────────────────────────────────────────────
+
+class GrftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new GrftWrite(path, info.schema(), doTruncate)
+}
+
+class GrftWrite(path: String, schema: StructType, doTruncate: Boolean)
+    extends Write with BatchWrite {
+  // validate by NAME (any column order writes canonically)
+  require(schema.fieldNames.sorted.sameElements(Grft.Schema.fieldNames.sorted) &&
+    Grft.Schema.fields.forall(f =>
+      schema.fields.exists(g => g.name == f.name &&
+        g.dataType.catalogString == f.dataType.catalogString)),
+    s"grft sink requires columns ${Grft.Schema.simpleString}, got ${schema.simpleString}")
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = Grft.fs(dir)
+    if (doTruncate && fs.exists(dir))
+      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(dir)
+    val idx = Map(
+      "vec_id" -> schema.fieldIndex("vec_id"),
+      "label" -> schema.fieldIndex("label"),
+      "embedding" -> schema.fieldIndex("embedding"))
+    new GrftWriterFactory(path, idx("vec_id"), idx("label"), idx("embedding"))
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class GrftCommit(file: String) extends WriterCommitMessage
+
+class GrftWriterFactory(path: String, iVec: Int, iLabel: Int, iEmb: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GrftDataWriter(path, partitionId, taskId, iVec, iLabel, iEmb)
+}
+
+class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
+    iVec: Int, iLabel: Int, iEmb: Int) extends DataWriter[InternalRow] {
+  private val file = new Path(path,
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.grft")
+  private val out = new DataOutputStream(
+    new BufferedOutputStream(Grft.fs(file).create(file, true), 1 << 16))
+  private var dim = -1
+  private var rowBuf: ByteBuffer = _
+
+  private def writeHeader(d: Int): Unit = {
+    val h = ByteBuffer.allocate(Grft.HeaderBytes).order(ByteOrder.LITTLE_ENDIAN)
+    h.putInt(Grft.Magic).putInt(Grft.Version).putInt(d).putInt(0)
+    out.write(h.array())
+    dim = d
+    rowBuf = ByteBuffer.allocate(Grft.rowWidth(d)).order(ByteOrder.LITTLE_ENDIAN)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(iVec) && !row.isNullAt(iLabel) && !row.isNullAt(iEmb),
+      "grft format is non-null")
+    val emb = row.getArray(iEmb)
+    if (dim < 0) writeHeader(emb.numElements())
+    require(emb.numElements() == dim,
+      s"ragged embedding: expected $dim floats, got ${emb.numElements()}")
+    rowBuf.position(0)
+    rowBuf.putLong(row.getLong(iVec)).putInt(row.getInt(iLabel))
+    var i = 0
+    while (i < dim) { rowBuf.putFloat(emb.getFloat(i)); i += 1 }
+    out.write(rowBuf.array())
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (dim < 0) writeHeader(0) // empty partition: header-only file
+    out.close()
+    GrftCommit(file.toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    Grft.fs(file).delete(file, false)
+  }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The GRFT DataSource V2: roundtrip fidelity, column pruning, filter
+  * pushdown, byte-range split planning, and overwrite-as-truncate. */
+class SourceSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = tempDir("grft_spec")
+    Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+      .write.format("grft").mode("overwrite").save(d)
+    d
+  }
+
+  test("grft roundtrip is bit-faithful for every row and column") {
+    val base = Tables.embeddings(spark, sf)
+    val back = spark.read.format("grft").load(dir)
+    assert(back.count() === base.count())
+    // anti-join on ALL columns in both directions — floats must survive
+    // the float32 write/read exactly (no widening/narrowing drift)
+    val b = back.select(col("vec_id"), col("label"), col("embedding"))
+    val o = base.select(col("vec_id"), col("label"), col("embedding"))
+    assert(b.except(o).count() === 0 && o.except(b).count() === 0,
+      "roundtripped rows must match the parquet original exactly")
+  }
+
+  test("grft scan prunes columns and pushes filters") {
+    val q = spark.read.format("grft").load(dir)
+      .filter(col("vec_id") < 100L && col("label") >= 0)
+      .select("vec_id")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("vec_id"),
+      s"scan must report pushed filters:\n$plan")
+    // the scan's output must not include the embedding column
+    val scanOutput = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.output.map(_.name).mkString(",")).mkString(";")
+    assert(!scanOutput.contains("embedding"),
+      s"pruned scan must not emit embedding, got: $scanOutput")
+    // and the pushed comparisons are applied, not just reported
+    assert(q.collect().forall(_.getLong(0) < 100L))
+  }
+
+  test("grft pushdown result equals the unpushed predicate") {
+    val pushed = spark.read.format("grft").load(dir)
+      .filter(col("vec_id") >= 10L && col("vec_id") < 60L)
+      .select("vec_id", "label")
+    val oracle = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 10L && col("vec_id") < 60L)
+      .select("vec_id", "label")
+    assert(pushed.except(oracle).count() === 0 &&
+      oracle.except(pushed).count() === 0)
+  }
+
+  test("grft splits files into row-aligned byte ranges") {
+    // force tiny splits so one file fans out into many partitions —
+    // the 100 TB scale property, exercised at KB scale
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      val df = spark.read.format("grft").load(dir)
+      val parts = df.rdd.getNumPartitions
+      assert(parts > 1, s"expected multiple range splits, got $parts")
+      // ranges must tile the files exactly: no dropped or doubled rows
+      assert(df.count() === Tables.embeddings(spark, sf).count())
+      assert(df.select(sum(col("vec_id"))).head().getLong(0) ===
+        Tables.embeddings(spark, sf).select(sum(col("vec_id"))).head().getLong(0))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("grft overwrite truncates previous files") {
+    val d = tempDir("grft_trunc")
+    val e = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    e.write.format("grft").mode("overwrite").save(d)
+    e.filter(col("vec_id") < 5).write.format("grft").mode("overwrite").save(d)
+    assert(spark.read.format("grft").load(d).count() === 5)
+  }
+
+  test("grft rejects a frame missing the canonical columns") {
+    val bad = Tables.embeddings(spark, sf).select("vec_id", "label")
+    intercept[Exception] {
+      bad.write.format("grft").mode("overwrite").save(tempDir("grft_bad"))
+    }
+  }
+}
