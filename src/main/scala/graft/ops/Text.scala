@@ -98,15 +98,21 @@ object Text {
     sigFromHs(hs)
   }
 
-  /** Staged per-doc sketch: (doc_id, hs, sig, sh) with each stage a real
-    * projection so nothing is recomputed. `sh` is the distinct shingle
-    * set (for exact Jaccard), `sig` the 8-perm MinHash. */
-  def docSketch(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Staged per-doc sketch over ANY (doc_id, text) frame — batch or
+    * streaming (pure per-row expressions, no state): (doc_id, sig, sh)
+    * with each stage a real projection so nothing is recomputed. `sh`
+    * is the distinct shingle set (for exact Jaccard), `sig` the 8-perm
+    * MinHash. */
+  def sketchOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), wordHashes(tokens(col("text"))).as("wh"))
       .select(col("doc_id"), shinglesFromWh(col("wh")).as("hs"))
       .select(col("doc_id"), sigFromHs(col("hs")).as("sig"),
         array_distinct(col("hs")).as("sh"))
+
+  /** [[sketchOf]] over the documents table. */
+  def docSketch(s: SparkSession, d: String): DataFrame =
+    sketchOf(documents(s, d))
 
   /** The same staged sketch as DuckDB CTEs (wh/hs are per-row columns of
     * their CTE, so each stage is evaluated once, mirroring the Spark
@@ -212,8 +218,8 @@ object Text {
   /** LSH band rows (doc_id, band, h1..h4) for a sketch frame — the
     * bucket key both the self-join (minhashPairs) and the two-sided
     * incremental join (dedup_incremental) hash on. */
-  private def bandsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  private[graft] def bandsOf(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select((col("doc_id") +: carry.map(col)) :+
       explode(array(
         struct(lit(0).as("band"), element_at(col("sig"), 1).as("h1"),
           element_at(col("sig"), 2).as("h2"), element_at(col("sig"), 3).as("h3"),
@@ -221,8 +227,9 @@ object Text {
         struct(lit(1).as("band"), element_at(col("sig"), 5).as("h1"),
           element_at(col("sig"), 6).as("h2"), element_at(col("sig"), 7).as("h3"),
           element_at(col("sig"), 8).as("h4"))
-      )).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.h1"), col("b.h2"), col("b.h3"), col("b.h4"))
+      )).as("b"): _*)
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(col("b.band"),
+        col("b.h1"), col("b.h2"), col("b.h3"), col("b.h4")): _*)
 
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = cachedSketch(s, d)

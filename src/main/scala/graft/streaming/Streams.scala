@@ -93,6 +93,48 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup detection — the streaming face of
+    * `dedup_incremental`: an unbounded stream of (doc_id, text) docs is
+    * sketched per row (MinHash — pure expressions, no state), exploded
+    * into LSH band keys, and equi-joined against the STATIC corpus band
+    * table (stream-static inner join: each micro-batch probes the
+    * broadcast/shuffled static side, no stream state at all). Candidates
+    * verify with exact shingle-set Jaccard ≥ 0.5.
+    *
+    * Emission is EXACTLY-once per colliding pair without any streaming
+    * state: a pair that collides on BOTH bands would emit twice, so the
+    * band-1 match keeps a row only when the pair does NOT also collide
+    * on band 0 — decidable per row because both signatures ride the
+    * join. The output is the append-mode stream of confirmed near-dup
+    * pairs; best-match-per-doc is a consumer aggregation (batch side:
+    * `dedup_incremental`). At 100 TB/day this is the ingest-time dedup
+    * shape: the corpus bands are a persisted, bucketed table and every
+    * micro-batch is one bounded equi-join against it.
+    *
+    * Works identically on a batch frame (pure relational plan) — the
+    * spec runs the SAME function both ways and asserts equality.
+    *
+    * @param newDocs      streaming (or batch) frame of (doc_id, text).
+    * @param corpusSketch static sketch frame (doc_id, sig, sh) — e.g.
+    *                     [[graft.ops.Text.docSketch]] filtered to the
+    *                     corpus side.
+    * @return (new_id, old_id, jaccard) pairs with jaccard ≥ 0.5. */
+  def streamingNearDups(newDocs: DataFrame, corpusSketch: DataFrame): DataFrame = {
+    val nb = graft.ops.Text.bandsOf(graft.ops.Text.sketchOf(newDocs),
+        carry = Seq("sig", "sh"))
+      .toDF("new_id", "nsig", "nsh", "band", "h1", "h2", "h3", "h4")
+    val cb = graft.ops.Text.bandsOf(corpusSketch, carry = Seq("sig", "sh"))
+      .toDF("old_id", "osig", "osh", "band", "h1", "h2", "h3", "h4")
+    val collidesBand0 = (1 to 4).map(i =>
+      element_at(col("nsig"), i) === element_at(col("osig"), i)).reduce(_ && _)
+    nb.join(cb, Seq("band", "h1", "h2", "h3", "h4"))
+      .filter(col("band") === 0 || !collidesBand0)
+      .select(col("new_id"), col("old_id"),
+        (size(array_intersect(col("nsh"), col("osh"))).cast("double") /
+          size(array_union(col("nsh"), col("osh")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState —
     * the custom-state operator the batch `evt_sessionize` mirrors.
     * Emits a session when the gap is exceeded within a batch or when the

@@ -179,6 +179,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dups equal the batch pairs, exactly once, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val isNew = col("doc_id") % 10 === 7
+    val corpus = graft.ops.Text.docSketch(spark, sf).filter(!isNew)
+      .localCheckpoint(false)
+    val newDocs = Tables.documents(spark, sf).filter(isNew)
+      .select("doc_id", "text")
+    // the SAME operator in batch mode is the expectation — plus a
+    // grounding check against dedup_incremental's best-match output
+    val expect = Streams.streamingNearDups(newDocs, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expect.nonEmpty, "fixture must contain at least one near-dup pair")
+    val bestFromPairs = expect.groupBy(_._1).map { case (n, ps) =>
+      val best = ps.map { case (_, o, j) => (j, -o) }.max
+      (n, -best._2, best._1)
+    }.toSet
+    val incr = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bestFromPairs === incr,
+      "best pair per doc must match the oracle-checked incremental query")
+
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamingNearDups(input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").start()
+    try {
+      val rows = newDocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val emitted = spark.table("near_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(emitted.toSet === expect,
+        s"stream emitted ${emitted.toSet.size} distinct pairs, expected ${expect.size}")
+      assert(emitted.length === expect.size,
+        "each pair must emit exactly once (band-0-collision filter)")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint restarts without loss or duplication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
