@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -129,9 +130,12 @@ class GrftTable(path: String) extends Table with SupportsRead with SupportsWrite
 // ── read side ─────────────────────────────────────────────────────────
 
 class GrftScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = Grft.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var countOnly = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -143,39 +147,85 @@ class GrftScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GrftScan(path, required, pushed)
+  // per-partition cap — partial by construction (isPartiallyPushed
+  // default true keeps Spark's global limit on top)
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** COUNT(*) from file metadata: with fixed-width rows the row count
+    * is (size − header) / width per file — a 100 TB count never reads a
+    * data byte. Only when nothing else conditions the rows (no pushed
+    * filters, no grouping, no limit); PARTIAL pushdown (one count row
+    * per file, Spark's final agg sums them), so multi-file directories
+    * need no single-reader funnel. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = pushed.isEmpty && limit < 0 &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countOnly = true
+    ok
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def build(): Scan = new GrftScan(path, required, pushed, limit, countOnly)
 }
 
 /** One row-aligned byte range of one file. */
 case class GrftInputPartition(file: String, dim: Int, startRow: Long,
     numRows: Long) extends InputPartition
 
-class GrftScan(path: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
-  override def readSchema(): StructType = required
+/** One pre-counted file in COUNT(*) pushdown mode. */
+case class GrftCountPartition(rows: Long) extends InputPartition
+
+class GrftScan(path: String, required: StructType, pushed: Array[Filter],
+    limit: Int, countOnly: Boolean)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType =
+    if (countOnly) StructType(Seq(StructField("count_star", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
-    s"grft:$path, PushedFilters: [${pushed.mkString(", ")}]"
+    s"grft:$path, PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      (if (countOnly) ", PushedAggregates: [COUNT(*)]" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** (file, dim, rowCount) for every non-empty data file. */
+  private lazy val fileRows: Seq[(String, Int, Long)] = {
     val dir = new Path(path)
     val fs = Grft.fs(dir)
-    val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".grft"))
-    val target = SQLConf.get.filesMaxPartitionBytes
-    files.flatMap { st =>
-      val header = readHeader(fs, st.getPath)
-      val dataBytes = st.getLen - Grft.HeaderBytes
-      if (dataBytes <= 0) Iterator.empty
-      else {
-        val w = Grft.rowWidth(header)
-        require(dataBytes % w == 0,
-          s"${st.getPath}: ${st.getLen} bytes is not header + whole rows of width $w")
-        val nRows = dataBytes / w
-        val rowsPerSplit = math.max(1L, target / w)
-        (0L until nRows by rowsPerSplit).map { start =>
-          GrftInputPartition(st.getPath.toString, header, start,
-            math.min(rowsPerSplit, nRows - start))
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".grft")).toSeq
+      .flatMap { st =>
+        val dim = readHeader(fs, st.getPath)
+        val dataBytes = st.getLen - Grft.HeaderBytes
+        if (dataBytes <= 0) None
+        else {
+          val w = Grft.rowWidth(dim)
+          require(dataBytes % w == 0,
+            s"${st.getPath}: ${st.getLen} bytes is not header + whole rows of width $w")
+          Some((st.getPath.toString, dim, dataBytes / w))
         }
+      }
+  }
+
+  /** File-metadata statistics (exact rows and bytes for an unfiltered
+    * scan) — what lets Catalyst broadcast-plan a small GRFT table
+    * instead of assuming the default unknown size. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(fileRows.map { case (_, d, n) => n * Grft.rowWidth(d).toLong }.sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(fileRows.map(_._3).sum)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (countOnly)
+      return fileRows.map(f => GrftCountPartition(f._3): InputPartition).toArray
+    val target = SQLConf.get.filesMaxPartitionBytes
+    fileRows.flatMap { case (file, dim, nRows) =>
+      val w = Grft.rowWidth(dim)
+      val rowsPerSplit = math.max(1L, target / w)
+      (0L until nRows by rowsPerSplit).map { start =>
+        GrftInputPartition(file, dim, start, math.min(rowsPerSplit, nRows - start))
       }
     }.toArray
   }
@@ -193,18 +243,26 @@ class GrftScan(path: String, required: StructType, pushed: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GrftReaderFactory(required.fieldNames, pushed)
+    new GrftReaderFactory(required.fieldNames, pushed, limit)
 }
 
-class GrftReaderFactory(requiredNames: Array[String], pushed: Array[Filter])
-    extends PartitionReaderFactory {
+class GrftReaderFactory(requiredNames: Array[String], pushed: Array[Filter],
+    limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GrftPartitionReader(partition.asInstanceOf[GrftInputPartition],
-      requiredNames, pushed)
+    partition match {
+      case GrftCountPartition(rows) => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val n = !emitted; emitted = true; n }
+        override def get(): InternalRow = InternalRow(rows)
+        override def close(): Unit = ()
+      }
+      case p: GrftInputPartition =>
+        new GrftPartitionReader(p, requiredNames, pushed, limit)
+    }
 }
 
 class GrftPartitionReader(p: GrftInputPartition, requiredNames: Array[String],
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
   private val w = Grft.rowWidth(p.dim)
   private val needEmbedding = requiredNames.contains("embedding")
   private val in = {
@@ -216,10 +274,11 @@ class GrftPartitionReader(p: GrftInputPartition, requiredNames: Array[String],
   private val rowBuf = new Array[Byte](w)
   private val bb = ByteBuffer.wrap(rowBuf).order(ByteOrder.LITTLE_ENDIAN)
   private var remaining = p.numRows
+  private var emitted = 0L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (remaining > 0) {
+    while (remaining > 0 && (limit < 0 || emitted < limit)) {
       remaining -= 1
       in.readFully(rowBuf)
       bb.position(0)
@@ -237,6 +296,7 @@ class GrftPartitionReader(p: GrftInputPartition, requiredNames: Array[String],
             new GenericArrayData(arr)
         }
         current = InternalRow.fromSeq(values.toIndexedSeq)
+        emitted += 1
         return true
       }
     }

@@ -69,6 +69,43 @@ class SourceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("grft reports exact file-metadata statistics to the optimizer") {
+    val df = spark.read.format("grft").load(dir)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val nRows = Tables.embeddings(spark, sf).count()
+    // without SupportsReportStatistics this would be the conf default
+    // (huge); with it, Catalyst sees the true tiny size and can
+    // broadcast-plan the table
+    assert(stats.sizeInBytes.toLong < (1L << 20),
+      s"expected file-metadata size, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.forall(_.toLong == nRows))
+  }
+
+  test("grft count(*) is answered from file metadata, not data rows") {
+    val df = spark.read.format("grft").load(dir)
+    val agg = df.groupBy().count()
+    val n = agg.head().getLong(0)
+    assert(n === Tables.embeddings(spark, sf).count())
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]") || plan.contains("count_star"),
+      s"count must push to the source:\n$plan")
+    // pushdown must REFUSE when a filter conditions the rows
+    val filtered = spark.read.format("grft").load(dir)
+      .filter(col("vec_id") < 10L).groupBy().count()
+    assert(filtered.head().getLong(0) === 10L)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "a filtered count must scan, not use metadata")
+  }
+
+  test("grft limit pushdown caps rows at the reader") {
+    val q = spark.read.format("grft").load(dir).limit(7)
+    assert(q.collect().length === 7)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"), s"limit must reach the scan:\n$plan")
+  }
+
   test("grft overwrite truncates previous files") {
     val d = tempDir("grft_trunc")
     val e = Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
