@@ -48,6 +48,71 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("as-of join matches a brute-force reference across the full mode matrix") {
+    import spark.implicits._
+    // every (direction × allowExactMatches × tolerance) cell of the
+    // merge_asof matrix, each fed ~25 random seeded cases. Cases embed
+    // as an extra join-key column, so one Spark job covers a whole
+    // config — the composite-key path is itself part of the surface
+    // under test. Right-side (key, time) pairs are distinct within a
+    // case: the operator's tie rule for duplicate timestamps is
+    // sort-stability-dependent and pinned separately in EdgeCaseSpec.
+    val configs = for {
+      dir <- Seq("backward", "forward", "nearest")
+      exact <- Seq(true, false)
+      tol <- Seq(None, Some(3L))
+    } yield (dir, exact, tol)
+    for (((dir, exact, tol), ci) <- configs.zipWithIndex) {
+      val rng = new scala.util.Random(1000L + ci)
+      val cases = (0 until 25).map { c =>
+        val nKeys = 1 + rng.nextInt(3)
+        val lefts = Seq.fill(1 + rng.nextInt(10))(
+          (c.toLong, rng.nextInt(nKeys).toLong, rng.nextInt(18).toLong))
+        val rights = Seq.fill(rng.nextInt(12))(
+          (c.toLong, rng.nextInt(nKeys).toLong, rng.nextInt(18).toLong))
+          .distinct.groupBy(r => (r._2, r._3)).map(_._2.head).toSeq
+          .map(r => (r._1, r._2, r._3, s"p${r._2}_${r._3}"))
+        (lefts, rights)
+      }
+      val leftRows = cases.flatMap(_._1)
+      val rightRows = cases.flatMap(_._2)
+      val l = leftRows.toDF("case", "k", "t")
+      val r = rightRows.toDF("case", "k", "rt", "payload")
+      val got = graft.plans.AsOf.join(l, r, Seq("case", "k"), "t", "rt",
+          Seq("payload"), direction = dir, tolerance = tol,
+          allowExactMatches = exact)
+        .collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)) ->
+          Option(row.getString(3)))
+      assert(got.length === leftRows.length, s"config ($dir,$exact,$tol)")
+      // O(n²) reference, straight from the merge_asof contract
+      val byCaseKey = rightRows.groupBy(rr => (rr._1, rr._2))
+      def expect(c: Long, k: Long, t: Long): Option[String] = {
+        val cands = byCaseKey.getOrElse((c, k), Nil)
+        def ok(rt: Long) = tol.forall(b => math.abs(t - rt) <= b)
+        val back = cands.filter(x => if (exact) x._3 <= t else x._3 < t)
+          .filter(x => ok(x._3)).sortBy(_._3).lastOption
+        val fwd = cands.filter(x => if (exact) x._3 >= t else x._3 > t)
+          .filter(x => ok(x._3)).sortBy(_._3).headOption
+        val pick = dir match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._3 <= f._3 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        pick.map(_._4)
+      }
+      got.foreach { case ((c, k, t), payload) =>
+        assert(payload === expect(c, k, t),
+          s"config ($dir, exact=$exact, tol=$tol) case $c key $k t=$t: " +
+            s"got $payload, expected ${expect(c, k, t)}")
+      }
+    }
+  }
+
   test("recomputed centroids are convex: within the min/max envelope of members") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
