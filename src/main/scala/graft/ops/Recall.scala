@@ -36,10 +36,13 @@ object Recall {
       "ann_recall_report",
       (s, d) => {
         // ground truth = exact top-10: the brute-force query's 20-row
-        // ranking re-sorted and cut (same (sim desc, vec_id) total order)
+        // ranking re-sorted and cut (same (sim desc, vec_id) total
+        // order), checkpointed so the corpus-wide brute scan runs once
+        // for all four method joins instead of once per method
         val truth = fns("ann_bruteforce_topk")(s, d)
           .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
           .select(col("vec_id"))
+          .localCheckpoint(false)
         Methods.map { case (m, qn) =>
           fns(qn)(s, d).select(col("vec_id")).join(truth, "vec_id")
             .agg(count(lit(1)).as("hits"))

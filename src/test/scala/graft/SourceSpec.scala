@@ -114,6 +114,27 @@ class SourceSpec extends SparkSpec {
     assert(spark.read.format("grft").load(d).count() === 5)
   }
 
+  test("grft fails loudly on corrupt files") {
+    import java.nio.file.{Files, Paths}
+    // bad magic
+    val d1 = tempDir("grft_badmagic")
+    Files.write(Paths.get(d1, "x.grft"), Array.fill[Byte](32)(7))
+    val e1 = intercept[Exception] {
+      spark.read.format("grft").load(d1).collect()
+    }
+    assert(e1.getMessage != null)
+    // truncated: header + a partial row must be rejected, not zero-read
+    val d2 = tempDir("grft_trunc2")
+    val src = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".grft")).head
+    val bytes = Files.readAllBytes(src.toPath)
+    Files.write(Paths.get(d2, "y.grft"), bytes.take(bytes.length - 5))
+    val e2 = intercept[Exception] {
+      spark.read.format("grft").load(d2).collect()
+    }
+    assert(e2.getMessage.contains("whole rows") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("whole rows"))
+  }
+
   test("grft rejects a frame missing the canonical columns") {
     val bad = Tables.embeddings(spark, sf).select("vec_id", "label")
     intercept[Exception] {
