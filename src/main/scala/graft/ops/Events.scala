@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   * batch/oracle-checkable forms; `graft.streaming.Streams` runs the same
   * logic as Structured Streaming with watermarks + state.
   *
-  * Timestamps: events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-  * refuses by default. We read it via
-  * `spark.sql.legacy.parquet.nanosAsLong` (LongType nanos) and truncate
-  * to microseconds with integer division — exactly what DuckDB's
-  * `epoch_ns(ts) // 1000` does, so both engines see identical µs values.
+  * Timestamps: events.ts arrives at µs precision through [[eventsUs]],
+  * which adapts to either parquet physical type the harness has shipped
+  * (TIMESTAMP(NANOS) read as LongType nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong`, or TIMESTAMP(MICROS) read as
+  * TIMESTAMP_NTZ) — both engines see identical µs values either way.
   *
   * Value sums: `value` is a double; naive SUM is addition-order-
   * dependent. We quantize with floor(value·1e6) → exact BIGINT sums
@@ -33,17 +33,28 @@ object Events {
 
   import Tables._
 
-  /** events with ts truncated to µs (TimestampType), identical to the
+  /** events with ts as µs-precision TimestampType, identical to the
     * DuckDB oracle's make_timestamp(epoch_ns(ts) // 1000).
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (events.parquet is TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default) — set in the Verify/Bench/test session BUILDERS, never
-    * mutated here: a table loader must not side-effect global session
-    * config. */
-  def eventsUs(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    * Schema-adaptive: the harness has shipped events.ts both as parquet
+    * TIMESTAMP(NANOS) (Spark 4 refuses it by default; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as LongType
+    * nanos, truncated here to µs by integer division) and as
+    * TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ; cast to TimestampType —
+    * exact under the UTC session TZ every entrypoint sets). Dispatching
+    * on the OBSERVED column type keeps both vintages working without
+    * mutating session config from a table loader. The oracle side needs
+    * no branch: DuckDB's epoch_ns(ts) // 1000 is exact for either
+    * physical type. */
+  def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        e.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        e.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   val sqlTs = "make_timestamp(epoch_ns(ts) // 1000)"
 
   /** Exact order-free sum of a double column: floor-quantize to micro
