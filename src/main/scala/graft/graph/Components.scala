@@ -302,6 +302,49 @@ object Components {
     (edges, rounds)
   }
 
+  /** Multi-source BFS: run |seeds| breadth-first searches in ONE
+    * dataflow, frontier keyed (lm, id) — each hop is one equi-join +
+    * one distinct + one anti-join against the settled set regardless of
+    * how many sources run together. This is the shape that makes
+    * landmark-distance / closeness-centrality sampling affordable at
+    * 100 TB: S sources cost one superstep sequence, not S of them
+    * (Eppstein–Wang style sampling composes directly on top). Same
+    * lazy-localCheckpoint + drain-count discipline as [[minLabel]]:
+    * one job per hop, O(1) plan depth.
+    *
+    * @param ue       undirected edges (src, dst), both directions.
+    * @param seeds    source vertex ids (the `lm` key of the result).
+    * @param maxDepth loud upper bound: `require`s the frontier drains
+    *                 before this depth (callers share the bound with
+    *                 their unrolled/recursive oracle).
+    * @return (lm, id, d) — exact hop distance from each seed to every
+    *         vertex it reaches; includes (lm, lm, 0). */
+  def multiBfs(ue: DataFrame, seeds: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = ue.sparkSession
+    import spark.implicits._
+    var frontiers = List(seeds.map(lm => (lm, lm, 0)).toDF("lm", "id", "d"))
+    var depth = 0
+    var drained = false
+    while (!drained && depth < maxDepth) {
+      depth += 1
+      val settled = frontiers.reduce(_ union _).select("lm", "id")
+      // LAZY localCheckpoint + count: the drain check is a full scan, so
+      // it materializes the hop AND truncates its lineage to a
+      // LogicalRDD in ONE job per hop — plan depth stays O(1) per hop
+      // instead of nesting every prior anti-join.
+      val next = frontiers.head.join(ue, frontiers.head("id") === ue("src"))
+        .select(col("lm"), ue("dst").as("id")).distinct()
+        .join(settled, Seq("lm", "id"), "left_anti")
+        .select(col("lm"), col("id"), lit(depth).as("d"))
+        .localCheckpoint(false)
+      if (next.count() == 0L) drained = true
+      else frontiers ::= next
+    }
+    require(drained, s"BFS frontier still live at depth bound $maxDepth — " +
+      "oracle would under-report; raise the bound")
+    frontiers.reduce(_ union _)
+  }
+
   def minDist(ue: DataFrame, src: Long): (DataFrame, Int) = {
     val spark = ue.sparkSession
     import spark.implicits._

@@ -177,6 +177,11 @@ object PropertyGraph {
   private val SpLandmarks = Seq(1L, 2L)
   private val SpMaxDepth = 24
 
+  /** Seed suppliers for `graph_closeness_centrality` — the sampled
+    * landmark set of the Eppstein–Wang closeness estimate, shared
+    * verbatim with the oracle's recursive CTE. */
+  private val ClosenessSeeds: Seq[Long] = (1L to 8L).toSeq
+
   /** Unroll depth for `graph_weighted_sssp`'s oracle — must be ≥ the
     * relaxation rounds the Spark fixpoint actually needed (require'd in
     * the query; weighted-optimal paths can use more hops than the
@@ -334,31 +339,7 @@ object PropertyGraph {
       (s, d) => {
         val g = supplierPartGraph(s, d)
         val ue = undirectedEdges(s, d)
-        val spark = s
-        import spark.implicits._
-        var frontiers = List(
-          SpLandmarks.map(lm => (lm, lm, 0)).toDF("lm", "id", "d"))
-        var depth = 0
-        var drained = false
-        while (!drained && depth < SpMaxDepth) {
-          depth += 1
-          val settled = frontiers.reduce(_ union _).select("lm", "id")
-          // LAZY localCheckpoint + count: the drain check is a full scan,
-          // so it materializes the hop AND truncates its lineage to a
-          // LogicalRDD in ONE job per hop (eager + isEmpty was two) —
-          // plan depth stays O(1) per hop instead of nesting every prior
-          // anti-join.
-          val next = frontiers.head.join(ue, frontiers.head("id") === ue("src"))
-            .select(col("lm"), ue("dst").as("id")).distinct()
-            .join(settled, Seq("lm", "id"), "left_anti")
-            .select(col("lm"), col("id"), lit(depth).as("d"))
-            .localCheckpoint(false)
-          if (next.count() == 0L) drained = true
-          else frontiers ::= next
-        }
-        require(drained, s"BFS frontier still live at depth bound $SpMaxDepth — " +
-          "oracle would under-report; raise SpMaxDepth")
-        val dist = frontiers.reduce(_ union _)
+        val dist = Components.multiBfs(ue, SpLandmarks, SpMaxDepth)
         val d1 = dist.filter(col("lm") === SpLandmarks.head).select(col("id"), col("d").as("dd1"))
         val d2 = dist.filter(col("lm") === SpLandmarks(1)).select(col("id"), col("d").as("dd2"))
         val out = g.nodes.select(col("id"))
@@ -388,6 +369,50 @@ object PropertyGraph {
               |LEFT JOIN dist d1 ON d1.id = n.id AND d1.lm = ${SpLandmarks.head}
               |LEFT JOIN dist d2 ON d2.id = n.id AND d2.lm = ${SpLandmarks(1)}
               |ORDER BY n.id""".stripMargin)
+    ),
+
+    // ── closeness + harmonic centrality from landmark seeds ────────────
+    // The centrality-sampling shape (Eppstein–Wang): run S seed BFS in
+    // ONE multi-source dataflow (frontier keyed (lm, id) — S sources
+    // cost one superstep sequence, not S), then per seed: vertices
+    // reached, Σ hop-distance, closeness = reached / Σd (one IEEE
+    // division), and harmonic centrality Σ 1/d in EXACT fixed point
+    // (floor(1e9/d) is integer division — order-free BIGINT sums, no
+    // float-fold hazard; harmonic is the variant that stays meaningful
+    // on disconnected graphs). At 100 TB the seed set is the sampled
+    // landmark set and this is precisely the per-batch job shape.
+    Q(
+      "graph_closeness_centrality",
+      (s, d) => {
+        val ue = undirectedEdges(s, d)
+        val dist = Components.multiBfs(ue, ClosenessSeeds, SpMaxDepth)
+        dist.filter(col("d") > 0)
+          .groupBy("lm")
+          .agg(count(lit(1)).as("reached"),
+            sum(col("d").cast("long")).as("sum_dist"),
+            sum(expr("1000000000 DIV d")).as("harmonic_fp"))
+          .select(col("lm").as("seed"), col("reached"), col("sum_dist"),
+            col("harmonic_fp"),
+            (col("reached").cast("double") / col("sum_dist").cast("double"))
+              .as("closeness"))
+          .orderBy("seed")
+      },
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+              |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+              |bfs(lm, id, d) AS (
+              |  SELECT * FROM (VALUES ${ClosenessSeeds.map(x => s"($x, $x, 0)").mkString(", ")}) t(lm, id, d)
+              |  UNION
+              |  SELECT b.lm, ue.dst, b.d + 1 FROM bfs b JOIN ue ON ue.src = b.id
+              |  WHERE b.d < $SpMaxDepth),
+              |dist AS (SELECT lm, id, min(d) AS d FROM bfs GROUP BY lm, id)
+              |SELECT lm AS seed,
+              |  CAST(count(*) AS BIGINT) AS reached,
+              |  CAST(sum(d) AS BIGINT) AS sum_dist,
+              |  CAST(sum(1000000000 // d) AS BIGINT) AS harmonic_fp,
+              |  CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
+              |FROM dist WHERE d > 0
+              |GROUP BY lm ORDER BY seed""".stripMargin)
     ),
 
     // ── common neighbors: supplier pairs ranked by shared parts ────────

@@ -24,7 +24,8 @@ object Recall {
     "ivf" -> "ann_ivf_topk",
     "ivfpq" -> "ann_ivfpq_topk",
     "lsh" -> "ann_lsh_topk",
-    "pq" -> "ann_pq_topk")
+    "pq" -> "ann_pq_topk",
+    "sq8" -> "ann_sq8_topk")
 
   private lazy val fns =
     Q.queryMap(Vector.queries) ++ Q.queryMap(graft.cluster.KMeans.queries)

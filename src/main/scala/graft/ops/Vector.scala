@@ -215,6 +215,67 @@ object Vector {
       .limit(10)
   }
 
+  // ── scalar quantization (SQ8): unit-normalize → per-dim affine int8 ──
+  // The 4×-memory tier of the ANN stack (raw float32 256 B/vector →
+  // 64 B/vector): unit-normalize each vector (so quantized-L2 order
+  // targets the same cosine ranking the other ANN methods are graded
+  // against: ‖a−b‖² = 2−2·cos on unit vectors), then per-dimension
+  // affine-quantize to 0..255 against corpus-wide min/max. Two passes,
+  // both scale-shaped: pass 1 is one partial-agg'd shuffle of exactly 64
+  // groups (per-dim min/max combine map-side); pass 2 broadcasts the
+  // 64-row stats table and quantizes in a narrow per-row map. Every op
+  // is +,−,×,÷,floor — IEEE-identical in DuckDB, so the codes (and the
+  // exact-BIGINT quantized distances built on them) hash-match the
+  // oracle bit-for-bit. No transcendentals, no fold-order hazards
+  // (the only float fold is the norm, same left-to-right fold as
+  // [[sqlNorm]]).
+  private[graft] def sq8(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val unit = e
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), l2norm(col("v")).as("n"))
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
+    val dims = unit
+      .select(posexplode(col("u")).as(Seq("j", "x")))
+      .groupBy("j").agg(min("x").as("mn"), max("x").as("mx"))
+    val st = dims.groupBy()
+      .agg(sort_array(collect_list(struct(col("j"), col("mn"), col("mx")))).as("st"))
+    unit.crossJoin(broadcast(st))
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(64)), i => {
+          val f = element_at(col("st"), i.cast("int"))
+          val x = element_at(col("u"), i.cast("int"))
+          val mn = f.getField("mn")
+          val mx = f.getField("mx")
+          when(mx === mn, lit(0L)).otherwise(
+            least(lit(255L), greatest(lit(0L),
+              floor((x - mn) * 255.0 / (mx - mn)).cast("long"))))
+        }).as("qv"))
+  }
+
+  /** The same two passes as DuckDB CTEs (shared by both SQ8 oracles and
+    * the recall report's embedded replay). */
+  private[graft] val sqlSq8Ctes: String = {
+    val v = sqlVec("embedding")
+    s"""unitv AS (
+       |  SELECT vec_id, list_transform(t.v, x -> x / m.n) AS u
+       |  FROM (SELECT vec_id, $v AS v FROM embeddings) t,
+       |    LATERAL (SELECT ${sqlNorm("t.v")} AS n) m),
+       |dims AS (
+       |  SELECT j, min(u[j]) AS mn, max(u[j]) AS mx
+       |  FROM unitv, (SELECT unnest(range(1, 65)) AS j) js
+       |  GROUP BY j),
+       |stq AS (SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY j) AS st FROM dims),
+       |sq8 AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, 65), i ->
+       |      CASE WHEN stq.st[i].mx = stq.st[i].mn THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(least(255, greatest(0,
+       |             floor((u[i] - stq.st[i].mn) * 255.0 / (stq.st[i].mx - stq.st[i].mn)))) AS BIGINT)
+       |      END) AS qv
+       |  FROM unitv, stq)""".stripMargin
+  }
+
   val queries: Seq[Q] = Seq(
     // ── F1 feature stats: mean/std/median/min/max per vector ───────────
     // Reference computes 7 scalar stats per image array
@@ -504,6 +565,48 @@ object Vector {
            |FROM enc
            |ORDER BY adist ASC, vec_id ASC LIMIT 10""".stripMargin
       }
+    ),
+
+    // ── SQ8 codes: the quantized corpus itself ─────────────────────────
+    // What a production pipeline materializes once and serves ANN from:
+    // int8 codes per vector (64 B vs 256 B float32). Emitted as exact
+    // BIGINT codes so the driver hash proves encoder parity end to end.
+    Q(
+      "vec_quantize_int8",
+      (s, d) => sq8(s, d).orderBy("vec_id"),
+      Some(s"""WITH $sqlSq8Ctes
+              |SELECT vec_id, qv FROM sq8 ORDER BY vec_id""".stripMargin)
+    ),
+
+    // ── SQ8 top-k: ANN over the quantized codes ────────────────────────
+    // Asymmetric nothing — both sides quantized, distance is the exact
+    // BIGINT Σ(Δcode)², so ranking is integer-total-ordered (ties broken
+    // by vec_id) with zero float hazards. Plan shape matches
+    // ann_bruteforce_topk: corpus scanned once, 1-row query side
+    // broadcast, TakeOrderedAndProject — no corpus shuffle. Recall vs
+    // the float cosine truth is surfaced in ann_recall_report (the
+    // unit-normalization above is what makes quantized-L2 chase the
+    // same ranking).
+    Q(
+      "ann_sq8_topk",
+      (s, d) => {
+        val all = sq8(s, d)
+        val q = all.filter(col("vec_id") === 0L).select(col("qv").as("qq"))
+        all.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("qv"), col("qq"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("qdist"))
+          .orderBy(col("qdist").asc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH $sqlSq8Ctes,
+              |qq AS (SELECT qv AS qq FROM sq8 WHERE vec_id = 0)
+              |SELECT s.vec_id,
+              |  CAST(list_aggregate(list_transform(list_zip(s.qv, qq.qq),
+              |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS qdist
+              |FROM sq8 s, qq WHERE s.vec_id <> 0
+              |ORDER BY qdist ASC, s.vec_id ASC LIMIT 10""".stripMargin)
     )
   )
 }

@@ -205,4 +205,43 @@ class VectorSpec extends SparkSpec {
     assert(ratio > 0.8 && ratio < 1.2,
       s"projected/original norm² ratio $ratio outside [0.8, 1.2]")
   }
+
+  test("SQ8 codes are valid int8 range and dequantize within one step") {
+    // floor quantization against per-dim [mn, mx]: every code ∈ [0, 255]
+    // and mn + q·(mx−mn)/255 under-shoots the true value by < one step.
+    val codes = SparkEntry.queries("vec_quantize_int8")(spark, sf)
+    val bad = codes.select(explode(col("qv")).as("q"))
+      .filter(col("q") < 0 || col("q") > 255).count()
+    assert(bad === 0, s"$bad codes outside [0, 255]")
+    assert(codes.count() === Tables.embeddings(spark, sf).count())
+    // dequantization error bound, checked on the corpus: recompute the
+    // unit vectors and per-dim stats exactly as the encoder does
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), V.vec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), V.l2norm(col("v")).as("n"))
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
+    val dims = e.select(posexplode(col("u")).as(Seq("j", "x")))
+      .groupBy("j").agg(min("x").as("mn"), max("x").as("mx"))
+    val worst = codes.select(col("vec_id"), posexplode(col("qv")).as(Seq("j", "q")))
+      .join(e.select(col("vec_id"), posexplode(col("u")).as(Seq("j", "x"))),
+        Seq("vec_id", "j"))
+      .join(dims, "j")
+      .select(((col("x") - (col("mn") + col("q") * (col("mx") - col("mn")) / 255.0))
+        / ((col("mx") - col("mn")) / 255.0)).as("errSteps"))
+      .agg(max(abs(col("errSteps")))).collect()(0).getDouble(0)
+    assert(worst <= 1.0 + 1e-9, s"dequantization error $worst steps > 1")
+  }
+
+  test("SQ8 top-k recalls most of the brute-force cosine top-10") {
+    // unit-normalization makes quantized-L2 a monotone stand-in for
+    // cosine up to quantization error; 8 bits/dim keeps that error far
+    // below typical neighbor gaps
+    val truth = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("ann_sq8_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val hits = (truth intersect got).size
+    assert(hits >= 8, s"SQ8 recall@10 = $hits/10, expected >= 8")
+  }
 }
