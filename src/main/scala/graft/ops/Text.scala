@@ -267,6 +267,22 @@ object Text {
        |  JOIN sketch sa ON sa.doc_id = c.id_a
        |  JOIN sketch sb ON sb.doc_id = c.id_b)""".stripMargin
 
+  /** dup-graph + triangle CTEs (append after `sqlPairCtes`): yields
+    * `dup(id_a, id_b)` and per-doc triangle counts `tc(doc_id,
+    * triangles)` — shared by the triangle queries and the clustering
+    * coefficient. */
+  private val sqlTriCtes: String =
+    s"""dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+       |        FROM dup e1
+       |        JOIN dup e2 ON e2.id_a = e1.id_b
+       |        JOIN dup e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       |v AS (SELECT x AS doc_id FROM tri
+       |      UNION ALL SELECT y FROM tri
+       |      UNION ALL SELECT z FROM tri),
+       |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
+       |       FROM v GROUP BY doc_id)""".stripMargin
+
   /** Per-doc triangle counts over the ≥0.5-Jaccard near-dup graph —
     * shared VERBATIM by `dedup_triangles` (id orientation) and
     * `dedup_triangles_ordered` (degree orientation): the triangle set is
@@ -274,16 +290,8 @@ object Text {
   private val sqlTrianglesOracle: String =
     s"""WITH $sqlSketchCtes,
        |$sqlPairCtes,
-       |dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-       |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
-       |        FROM dup e1
-       |        JOIN dup e2 ON e2.id_a = e1.id_b
-       |        JOIN dup e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
-       |v AS (SELECT x AS doc_id FROM tri
-       |      UNION ALL SELECT y FROM tri
-       |      UNION ALL SELECT z FROM tri)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles
-       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |$sqlTriCtes
+       |SELECT doc_id, triangles FROM tc ORDER BY doc_id""".stripMargin
 
   /** 16-bit SimHash per doc (shared by `dedup_simhash` and the banded
     * pair search). */
@@ -947,6 +955,53 @@ object Text {
           .orderBy("doc_id")
       },
       Some(sqlTrianglesOracle)
+    ),
+
+    // ── local clustering coefficient over the near-dup graph ───────────
+    // cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how clique-like each
+    // doc's dup neighborhood is (cc ≈ 1 → a tight template family worth
+    // collapsing to one canonical doc; cc ≈ 0 → chain-shaped borrowings
+    // that need the transitive fixpoint). Composes the memoized pair
+    // set: one degree partial-agg over the undirected view plus the
+    // dedup_triangles wedge join; tri and deg·(deg−1) are exact BIGINTs,
+    // cc is a single IEEE division of two exact integers. Restricted to
+    // deg ≥ 2 (the denominator's domain).
+    Q(
+      "dedup_clustering_coeff",
+      (s, d) => {
+        val dup = dupEdges(s, d)
+        val deg = dup.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(dup.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("doc_id"), col("deg"))
+        val tri = dup.toDF("x", "y")
+          .join(dup.toDF("y", "z"), "y")
+          .join(dup.toDF("x", "z"), Seq("x", "z"))
+          .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+        deg.filter(col("deg") >= 2)
+          .join(tri, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("deg"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .select(col("doc_id"), col("deg"), col("triangles"),
+            ((col("triangles") * 2).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double")).as("cc"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |$sqlPairCtes,
+              |$sqlTriCtes,
+              |ue AS (SELECT id_a AS src, id_b AS dst FROM dup
+              |       UNION ALL SELECT id_b, id_a FROM dup),
+              |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+              |        FROM ue GROUP BY src)
+              |SELECT d.doc_id, d.deg,
+              |  coalesce(tc.triangles, 0) AS triangles,
+              |  CAST(coalesce(tc.triangles, 0) * 2 AS DOUBLE) /
+              |    CAST(d.deg * (d.deg - 1) AS DOUBLE) AS cc
+              |FROM deg d LEFT JOIN tc USING (doc_id)
+              |WHERE d.deg >= 2
+              |ORDER BY d.doc_id""".stripMargin)
     ),
 
     // ── k-core of the near-dup graph (cyclic similarity cores) ─────────

@@ -158,4 +158,18 @@ class TextSpec extends SparkSpec {
     val frac = split.values.count(_ == "train").toDouble / split.size
     assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of range")
   }
+
+  test("clustering coefficient rows satisfy the combinatorial bounds") {
+    // cc ∈ [0, 1] and tri(v) ≤ C(deg, 2) by construction; a violation
+    // means the wedge join or the degree view double-counts
+    val rows = SparkEntry.queries("dedup_clustering_coeff")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val (deg, tri, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 2)
+      assert(tri <= deg * (deg - 1) / 2,
+        s"doc ${r.getLong(0)}: $tri triangles exceeds C($deg,2)")
+      assert(cc >= 0.0 && cc <= 1.0, s"cc $cc out of [0,1]")
+    }
+  }
 }
