@@ -135,6 +135,41 @@ object Streams {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Stream-STREAM interval join — the attribution shape: every
+    * (view, purchase) pair for the same user with the purchase inside
+    * (view.ts, view.ts + 1 hour]. Both sides are watermarked and the
+    * join condition carries an explicit event-time bound, which is
+    * exactly what lets Spark evict join state: a buffered view older
+    * than `watermark − 1 hour` can never match a future purchase and is
+    * dropped, so state stays bounded on unbounded streams (the missing
+    * piece vs the stream-static join above, where only one side grows).
+    * State shards by user_id. Works identically on batch frames — the
+    * spec runs the SAME function both ways and asserts equality; the
+    * batch twin of this shape is `evt_range_join`'s bucketed interval
+    * join.
+    *
+    * @param views     streaming (or batch) frame of view events
+    *                  (event_id, ts, user_id).
+    * @param purchases streaming (or batch) frame of purchase events
+    *                  (event_id, ts, user_id, value).
+    * @return (user_id, view_id, purchase_id, vts, pts, value) pairs. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id").as("v_user"))
+      .withWatermark("vts", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("user_id").as("p_user"), col("value"))
+      .withWatermark("pts", "2 hours")
+    v.join(p,
+        col("v_user") === col("p_user") &&
+          col("pts") > col("vts") &&
+          col("pts") <= col("vts") + expr("interval 1 hour"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("vts"), col("pts"), col("value"))
+  }
+
   /** Stateful 30-minute-gap sessionization via flatMapGroupsWithState —
     * the custom-state operator the batch `evt_sessionize` mirrors.
     * Emits a session when the gap is exceeded within a batch or when the

@@ -101,6 +101,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    // both sides streaming, watermarked, event-time-bounded — inner
+    // joins emit eagerly, so the finite AvailableNow run must produce
+    // exactly the batch pair set from the same function
+    val dir = tempDir("graft_ss_join")
+    val batchDf = graft.ops.Events.eventsUs(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+    def side(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.filter(col("event_type") === t)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = Streams.attributionJoin(side(stream, "view"), side(stream, "purchase"))
+      .writeStream.format("memory").queryName("ss_attr")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))
+      val got = spark.table("ss_attr").collect().map(key).toSet
+      val expect = Streams.attributionJoin(
+          side(batchDf, "view"), side(batchDf, "purchase"))
+        .collect().map(key).toSet
+      assert(got === expect)
+      assert(expect.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops events that arrive later than the allowed lateness") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
