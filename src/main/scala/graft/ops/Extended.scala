@@ -872,6 +872,63 @@ object Extended {
       Some("""SELECT token, count(*) AS cnt, TRUE AS in_sketch_topk
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ── count-min sketch: mergeable point-frequency estimation ─────────
+    // The third mergeable sketch next to HLL (agg_sketch_rollup) and
+    // frequent-items (agg_topk_sketch): 4×64 exact-BIGINT counters built
+    // by a custom TypedImperativeAggregate in ONE pass (one 2 KB row per
+    // partition on the shuffle; sketches for different days/sources
+    // union by counter-wise +). est(k) = min over rows of k's bucket —
+    // ≥ exact always, overestimate bounded by collisions. The hash
+    // family is SQL-replayable, so the oracle REBUILDS the identical
+    // sketch relationally and proves the engine's estimates cell-exact —
+    // est, exact and overestimate are all BIGINTs, no pinning.
+    Q(
+      "agg_cms_freq",
+      (s, d) => {
+        import org.apache.spark.sql.graft.{Bridge, CountMinSketchAgg => CMS}
+        val ords = orders(s, d)
+        val sk = ords.agg(Bridge.column(
+          CMS(Bridge.expression(col("o_custkey"))).toAggregateExpression()).as("sk"))
+        val probes = ords.select(col("o_custkey").as("key")).distinct()
+          .orderBy("key").limit(10)
+        val exact = ords.groupBy(col("o_custkey")).agg(count(lit(1)).as("exact_cnt"))
+          .select(col("o_custkey").as("key"), col("exact_cnt"))
+        val est = probes.crossJoin(broadcast(sk))
+          .select(col("key"),
+            (0 until CMS.Depth).map { j =>
+              element_at(col("sk"),
+                (lit(j * CMS.Width + 1) +
+                  expr(s"CAST(${CMS.bucketSql("key", j, "DIV")} AS INT)")).cast("int"))
+            }.reduce(least(_, _)).as("cms_est"))
+        est.join(exact, "key")
+          .select(col("key"), col("exact_cnt"), col("cms_est"),
+            (col("cms_est") - col("exact_cnt")).as("overestimate"))
+          .orderBy("key")
+      },
+      Some {
+        import org.apache.spark.sql.graft.{CountMinSketchAgg => CMS}
+        val obkt = (0 until CMS.Depth).map(j =>
+          s"SELECT ${j} AS j, CAST(${CMS.bucketSql("o_custkey", j, "//")} AS BIGINT) AS bkt FROM orders")
+          .mkString("\nUNION ALL\n")
+        val kbkt = (0 until CMS.Depth).map(j =>
+          s"SELECT key, ${j} AS j, CAST(${CMS.bucketSql("key", j, "//")} AS BIGINT) AS bkt FROM probes")
+          .mkString("\nUNION ALL\n")
+        s"""WITH probes AS (SELECT DISTINCT o_custkey AS key FROM orders ORDER BY key LIMIT 10),
+           |ob AS (
+           |$obkt),
+           |cnt AS (SELECT j, bkt, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY j, bkt),
+           |kb AS (
+           |$kbkt),
+           |est AS (SELECT key, min(c) AS cms_est
+           |        FROM kb JOIN cnt USING (j, bkt) GROUP BY key),
+           |ex AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS exact_cnt
+           |       FROM orders GROUP BY 1)
+           |SELECT key, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+           |FROM est JOIN ex USING (key)
+           |ORDER BY key""".stripMargin
+      }
     )
   )
 }

@@ -330,4 +330,29 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("count-min sketch: partition merges are exact and estimates dominate truth") {
+    import org.apache.spark.sql.graft.{Bridge, CountMinSketchAgg => CMS}
+    import spark.implicits._
+    val keys = Gen.listOfN(500, Gen.chooseNum(0L, 5000L))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(Bridge.column(
+          CMS(Bridge.expression(col("k"))).toAggregateExpression()).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]](0).toArray
+    val df = keys.toDF("k")
+    // merge exactness: 1 partition vs 8 partitions (forces buffer merges)
+    assert(sketchOf(df.coalesce(1)).sameElements(sketchOf(df.repartition(8))))
+    // total mass per hash row = input count; estimates never undercount
+    val sk = sketchOf(df)
+    (0 until CMS.Depth).foreach { j =>
+      assert(sk.slice(j * CMS.Width, (j + 1) * CMS.Width).sum === keys.size.toLong)
+    }
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (k, cnt) =>
+      val est = (0 until CMS.Depth)
+        .map(j => sk(j * CMS.Width + CMS.bucket(k, j))).min
+      assert(est >= cnt, s"key $k: est $est < exact $cnt")
+    }
+  }
 }
