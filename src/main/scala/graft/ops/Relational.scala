@@ -748,6 +748,68 @@ object Relational {
               |UNION ALL
               |SELECT c_custkey, acctbal, DATE '2026-06-01', NULL, TRUE FROM ch
               |ORDER BY c_custkey, valid_from""".stripMargin)
+    ),
+
+    // ── interpolated (type-7) percentiles, distributed ─────────────────
+    // percentile_cont WITHOUT collecting a group to one node: rank every
+    // row (one shuffle per group key), compute k = floor(q·(n−1)) and
+    // the fraction g per group, then JOIN the rank-(k+1)/(k+2) rows and
+    // interpolate lo + g·(hi−lo). Both engines evaluate the identical
+    // expression tree over identical doubles, so the result hash-matches
+    // without trusting the engines' built-in quantile interpolation
+    // order (Spark `percentile` and DuckDB `quantile_cont` don't
+    // document matching arithmetic). This is the shape that survives a
+    // group with 10^9 rows — no collect_list, the heavy row stays where
+    // the sort put it. Complements text_length_quantiles (type-1 exact
+    // integers).
+    Q(
+      "rel_percentile_cont",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
+        val ranked = li.withColumn("rn",
+          row_number().over(Window.partitionBy("rf").orderBy(col("x").asc)))
+          .localCheckpoint(false) // two rank lookups per q read one materialization
+        val n = li.groupBy("rf").agg(count(lit(1)).as("n"))
+        def pct(q: Double, name: String) = {
+          val pos = lit(q) * (col("n") - 1).cast("double")
+          val kg = n.select(col("rf"),
+            floor(pos).cast("long").as("k"), (pos - floor(pos)).as("g"))
+          val lo = ranked.select(col("rf").as("rfl"), col("rn").as("rnl"),
+            col("x").as("lo"))
+          val hi = ranked.select(col("rf").as("rfh"), col("rn").as("rnh"),
+            col("x").as("hi"))
+          kg.join(lo, col("rfl") === col("rf") && col("rnl") === col("k") + 1)
+            .join(hi, col("rfh") === col("rf") && col("rnh") === col("k") + 2,
+              "left")
+            .select(col("rf"),
+              (col("lo") + col("g") * (coalesce(col("hi"), col("lo")) - col("lo")))
+                .as(name))
+        }
+        pct(0.5, "p50").join(pct(0.95, "p95"), "rf")
+          .select(col("rf").as("l_returnflag"), col("p50"), col("p95"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        def pctSql(q: String, name: String) =
+          s"""${name}kg AS (
+             |  SELECT rf, CAST(floor($q * (n - 1)) AS BIGINT) AS k,
+             |         $q * (n - 1) - floor($q * (n - 1)) AS g
+             |  FROM n),
+             |$name AS (
+             |  SELECT kg.rf, lo.x + kg.g * (coalesce(hi.x, lo.x) - lo.x) AS $name
+             |  FROM ${name}kg kg
+             |  JOIN ranked lo ON lo.rf = kg.rf AND lo.rn = kg.k + 1
+             |  LEFT JOIN ranked hi ON hi.rf = kg.rf AND hi.rn = kg.k + 2)""".stripMargin
+        s"""WITH li AS (SELECT l_returnflag AS rf, l_extendedprice AS x FROM lineitem),
+           |ranked AS (SELECT rf, x, row_number() OVER (PARTITION BY rf ORDER BY x) AS rn FROM li),
+           |n AS (SELECT rf, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY rf),
+           |${pctSql("0.5", "p50")},
+           |${pctSql("0.95", "p95")}
+           |SELECT p50.rf AS l_returnflag, p50.p50, p95.p95
+           |FROM p50 JOIN p95 ON p95.rf = p50.rf
+           |ORDER BY l_returnflag""".stripMargin
+      }
     )
   )
 }
