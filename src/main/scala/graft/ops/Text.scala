@@ -1199,6 +1199,79 @@ object Text {
       }
     ),
 
+    // ── BM25 ranked retrieval ──────────────────────────────────────────
+    // The standard retrieval scorer on top of text_search_topk's raw
+    // term counts: Lucene-form idf = ln((N−df+0.5)/(df+0.5) + 1) with
+    // tf saturation k1=1.2 and length normalization b=0.75. The one
+    // transcendental (ln) is FLOOR-QUANTIZED to 2^-20 units — a dyadic
+    // rational both engines represent exactly — so cross-engine libm
+    // last-ulp disagreement cannot reach the score unless an idf lands
+    // within ~1e-10 of a quantization boundary (TextSpec asserts the
+    // fixture's idfs sit > 1e-6 from every boundary; a data change that
+    // broke this would fail the spec, not silently drift the driver
+    // hash). Everything else is +,−,×,÷ over exact integers in a FIXED
+    // term order. Shape: candidate set from an inverted-index probe
+    // (never a corpus scan per query term), one 1-row stats broadcast,
+    // per-row scoring, TakeOrderedAndProject.
+    Q(
+      "text_bm25_topk",
+      (s, d) => {
+        val qterms = Seq("spark", "join", "filter")
+        val docs = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+        val statAggs = sum(col("dl")).as("totdl") +:
+          qterms.map(w => sum(when(array_contains(col("t"), w), 1L)
+            .otherwise(0L)).as(s"df_$w"))
+        val stats = docs.agg(count(lit(1)).cast("long").as("n"), statAggs: _*)
+          .select(col("*"), (col("totdl").cast("double") / col("n")).as("avgdl"))
+        val cand = docs
+          .select(col("doc_id"), explode(array_distinct(col("t"))).as("term"))
+          .filter(col("term").isin(qterms: _*))
+          .select("doc_id").distinct()
+        val score = qterms.map { w =>
+          val df = col(s"df_$w")
+          val idf = floor(log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+            * 1048576.0) / 1048576.0
+          val tf = size(org.apache.spark.sql.functions.filter(col("t"),
+            x => x === w)).cast("double")
+          idf * (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+        }.reduce(_ + _)
+        cand.join(docs, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), score.as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some {
+        val qterms = Seq("spark", "join", "filter")
+        val dfs = qterms.map(w =>
+          s"CAST(sum(CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END) AS BIGINT) AS df_$w")
+          .mkString(",\n  ")
+        val score = qterms.map { w =>
+          val idf = s"floor(ln((s.n - s.df_$w + 0.5) / (s.df_$w + 0.5) + 1.0) * 1048576) / 1048576"
+          val tf = s"CAST(len(list_filter(d.t, x -> x = '$w')) AS DOUBLE)"
+          s"$idf * ($tf * 2.2 / ($tf + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))"
+        }.mkString("(", " + ", ")")
+        s"""WITH docs AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           |  FROM documents),
+           |stats0 AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS totdl,
+           |  $dfs
+           |  FROM docs),
+           |stats AS (SELECT *, CAST(totdl AS DOUBLE) / n AS avgdl FROM stats0),
+           |cand AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT doc_id, unnest(t) AS term FROM docs)
+           |  WHERE term IN (${qterms.map(w => s"'$w'").mkString(", ")}))
+           |SELECT d.doc_id, $score AS score
+           |FROM cand c JOIN docs d USING (doc_id), stats s
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }
+    ),
+
     // ── the cleaned corpus: greedy near-dup keep list ──────────────────
     // The last step of the dedup pipeline — emit what SURVIVES. Greedy
     // keep-first: drop any doc with a ≥0.5-Jaccard neighbor of smaller

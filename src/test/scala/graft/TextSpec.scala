@@ -159,6 +159,27 @@ class TextSpec extends SparkSpec {
     assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of range")
   }
 
+  test("BM25 idf quantization sits clear of every floor boundary") {
+    // the one transcendental in text_bm25_topk is floor(ln(...)·2^20);
+    // cross-engine libm drift is ~1 ulp, so the oracle only holds while
+    // every idf·2^20 is far from an integer. Assert a 1e-6 margin on
+    // both the test and the driver-gate scale factors — a future data
+    // regeneration that lands on a knife edge fails HERE, not as a
+    // silent driver hash mismatch.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, dir)
+        .select(graft.ops.Text.tokens(col("text")).as("t"))
+      val n = docs.count().toDouble
+      Seq("spark", "join", "filter").foreach { w =>
+        val df = docs.filter(array_contains(col("t"), w)).count().toDouble
+        val x = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1048576.0
+        val frac = x - math.floor(x)
+        assert(frac > 1e-6 && frac < 1 - 1e-6,
+          s"$dir term '$w': idf*2^20 = $x within 1e-6 of a floor boundary")
+      }
+    }
+  }
+
   test("clustering coefficient rows satisfy the combinatorial bounds") {
     // cc ∈ [0, 1] and tri(v) ≤ C(deg, 2) by construction; a violation
     // means the wedge join or the degree view double-counts
