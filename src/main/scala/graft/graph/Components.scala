@@ -345,6 +345,47 @@ object Components {
     frontiers.reduce(_ union _)
   }
 
+  /** Multi-source shortest-path COUNTING — the forward pass of Brandes'
+    * betweenness algorithm: σ(s, v) = number of distinct shortest s→v
+    * paths, computed level-synchronously (σ of a newly-settled vertex is
+    * the SUM of σ over its frontier predecessors). Same frontier shape
+    * as [[multiBfs]] with the distinct swapped for a partial-agg'd sum —
+    * still one equi-join + one aggregation + one anti-join per hop for
+    * ALL sources together. σ values are exact BIGINTs; the caller gets a
+    * loud overflow margin check (counts ≥ 2^40 abort rather than wrap
+    * differently from a raising oracle engine).
+    *
+    * @return (lm, id, d, sigma) — hop distance and shortest-path count
+    *         from each seed to every vertex it reaches; (lm, lm, 0, 1)
+    *         included. */
+  def multiBfsCounts(ue: DataFrame, seeds: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = ue.sparkSession
+    import spark.implicits._
+    var frontiers = List(seeds.map(lm => (lm, lm, 0, 1L)).toDF("lm", "id", "d", "sigma"))
+    var depth = 0
+    var drained = false
+    while (!drained && depth < maxDepth) {
+      depth += 1
+      val settled = frontiers.reduce(_ union _).select("lm", "id")
+      val next = frontiers.head.join(ue, frontiers.head("id") === ue("src"))
+        .select(col("lm"), ue("dst").as("id"), col("sigma"))
+        .join(settled, Seq("lm", "id"), "left_anti")
+        .groupBy("lm", "id").agg(sum("sigma").as("sigma"))
+        .select(col("lm"), col("id"), lit(depth).as("d"), col("sigma"))
+        .localCheckpoint(false)
+      if (next.count() == 0L) drained = true
+      else frontiers ::= next
+    }
+    require(drained, s"σ frontier still live at depth bound $maxDepth — " +
+      "an unrolled oracle would under-count; raise the bound")
+    val all = frontiers.reduce(_ union _)
+    val maxSigma = all.agg(max("sigma")).head().getLong(0)
+    require(maxSigma < (1L << 40),
+      s"max σ = $maxSigma approaches BIGINT wrap — path counts on this " +
+        "graph need a wider (decimal) accumulator")
+    all
+  }
+
   def minDist(ue: DataFrame, src: Long): (DataFrame, Int) = {
     val spark = ue.sparkSession
     import spark.implicits._

@@ -182,6 +182,11 @@ object PropertyGraph {
     * verbatim with the oracle's recursive CTE. */
   private val ClosenessSeeds: Seq[Long] = (1L to 8L).toSeq
 
+  /** Unroll depth for `graph_path_counts`' per-level MATERIALIZED-CTE
+    * oracle — the Spark kernel `require`s its frontier drains within
+    * this bound (BFS depth on this graph is ~6-8). */
+  private val SigmaUnroll = 12
+
   /** Unroll depth for `graph_weighted_sssp`'s oracle — must be ≥ the
     * relaxation rounds the Spark fixpoint actually needed (require'd in
     * the query; weighted-optimal paths can use more hops than the
@@ -369,6 +374,54 @@ object PropertyGraph {
               |LEFT JOIN dist d1 ON d1.id = n.id AND d1.lm = ${SpLandmarks.head}
               |LEFT JOIN dist d2 ON d2.id = n.id AND d2.lm = ${SpLandmarks(1)}
               |ORDER BY n.id""".stripMargin)
+    ),
+
+    // ── shortest-path counting (Brandes forward pass) ──────────────────
+    // σ(s, v) = number of distinct shortest s→v paths, level-synchronous:
+    // a newly-settled vertex's σ is the SUM of its frontier
+    // predecessors' σ — the forward half of Brandes' betweenness
+    // algorithm, and exactly [[Components.multiBfsCounts]]'s one
+    // equi-join + partial-agg sum + anti-join per hop for all seeds at
+    // once. Counts are exact BIGINTs (overflow margin require'd at 2^40),
+    // so the MATERIALIZED per-level unroll in DuckDB reproduces every σ
+    // bit-for-bit; the Spark side require's the frontier drains within
+    // the shared unroll depth.
+    Q(
+      "graph_path_counts",
+      (s, d) => {
+        val ue = undirectedEdges(s, d)
+        Components.multiBfsCounts(ue, SpLandmarks, SigmaUnroll)
+          .orderBy("lm", "id")
+      },
+      Some {
+        val seedRows = SpLandmarks.map(x => s"($x, $x, 0, 1)").mkString(", ")
+        // every CTE is MATERIALIZED: an inlined level would re-expand the
+        // whole tower (and re-open the lineitem parquet) once per
+        // reference — 12 levels deep that exhausts the process's file
+        // handles before it exhausts the planner
+        val levels = (1 to SigmaUnroll).map { k =>
+          s"""l$k AS MATERIALIZED (
+             |  SELECT p.lm, ue.dst AS id, $k AS d, CAST(sum(p.sigma) AS BIGINT) AS sigma
+             |  FROM l${k - 1} p JOIN ue ON ue.src = p.id
+             |  LEFT JOIN s${k - 1} st ON st.lm = p.lm AND st.id = ue.dst
+             |  WHERE st.id IS NULL
+             |  GROUP BY p.lm, ue.dst),
+             |s$k AS MATERIALIZED (SELECT lm, id FROM s${k - 1} UNION ALL SELECT lm, id FROM l$k)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to SigmaUnroll).map(k => s"SELECT * FROM l$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH
+           |e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+           |ue AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |l0 AS MATERIALIZED (SELECT CAST(lm AS BIGINT) AS lm, CAST(id AS BIGINT) AS id,
+           |              CAST(d AS INT) AS d, CAST(sigma AS BIGINT) AS sigma
+           |       FROM (VALUES $seedRows) t(lm, id, d, sigma)),
+           |s0 AS MATERIALIZED (SELECT lm, id FROM l0),
+           |$levels
+           |SELECT lm, id, d, sigma FROM (
+           |$unionAll)
+           |ORDER BY lm, id""".stripMargin
+      }
     ),
 
     // ── closeness + harmonic centrality from landmark seeds ────────────

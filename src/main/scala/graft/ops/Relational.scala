@@ -750,6 +750,37 @@ object Relational {
               |ORDER BY c_custkey, valid_from""".stripMargin)
     ),
 
+    // ── incremental view maintenance: merge partials ≡ recompute ───────
+    // The daily-rollup shape at 100 TB: yesterday's materialized
+    // aggregate plus today's delta batch merge by re-aggregating the
+    // partial rows (counts add; DECIMAL sums add exactly — the reason
+    // money goes through Tables.dec everywhere: decimal addition is
+    // associative, so merge order can never change the result). The
+    // ORACLE is the full recompute over base ∪ delta — the driver
+    // hash-proves merge ≡ recompute, which is the invariant that makes
+    // incremental maintenance sound at all. (The sketch rollups
+    // agg_sketch_rollup / agg_cms_freq extend the same merge discipline
+    // to approximate state.)
+    Q(
+      "rel_incremental_rollup",
+      (s, d) => {
+        val o = orders(s, d)
+        def part(df: DataFrame) = df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total"))
+        val base = part(o.filter(col("o_orderkey") % 10 =!= 0))
+        val delta = part(o.filter(col("o_orderkey") % 10 === 0))
+        base.unionByName(delta)
+          .groupBy("o_orderstatus")
+          .agg(sum(col("cnt")).as("cnt"),
+            sum(col("total")).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+              |  CAST(sum(${decSql("o_totalprice")}) AS DECIMAL(18,2)) AS total
+              |FROM orders
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
     // ── interpolated (type-7) percentiles, distributed ─────────────────
     // percentile_cont WITHOUT collecting a group to one node: rank every
     // row (one shuffle per group key), compute k = floor(q·(n−1)) and

@@ -215,6 +215,10 @@ object Text {
     * query); layers past convergence are no-op filters, linear cost. */
   private val KCoreUnroll = 10
 
+  /** Unroll depth for `dedup_ktruss`' per-level oracle (same convention:
+    * peels past convergence are no-op filters). */
+  private val KTrussUnroll = 6
+
   /** LSH band rows (doc_id, band, h1..h4) for a sketch frame — the
     * bucket key both the self-join (minhashPairs) and the two-sided
     * incremental join (dedup_incremental) hash on. */
@@ -1050,6 +1054,78 @@ object Text {
            |$layers
            |SELECT src AS doc_id, count(*) AS core_deg FROM ue$KCoreUnroll
            |GROUP BY src ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ── k-truss of the near-dup graph (triangle-supported cores) ───────
+    // The EDGE analog of k-core: iteratively drop every edge in fewer
+    // than k−2 triangles, until stable (k=3 → every surviving edge is
+    // triangle-supported). Stricter than k-core — a long cycle survives
+    // the degree peel but has no triangles and dissolves here — so the
+    // survivors are the mutually-corroborated template families, the
+    // set worth collapsing aggressively. Per round: the wedge-join
+    // support count (same shape as dedup_triangles) + one filter; the
+    // edge set shrinks monotonically, rounds require'd ≤ the oracle's
+    // per-level MATERIALIZED unroll (peels past convergence are no-ops,
+    // exactly the dedup_kcore convention).
+    Q(
+      "dedup_ktruss",
+      (s, d) => {
+        val K = 3
+        def support(es: DataFrame): DataFrame =
+          es.toDF("x", "y").join(es.toDF("y", "z"), "y")
+            .join(es.toDF("x", "z"), Seq("x", "z"))
+            .select(explode(array(
+              struct(col("x").as("id_a"), col("y").as("id_b")),
+              struct(col("y").as("id_a"), col("z").as("id_b")),
+              struct(col("x").as("id_a"), col("z").as("id_b")))).as("e"))
+            .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+            .groupBy("id_a", "id_b").agg(count(lit(1)).as("support"))
+        var edges = dupEdges(s, d).localCheckpoint(false)
+        var n = edges.count()
+        var rounds = 0
+        var live = true
+        while (live) {
+          val kept = edges.join(support(edges), Seq("id_a", "id_b"), "left")
+            .filter(coalesce(col("support"), lit(0L)) >= K - 2)
+            .select("id_a", "id_b")
+            .localCheckpoint(false)
+          val nk = kept.count()
+          if (nk == n) live = false
+          else { rounds += 1; edges = kept; n = nk }
+        }
+        require(rounds <= KTrussUnroll,
+          s"k-truss peel used $rounds rounds > oracle unroll $KTrussUnroll")
+        edges.join(support(edges), Seq("id_a", "id_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val lvl = (0 to KTrussUnroll).map { i =>
+          val peel = if (i < KTrussUnroll)
+            s""",
+               |l${i + 1} AS MATERIALIZED (
+               |  SELECT l.id_a, l.id_b FROM l$i l
+               |  JOIN sup$i s USING (id_a, id_b) WHERE s.support >= 1)"""
+              .stripMargin
+          else ""
+          s"""tri$i AS MATERIALIZED (
+             |  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+             |  FROM l$i e1 JOIN l$i e2 ON e2.id_a = e1.id_b
+             |  JOIN l$i e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+             |sup$i AS MATERIALIZED (
+             |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS support FROM (
+             |    SELECT x AS id_a, y AS id_b FROM tri$i
+             |    UNION ALL SELECT y, z FROM tri$i
+             |    UNION ALL SELECT x, z FROM tri$i)
+             |  GROUP BY id_a, id_b)$peel""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sqlSketchCtes,
+           |$sqlPairCtes,
+           |l0 AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+           |$lvl
+           |SELECT l.id_a, l.id_b, s.support
+           |FROM l$KTrussUnroll l JOIN sup$KTrussUnroll s USING (id_a, id_b)
+           |ORDER BY l.id_a, l.id_b""".stripMargin
       }
     ),
 

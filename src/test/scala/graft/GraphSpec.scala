@@ -157,4 +157,28 @@ class GraphSpec extends SparkSpec {
     val nComp = cc.select("component").distinct().count()
     assert(nComm >= nComp)
   }
+
+  test("shortest-path counting: diamond graph has two paths across") {
+    import spark.implicits._
+    // 1-2, 1-3, 2-4, 3-4: two shortest 1→4 paths of length 2
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val got = graph.Components.multiBfsCounts(ue, Seq(1L), 8)
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(got === Map(1L -> (0, 1L), 2L -> (1, 1L), 3L -> (1, 1L), 4L -> (2, 2L)))
+  }
+
+  test("closeness centrality: path graph closeness matches hand computation") {
+    import spark.implicits._
+    // 1-2-3-4 path; from seed 1: dists 1,2,3 → reached 3, sum 6
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val dist = graph.Components.multiBfs(ue, Seq(1L), 8)
+      .filter(col("d") > 0)
+    val agg = dist.agg(count(lit(1)), sum(col("d").cast("long")),
+      sum(expr("1000000000 DIV d"))).head()
+    assert(agg.getLong(0) === 3L)
+    assert(agg.getLong(1) === 6L)
+    assert(agg.getLong(2) === 1000000000L + 500000000L + 333333333L)
+  }
 }
