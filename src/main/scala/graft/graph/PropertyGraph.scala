@@ -187,6 +187,37 @@ object PropertyGraph {
     * this bound (BFS depth on this graph is ~6-8). */
   private val SigmaUnroll = 12
 
+  /** The 4-superstep LPA unroll as a complete SELECT — shared by
+    * `graph_label_propagation` and (as an embedded derived table) the
+    * modularity oracle, so the communities being scored are the
+    * driver-proven ones. Each layer references its predecessor twice
+    * (votes + carry): AS MATERIALIZED, or DuckDB's CTE inlining goes
+    * exponential. */
+  private lazy val sqlLpaOracle: String = {
+    val layers = (1 to LpaIters).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT p.id, coalesce(b.bl, p.l) AS l
+         |  FROM l${k - 1} p LEFT JOIN (
+         |    SELECT dst, nl AS bl FROM (
+         |      SELECT ue.dst, l.l AS nl, count(*) AS cnt,
+         |        row_number() OVER (PARTITION BY ue.dst
+         |          ORDER BY count(*) DESC, l.l ASC) AS rk
+         |      FROM ue JOIN l${k - 1} l ON ue.src = l.id
+         |      GROUP BY ue.dst, l.l) WHERE rk = 1
+         |  ) b ON b.dst = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+       |  FROM lineitem),
+       |ue AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |n AS (SELECT s_suppkey AS id FROM supplier
+       |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+       |l0 AS (SELECT id, id AS l FROM n),
+       |$layers
+       |SELECT id, l AS community FROM l$LpaIters ORDER BY id""".stripMargin
+  }
+
   /** Unroll depth for `graph_weighted_sssp`'s oracle — must be ≥ the
     * relaxation rounds the Spark fixpoint actually needed (require'd in
     * the query; weighted-optimal paths can use more hops than the
@@ -730,32 +761,122 @@ object PropertyGraph {
             LpaIters, stageEdges = false)
           .select(col("id"), col("l").as("community")).orderBy("id")
       },
-      Some {
-        // Each layer references its predecessor twice (votes + carry):
-        // AS MATERIALIZED, or DuckDB's CTE inlining goes exponential.
-        val layers = (1 to LpaIters).map { k =>
-          s"""l$k AS MATERIALIZED (
-             |  SELECT p.id, coalesce(b.bl, p.l) AS l
-             |  FROM l${k - 1} p LEFT JOIN (
-             |    SELECT dst, nl AS bl FROM (
-             |      SELECT ue.dst, l.l AS nl, count(*) AS cnt,
-             |        row_number() OVER (PARTITION BY ue.dst
-             |          ORDER BY count(*) DESC, l.l ASC) AS rk
-             |      FROM ue JOIN l${k - 1} l ON ue.src = l.id
-             |      GROUP BY ue.dst, l.l) WHERE rk = 1
-             |  ) b ON b.dst = p.id)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS MATERIALIZED (
-           |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
-           |  FROM lineitem),
-           |ue AS MATERIALIZED (
-           |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-           |n AS (SELECT s_suppkey AS id FROM supplier
-           |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
-           |l0 AS (SELECT id, id AS l FROM n),
-           |$layers
-           |SELECT id, l AS community FROM l$LpaIters ORDER BY id""".stripMargin
-      }
+      Some(sqlLpaOracle)
+    ),
+
+    // ── modularity of the LPA communities (exact fixed point) ──────────
+    // Newman's Q = Σ_c [in_c/(2m) − (tot_c/(2m))²], the standard quality
+    // score for a community assignment — scored here for the driver-
+    // proven 4-step LPA labels. Everything is scaled by (2m)²:
+    // contrib_fp = in_c·2m − tot_c² is an exact BIGINT per community
+    // (no float until a consumer divides once by (2m)²), so the oracle
+    // — which EMBEDS the LPA unroll as a derived table and recomputes
+    // the score from scratch — hash-matches bit-for-bit. Shape: the
+    // label frame joins the staged adjacency twice (one shuffle each),
+    // two partial-agg'd groupBys; the 1-row 2m aggregate broadcasts.
+    Q(
+      "graph_modularity",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val ue = undirectedEdges(s, d)
+        val lbl = Components.lpa(g.nodes.select(col("id")), ue,
+            LpaIters, stageEdges = false)
+          .select(col("id"), col("l").as("community"))
+          .localCheckpoint(false) // read three times below
+        val m2 = ue.agg(count(lit(1)).as("m2"))
+        val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("id"), col("deg"))
+        val led = ue
+          .join(lbl.select(col("id").as("src"), col("community").as("lc")), "src")
+          .join(lbl.select(col("id").as("dst"), col("community").as("dc")), "dst")
+        val inc = led.filter(col("lc") === col("dc"))
+          .groupBy("lc").agg(count(lit(1)).as("in2"))
+          .select(col("lc").as("community"), col("in2"))
+        val tot = lbl.join(deg, "id")
+          .groupBy("community").agg(sum("deg").as("tot"))
+        tot.join(inc, Seq("community"), "left")
+          .crossJoin(broadcast(m2))
+          .select(col("community"),
+            coalesce(col("in2"), lit(0L)).as("in2"), col("tot"),
+            (coalesce(col("in2"), lit(0L)) * col("m2") - col("tot") * col("tot"))
+              .as("contrib_fp"))
+          .orderBy("community")
+      },
+      Some(s"""WITH lbl AS MATERIALIZED (SELECT id, community FROM (
+              |$sqlLpaOracle
+              |)),
+              |e2 AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,
+              |  l_partkey + $PartIdOffset AS dst FROM lineitem),
+              |ue2 AS MATERIALIZED (SELECT src, dst FROM e2
+              |  UNION ALL SELECT dst, src FROM e2),
+              |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM ue2),
+              |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+              |        FROM ue2 GROUP BY src),
+              |led AS (SELECT ls.community AS lc, ld.community AS dc
+              |        FROM ue2 JOIN lbl ls ON ls.id = ue2.src
+              |        JOIN lbl ld ON ld.id = ue2.dst),
+              |inc AS (SELECT lc AS community, CAST(count(*) AS BIGINT) AS in2
+              |        FROM led WHERE lc = dc GROUP BY lc),
+              |tot AS (SELECT l.community, CAST(sum(d.deg) AS BIGINT) AS tot
+              |        FROM lbl l JOIN deg d ON d.id = l.id GROUP BY l.community)
+              |SELECT t.community, coalesce(i.in2, 0) AS in2, t.tot,
+              |  CAST(coalesce(i.in2, 0) * m2.m2 - t.tot * t.tot AS BIGINT) AS contrib_fp
+              |FROM tot t LEFT JOIN inc i USING (community), m2
+              |ORDER BY t.community""".stripMargin)
+    ),
+
+    // ── degree assortativity (Newman's r over the edge list) ───────────
+    // Pearson correlation of (deg(src), deg(dst)) over every directed
+    // edge row — do hubs link hubs? All six sufficient statistics are
+    // exact BIGINT sums (one partial-agg'd pass over the
+    // degree-annotated edges); the big cross terms n·Σxx go through
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact, both cast
+    // to double with the same correct rounding — so r's two sqrts and
+    // one division see identical operands. At a 100 TB edge list the
+    // sums themselves would also ride decimals; the shape (annotate,
+    // one aggregation, scalar math) is unchanged.
+    Q(
+      "graph_degree_assortativity",
+      (s, d) => {
+        val ue = undirectedEdges(s, d)
+        val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("v"), col("deg"))
+        val pairs = ue
+          .join(deg.select(col("v").as("src"), col("deg").as("dx")), "src")
+          .join(deg.select(col("v").as("dst"), col("deg").as("dy")), "dst")
+        val sums = pairs.agg(
+          count(lit(1)).as("n"),
+          sum("dx").as("sx"), sum("dy").as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        def dec38(c: org.apache.spark.sql.Column) =
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        sums.select(col("n"), col("sx"), col("sxy"), col("sxx"),
+          ((dec38(col("n")) * dec38(col("sxy")) - dec38(col("sx")) * dec38(col("sy")))
+            .cast("double") /
+            (sqrt((dec38(col("n")) * dec38(col("sxx")) - dec38(col("sx")) * dec38(col("sx")))
+              .cast("double")) *
+             sqrt((dec38(col("n")) * dec38(col("syy")) - dec38(col("sy")) * dec38(col("sy")))
+              .cast("double")))).as("r"))
+      },
+      Some(s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,
+              |  l_partkey + $PartIdOffset AS dst FROM lineitem),
+              |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+              |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM ue GROUP BY src),
+              |pairs AS (SELECT dx.deg AS dx, dy.deg AS dy
+              |          FROM ue JOIN deg dx ON dx.v = ue.src
+              |          JOIN deg dy ON dy.v = ue.dst),
+              |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+              |  CAST(sum(dx * dy) AS BIGINT) AS sxy,
+              |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+              |  CAST(sum(dy * dy) AS BIGINT) AS syy FROM pairs)
+              |SELECT n, sx, sxy, sxx,
+              |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+              |  (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) *
+              |   sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS r
+              |FROM sums""".stripMargin)
     ),
 
     // ── convergence-mode LPA (semi-synchronous, change fixpoint) ───────
