@@ -386,6 +386,57 @@ object Components {
     all
   }
 
+  /** Betweenness centrality over the given sources — Brandes' backward
+    * dependency sweep on top of [[multiBfsCounts]]'s σ tower:
+    * δ(v) = Σ over true successors w (d(w) = d(v)+1, edge v–w) of
+    * (σv/σw)·(1+δw), swept from the deepest BFS level down;
+    * B(v) = Σ over sources of δ(v), v ≠ source. Exact over the given
+    * seed set (sampled-source betweenness when seeds ⊂ V — the
+    * Brandes–Pich estimate).
+    *
+    * The per-vertex float fold is DETERMINISTIC (and therefore
+    * oracle-hashable): each vertex folds its successor contributions in
+    * sorted successor-id order (sort_array + aggregate; every
+    * contribution is positive so a 0.0 init is bit-identical to a
+    * first-element init). Per backward level: one equi-join against the
+    * adjacency + one partial-agg'd grouped fold — the same superstep
+    * budget as the forward pass, all sources at once.
+    *
+    * @return (id, bc) for every vertex reached by any seed. */
+  def betweenness(ue: DataFrame, seeds: Seq[Long], maxDepth: Int): DataFrame = {
+    val fc = multiBfsCounts(ue, seeds, maxDepth)
+      .localCheckpoint(false) // read once per backward level
+    var levels = List(fc.filter(col("d") === maxDepth)
+      .select(col("lm"), col("id"), col("sigma"), lit(0.0).as("delta")))
+    for (k <- maxDepth - 1 to 0 by -1) {
+      val vk = fc.filter(col("d") === k)
+        .select(col("lm").as("vlm"), col("id").as("vid"), col("sigma").as("sv"))
+      val succ = levels.head.select(col("lm").as("slm"), col("id").as("w"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val contrib = vk.join(ue, col("vid") === ue("src"))
+        .join(succ, col("slm") === col("vlm") && ue("dst") === col("w"))
+        .groupBy(col("vlm"), col("vid"))
+        .agg(sort_array(collect_list(struct(col("w"),
+          ((col("sv").cast("double") / col("sw").cast("double"))
+            * (lit(1.0) + col("dw"))).as("c")))).as("lst"))
+        .select(col("vlm"), col("vid"),
+          aggregate(col("lst"), lit(0.0),
+            (acc, e) => acc + e.getField("c")).as("delta"))
+      levels ::= vk.join(contrib, Seq("vlm", "vid"), "left")
+        .select(col("vlm").as("lm"), col("vid").as("id"),
+          col("sv").as("sigma"), coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(false)
+    }
+    // levels was built by PREPENDING from the deepest level down, so it
+    // reads [d0, d1, …, dMax]; drop the head (d0 = the seeds — Brandes
+    // accumulates δ only over v ≠ source)
+    val alld = levels.tail.reduce(_ union _)
+    val bc = seeds.map(lm =>
+        coalesce(max(when(col("lm") === lm, col("delta"))), lit(0.0)))
+      .reduce(_ + _)
+    alld.groupBy("id").agg(bc.as("bc"))
+  }
+
   def minDist(ue: DataFrame, src: Long): (DataFrame, Int) = {
     val spark = ue.sparkSession
     import spark.implicits._

@@ -187,6 +187,37 @@ object PropertyGraph {
     * this bound (BFS depth on this graph is ~6-8). */
   private val SigmaUnroll = 12
 
+  /** The σ tower (multi-source shortest-path counts) as DuckDB CTEs —
+    * shared by `graph_path_counts` and the betweenness backward sweep.
+    * Yields `f(lm, id, d, sigma)`. Every CTE is MATERIALIZED: an
+    * inlined level would re-expand the whole tower (and re-open the
+    * lineitem parquet) once per reference — 12 levels deep that
+    * exhausts the process's file handles before it exhausts the
+    * planner. */
+  private lazy val sqlSigmaCtes: String = {
+    val seedRows = SpLandmarks.map(x => s"($x, $x, 0, 1)").mkString(", ")
+    val levels = (1 to SigmaUnroll).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT p.lm, ue.dst AS id, $k AS d, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM l${k - 1} p JOIN ue ON ue.src = p.id
+         |  LEFT JOIN s${k - 1} st ON st.lm = p.lm AND st.id = ue.dst
+         |  WHERE st.id IS NULL
+         |  GROUP BY p.lm, ue.dst),
+         |s$k AS MATERIALIZED (SELECT lm, id FROM s${k - 1} UNION ALL SELECT lm, id FROM l$k)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 to SigmaUnroll).map(k => s"SELECT * FROM l$k")
+      .mkString("\nUNION ALL\n")
+    s"""e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |l0 AS MATERIALIZED (SELECT CAST(lm AS BIGINT) AS lm, CAST(id AS BIGINT) AS id,
+       |              CAST(d AS INT) AS d, CAST(sigma AS BIGINT) AS sigma
+       |       FROM (VALUES $seedRows) t(lm, id, d, sigma)),
+       |s0 AS MATERIALIZED (SELECT lm, id FROM l0),
+       |$levels,
+       |f AS MATERIALIZED (
+       |$unionAll)""".stripMargin
+  }
+
   /** The 4-superstep LPA unroll as a complete SELECT — shared by
     * `graph_label_propagation` and (as an embedded derived table) the
     * modularity oracle, so the communities being scored are the
@@ -424,34 +455,62 @@ object PropertyGraph {
         Components.multiBfsCounts(ue, SpLandmarks, SigmaUnroll)
           .orderBy("lm", "id")
       },
+      Some(s"""WITH
+              |$sqlSigmaCtes
+              |SELECT lm, id, d, sigma FROM f
+              |ORDER BY lm, id""".stripMargin)
+    ),
+
+    // ── betweenness centrality (full Brandes, hash-exact) ──────────────
+    // The backward pass on top of graph_path_counts' forward σ tower:
+    // dependency δ(v) = Σ over true successors w (d(w)=d(v)+1, edge
+    // v–w) of (σv/σw)·(1+δw), swept from the deepest level down;
+    // B(v) = Σ over sources of δ(v) (v ≠ source). The float fold per
+    // vertex is made DETERMINISTIC — and therefore oracle-hashable,
+    // which published distributed betweenness implementations don't
+    // attempt — by folding each vertex's successor contributions in
+    // sorted successor-id order on BOTH engines (Spark: sort_array +
+    // aggregate; DuckDB: list(… ORDER BY) + list_reduce; a 0.0 init vs
+    // first-element init is bit-identical because every contribution is
+    // positive). Per backward level: one equi-join against the staged
+    // adjacency + one partial-agg'd grouped fold — the same superstep
+    // budget as the forward pass, all sources at once.
+    Q(
+      "graph_betweenness",
+      (s, d) =>
+        Components.betweenness(undirectedEdges(s, d), SpLandmarks, SigmaUnroll)
+          .orderBy("id"),
       Some {
-        val seedRows = SpLandmarks.map(x => s"($x, $x, 0, 1)").mkString(", ")
-        // every CTE is MATERIALIZED: an inlined level would re-expand the
-        // whole tower (and re-open the lineitem parquet) once per
-        // reference — 12 levels deep that exhausts the process's file
-        // handles before it exhausts the planner
-        val levels = (1 to SigmaUnroll).map { k =>
-          s"""l$k AS MATERIALIZED (
-             |  SELECT p.lm, ue.dst AS id, $k AS d, CAST(sum(p.sigma) AS BIGINT) AS sigma
-             |  FROM l${k - 1} p JOIN ue ON ue.src = p.id
-             |  LEFT JOIN s${k - 1} st ON st.lm = p.lm AND st.id = ue.dst
-             |  WHERE st.id IS NULL
-             |  GROUP BY p.lm, ue.dst),
-             |s$k AS MATERIALIZED (SELECT lm, id FROM s${k - 1} UNION ALL SELECT lm, id FROM l$k)""".stripMargin
+        val back = (SigmaUnroll - 1 to 0 by -1).map { k =>
+          s"""c$k AS MATERIALIZED (
+             |  SELECT v.lm, v.id,
+             |    list_reduce(list_transform(
+             |      list(struct_pack(w := s.id,
+             |        c := (CAST(v.sigma AS DOUBLE) / CAST(s.sigma AS DOUBLE)) * (1.0 + s.delta))
+             |        ORDER BY s.id),
+             |      e -> e.c), (a, b) -> a + b) AS delta
+             |  FROM (SELECT * FROM f WHERE d = $k) v
+             |  JOIN ue ON ue.src = v.id
+             |  JOIN d${k + 1} s ON s.lm = v.lm AND s.id = ue.dst
+             |  GROUP BY v.lm, v.id),
+             |d$k AS MATERIALIZED (
+             |  SELECT v.lm, v.id, v.sigma, coalesce(c.delta, 0.0) AS delta
+             |  FROM (SELECT * FROM f WHERE d = $k) v
+             |  LEFT JOIN c$k c ON c.lm = v.lm AND c.id = v.id)""".stripMargin
         }.mkString(",\n")
-        val unionAll = (0 to SigmaUnroll).map(k => s"SELECT * FROM l$k")
+        val allLevels = (1 to SigmaUnroll).map(k => s"SELECT lm, id, delta FROM d$k")
           .mkString("\nUNION ALL\n")
+        val bc = SpLandmarks.map(lm =>
+            s"coalesce(max(CASE WHEN lm = $lm THEN delta END), 0.0)")
+          .mkString(" + ")
         s"""WITH
-           |e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
-           |ue AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-           |l0 AS MATERIALIZED (SELECT CAST(lm AS BIGINT) AS lm, CAST(id AS BIGINT) AS id,
-           |              CAST(d AS INT) AS d, CAST(sigma AS BIGINT) AS sigma
-           |       FROM (VALUES $seedRows) t(lm, id, d, sigma)),
-           |s0 AS MATERIALIZED (SELECT lm, id FROM l0),
-           |$levels
-           |SELECT lm, id, d, sigma FROM (
-           |$unionAll)
-           |ORDER BY lm, id""".stripMargin
+           |$sqlSigmaCtes,
+           |d$SigmaUnroll AS MATERIALIZED (
+           |  SELECT lm, id, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f WHERE d = $SigmaUnroll),
+           |$back
+           |SELECT id, $bc AS bc FROM (
+           |$allLevels)
+           |GROUP BY id ORDER BY id""".stripMargin
       }
     ),
 

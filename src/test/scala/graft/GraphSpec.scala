@@ -168,6 +168,24 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> (0, 1L), 2L -> (1, 1L), 3L -> (1, 1L), 4L -> (2, 2L)))
   }
 
+  test("betweenness: diamond and path graphs match hand-computed Brandes") {
+    import spark.implicits._
+    // diamond 1-2,1-3,2-4,3-4, source 1: σ4=2 via both middles, so
+    // δ(2)=δ(3)=(1/2)(1+0)=0.5, δ(4)=0
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val got = graph.Components.betweenness(ue, Seq(1L), 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+    // path 1-2-3-4, sources {1,4}: from 1, δ(3)=1 and δ(2)=1+δ(3)=2;
+    // from 4 symmetric — middles total 3, endpoints relay nothing (0)
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val pu = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    val got2 = graph.Components.betweenness(pu, Seq(1L, 4L), 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 === Map(1L -> 0.0, 2L -> 3.0, 3L -> 3.0, 4L -> 0.0))
+  }
+
   test("closeness centrality: path graph closeness matches hand computation") {
     import spark.implicits._
     // 1-2-3-4 path; from seed 1: dists 1,2,3 → reached 3, sum 6
