@@ -403,9 +403,13 @@ object Components {
     * budget as the forward pass, all sources at once.
     *
     * @return (id, bc) for every vertex reached by any seed. */
-  def betweenness(ue: DataFrame, seeds: Seq[Long], maxDepth: Int): DataFrame = {
-    val fc = multiBfsCounts(ue, seeds, maxDepth)
-      .localCheckpoint(false) // read once per backward level
+  def betweenness(ue: DataFrame, seeds: Seq[Long], maxDepth: Int,
+                  tower: Option[DataFrame] = None): DataFrame = {
+    // callers that also serve the σ tower directly (graph_path_counts)
+    // pass the shared memoized frame; a fresh one is checkpointed so
+    // each backward level reads a materialization, not the BFS lineage
+    val fc = tower.getOrElse(multiBfsCounts(ue, seeds, maxDepth)
+      .localCheckpoint(false))
     var levels = List(fc.filter(col("d") === maxDepth)
       .select(col("lm"), col("id"), col("sigma"), lit(0.0).as("delta")))
     for (k <- maxDepth - 1 to 0 by -1) {

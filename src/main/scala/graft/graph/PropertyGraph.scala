@@ -187,6 +187,18 @@ object PropertyGraph {
     * this bound (BFS depth on this graph is ~6-8). */
   private val SigmaUnroll = 12
 
+  private val sigmaMemo = graft.SessionMemo[DataFrame]()
+
+  /** The σ tower (multi-source BFS distances + shortest-path counts for
+    * the landmark seeds) — one build per (session, dir), shared by
+    * `graph_path_counts` and the betweenness backward sweep, same
+    * explicit-sharing policy as the staged adjacency. */
+  private def sigmaTower(s: SparkSession, d: String): DataFrame =
+    sigmaMemo.getOrCompute(s, d) {
+      Components.multiBfsCounts(undirectedEdges(s, d), SpLandmarks, SigmaUnroll)
+        .cache()
+    }
+
   /** The σ tower (multi-source shortest-path counts) as DuckDB CTEs —
     * shared by `graph_path_counts` and the betweenness backward sweep.
     * Yields `f(lm, id, d, sigma)`. Every CTE is MATERIALIZED: an
@@ -450,11 +462,7 @@ object PropertyGraph {
     // the shared unroll depth.
     Q(
       "graph_path_counts",
-      (s, d) => {
-        val ue = undirectedEdges(s, d)
-        Components.multiBfsCounts(ue, SpLandmarks, SigmaUnroll)
-          .orderBy("lm", "id")
-      },
+      (s, d) => sigmaTower(s, d).orderBy("lm", "id"),
       Some(s"""WITH
               |$sqlSigmaCtes
               |SELECT lm, id, d, sigma FROM f
@@ -478,7 +486,8 @@ object PropertyGraph {
     Q(
       "graph_betweenness",
       (s, d) =>
-        Components.betweenness(undirectedEdges(s, d), SpLandmarks, SigmaUnroll)
+        Components.betweenness(undirectedEdges(s, d), SpLandmarks, SigmaUnroll,
+            tower = Some(sigmaTower(s, d)))
           .orderBy("id"),
       Some {
         val back = (SigmaUnroll - 1 to 0 by -1).map { k =>

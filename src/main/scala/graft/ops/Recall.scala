@@ -25,6 +25,7 @@ object Recall {
     "ivfpq" -> "ann_ivfpq_topk",
     "lsh" -> "ann_lsh_topk",
     "pq" -> "ann_pq_topk",
+    "prefix" -> "ann_prefix_rerank",
     "sq8" -> "ann_sq8_topk")
 
   private lazy val fns =

@@ -577,6 +577,50 @@ object Vector {
       }
     ),
 
+    // ── prefix-dimension re-rank (Matryoshka-style progressive ANN) ────
+    // Stage 1 ranks by cosine over the FIRST 32 of 64 dims (half the
+    // arithmetic and — at scale, with a materialized prefix column — half
+    // the bytes scanned) and keeps top-50; stage 2 re-ranks the 50
+    // survivors with the exact full-width cosine. The
+    // coarse-filter → exact-re-rank shape of Matryoshka/MRL-truncated
+    // embedding serving, here with both stages deterministic (same
+    // left-to-right folds, (sim, vec_id) total order) so the oracle
+    // replays the exact candidate set and final ranking. Plan: corpus
+    // scanned once, 1-row query broadcast, TakeOrderedAndProject per
+    // stage — no corpus shuffle.
+    Q(
+      "ann_prefix_rerank",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        val cand = e.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("v"), col("qv"),
+            cosine(slice(col("v"), 1, 32), slice(col("qv"), 1, 32)).as("psim"))
+          .orderBy(col("psim").desc, col("vec_id").asc)
+          .limit(50)
+        cand.select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val v16 = s"((${sqlVec("c.embedding")})[1:32])"
+        val q16 = s"((${sqlVec("q.embedding")})[1:32])"
+        s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT c.vec_id, c.embedding, q.embedding AS qe,
+           |    ${sqlCosine(v16, q16)} AS psim
+           |  FROM embeddings c, q WHERE c.vec_id <> 0
+           |  ORDER BY psim DESC, c.vec_id ASC LIMIT 50)
+           |SELECT vec_id,
+           |  ${sqlCosine(sqlVec("embedding"), sqlVec("qe"))} AS sim
+           |FROM cand
+           |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
     // ── SQ8 codes: the quantized corpus itself ─────────────────────────
     // What a production pipeline materializes once and serves ANN from:
     // int8 codes per vector (64 B vs 256 B float32). Emitted as exact
