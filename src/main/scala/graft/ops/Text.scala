@@ -1348,6 +1348,57 @@ object Text {
       }
     ),
 
+    // ── TF-IDF keyword extraction (top-3 terms per document) ───────────
+    // The topic-tagging stage of a curation pipeline: score every
+    // (doc, term) by tf·idf and keep each doc's top 3. Reuses
+    // text_bm25_topk's floor-quantized Lucene idf (TextSpec's boundary
+    // guard covers the ENTIRE vocabulary at both scale factors), and
+    // the score tf·idf_q is EXACTLY representable (integer tf × a
+    // 20-fractional-bit dyadic rational stays well under 53 significant
+    // bits) — so ranking is effectively integer-total-ordered. Shape:
+    // one explode + two partial-agg'd groupBys, the tiny df table and
+    // 1-row N broadcast, a per-doc window for the top-3.
+    Q(
+      "text_keywords_tfidf",
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val dfs = docs.select(explode(array_distinct(col("t"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val tf = docs.select(col("doc_id"), explode(col("t")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val idfq = floor(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1048576.0) / 1048576.0
+        tf.join(broadcast(dfs), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"),
+            (col("tf").cast("double") * idfq).as("score"))
+          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("term").asc)))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+             |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+             |          SELECT doc_id, unnest(list_distinct(t)) AS term FROM docs)
+             |        GROUP BY term),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             |         SELECT doc_id, unnest(t) AS term FROM docs)
+             |       GROUP BY doc_id, term),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf,
+             |    CAST(tf.tf AS DOUBLE) *
+             |      (floor(ln((n.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * 1048576) / 1048576) AS score
+             |  FROM tf JOIN dfs USING (term), n)
+             |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term ASC) AS rk FROM scored)
+             |WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin)
+    ),
+
     // ── the cleaned corpus: greedy near-dup keep list ──────────────────
     // The last step of the dedup pipeline — emit what SURVIVES. Greedy
     // keep-first: drop any doc with a ≥0.5-Jaccard neighbor of smaller

@@ -159,19 +159,23 @@ class TextSpec extends SparkSpec {
     assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of range")
   }
 
-  test("BM25 idf quantization sits clear of every floor boundary") {
-    // the one transcendental in text_bm25_topk is floor(ln(...)·2^20);
-    // cross-engine libm drift is ~1 ulp, so the oracle only holds while
-    // every idf·2^20 is far from an integer. Assert a 1e-6 margin on
-    // both the test and the driver-gate scale factors — a future data
-    // regeneration that lands on a knife edge fails HERE, not as a
-    // silent driver hash mismatch.
+  test("idf quantization sits clear of every floor boundary, whole vocabulary") {
+    // the one transcendental in text_bm25_topk / text_keywords_tfidf is
+    // floor(ln(...)·2^20); cross-engine libm drift is ~1 ulp, so those
+    // oracles only hold while every idf·2^20 is far from an integer.
+    // Assert a 1e-6 margin for EVERY vocabulary term on both the test
+    // and the driver-gate scale factors — a future data regeneration
+    // that lands on a knife edge fails HERE, not as a silent driver
+    // hash mismatch.
     for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
       val docs = Tables.documents(spark, dir)
         .select(graft.ops.Text.tokens(col("text")).as("t"))
       val n = docs.count().toDouble
-      Seq("spark", "join", "filter").foreach { w =>
-        val df = docs.filter(array_contains(col("t"), w)).count().toDouble
+      val dfs = docs.select(explode(array_distinct(col("t"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+      assert(dfs.nonEmpty)
+      dfs.foreach { case (w, df) =>
         val x = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1048576.0
         val frac = x - math.floor(x)
         assert(frac > 1e-6 && frac < 1 - 1e-6,
