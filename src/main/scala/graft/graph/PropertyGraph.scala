@@ -3,6 +3,7 @@ package graft.graph
 import graft.{Q, Tables}
 import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's property-graph data model, Spark-first. The reference
@@ -186,6 +187,14 @@ object PropertyGraph {
     * oracle — the Spark kernel `require`s its frontier drains within
     * this bound (BFS depth on this graph is ~6-8). */
   private val SigmaUnroll = 12
+
+  /** HITS: 5 sum-normalized iterations in 1e6 fixed point (Scale sized
+    * so raw·Scale stays inside BIGINT — see the graph_hits comment). */
+  private val HitsIters = 5
+  private val HitsScale = 1000000L
+
+  /** Walk length for `graph_random_walks` (steps per walker). */
+  private val WalkLen = 8
 
   private val sigmaMemo = graft.SessionMemo[DataFrame]()
 
@@ -891,6 +900,136 @@ object PropertyGraph {
               |  CAST(coalesce(i.in2, 0) * m2.m2 - t.tot * t.tot AS BIGINT) AS contrib_fp
               |FROM tot t LEFT JOIN inc i USING (community), m2
               |ORDER BY t.community""".stripMargin)
+    ),
+
+    // ── deterministic random walks (DeepWalk corpus generation) ────────
+    // The walk-corpus generator graph-embedding training runs at scale
+    // (DeepWalk/node2vec p=q=1): an 8-step walk from every supplier,
+    // where step t from node v moves to the (hash(v,t) mod deg(v))-th
+    // neighbor in sorted-dst order — a DETERMINISTIC hash in place of a
+    // PRNG, so the corpus is reproducible under retries/stragglers (the
+    // rel_sample_hash principle applied to walks) and the oracle replays
+    // every step exactly. Per step: one equi-join of the (tiny) walker
+    // frontier against the rank-annotated adjacency; walkers at
+    // isolated nodes drop out via inner-join semantics on both engines.
+    Q(
+      "graph_random_walks",
+      (s, d) => {
+        val ue = undirectedEdges(s, d)
+        val nbr = ue
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("src").orderBy("dst")))
+          .join(ue.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+          .localCheckpoint(false) // WalkLen joins read one materialization
+        var cur = supplier(s, d)
+          .select(col("s_suppkey").as("walker"), col("s_suppkey").as("node"))
+        var steps = List(cur.withColumn("step", lit(0)))
+        for (t <- 1 to WalkLen) {
+          cur = cur.select(col("walker"), col("node").as("src"))
+            .join(nbr, "src")
+            .filter(col("rn") ===
+              (expr(s"((src * 2654435761) + $t * 1000003) % 4294967296")
+                % col("deg")) + 1)
+            .select(col("walker"), col("dst").as("node"))
+            .localCheckpoint(false)
+          steps ::= cur.withColumn("step", lit(t))
+        }
+        steps.reduce(_ unionByName _).orderBy("walker", "step")
+      },
+      Some {
+        val stepCtes = (1 to WalkLen).map { t =>
+          s"""w$t AS MATERIALIZED (
+             |  SELECT w.walker, n.dst AS node, $t AS step
+             |  FROM w${t - 1} w JOIN nbr n ON n.src = w.node
+             |   AND n.rn = (((w.node * 2654435761) + $t * 1000003) % 4294967296) % n.deg + 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        val unionAll = (0 to WalkLen).map(t => s"SELECT walker, node, step FROM w$t")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+           |  FROM lineitem),
+           |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |nbr AS MATERIALIZED (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+           |  FROM ue),
+           |w0 AS (SELECT s_suppkey AS walker, s_suppkey AS node, 0 AS step FROM supplier),
+           |$stepCtes
+           |SELECT walker, node, step FROM (
+           |$unionAll)
+           |ORDER BY walker, step""".stripMargin
+      }
+    ),
+
+    // ── HITS hubs & authorities (exact fixed point) ────────────────────
+    // Kleinberg's HITS is the natural centrality for this BIPARTITE
+    // graph: suppliers are pure hubs, parts pure authorities —
+    // a(p) = Σ h(s) over s→p, h(s) = Σ a(p), each half-step sum-
+    // normalized. All integer: scores live in [0, 1e6] fixed point,
+    // the normalization floor(raw·1e6/total) is one exact BIGINT floor
+    // division (raw ≤ total ≤ ~2e9 keeps raw·1e6 < 2^63 — the reason
+    // Scale is 1e6, not PageRank's 1e9), sums are order-free — so the
+    // 5-iteration unroll oracle reproduces every score bit-for-bit.
+    // Per half-step: one equi-join + one partial agg + a 1-row total
+    // broadcast. Suppliers with no edges drop out after the first
+    // iteration on both engines (inner-join semantics).
+    Q(
+      "graph_hits",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
+          .localCheckpoint(false) // 2 joins per iteration read one materialization
+        def normalized(raw: DataFrame): DataFrame = {
+          val tot = raw.agg(sum("raw").as("tot"))
+          raw.crossJoin(broadcast(tot))
+            .select(col("id"), expr(s"(raw * $HitsScale) DIV tot").as("x"))
+        }
+        var h = supplier(s, d)
+          .select(col("s_suppkey").as("id"), lit(HitsScale).as("x"))
+          .localCheckpoint(false)
+        var a = h // replaced in the first half-step
+        for (_ <- 1 to HitsIters) {
+          a = normalized(
+            es.join(h.select(col("id").as("src"), col("x")), "src")
+              .groupBy(col("dst").as("id")).agg(sum("x").as("raw")))
+            .localCheckpoint(false)
+          h = normalized(
+            es.join(a.select(col("id").as("dst"), col("x")), "dst")
+              .groupBy(col("src").as("id")).agg(sum("x").as("raw")))
+            .localCheckpoint(false)
+        }
+        h.select(col("id"), lit("hub").as("kind"), col("x").as("score"))
+          .unionByName(a.select(col("id"), lit("authority").as("kind"),
+            col("x").as("score")))
+          .orderBy("kind", "id")
+      },
+      Some {
+        val iters = (1 to HitsIters).map { k =>
+          s"""ar$k AS MATERIALIZED (
+             |  SELECT e.dst AS id, CAST(sum(h.x) AS BIGINT) AS raw
+             |  FROM e JOIN hn${k - 1} h ON h.id = e.src GROUP BY e.dst),
+             |at$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$k),
+             |an$k AS MATERIALIZED (
+             |  SELECT id, (raw * $HitsScale) // tot AS x FROM ar$k, at$k),
+             |hr$k AS MATERIALIZED (
+             |  SELECT e.src AS id, CAST(sum(a.x) AS BIGINT) AS raw
+             |  FROM e JOIN an$k a ON a.id = e.dst GROUP BY e.src),
+             |ht$k AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$k),
+             |hn$k AS MATERIALIZED (
+             |  SELECT id, (raw * $HitsScale) // tot AS x FROM hr$k, ht$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+           |  FROM lineitem),
+           |hn0 AS (SELECT s_suppkey AS id, CAST($HitsScale AS BIGINT) AS x FROM supplier),
+           |$iters
+           |SELECT id, kind, score FROM (
+           |  SELECT id, 'hub' AS kind, x AS score FROM hn$HitsIters
+           |  UNION ALL
+           |  SELECT id, 'authority' AS kind, x AS score FROM an$HitsIters)
+           |ORDER BY kind, id""".stripMargin
+      }
     ),
 
     // ── degree assortativity (Newman's r over the edge list) ───────────
