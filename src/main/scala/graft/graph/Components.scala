@@ -441,6 +441,57 @@ object Components {
     alld.groupBy("id").agg(bc.as("bc"))
   }
 
+  /** Luby's maximal-independent-set, derandomized: in each round a
+    * remaining vertex joins the MIS iff its priority is strictly
+    * smaller than every remaining neighbor's, where priority
+    * p(v, r) = hash(v, r)·2^21 + v is a DETERMINISTIC unique BIGINT
+    * (id < 2^21 keeps it inside 2^53 — exact on any engine) — Luby's
+    * coin flips replaced by the same reproducible-hash discipline as
+    * rel_sample_hash. MIS vertices and their neighborhoods leave the
+    * graph; isolated vertices (no remaining neighbor) always join.
+    * O(log n) rounds w.h.p.; per round one equi-join + one partial
+    * min-agg + the removal anti-joins — the textbook distributed MIS.
+    *
+    * @return (mis, rounds): the MIS vertex ids and the rounds used
+    *         (callers with an unrolled oracle `require` rounds ≤
+    *         unroll). */
+  def misLuby(nodes: DataFrame, ue: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    def pri(r: Int): Column =
+      (col("id") * 2654435761L + lit(r.toLong * 40503L)) % 4294967296L * 2097152L + col("id")
+    var rem = nodes.select(col("id")).localCheckpoint(false)
+    var edges = ue.localCheckpoint(false)
+    var mis: DataFrame = null
+    var rounds = 0
+    var live = rem.count() > 0
+    while (live) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"Luby MIS still live past $maxRounds rounds — raise the bound")
+      val p = rem.select(col("id"), pri(rounds).as("p"))
+      val nmin = edges
+        .join(p.select(col("id").as("src"), col("p")), "src")
+        .groupBy(col("dst").as("id")).agg(min("p").as("np"))
+      val m = p.join(nmin, Seq("id"), "left")
+        .filter(col("np").isNull || col("p") < col("np"))
+        .select("id")
+        .localCheckpoint(false)
+      mis = if (mis == null) m else mis.union(m)
+      val rm = m.union(
+          edges.join(m.select(col("id").as("src")), "src")
+            .select(col("dst").as("id")))
+        .distinct()
+        .localCheckpoint(false)
+      rem = rem.join(rm, Seq("id"), "left_anti").localCheckpoint(false)
+      edges = edges
+        .join(rm.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(rm.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst")
+        .localCheckpoint(false)
+      live = rem.count() > 0
+    }
+    (mis, rounds)
+  }
+
   def minDist(ue: DataFrame, src: Long): (DataFrame, Int) = {
     val spark = ue.sparkSession
     import spark.implicits._

@@ -196,6 +196,9 @@ object PropertyGraph {
   /** Walk length for `graph_random_walks` (steps per walker). */
   private val WalkLen = 8
 
+  /** Round bound for `graph_mis_luby` (O(log n) w.h.p.; loud require). */
+  private val MisUnroll = 8
+
   private val sigmaMemo = graft.SessionMemo[DataFrame]()
 
   /** The σ tower (multi-source BFS distances + shortest-path counts for
@@ -900,6 +903,61 @@ object PropertyGraph {
               |  CAST(coalesce(i.in2, 0) * m2.m2 - t.tot * t.tot AS BIGINT) AS contrib_fp
               |FROM tot t LEFT JOIN inc i USING (community), m2
               |ORDER BY t.community""".stripMargin)
+    ),
+
+    // ── maximal independent set (derandomized Luby) ────────────────────
+    // The classic O(log n)-round distributed MIS: each round a vertex
+    // joins iff its priority beats every remaining neighbor's, then MIS
+    // + neighborhoods leave the graph. Luby's coin flips are replaced
+    // by a deterministic unique hash priority (see Components.misLuby),
+    // so the per-round MATERIALIZED unroll in DuckDB replays the exact
+    // round-by-round selection. MIS is the scheduling/locking primitive
+    // (conflict-free update sets over a conflict graph); GraphSpec
+    // asserts independence AND maximality on the live graph.
+    Q(
+      "graph_mis_luby",
+      (s, d) => {
+        val g = supplierPartGraph(s, d)
+        val (mis, _) = Components.misLuby(g.nodes.select(col("id")),
+          undirectedEdges(s, d), MisUnroll)
+        mis.orderBy("id")
+      },
+      Some {
+        val rounds = (1 to MisUnroll).map { r =>
+          s"""p$r AS MATERIALIZED (
+             |  SELECT id, ((id * 2654435761 + ${r.toLong * 40503L}) % 4294967296) * 2097152 + id AS p
+             |  FROM n${r - 1}),
+             |nm$r AS MATERIALIZED (
+             |  SELECT u.dst AS id, min(ps.p) AS np
+             |  FROM u${r - 1} u JOIN p$r ps ON ps.id = u.src GROUP BY u.dst),
+             |m$r AS MATERIALIZED (
+             |  SELECT p.id FROM p$r p LEFT JOIN nm$r nm ON nm.id = p.id
+             |  WHERE nm.np IS NULL OR p.p < nm.np),
+             |rm$r AS MATERIALIZED (
+             |  SELECT id FROM m$r
+             |  UNION SELECT u.dst FROM u${r - 1} u JOIN m$r m ON m.id = u.src),
+             |n$r AS MATERIALIZED (
+             |  SELECT n.id FROM n${r - 1} n LEFT JOIN rm$r r ON r.id = n.id
+             |  WHERE r.id IS NULL),
+             |u$r AS MATERIALIZED (
+             |  SELECT u.src, u.dst FROM u${r - 1} u
+             |  LEFT JOIN rm$r a ON a.id = u.src
+             |  LEFT JOIN rm$r b ON b.id = u.dst
+             |  WHERE a.id IS NULL AND b.id IS NULL)""".stripMargin
+        }.mkString(",\n")
+        val unionAll = (1 to MisUnroll).map(r => s"SELECT id FROM m$r")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+           |  FROM lineitem),
+           |u0 AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |n0 AS MATERIALIZED (SELECT s_suppkey AS id FROM supplier
+           |       UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+           |$rounds
+           |SELECT id FROM (
+           |$unionAll)
+           |ORDER BY id""".stripMargin
+      }
     ),
 
     // ── deterministic random walks (DeepWalk corpus generation) ────────

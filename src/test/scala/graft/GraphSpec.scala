@@ -168,6 +168,28 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> (0, 1L), 2L -> (1, 1L), 3L -> (1, 1L), 4L -> (2, 2L)))
   }
 
+  test("Luby MIS is independent and maximal on the supplier-part graph") {
+    val mis = SparkEntry.queries("graph_mis_luby")(spark, sf)
+      .select(col("id")).localCheckpoint(false)
+    val g = PropertyGraph.supplierPartGraph(spark, sf)
+    val e = g.edges.select(col("src"), col("dst"))
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // independence: no edge has both endpoints in the MIS
+    val internal = ue
+      .join(mis.select(col("id").as("src")), "src")
+      .join(mis.select(col("id").as("dst")), "dst")
+      .count()
+    assert(internal === 0L, s"$internal edges inside the MIS")
+    // maximality: every non-member has at least one MIS neighbor
+    val uncovered = g.nodes.select(col("id"))
+      .join(mis, Seq("id"), "left_anti")
+      .join(ue.join(mis.select(col("id").as("dst")), "dst")
+          .select(col("src").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .count()
+    assert(uncovered === 0L, s"$uncovered non-members have no MIS neighbor")
+  }
+
   test("betweenness: diamond and path graphs match hand-computed Brandes") {
     import spark.implicits._
     // diamond 1-2,1-3,2-4,3-4, source 1: σ4=2 via both middles, so
