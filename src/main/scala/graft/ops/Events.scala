@@ -563,6 +563,60 @@ object Events {
            |SELECT user_id, event_id, z FROM z
            |WHERE abs(z) > 3.0 ORDER BY user_id, event_id""".stripMargin
       }
+    ),
+
+    // ── robust outliers: median/MAD, distributed rank selection ────────
+    // The robust companion to evt_rolling_zscore: flag events whose
+    // value sits more than 3 MADs from the per-type median — immune to
+    // the outliers themselves (mean/σ are not), which is why curation
+    // pipelines prefer it. Both the median and the MAD are TYPE-1
+    // (actual data values, no interpolation) selected by rank joins —
+    // rank rows, join rank (n+1) DIV 2 — so there is no collect_list
+    // and the per-group heavy rows stay distributed; |v−med| and 3·mad
+    // are single exact IEEE ops, so the flagged set hash-matches.
+    Q(
+      "evt_mad_outliers",
+      (s, d) => {
+        val ev = eventsUs(s, d)
+          .select(col("event_id"), col("event_type").as("et"), col("value"))
+        def rankSel(df: DataFrame, valueCol: String, out: String): DataFrame = {
+          val ranked = df.withColumn("rn", row_number().over(
+            Window.partitionBy("et").orderBy(col(valueCol).asc)))
+          val n = df.groupBy("et").agg(count(lit(1)).as("n"))
+          ranked.join(n, "et")
+            .filter(col("rn") === expr("(n + 1) DIV 2"))
+            .select(col("et"), col(valueCol).as(out))
+        }
+        val med = rankSel(ev, "value", "med")
+        val dev = ev.join(broadcast(med), "et")
+          .select(col("event_id"), col("et"), col("value"), col("med"),
+            abs(col("value") - col("med")).as("dev"))
+        val mad = rankSel(dev, "dev", "mad")
+        dev.join(broadcast(mad), "et")
+          .filter(col("dev") > lit(3.0) * col("mad"))
+          .select(col("event_id"), col("et").as("event_type"), col("value"),
+            col("med"), col("mad"))
+          .orderBy("event_type", "event_id")
+      },
+      Some(s"""WITH ev AS (SELECT event_id, event_type AS et, value FROM events),
+              |r1 AS (SELECT et, value,
+              |         row_number() OVER (PARTITION BY et ORDER BY value ASC) AS rn
+              |       FROM ev),
+              |n AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY et),
+              |med AS (SELECT r1.et, r1.value AS med FROM r1 JOIN n USING (et)
+              |        WHERE r1.rn = (n.n + 1) // 2),
+              |dev AS (SELECT ev.event_id, ev.et, ev.value, med.med,
+              |          abs(ev.value - med.med) AS dev
+              |        FROM ev JOIN med USING (et)),
+              |r2 AS (SELECT et, dev,
+              |         row_number() OVER (PARTITION BY et ORDER BY dev ASC) AS rn
+              |       FROM dev),
+              |madt AS (SELECT r2.et, r2.dev AS mad FROM r2 JOIN n USING (et)
+              |         WHERE r2.rn = (n.n + 1) // 2)
+              |SELECT d.event_id, d.et AS event_type, d.value, d.med, madt.mad
+              |FROM dev d JOIN madt USING (et)
+              |WHERE d.dev > 3.0 * madt.mad
+              |ORDER BY event_type, event_id""".stripMargin)
     )
   )
 }

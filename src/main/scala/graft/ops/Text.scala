@@ -1399,6 +1399,51 @@ object Text {
              |ORDER BY doc_id, rk""".stripMargin)
     ),
 
+    // ── weighted systematic sampling (importance sampling for mixes) ───
+    // Sample ~50 docs with probability ∝ n_chars, reproducibly: doc i
+    // is selected iff an integer multiple of step = total DIV 50 falls
+    // in its cumulative-weight interval (cum_{i−1}, cum_i] — systematic
+    // (Madow) sampling, the zero-variance-spacing estimator curation
+    // pipelines use for size-weighted mixes. All arithmetic is exact
+    // BIGINT (running sums, one floor division), so selection is
+    // reproducible AND oracle-provable. The prefix sum is the
+    // DISTRIBUTED two-level scan — per-block ordered windows (parallel
+    // across blocks) + a tiny block-offset table joined back — not a
+    // single global window: the shape that survives 10^10 rows (the
+    // oracle replays it as one flat window; the VALUES are identical).
+    Q(
+      "text_weighted_sample",
+      (s, d) => {
+        val k = 50
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars").as("w"))
+          .withColumn("blk", expr("doc_id DIV 100"))
+        val inBlk = docs.withColumn("bcum",
+          sum("w").over(Window.partitionBy("blk").orderBy("doc_id")))
+        val blkTot = docs.groupBy("blk").agg(sum("w").as("btot"))
+        val blkOff = blkTot.withColumn("boff",
+            coalesce(sum("btot").over(Window.orderBy("blk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("blk"), col("boff"))
+        val tot = blkTot.agg(sum("btot").as("tot"))
+        inBlk.join(broadcast(blkOff), "blk")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("w"),
+            (col("boff") + col("bcum")).as("cum"), expr(s"tot DIV $k").as("step"))
+          .filter(expr("cum DIV step") > expr("(cum - w) DIV step"))
+          .select(col("doc_id"), col("w"), col("cum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, n_chars AS w,
+             |    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+             |  FROM documents),
+             |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents)
+             |SELECT doc_id, w, cum
+             |FROM docs, tot
+             |WHERE cum // (tot // 50) > (cum - w) // (tot // 50)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── the cleaned corpus: greedy near-dup keep list ──────────────────
     // The last step of the dedup pipeline — emit what SURVIVES. Greedy
     // keep-first: drop any doc with a ≥0.5-Jaccard neighbor of smaller
