@@ -565,6 +565,46 @@ object Events {
       }
     ),
 
+    // ── session transition matrix (first-order Markov over events) ─────
+    // P(next event type | current) per user journey: one lag window per
+    // user ordered by (ts, event_id) — the same single-shuffle
+    // sessionize shape — then a (prev, cur) group count and one exact
+    // division by the per-prev row total. The behavioral-model
+    // fingerprint (and the input to Markov-chain attribution); counts
+    // exact BIGINTs, probability a single IEEE division.
+    Q(
+      "evt_transition_matrix",
+      (s, d) => {
+        val ev = eventsUs(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val trans = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("cur"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = trans.groupBy("prev").agg(sum("cnt").as("tot"))
+        trans.join(tot, "prev")
+          .select(col("prev"), col("cur"), col("cnt"),
+            (col("cnt").cast("double") / col("tot").cast("double")).as("prob"))
+          .orderBy("prev", "cur")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, event_type, $sqlTs AS ts, event_id FROM events),
+              |lagged AS (
+              |  SELECT user_id, event_type AS cur,
+              |    lag(event_type) OVER (PARTITION BY user_id
+              |      ORDER BY ts ASC, event_id ASC) AS prev
+              |  FROM ev),
+              |trans AS (
+              |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM lagged WHERE prev IS NOT NULL GROUP BY prev, cur),
+              |tot AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot FROM trans GROUP BY prev)
+              |SELECT t.prev, t.cur, t.cnt,
+              |  CAST(t.cnt AS DOUBLE) / CAST(tt.tot AS DOUBLE) AS prob
+              |FROM trans t JOIN tot tt USING (prev)
+              |ORDER BY prev, cur""".stripMargin)
+    ),
+
     // ── robust outliers: median/MAD, distributed rank selection ────────
     // The robust companion to evt_rolling_zscore: flag events whose
     // value sits more than 3 MADs from the per-type median — immune to

@@ -750,6 +750,54 @@ object Relational {
               |ORDER BY c_custkey, valid_from""".stripMargin)
     ),
 
+    // ── market-basket association: support / confidence / lift ────────
+    // Which parts co-occur in orders beyond chance? The a-priori-style
+    // pair stage: distinct (order, part) → self-join on the order (the
+    // common-neighbors wedge shape — equi-join, never all-pairs) →
+    // support counts; lift = c_ab·N / (c_a·c_b) with every count an
+    // exact BIGINT, the product well inside int64, and ONE IEEE
+    // division at the end — so the top-20 ranking hash-matches. At
+    // scale the pair volume is Σ basket², bounded by basket size (not
+    // catalog size), and a min-support pre-filter prunes the tail.
+    Q(
+      "rel_basket_lift",
+      (s, d) => {
+        val op = lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .localCheckpoint(false) // three aggregations read one materialization
+        val n = op.select("o").distinct().agg(count(lit(1)).as("n"))
+        val cnt = op.groupBy("p").agg(count(lit(1)).as("c"))
+        val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 3)
+        pairs
+          .join(cnt.select(col("p").as("pa"), col("c").as("ca")), "pa")
+          .join(cnt.select(col("p").as("pb"), col("c").as("cb")), "pb")
+          .crossJoin(broadcast(n))
+          .select(col("pa"), col("pb"), col("cab"), col("ca"), col("cb"),
+            ((col("cab") * col("n")).cast("double") /
+              (col("ca") * col("cb")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+          .limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op),
+             |cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY p),
+             |pairs AS (
+             |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cab
+             |  FROM op a JOIN op b ON a.o = b.o
+             |  WHERE a.p < b.p
+             |  GROUP BY a.p, b.p
+             |  HAVING count(*) >= 3)
+             |SELECT pa, pb, cab, ca.c AS ca, cb.c AS cb,
+             |  CAST(cab * n.n AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+             |FROM pairs
+             |JOIN cnt ca ON ca.p = pairs.pa
+             |JOIN cnt cb ON cb.p = pairs.pb, n
+             |ORDER BY lift DESC, pa ASC, pb ASC LIMIT 20""".stripMargin)
+    ),
+
     // ── incremental view maintenance: merge partials ≡ recompute ───────
     // The daily-rollup shape at 100 TB: yesterday's materialized
     // aggregate plus today's delta batch merge by re-aggregating the

@@ -153,7 +153,13 @@ object Streams {
     * @param purchases streaming (or batch) frame of purchase events
     *                  (event_id, ts, user_id, value).
     * @return (user_id, view_id, purchase_id, vts, pts, value) pairs. */
-  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+  /** @param joinType "inner" (default) emits matches eagerly;
+    *                  "left_outer" additionally emits each unmatched
+    *                  view with NULL purchase columns once the
+    *                  watermark proves no future purchase can match it
+    *                  — the state-EVICTION semantics the spec pins. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("ts").as("vts"),
         col("user_id").as("v_user"))
@@ -165,7 +171,8 @@ object Streams {
     v.join(p,
         col("v_user") === col("p_user") &&
           col("pts") > col("vts") &&
-          col("pts") <= col("vts") + expr("interval 1 hour"))
+          col("pts") <= col("vts") + expr("interval 1 hour"),
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("vts"), col("pts"), col("value"))
   }

@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views only after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val q = Streams.attributionJoin(views.toDF(), purchases.toDF(), "left_outer")
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    try {
+      // a view with no matching purchase (different user)
+      views.addData(Evt(1, ts(10), 7, "view", 0.0))
+      purchases.addData(Evt(100, ts(30), 8, "purchase", 5.0))
+      q.processAllAvailable()
+      // not emitted yet: a future purchase could still match it
+      assert(spark.table("ss_outer").filter(col("view_id") === 1).count() === 0L,
+        "unmatched view emitted before the watermark closed its window")
+      // push event time on BOTH sides far past watermark + join bound,
+      // then run extra batches so the advanced watermark evicts state
+      views.addData(Evt(2, ts(2000), 9, "view", 0.0))
+      purchases.addData(Evt(101, ts(2000), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      views.addData(Evt(3, ts(2010), 9, "view", 0.0))
+      purchases.addData(Evt(102, ts(2010), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val evicted = spark.table("ss_outer").filter(col("view_id") === 1).collect()
+      assert(evicted.length === 1, s"expected exactly one outer row, got ${evicted.length}")
+      assert(evicted.head.isNullAt(2), "outer row must carry NULL purchase_id")
+    } finally q.stop()
+  }
+
   test("watermark drops events that arrive later than the allowed lateness") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
