@@ -1444,6 +1444,55 @@ object Text {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // ── unigram surprisal (perplexity-style quality signal) ────────────
+    // The language-model quality filter in its exactly-checkable form:
+    // corpus-MLE unigram surprisal s(w) = −ln(tf_w/total), each s(w)
+    // floor-quantized to 2^-20 (the whole-vocabulary TextSpec boundary
+    // guard applies); a doc's total surprisal is then a sum of dyadic
+    // rationals on a COMMON 2^-20 grid scaled by integer tfs — exact in
+    // double regardless of order (numerators stay far below 2^53), so
+    // the per-doc totals and means hash-match with zero fold ceremony.
+    // High mean surprisal ⇒ rare-token soup (the C4/Gopher-style cut).
+    // Shape: one explode + two partial-agg'd groupBys + a broadcast
+    // unigram table.
+    Q(
+      "text_unigram_surprisal",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val uni = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
+        val tot = uni.agg(sum("ctf").as("tot"))
+        val sq = floor(-log(col("ctf").cast("double") / col("tot").cast("double"))
+          * 1048576.0) / 1048576.0
+        toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .join(broadcast(uni), "term").crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("tf"), sq.as("sq"))
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(col("tf").cast("double") * col("sq")).as("surprisal"))
+          .select(col("doc_id"), col("n_tokens"), col("surprisal"),
+            (col("surprisal") / col("n_tokens").cast("double")).as("mean_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM toks GROUP BY term),
+             |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS tot FROM uni),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM toks GROUP BY doc_id, term),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tf,
+             |    floor(-ln(CAST(uni.ctf AS DOUBLE) / CAST(tot.tot AS DOUBLE)) * 1048576) / 1048576 AS sq
+             |  FROM tf JOIN uni USING (term), tot),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |    sum(CAST(tf AS DOUBLE) * sq) AS surprisal
+             |  FROM sc GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, surprisal,
+             |  surprisal / CAST(n_tokens AS DOUBLE) AS mean_surprisal
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── the cleaned corpus: greedy near-dup keep list ──────────────────
     // The last step of the dedup pipeline — emit what SURVIVES. Greedy
     // keep-first: drop any doc with a ≥0.5-Jaccard neighbor of smaller

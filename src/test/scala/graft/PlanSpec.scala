@@ -280,4 +280,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-30 must be TakeOrderedAndProject:\n$p")
   }
+
+  test("BM25 broadcasts the 1-row stats and takes ordered top-k") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastExchange"),
+      s"corpus stats (N/avgdl/df) must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product joins:\n$p")
+  }
+
+  test("basket-lift pairs come from the order equi-join, never a product") {
+    val p = plan("rel_basket_lift")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage must equi-join on the order key:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject:\n$p")
+  }
+
+  test("percentile rank lookups are equi-joins with no collect-style aggregation") {
+    val p = plan("rel_percentile_cont")
+    assert(!p.contains("CartesianProduct") && !p.contains("collect_list"),
+      s"rank selection must join, not collect:\n$p")
+  }
+
+  test("SQ8 top-k scans the quantized corpus once with a broadcast probe") {
+    val p = plan("ann_sq8_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product joins:\n$p")
+  }
 }

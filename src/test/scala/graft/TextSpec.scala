@@ -181,6 +181,17 @@ class TextSpec extends SparkSpec {
         assert(frac > 1e-6 && frac < 1 - 1e-6,
           s"$dir term '$w': idf*2^20 = $x within 1e-6 of a floor boundary")
       }
+      // same sweep for text_unigram_surprisal's −ln(ctf/total) grid
+      val ctfs = docs.select(explode(col("t")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("ctf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val total = ctfs.map(_._2).sum.toDouble
+      ctfs.foreach { case (w, ctf) =>
+        val x = -math.log(ctf.toDouble / total) * 1048576.0
+        val frac = x - math.floor(x)
+        assert(frac > 1e-6 && frac < 1 - 1e-6,
+          s"$dir term '$w': surprisal*2^20 = $x within 1e-6 of a floor boundary")
+      }
     }
   }
 
