@@ -199,6 +199,19 @@ object PropertyGraph {
   /** Round bound for `graph_mis_luby` (O(log n) w.h.p.; loud require). */
   private val MisUnroll = 8
 
+  private val lpaMemo = graft.SessionMemo[DataFrame]()
+
+  /** The 4-step LPA labels (id, community) — one propagation per
+    * (session, dir), shared by `graph_label_propagation` and
+    * `graph_modularity` (which scores exactly these labels). */
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaMemo.getOrCompute(s, d) {
+      Components.lpa(supplierPartGraph(s, d).nodes.select(col("id")),
+          undirectedEdges(s, d), LpaIters, stageEdges = false)
+        .select(col("id"), col("l").as("community"))
+        .cache()
+    }
+
   private val sigmaMemo = graft.SessionMemo[DataFrame]()
 
   /** The σ tower (multi-source BFS distances + shortest-path counts for
@@ -833,14 +846,7 @@ object PropertyGraph {
     // vertex id, nothing driver-side.
     Q(
       "graph_label_propagation",
-      (s, d) => {
-        val g = supplierPartGraph(s, d)
-        // the memoized artifact is already src-partitioned and cached —
-        // tell lpa not to re-shuffle + re-checkpoint it.
-        Components.lpa(g.nodes.select(col("id")), undirectedEdges(s, d),
-            LpaIters, stageEdges = false)
-          .select(col("id"), col("l").as("community")).orderBy("id")
-      },
+      (s, d) => lpaLabels(s, d).orderBy("id"),
       Some(sqlLpaOracle)
     ),
 
@@ -857,12 +863,8 @@ object PropertyGraph {
     Q(
       "graph_modularity",
       (s, d) => {
-        val g = supplierPartGraph(s, d)
         val ue = undirectedEdges(s, d)
-        val lbl = Components.lpa(g.nodes.select(col("id")), ue,
-            LpaIters, stageEdges = false)
-          .select(col("id"), col("l").as("community"))
-          .localCheckpoint(false) // read three times below
+        val lbl = lpaLabels(s, d) // memoized + cached; read three times below
         val m2 = ue.agg(count(lit(1)).as("m2"))
         val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("id"), col("deg"))

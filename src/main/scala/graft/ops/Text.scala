@@ -1444,6 +1444,54 @@ object Text {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // ── containment near-dups (asymmetric: quote/inclusion detection) ──
+    // Jaccard misses the short-doc-inside-long-doc case (|A∩B|/|A∪B| is
+    // dragged down by the big doc); containment |A∩B|/min(|A|,|B|)
+    // catches it — the Broder distinction, and the signal that finds
+    // quotations, boilerplate inclusion and excerpt reposts. Same LSH
+    // band candidates as the Jaccard pipeline (equi-join, never
+    // all-pairs), exact shingle-set verify, integer sizes + ONE
+    // division.
+    Q(
+      "dedup_containment_pairs",
+      (s, d) => {
+        val docs = cachedSketch(s, d)
+        val bands = bandsOf(docs)
+        val l = bands.toDF("id_a", "band", "h1", "h2", "h3", "h4")
+        val r = bands.toDF("id_b", "band", "h1", "h2", "h3", "h4")
+        val cand = l.join(r, Seq("band", "h1", "h2", "h3", "h4"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+        cand.join(da, "id_a").join(db, "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+            size(col("sa")).cast("long").as("na"),
+            size(col("sb")).cast("long").as("nb"))
+          .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+            (col("inter").cast("double") /
+              least(col("na"), col("nb")).cast("double")).as("containment"))
+          .filter(col("containment") >= 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |$sqlPairCtes
+              |SELECT c.id_a, c.id_b,
+              |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+              |  CAST(len(sa.sh) AS BIGINT) AS na,
+              |  CAST(len(sb.sh) AS BIGINT) AS nb,
+              |  CAST(CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS DOUBLE) /
+              |    CAST(least(CAST(len(sa.sh) AS BIGINT), CAST(len(sb.sh) AS BIGINT)) AS DOUBLE)
+              |    AS containment
+              |FROM cand c
+              |JOIN sketch sa ON sa.doc_id = c.id_a
+              |JOIN sketch sb ON sb.doc_id = c.id_b
+              |WHERE CAST(CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS DOUBLE) /
+              |    CAST(least(CAST(len(sa.sh) AS BIGINT), CAST(len(sb.sh) AS BIGINT)) AS DOUBLE) >= 0.8
+              |ORDER BY id_a, id_b""".stripMargin)
+    ),
+
     // ── unigram surprisal (perplexity-style quality signal) ────────────
     // The language-model quality filter in its exactly-checkable form:
     // corpus-MLE unigram surprisal s(w) = −ln(tf_w/total), each s(w)
