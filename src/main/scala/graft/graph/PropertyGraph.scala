@@ -199,6 +199,9 @@ object PropertyGraph {
   /** Round bound for `graph_mis_luby` (O(log n) w.h.p.; loud require). */
   private val MisUnroll = 8
 
+  /** node2vec walk length (steps per walker; step 1 is first-order). */
+  private val N2vLen = 6
+
   private val lpaMemo = graft.SessionMemo[DataFrame]()
 
   /** The 4-step LPA labels (id, community) — one propagation per
@@ -905,6 +908,109 @@ object PropertyGraph {
               |  CAST(coalesce(i.in2, 0) * m2.m2 - t.tot * t.tot AS BIGINT) AS contrib_fp
               |FROM tot t LEFT JOIN inc i USING (community), m2
               |ORDER BY t.community""".stripMargin)
+    ),
+
+    // ── node2vec biased walks (second-order, deterministic) ────────────
+    // The p/q-biased walk (Grover & Leskovec): from (prev → cur), a
+    // neighbor x is weighted 1/p if x = prev (return), 1 if x is also
+    // adjacent to prev (BFS-ish), 1/q otherwise (DFS-ish). p = ½, q = 2
+    // gives INTEGER weights 4/2/1, so the cumulative-weight intervals
+    // are exact BIGINTs and the pick — r = hash(cur, prev, t) mod
+    // total landing in x's interval — is reproducible and
+    // oracle-replayable, like graph_random_walks but second-order. The
+    // prev-adjacency test is one (prev, x) equi-join against the staged
+    // edge set; the interval scan is a per-(walker, step) window over
+    // each node's neighbor list. 6 steps from every supplier.
+    Q(
+      "graph_node2vec_walks",
+      (s, d) => {
+        val ue = undirectedEdges(s, d)
+        val nbr = ue.localCheckpoint(false)
+        val adj = ue.select(col("src").as("pa"), col("dst").as("xa"))
+          .localCheckpoint(false)
+        // step 1: uniform hash pick (no prev yet) over ranked neighbors
+        val ranked = nbr
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("src").orderBy("dst")))
+          .join(nbr.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        var cur = supplier(s, d)
+          .select(col("s_suppkey").as("walker"), col("s_suppkey").as("node"))
+        var walk = List(cur.withColumn("step", lit(0)))
+        cur = cur.select(col("walker"), col("node").as("src"))
+          .join(ranked, "src")
+          .filter(col("rn") ===
+            (expr(s"((src * 2654435761) + 1000003) % 4294967296") % col("deg")) + 1)
+          .select(col("walker"), col("src").as("prev"), col("dst").as("node"))
+          .localCheckpoint(false)
+        walk ::= cur.select(col("walker"), col("node"), lit(1).as("step"))
+        for (t <- 2 to N2vLen) {
+          val w = Window.partitionBy("walker").orderBy("x")
+          val stepped = cur.select(col("walker"), col("prev"), col("node").as("src"))
+            .join(nbr, "src")
+            .select(col("walker"), col("prev"), col("src"), col("dst").as("x"))
+            .join(adj, col("pa") === col("prev") && col("xa") === col("x"), "left")
+            .select(col("walker"), col("prev"), col("src"), col("x"),
+              when(col("x") === col("prev"), lit(4L))
+                .when(col("xa").isNotNull, lit(2L))
+                .otherwise(lit(1L)).as("wt"))
+            .withColumn("cum", sum("wt").over(w))
+            .withColumn("tot", sum("wt").over(Window.partitionBy("walker")))
+            .withColumn("r",
+              expr(s"((src * 2654435761) + prev * 40503 + $t * 1000003) % 4294967296")
+                % col("tot"))
+          cur = stepped
+            .filter(col("cum") - col("wt") <= col("r") && col("r") < col("cum"))
+            .select(col("walker"), col("src").as("prev"), col("x").as("node"))
+            .localCheckpoint(false)
+          walk ::= cur.select(col("walker"), col("node"), lit(t).as("step"))
+        }
+        walk.reduce(_ unionByName _).orderBy("walker", "step")
+      },
+      Some {
+        val steps = (2 to N2vLen).map { t =>
+          s"""st$t AS MATERIALIZED (
+             |  SELECT c.walker, c.node AS src, u.dst AS x,
+             |    CASE WHEN u.dst = c.prev THEN 4
+             |         WHEN ad.xa IS NOT NULL THEN 2 ELSE 1 END AS wt,
+             |    c.prev
+             |  FROM w${t - 1} c
+             |  JOIN ue u ON u.src = c.node
+             |  LEFT JOIN adj ad ON ad.pa = c.prev AND ad.xa = u.dst),
+             |cw$t AS MATERIALIZED (
+             |  SELECT walker, src, x, wt, prev,
+             |    CAST(sum(wt) OVER (PARTITION BY walker ORDER BY x) AS BIGINT) AS cum,
+             |    CAST(sum(wt) OVER (PARTITION BY walker) AS BIGINT) AS tot
+             |  FROM st$t),
+             |w$t AS MATERIALIZED (
+             |  SELECT walker, src AS prev, x AS node, $t AS step
+             |  FROM cw$t
+             |  WHERE cum - wt <= ((src * 2654435761) + prev * 40503 + $t * 1000003) % 4294967296 % tot
+             |    AND ((src * 2654435761) + prev * 40503 + $t * 1000003) % 4294967296 % tot < cum)"""
+            .stripMargin
+        }.mkString(",\n")
+        val unionAll = (s"SELECT walker, node, 0 AS step FROM w0" +:
+          (1 to N2vLen).map(t => s"SELECT walker, node, step FROM w$t"))
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+           |  FROM lineitem),
+           |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |adj AS MATERIALIZED (SELECT src AS pa, dst AS xa FROM ue),
+           |nbr AS MATERIALIZED (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+           |  FROM ue),
+           |w0 AS (SELECT s_suppkey AS walker, s_suppkey AS node FROM supplier),
+           |w1 AS MATERIALIZED (
+           |  SELECT w.walker, n.src AS prev, n.dst AS node, 1 AS step
+           |  FROM w0 w JOIN nbr n ON n.src = w.node
+           |   AND n.rn = (((w.node * 2654435761) + 1000003) % 4294967296) % n.deg + 1),
+           |$steps
+           |SELECT walker, node, step FROM (
+           |$unionAll)
+           |ORDER BY walker, step""".stripMargin
+      }
     ),
 
     // ── maximal independent set (derandomized Luby) ────────────────────
