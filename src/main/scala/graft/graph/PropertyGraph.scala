@@ -202,6 +202,64 @@ object PropertyGraph {
   /** node2vec walk length (steps per walker; step 1 is first-order). */
   private val N2vLen = 6
 
+  private val walkMemo = graft.SessionMemo[DataFrame]()
+
+  /** The first-order walk corpus (walker, node, step) — one build per
+    * (session, dir), shared by `graph_random_walks` and the skip-gram
+    * extraction (which consumes exactly this corpus). */
+  private def walkCorpus(s: SparkSession, d: String): DataFrame =
+    walkMemo.getOrCompute(s, d) {
+      val ue = undirectedEdges(s, d)
+      val nbr = ue
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy("dst")))
+        .join(ue.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .localCheckpoint(false) // WalkLen joins read one materialization
+      var cur = supplier(s, d)
+        .select(col("s_suppkey").as("walker"), col("s_suppkey").as("node"))
+      var steps = List(cur.withColumn("step", lit(0)))
+      for (t <- 1 to WalkLen) {
+        cur = cur.select(col("walker"), col("node").as("src"))
+          .join(nbr, "src")
+          .filter(col("rn") ===
+            (expr(s"((src * 2654435761) + $t * 1000003) % 4294967296")
+              % col("deg")) + 1)
+          .select(col("walker"), col("dst").as("node"))
+          .localCheckpoint(false)
+        steps ::= cur.withColumn("step", lit(t))
+      }
+      steps.reduce(_ unionByName _).cache()
+    }
+
+  /** The walk unroll as a complete SELECT — shared by
+    * `graph_random_walks` and (as a derived table) the skip-gram
+    * oracle. */
+  private lazy val sqlWalkOracle: String = {
+    val stepCtes = (1 to WalkLen).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.walker, n.dst AS node, $t AS step
+         |  FROM w${t - 1} w JOIN nbr n ON n.src = w.node
+         |   AND n.rn = (((w.node * 2654435761) + $t * 1000003) % 4294967296) % n.deg + 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 to WalkLen).map(t => s"SELECT walker, node, step FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+       |  FROM lineitem),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |nbr AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       |  FROM ue),
+       |w0 AS (SELECT s_suppkey AS walker, s_suppkey AS node, 0 AS step FROM supplier),
+       |$stepCtes
+       |SELECT walker, node, step FROM (
+       |$unionAll)
+       |ORDER BY walker, step""".stripMargin
+  }
+
   private val lpaMemo = graft.SessionMemo[DataFrame]()
 
   /** The 4-step LPA labels (id, community) — one propagation per
@@ -910,6 +968,39 @@ object PropertyGraph {
               |ORDER BY t.community""".stripMargin)
     ),
 
+    // ── skip-gram pairs from the walk corpus ───────────────────────────
+    // The actual TRAINING DATA DeepWalk feeds word2vec: (center,
+    // context) pairs within a ±2 window along each walk. One self-join
+    // of the walk table on (walker, |Δstep| ≤ 2) — walks are 9 rows
+    // each, so the join is per-walker-bounded at any graph size —
+    // aggregated to pair counts. Composes the memoized walk corpus; at
+    // 100 TB this is the map from a materialized walk table to the
+    // embedding trainer's input.
+    Q(
+      "graph_walk_skipgrams",
+      (s, d) => {
+        val w = walkCorpus(s, d)
+        val a = w.toDF("walker", "center", "sa")
+        val b = w.toDF("walker", "context", "sb")
+        a.join(b, "walker")
+          .filter(col("sa") =!= col("sb") &&
+            abs(col("sa") - col("sb")) <= 2)
+          .groupBy(col("center"), col("context"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("center", "context")
+      },
+      Some(s"""WITH wk AS MATERIALIZED (SELECT walker, node, step FROM (
+              |$sqlWalkOracle
+              |))
+              |SELECT a.node AS center, b.node AS context,
+              |  CAST(count(*) AS BIGINT) AS cnt
+              |FROM wk a JOIN wk b
+              |  ON a.walker = b.walker AND a.step <> b.step
+              |  AND abs(a.step - b.step) <= 2
+              |GROUP BY a.node, b.node
+              |ORDER BY center, context""".stripMargin)
+    ),
+
     // ── node2vec biased walks (second-order, deterministic) ────────────
     // The p/q-biased walk (Grover & Leskovec): from (prev → cur), a
     // neighbor x is weighted 1/p if x = prev (return), 1 if x is also
@@ -1080,53 +1171,8 @@ object PropertyGraph {
     // isolated nodes drop out via inner-join semantics on both engines.
     Q(
       "graph_random_walks",
-      (s, d) => {
-        val ue = undirectedEdges(s, d)
-        val nbr = ue
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("src").orderBy("dst")))
-          .join(ue.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-          .localCheckpoint(false) // WalkLen joins read one materialization
-        var cur = supplier(s, d)
-          .select(col("s_suppkey").as("walker"), col("s_suppkey").as("node"))
-        var steps = List(cur.withColumn("step", lit(0)))
-        for (t <- 1 to WalkLen) {
-          cur = cur.select(col("walker"), col("node").as("src"))
-            .join(nbr, "src")
-            .filter(col("rn") ===
-              (expr(s"((src * 2654435761) + $t * 1000003) % 4294967296")
-                % col("deg")) + 1)
-            .select(col("walker"), col("dst").as("node"))
-            .localCheckpoint(false)
-          steps ::= cur.withColumn("step", lit(t))
-        }
-        steps.reduce(_ unionByName _).orderBy("walker", "step")
-      },
-      Some {
-        val stepCtes = (1 to WalkLen).map { t =>
-          s"""w$t AS MATERIALIZED (
-             |  SELECT w.walker, n.dst AS node, $t AS step
-             |  FROM w${t - 1} w JOIN nbr n ON n.src = w.node
-             |   AND n.rn = (((w.node * 2654435761) + $t * 1000003) % 4294967296) % n.deg + 1)"""
-            .stripMargin
-        }.mkString(",\n")
-        val unionAll = (0 to WalkLen).map(t => s"SELECT walker, node, step FROM w$t")
-          .mkString("\nUNION ALL\n")
-        s"""WITH e AS MATERIALIZED (
-           |  SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
-           |  FROM lineitem),
-           |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-           |nbr AS MATERIALIZED (
-           |  SELECT src, dst,
-           |    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn,
-           |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
-           |  FROM ue),
-           |w0 AS (SELECT s_suppkey AS walker, s_suppkey AS node, 0 AS step FROM supplier),
-           |$stepCtes
-           |SELECT walker, node, step FROM (
-           |$unionAll)
-           |ORDER BY walker, step""".stripMargin
-      }
+      (s, d) => walkCorpus(s, d).orderBy("walker", "step"),
+      Some(sqlWalkOracle)
     ),
 
     // ── HITS hubs & authorities (exact fixed point) ────────────────────

@@ -1444,6 +1444,63 @@ object Text {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // ── dedup recall report: LSH-found vs exact ground truth ───────────
+    // How much does the banded MinHash pipeline MISS? Ground truth =
+    // every pair with exact Jaccard ≥ 0.5, computed SCALABLY: any such
+    // pair shares ≥ 1 shingle, so candidates come from the
+    // inverted-index shingle-share equi-join (volume Σ df(g)² — bounded
+    // by shingle rarity, never corpus²), then the exact verify. Found =
+    // the memoized ≥0.5 pair set (band candidates, exact-verified).
+    // Recall emitted as exact integer counts + one division — the same
+    // honesty convention as ann_recall_report, for the dedup stack. At
+    // 100 TB this report runs on a sampled stratum; the shape is
+    // unchanged.
+    Q(
+      "dedup_recall_report",
+      (s, d) => {
+        val docs = cachedSketch(s, d)
+        val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+        val candTrue = ex.toDF("id_a", "g").join(ex.toDF("id_b", "g"), "g")
+          .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+        val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+        val truth = candTrue.join(da, "id_a").join(db, "id_b")
+          .filter((size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb")))) >= 0.5)
+          .select("id_a", "id_b")
+          .localCheckpoint(false) // counted twice below
+        val found = dupEdges(s, d)
+        val nT = truth.agg(count(lit(1)).as("n_true"))
+        val nF = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_found"))
+        nT.crossJoin(nF)
+          .select(col("n_true"), col("n_found"),
+            (col("n_true") - col("n_found")).as("missed"),
+            (col("n_found").cast("double") / col("n_true").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |$sqlPairCtes,
+              |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sketch),
+              |ctru AS MATERIALIZED (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM ex a JOIN ex b ON a.g = b.g WHERE a.doc_id < b.doc_id),
+              |truth AS MATERIALIZED (
+              |  SELECT c.id_a, c.id_b FROM ctru c
+              |  JOIN sketch sa ON sa.doc_id = c.id_a
+              |  JOIN sketch sb ON sb.doc_id = c.id_b
+              |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              |        len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+              |found AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+              |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM truth t
+              |       WHERE EXISTS (SELECT 1 FROM found f
+              |                     WHERE f.id_a = t.id_a AND f.id_b = t.id_b))
+              |SELECT n_true, n_found, n_true - n_found AS missed,
+              |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+              |FROM nt, nf""".stripMargin)
+    ),
+
     // ── containment near-dups (asymmetric: quote/inclusion detection) ──
     // Jaccard misses the short-doc-inside-long-doc case (|A∩B|/|A∪B| is
     // dragged down by the big doc); containment |A∩B|/min(|A|,|B|)
