@@ -750,6 +750,63 @@ object Relational {
               |ORDER BY c_custkey, valid_from""".stripMargin)
     ),
 
+    // ── data-quality constraint report (the nightly validation gate) ───
+    // The Deequ-style expectation battery a pipeline runs before
+    // publishing a snapshot: completeness (nulls), uniqueness (dup
+    // keys), referential integrity (anti-join), range conformance —
+    // each constraint one partial-agg'd scan or one anti-join, emitted
+    // as (check, observed violations, passed). Everything is an exact
+    // BIGINT count, so the report itself is driver-hash-proven — the
+    // validation gate is validated.
+    Q(
+      "rel_quality_checks",
+      (s, d) => {
+        def check(name: String, violations: DataFrame): DataFrame =
+          violations.agg(count(lit(1)).cast("long").as("violations"))
+            .select(lit(name).as("check_name"), col("violations"),
+              (col("violations") === 0L).as("passed"))
+        val o = orders(s, d)
+        val li = lineitem(s, d)
+        Seq(
+          check("c_acctbal_not_null",
+            customer(s, d).filter(col("c_acctbal").isNull)),
+          check("l_quantity_in_range",
+            li.filter(col("l_quantity") < 1.0 || col("l_quantity") > 50.0)),
+          check("o_custkey_referential",
+            o.join(customer(s, d),
+              o("o_custkey") === col("c_custkey"), "left_anti")),
+          check("o_orderkey_unique",
+            o.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+              .filter(col("n") > 1)),
+          check("supplier_acctbal_finite",
+            supplier(s, d).filter(col("s_acctbal").isNull ||
+              isnan(col("s_acctbal"))))
+        ).reduce(_ unionByName _).orderBy("check_name")
+      },
+      Some("""SELECT check_name, violations, violations = 0 AS passed FROM (
+             |  SELECT 'c_acctbal_not_null' AS check_name,
+             |    CAST(count(*) FILTER (WHERE c_acctbal IS NULL) AS BIGINT) AS violations
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT 'l_quantity_in_range',
+             |    CAST(count(*) FILTER (WHERE l_quantity < 1.0 OR l_quantity > 50.0) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'o_custkey_referential',
+             |    CAST(count(*) AS BIGINT)
+             |  FROM orders o WHERE NOT EXISTS (
+             |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL
+             |  SELECT 'o_orderkey_unique',
+             |    CAST(count(*) AS BIGINT)
+             |  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+             |  UNION ALL
+             |  SELECT 'supplier_acctbal_finite',
+             |    CAST(count(*) FILTER (WHERE s_acctbal IS NULL OR isnan(s_acctbal)) AS BIGINT)
+             |  FROM supplier)
+             |ORDER BY check_name""".stripMargin)
+    ),
+
     // ── market-basket association: support / confidence / lift ────────
     // Which parts co-occur in orders beyond chance? The a-priori-style
     // pair stage: distinct (order, part) → self-join on the order (the
