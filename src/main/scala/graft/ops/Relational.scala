@@ -750,6 +750,49 @@ object Relational {
               |ORDER BY c_custkey, valid_from""".stripMargin)
     ),
 
+    // ── CDC apply: change-log → table state (Debezium-style) ───────────
+    // Apply an insert/update/delete log to reconstruct current state:
+    // latest-wins per key (row_number over the change sequence,
+    // descending), then drop deletes. The changelog is synthesized
+    // deterministically from orders (every 7th key gets an update
+    // event, every 13th a delete, sequence = a derived version number)
+    // so both engines replay the identical log. One window shuffle on
+    // the key — the standard CDC-compaction shape; at 100 TB this runs
+    // per partition-of-keys with the same plan.
+    Q(
+      "rel_cdc_apply",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("v"))
+        val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("v"))
+          .unionByName(o.filter(col("k") % 7 === 0)
+            .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+              (col("v") + 1.0).as("v")))
+          .unionByName(o.filter(col("k") % 13 === 0)
+            .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+              lit(null).cast("double").as("v")))
+        log.withColumn("rn", row_number().over(
+            Window.partitionBy("k").orderBy(col("seq").desc)))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("k"), col("op"), col("v"))
+          .orderBy("k")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+             |log AS (
+             |  SELECT k, 1 AS seq, 'I' AS op, v FROM o
+             |  UNION ALL
+             |  SELECT k, 2, 'U', v + 1.0 FROM o WHERE k % 7 = 0
+             |  UNION ALL
+             |  SELECT k, 3, 'D', NULL FROM o WHERE k % 13 = 0),
+             |latest AS (
+             |  SELECT k, op, v,
+             |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             |  FROM log)
+             |SELECT k, op, v FROM latest
+             |WHERE rn = 1 AND op <> 'D'
+             |ORDER BY k""".stripMargin)
+    ),
+
     // ── data-quality constraint report (the nightly validation gate) ───
     // The Deequ-style expectation battery a pipeline runs before
     // publishing a snapshot: completeness (nulls), uniqueness (dup
