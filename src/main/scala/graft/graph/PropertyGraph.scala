@@ -202,6 +202,28 @@ object PropertyGraph {
   /** node2vec walk length (steps per walker; step 1 is first-order). */
   private val N2vLen = 6
 
+  /** Seed + oracle unroll for `graph_temporal_reach` (earliest-arrival
+    * converges in ≤ temporal-diameter rounds; loud require). */
+  private val TemporalSeed = 1L
+  private val TemporalUnroll = 16
+
+  private val temporalMemo = graft.SessionMemo[DataFrame]()
+
+  /** Timestamped undirected edges (src, dst, t) with t = first shipment
+    * day (exact epoch-day BIGINT) per supplier-part link — staged once
+    * per (session, dir) like the other adjacency artifacts. */
+  private def temporalEdges(s: SparkSession, d: String): DataFrame =
+    temporalMemo.getOrCompute(s, d) {
+      val e0 = lineitem(s, d)
+        .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
+        .agg(min(expr(
+          // NTZ → TIMESTAMP (exact under the UTC session TZ) → epoch s
+          "CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) DIV 86400")).as("t"))
+      e0.select(col("a").as("src"), col("b").as("dst"), col("t"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"), col("t")))
+        .repartition(col("src")).cache()
+    }
+
   private val walkMemo = graft.SessionMemo[DataFrame]()
 
   /** The first-order walk corpus (walker, node, step) — one build per
@@ -966,6 +988,79 @@ object PropertyGraph {
               |  CAST(coalesce(i.in2, 0) * m2.m2 - t.tot * t.tot AS BIGINT) AS contrib_fp
               |FROM tot t LEFT JOIN inc i USING (community), m2
               |ORDER BY t.community""".stripMargin)
+    ),
+
+    // ── temporal reachability (time-respecting earliest arrival) ───────
+    // Edges carry timestamps (first shipment day per supplier-part
+    // link); a path is valid only if edge times are non-decreasing —
+    // the temporal-graph semantics behind "when could influence /
+    // goods / information actually have flowed", which plain BFS
+    // over-approximates. Earliest-arrival fixpoint: arr(w) = min over
+    // edges (v,w,t) with t ≥ arr(v); same frontier-relaxation shape as
+    // weighted SSSP in the (min, time-filter) semiring — one equi-join
+    // + one partial min-agg per round, driver-counted, rounds
+    // require'd ≤ the oracle's per-level unroll. Arrival days are
+    // exact BIGINTs.
+    Q(
+      "graph_temporal_reach",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val et = temporalEdges(s, d)
+        var arr = Seq((TemporalSeed, 0L)).toDF("id", "arr").localCheckpoint()
+        var frontier = arr
+        var rounds = 0
+        var live = true
+        while (live) {
+          rounds += 1
+          require(rounds <= TemporalUnroll,
+            s"temporal relaxation past $TemporalUnroll rounds — raise the unroll")
+          val cand = et
+            .join(frontier.select(col("id").as("src"), col("arr").as("va")), "src")
+            .filter(col("t") >= col("va"))
+            .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
+          val imp = cand
+            .join(arr.select(col("id").as("id2"), col("arr").as("old")),
+              col("id") === col("id2"), "left")
+            .filter(col("old").isNull || col("cand") < col("old"))
+            .select(col("id"), col("cand").as("arr"))
+            .localCheckpoint(false)
+          if (imp.count() == 0L) live = false
+          else {
+            frontier = imp
+            arr = imp.union(
+                arr.join(imp.select(col("id")), Seq("id"), "left_anti"))
+              .localCheckpoint(false)
+          }
+        }
+        arr.orderBy("id")
+      },
+      Some {
+        val levels = (1 to TemporalUnroll).map { k =>
+          s"""a$k AS MATERIALIZED (
+             |  SELECT id, min(arr) AS arr FROM (
+             |    SELECT a.id, a.arr FROM a${k - 1} a
+             |    UNION ALL
+             |    SELECT et.dst AS id, min(et.t) AS arr
+             |    FROM et JOIN a${k - 1} p ON et.src = p.id AND et.t >= p.arr
+             |    GROUP BY et.dst)
+             |  GROUP BY id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH et AS MATERIALIZED (
+           |  SELECT src, dst, t FROM (
+           |    SELECT l_suppkey AS src, l_partkey + $PartIdOffset AS dst,
+           |      CAST(min(epoch(l_shipdate) // 86400) AS BIGINT) AS t
+           |    FROM lineitem GROUP BY l_suppkey, l_partkey)
+           |  UNION ALL
+           |  SELECT dst, src, t FROM (
+           |    SELECT l_suppkey AS src, l_partkey + $PartIdOffset AS dst,
+           |      CAST(min(epoch(l_shipdate) // 86400) AS BIGINT) AS t
+           |    FROM lineitem GROUP BY l_suppkey, l_partkey)),
+           |a0 AS (SELECT CAST($TemporalSeed AS BIGINT) AS id, CAST(0 AS BIGINT) AS arr),
+           |$levels
+           |SELECT id, arr FROM a$TemporalUnroll
+           |ORDER BY id""".stripMargin
+      }
     ),
 
     // ── skip-gram pairs from the walk corpus ───────────────────────────
