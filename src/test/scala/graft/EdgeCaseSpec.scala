@@ -335,4 +335,55 @@ class EdgeCaseSpec extends SparkSpec {
     assert(plan.contains("LogicalRDD") && !plan.contains("Join"),
       s"converged labels must be a checkpointed scan, got:\n$plan")
   }
+
+  test("count-min sketch skips null keys") {
+    import org.apache.spark.sql.graft.{Bridge, CountMinSketchAgg => CMS}
+    import spark.implicits._
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(Bridge.column(
+          CMS(Bridge.expression(col("k"))).toAggregateExpression()).as("s"))
+        .head().getAs[scala.collection.Seq[Long]](0).toArray
+    val withNulls = Seq(Some(1L), None, Some(2L), None, Some(1L))
+      .toDF("k")
+    val without = Seq(1L, 2L, 1L).toDF("k")
+    assert(sk(withNulls).sameElements(sk(without)),
+      "null keys must not perturb any counter")
+  }
+
+  test("multi-source BFS on a disconnected seed yields only the seed row") {
+    import spark.implicits._
+    val e = Seq((10L, 11L)).toDF("src", "dst") // seed 1 not in the graph
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val rows = graph.Components.multiBfsCounts(ue, Seq(1L), 4).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L && rows.head.getLong(1) === 1L &&
+      rows.head.getInt(2) === 0 && rows.head.getLong(3) === 1L)
+  }
+
+  test("Luby MIS on an edgeless vertex set selects everyone in one round") {
+    import spark.implicits._
+    val nodes = (1L to 5L).toDF("id")
+    val ue = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (mis, rounds) = graph.Components.misLuby(nodes, ue, 4)
+    assert(mis.collect().map(_.getLong(0)).toSet === (1L to 5L).toSet)
+    assert(rounds === 1)
+  }
+
+  test("attribution join boundaries: strictly-after start, inclusive end") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    def evt(id: Long, min: Int, u: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00"),
+        u, t, 1.0)
+    val views = Seq(evt(1, 60, 7, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val purchases = Seq(
+      evt(100, 60, 7, "purchase"),   // same instant as the view → excluded
+      evt(101, 120, 7, "purchase"),  // exactly +1h → included (closed end)
+      evt(102, 121, 7, "purchase"))  // past the bound → excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Streams.attributionJoin(views, purchases)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(101L), s"boundary semantics broken: $got")
+  }
 }
