@@ -29,14 +29,17 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   /** Cumulative busy jiffies across all cores (user+nice+system+irq+softirq
-    * +steal from /proc/stat line "cpu") — idle and iowait excluded.
+    * +steal from /proc/stat line "cpu") — idle and iowait excluded, and
+    * guest/guest_nice (fields 8-9) excluded too: per proc(5) guest time
+    * is already accounted inside user/nice, so including it would
+    * double-count VM tenants and over-trip the tainted flag.
     * -1 if unreadable. */
   private def busyJiffiesAll(): Long =
     try {
       val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      // fields: user nice system idle iowait irq softirq steal ...
-      cpu.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      // fields: user nice system idle iowait irq softirq steal guest gnice
+      cpu.take(8).zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
     } catch { case _: Throwable => -1L }
 
   /** This JVM's own cumulative CPU jiffies (utime+stime over all threads,

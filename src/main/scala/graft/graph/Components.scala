@@ -108,8 +108,12 @@ object Components {
         // LogicalRDD) — an unstaged frame would give correct results
         // while silently reintroducing the per-superstep full-edge
         // shuffle this flag exists to avoid, so fail loudly instead.
+        // the frame itself must be the persisted artifact: cache()'d, or a
+        // checkpoint LogicalRDD at the plan ROOT — a lineage-wide exists()
+        // would accept any unpersisted derivative of a checkpointed frame
+        // and silently reintroduce the per-superstep full-edge shuffle
         val persisted = ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
-          ue.queryExecution.analyzed.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+          ue.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
         require(persisted,
           "lpa(stageEdges = false) requires a persisted, src-partitioned edge list " +
             "(cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")
@@ -197,8 +201,12 @@ object Components {
     val ueBySrc =
       if (stageEdges) ue.repartition(col("src")).localCheckpoint(false)
       else {
+        // the frame itself must be the persisted artifact: cache()'d, or a
+        // checkpoint LogicalRDD at the plan ROOT — a lineage-wide exists()
+        // would accept any unpersisted derivative of a checkpointed frame
+        // and silently reintroduce the per-superstep full-edge shuffle
         val persisted = ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
-          ue.queryExecution.analyzed.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+          ue.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
         require(persisted,
           "lpaConverged(stageEdges = false) requires a persisted, src-partitioned " +
             "edge list (cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")
@@ -456,6 +464,13 @@ object Components {
     *         (callers with an unrolled oracle `require` rounds ≤
     *         unroll). */
   def misLuby(nodes: DataFrame, ue: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    // the priority h·2^21 + id is UNIQUE only while ids stay below
+    // 2^21 — fail loudly past that (the CountMinSketchAgg.KeyBound
+    // convention) instead of letting colliding priorities stall rounds
+    val maxId = nodes.agg(max(col("id"))).head().getLong(0)
+    require(maxId < (1L << 21),
+      s"Luby MIS priority domain: max vertex id $maxId >= 2^21 — widen the " +
+        "priority encoding before ids this large")
     def pri(r: Int): Column =
       (col("id") * 2654435761L + lit(r.toLong * 40503L)) % 4294967296L * 2097152L + col("id")
     var rem = nodes.select(col("id")).localCheckpoint(false)

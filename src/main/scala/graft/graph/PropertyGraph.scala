@@ -224,6 +224,21 @@ object PropertyGraph {
         .repartition(col("src")).cache()
     }
 
+  private val rankedNbrMemo = graft.SessionMemo[DataFrame]()
+
+  /** Rank-annotated adjacency (src, dst, rn, deg) — neighbor lists in
+    * sorted-dst order with per-src degree, built once per (session,
+    * dir) and shared by BOTH walk generators' hash-pick steps (the
+    * review caught the two copies silently diverging as a risk). */
+  private def rankedNeighbors(s: SparkSession, d: String): DataFrame =
+    rankedNbrMemo.getOrCompute(s, d) {
+      val ue = undirectedEdges(s, d)
+      ue.withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy("dst")))
+        .join(ue.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .cache()
+    }
+
   private val walkMemo = graft.SessionMemo[DataFrame]()
 
   /** The first-order walk corpus (walker, node, step) — one build per
@@ -231,12 +246,7 @@ object PropertyGraph {
     * extraction (which consumes exactly this corpus). */
   private def walkCorpus(s: SparkSession, d: String): DataFrame =
     walkMemo.getOrCompute(s, d) {
-      val ue = undirectedEdges(s, d)
-      val nbr = ue
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("src").orderBy("dst")))
-        .join(ue.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-        .localCheckpoint(false) // WalkLen joins read one materialization
+      val nbr = rankedNeighbors(s, d) // WalkLen joins read one cached build
       var cur = supplier(s, d)
         .select(col("s_suppkey").as("walker"), col("s_suppkey").as("node"))
       var steps = List(cur.withColumn("step", lit(0)))
@@ -1110,15 +1120,9 @@ object PropertyGraph {
     Q(
       "graph_node2vec_walks",
       (s, d) => {
-        val ue = undirectedEdges(s, d)
-        val nbr = ue.localCheckpoint(false)
-        val adj = ue.select(col("src").as("pa"), col("dst").as("xa"))
-          .localCheckpoint(false)
-        // step 1: uniform hash pick (no prev yet) over ranked neighbors
-        val ranked = nbr
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("src").orderBy("dst")))
-          .join(nbr.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        val ranked = rankedNeighbors(s, d)
+        val nbr = ranked.select("src", "dst")
+        val adj = ranked.select(col("src").as("pa"), col("dst").as("xa"))
         var cur = supplier(s, d)
           .select(col("s_suppkey").as("walker"), col("s_suppkey").as("node"))
         var walk = List(cur.withColumn("step", lit(0)))

@@ -180,6 +180,24 @@ object Text {
         .select("id_a", "id_b").cache()
     }
 
+  // Per-doc triangle counts over the dup graph — ONE wedge join per
+  // (session, dir), shared by `dedup_triangles` (which emits it) and
+  // `dedup_clustering_coeff` (which normalizes it by C(deg, 2)); the
+  // SQL twin is the shared sqlTriCtes, so the Spark side now mirrors
+  // the oracle's factoring instead of copy-pasting the wedge.
+  private val triCountsMemo = graft.SessionMemo[DataFrame]()
+
+  private def triCounts(s: SparkSession, d: String): DataFrame =
+    triCountsMemo.getOrCompute(s, d) {
+      val dup = dupEdges(s, d)
+      dup.toDF("x", "y")
+        .join(dup.toDF("y", "z"), "y")
+        .join(dup.toDF("x", "z"), Seq("x", "z"))
+        .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+        .cache()
+    }
+
   // Near-dup cluster labels (doc_id → component min-label) — ONE
   // minLabel fixpoint per (session, dir), shared by
   // dedup_cluster_canonical and text_leakage_safe_split: in a real
@@ -906,19 +924,7 @@ object Text {
     // shape, smaller wedge count. No products anywhere (PlanSpec).
     Q(
       "dedup_triangles",
-      (s, d) => {
-        // the memoized pair-set cache is also the materialization
-        // barrier here: the three-way self-join reads one tiny
-        // InMemoryRelation three times instead of re-planning the pair
-        // pipeline per side.
-        val dup = dupEdges(s, d)
-        val tri = dup.toDF("x", "y")
-          .join(dup.toDF("y", "z"), "y")
-          .join(dup.toDF("x", "z"), Seq("x", "z"))
-        tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
-          .orderBy("doc_id")
-      },
+      (s, d) => triCounts(s, d).orderBy("doc_id"),
       Some(sqlTrianglesOracle)
     ),
 
@@ -978,11 +984,7 @@ object Text {
           .union(dup.select(col("id_b").as("src"), col("id_a").as("dst")))
           .groupBy("src").agg(count(lit(1)).as("deg"))
           .select(col("src").as("doc_id"), col("deg"))
-        val tri = dup.toDF("x", "y")
-          .join(dup.toDF("y", "z"), "y")
-          .join(dup.toDF("x", "z"), Seq("x", "z"))
-          .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+        val tri = triCounts(s, d)
         deg.filter(col("deg") >= 2)
           .join(tri, Seq("doc_id"), "left")
           .select(col("doc_id"), col("deg"),
@@ -1296,6 +1298,7 @@ object Text {
         val docs = documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+          .localCheckpoint(false) // stats agg + candidate probe + scoring join read one tokenization
         val statAggs = sum(col("dl")).as("totdl") +:
           qterms.map(w => sum(when(array_contains(col("t"), w), 1L)
             .otherwise(0L)).as(s"df_$w"))
@@ -1363,6 +1366,7 @@ object Text {
       (s, d) => {
         val docs = documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("t"))
+          .localCheckpoint(false) // N + df + tf aggregations read one tokenization
         val n = docs.agg(count(lit(1)).as("n"))
         val dfs = docs.select(explode(array_distinct(col("t"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))
@@ -1575,6 +1579,7 @@ object Text {
       (s, d) => {
         val toks = documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .localCheckpoint(false) // unigram table + per-doc tf read one tokenization
         val uni = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
         val tot = uni.agg(sum("ctf").as("tot"))
         val sq = floor(-log(col("ctf").cast("double") / col("tot").cast("double"))

@@ -218,8 +218,14 @@ class GrftScan(path: String, required: StructType, pushed: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (countOnly)
+    if (countOnly) {
+      // a directory of only header-only files must still produce ONE
+      // zero-count row: Spark's partial-pushdown final Sum over zero
+      // input partitions would yield NULL, not 0
+      if (fileRows.isEmpty)
+        return Array(GrftCountPartition(0L): InputPartition)
       return fileRows.map(f => GrftCountPartition(f._3): InputPartition).toArray
+    }
     val target = SQLConf.get.filesMaxPartitionBytes
     fileRows.flatMap { case (file, dim, nRows) =>
       val w = Grft.rowWidth(dim)
@@ -329,20 +335,47 @@ class GrftWrite(path: String, schema: StructType, doTruncate: Boolean)
 
   override def toBatch: BatchWrite = this
 
+  // Durability discipline: tasks write to DOT-INVISIBLE staging names
+  // (readers list only "*.grft", staging ends ".grft.inprogress"), and
+  // ALL destructive work happens in the driver-side commit() — truncate
+  // deletes the old files and staged files rename to their final names
+  // only after every task has succeeded. A failed job therefore leaves
+  // the previous table intact, and a zombie (crashed-then-retried) task
+  // leaves at most an invisible staging file, never a duplicate data
+  // file. (Single-writer format: concurrent writers to one directory
+  // are not supported, as with any file sink without a commit
+  // coordinator.)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
-    val fs = Grft.fs(dir)
-    if (doTruncate && fs.exists(dir))
-      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, false))
-    fs.mkdirs(dir)
+    Grft.fs(dir).mkdirs(dir)
     val idx = Map(
       "vec_id" -> schema.fieldIndex("vec_id"),
       "label" -> schema.fieldIndex("label"),
       "embedding" -> schema.fieldIndex("embedding"))
     new GrftWriterFactory(path, idx("vec_id"), idx("label"), idx("embedding"))
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = Grft.fs(dir)
+    val staged = messages.collect { case GrftCommit(f) => new Path(f) }
+    if (doTruncate && fs.exists(dir))
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".grft"))
+        .foreach(st => fs.delete(st.getPath, false))
+    staged.foreach { s =>
+      val fin = new Path(dir,
+        s.getName.stripSuffix(".inprogress"))
+      require(fs.rename(s, fin), s"grft commit: rename $s -> $fin failed")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = Grft.fs(new Path(path))
+    messages.collect { case GrftCommit(f) =>
+      fs.delete(new Path(f), false)
+    }
+  }
 }
 
 case class GrftCommit(file: String) extends WriterCommitMessage
@@ -356,7 +389,7 @@ class GrftWriterFactory(path: String, iVec: Int, iLabel: Int, iEmb: Int)
 class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
     iVec: Int, iLabel: Int, iEmb: Int) extends DataWriter[InternalRow] {
   private val file = new Path(path,
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.grft")
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.grft.inprogress")
   private val out = new DataOutputStream(
     new BufferedOutputStream(Grft.fs(file).create(file, true), 1 << 16))
   private var dim = -1
