@@ -114,6 +114,42 @@ class SourceSpec extends SparkSpec {
     assert(spark.read.format("grft").load(d).count() === 5)
   }
 
+  test("grft: empty table counts 0; staging files are invisible to readers") {
+    import spark.implicits._
+    val d = tempDir("grft_empty")
+    Seq.empty[(Long, Int, Array[Float])].toDF("vec_id", "label", "embedding")
+      .write.format("grft").mode("overwrite").save(d)
+    // COUNT(*) pushdown over header-only files must yield 0, not NULL
+    assert(spark.read.format("grft").load(d).count() === 0L)
+    // a stray .inprogress file (zombie task) must never surface rows —
+    // and must survive a later successful read untouched
+    val stray = new java.io.File(d, "part-99999-0-dead.grft.inprogress")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    assert(spark.read.format("grft").load(d).count() === 0L)
+    assert(stray.exists())
+  }
+
+  test("grft overwrite failure cannot destroy the previous table") {
+    import spark.implicits._
+    val d = tempDir("grft_atomic")
+    Seq((1L, 0, Array(1.0f)), (2L, 1, Array(2.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.format("grft").mode("overwrite").save(d)
+    // an overwrite whose TASKS fail (ragged rows trip the writer's
+    // require) must abort before the commit point — the old files are
+    // deleted only inside commit(), so the table must still read back
+    intercept[Exception] {
+      Seq((3L, 0, Array(1.0f)), (4L, 1, Array(1.0f, 2.0f)))
+        .toDF("vec_id", "label", "embedding")
+        .coalesce(1)
+        .write.format("grft").mode("overwrite").save(d)
+    }
+    val back = spark.read.format("grft").load(d)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(back === Set(1L, 2L),
+      "failed overwrite must leave the previous table intact")
+  }
+
   test("grft fails loudly on corrupt files") {
     import java.nio.file.{Files, Paths}
     // bad magic
