@@ -464,6 +464,10 @@ object Components {
     *         (callers with an unrolled oracle `require` rounds ≤
     *         unroll). */
   def misLuby(nodes: DataFrame, ue: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    // empty node set: the MIS of the empty graph is empty in 0 rounds —
+    // short-circuit here because max(id) aggregates to NULL below and
+    // the loop-carried `mis` would stay null
+    if (nodes.isEmpty) return (nodes.select(col("id")), 0)
     // the priority h·2^21 + id is UNIQUE only while ids stay below
     // 2^21 — fail loudly past that (the CountMinSketchAgg.KeyBound
     // convention) instead of letting colliding priorities stall rounds

@@ -217,8 +217,13 @@ object PropertyGraph {
       val e0 = lineitem(s, d)
         .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
         .agg(min(expr(
-          // NTZ → TIMESTAMP (exact under the UTC session TZ) → epoch s
-          "CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) DIV 86400")).as("t"))
+          // NTZ → DATE → day count vs the epoch: TZ-INDEPENDENT (the
+          // previous CAST-to-TIMESTAMP path silently shifted arrival
+          // days for any library caller whose session TZ wasn't the
+          // UTC our entrypoints set; datediff over dates never looks
+          // at the session TZ and matches the DuckDB oracle's
+          // epoch(l_shipdate)//86400 because ship dates are midnight)
+          "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")).as("t"))
       e0.select(col("a").as("src"), col("b").as("dst"), col("t"))
         .union(e0.select(col("b").as("src"), col("a").as("dst"), col("t")))
         .repartition(col("src")).cache()

@@ -47,6 +47,15 @@ object Events {
     * no branch: DuckDB's epoch_ns(ts) // 1000 is exact for either
     * physical type. */
   def eventsUs(s: SparkSession, d: String): DataFrame = {
+    // the NTZ→TimestampType cast below reinterprets wall-clock fields
+    // under the SESSION time zone — loud guard instead of a silent
+    // shift for a library caller whose session isn't UTC (all repo
+    // entrypoints set UTC; see also temporalEdges, which was made
+    // TZ-independent outright via datediff)
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "eventsUs requires spark.sql.session.timeZone=UTC (event-time " +
+        "semantics are defined in UTC; a non-UTC session would shift " +
+        "every window boundary)")
     val e = table(s, d, "events")
     e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

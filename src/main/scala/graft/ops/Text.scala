@@ -1431,8 +1431,13 @@ object Text {
         val tot = blkTot.agg(sum("btot").as("tot"))
         inBlk.join(broadcast(blkOff), "blk")
           .crossJoin(broadcast(tot))
+          // greatest(step, 1): a degenerate corpus with total weight
+          // < k would otherwise make step 0 and fail with a division
+          // by zero on BOTH engines; with step 1 every doc is selected
+          // (graceful full-sample degradation, identical both sides)
           .select(col("doc_id"), col("w"),
-            (col("boff") + col("bcum")).as("cum"), expr(s"tot DIV $k").as("step"))
+            (col("boff") + col("bcum")).as("cum"),
+            greatest(expr(s"tot DIV $k"), lit(1L)).as("step"))
           .filter(expr("cum DIV step") > expr("(cum - w) DIV step"))
           .select(col("doc_id"), col("w"), col("cum"))
           .orderBy("doc_id")
@@ -1444,7 +1449,7 @@ object Text {
              |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents)
              |SELECT doc_id, w, cum
              |FROM docs, tot
-             |WHERE cum // (tot // 50) > (cum - w) // (tot // 50)
+             |WHERE cum // greatest(tot // 50, 1) > (cum - w) // greatest(tot // 50, 1)
              |ORDER BY doc_id""".stripMargin)
     ),
 

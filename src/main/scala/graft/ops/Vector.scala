@@ -623,13 +623,23 @@ object Vector {
 
     // ── SQ8 codes: the quantized corpus itself ─────────────────────────
     // What a production pipeline materializes once and serves ANN from:
-    // int8 codes per vector (64 B vs 256 B float32). Emitted as exact
-    // BIGINT codes so the driver hash proves encoder parity end to end.
+    // int8 codes per vector (64 B vs 256 B float32). The 64 BIGINT codes
+    // are emitted as one md5-of-joined-codes scalar per vector (the
+    // byte-exact convention text_chunk_windows/text_pii_scrub use): the
+    // driver compare sorts rows with pandas, which cannot order a
+    // top-level list column, so the signature is what makes encoder
+    // parity a driver-hashable claim. Any single code differing flips
+    // the md5, so this is exactly as strong as comparing the arrays.
     Q(
       "vec_quantize_int8",
-      (s, d) => sq8(s, d).orderBy("vec_id"),
+      (s, d) => sq8(s, d)
+        .select(col("vec_id"),
+          md5(array_join(transform(col("qv"), _.cast("string")), ",")).as("qv_md5"))
+        .orderBy("vec_id"),
       Some(s"""WITH $sqlSq8Ctes
-              |SELECT vec_id, qv FROM sq8 ORDER BY vec_id""".stripMargin)
+              |SELECT vec_id,
+              |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')) AS qv_md5
+              |FROM sq8 ORDER BY vec_id""".stripMargin)
     ),
 
     // ── SQ8 top-k: ANN over the quantized codes ────────────────────────

@@ -359,15 +359,24 @@ class GrftWrite(path: String, schema: StructType, doTruncate: Boolean)
     val dir = new Path(path)
     val fs = Grft.fs(dir)
     val staged = messages.collect { case GrftCommit(f) => new Path(f) }
+    // Crash-ordering: make the NEW data visible first, THEN delete the
+    // old generation. A driver crash mid-commit leaves a mixed table
+    // (old ∪ new rows — recoverable garbage), never an empty one; the
+    // reverse order had a window where the previous table was gone
+    // while the new data was still invisible. Task-level failures never
+    // reach here at all (staging names are dot-invisible to readers).
+    val committed = staged.map { s =>
+      val fin = new Path(dir, s.getName.stripSuffix(".inprogress"))
+      require(fs.rename(s, fin), s"grft commit: rename $s -> $fin failed")
+      fin.getName
+    }.toSet
     if (doTruncate && fs.exists(dir))
       fs.listStatus(dir)
-        .filter(_.getPath.getName.endsWith(".grft"))
+        .filter { st =>
+          st.getPath.getName.endsWith(".grft") &&
+            !committed.contains(st.getPath.getName)
+        }
         .foreach(st => fs.delete(st.getPath, false))
-    staged.foreach { s =>
-      val fin = new Path(dir,
-        s.getName.stripSuffix(".inprogress"))
-      require(fs.rename(s, fin), s"grft commit: rename $s -> $fin failed")
-    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

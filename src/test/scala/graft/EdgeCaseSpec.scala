@@ -369,6 +369,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rounds === 1)
   }
 
+  test("Luby MIS on an EMPTY vertex set returns empty in zero rounds") {
+    import spark.implicits._
+    val nodes = Seq.empty[Long].toDF("id")
+    val ue = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // pre-fix this NPE'd on the NULL max(id) aggregate; the empty MIS
+    // must also be orderBy-able by callers (non-null DataFrame)
+    val (mis, rounds) = graph.Components.misLuby(nodes, ue, 4)
+    assert(mis.orderBy("id").collect().isEmpty)
+    assert(rounds === 0)
+  }
+
+  test("weighted systematic sample degrades to full sample when total weight < k") {
+    // total n_chars = 12 < k = 50 ⇒ step = tot DIV 50 would be 0 and
+    // both engines fail with division by zero pre-fix; greatest(step,1)
+    // selects every doc (each unit-weight interval contains an integer)
+    import spark.implicits._
+    val dir = tempDir("graft_wsample")
+    Seq((1L, "abc", "en", "src", 3L),
+        (2L, "abcd", "en", "src", 4L),
+        (3L, "abcde", "en", "src", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_weighted_sample")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("attribution join boundaries: strictly-after start, inclusive end") {
     import spark.implicits._
     import graft.streaming.Streams

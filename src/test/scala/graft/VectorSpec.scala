@@ -209,7 +209,10 @@ class VectorSpec extends SparkSpec {
   test("SQ8 codes are valid int8 range and dequantize within one step") {
     // floor quantization against per-dim [mn, mx]: every code ∈ [0, 255]
     // and mn + q·(mx−mn)/255 under-shoots the true value by < one step.
-    val codes = SparkEntry.queries("vec_quantize_int8")(spark, sf)
+    // the raw code arrays (the QUERY now emits an md5 signature per
+    // vector — DriverShapeSpec forbids top-level arrays in driver
+    // outputs — so the bound check reads the shared sq8 frame directly)
+    val codes = V.sq8(spark, sf)
     val bad = codes.select(explode(col("qv")).as("q"))
       .filter(col("q") < 0 || col("q") > 255).count()
     assert(bad === 0, s"$bad codes outside [0, 255]")

@@ -1,28 +1,57 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's DuckDB-oracle gate.
 
-Mimics the driver: for each SparkEntry query output parquet written by
-graft.Verify, replays the oracle SQL from oracle_sql.json in DuckDB over
-the same sf tables, then compares (columns sorted by name, values
-compared cell-by-cell; doubles must match exactly — bit-identity is the
-design goal, see Tables.scala).
+Mirrors the driver's compare path, not a friendlier one (round 9 lesson:
+a symmetric DuckDB-reads-both-sides compare hid a DECIMAL trailing-zero
+canonicalization red and list-ified an array column the driver's pandas
+sort crashes on):
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+ - the SPARK side is read with pyarrow -> pandas, preserving Decimal
+   objects and list columns exactly as the driver sees them;
+ - the ORACLE side is DuckDB -> pandas;
+ - both sides sort columns by name, then sort ROWS by all columns with
+   pandas sort_values (this is where an array/map/struct column raises,
+   exactly like the driver), then compare stringified cells (this is
+   where Decimal('...0') vs float canon diverges, exactly like the
+   driver's hash).
+
+Usage: python3 tools/check.py <sfDir> <outDir> [only_prefix]
 """
+import datetime
+import glob
 import json
-import math
 import sys
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 
-def canon(v):
-    if isinstance(v, float):
-        return ("f", v)  # exact compare; bit-identity is the contract
-    return v
+def read_spark(out_dir, name):
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        raise AssertionError("no spark output parquet")
+    return pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
 
 
-def main(sf_dir, out_dir):
+def canon_cell(x):
+    # The driver hashes cell strings; NaN handled as a fixed token.
+    # datetime.date (spark date32 via pyarrow) is normalized to the
+    # midnight Timestamp duckdb's DATE becomes in pandas — the driver
+    # treats those as equal (r9 evidence: rel_scd2_upsert green) while
+    # it does NOT normalize Decimal (r9 evidence: rel_incremental_rollup
+    # red on trailing-zero cents), so Decimal deliberately stays raw.
+    if x is None or x is pd.NaT:
+        return "<null>"
+    if isinstance(x, float) and x != x:
+        return "<nan>"
+    if isinstance(x, datetime.date) and not isinstance(x, datetime.datetime):
+        return str(pd.Timestamp(x))
+    return str(x)
+
+
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -30,8 +59,10 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if only and not name.startswith(only):
+            continue
         try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got = read_spark(out_dir, name)
             want = con.sql(sql).df()
             got = got[sorted(got.columns)]
             want = want[sorted(want.columns)]
@@ -40,28 +71,27 @@ def main(sf_dir, out_dir):
                     f"columns differ: spark={list(got.columns)} duckdb={list(want.columns)}")
             if len(got) != len(want):
                 raise AssertionError(f"rowcount differ: spark={len(got)} duckdb={len(want)}")
-            for c in got.columns:
+            cols = list(got.columns)
+            # the driver's sort-then-hash: sort_values raises on
+            # unsortable (list) columns -> that IS the failure mode we
+            # must reproduce locally.
+            got = got.sort_values(by=cols, ignore_index=True)
+            want = want.sort_values(by=cols, ignore_index=True)
+            for c in cols:
                 a, b = list(got[c]), list(want[c])
                 for i, (x, y) in enumerate(zip(a, b)):
-                    xs, ys = x, y
-                    if isinstance(x, (list, tuple)) or str(type(x)).find("ndarray") >= 0:
-                        xs, ys = list(x), list(y)
-                    if isinstance(xs, float) and isinstance(ys, float):
-                        if math.isnan(xs) and math.isnan(ys):
-                            continue
-                        if xs != ys:
-                            raise AssertionError(
-                                f"col {c} row {i}: spark={xs!r} duckdb={ys!r} (Δ={xs - ys})")
-                    elif str(xs) != str(ys):
-                        raise AssertionError(f"col {c} row {i}: spark={xs!r} duckdb={ys!r}")
+                    xs, ys = canon_cell(x), canon_cell(y)
+                    if xs != ys:
+                        raise AssertionError(
+                            f"col {c} row {i}: spark={xs!r} duckdb={ys!r}")
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))
