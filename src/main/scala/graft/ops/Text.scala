@@ -237,6 +237,11 @@ object Text {
     * peels past convergence are no-op filters). */
   private val KTrussUnroll = 6
 
+  /** Merge rounds for `text_bpe_merges` — both the Spark loop's round
+    * count and the oracle's materialized unroll depth (each oracle
+    * round replays one merge exactly, so the two are one constant). */
+  private val BpeMerges = 8
+
   /** LSH band rows (doc_id, band, h1..h4) for a sketch frame — the
     * bucket key both the self-join (minhashPairs) and the two-sided
     * incremental join (dedup_incremental) hash on. */
@@ -565,6 +570,101 @@ object Text {
       Some("""SELECT token, count(*) AS cnt
              |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
              |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin)
+    ),
+
+    // ── BPE merge-pair training (the tokenizer-training loop itself) ───
+    // Sennrich BPE: k rounds of "find the most frequent adjacent symbol
+    // pair, merge it everywhere". The scalability hinge is that training
+    // runs on the WORD-COUNT table, not the corpus: one corpus scan
+    // builds (word, cnt) — vocabulary-sized no matter how many tokens —
+    // and every round after that is an aggregation over distinct words
+    // only (the reason BPE trains in minutes on trillion-token corpora).
+    //
+    // Words are staged as spaced symbol strings (' x  a  b  ' — TWO
+    // spaces between symbols, one border space each side), so the merge
+    // step is a plain string replace of ' a  b ' → ' ab ' on both
+    // engines: single-space borders + double-space gaps make the match
+    // consume only half of each boundary gap, so consecutive
+    // occurrences stay matchable and left-to-right non-overlapping
+    // replace reproduces the greedy BPE merge exactly (e.g. a a a →
+    // aa a; a b a b → ab ab) with no lookahead regex (RE2-safe) and no
+    // UDF. Each round: one partial-agg pair count + a 1-row driver
+    // top-1 (count desc, pair asc tie-break — total-ordered, exact
+    // BIGINT counts) + one narrow per-row replace. The oracle unrolls
+    // the identical k rounds as MATERIALIZED CTEs (the dedup_kcore
+    // convention); a round with no pairs left yields an empty top-1 CTE
+    // whose LEFT JOIN leaves words unchanged, mirroring the Spark
+    // loop's early stop.
+    Q(
+      "text_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        val words0 = documents(s, d)
+          .select(explode(tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .select(concat(lit(" "),
+            regexp_replace(col("word"), "(.)", "$1  ")).as("w"), col("cnt"))
+          .localCheckpoint(false)
+        var words = words0
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        var r = 0
+        var live = true
+        while (live && r < BpeMerges) {
+          val syms = words.select(split(trim(col("w")), "  ").as("s"), col("cnt"))
+          val pairs = syms.filter(size(col("s")) >= 2)
+            .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+              i => struct(element_at(col("s"), i.cast("int")).as("a"),
+                element_at(col("s"), (i + 1).cast("int")).as("b")))).as("p"),
+              col("cnt"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("cnt").as("f"))
+          // 1-row driver boundary per round (k rows total) — the merge
+          // decision IS driver state, like the k-means centroid loop
+          val top = pairs.orderBy(col("f").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          if (top.isEmpty) live = false
+          else {
+            r += 1
+            val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((r, a, b, f))
+            words = words.withColumn("w",
+              replace(col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
+              .localCheckpoint(false)
+          }
+        }
+        merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "freq")
+          .orderBy("merge_rank")
+      },
+      Some {
+        val rounds = (1 to BpeMerges).map { i =>
+          s"""top$i AS MATERIALIZED (
+             |  SELECT a, b, f FROM (
+             |    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS f FROM (
+             |      SELECT unnest(list_transform(range(1, len(s)), i -> s[i])) AS a,
+             |             unnest(list_transform(range(1, len(s)), i -> s[i+1])) AS b,
+             |             cnt
+             |      FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM w${i - 1})
+             |      WHERE len(s) >= 2)
+             |    GROUP BY a, b)
+             |  ORDER BY f DESC, a ASC, b ASC LIMIT 1),
+             |w$i AS MATERIALIZED (
+             |  SELECT coalesce(replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '), w) AS w, cnt
+             |  FROM w${i - 1} LEFT JOIN top$i ON TRUE)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to BpeMerges).map(i =>
+          s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, f AS freq FROM top$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH w0 AS MATERIALIZED (
+           |  SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS w, cnt FROM (
+           |    SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt
+           |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           |    WHERE token <> '' GROUP BY token)),
+           |$rounds
+           |SELECT merge_rank, left_sym, right_sym, freq FROM (
+           |$out
+           |) ORDER BY merge_rank""".stripMargin
+      }
     ),
 
     // ── text normalization (canonical form ahead of exact dedup) ───────

@@ -395,6 +395,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("BPE merges: greedy overlap, second-order merges, early stop") {
+    // corpus "aaab aaab ab": round 1 merges (a,a) f=4 — and greedy
+    // left-to-right turns aaab into [aa,a,b], NOT [a,aa,b]; round 2
+    // (a,b) f=3; round 3 the second-order pair (aa,ab) f=2; round 4
+    // has no pairs left and the loop must stop early at 3 merges.
+    import spark.implicits._
+    val dir = tempDir("graft_bpe")
+    Seq((1L, "aaab aaab ab", "en", "src", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("BPE merges on a single-character corpus produce zero merges") {
+    import spark.implicits._
+    val dir = tempDir("graft_bpe1")
+    Seq((1L, "a a a", "en", "src", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // every word is one symbol — no adjacent pair exists anywhere, so
+    // the trainer must emit an empty (typed) result, not loop or throw
+    assert(SparkEntry.queries("text_bpe_merges")(spark, dir).collect().isEmpty)
+  }
+
   test("attribution join boundaries: strictly-after start, inclusive end") {
     import spark.implicits._
     import graft.streaming.Streams
