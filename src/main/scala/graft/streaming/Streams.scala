@@ -259,4 +259,51 @@ object Streams {
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ── streaming CDC apply (latest-wins change-log compaction) ──────────
+
+  /** One change-log record: op ∈ {I, U, D}, v absent on deletes. */
+  final case class CdcRec(k: Long, seq: Long, op: String, v: Option[Double])
+  final case class CdcState(seq: Long, op: String, v: Option[Double])
+  final case class CdcOut(k: Long, seq: Long, op: String, v: Option[Double])
+
+  /** The STREAMING form of `rel_cdc_apply`'s latest-wins semantics: one
+    * ValueState per primary key holding (seq, op, v); a record replaces
+    * the state only when its seq is strictly higher, so late-arriving
+    * stale changes (replayed partitions, out-of-order shards — the
+    * normal condition for a CDC feed) can never regress a key. Deletes
+    * stay IN state as tombstones rather than clearing it: dropping the
+    * state would let a replayed lower-seq update resurrect the row,
+    * the classic CDC bug. State is one fixed-size row per live key
+    * (RocksDB-backed, spills past heap), and the emitted stream in
+    * update mode is exactly the per-key current row — downstream
+    * materialization is "last row per key, filter op ≠ D", which
+    * StreamingSpec proves equal to the batch window dataflow the
+    * driver gate hash-checks as `rel_cdc_apply`. */
+  class CdcApplyProcessor extends StatefulProcessor[Long, CdcRec, CdcOut] {
+    @transient private var st: ValueState[CdcState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("latest",
+        Encoders.product[CdcState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcRec],
+                                 tv: TimerValues): Iterator[CdcOut] = {
+      var cur = if (st.exists()) Some(st.get()) else None
+      // fold in seq order so a batch carrying several versions of one
+      // key lands deterministically regardless of arrival order
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        if (cur.forall(_.seq < r.seq)) cur = Some(CdcState(r.seq, r.op, r.v))
+      }
+      cur.foreach(st.update)
+      cur.iterator.map(c => CdcOut(key, c.seq, c.op, c.v))
+    }
+  }
+
+  /** RocksDB-provider requirement as [[runningTotals]]. */
+  def cdcApply(spark: SparkSession, changes: Dataset[CdcRec]): Dataset[CdcOut] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.k)
+      .transformWithState(new CdcApplyProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

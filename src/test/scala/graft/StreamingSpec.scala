@@ -333,6 +333,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply reconstructs the batch latest-wins state across out-of-order triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.CdcRec
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the full change log, rel_cdc_apply's shape: inserts, an update on
+    // key 1, a delete on key 2, and a STALE late update on key 2 that
+    // arrives after its delete (seq 2 < 3) and must not resurrect it
+    val log = Seq(
+      CdcRec(1L, 1L, "I", Some(10.0)),
+      CdcRec(2L, 1L, "I", Some(20.0)),
+      CdcRec(3L, 1L, "I", Some(30.0)),
+      CdcRec(1L, 2L, "U", Some(11.0)),
+      CdcRec(2L, 3L, "D", None),
+      CdcRec(2L, 2L, "U", Some(21.0)))
+    val input = MemoryStream[CdcRec]
+    val q = Streams.cdcApply(spark, input.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("update").start()
+    try {
+      // trigger 1: inserts + the key-1 update; trigger 2: the delete;
+      // trigger 3: the late stale update arriving AFTER the delete
+      input.addData(log(0), log(1), log(2), log(3)); q.processAllAvailable()
+      input.addData(log(4)); q.processAllAvailable()
+      input.addData(log(5)); q.processAllAvailable()
+      // materialize: last emitted row per key, drop tombstones
+      val rows = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      val streamState = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+        .filter(_._2._3 != "D")
+        .map { case (k, (_, _, op, v)) => (k, op, v) }.toSet
+      // ground truth: the BATCH latest-wins dataflow (the same window
+      // shape the driver gate hash-proves as rel_cdc_apply) on the log
+      val batch = log.toDF("k", "seq", "op", "v")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(streamState === batch,
+        s"stream-reconstructed state $streamState != batch $batch")
+      // the tombstone must have HELD against the stale update
+      assert(!streamState.exists(_._1 == 2L), "deleted key 2 resurrected")
+      assert(streamState === Set((1L, "U", Some(11.0)), (3L, "I", Some(30.0))))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running totals accumulate across triggers on RocksDB state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
