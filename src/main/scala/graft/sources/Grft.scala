@@ -66,6 +66,70 @@ object Grft {
 
   def rowWidth(dim: Int): Int = 12 + 4 * dim
 
+  /** Per-file scalar statistics manifest (the parquet row-group-stats /
+    * Iceberg-manifest analogue for this format): one tiny driver-written
+    * file mapping each committed data file to its (vec_id, label)
+    * min/max, collected from task commit messages — no second read of
+    * the data. ADVISORY by contract: a file with no manifest entry is
+    * scanned fully, so a missing/stale manifest (crash between commit
+    * steps, hand-copied files) degrades to no-skip, never to wrong
+    * rows. The name does not end in ".grft" so data-file listings
+    * never pick it up. */
+  val ManifestName = "_stats.grft-manifest"
+
+  final case class FileStats(vecMin: Long, vecMax: Long,
+      labelMin: Int, labelMax: Int)
+
+  private[graft] def readManifest(dir: Path): Map[String, FileStats] = {
+    val p = new Path(dir, ManifestName)
+    val f = fs(p)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
+          l.split('\t') match {
+            case Array(name, a, b, c, d) =>
+              Some(name -> FileStats(a.toLong, b.toLong, c.toInt, d.toInt))
+            case _ => None // unknown line shape: ignore (advisory contract)
+          }
+        }.toMap
+      } finally in.close()
+    }
+  }
+
+  private[sources] def writeManifest(dir: Path, entries: Map[String, FileStats]): Unit = {
+    val f = fs(dir)
+    val tmp = new Path(dir, s".$ManifestName.tmp")
+    val out = new DataOutputStream(f.create(tmp, true))
+    try entries.toSeq.sortBy(_._1).foreach { case (n, st) =>
+      out.write(s"$n\t${st.vecMin}\t${st.vecMax}\t${st.labelMin}\t${st.labelMax}\n"
+        .getBytes("UTF-8"))
+    } finally out.close()
+    val fin = new Path(dir, ManifestName)
+    // delete-then-rename: a crash in between leaves NO manifest, which
+    // readers treat as "scan everything" — the safe failure direction
+    f.delete(fin, false)
+    require(f.rename(tmp, fin), s"grft manifest rename $tmp -> $fin failed")
+  }
+
+  /** Can a file whose scalar columns span the given ranges contain any
+    * row satisfying the pushed filter? (min/max pruning — the same
+    * satisfiability test parquet row-group skipping runs.) */
+  private[sources] def rangeMaySatisfy(f: Filter, st: FileStats): Boolean = {
+    def rng(a: String): (Long, Long) =
+      if (a == "vec_id") (st.vecMin, st.vecMax)
+      else (st.labelMin.toLong, st.labelMax.toLong)
+    f match {
+      case EqualTo(a, v) => val (mn, mx) = rng(a); asLong(v) >= mn && asLong(v) <= mx
+      case GreaterThan(a, v) => rng(a)._2 > asLong(v)
+      case GreaterThanOrEqual(a, v) => rng(a)._2 >= asLong(v)
+      case LessThan(a, v) => rng(a)._1 < asLong(v)
+      case LessThanOrEqual(a, v) => rng(a)._1 <= asLong(v)
+      case _ => true
+    }
+  }
+
   private[sources] def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
 
   /** Filters this source can evaluate at the scan: comparisons on the
@@ -217,17 +281,37 @@ class GrftScan(path: String, required: StructType, pushed: Array[Filter],
       java.util.OptionalLong.of(fileRows.map(_._3).sum)
   }
 
+  /** [[fileRows]] minus files the stats manifest proves cannot hold a
+    * row passing the pushed filters — at 100 TB this is the difference
+    * between "scan the directory" and "open the two files whose vec_id
+    * range brackets the lookup" (a range-partitioned write gives every
+    * file a tight disjoint range). Files without a manifest entry are
+    * kept (advisory contract). */
+  private lazy val prunedFileRows: Seq[(String, Int, Long)] = {
+    if (pushed.isEmpty) fileRows
+    else {
+      val manifest = Grft.readManifest(new Path(path))
+      fileRows.filter { case (file, _, _) =>
+        manifest.get(new Path(file).getName) match {
+          case Some(st) => pushed.forall(Grft.rangeMaySatisfy(_, st))
+          case None => true
+        }
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     if (countOnly) {
       // a directory of only header-only files must still produce ONE
       // zero-count row: Spark's partial-pushdown final Sum over zero
       // input partitions would yield NULL, not 0
+      // (countOnly implies pushed.isEmpty, so no pruning interplay)
       if (fileRows.isEmpty)
         return Array(GrftCountPartition(0L): InputPartition)
       return fileRows.map(f => GrftCountPartition(f._3): InputPartition).toArray
     }
     val target = SQLConf.get.filesMaxPartitionBytes
-    fileRows.flatMap { case (file, dim, nRows) =>
+    prunedFileRows.flatMap { case (file, dim, nRows) =>
       val w = Grft.rowWidth(dim)
       val rowsPerSplit = math.max(1L, target / w)
       (0L until nRows by rowsPerSplit).map { start =>
@@ -358,13 +442,14 @@ class GrftWrite(path: String, schema: StructType, doTruncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = Grft.fs(dir)
-    val staged = messages.collect { case GrftCommit(f) => new Path(f) }
+    val staged = messages.collect { case GrftCommit(f, _) => new Path(f) }
     // Crash-ordering: make the NEW data visible first, THEN delete the
     // old generation. A driver crash mid-commit leaves a mixed table
     // (old ∪ new rows — recoverable garbage), never an empty one; the
     // reverse order had a window where the previous table was gone
     // while the new data was still invisible. Task-level failures never
     // reach here at all (staging names are dot-invisible to readers).
+    val commits = messages.collect { case c: GrftCommit => c }
     val committed = staged.map { s =>
       val fin = new Path(dir, s.getName.stripSuffix(".inprogress"))
       require(fs.rename(s, fin), s"grft commit: rename $s -> $fin failed")
@@ -377,17 +462,31 @@ class GrftWrite(path: String, schema: StructType, doTruncate: Boolean)
             !committed.contains(st.getPath.getName)
         }
         .foreach(st => fs.delete(st.getPath, false))
+    // Stats manifest: new entries from the task commit messages (min/max
+    // tracked while streaming — zero extra reads); surviving prior
+    // entries kept on append, dropped on truncate. Written LAST: if the
+    // driver dies anywhere above, the stale/absent manifest only costs
+    // skipping (readers scan unlisted files fully), never correctness.
+    val prior =
+      if (doTruncate) Map.empty[String, Grft.FileStats]
+      else Grft.readManifest(dir) -- committed
+    val fresh = commits.flatMap { c =>
+      val fin = new Path(c.file).getName.stripSuffix(".inprogress")
+      c.stats.map(fin -> _)
+    }.toMap
+    Grft.writeManifest(dir, prior ++ fresh)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = Grft.fs(new Path(path))
-    messages.collect { case GrftCommit(f) =>
+    messages.collect { case GrftCommit(f, _) =>
       fs.delete(new Path(f), false)
     }
   }
 }
 
-case class GrftCommit(file: String) extends WriterCommitMessage
+case class GrftCommit(file: String, stats: Option[Grft.FileStats] = None)
+    extends WriterCommitMessage
 
 class GrftWriterFactory(path: String, iVec: Int, iLabel: Int, iEmb: Int)
     extends DataWriterFactory {
@@ -412,6 +511,12 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
     rowBuf = ByteBuffer.allocate(Grft.rowWidth(d)).order(ByteOrder.LITTLE_ENDIAN)
   }
 
+  // streaming min/max for the stats manifest — free at write time
+  private var vecMin = Long.MaxValue
+  private var vecMax = Long.MinValue
+  private var labelMin = Int.MaxValue
+  private var labelMax = Int.MinValue
+
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(iVec) && !row.isNullAt(iLabel) && !row.isNullAt(iEmb),
       "grft format is non-null")
@@ -420,7 +525,11 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
     require(emb.numElements() == dim,
       s"ragged embedding: expected $dim floats, got ${emb.numElements()}")
     rowBuf.position(0)
-    rowBuf.putLong(row.getLong(iVec)).putInt(row.getInt(iLabel))
+    val vecId = row.getLong(iVec)
+    val label = row.getInt(iLabel)
+    vecMin = math.min(vecMin, vecId); vecMax = math.max(vecMax, vecId)
+    labelMin = math.min(labelMin, label); labelMax = math.max(labelMax, label)
+    rowBuf.putLong(vecId).putInt(label)
     var i = 0
     while (i < dim) { rowBuf.putFloat(emb.getFloat(i)); i += 1 }
     out.write(rowBuf.array())
@@ -429,7 +538,10 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
   override def commit(): WriterCommitMessage = {
     if (dim < 0) writeHeader(0) // empty partition: header-only file
     out.close()
-    GrftCommit(file.toString)
+    val stats =
+      if (vecMin > vecMax) None // no data rows: nothing to prune on
+      else Some(Grft.FileStats(vecMin, vecMax, labelMin, labelMax))
+    GrftCommit(file.toString, stats)
   }
   override def abort(): Unit = {
     out.close()

@@ -177,4 +177,40 @@ class SourceSpec extends SparkSpec {
       bad.write.format("grft").mode("overwrite").save(tempDir("grft_bad"))
     }
   }
+
+  test("grft stats manifest skips files a point lookup cannot hit") {
+    import graft.sources.{Grft, GrftInputPartition, GrftScanBuilder}
+    val d = tempDir("grft_skip")
+    // range-partitioned write → 4 files with disjoint vec_id ranges,
+    // each carrying its min/max in the commit-time stats manifest
+    Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+      .repartitionByRange(4, col("vec_id"))
+      .write.format("grft").mode("overwrite").save(d)
+    val files = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".grft"))
+    assert(files === 4, s"fixture expects 4 data files, got $files")
+    val manifest = Grft.readManifest(new org.apache.hadoop.fs.Path(d))
+    assert(manifest.size === 4, s"manifest must cover all files: $manifest")
+    def plannedFiles(filters: Array[org.apache.spark.sql.sources.Filter]): Set[String] = {
+      val sb = new GrftScanBuilder(d)
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions()
+        .collect { case p: GrftInputPartition => p.file }.toSet
+    }
+    // unfiltered: every file planned; point lookup: exactly one —
+    // the scan consulted min/max instead of opening the directory
+    assert(plannedFiles(Array.empty).size === 4)
+    val one = plannedFiles(Array(org.apache.spark.sql.sources.EqualTo("vec_id", 250L)))
+    assert(one.size === 1, s"point lookup must plan 1 file, got $one")
+    // end-to-end: the skipping read returns exactly the looked-up row
+    val got = spark.read.format("grft").load(d)
+      .filter(col("vec_id") === 250L).select("vec_id", "label").collect()
+    assert(got.length === 1 && got.head.getLong(0) === 250L)
+    // deleting the manifest must degrade to no-skip, never to no-rows
+    new java.io.File(d, Grft.ManifestName).delete()
+    assert(plannedFiles(Array(org.apache.spark.sql.sources.EqualTo("vec_id", 250L))).size === 4)
+    assert(spark.read.format("grft").load(d)
+      .filter(col("vec_id") === 250L).count() === 1L)
+  }
 }
