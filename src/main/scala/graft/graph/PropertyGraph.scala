@@ -178,6 +178,11 @@ object PropertyGraph {
   private val SpLandmarks = Seq(1L, 2L)
   private val SpMaxDepth = 24
 
+  /** Pivot count for `graph_betweenness_sampled` (Brandes–Pich): tiny
+    * here because the demonstration corpus has ~2k vertices; at scale
+    * s grows like log n / ε², independent of n. */
+  private val BcSampleSeeds = 4
+
   /** Seed suppliers for `graph_closeness_centrality` — the sampled
     * landmark set of the Eppstein–Wang closeness estimate, shared
     * verbatim with the oracle's recursive CTE. */
@@ -329,8 +334,11 @@ object PropertyGraph {
     * lineitem parquet) once per reference — 12 levels deep that
     * exhausts the process's file handles before it exhausts the
     * planner. */
-  private lazy val sqlSigmaCtes: String = {
-    val seedRows = SpLandmarks.map(x => s"($x, $x, 0, 1)").mkString(", ")
+  /** The tower CTEs with a caller-supplied `l0` seed-init CTE (must
+    * yield (lm BIGINT, id BIGINT, d INT, sigma BIGINT)) — shared by the
+    * literal-landmark form below and the hash-sampled betweenness
+    * estimator, whose seeds come from a SQL CTE instead of literals. */
+  private def sigmaCtesWithInit(l0Cte: String): String = {
     val levels = (1 to SigmaUnroll).map { k =>
       s"""l$k AS MATERIALIZED (
          |  SELECT p.lm, ue.dst AS id, $k AS d, CAST(sum(p.sigma) AS BIGINT) AS sigma
@@ -344,14 +352,54 @@ object PropertyGraph {
       .mkString("\nUNION ALL\n")
     s"""e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
        |ue AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-       |l0 AS MATERIALIZED (SELECT CAST(lm AS BIGINT) AS lm, CAST(id AS BIGINT) AS id,
-       |              CAST(d AS INT) AS d, CAST(sigma AS BIGINT) AS sigma
-       |       FROM (VALUES $seedRows) t(lm, id, d, sigma)),
+       |$l0Cte,
        |s0 AS MATERIALIZED (SELECT lm, id FROM l0),
        |$levels,
        |f AS MATERIALIZED (
        |$unionAll)""".stripMargin
   }
+
+  private lazy val sqlSigmaCtes: String = {
+    val seedRows = SpLandmarks.map(x => s"($x, $x, 0, 1)").mkString(", ")
+    sigmaCtesWithInit(
+      s"""l0 AS MATERIALIZED (SELECT CAST(lm AS BIGINT) AS lm, CAST(id AS BIGINT) AS id,
+         |              CAST(d AS INT) AS d, CAST(sigma AS BIGINT) AS sigma
+         |       FROM (VALUES $seedRows) t(lm, id, d, sigma))""".stripMargin)
+  }
+
+  /** Brandes' backward dependency sweep as MATERIALIZED CTE levels over
+    * an already-defined tower `f(lm, id, d, sigma)` and adjacency `ue`
+    * — shared verbatim by the exact-landmark and sampled betweenness
+    * oracles. Yields d$SigmaUnroll..d0 with per-(lm,id) delta. */
+  private lazy val sqlBrandesBackCtes: String = {
+    val back = (SigmaUnroll - 1 to 0 by -1).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT v.lm, v.id,
+         |    list_reduce(list_transform(
+         |      list(struct_pack(w := s.id,
+         |        c := (CAST(v.sigma AS DOUBLE) / CAST(s.sigma AS DOUBLE)) * (1.0 + s.delta))
+         |        ORDER BY s.id),
+         |      e -> e.c), (a, b) -> a + b) AS delta
+         |  FROM (SELECT * FROM f WHERE d = $k) v
+         |  JOIN ue ON ue.src = v.id
+         |  JOIN d${k + 1} s ON s.lm = v.lm AND s.id = ue.dst
+         |  GROUP BY v.lm, v.id),
+         |d$k AS MATERIALIZED (
+         |  SELECT v.lm, v.id, v.sigma, coalesce(c.delta, 0.0) AS delta
+         |  FROM (SELECT * FROM f WHERE d = $k) v
+         |  LEFT JOIN c$k c ON c.lm = v.lm AND c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""d$SigmaUnroll AS MATERIALIZED (
+       |  SELECT lm, id, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f WHERE d = $SigmaUnroll),
+       |$back""".stripMargin
+  }
+
+  /** Union of the settled backward levels d1..dUnroll (d0 = the seeds
+    * themselves is dropped — Brandes accumulates δ only over v ≠
+    * source), one (lm, id, delta) row per settled vertex. */
+  private lazy val sqlBrandesLevelsUnion: String =
+    (1 to SigmaUnroll).map(k => s"SELECT lm, id, delta FROM d$k")
+      .mkString("\nUNION ALL\n")
 
   /** The 4-superstep LPA unroll as a complete SELECT — shared by
     * `graph_label_propagation` and (as an embedded derived table) the
@@ -613,36 +661,72 @@ object PropertyGraph {
             tower = Some(sigmaTower(s, d)))
           .orderBy("id"),
       Some {
-        val back = (SigmaUnroll - 1 to 0 by -1).map { k =>
-          s"""c$k AS MATERIALIZED (
-             |  SELECT v.lm, v.id,
-             |    list_reduce(list_transform(
-             |      list(struct_pack(w := s.id,
-             |        c := (CAST(v.sigma AS DOUBLE) / CAST(s.sigma AS DOUBLE)) * (1.0 + s.delta))
-             |        ORDER BY s.id),
-             |      e -> e.c), (a, b) -> a + b) AS delta
-             |  FROM (SELECT * FROM f WHERE d = $k) v
-             |  JOIN ue ON ue.src = v.id
-             |  JOIN d${k + 1} s ON s.lm = v.lm AND s.id = ue.dst
-             |  GROUP BY v.lm, v.id),
-             |d$k AS MATERIALIZED (
-             |  SELECT v.lm, v.id, v.sigma, coalesce(c.delta, 0.0) AS delta
-             |  FROM (SELECT * FROM f WHERE d = $k) v
-             |  LEFT JOIN c$k c ON c.lm = v.lm AND c.id = v.id)""".stripMargin
-        }.mkString(",\n")
-        val allLevels = (1 to SigmaUnroll).map(k => s"SELECT lm, id, delta FROM d$k")
-          .mkString("\nUNION ALL\n")
         val bc = SpLandmarks.map(lm =>
             s"coalesce(max(CASE WHEN lm = $lm THEN delta END), 0.0)")
           .mkString(" + ")
         s"""WITH
            |$sqlSigmaCtes,
-           |d$SigmaUnroll AS MATERIALIZED (
-           |  SELECT lm, id, sigma, CAST(0.0 AS DOUBLE) AS delta FROM f WHERE d = $SigmaUnroll),
-           |$back
+           |$sqlBrandesBackCtes
            |SELECT id, $bc AS bc FROM (
-           |$allLevels)
+           |$sqlBrandesLevelsUnion)
            |GROUP BY id ORDER BY id""".stripMargin
+      }
+    ),
+
+    // ── sampled betweenness (Brandes–Pich / Eppstein–Wang estimator) ───
+    // The honest 100 TB shape for betweenness: full Brandes is one BFS
+    // + one backward sweep PER VERTEX — no budget runs that on 10^9
+    // vertices. The pivot estimator runs the identical machinery over s
+    // sampled sources and scales: B̂(v) = (n/s)·Σ_{seeds} δ(v) — an
+    // unbiased estimator whose error decays as O(1/√s) (Eppstein–Wang
+    // 2001; Brandes–Pich 2007 for the pivot form; s grows like
+    // log n / ε², NOT like n). Seeds are the s smallest (detHash(id),
+    // id) nodes — the repo's reproducible-sampling discipline — picked
+    // by an s-row driver collect on the Spark side and by the same
+    // ORDER BY ... LIMIT inside a CTE on the oracle side, so the gate
+    // hash-proves the full estimator: seed choice, σ tower, backward
+    // sweep, AND the n/s scaling. Per-seed δ sums fold ascending-lm on
+    // both engines (missing-seed 0.0 terms are IEEE no-ops), keeping
+    // the float total deterministic. GraphSpec additionally pins the
+    // estimator arithmetic on a hand-computed path graph and proves
+    // seeds = V recovers exact Brandes.
+    Q(
+      "graph_betweenness_sampled",
+      (s, d) => {
+        val nodes = supplierPartGraph(s, d).nodes.select(col("id"))
+        val n = nodes.count()
+        // s-row driver boundary: the estimator's pivot set (sorted
+        // ascending so the Spark per-seed add chain matches the
+        // oracle's ascending-lm fold order)
+        val seeds = nodes
+          .orderBy(graft.Tables.detHash(col("id")).asc, col("id").asc)
+          .limit(BcSampleSeeds).collect().map(_.getLong(0)).toSeq.sorted
+        Components.betweenness(undirectedEdges(s, d), seeds, SigmaUnroll)
+          .select(col("id"),
+            (lit(n.toDouble / BcSampleSeeds) * col("bc")).as("bc_est"))
+          .orderBy("id")
+      },
+      Some {
+        val seedInit =
+          s"""nn AS MATERIALIZED (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier
+             |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+             |seeds AS MATERIALIZED (SELECT id FROM nn
+             |  ORDER BY ${graft.Tables.detHashSql("id")}, id LIMIT $BcSampleSeeds),
+             |l0 AS MATERIALIZED (SELECT id AS lm, id, CAST(0 AS INT) AS d,
+             |  CAST(1 AS BIGINT) AS sigma FROM seeds)""".stripMargin
+        s"""WITH
+           |${sigmaCtesWithInit(seedInit)},
+           |$sqlBrandesBackCtes,
+           |raw AS MATERIALIZED (
+           |  SELECT id, list_reduce(list_transform(
+           |      list(struct_pack(l := lm, c := delta) ORDER BY lm), e -> e.c),
+           |    (a, b) -> a + b) AS sdelta
+           |  FROM (
+           |$sqlBrandesLevelsUnion)
+           |  GROUP BY id)
+           |SELECT r.id, (CAST(t.n AS DOUBLE) / $BcSampleSeeds) * r.sdelta AS bc_est
+           |FROM raw r, (SELECT count(*) AS n FROM nn) t
+           |ORDER BY r.id""".stripMargin
       }
     ),
 

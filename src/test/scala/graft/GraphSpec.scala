@@ -236,6 +236,25 @@ class GraphSpec extends SparkSpec {
     assert(got2 === Map(1L -> 0.0, 2L -> 3.0, 3L -> 3.0, 4L -> 0.0))
   }
 
+  test("sampled betweenness: seeds = V recovers exact Brandes; the n/s scaling is exact") {
+    import spark.implicits._
+    // P5 path 1-2-3-4-5, ALL 5 sources: B(v) = # ordered (s,t) pairs
+    // routed through v: B(3) = |{1,2}×{4,5}|·2 = 8, B(2) = B(4) = 6,
+    // endpoints relay nothing. With seeds = V the estimator's n/s
+    // factor is 1, so B̂ must EQUAL exact Brandes bit-for-bit.
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val pu = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    val full = graph.Components.betweenness(pu, Seq(1L, 2L, 3L, 4L, 5L), 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full === Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0))
+    // single-pivot estimate from source 1: δ₁ = (2→3, 3→2, 4→1, 5→0),
+    // scaled by n/s = 5 — the Brandes–Pich arithmetic, pinned exactly
+    val est = graph.Components.betweenness(pu, Seq(1L), 8)
+      .select(col("id"), (lit(5.0 / 1) * col("bc")).as("bc_est"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est === Map(2L -> 15.0, 3L -> 10.0, 4L -> 5.0, 5L -> 0.0))
+  }
+
   test("closeness centrality: path graph closeness matches hand computation") {
     import spark.implicits._
     // 1-2-3-4 path; from seed 1: dists 1,2,3 → reached 3, sum 6
