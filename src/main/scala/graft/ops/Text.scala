@@ -242,6 +242,94 @@ object Text {
     * round replays one merge exactly, so the two are one constant). */
   private val BpeMerges = 8
 
+  // trained-tokenizer artifact: (post-merge word table (word, w, cnt),
+  // ordered merge list) — built once per (session, dir) and shared by
+  // the training query and the encoder (in production this is the
+  // tokenizer file every job loads; the sq8/cachedSketch convention)
+  private val bpeMemo =
+    graft.SessionMemo[(DataFrame, Seq[(Int, String, String, Long)])]()
+
+  /** The Sennrich BPE training loop. Words are staged as spaced symbol
+    * strings (' x  a  b  ' — TWO spaces between symbols, single-space
+    * borders), so the merge step is a plain string replace of
+    * ' a  b ' → ' ab ' on both engines: the match consumes only half of
+    * each boundary gap, so consecutive occurrences stay matchable and
+    * left-to-right non-overlapping replace reproduces the greedy BPE
+    * merge exactly (e.g. a a a → aa a; a b a b → ab ab) with no
+    * lookahead regex (RE2-safe) and no UDF. Each round: one partial-agg
+    * pair count + a 1-row driver top-1 (count desc, pair asc tie-break
+    * — total-ordered, exact BIGINT counts) + one narrow per-row
+    * replace. Training runs on the WORD-COUNT table — vocabulary-sized
+    * no matter how many tokens, the reason BPE trains in minutes on
+    * trillion-token corpora. */
+  private def bpeTrained(s: SparkSession,
+      d: String): (DataFrame, Seq[(Int, String, String, Long)]) =
+    bpeMemo.getOrCompute(s, d) {
+      var words = documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("word"), concat(lit(" "),
+          regexp_replace(col("word"), "(.)", "$1  ")).as("w"), col("cnt"))
+        .localCheckpoint(false)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 0
+      var live = true
+      while (live && r < BpeMerges) {
+        val syms = words.select(split(trim(col("w")), "  ").as("s"), col("cnt"))
+        val pairs = syms.filter(size(col("s")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i.cast("int")).as("a"),
+              element_at(col("s"), (i + 1).cast("int")).as("b")))).as("p"),
+            col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("f"))
+        // 1-row driver boundary per round (k rows total) — the merge
+        // decision IS driver state, like the k-means centroid loop
+        val top = pairs.orderBy(col("f").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) live = false
+        else {
+          r += 1
+          val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, f))
+          words = words.withColumn("w",
+            replace(col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
+            .localCheckpoint(false)
+        }
+      }
+      (words.cache(), merges.toList)
+    }
+
+  /** The identical training rounds as MATERIALIZED DuckDB CTEs — w0..wK
+    * carry (word, w, cnt); topI is round i's winning pair (empty when no
+    * pairs remain, in which case the LEFT JOIN leaves words unchanged,
+    * mirroring the Spark loop's early stop). Shared by the training
+    * query and the encoder oracle. */
+  private lazy val sqlBpeCtes: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""top$i AS MATERIALIZED (
+         |  SELECT a, b, f FROM (
+         |    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS f FROM (
+         |      SELECT unnest(list_transform(range(1, len(s)), i -> s[i])) AS a,
+         |             unnest(list_transform(range(1, len(s)), i -> s[i+1])) AS b,
+         |             cnt
+         |      FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM w${i - 1})
+         |      WHERE len(s) >= 2)
+         |    GROUP BY a, b)
+         |  ORDER BY f DESC, a ASC, b ASC LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, coalesce(replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '), w) AS w, cnt
+         |  FROM w${i - 1} LEFT JOIN top$i ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS w, cnt FROM (
+       |    SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |    WHERE token <> '' GROUP BY token)),
+       |$rounds""".stripMargin
+  }
+
   /** LSH band rows (doc_id, band, h1..h4) for a sketch frame — the
     * bucket key both the self-join (minhashPairs) and the two-sided
     * incremental join (dedup_incremental) hash on. */
@@ -574,97 +662,73 @@ object Text {
 
     // ── BPE merge-pair training (the tokenizer-training loop itself) ───
     // Sennrich BPE: k rounds of "find the most frequent adjacent symbol
-    // pair, merge it everywhere". The scalability hinge is that training
-    // runs on the WORD-COUNT table, not the corpus: one corpus scan
-    // builds (word, cnt) — vocabulary-sized no matter how many tokens —
-    // and every round after that is an aggregation over distinct words
-    // only (the reason BPE trains in minutes on trillion-token corpora).
-    //
-    // Words are staged as spaced symbol strings (' x  a  b  ' — TWO
-    // spaces between symbols, one border space each side), so the merge
-    // step is a plain string replace of ' a  b ' → ' ab ' on both
-    // engines: single-space borders + double-space gaps make the match
-    // consume only half of each boundary gap, so consecutive
-    // occurrences stay matchable and left-to-right non-overlapping
-    // replace reproduces the greedy BPE merge exactly (e.g. a a a →
-    // aa a; a b a b → ab ab) with no lookahead regex (RE2-safe) and no
-    // UDF. Each round: one partial-agg pair count + a 1-row driver
-    // top-1 (count desc, pair asc tie-break — total-ordered, exact
-    // BIGINT counts) + one narrow per-row replace. The oracle unrolls
-    // the identical k rounds as MATERIALIZED CTEs (the dedup_kcore
-    // convention); a round with no pairs left yields an empty top-1 CTE
-    // whose LEFT JOIN leaves words unchanged, mirroring the Spark
-    // loop's early stop.
+    // pair, merge it everywhere" — the [[bpeTrained]] kernel; the
+    // oracle replays the identical rounds ([[sqlBpeCtes]], the
+    // dedup_kcore materialized-unroll convention), so merge choice,
+    // tie-breaks, and early stop are all driver-hash-proven.
     Q(
       "text_bpe_merges",
       (s, d) => {
         import s.implicits._
-        val words0 = documents(s, d)
-          .select(explode(tokens(col("text"))).as("word"))
-          .filter(col("word") =!= "")
-          .groupBy("word").agg(count(lit(1)).as("cnt"))
-          .select(concat(lit(" "),
-            regexp_replace(col("word"), "(.)", "$1  ")).as("w"), col("cnt"))
-          .localCheckpoint(false)
-        var words = words0
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-        var r = 0
-        var live = true
-        while (live && r < BpeMerges) {
-          val syms = words.select(split(trim(col("w")), "  ").as("s"), col("cnt"))
-          val pairs = syms.filter(size(col("s")) >= 2)
-            .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
-              i => struct(element_at(col("s"), i.cast("int")).as("a"),
-                element_at(col("s"), (i + 1).cast("int")).as("b")))).as("p"),
-              col("cnt"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("cnt").as("f"))
-          // 1-row driver boundary per round (k rows total) — the merge
-          // decision IS driver state, like the k-means centroid loop
-          val top = pairs.orderBy(col("f").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()
-          if (top.isEmpty) live = false
-          else {
-            r += 1
-            val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-            merges += ((r, a, b, f))
-            words = words.withColumn("w",
-              replace(col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
-              .localCheckpoint(false)
-          }
-        }
-        merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "freq")
+        bpeTrained(s, d)._2
+          .toDF("merge_rank", "left_sym", "right_sym", "freq")
           .orderBy("merge_rank")
       },
       Some {
-        val rounds = (1 to BpeMerges).map { i =>
-          s"""top$i AS MATERIALIZED (
-             |  SELECT a, b, f FROM (
-             |    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS f FROM (
-             |      SELECT unnest(list_transform(range(1, len(s)), i -> s[i])) AS a,
-             |             unnest(list_transform(range(1, len(s)), i -> s[i+1])) AS b,
-             |             cnt
-             |      FROM (SELECT string_split(trim(w), '  ') AS s, cnt FROM w${i - 1})
-             |      WHERE len(s) >= 2)
-             |    GROUP BY a, b)
-             |  ORDER BY f DESC, a ASC, b ASC LIMIT 1),
-             |w$i AS MATERIALIZED (
-             |  SELECT coalesce(replace(w, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' '), w) AS w, cnt
-             |  FROM w${i - 1} LEFT JOIN top$i ON TRUE)""".stripMargin
-        }.mkString(",\n")
         val out = (1 to BpeMerges).map(i =>
           s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, f AS freq FROM top$i")
           .mkString("\nUNION ALL ")
-        s"""WITH w0 AS MATERIALIZED (
-           |  SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS w, cnt FROM (
-           |    SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt
-           |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-           |    WHERE token <> '' GROUP BY token)),
-           |$rounds
+        s"""WITH $sqlBpeCtes
            |SELECT merge_rank, left_sym, right_sym, freq FROM (
            |$out
            |) ORDER BY merge_rank""".stripMargin
       }
+    ),
+
+    // ── BPE encode (the tokenizer-APPLY step, corpus-wide) ─────────────
+    // What every pretraining job actually runs: segment the corpus with
+    // the trained merges and count tokens. The join is vocabulary-sized
+    // on the build side — each DISTINCT word's final segmentation comes
+    // straight from the trained word table (the merges were already
+    // applied there during training; no re-derivation) and broadcasts
+    // to one corpus scan. Emits per doc: word count, BPE token count,
+    // and an md5 over the in-order segmentations — the segmentation
+    // ITSELF is verified byte-exact, not just its length (the
+    // text_chunk_windows convention). Ordering rides posexplode
+    // positions (Spark) ↔ zipped-unnest subscripts (DuckDB); both sort
+    // per doc before hashing.
+    Q(
+      "text_bpe_encode",
+      (s, d) => {
+        val enc = bpeTrained(s, d)._1
+          .select(col("word"),
+            size(split(trim(col("w")), "  ")).as("n_syms"),
+            trim(col("w")).as("segs"))
+        documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+          .join(broadcast(enc), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_syms")).as("n_bpe"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("segs")))),
+              e => e.getField("segs")), " | ")).as("seg_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlBpeCtes,
+              |enc AS MATERIALIZED (
+              |  SELECT word, len(string_split(trim(w), '  ')) AS n_syms, trim(w) AS segs
+              |  FROM w$BpeMerges),
+              |tok AS (
+              |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS pos
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+              |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(e.n_syms) AS BIGINT) AS n_bpe,
+              |  md5(string_agg(e.segs, ' | ' ORDER BY t.pos)) AS seg_md5
+              |FROM tok t JOIN enc e USING (word)
+              |WHERE t.word <> ''
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
     ),
 
     // ── text normalization (canonical form ahead of exact dedup) ───────

@@ -410,6 +410,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
   }
 
+  test("BPE encode segments with the trained merges (full-merge corpus → 1 token/word)") {
+    import spark.implicits._
+    val dir = tempDir("graft_bpe_enc")
+    Seq((1L, "aaab aaab ab", "en", "src", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // after the 3 learned merges both words collapse to single symbols,
+    // so n_bpe = n_words = 3 and the segmentation is the words verbatim
+    val r = SparkEntry.queries("text_bpe_encode")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 3L && r.head.getLong(2) === 3L)
+    val expectMd5 = spark.sql("SELECT md5('aaab | aaab | ab')").head().getString(0)
+    assert(r.head.getString(3) === expectMd5,
+      "segmentation md5 must equal the fully-merged words in order")
+  }
+
   test("BPE merges on a single-character corpus produce zero merges") {
     import spark.implicits._
     val dir = tempDir("graft_bpe1")
