@@ -48,6 +48,63 @@ object Classify {
 
   val queries: Seq[Q] = Seq(
     // MLlib training is iterative + float-order-dependent → rows-only.
-    Q("ml_classify_eval", (s, d) => trainEval(s, d), None)
+    Q("ml_classify_eval", (s, d) => trainEval(s, d), None),
+
+    // ── distributed OLS (simple linear regression by sufficient stats) ─
+    // Closed-form least squares of price-on-quantity per return flag —
+    // the moments-based shape that scales: ONE partial-agg'd pass
+    // accumulates the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    // Σy²); slope/intercept/R² are O(1) arithmetic on the tiny result.
+    // At 100 TB this is a single map-side-combined shuffle of 3 group
+    // rows — the same pattern MLlib's treeAggregate runs internally,
+    // expressed relationally so Catalyst codegens it. EXACTNESS: x is
+    // integral quantity, y is floor(price) whole dollars, so every
+    // moment is an order-free BIGINT sum (max ~3.3e15 ≪ 2^63); the
+    // final formulas are one shared double expression tree over exact
+    // integers → bit-identical on both engines (the evt_ema
+    // convention). Denominator n·Σx²−(Σx)² > 0 whenever a group has
+    // two distinct x — true by construction here.
+    Q(
+      "ml_linreg",
+      (s, d) => {
+        val m = lineitem(s, d)
+          .select(col("l_returnflag").as("rf"),
+            col("l_quantity").cast("long").as("x"),
+            floor(col("l_extendedprice")).cast("long").as("y"))
+          .groupBy("rf")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        val covn = nD * dd("sxy") - dd("sx") * dd("sy")
+        val varxn = nD * dd("sxx") - dd("sx") * dd("sx")
+        val varyn = nD * dd("syy") - dd("sy") * dd("sy")
+        val slope = covn / varxn
+        m.select(col("rf"), col("n"), slope.as("slope"),
+            ((dd("sy") - slope * dd("sx")) / nD).as("intercept"),
+            (covn * covn / (varxn * varyn)).as("r2"))
+          .orderBy("rf")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             |    sum(x * x) AS sxx, sum(y * y) AS syy
+             |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+             |          CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem)
+             |  GROUP BY 1)
+             |SELECT rf, n,
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+             |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept,
+             |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+             |FROM m ORDER BY rf""".stripMargin)
+    )
   )
 }

@@ -666,6 +666,54 @@ object Events {
               |FROM dev d JOIN madt USING (et)
               |WHERE d.dev > 3.0 * madt.mad
               |ORDER BY event_type, event_id""".stripMargin)
+    ),
+
+    // ── sequential pattern matching (MATCH_RECOGNIZE / CEP) ────────────
+    // Detect per-user occurrences of the strict consecutive sequence
+    // view → click → purchase in event-time order — the complex-event-
+    // processing primitive (Flink CEP / SQL MATCH_RECOGNIZE / funnels
+    // with adjacency). Spark has no MATCH_RECOGNIZE; for a FIXED-length
+    // pattern the lead() chain over the per-user ordered stream IS the
+    // NFA: one shuffle on user_id, one sort within partitions, narrow
+    // filters after. (ts, event_id) is a unique order key, so the match
+    // set is total-ordered and identical on both engines. SCALE: same
+    // shape as evt_sessionize — per-user history on one executor,
+    // AQE-handled skew; pattern length extends the lead() chain, never
+    // the shuffle count. Variable-length (Kleene) patterns go to
+    // flatMapGroupsWithState (graft.streaming) instead.
+    Q(
+      "evt_pattern_match",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        eventsUs(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t1", lead(col("event_type"), 1).over(w))
+          .withColumn("t2", lead(col("event_type"), 2).over(w))
+          .withColumn("end_event_id", lead(col("event_id"), 2).over(w))
+          .withColumn("end_ts", lead(col("ts"), 2).over(w))
+          .filter(col("event_type") === "view" && col("t1") === "click" &&
+            col("t2") === "purchase")
+          .select(col("user_id"), col("event_id").as("start_event_id"),
+            col("end_event_id"),
+            (unix_micros(col("end_ts")) - unix_micros(col("ts"))).as("span_us"))
+          .orderBy("user_id", "start_event_id")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, $sqlTs AS ts, event_id, event_type FROM events),
+              |led AS (
+              |  SELECT user_id, ts, event_id, event_type,
+              |    lead(event_type, 1) OVER w AS t1,
+              |    lead(event_type, 2) OVER w AS t2,
+              |    lead(event_id, 2) OVER w AS end_event_id,
+              |    lead(ts, 2) OVER w AS end_ts
+              |  FROM ev
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+              |SELECT user_id, event_id AS start_event_id, end_event_id,
+              |  epoch_us(end_ts) - epoch_us(ts) AS span_us
+              |FROM led
+              |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+              |ORDER BY user_id, start_event_id""".stripMargin)
     )
   )
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
@@ -335,6 +336,51 @@ object Multimodal {
            |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
            |ORDER BY d.doc_id""".stripMargin
       }
+    ),
+
+    // ── video scene-change detection over the frame stream ─────────────
+    // The shot-boundary primitive every video-curation pipeline runs:
+    // sample frames (mm_frame_sample's slicing, here ALL 100-byte
+    // frames, not just 4), reduce each to a scalar "luma" (exact byte
+    // sum — the stub stands where a real decoder's mean-pixel sits, same
+    // seam as decodeStub), then flag frames whose luma jumps > τ from
+    // the previous frame via one lag() over the per-media frame index.
+    // SCALE: per-char explode is narrow (no shuffle); the only exchange
+    // is the (media_id, frame) partial-agg + the per-media window —
+    // frames-per-video is bounded, so partitions stay small at 100 TB.
+    // All-integer arithmetic → hash-exact on both engines.
+    Q(
+      "mm_scene_change",
+      (s, d) => {
+        val w = Window.partitionBy("media_id").orderBy(col("frame").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            posexplode(split(col("text"), "")).as(Seq("idx", "ch")))
+          .select(col("media_id"), expr("CAST(idx AS BIGINT) DIV 100").as("frame"),
+            ascii(col("ch")).cast("long").as("v"))
+          .groupBy("media_id", "frame")
+          .agg(count(lit(1)).as("n_px"), sum("v").as("luma"))
+          .withColumn("delta", abs(col("luma") - lag(col("luma"), 1).over(w)))
+          .select(col("media_id"), col("frame"), col("n_px"), col("luma"),
+            col("delta"),
+            when(col("delta") > 1500L, 1L).otherwise(0L).as("is_cut"))
+          .orderBy("media_id", "frame")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id AS media_id, (CAST(i AS BIGINT) - 1) // 100 AS frame,
+             |    CAST(ascii(text[CAST(i AS INT)]) AS BIGINT) AS v
+             |  FROM documents, LATERAL unnest(range(1, len(text) + 1)) AS t(i)),
+             |f AS (
+             |  SELECT media_id, frame, CAST(count(*) AS BIGINT) AS n_px,
+             |    CAST(sum(v) AS BIGINT) AS luma
+             |  FROM e GROUP BY media_id, frame),
+             |lg AS (
+             |  SELECT media_id, frame, n_px, luma,
+             |    abs(luma - lag(luma) OVER (PARTITION BY media_id ORDER BY frame ASC)) AS delta
+             |  FROM f)
+             |SELECT media_id, frame, n_px, luma, delta,
+             |  CASE WHEN delta > 1500 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_cut
+             |FROM lg ORDER BY media_id, frame""".stripMargin)
     )
   )
 }

@@ -701,6 +701,36 @@ object Relational {
               |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     ),
 
+    // ── explicit GROUPING SETS (the general form of cube/rollup) ───────
+    // The reporting shape warehouses actually ask for: a hand-picked set
+    // of aggregation levels — (status, priority), (status), and grand
+    // total, but NOT (priority) alone — in ONE pass. Same engine shape
+    // as rel_cube: Expand replicates each input row once per set BEFORE
+    // the single partial-agg'd shuffle, so at 100 TB the cost is
+    // |sets|× the map-side rows but still exactly one exchange (vs one
+    // full scan per level if run naively). grouping_id disambiguates
+    // which set a row came from when a key is genuinely NULL.
+    Q(
+      "rel_grouping_sets",
+      (s, d) =>
+        orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+              Seq(col("o_orderstatus")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+            grouping_id().as("gid"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority"), asc("gid")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              |       CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS sum_price,
+              |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, gid ASC""".stripMargin)
+    ),
+
     // ── SCD2 upsert (MERGE-into / slowly-changing dimension) ───────────
     // The lakehouse merge pattern every warehouse runs: apply a changes
     // batch to a dimension producing a validity-interval history —

@@ -1782,6 +1782,66 @@ object Text {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    // ── bigram LM surprisal (the CCNet/Gopher perplexity-filter shape) ─
+    // Per-document mean conditional surprisal −ln P(w2|w1) under the
+    // corpus-trained bigram model (MLE: c(w1,w2)/c(w1 as context)) —
+    // the language-model quality signal curation pipelines threshold
+    // on, one modeling step above text_unigram_surprisal. BIGRAMS ARE
+    // BUILT NARROWLY: zip_with over two slices of the token array pairs
+    // adjacent tokens with NO per-doc window shuffle (the oracle pairs
+    // l[i],l[i+1] the same way); the only exchanges are the count
+    // group-bys. Surprisals are floor-quantized to the 2^-20 dyadic
+    // grid, so the weighted per-doc sums are exact IEEE at any
+    // partition order (the unigram convention). At 100 TB the bigram
+    // vocab is the only wide state; it shuffles once and the per-doc
+    // tf join is a plain equi-join — no broadcast assumption needed.
+    Q(
+      "text_bigram_surprisal",
+      (s, d) => {
+        val arr = tokens(col("text"))
+        val bg = documents(s, d)
+          .select(col("doc_id"),
+            explode(zip_with(
+              slice(arr, lit(1), size(arr) - 1),
+              slice(arr, lit(2), size(arr) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .localCheckpoint(false) // counts + per-doc tf read one pairing
+        val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+        val cctx = bg.groupBy("w1").agg(count(lit(1)).as("cctx"))
+        val sq = floor(-log(col("cbg").cast("double") / col("cctx").cast("double"))
+          * 1048576.0) / 1048576.0
+        bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+          .join(broadcast(cbg), Seq("w1", "w2")).join(broadcast(cctx), "w1")
+          .select(col("doc_id"), col("tf"), sq.as("sq"))
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(col("tf").cast("double") * col("sq")).as("surprisal"))
+          .select(col("doc_id"), col("n_bigrams"), col("surprisal"),
+            (col("surprisal") / col("n_bigrams").cast("double")).as("mean_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |bg AS (
+             |  SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2
+             |  FROM ls, LATERAL unnest(range(1, len(l))) AS t(i)),
+             |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg FROM bg GROUP BY w1, w2),
+             |cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cctx FROM bg GROUP BY w1),
+             |tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+             |       FROM bg GROUP BY doc_id, w1, w2),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tf,
+             |    floor(-ln(CAST(cb.cbg AS DOUBLE) / CAST(cc.cctx AS DOUBLE)) * 1048576) / 1048576 AS sq
+             |  FROM tf JOIN cb USING (w1, w2) JOIN cc USING (w1)),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |    sum(CAST(tf AS DOUBLE) * sq) AS surprisal
+             |  FROM sc GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, surprisal,
+             |  surprisal / CAST(n_bigrams AS DOUBLE) AS mean_surprisal
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── the cleaned corpus: greedy near-dup keep list ──────────────────
     // The last step of the dedup pipeline — emit what SURVIVES. Greedy
     // keep-first: drop any doc with a ≥0.5-Jaccard neighbor of smaller

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-10 surface additions: CEP pattern
+  * matching, GROUPING SETS, moments-based OLS, scene-change detection,
+  * and the bigram LM surprisal score. Each test checks the Spark result
+  * against an independently derived ground truth (driver-side replay or
+  * an algebraic identity), not against the query's own plumbing.
+  */
+class Round10Spec extends SparkSpec {
+
+  test("evt_pattern_match finds exactly the consecutive view→click→purchase runs") {
+    val got = SparkEntry.queries("evt_pattern_match")(spark, sf).collect()
+    // independent replay: scan each user's ordered stream on the driver
+    val ev = ops.Events.eventsUs(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val want = ev.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3)).toList
+      s.sliding(3).collect {
+        case Seq(a, b, c) if a._4 == "view" && b._4 == "click" && c._4 == "purchase" =>
+          (a._1, a._3, c._3)
+      }
+    }.toSet
+    assert(got.nonEmpty, "no pattern matches at sf0.001 — fixture too small")
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    assert(got.forall(_.getLong(3) >= 0), "span_us must be non-negative")
+  }
+
+  test("rel_grouping_sets levels are mutually consistent") {
+    val rows = SparkEntry.queries("rel_grouping_sets")(spark, sf).collect()
+    val total = Tables.table(spark, sf, "orders").count()
+    val grand = rows.filter(_.getLong(4) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    // (status) level partitions the whole table; detail level partitions each status
+    val statusLevel = rows.filter(_.getLong(4) == 1L)
+    assert(statusLevel.map(_.getLong(2)).sum == total)
+    val detail = rows.filter(_.getLong(4) == 0L)
+    val byStatus = detail.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    statusLevel.foreach { r =>
+      assert(byStatus(r.getString(0)) == r.getLong(2),
+        s"detail rows for ${r.getString(0)} don't sum to the status subtotal")
+    }
+    // sum_price is additive across levels too (exact decimal → double)
+    val grandPrice = grand.head.getDouble(3)
+    assert(math.abs(statusLevel.map(_.getDouble(3)).sum - grandPrice) < 1e-6)
+  }
+
+  test("ml_linreg matches covar_pop/var_pop closed form and yields sane R²") {
+    val got = SparkEntry.queries("ml_linreg")(spark, sf).collect()
+    assert(got.length == 3)
+    val check = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"),
+        col("l_quantity").as("x"),
+        floor(col("l_extendedprice")).as("y"))
+      .groupBy("rf")
+      .agg(covar_pop(col("x"), col("y")).as("cov"), var_pop(col("x")).as("vx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1) / r.getDouble(2))).toMap
+    got.foreach { r =>
+      val (rf, slope, r2) = (r.getString(0), r.getDouble(2), r.getDouble(4))
+      assert(math.abs(slope - check(rf)) / math.abs(check(rf)) < 1e-9,
+        s"$rf slope $slope vs covar/var ${check(rf)}")
+      assert(r2 > 0.0 && r2 <= 1.0, s"$rf R²=$r2 out of range")
+    }
+  }
+
+  test("mm_scene_change frames tile each document exactly; cuts agree with deltas") {
+    val rows = SparkEntry.queries("mm_scene_change")(spark, sf).collect()
+    val nChars = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nChars.keySet)
+    byDoc.foreach { case (id, fr) =>
+      assert(fr.map(_.getLong(2)).sum == nChars(id), s"doc $id frame sizes don't tile text")
+      val frames = fr.map(_.getLong(1)).sorted
+      assert(frames.sameElements(frames.indices.map(_.toLong)), "frame ids must be dense from 0")
+      fr.foreach { r =>
+        val (delta, cut) = (if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))
+        assert(cut == (if (delta.exists(_ > 1500L)) 1L else 0L))
+      }
+      assert(fr.find(_.getLong(1) == 0L).get.isNullAt(4), "first frame has no delta")
+    }
+  }
+
+  test("text_bigram_surprisal counts n-1 bigrams per doc and is non-negative") {
+    val rows = SparkEntry.queries("text_bigram_surprisal")(spark, sf).collect()
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " "))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nb, sur, mean) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(nb == nToks(id) - 1, s"doc $id: $nb bigrams for ${nToks(id)} tokens")
+      assert(sur >= 0.0 && mean >= 0.0)
+      assert(math.abs(mean * nb - sur) < 1e-9)
+    }
+    // a bigram that always follows its context costs ~0; the corpus-wide
+    // mean must be strictly positive (vocab is small but not degenerate)
+    assert(rows.map(_.getDouble(3)).max > 0.1)
+  }
+}
