@@ -226,6 +226,124 @@ object Extended {
       }
     ),
 
+    // ── F4 full-fidelity: PIL FIND_EDGES semantics (reference:
+    // image_classification.py:289-310, detect_edges — ImageFilter
+    // .FIND_EDGES is the 8-neighbor Laplacian kernel [-1×8, center 8],
+    // integer arithmetic on uint8 pixels, result CLAMPED to [0,255],
+    // border pixels copied from the input — PIL's ImagingFilter leaves
+    // the 1-px frame untouched). vec_edge_energy keeps the 4-neighbor
+    // mean-|response| form; this one reproduces the exact PIL pixel
+    // function over the 8×8 grid: quantize each grid value to a uint8
+    // level, convolve the 6×6 interior, clamp, copy the border. All
+    // integer until the final /64 → bit-identical across engines.
+    // The live 32×32 JPEG form is img_find_edges (ops/Image.scala).
+    Q(
+      "vec_find_edges",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        val lvls = transform(sequence(lit(0), lit(63)), i =>
+          least(greatest(
+            floor((element_at(v, (i + 1).cast("int")) + 0.5) * 256).cast("long"),
+            lit(0L)), lit(255L)))
+        def at(i: Column, dr: Int, dc: Int): Column =
+          element_at(col("lvl"), (i + lit(dr * 8 + dc) + 1).cast("int"))
+        val neighbors = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+        val edges = transform(sequence(lit(0), lit(63)), i => {
+          val r = (i / 8).cast("long")
+          val c = i % 8
+          val conv = neighbors.foldLeft(at(i, 0, 0) * 8L)((acc, d) => acc - at(i, d._1, d._2))
+          when(r.between(1, 6) && c.between(1, 6),
+            least(greatest(conv, lit(0L)), lit(255L))).otherwise(at(i, 0, 0))
+        })
+        embeddings(s, d)
+          .select(col("vec_id"), lvls.as("lvl"))
+          .select(col("vec_id"), edges.as("edges"))
+          .select(col("vec_id"),
+            (seqSum(transform(col("edges"), e => e.cast("double"))) / 64.0).as("edge_mean"),
+            array_max(col("edges")).cast("long").as("edge_max"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        val neighbors = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+        val conv = "lvl[CAST(i + 1 AS INT)] * 8" +
+          neighbors.map { case (dr, dc) => s" - lvl[CAST(i + ${dr * 8 + dc} + 1 AS INT)]" }.mkString
+        s"""WITH l AS (
+           |  SELECT vec_id, list_transform(range(0, 64), i ->
+           |    least(greatest(CAST(floor(($v[CAST(i + 1 AS INT)] + 0.5) * 256) AS BIGINT), 0), 255)) AS lvl
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, list_transform(range(0, 64), i ->
+           |    CASE WHEN i // 8 BETWEEN 1 AND 6 AND i % 8 BETWEEN 1 AND 6
+           |         THEN least(greatest($conv, 0), 255)
+           |         ELSE lvl[CAST(i + 1 AS INT)] END) AS edges
+           |  FROM l)
+           |SELECT vec_id,
+           |  ${sqlSeqSum("list_transform(edges, x -> CAST(x AS DOUBLE))")} / 64.0 AS edge_mean,
+           |  CAST(list_max(edges) AS BIGINT) AS edge_max
+           |FROM e ORDER BY vec_id""".stripMargin
+      }
+    ),
+
+    // ── F2 full-fidelity: the reference's FULL [30,32,32] HSV binning
+    // geometry (image_classification.py:136-171 — hue 30 bins over
+    // [0,180), saturation/value 32 bins over [0,256), joint 30,720-way
+    // histogram, cv2.normalize NORM_L2, reshape(-1)). vec_histogram_hsv
+    // keeps the reduced [3,4,4] teaching form; here the three embedding
+    // slices quantize to real uint8-scale channels (h∈[0,180), s,v∈
+    // [0,256)) and bucket exactly as cv2 does (bin = channel*bins/range,
+    // i.e. h//6, s//8, v//8), joint bin = hb*1024 + sb*32 + vb. With 21
+    // "pixels" per vector at most 21 of the 30,720 bins are occupied, so
+    // the flattened output is emitted SPARSE (nonzero bins only) — at
+    // 100 TB a dense 30,720-row-per-image explode would be pure zero
+    // traffic; sparse (bin, l2-normalized value) is the production
+    // layout. Counts and their squares are exact integers → one sqrt +
+    // one division, bit-identical across engines.
+    Q(
+      "vec_histogram_hsv_full",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        def ch(x: Column, range: Int): Column =
+          least(greatest(floor((x + 0.5) * range).cast("long"), lit(0L)), lit(range - 1L))
+        val codes = transform(sequence(lit(0), lit(20)), i => {
+          val hb = (ch(element_at(v, (i + 1).cast("int")), 180) / lit(6)).cast("long")
+          val sb = (ch(element_at(v, (i + 22).cast("int")), 256) / lit(8)).cast("long")
+          val vb = (ch(element_at(v, (i + 43).cast("int")), 256) / lit(8)).cast("long")
+          hb * 1024L + sb * 32L + vb
+        })
+        embeddings(s, d)
+          .select(col("vec_id"), codes.as("codes"))
+          .select(col("vec_id"), col("codes"),
+            sqrt(seqSum(transform(array_distinct(col("codes")), b => {
+              val n = size(filter(col("codes"), c => c === b))
+              (n * n).cast("double")
+            }))).as("l2"))
+          .select(col("vec_id"), col("l2"),
+            explode(array_distinct(col("codes"))).as("bin"), col("codes"))
+          .select(col("vec_id"), col("bin"),
+            (size(filter(col("codes"), c => c === col("bin"))).cast("double")
+              / col("l2")).as("hval"))
+          .orderBy("vec_id", "bin")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        def ch(e: String, range: Int): String =
+          s"least(greatest(CAST(floor(($e + 0.5) * $range) AS BIGINT), 0), ${range - 1})"
+        val codes = s"list_transform(range(0, 21), i -> " +
+          s"${ch(s"$v[CAST(i + 1 AS INT)]", 180)} // 6 * 1024 + " +
+          s"${ch(s"$v[CAST(i + 22 AS INT)]", 256)} // 8 * 32 + " +
+          s"${ch(s"$v[CAST(i + 43 AS INT)]", 256)} // 8)"
+        val l2 = "sqrt(" + sqlSeqSum(
+          "list_transform(list_distinct(codes), b -> CAST(len(list_filter(codes, c -> c = b)) * len(list_filter(codes, c -> c = b)) AS DOUBLE))") + ")"
+        s"""WITH q AS (SELECT vec_id, $codes AS codes FROM embeddings),
+           |n AS (SELECT vec_id, codes, $l2 AS l2 FROM q),
+           |x AS (SELECT vec_id, codes, l2, unnest(list_distinct(codes)) AS bin FROM n)
+           |SELECT vec_id, bin,
+           |       CAST(len(list_filter(codes, c -> c = bin)) AS DOUBLE) / l2 AS hval
+           |FROM x ORDER BY vec_id, bin""".stripMargin
+      }
+    ),
+
     // ── S6/S7/S9/S10: node + relationship sink with truncate-overwrite.
     // The reference writes one node per Bolt round-trip
     // (image_classification.py:217-221) and flushes with DETACH DELETE

@@ -387,6 +387,64 @@ object Image {
     out.result()
   }
 
+  /** PIL ImageFilter.FIND_EDGES on a uint8 plane (reference
+    * image_classification.py:289-310, detect_edges): 3×3 kernel with 8
+    * at the center and −1 elsewhere, integer arithmetic, result clamped
+    * to [0,255]; the 1-px border is copied from the input (PIL's
+    * ImagingFilter does not process frame pixels). */
+  def findEdgesU8(img: Array[Int], w: Int, h: Int): Array[Int] = {
+    val out = img.clone()
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val i = y * w + x
+        val conv = 8 * img(i) - img(i - w - 1) - img(i - w) - img(i - w + 1) -
+          img(i - 1) - img(i + 1) - img(i + w - 1) - img(i + w) - img(i + w + 1)
+        out(i) = if (conv < 0) 0 else if (conv > 255) 255 else conv
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** cv2 uint8 RGB→HSV (cvtColor COLOR_RGB2HSV on 8-bit): V = max,
+    * S = round(255·(V−min)/V) (0 when V=0), H = round(h°/2) with
+    * h° the standard hexagonal hue in [0,360) — giving H ∈ [0,180).
+    * Faithful to cv2's definition modulo its fixed-point division
+    * tables (cv2 rounds through 12-bit reciprocal tables; here exact
+    * real arithmetic rounded half-up, which agrees except on
+    * table-quantization knife edges). */
+  def rgbToHsvU8(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    val v = math.max(r, math.max(g, b))
+    val mn = math.min(r, math.min(g, b))
+    val diff = v - mn
+    val s = if (v == 0) 0 else math.floor(255.0 * diff / v + 0.5).toInt
+    val hDeg =
+      if (diff == 0) 0.0
+      else if (v == r) { val x = 60.0 * (g - b) / diff; if (x < 0) x + 360.0 else x }
+      else if (v == g) 120.0 + 60.0 * (b - r) / diff
+      else 240.0 + 60.0 * (r - g) / diff
+    val hh = math.floor(hDeg / 2.0 + 0.5).toInt % 180
+    (hh, s, v)
+  }
+
+  /** The reference's full [30,32,32] joint HSV histogram over uint8 HSV
+    * planes (image_classification.py:136-171): bin = (H//6)*1024 +
+    * (S//8)*32 + V//8, counts L2-normalized (cv2.normalize default
+    * NORM_L2). Returns the SPARSE nonzero (bin → normalized value) map
+    * plus the raw L2 norm. */
+  def hsvHistogramFull(hsv: Seq[(Int, Int, Int)]): (Map[Int, Double], Double) = {
+    val counts = scala.collection.mutable.Map.empty[Int, Long]
+    hsv.foreach { case (hh, s, v) =>
+      val bin = (hh / 6) * 1024 + (s / 8) * 32 + v / 8
+      counts(bin) = counts.getOrElse(bin, 0L) + 1L
+    }
+    val l2 = math.sqrt(counts.valuesIterator.map(c => c.toDouble * c).sum)
+    (counts.iterator.map { case (k, c) => k -> c / l2 }.toMap, l2)
+  }
+
   // ── live queries over the decoded JPEG corpus ────────────────────────
 
   final case class BlurStats(file: String, mean: Double, std: Double,
@@ -394,6 +452,10 @@ object Image {
   final case class ContourRow(file: String, contour_idx: Int, perimeter: Double,
                               area: Double, solidity: Double, extent: Double,
                               equivalent_diameter: Double, angle: Double)
+  final case class EdgeStats(file: String, edge_mean: Double, edge_max: Long,
+                             edge_nonzero: Long)
+  final case class HsvHistRow(file: String, nonzero_bins: Long, top_bin: Long,
+                              top_val: Double, hist_l2: Double)
   final case class GlcmRow(file: String, direction: String, contrast: Double,
                            energy: Double, homogeneity: Double, entropy: Double,
                            correlation: Double, variance: Double,
@@ -450,6 +512,48 @@ object Image {
               hk.diff_entropy, hk.imc1, hk.imc2)
           }
         }.toDF().orderBy("file", "direction")
+      },
+      None
+    ),
+
+    // ── F4 live: PIL FIND_EDGES over the decoded 32×32 JPEG plane ──────
+    // The exact detect_edges pixel function (kernel 8/−1, clamp, border
+    // copy) on round-half-up uint8 gray; per-file edge statistics.
+    // Oracle-green twin: vec_find_edges (ops/Extended.scala) — same
+    // kernel, 8×8 embeddings grid. ImageSpec pins a hand-computed 4×4
+    // fixture and cross-checks one corpus image end to end.
+    Q(
+      "img_find_edges",
+      (s, _) => {
+        import s.implicits._
+        decoded(s).mapPartitions(_.map { case (f, bytes) =>
+          val g = Multimodal.decodeJpegGray32(bytes)
+          val u8 = g.map(x => math.floor(x + 0.5).toInt)
+          val e = findEdgesU8(u8, 32, 32)
+          EdgeStats(f, e.sum / 1024.0, e.max.toLong,
+            e.count(_ > 0).toLong)
+        }).toDF().orderBy("file")
+      },
+      None
+    ),
+
+    // ── F2 live: full [30,32,32] HSV histogram over 32×32 RGB pixels ───
+    // The reference's extract_color_histogram end to end — cv2-faithful
+    // uint8 RGB→HSV, joint 30,720-bin histogram, NORM_L2 — summarized
+    // per file (dense 30k-row-per-image output is pure zero traffic; the
+    // sparse geometry is oracle-proven by vec_histogram_hsv_full).
+    // top_bin tie-break: smallest bin id among max-count bins.
+    Q(
+      "img_hsv_histogram",
+      (s, _) => {
+        import s.implicits._
+        decoded(s).mapPartitions(_.map { case (f, bytes) =>
+          val (r, g, b) = Multimodal.decodeJpegRgb32(bytes)
+          val hsv = (0 until 1024).map(i => rgbToHsvU8(r(i), g(i), b(i)))
+          val (hist, l2) = hsvHistogramFull(hsv)
+          val top = hist.toSeq.sortBy { case (bin, v) => (-v, bin) }.head
+          HsvHistRow(f, hist.size.toLong, top._1.toLong, top._2, l2)
+        }).toDF().orderBy("file")
       },
       None
     ),

@@ -137,6 +137,46 @@ object Multimodal {
     out
   }
 
+  /** JPEG bytes → 32×32 RGB planes (row-major, uint8 0..255): the same
+    * integer-grid block resize as [[decodeJpegGray32]] but per channel,
+    * block means rounded half-up to uint8 — the color input the
+    * reference's extract_color_histogram consumes
+    * (image_classification.py:136-171). */
+  def decodeJpegRgb32(bytes: Array[Byte]): (Array[Int], Array[Int], Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"undecodable image payload (${bytes.length} bytes) — not a supported JPEG")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ro, go, bo) = (new Array[Int](1024), new Array[Int](1024), new Array[Int](1024))
+    var ty = 0
+    while (ty < 32) {
+      val y0 = ty * h / 32; val y1 = math.max((ty + 1) * h / 32, y0 + 1)
+      var tx = 0
+      while (tx < 32) {
+        val x0 = tx * w / 32; val x1 = math.max((tx + 1) * w / 32, x0 + 1)
+        var (sr, sg, sb) = (0L, 0L, 0L); var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        // round-half-up block mean, exactly (2*sum + n) / (2*n) in ints
+        val i = ty * 32 + tx
+        ro(i) = ((2 * sr + n) / (2 * n)).toInt
+        go(i) = ((2 * sg + n) / (2 * n)).toInt
+        bo(i) = ((2 * sb + n) / (2 * n)).toInt
+        tx += 1
+      }
+      ty += 1
+    }
+    (ro, go, bo)
+  }
+
   final case class ImageStats(file: String, n_pixels: Long, mean: Double,
                               std: Double, median: Double, vmin: Double, vmax: Double)
 

@@ -1010,7 +1010,14 @@ object Relational {
           .orderBy("l_returnflag")
       },
       Some {
-        def pctSql(q: String, name: String) =
+        // CAST(q AS DOUBLE): DuckDB parses a bare 0.95 literal as
+        // DECIMAL(2,2) and computes q·(n−1) EXACTLY, while Spark's
+        // lit(0.95) is the nearest double — the products differ in the
+        // last bit and so does g (caught at sf0.001, where hi−lo ≠ 0 on
+        // the knife row; sf0.01 masked it). Both engines must walk the
+        // identical double expression tree.
+        def pctSql(q0: String, name: String) = {
+          val q = s"CAST($q0 AS DOUBLE)"
           s"""${name}kg AS (
              |  SELECT rf, CAST(floor($q * (n - 1)) AS BIGINT) AS k,
              |         $q * (n - 1) - floor($q * (n - 1)) AS g
@@ -1020,6 +1027,7 @@ object Relational {
              |  FROM ${name}kg kg
              |  JOIN ranked lo ON lo.rf = kg.rf AND lo.rn = kg.k + 1
              |  LEFT JOIN ranked hi ON hi.rf = kg.rf AND hi.rn = kg.k + 2)""".stripMargin
+        }
         s"""WITH li AS (SELECT l_returnflag AS rf, l_extendedprice AS x FROM lineitem),
            |ranked AS (SELECT rf, x, row_number() OVER (PARTITION BY rf ORDER BY x) AS rn FROM li),
            |n AS (SELECT rf, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY rf),

@@ -237,6 +237,13 @@ object Text {
     * peels past convergence are no-op filters). */
   private val KTrussUnroll = 6
 
+  /** Nested unroll for `dedup_core_numbers`' oracle: CoreNumK core
+    * levels × CoreNumR peel rounds per level (measured kmax ≤ 3 and
+    * ≤ 2 rounds/level at sf0.001–0.1; layers past convergence are
+    * no-op filters, and the Spark loop `require`s both bounds). */
+  private val CoreNumK = 6
+  private val CoreNumR = 6
+
   /** Merge rounds for `text_bpe_merges` — both the Spark loop's round
     * count and the oracle's materialized unroll depth (each oracle
     * round replays one merge exactly, so the two are one constant). */
@@ -1295,6 +1302,137 @@ object Text {
       }
     ),
 
+    // ── full k-core DECOMPOSITION (per-doc core number) ────────────────
+    // dedup_kcore answers "who survives the 2-core"; this one computes
+    // core(v) = max{k : v ∈ k-core} for EVERY vertex of the near-dup
+    // graph — the Matula–Beck coreness, the standard cohesion score for
+    // choosing how aggressively to collapse a duplicate family. Spark:
+    // ascending-k driver loop over Components.kCorePeel — the edge set
+    // shrinks monotonically across levels, so total work is bounded by
+    // Σ_k |E_k| and each level reuses the same one-partial-agg +
+    // two-anti-join round. The oracle unrolls BOTH loops as nested
+    // MATERIALIZED layers (CoreNumK levels × CoreNumR rounds, excess
+    // layers no-op) and reads coreness as the max level whose converged
+    // edge set still contains the vertex — cores are nested, so
+    // presence-max ≡ removal-level. Both loops `require`d ≤ the unroll.
+    Q(
+      "dedup_core_numbers",
+      (s, d) => {
+        val dup = dupEdges(s, d)
+        val ue = dup.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(dup.select(col("id_b").as("src"), col("id_a").as("dst")))
+        var edges = ue.localCheckpoint(false)
+        var core = edges.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), lit(1L).as("core"))
+          .localCheckpoint(false)
+        var k = 2
+        var n = edges.count()
+        while (n > 0) {
+          require(k <= CoreNumK,
+            s"core decomposition reached level $k > oracle unroll $CoreNumK")
+          val (ck, rounds) = graft.graph.Components.kCorePeel(edges, k)
+          require(rounds <= CoreNumR,
+            s"level-$k peel used $rounds rounds > oracle unroll $CoreNumR")
+          val survivors = ck.select(col("src").as("doc_id")).distinct()
+          core = core
+            .join(survivors.select(col("doc_id"), lit(1).as("up")), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("up").isNotNull, lit(k.toLong)).otherwise(col("core")).as("core"))
+            .localCheckpoint(false)
+          edges = ck
+          n = edges.count()
+          k += 1
+        }
+        core.orderBy("doc_id")
+      },
+      Some {
+        val levels = (2 to CoreNumK).flatMap { k =>
+          val base = if (k == 2) "ue0" else s"ue${k - 1}_$CoreNumR"
+          (1 to CoreNumR).map { i =>
+            val prev = if (i == 1) base else s"ue${k}_${i - 1}"
+            s"""ue${k}_$i AS MATERIALIZED (
+               |  SELECT src, dst FROM $prev
+               |  WHERE src IN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= $k)
+               |    AND dst IN (SELECT src FROM $prev GROUP BY src HAVING count(*) >= $k))"""
+              .stripMargin
+          }
+        }.mkString(",\n")
+        val maxes = (2 to CoreNumK).map(k =>
+          s"  UNION ALL SELECT DISTINCT src, $k FROM ue${k}_$CoreNumR").mkString("\n")
+        s"""WITH $sqlSketchCtes,
+           |$sqlPairCtes,
+           |dup AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+           |ue0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dup
+           |                     UNION ALL SELECT id_b, id_a FROM dup),
+           |$levels,
+           |lv AS (SELECT DISTINCT src, 1 AS k FROM ue0
+           |$maxes)
+           |SELECT src AS doc_id, CAST(max(k) AS BIGINT) AS core FROM lv
+           |GROUP BY src ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ── EXACT threshold set-similarity join (AllPairs prefix filter) ───
+    // The lossless counterpart to the MinHash-LSH candidates: a pair
+    // with Jaccard ≥ τ MUST share a token inside both docs' length-
+    // (n − ⌈τn⌉ + 1) prefixes under any fixed global token order
+    // (Bayardo–Ma–Srikant AllPairs; rarest-first order keeps the
+    // inverted prefix index small). τ = 0.5 → prefix = n//2 + 1,
+    // integer-exact on both engines. Spark: one df count, one per-doc
+    // sort, prefix explode → equi-join on token → exact-Jaccard verify
+    // on candidates only — never all-pairs, and unlike LSH this misses
+    // NOTHING (Round10Spec asserts it supersets the banded pairs and
+    // matches brute force at sf0.001). The oracle replays the identical
+    // deterministic algorithm relationally.
+    Q(
+      "dedup_setsim_prefix",
+      (s, d) => {
+        val sk = cachedSketch(s, d).select(col("doc_id"), col("sh"))
+        val tok = sk.select(col("doc_id"), explode(col("sh")).as("h"))
+        val dfq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+        val pref = tok.join(dfq, "h")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+          .select(col("doc_id"),
+            slice(transform(col("ord"), x => x.getField("h")), lit(1),
+              (size(col("ord")) / 2).cast("int") + 1).as("pre"))
+          .select(col("doc_id"), explode(col("pre")).as("h"))
+        val cand = pref.toDF("id_a", "h")
+          .join(pref.toDF("id_b", "h"), "h")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val da = sk.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        val db = sk.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+        cand.join(da, "id_a").join(db, "id_b")
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $sqlSketchCtes,
+              |tok AS (SELECT doc_id, unnest(sh) AS h FROM sketch),
+              |dfq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+              |ordr AS (
+              |  SELECT doc_id, h,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn,
+              |    count(*) OVER (PARTITION BY doc_id) AS n
+              |  FROM tok JOIN dfq USING (h)),
+              |pre AS (SELECT doc_id, h FROM ordr WHERE rn <= n // 2 + 1),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id),
+              |j AS (
+              |  SELECT c.id_a, c.id_b,
+              |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+              |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+              |  FROM cand c
+              |  JOIN sketch sa ON sa.doc_id = c.id_a
+              |  JOIN sketch sb ON sb.doc_id = c.id_b)
+              |SELECT id_a, id_b, jaccard FROM j
+              |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)
+    ),
+
     // ── per-source quality report (pipeline observability) ─────────────
     // The audit table a data-curation team actually reads: per ingest
     // source — docs, exact total chars, and how many of its docs sit in
@@ -2024,9 +2162,20 @@ object Text {
           .withColumn("rk", row_number().over(byLang))
           .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
           .groupBy("lang")
+          // rank ceil(q·n) in EXACT integer arithmetic: ceil(n/2) =
+          // (n+1)//2 and ceil(9n/10) = (9n+9)//10. The float form
+          // ceil(cnt * 0.9) is a knife edge — 0.9 as a double is
+          // 0.9000…0002, so for cnt ≡ 0 (mod 10) Spark's product lands
+          // just ABOVE the integer and ceil picks the next rank, while
+          // DuckDB's bare 0.9 literal is DECIMAL and exact. No corpus
+          // language hits a multiple of 10 at the tested sfs, but the
+          // hazard class is the same one the BM25 knife-edge guard
+          // documents — integer ranks close it for every cnt.
           .agg(
-            max(when(col("rk") === ceil(col("cnt") * 0.5), col("n_tokens"))).as("p50"),
-            max(when(col("rk") === ceil(col("cnt") * 0.9), col("n_tokens"))).as("p90"),
+            max(when(col("rk") === ((col("cnt") + 1) / 2).cast("long"),
+              col("n_tokens"))).as("p50"),
+            max(when(col("rk") === ((col("cnt") * 9 + 9) / 10).cast("long"),
+              col("n_tokens"))).as("p90"),
             max(col("n_tokens")).as("pmax"),
             count(lit(1)).as("n_docs"))
           .orderBy("lang")
@@ -2041,8 +2190,8 @@ object Text {
              |    count(*) OVER (PARTITION BY lang) AS cnt
              |  FROM t)
              |SELECT lang,
-             |  max(CASE WHEN rk = ceil(cnt * 0.5) THEN n_tokens END) AS p50,
-             |  max(CASE WHEN rk = ceil(cnt * 0.9) THEN n_tokens END) AS p90,
+             |  max(CASE WHEN rk = (cnt + 1) // 2 THEN n_tokens END) AS p50,
+             |  max(CASE WHEN rk = (cnt * 9 + 9) // 10 THEN n_tokens END) AS p90,
              |  max(n_tokens) AS pmax,
              |  count(*) AS n_docs
              |FROM r GROUP BY lang ORDER BY lang""".stripMargin)

@@ -144,6 +144,76 @@ class ImageSpec extends SparkSpec {
     }
   }
 
+  test("PIL FIND_EDGES fixture: impulse saturates, flat field cancels, border copies") {
+    // 4×4 uint8 plane, single bright pixel at (1,1)
+    val img = Array.fill(16)(10); img(1 * 4 + 1) = 200
+    val e = I.findEdgesU8(img, 4, 4)
+    assert(e(1 * 4 + 1) === 255, "8·200 − 80 = 1520 clamps to 255")
+    assert(e(1 * 4 + 2) === 0, "80 − 270 = −190 clamps to 0")
+    assert(e(2 * 4 + 1) === 0)
+    assert(e(2 * 4 + 2) === 0)
+    // every border pixel is the untouched input value
+    val borderIdx = (0 until 16).filter { p =>
+      val (y, x) = (p / 4, p % 4); y == 0 || y == 3 || x == 0 || x == 3
+    }
+    borderIdx.foreach(p => assert(e(p) === img(p)))
+    // a constant image maps to itself (interior conv = 0 → clamp 0? no:
+    // 8c − 8c = 0, so interior goes to 0 and the border stays)
+    val flat = Array.fill(16)(77)
+    val ef = I.findEdgesU8(flat, 4, 4)
+    assert(ef(1 * 4 + 1) === 0 && ef(0) === 77)
+  }
+
+  test("cv2 uint8 RGB→HSV pinned triples") {
+    assert(I.rgbToHsvU8(255, 0, 0) === ((0, 255, 255)))
+    assert(I.rgbToHsvU8(0, 255, 0) === ((60, 255, 255)))
+    assert(I.rgbToHsvU8(0, 0, 255) === ((120, 255, 255)))
+    assert(I.rgbToHsvU8(128, 128, 128) === ((0, 0, 128)))
+    assert(I.rgbToHsvU8(0, 0, 0) === ((0, 0, 0)))
+    // v=r sector with rounding: h° = 60·128/255 = 30.117…, H = 15
+    assert(I.rgbToHsvU8(255, 128, 0) === ((15, 255, 255)))
+    // negative hue wraps: (255, 0, 128) → h° = 360 − 30.117… → H = 165
+    assert(I.rgbToHsvU8(255, 0, 128) === ((165, 255, 255)))
+  }
+
+  test("full HSV histogram fixture: bins, sparse counts, L2 norm") {
+    val hsv = Seq((0, 255, 255), (0, 255, 255), (0, 255, 255), (60, 255, 255))
+    val (hist, l2) = I.hsvHistogramFull(hsv)
+    // (0,255,255) → bin 0·1024 + 31·32 + 31 = 1023; (60,…) → 10·1024 + 1023
+    assert(hist.keySet === Set(1023, 11263))
+    assert(l2 === math.sqrt(10.0))
+    assert(math.abs(hist(1023) - 3.0 / math.sqrt(10.0)) < 1e-15)
+    assert(math.abs(hist(11263) - 1.0 / math.sqrt(10.0)) < 1e-15)
+  }
+
+  test("img_find_edges and img_hsv_histogram match local kernels on the corpus") {
+    val files = new java.io.File(Multimodal.JpegDir).listFiles()
+      .filter(_.getName.endsWith(".jpeg")).sortBy(_.getName)
+    val f = files.head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+
+    val edges = SparkEntry.queries("img_find_edges")(spark, sf).collect()
+    assert(edges.length === files.length)
+    val u8 = Multimodal.decodeJpegGray32(bytes).map(x => math.floor(x + 0.5).toInt)
+    val le = I.findEdgesU8(u8, 32, 32)
+    val gotE = edges.find(_.getAs[String]("file") == f.getName).get
+    assert(gotE.getAs[Double]("edge_mean") === le.sum / 1024.0)
+    assert(gotE.getAs[Long]("edge_max") === le.max.toLong)
+    assert(gotE.getAs[Long]("edge_nonzero") === le.count(_ > 0).toLong)
+
+    val hists = SparkEntry.queries("img_hsv_histogram")(spark, sf).collect()
+    assert(hists.length === files.length)
+    val (r, g, b) = Multimodal.decodeJpegRgb32(bytes)
+    val (hist, l2) = I.hsvHistogramFull(
+      (0 until 1024).map(i => I.rgbToHsvU8(r(i), g(i), b(i))))
+    val top = hist.toSeq.sortBy { case (bin, v) => (-v, bin) }.head
+    val gotH = hists.find(_.getAs[String]("file") == f.getName).get
+    assert(gotH.getAs[Long]("nonzero_bins") === hist.size.toLong)
+    assert(gotH.getAs[Long]("top_bin") === top._1.toLong)
+    assert(gotH.getAs[Double]("top_val") === top._2)
+    assert(gotH.getAs[Double]("hist_l2") === l2)
+  }
+
   test("vec_contours matches a local flood-fill on every sf0.001 vector") {
     // independent local kernel: same mask (value > per-vector median),
     // 8-connected flood fill, min-pos component label, exposed-4-edge

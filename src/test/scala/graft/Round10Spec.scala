@@ -103,4 +103,61 @@ class Round10Spec extends SparkSpec {
     // mean must be strictly positive (vocab is small but not degenerate)
     assert(rows.map(_.getDouble(3)).max > 0.1)
   }
+
+  test("dedup_setsim_prefix is lossless: equals brute-force all-pairs Jaccard ≥ 0.5") {
+    val got = SparkEntry.queries("dedup_setsim_prefix")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent driver-side brute force over EVERY pair of shingle sets
+    val sets = ops.Text.docSketch(spark, sf)
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .sortBy(_._1)
+    val want = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (ida, sa) = sets(i); (idb, sb) = sets(j)
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.5
+    } yield (ida, idb, jac)).toSet
+    assert(got == want, s"prefix filter must miss nothing: got ${got.size}, want ${want.size}")
+    // and it strictly supersets the LSH-banded pair set (LSH has recall < 1)
+    val lsh = SparkEntry.queries("dedup_minhash_pairs")(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.5)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(got.map(t => (t._1, t._2))))
+  }
+
+  test("dedup_core_numbers matches an independent driver-side peel") {
+    val got = SparkEntry.queries("dedup_core_numbers")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: textbook Matula–Beck peel on the ≥0.5 LSH dup graph
+    val dup = SparkEntry.queries("dedup_minhash_pairs")(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.5).map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    dup.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 2L
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val bad = adj.collect { case (v, ws) if ws.size < k => v }.toList
+        changed = bad.nonEmpty
+        bad.foreach { v =>
+          adj(v).foreach(w => adj.get(w).foreach(_ -= v))
+          core(v) = k - 1
+          adj -= v
+        }
+      }
+      if (adj.nonEmpty) k += 1
+    }
+    assert(got.nonEmpty)
+    assert(got == core.toMap, "coreness must equal the textbook peel")
+    // cores are nested: every vertex of the 2-core query has core ≥ 2
+    val kcore2 = SparkEntry.queries("dedup_kcore")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(kcore2.forall(v => got(v) >= 2L))
+  }
 }
