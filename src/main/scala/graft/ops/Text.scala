@@ -1433,6 +1433,70 @@ object Text {
               |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)
     ),
 
+    // ── corpus-duplicated span coverage (exact-substring dedup signal) ─
+    // The Lee et al. "Deduplicating Training Data" signal, Spark-shaped:
+    // instead of a suffix array, hash every 8-token window (rolling
+    // mod-P32 fold over the staged word hashes), count each span hash
+    // corpus-wide, and report per doc how many of its windows occur more
+    // than once anywhere — the fraction of the doc covered by text that
+    // exists elsewhere. Docs in a template family score high; unique
+    // docs score 0. One explode + one count-by-hash + one per-doc agg —
+    // linear in corpus tokens, the shape that replaces suffix arrays at
+    // 100 TB. All arithmetic is exact integers until the final fraction;
+    // the fold reduces mod P32 each step so the BIGINT never overflows
+    // (DuckDB raises on overflow rather than wrapping). Spark aggregate
+    // seeds 0 and DuckDB list_reduce seeds the first element, but
+    // (0·c + x₁) mod P = x₁, so the folds agree step for step.
+    Q(
+      "text_dup_span_coverage",
+      (s, d) => {
+        val W = 8
+        val spans = documents(s, d)
+          .select(col("doc_id"), wordHashes(tokens(col("text"))).as("wh"))
+          .select(col("doc_id"),
+            explode(when(size(col("wh")) >= W,
+              transform(sequence(lit(1), size(col("wh")) - (W - 1)),
+                i => aggregate(slice(col("wh"), i.cast("int"), lit(W)), lit(0L),
+                  (acc, x) => (acc * 1000003L + x) % P32)))
+              .otherwise(array().cast("array<bigint>"))).as("h"))
+        val freq = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
+        val perDoc = spans.join(freq, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_spans"))
+        documents(s, d).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+            when(col("n_spans") > 0,
+              col("dup_spans").cast("double") / col("n_spans"))
+              .otherwise(lit(0.0)).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH wh AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % $P32) AS wh
+              |  FROM documents),
+              |sp AS (
+              |  SELECT doc_id, unnest(CASE WHEN len(wh) >= 8
+              |    THEN list_transform(range(1, len(wh) - 6),
+              |           i -> list_reduce(wh[i:i+7], (acc, x) -> (acc * 1000003 + x) % $P32))
+              |    ELSE CAST([] AS BIGINT[]) END) AS h
+              |  FROM wh),
+              |freq AS (SELECT h, count(*) AS cnt FROM sp GROUP BY h),
+              |pd AS (
+              |  SELECT doc_id, count(*) AS n_spans,
+              |         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+              |  FROM sp JOIN freq USING (h) GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(n_spans, 0) AS n_spans,
+              |  coalesce(dup_spans, 0) AS dup_spans,
+              |  CASE WHEN coalesce(n_spans, 0) > 0
+              |       THEN CAST(dup_spans AS DOUBLE) / n_spans ELSE 0.0 END AS dup_frac
+              |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── per-source quality report (pipeline observability) ─────────────
     // The audit table a data-curation team actually reads: per ingest
     // source — docs, exact total chars, and how many of its docs sit in

@@ -160,4 +160,36 @@ class Round10Spec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(kcore2.forall(v => got(v) >= 2L))
   }
+
+  test("text_dup_span_coverage matches a driver-side rolling-hash replay") {
+    val P = 4294967291L
+    def strHash(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).map(strHash))
+    val spanOf = docs.toMap.view.mapValues { wh =>
+      if (wh.length < 8) Array.empty[Long]
+      else (0 to wh.length - 8).map(i =>
+        wh.slice(i, i + 8).foldLeft(0L)((a, x) => (a * 1000003L + x) % P)).toArray
+    }.toMap
+    val freq = spanOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val got = SparkEntry.queries("text_dup_span_coverage")(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (id, n, dup, frac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val spans = spanOf(id)
+      assert(n == spans.length.toLong, s"doc $id span count")
+      val wantDup = spans.count(h => freq(h) > 1).toLong
+      assert(dup == wantDup, s"doc $id dup spans")
+      assert(frac == (if (n > 0) dup.toDouble / n else 0.0))
+    }
+    // the signal separates template families from unique docs
+    assert(got.count(_.getDouble(3) > 0.5) > 0)
+    assert(got.count(_.getDouble(3) == 0.0) > got.length / 2)
+  }
 }
