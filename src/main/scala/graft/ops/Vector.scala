@@ -671,6 +671,111 @@ object Vector {
               |    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS BIGINT) AS qdist
               |FROM sq8 s, qq WHERE s.vec_id <> 0
               |ORDER BY qdist ASC, s.vec_id ASC LIMIT 10""".stripMargin)
+    ),
+
+    // ── fixed-point PCA: top principal component, bit-deterministic ────
+    // The PCA-reduction step a SemDeDup/whitening pipeline runs before
+    // clustering, made hash-checkable the way graph_pagerank_exact made
+    // PageRank checkable: quantize each embedding to uint8 levels (the
+    // vec_find_edges grid), accumulate the EXACT integer scatter
+    // C = n·Σxxᵀ − (Σx)(Σx)ᵀ in one distributed pass (explode 64×64
+    // products → partial-agg; the shuffle carries 4,096 keyed sums, not
+    // vectors), then converge by REPEATED MATRIX SQUARING: 12 rounds of
+    // M ← normalize(M·M) compute the direction of C^4096·1, so even a
+    // 0.99 eigengap is damped to 0.99^4096 ≈ 10⁻¹⁸ — plain unrolled
+    // power iteration cannot separate this corpus's near-flat spectrum
+    // in any practical unroll (measured cos 0.07 at sf0.1 after 64
+    // matvecs; squaring reaches cos 1.000 at every sf). All arithmetic
+    // is integer: products of L∞-2^26-normalized entries summed over 64
+    // terms stay under 2^58 (measured ≤ 2^56), renormalization is the
+    // sign-split truncating division (// floors negatives in DuckDB but
+    // truncates in Scala — the CASE/sign split makes every division a
+    // positive one) through BigInt/HUGEINT. The 64×64 matrix collects
+    // to the driver — the same k-row loop-state boundary as the k-means
+    // codebook; the oracle replays the 12 squarings as relational
+    // matmul CTEs. No float enters at any step; Round10Spec checks the
+    // result against a double-precision eigensolve (cos ≥ 0.99).
+    Q(
+      "vec_pca_power",
+      (s, d) => {
+        import s.implicits._
+        val SM = 1L << 26; val S = 1L << 20; val T = 12
+        val lvls = transform(sequence(lit(0), lit(63)), i =>
+          least(greatest(
+            floor((element_at(vec(col("embedding")), (i + 1).cast("int")) + 0.5) * 256)
+              .cast("long"), lit(0L)), lit(255L)))
+        val lv = embeddings(s, d).select(lvls.as("lvl"))
+        val n = lv.count()
+        val sums = lv.select(posexplode(col("lvl")).as(Seq("i", "x")))
+          .groupBy("i").agg(sum(col("x")).as("s"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val gram = lv.select(posexplode(transform(sequence(lit(0), lit(4095)), k =>
+            element_at(col("lvl"), (k / 64).cast("int") + 1) *
+              element_at(col("lvl"), (k % 64) + 1))).as(Seq("k", "p")))
+          .groupBy("k").agg(sum(col("p")).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        def renorm(mm: Array[Array[Long]], scale: Long): Array[Array[Long]] = {
+          val m = mm.iterator.flatten.map(math.abs).max
+          require(m > 0, "degenerate scatter — squaring collapses to zero")
+          mm.map(_.map { x =>
+            val w = (BigInt(x).abs * scale / m).toLong
+            if (x < 0) -w else w
+          })
+        }
+        var c = renorm(Array.tabulate(64, 64) { (i, j) =>
+          n * gram(i * 64 + j) - sums(i) * sums(j)
+        }, SM)
+        for (_ <- 1 to T)
+          c = renorm(Array.tabulate(64, 64) { (i, j) =>
+            (0 until 64).map(k => c(i)(k) * c(k)(j)).sum
+          }, SM)
+        val v0 = c.map(_.sum)
+        val m = v0.map(math.abs).max
+        require(m > 0, "zero projection — degenerate corpus")
+        val v = v0.map { x =>
+          val w = (BigInt(x).abs * S / m).toLong
+          if (x < 0) -w else w
+        }
+        v.indices.map(i => (i.toLong, v(i))).toDF("dim", "w").orderBy("dim")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        val lvl = s"list_transform(range(0, 64), i -> " +
+          s"least(greatest(CAST(floor(($v[CAST(i + 1 AS INT)] + 0.5) * 256) AS BIGINT), 0), 255))"
+        def norm(src: String, out: String, scale: Long): String =
+          s"""${out}m AS MATERIALIZED (SELECT max(abs(c)) AS m FROM $src),
+             |$out AS MATERIALIZED (SELECT i, j,
+             |  CASE WHEN c < 0
+             |    THEN -CAST((CAST(-c AS HUGEINT) * $scale) // m AS BIGINT)
+             |    ELSE CAST((CAST(c AS HUGEINT) * $scale) // m AS BIGINT) END AS c
+             |  FROM $src, ${out}m)""".stripMargin
+        val rounds = (1 to 12).map { t =>
+          val prev = if (t == 1) "c0" else s"c${t - 1}"
+          s"""sq$t AS MATERIALIZED (SELECT a.i, b.j, CAST(sum(a.c * b.c) AS BIGINT) AS c
+             |         FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY a.i, b.j),
+             |${norm(s"sq$t", s"c$t", 1L << 26)}""".stripMargin
+        }.mkString(",\n")
+        s"""WITH l AS MATERIALIZED (SELECT $lvl AS lvl FROM embeddings),
+           |idx AS MATERIALIZED (SELECT unnest(range(0, 64)) AS i),
+           |n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+           |sums AS MATERIALIZED (SELECT i.i, CAST(sum(l.lvl[CAST(i.i + 1 AS INT)]) AS BIGINT) AS s
+           |         FROM l, idx i GROUP BY i.i),
+           |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+           |        CAST(sum(l.lvl[CAST(a.i + 1 AS INT)] * l.lvl[CAST(b.i + 1 AS INT)]) AS BIGINT) AS g
+           |      FROM l, idx a, idx b GROUP BY a.i, b.i),
+           |craw AS MATERIALIZED (SELECT g.i, g.j, n.n * g.g - sa.s * sb.s AS c
+           |         FROM g, n, sums sa, sums sb
+           |         WHERE sa.i = g.i AND sb.i = g.j),
+           |${norm("craw", "c0", 1L << 26)},
+           |$rounds,
+           |vr AS MATERIALIZED (SELECT i, CAST(sum(c) AS BIGINT) AS x FROM c12 GROUP BY i),
+           |vm AS MATERIALIZED (SELECT max(abs(x)) AS m FROM vr)
+           |SELECT i AS dim,
+           |  CASE WHEN x < 0
+           |    THEN -CAST((CAST(-x AS HUGEINT) * ${1L << 20}) // m AS BIGINT)
+           |    ELSE CAST((CAST(x AS HUGEINT) * ${1L << 20}) // m AS BIGINT) END AS w
+           |FROM vr, vm ORDER BY dim""".stripMargin
+      }
     )
   )
 }

@@ -192,4 +192,33 @@ class Round10Spec extends SparkSpec {
     assert(got.count(_.getDouble(3) > 0.5) > 0)
     assert(got.count(_.getDouble(3) == 0.0) > got.length / 2)
   }
+
+  test("vec_pca_power tracks the true top principal component") {
+    val got = SparkEntry.queries("vec_pca_power")(spark, sf).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).sortBy(_._1).map(_._2.toDouble)
+    assert(got.length == 64)
+    assert(got.map(math.abs).max == (1L << 20).toDouble,
+      "L-infinity renorm pins the largest component to 2^20")
+    // ground truth: double-precision power iteration (500 rounds) on the
+    // exact centered covariance of the same uint8 quantization
+    val lv = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray.map(x =>
+        math.max(0L, math.min(255L, math.floor((x + 0.5) * 256).toLong)).toDouble))
+    val n = lv.length.toDouble
+    val mean = Array.tabulate(64)(i => lv.map(_(i)).sum / n)
+    val cov = Array.tabulate(64, 64)((i, j) =>
+      lv.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum)
+    var w = Array.fill(64)(1.0)
+    for (_ <- 1 to 500) {
+      val u = Array.tabulate(64)(i => (0 until 64).map(j => cov(i)(j) * w(j)).sum)
+      val norm = math.sqrt(u.map(x => x * x).sum)
+      w = u.map(_ / norm)
+    }
+    val dot = got.zip(w).map { case (a, b) => a * b }.sum
+    val cosAngle = math.abs(dot) /
+      (math.sqrt(got.map(x => x * x).sum) * math.sqrt(w.map(x => x * x).sum))
+    assert(cosAngle > 0.99,
+      f"fixed-point PC must align with the float eigensolve (cos = $cosAngle%.4f)")
+  }
 }
