@@ -344,6 +344,99 @@ object Extended {
       }
     ),
 
+    // ── perceptual average-hash near-dup pairs (image dedup) ───────────
+    // The multimodal analogue of dedup_simhash_pairs: aHash quantizes
+    // each 8×8 grid cell to one bit — cell above the image mean — giving
+    // a 64-bit signature whose Hamming distance tracks visual
+    // similarity (the classic average-hash; the mean compare is the
+    // integer-exact 64·lvl > Σlvl, no division). Banded LSH search:
+    // 8 bands of 8 bits, equi-join on (band, byte); by pigeonhole the
+    // candidates are COMPLETE for Hamming ≤ 7, and above that the band
+    // join is a recall<1 prefilter exactly like the text SimHash/
+    // MinHash families (τ=16 here matches this corpus's similarity
+    // floor — min candidate Hamming is 15; the lossless regime τ≤7 is
+    // the production setting for true visual dups). Signature is
+    // emitted as two 32-bit halves (a single 64-bit pack would need
+    // bit 63 — BIGINT overflow raises in DuckDB). bit_count is a
+    // builtin on both engines; everything is exact integers.
+    Q(
+      "vec_ahash_pairs",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        val lvls = transform(sequence(lit(0), lit(63)), i =>
+          least(greatest(
+            floor((element_at(v, (i + 1).cast("int")) + 0.5) * 256).cast("long"),
+            lit(0L)), lit(255L)))
+        val withBits = embeddings(s, d)
+          .select(col("vec_id"), lvls.as("lvl"))
+          .select(col("vec_id"), col("lvl"),
+            seqSum(transform(col("lvl"), x => x.cast("double"))).cast("long").as("tot"))
+          .select(col("vec_id"),
+            transform(sequence(lit(0), lit(63)), i =>
+              when(element_at(col("lvl"), (i + 1).cast("int")) * 64 > col("tot"), 1L)
+                .otherwise(0L)).as("bits"))
+        val sig = withBits.select(col("vec_id"),
+          transform(sequence(lit(0), lit(7)), b =>
+            (0 to 7).map(k =>
+              element_at(col("bits"), (b * 8 + k + 1).cast("int")) * lit(1L << k))
+              .reduce(_ + _)).as("bytes"))
+          .select(col("vec_id"), col("bytes"),
+            (element_at(col("bytes"), 1) + element_at(col("bytes"), 2) * 256L +
+              element_at(col("bytes"), 3) * 65536L + element_at(col("bytes"), 4) * 16777216L)
+              .as("h1"),
+            (element_at(col("bytes"), 5) + element_at(col("bytes"), 6) * 256L +
+              element_at(col("bytes"), 7) * 65536L + element_at(col("bytes"), 8) * 16777216L)
+              .as("h2"))
+          .localCheckpoint(false)
+        val bands = sig.select(col("vec_id"), posexplode(col("bytes")).as(Seq("band", "byte")))
+        val cand = bands.toDF("id_a", "band", "byte")
+          .join(bands.toDF("id_b", "band", "byte"), Seq("band", "byte"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val ha = sig.select(col("vec_id").as("id_a"), col("h1").as("a1"), col("h2").as("a2"))
+        val hb = sig.select(col("vec_id").as("id_b"), col("h1").as("b1"), col("h2").as("b2"))
+        cand.join(ha, "id_a").join(hb, "id_b")
+          .select(col("id_a"), col("id_b"),
+            (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+              bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 16)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val v = sqlVec("embedding")
+        val lvl = s"list_transform(range(0, 64), i -> " +
+          s"least(greatest(CAST(floor(($v[CAST(i + 1 AS INT)] + 0.5) * 256) AS BIGINT), 0), 255))"
+        s"""WITH l AS MATERIALIZED (SELECT vec_id, $lvl AS lvl FROM embeddings),
+           |b AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(range(0, 64), i ->
+           |    CASE WHEN lvl[CAST(i + 1 AS INT)] * 64 > list_reduce(lvl, (a, x) -> a + x)
+           |         THEN 1 ELSE 0 END) AS bits
+           |  FROM l),
+           |sig AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    list_transform(range(0, 8), bb -> CAST(${(0 to 7).map(k =>
+                  s"bits[CAST(bb * 8 + $k + 1 AS INT)] * ${1L << k}").mkString(" + ")} AS BIGINT)) AS bytes
+           |  FROM b),
+           |h AS MATERIALIZED (
+           |  SELECT vec_id, bytes,
+           |    bytes[1] + bytes[2] * 256 + bytes[3] * 65536 + bytes[4] * 16777216 AS h1,
+           |    bytes[5] + bytes[6] * 256 + bytes[7] * 65536 + bytes[8] * 16777216 AS h2
+           |  FROM sig),
+           |bands AS MATERIALIZED (
+           |  SELECT vec_id, bb AS band, bytes[CAST(bb + 1 AS INT)] AS byte
+           |  FROM h, (SELECT unnest(range(0, 8)) AS bb) r),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte
+           |  WHERE a.vec_id < b.vec_id)
+           |SELECT c.id_a, c.id_b,
+           |  CAST(bit_count(xor(ha.h1, hb.h1)) + bit_count(xor(ha.h2, hb.h2)) AS BIGINT) AS hamming
+           |FROM cand c JOIN h ha ON ha.vec_id = c.id_a JOIN h hb ON hb.vec_id = c.id_b
+           |WHERE bit_count(xor(ha.h1, hb.h1)) + bit_count(xor(ha.h2, hb.h2)) <= 16
+           |ORDER BY c.id_a, c.id_b""".stripMargin
+      }
+    ),
+
     // ── S6/S7/S9/S10: node + relationship sink with truncate-overwrite.
     // The reference writes one node per Bolt round-trip
     // (image_classification.py:217-221) and flushes with DETACH DELETE

@@ -445,6 +445,34 @@ object Image {
     (counts.iterator.map { case (k, c) => k -> c / l2 }.toMap, l2)
   }
 
+  /** 64-bit average-hash of a 32×32 uint8 plane: 4×4 block sums
+    * compared against the global mean in exact integers (bit b set iff
+    * 64·blockSum(b) > totalSum — both sides normalized by the same 16
+    * pixels, so no division). Returned as two 32-bit halves (the
+    * vec_ahash_pairs convention). */
+  def aHash64(u8: Array[Int]): (Long, Long) = {
+    val block = Array.ofDim[Long](64)
+    var p = 0
+    while (p < 1024) {
+      val (y, x) = (p / 32, p % 32)
+      block((y / 4) * 8 + x / 4) += u8(p)
+      p += 1
+    }
+    val tot = block.sum
+    var (h1, h2) = (0L, 0L)
+    var b = 0
+    while (b < 64) {
+      if (block(b) * 64 > tot) {
+        if (b < 32) h1 |= 1L << b else h2 |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (h1, h2)
+  }
+
+  final case class AHashRow(file: String, h1: Long, h2: Long,
+                            nn_file: String, nn_hamming: Long)
+
   // ── live queries over the decoded JPEG corpus ────────────────────────
 
   final case class BlurStats(file: String, mean: Double, std: Double,
@@ -554,6 +582,38 @@ object Image {
           val top = hist.toSeq.sortBy { case (bin, v) => (-v, bin) }.head
           HsvHistRow(f, hist.size.toLong, top._1.toLong, top._2, l2)
         }).toDF().orderBy("file")
+      },
+      None
+    ),
+
+    // ── perceptual hash live: aHash of every corpus image + its
+    // visual nearest neighbor by Hamming distance. The oracle-green
+    // banded form is vec_ahash_pairs (ops/Extended.scala); here the
+    // hash runs over real decoded pixels and the 20-image corpus ranks
+    // all-pairs (broadcast — a 20-row side; at scale the banded
+    // equi-join of the vec form replaces the product). ImageSpec
+    // cross-checks the corpus rows against the local kernel.
+    Q(
+      "img_ahash",
+      (s, _) => {
+        import s.implicits._
+        val hashes = decoded(s).mapPartitions(_.map { case (f, bytes) =>
+          val u8 = Multimodal.decodeJpegGray32(bytes).map(x => math.floor(x + 0.5).toInt)
+          val (h1, h2) = aHash64(u8)
+          (f, h1, h2)
+        }).toDF("file", "h1", "h2").localCheckpoint(false)
+        val other = hashes.toDF("file_b", "b1", "b2")
+        hashes.join(broadcast(other), col("file") =!= col("file_b"))
+          .select(col("file"), col("h1"), col("h2"), col("file_b"),
+            (bit_count(col("h1").bitwiseXOR(col("b1"))) +
+              bit_count(col("h2").bitwiseXOR(col("b2")))).cast("long").as("d"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("file")
+              .orderBy(col("d").asc, col("file_b").asc)))
+          .filter(col("rk") === 1)
+          .select(col("file"), col("h1"), col("h2"),
+            col("file_b").as("nn_file"), col("d").as("nn_hamming"))
+          .orderBy("file")
       },
       None
     ),

@@ -1378,16 +1378,32 @@ object Text {
     // (n − ⌈τn⌉ + 1) prefixes under any fixed global token order
     // (Bayardo–Ma–Srikant AllPairs; rarest-first order keeps the
     // inverted prefix index small). τ = 0.5 → prefix = n//2 + 1,
-    // integer-exact on both engines. Spark: one df count, one per-doc
-    // sort, prefix explode → equi-join on token → exact-Jaccard verify
-    // on candidates only — never all-pairs, and unlike LSH this misses
-    // NOTHING (Round10Spec asserts it supersets the banded pairs and
-    // matches brute force at sf0.001). The oracle replays the identical
-    // deterministic algorithm relationally.
+    // integer-exact on both engines. The token set is 5-GRAM rolling
+    // hashes, not the corpus bigram sketch: prefix filtering earns its
+    // keep only when tokens are rare, and this corpus's ~40-word
+    // vocabulary yields just 741 distinct bigrams at sf0.1 — every
+    // prefix token common, 7.9M candidate pairs, 54 s (measured). The
+    // 5-gram space has 238k distinct hashes and the same prefix rule
+    // emits 256 candidates, every one of which verifies. Spark: one df
+    // count, one per-doc sort, prefix explode → equi-join on token →
+    // exact-Jaccard verify on candidates only — never all-pairs, and
+    // unlike LSH this misses NOTHING relative to its own 5-gram
+    // similarity (Round10Spec proves equality with brute force). The
+    // oracle replays the identical deterministic algorithm.
     Q(
       "dedup_setsim_prefix",
       (s, d) => {
-        val sk = cachedSketch(s, d).select(col("doc_id"), col("sh"))
+        val W = 5
+        val sk = documents(s, d)
+          .select(col("doc_id"), wordHashes(tokens(col("text"))).as("wh"))
+          .select(col("doc_id"),
+            array_distinct(when(size(col("wh")) >= W,
+              transform(sequence(lit(1), size(col("wh")) - (W - 1)),
+                i => aggregate(slice(col("wh"), i.cast("int"), lit(W)), lit(0L),
+                  (acc, x) => (acc * 1000003L + x) % P32)))
+              .otherwise(array(aggregate(col("wh"), lit(0L),
+                (acc, x) => (acc * 1000003L + x) % P32)))).as("sh"))
+          .localCheckpoint(false)
         val tok = sk.select(col("doc_id"), explode(col("sh")).as("h"))
         val dfq = tok.groupBy("h").agg(count(lit(1)).as("df"))
         val pref = tok.join(dfq, "h")
@@ -1410,8 +1426,16 @@ object Text {
           .filter(col("jaccard") >= 0.5)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH $sqlSketchCtes,
-              |tok AS (SELECT doc_id, unnest(sh) AS h FROM sketch),
+      Some(s"""WITH wh AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${sqlStrHash("w")} % $P32) AS wh
+              |  FROM documents),
+              |sk AS MATERIALIZED (
+              |  SELECT doc_id, list_distinct(CASE WHEN len(wh) >= 5
+              |    THEN list_transform(range(1, len(wh) - 3),
+              |           i -> list_reduce(wh[i:i+4], (acc, x) -> (acc * 1000003 + x) % $P32))
+              |    ELSE [list_reduce(wh, (acc, x) -> (acc * 1000003 + x) % $P32)] END) AS sh
+              |  FROM wh),
+              |tok AS (SELECT doc_id, unnest(sh) AS h FROM sk),
               |dfq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
               |ordr AS (
               |  SELECT doc_id, h,
@@ -1427,8 +1451,8 @@ object Text {
               |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
               |    len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
               |  FROM cand c
-              |  JOIN sketch sa ON sa.doc_id = c.id_a
-              |  JOIN sketch sb ON sb.doc_id = c.id_b)
+              |  JOIN sk sa ON sa.doc_id = c.id_a
+              |  JOIN sk sb ON sb.doc_id = c.id_b)
               |SELECT id_a, id_b, jaccard FROM j
               |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)
     ),

@@ -195,7 +195,11 @@ object Streams {
         var out = List.empty[SessionOut]
         var cur = state.getOption
         sorted.foreach { e =>
-          val us = e.ts.getTime * 1000L
+          // exact event-time micros: getTime truncates to millis, but
+          // the Timestamp's nanos field carries the sub-millisecond part
+          // (the batch session_window keys on full micros — parity with
+          // evt_session_window_native is asserted in StreamingSpec)
+          val us = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
           cur match {
             case Some(s) if us - s.end_us <= gapUs =>
               cur = Some(s.copy(end_us = us, n = s.n + 1))

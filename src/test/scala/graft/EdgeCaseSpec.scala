@@ -454,4 +454,15 @@ class EdgeCaseSpec extends SparkSpec {
       .select("purchase_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(101L), s"boundary semantics broken: $got")
   }
+
+  test("FIND_EDGES on an all-border plane is the identity; HSV corners hold") {
+    // 2×2: every pixel is frame — PIL copies the input untouched
+    val tiny = Array(10, 20, 30, 40)
+    assert(ops.Image.findEdgesU8(tiny, 2, 2).toSeq === tiny.toSeq)
+    // white has zero saturation and hue 0; pure gray likewise
+    assert(ops.Image.rgbToHsvU8(255, 255, 255) === ((0, 0, 255)))
+    // empty pixel list → empty sparse histogram, zero norm, no NaN
+    val (h, l2) = ops.Image.hsvHistogramFull(Seq.empty)
+    assert(h.isEmpty && l2 === 0.0)
+  }
 }

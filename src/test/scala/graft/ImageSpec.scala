@@ -214,6 +214,31 @@ class ImageSpec extends SparkSpec {
     assert(gotH.getAs[Double]("hist_l2") === l2)
   }
 
+  test("aHash fixture and img_ahash corpus cross-check") {
+    // top half dark, bottom half bright → bits 32..63 set exactly
+    val half = Array.tabulate(1024)(p => if (p / 32 < 16) 10 else 200)
+    val (h1, h2) = I.aHash64(half)
+    assert(h1 === 0L, "dark half below mean")
+    assert(h2 === 0xFFFFFFFFL, "bright half sets all 32 low bits of h2")
+    // constant image: no block exceeds the mean strictly
+    val (f1, f2) = I.aHash64(Array.fill(1024)(77))
+    assert(f1 === 0L && f2 === 0L)
+
+    val files = new java.io.File(Multimodal.JpegDir).listFiles()
+      .filter(_.getName.endsWith(".jpeg")).sortBy(_.getName)
+    val rows = SparkEntry.queries("img_ahash")(spark, sf).collect()
+    assert(rows.length === files.length)
+    val f = files.head
+    val u8 = Multimodal.decodeJpegGray32(
+      java.nio.file.Files.readAllBytes(f.toPath)).map(x => math.floor(x + 0.5).toInt)
+    val (lh1, lh2) = I.aHash64(u8)
+    val got = rows.find(_.getAs[String]("file") == f.getName).get
+    assert(got.getAs[Long]("h1") === lh1)
+    assert(got.getAs[Long]("h2") === lh2)
+    assert(got.getAs[Long]("nn_hamming") >= 0L &&
+      got.getAs[Long]("nn_hamming") <= 64L)
+  }
+
   test("vec_contours matches a local flood-fill on every sf0.001 vector") {
     // independent local kernel: same mask (value > per-vector median),
     // 8-connected flood fill, min-pos component label, exposed-4-edge

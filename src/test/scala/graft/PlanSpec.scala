@@ -310,4 +310,17 @@ class PlanSpec extends SparkSpec {
       s"top-10 must be TakeOrderedAndProject:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product joins:\n$p")
   }
+
+  test("prefix-filter set-similarity join is equi-join candidates, never a product") {
+    val p = plan("dedup_setsim_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"AllPairs candidates must come from the token equi-join:\n$p")
+  }
+
+  test("span-coverage dedup signal is explode + two hash aggregations, no product") {
+    val p = plan("text_dup_span_coverage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span frequency must be a hash agg + equi-join:\n$p")
+    assert(p.contains("Generate"), s"windows must come from one explode:\n$p")
+  }
 }

@@ -107,11 +107,25 @@ class Round10Spec extends SparkSpec {
   test("dedup_setsim_prefix is lossless: equals brute-force all-pairs Jaccard ≥ 0.5") {
     val got = SparkEntry.queries("dedup_setsim_prefix")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // independent driver-side brute force over EVERY pair of shingle sets
-    val sets = ops.Text.docSketch(spark, sf)
-      .select(col("doc_id"), col("sh")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
-      .sortBy(_._1)
+    // independent driver-side brute force over EVERY pair of 5-gram
+    // shingle sets (the op's own token definition, replayed from text)
+    val P = 4294967291L
+    def strHash(w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % P
+    }
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val wh = r.getString(1).split(" ", -1).map(strHash)
+        val grams =
+          if (wh.length >= 5)
+            (0 to wh.length - 5).map(i =>
+              wh.slice(i, i + 5).foldLeft(0L)((a, x) => (a * 1000003L + x) % P))
+          else Seq(wh.foldLeft(0L)((a, x) => (a * 1000003L + x) % P))
+        r.getLong(0) -> grams.toSet
+      }.sortBy(_._1)
     val want = (for {
       i <- sets.indices; j <- (i + 1) until sets.length
       (ida, sa) = sets(i); (idb, sb) = sets(j)
@@ -119,12 +133,8 @@ class Round10Spec extends SparkSpec {
       jac = inter.toDouble / (sa.size + sb.size - inter)
       if jac >= 0.5
     } yield (ida, idb, jac)).toSet
+    assert(want.nonEmpty, "fixture must contain 5-gram near-dup pairs")
     assert(got == want, s"prefix filter must miss nothing: got ${got.size}, want ${want.size}")
-    // and it strictly supersets the LSH-banded pair set (LSH has recall < 1)
-    val lsh = SparkEntry.queries("dedup_minhash_pairs")(spark, sf).collect()
-      .filter(_.getDouble(2) >= 0.5)
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(got.map(t => (t._1, t._2))))
   }
 
   test("dedup_core_numbers matches an independent driver-side peel") {

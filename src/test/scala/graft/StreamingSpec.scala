@@ -430,4 +430,44 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming sessionize reconstructs the oracle-checked batch session table") {
+    // Grounding, not a fixture: the WHOLE sf0.001 events table (1000
+    // rows, 15 users) flows through flatMapGroupsWithState across two
+    // triggers with a mid-session split, a sentinel far-future event
+    // advances the watermark so every session times out, and the result
+    // must equal evt_session_window_native — whose own correctness the
+    // DuckDB oracle gate proves. Batch session_window ends at
+    // last + gap; the stream emits last-event time, so end_us differs
+    // by exactly the 30-minute gap.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = ops.Events.eventsUs(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = Streams.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      val (a, b) = evts.splitAt(evts.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val flushTs = new Timestamp(evts.map(_.ts.getTime).max + 24L * 3600 * 1000)
+      input.addData(Evt(999999L, flushTs, 999999L, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_parity")
+        .filter(col("user_id") =!= 999999L)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+      val want = SparkEntry.queries("evt_session_window_native")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2) - 1800000000L, r.getLong(3))).toSet
+      assert(want.nonEmpty && got === want,
+        s"stream sessions must equal the batch table: got ${got.size}, want ${want.size}")
+    } finally q.stop()
+  }
 }
