@@ -1551,6 +1551,47 @@ object PropertyGraph {
              |  CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common) AS jaccard
              |FROM c JOIN deg da ON da.sid = c.sa JOIN deg db ON db.sid = c.sb
              |ORDER BY jaccard DESC, sa ASC, sb ASC LIMIT 30""".stripMargin)
+    ),
+
+    // ── degree-weighted link predictors: resource allocation + Adamic–Adar
+    // The two standard refinements of raw common-neighbor counting
+    // (Zhou/Lü/Zhang 2009; Adamic & Adar 2003): each shared part w
+    // contributes 1/deg(w) (RA) or 1/ln(deg(w)) (AA), so promiscuous
+    // hub parts count for less. Both sums are made order-free the
+    // repo's fixed-point way: RA terms are exact BIGINT `1e12 div deg`,
+    // AA terms are `floor(1e7 / ln(deg))` — a swept constant (no
+    // integer d ≤ 100,000 puts 1e7/ln(d) within 1e-6 of a floor
+    // boundary, and cross-engine ln differs by ulps ≈ 1e-9 at this
+    // magnitude, so Spark and DuckDB floor identically; Round10Spec
+    // re-sweeps the observed degree domain). deg(w) ≥ 2 for any common
+    // neighbor, so ln never sees 1. Same no-product wedge equi-join as
+    // the Jaccard/common-neighbor family — pair volume is Σ deg(w)²
+    // over parts, the quantity LSH banding bounds at corpus scale.
+    Q(
+      "graph_link_scores",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
+        val dp = es.groupBy("dst").agg(count(lit(1)).as("pdeg"))
+        val wedges = es.toDF("sa", "dst").join(es.toDF("sb", "dst"), "dst")
+          .filter(col("sa") < col("sb"))
+          .join(dp, "dst")
+        wedges.groupBy("sa", "sb")
+          .agg(count(lit(1)).as("common"),
+            sum(expr("1000000000000L div pdeg")).as("ra_scaled"),
+            sum(floor(lit(1.0e7) / log(col("pdeg").cast("double")))
+              .cast("long")).as("aa_scaled"))
+          .orderBy(col("ra_scaled").desc, col("sa").asc, col("sb").asc)
+          .limit(30)
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+             |dp AS (SELECT dst, count(*) AS pdeg FROM e GROUP BY dst)
+             |SELECT a.src AS sa, b.src AS sb, count(*) AS common,
+             |  CAST(sum(1000000000000 // pdeg) AS BIGINT) AS ra_scaled,
+             |  CAST(sum(CAST(floor(10000000.0 / ln(CAST(pdeg AS DOUBLE))) AS BIGINT)) AS BIGINT) AS aa_scaled
+             |FROM e a JOIN e b ON a.dst = b.dst JOIN dp ON dp.dst = a.dst
+             |WHERE a.src < b.src
+             |GROUP BY a.src, b.src
+             |ORDER BY ra_scaled DESC, sa ASC, sb ASC LIMIT 30""".stripMargin)
     )
   )
 }

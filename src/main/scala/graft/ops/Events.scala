@@ -714,6 +714,73 @@ object Events {
               |FROM led
               |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
               |ORDER BY user_id, start_event_id""".stripMargin)
+    ),
+
+    // ── marketing attribution: first-touch vs last-touch revenue ───────
+    // For every purchase, credit its value to a "channel": the FIRST
+    // non-purchase event the user ever produced before it (first-touch)
+    // and the LAST one before it (last-touch); purchases with no prior
+    // touch credit "(direct)". The window frame
+    // [unbounded preceding, 1 preceding] with IGNORE-NULLS first/last is
+    // the exact as-of semantics both engines share; (ts, event_id) is a
+    // unique order key so the credited channel is total-ordered
+    // deterministic. Each purchase then fans out to its two credit rows
+    // (first/last) and one conditional aggregation produces both reports
+    // in a single pass — revenue through the floor-quantized exactSum,
+    // so the per-channel totals are order-free BIGINT sums. SCALE: one
+    // shuffle on user_id for the window, one partial-agg shuffle on the
+    // ~5-row channel key; per-user history on one executor is the same
+    // contract as sessionize/funnel, with AQE absorbing celebrity skew.
+    Q(
+      "evt_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        eventsUs(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+          .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("value"),
+            explode(array(
+              struct(lit("first").as("kind"),
+                coalesce(col("ft"), lit("(direct)")).as("channel")),
+              struct(lit("last").as("kind"),
+                coalesce(col("lt"), lit("(direct)")).as("channel")))).as("c"))
+          .groupBy(col("c.channel").as("channel"))
+          .agg(
+            sum(when(col("c.kind") === "first", 1L).otherwise(0L)).as("ft_purchases"),
+            exactSum(when(col("c.kind") === "first", col("value"))).as("ft_revenue"),
+            sum(when(col("c.kind") === "last", 1L).otherwise(0L)).as("lt_purchases"),
+            exactSum(when(col("c.kind") === "last", col("value"))).as("lt_revenue"))
+          .orderBy("channel")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, $sqlTs AS ts, event_id, event_type, value FROM events),
+              |touched AS (
+              |  SELECT event_type, value,
+              |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+              |      OVER w AS ft,
+              |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+              |      OVER w AS lt
+              |  FROM ev
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              |credits AS (
+              |  SELECT 'first' AS kind, coalesce(ft, '(direct)') AS channel, value
+              |  FROM touched WHERE event_type = 'purchase'
+              |  UNION ALL
+              |  SELECT 'last' AS kind, coalesce(lt, '(direct)') AS channel, value
+              |  FROM touched WHERE event_type = 'purchase')
+              |SELECT channel,
+              |  CAST(sum(CASE WHEN kind = 'first' THEN 1 ELSE 0 END) AS BIGINT) AS ft_purchases,
+              |  ${sqlExactSum("CASE WHEN kind = 'first' THEN value END")} AS ft_revenue,
+              |  CAST(sum(CASE WHEN kind = 'last' THEN 1 ELSE 0 END) AS BIGINT) AS lt_purchases,
+              |  ${sqlExactSum("CASE WHEN kind = 'last' THEN value END")} AS lt_revenue
+              |FROM credits GROUP BY channel ORDER BY channel""".stripMargin)
     )
   )
 }

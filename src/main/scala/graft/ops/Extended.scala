@@ -987,6 +987,86 @@ object Extended {
              |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // ── quantile sketch with a RANK-ERROR certificate ──────────────────
+    // agg_approx bounds the approximate median by 5% of the VALUE — a
+    // loose cross-check. percentile_approx's actual contract is a RANK
+    // guarantee: with accuracy a, the returned datum's rank is within
+    // n/a of ⌈q·n⌉. This query verifies that contract directly, per
+    // return flag and per quantile {0.5, 0.99}: the exact order
+    // statistics at ranks k ± margin (margin = max(⌈2n/a⌉, 2)) bracket
+    // the sketch output, and the bracket VALUES — data points, not
+    // float sums — hash-match cell-for-cell while the oracle pins the
+    // in-bracket booleans TRUE. Rank lookups are the rel_percentile_cont
+    // join shape (no collect_list; the per-group window holds because
+    // groups are the partition key — a single GLOBAL quantile at scale
+    // swaps the window for text_weighted_sample's two-level bucket
+    // prefix scan). At 100 TB the sketch is the one-pass
+    // partial-mergeable operator you actually run; the exact bracket is
+    // the audit you run once per release.
+    Q(
+      "agg_quantile_sketch",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_returnflag").as("rf"),
+            col("l_extendedprice").cast("double").as("x"))
+        val ranked = li.withColumn("rn",
+          row_number().over(Window.partitionBy("rf").orderBy(col("x").asc)))
+          .localCheckpoint(false) // four rank lookups read one materialization
+        val stats = li.groupBy("rf").agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("x"), array(lit(0.5), lit(0.99)), lit(10000))
+            .as("ap"))
+          .withColumn("margin",
+            greatest(ceil(col("n") * 2 / 10000).cast("long"), lit(2L)))
+        def bracket(q: Double, i: Int, name: String) = {
+          val k = (floor(lit(q) * (col("n") - 1)) + 1).cast("long")
+          val kg = stats.select(col("rf"),
+            greatest(k - col("margin"), lit(1L)).as("klo"),
+            least(k + col("margin"), col("n")).as("khi"),
+            col("ap").getItem(i).as("apx"))
+          kg.join(ranked.select(col("rf").as("rl"), col("rn").as("rnl"),
+                col("x").as(s"${name}_lo")),
+              col("rl") === col("rf") && col("rnl") === col("klo"))
+            .join(ranked.select(col("rf").as("rh"), col("rn").as("rnh"),
+                col("x").as(s"${name}_hi")),
+              col("rh") === col("rf") && col("rnh") === col("khi"))
+            .select(col("rf"), col(s"${name}_lo"), col(s"${name}_hi"),
+              (col("apx") >= col(s"${name}_lo") &&
+                col("apx") <= col(s"${name}_hi")).as(s"${name}_in_bracket"))
+        }
+        bracket(0.5, 0, "p50").join(bracket(0.99, 1, "p99"), "rf")
+          .select(col("rf").as("l_returnflag"),
+            col("p50_lo"), col("p50_hi"), col("p50_in_bracket"),
+            col("p99_lo"), col("p99_hi"), col("p99_in_bracket"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        def bracketSql(q0: String, name: String) =
+          s"""${name}kg AS (
+             |  SELECT rf,
+             |    greatest(CAST(floor(CAST($q0 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 - margin, 1) AS klo,
+             |    least(CAST(floor(CAST($q0 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 + margin, n) AS khi
+             |  FROM stats),
+             |$name AS (
+             |  SELECT kg.rf, lo.x AS ${name}_lo, hi.x AS ${name}_hi
+             |  FROM ${name}kg kg
+             |  JOIN ranked lo ON lo.rf = kg.rf AND lo.rn = kg.klo
+             |  JOIN ranked hi ON hi.rf = kg.rf AND hi.rn = kg.khi)""".stripMargin
+        s"""WITH li AS (SELECT l_returnflag AS rf, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+           |ranked AS (SELECT rf, x, row_number() OVER (PARTITION BY rf ORDER BY x) AS rn FROM li),
+           |stats AS (SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           |            greatest(CAST(ceil(count(*) * 2 / 10000) AS BIGINT), 2) AS margin
+           |          FROM li GROUP BY rf),
+           |${bracketSql("0.5", "p50")},
+           |${bracketSql("0.99", "p99")}
+           |SELECT p50.rf AS l_returnflag,
+           |  p50.p50_lo, p50.p50_hi, TRUE AS p50_in_bracket,
+           |  p99.p99_lo, p99.p99_hi, TRUE AS p99_in_bracket
+           |FROM p50 JOIN p99 ON p99.rf = p50.rf
+           |ORDER BY l_returnflag""".stripMargin
+      }
+    ),
+
     // ── approximate aggregates (§2.6 gap): HLL distinct + approximate
     // quantiles. Raw sketch values are implementation-specific (Spark
     // HLL++ ≠ DuckDB HLL) so they can't hash-match — instead the ERROR

@@ -99,6 +99,13 @@ object Vector {
       s"(CASE WHEN $proj > 0 THEN ${1 << bit} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Similarity radius for `ann_range_search` — sized to return a
+    * moderate neighbor set on this corpus (tens of rows at sf0.01); a
+    * deployment sets it from its own similarity distribution.
+    * VectorSpec asserts no corpus cosine lands exactly on τ, so the
+    * cut is knife-edge-free on both engines. */
+  private[graft] val RangeTau = 0.2
+
   /** Single-table 8-bit bucket (the ann_lsh_buckets histogram surface). */
   private[graft] def lshBucket(v: Column): Column = lshBucketOf(v, 1 to 8)
   private[graft] def sqlLshBucket(vexpr: String): String = sqlLshBucketOf(vexpr, 1 to 8)
@@ -618,6 +625,41 @@ object Vector {
            |  ${sqlCosine(sqlVec("embedding"), sqlVec("qe"))} AS sim
            |FROM cand
            |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
+    // ── range search: every neighbor within a similarity radius ────────
+    // The other half of the ANN API surface: top-k answers "best k",
+    // range search answers "everything closer than τ" (the radius query
+    // FAISS calls range_search) — the primitive behind near-dup KEEP
+    // DECISIONS (SemDeDup keeps/drops by a τ cut, not a k cut). Same
+    // single-scan shape as ann_bruteforce_topk: 1-row query broadcast,
+    // corpus scanned once, the τ predicate evaluated inside the scan's
+    // WholeStageCodegen — the result set (not the corpus) is what
+    // shuffles into the final order. Cosines are the bit-identical
+    // shared fold, so the τ comparison cuts identically in both
+    // engines (no knife edge unless a corpus vector lands EXACTLY on
+    // τ, which VectorSpec's margin assertion rules out). At 100 TB the
+    // same query runs against the IVF layout: probe the cells whose
+    // centroid distance can beat τ, scan only those.
+    Q(
+      "ann_range_search",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), cosine(vec(col("embedding")), col("qv")).as("sim"))
+          .filter(col("sim") >= RangeTau)
+          .orderBy(col("sim").desc, col("vec_id").asc)
+      },
+      Some {
+        val c = sqlCosine(sqlVec("e.embedding"), "q.qv")
+        s"""WITH q AS (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, $c AS sim
+           |FROM embeddings e, q WHERE e.vec_id <> 0 AND $c >= $RangeTau
+           |ORDER BY sim DESC, e.vec_id ASC""".stripMargin
       }
     ),
 

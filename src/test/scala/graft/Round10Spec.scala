@@ -231,4 +231,88 @@ class Round10Spec extends SparkSpec {
     assert(cosAngle > 0.99,
       f"fixed-point PC must align with the float eigensolve (cos = $cosAngle%.4f)")
   }
+
+  test("graph_link_scores matches a driver-side wedge replay; AA fixed point is knife-edge-free") {
+    val got = SparkEntry.queries("graph_link_scores")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent replay from raw lineitem
+    val e = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = e.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    val acc = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long)]()
+    for ((_, sups) <- byPart; i <- sups.indices; j <- (i + 1) until sups.length) {
+      val dp = sups.length.toLong
+      val aa = math.floor(1.0e7 / math.log(dp.toDouble)).toLong
+      val k = (sups(i), sups(j))
+      val (c0, r0, a0) = acc.getOrElse(k, (0L, 0L, 0L))
+      acc(k) = (c0 + 1, r0 + 1000000000000L / dp, a0 + aa)
+    }
+    // every emitted top-30 row must match the replay exactly
+    got.foreach { case (k, v) =>
+      assert(acc(k) == v, s"pair $k: got $v, replay ${acc(k)}")
+    }
+    // and the emitted rows must BE the replay's top-30 under the same order
+    val want = acc.toSeq.sortBy { case ((a, b), (_, ra, _)) => (-ra, a, b) }.take(30).toMap
+    assert(got.keySet == want.keySet)
+    // knife-edge sweep: no observed part degree puts 1e7/ln(d) near a
+    // floor boundary (the cross-engine ulp budget is ~1e-9 here)
+    byPart.values.map(_.length).toSet.filter(_ >= 2).foreach { dInt =>
+      val v = 1.0e7 / math.log(dInt.toDouble)
+      val frac = v - math.floor(v)
+      assert(frac > 1e-6 && frac < 1 - 1e-6,
+        s"degree $dInt puts the AA term within 1e-6 of a floor boundary")
+    }
+  }
+
+  test("ann_range_search returns exactly the τ-ball and no corpus cosine sits on τ") {
+    val rows = SparkEntry.queries("ann_range_search")(spark, sf).collect()
+    val sims = rows.map(_.getDouble(1))
+    assert(rows.nonEmpty && sims.forall(_ >= 0.2))
+    // margin: no corpus similarity (in or out of the ball) within 1e-9
+    // of τ, so the >= cut cannot flip on a cross-engine ulp
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = e(0L)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = e.collect { case (id, v) if id != 0L => id -> cos(v, q) }
+    all.values.foreach(sim => assert(math.abs(sim - 0.2) > 1e-9,
+      "a corpus cosine sits on the τ knife edge"))
+    assert(rows.map(_.getLong(0)).toSet == all.collect {
+      case (id, sim) if sim >= 0.2 => id
+    }.toSet, "range result is not exactly the τ-ball")
+  }
+
+  test("evt_attribution credits every purchase twice and totals tie out") {
+    val rows = SparkEntry.queries("evt_attribution")(spark, sf).collect()
+    val purchases = ops.Events.eventsUs(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val nPurch = purchases.count()
+    val exactTotal = purchases
+      .agg(sum(floor(col("value") * 1e6).cast("long"))).head().getLong(0) / 1e6
+    assert(rows.map(_.getLong(1)).sum == nPurch, "first-touch credits ≠ purchases")
+    assert(rows.map(_.getLong(3)).sum == nPurch, "last-touch credits ≠ purchases")
+    // revenue is conserved across channels in both attributions (exact
+    // micro-unit arithmetic → exact equality after one shared division)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - exactTotal) < 1e-6)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - exactTotal) < 1e-6)
+  }
+
+  test("agg_quantile_sketch brackets hold and are genuinely narrow") {
+    val rows = SparkEntry.queries("agg_quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(6),
+        s"sketch fell outside its rank-error bracket: $r")
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(4) <= r.getDouble(5))
+      // p99 bracket sits at or above the p50 bracket
+      assert(r.getDouble(4) >= r.getDouble(1))
+    }
+  }
 }
