@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MLlib classification over the embedding features — the supervised
@@ -105,6 +106,103 @@ object Classify {
              |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
              |FROM m ORDER BY rf""".stripMargin)
+    ),
+
+    // ── multinomial naive Bayes: train + score, hash-exact ─────────────
+    // The classic text classifier (language ID here: predict
+    // documents.lang from tokens), expressed so the WHOLE pipeline —
+    // train counts, Laplace smoothing, log-space scoring, argmin — is
+    // driver-hashable, which float log-likelihoods never are. Per-term
+    // weights −ln((c(w,c)+1)/(tokens_c+V)) and per-class priors
+    // −ln(docs_c/docs) are floor-quantized to the 2^-20 dyadic grid
+    // (the surprisal convention: ClassifySpec sweeps every observed
+    // ratio's distance to a floor boundary, so cross-engine ln ulps
+    // cannot flip a cell), making each document's NLL an order-free
+    // exact sum; the argmin ties to the smallest class name. Train/test
+    // split is the deterministic id-hash 80/20 every eval here uses.
+    // SCALE: counts are two partial-agg shuffles; scoring is one
+    // equi-join of test tf rows against the (term × 5 classes) weight
+    // table — the weight side shuffles once at vocab size, never
+    // broadcast-assumed; the 5-row class/prior tables ARE broadcast.
+    Q(
+      "ml_naive_bayes",
+      (s, d) => {
+        import graft.ops.Text.tokens
+        val docs = documents(s, d)
+        val train = docs.filter(detHash(col("doc_id")) % 5 =!= 0)
+        val test = docs.filter(detHash(col("doc_id")) % 5 === 0)
+        val trainToks = train
+          .select(col("lang"), explode(tokens(col("text"))).as("term"))
+          .localCheckpoint(false) // class counts + totals + V read one tokenization
+        val cwc = trainToks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+        val ctot = trainToks.groupBy("lang").agg(count(lit(1)).as("tot"))
+        val vsize = trainToks.agg(countDistinct(col("term")).as("v"))
+        val ndocs = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+          .crossJoin(broadcast(train.agg(count(lit(1)).as("ndall"))))
+        val grid = lit(1048576.0)
+        val prior = ndocs.select(col("lang"),
+          (floor(-log(col("nd").cast("double") / col("ndall").cast("double"))
+            * grid) / grid).as("psq"))
+        val tf = test
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            explode(tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "true_lang", "term").agg(count(lit(1)).as("tf"))
+        val scored = tf
+          .crossJoin(broadcast(ctot.crossJoin(vsize)))
+          .join(cwc, Seq("lang", "term"), "left")
+          .select(col("doc_id"), col("true_lang"), col("lang"), col("tf"),
+            (floor(-log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+              (col("tot") + col("v")).cast("double")) * grid) / grid).as("sq"))
+          .groupBy("doc_id", "true_lang", "lang")
+          .agg(sum(col("tf").cast("double") * col("sq")).as("llsum"))
+          .join(broadcast(prior), "lang")
+          .select(col("doc_id"), col("true_lang"), col("lang"),
+            (col("psq") + col("llsum")).as("nll"))
+        scored.withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("nll").asc, col("lang").asc)))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("true_lang"), col("lang").as("pred"),
+            col("nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH train AS (
+              |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 <> 0),
+              |test AS (
+              |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 = 0),
+              |ttoks AS (
+              |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM train),
+              |cwc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+              |        FROM ttoks GROUP BY 1, 2),
+              |ctot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+              |         FROM ttoks GROUP BY 1),
+              |vsize AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ttoks),
+              |prior AS (
+              |  SELECT lang, floor(-ln(CAST(count(*) AS DOUBLE) /
+              |    (SELECT CAST(count(*) AS DOUBLE) FROM train)) * 1048576) / 1048576 AS psq
+              |  FROM train GROUP BY lang),
+              |tf AS (
+              |  SELECT doc_id, true_lang, term, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, lang AS true_lang,
+              |          unnest(string_split(text, ' ')) AS term FROM test)
+              |  GROUP BY 1, 2, 3),
+              |scored AS (
+              |  SELECT tf.doc_id, tf.true_lang, ct.lang,
+              |    sum(CAST(tf.tf AS DOUBLE) *
+              |      (floor(-ln(CAST(coalesce(cwc.cnt, 0) + 1 AS DOUBLE) /
+              |        CAST(ct.tot + vsize.v AS DOUBLE)) * 1048576) / 1048576)) AS llsum
+              |  FROM tf
+              |  CROSS JOIN ctot ct CROSS JOIN vsize
+              |  LEFT JOIN cwc ON cwc.lang = ct.lang AND cwc.term = tf.term
+              |  GROUP BY 1, 2, 3),
+              |nlls AS (
+              |  SELECT s.doc_id, s.true_lang, s.lang, p.psq + s.llsum AS nll,
+              |    row_number() OVER (PARTITION BY s.doc_id
+              |                       ORDER BY p.psq + s.llsum ASC, s.lang ASC) AS rk
+              |  FROM scored s JOIN prior p ON p.lang = s.lang)
+              |SELECT doc_id, true_lang, lang AS pred, nll
+              |FROM nlls WHERE rk = 1
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 }

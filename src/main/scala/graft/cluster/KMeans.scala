@@ -541,6 +541,64 @@ object KMeans {
               |GROUP BY c.cid ORDER BY c.cid""".stripMargin)
     ),
 
+    // ── simplified silhouette: clustering-quality score per cluster ────
+    // The centroid-form silhouette (Hruschka et al.'s "simplified
+    // silhouette" — O(n·k), the form that scales; the classic pairwise
+    // silhouette is O(n²) and dies at corpus size): per point, with
+    // cosine DISTANCE d = 1 − sim, a = distance to the assigned (best)
+    // centroid, b = distance to the runner-up; s = (b − a)/max(a, b)
+    // = 1 − a/b since b ≥ a. Every per-point s is a pure expression
+    // over the bit-identical shared cosine fold (one division — IEEE-
+    // exact), then floor-quantized to the 2^-20 dyadic grid so the
+    // per-cluster SUM is order-free (the surprisal convention); the
+    // mean divides once at the end. Plan: the one broadcast
+    // crossJoin × 8-row centroid pass every kmeans query uses, one
+    // partial-agg shuffle on the 8-key cid — nothing new at 100 TB.
+    Q(
+      "kmeans_silhouette",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val scored = e
+          .select(col("vec_id"), vec(col("embedding")).as("v"))
+          .crossJoin(broadcast(initCentroids(e, 8)))
+          .select(col("vec_id"), col("cid"),
+            cosine(col("v"), col("cv")).as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id")
+              .orderBy(col("sim").desc, col("cid").asc)))
+          .filter(col("rk") <= 2)
+        val ab = scored.groupBy("vec_id").agg(
+          max(when(col("rk") === 1, col("cid"))).as("cid"),
+          max(when(col("rk") === 1, lit(1.0) - col("sim"))).as("a"),
+          max(when(col("rk") === 2, lit(1.0) - col("sim"))).as("b"))
+        ab.select(col("cid"),
+            when(col("b") > 0.0,
+              floor((lit(1.0) - col("a") / col("b")) * 1048576.0) / 1048576.0)
+              .otherwise(0.0).as("sq"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("sq")) / count(lit(1)).cast("double")).as("mean_silhouette"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH cents AS ${sqlCentroids(8)},
+              |scored AS (${sqlAssign(8)}),
+              |ab AS (
+              |  SELECT vec_id,
+              |    max(CASE WHEN rk = 1 THEN cid END) AS cid,
+              |    max(CASE WHEN rk = 1 THEN 1.0 - sim END) AS a,
+              |    max(CASE WHEN rk = 2 THEN 1.0 - sim END) AS b
+              |  FROM scored WHERE rk <= 2 GROUP BY vec_id),
+              |sil AS (
+              |  SELECT cid,
+              |    CASE WHEN b > 0.0
+              |         THEN floor((1.0 - a / b) * 1048576) / 1048576
+              |         ELSE 0.0 END AS sq
+              |  FROM ab)
+              |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+              |  sum(sq) / CAST(count(*) AS DOUBLE) AS mean_silhouette
+              |FROM sil GROUP BY cid ORDER BY cid""".stripMargin)
+    ),
+
     // Full convergent loop — not one SQL statement (SURVEY.md §7 risk
     // register), so rows-only check here; semantics are covered by the
     // ScalaTest suite incl. an MLlib KMeans cross-check.

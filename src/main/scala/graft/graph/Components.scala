@@ -418,9 +418,18 @@ object Components {
     // each backward level reads a materialization, not the BFS lineage
     val fc = tower.getOrElse(multiBfsCounts(ue, seeds, maxDepth)
       .localCheckpoint(false))
-    var levels = List(fc.filter(col("d") === maxDepth)
+    // Sweep from the DEEPEST OCCUPIED level, not the caller's loud
+    // bound: the bound is a drain guarantee (typically ~2× the real BFS
+    // depth), and every level between them is empty — yet each one used
+    // to cost two joins, a grouped fold and a checkpoint job. One 1-row
+    // agg on the materialized tower buys back those supersteps (≈ half
+    // the backward sweep on this graph). Levels past dmax contribute
+    // nothing, so the result — and the unrolled oracle's hash — is
+    // unchanged.
+    val dmax = fc.agg(max(col("d"))).head().getInt(0)
+    var levels = List(fc.filter(col("d") === dmax)
       .select(col("lm"), col("id"), col("sigma"), lit(0.0).as("delta")))
-    for (k <- maxDepth - 1 to 0 by -1) {
+    for (k <- dmax - 1 to 0 by -1) {
       val vk = fc.filter(col("d") === k)
         .select(col("lm").as("vlm"), col("id").as("vid"), col("sigma").as("sv"))
       val succ = levels.head.select(col("lm").as("slm"), col("id").as("w"),
@@ -440,9 +449,14 @@ object Components {
         .localCheckpoint(false)
     }
     // levels was built by PREPENDING from the deepest level down, so it
-    // reads [d0, d1, …, dMax]; drop the head (d0 = the seeds — Brandes
-    // accumulates δ only over v ≠ source)
-    val alld = levels.tail.reduce(_ union _)
+    // reads [d0, d1, …, dmax]; drop the head (d0 = the seeds — Brandes
+    // accumulates δ only over v ≠ source). A degenerate tower (every
+    // seed isolated: dmax = 0) has no non-source vertices and an empty
+    // betweenness result.
+    val alld =
+      if (levels.tail.isEmpty)
+        levels.head.limit(0)
+      else levels.tail.reduce(_ union _)
     val bc = seeds.map(lm =>
         coalesce(max(when(col("lm") === lm, col("delta"))), lit(0.0)))
       .reduce(_ + _)

@@ -1592,6 +1592,65 @@ object PropertyGraph {
              |WHERE a.src < b.src
              |GROUP BY a.src, b.src
              |ORDER BY ra_scaled DESC, sa ASC, sb ASC LIMIT 30""".stripMargin)
+    ),
+
+    // ── GraphSAGE-style 2-hop neighbor sampling ────────────────────────
+    // The GNN minibatch-preparation primitive (Hamilton et al. 2017):
+    // for each seed, sample k₁ = 3 first-hop neighbors, then k₂ = 2
+    // second-hop neighbors of each, giving the fixed-fanout computation
+    // tree a trainer consumes. "Sampling" is the repo's reproducible
+    // discipline — per-neighbor priority detHash(src·2000003 + dst)
+    // (2000003 > any id gap keeps the combined key collision-free;
+    // ties by dst), so the picked tree is identical on both engines and
+    // across reruns, which real pipelines want for debuggability. The
+    // hop-2 sample excludes the seed (no trivial backtrack). PLAN: two
+    // equi-joins seed-side-small against the edge list, each followed
+    // by a per-parent window over ≤ deg rows — per-seed cost is
+    // k₁·(max deg), independent of graph size; at 100 TB seeds are the
+    // minibatch and the edge table is the hash-partitioned adjacency
+    // every other kernel here reads.
+    Q(
+      "graph_neighbor_sampling",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
+        val pri = graft.Tables.detHash(col("src") * lit(2000003L) + col("dst"))
+        val h1 = es.filter(col("src") <= 4L)
+          .withColumn("r1", row_number().over(
+            Window.partitionBy("src").orderBy(pri.asc, col("dst").asc)))
+          .filter(col("r1") <= 3)
+          .select(col("src").as("seed"), col("dst").as("part"), col("r1"))
+        val back = es.select(col("dst").as("part"), col("src").as("s2"))
+        val h2 = h1.join(back, "part")
+          .filter(col("s2") =!= col("seed"))
+          .withColumn("r2", row_number().over(
+            Window.partitionBy("seed", "part").orderBy(
+              graft.Tables.detHash(col("part") * lit(2000003L) + col("s2")).asc,
+              col("s2").asc)))
+          .filter(col("r2") <= 2)
+        h2.select(col("seed"), col("r1"), col("part"), col("r2"), col("s2"))
+          .orderBy("seed", "r1", "r2")
+      },
+      Some {
+        val pri1 = graft.Tables.detHashSql("src * 2000003 + dst")
+        val pri2 = graft.Tables.detHashSql("part * 2000003 + s2")
+        s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+           |             l_partkey + $PartIdOffset AS dst FROM lineitem),
+           |h1 AS (
+           |  SELECT src AS seed, dst AS part, r1 FROM (
+           |    SELECT src, dst,
+           |      row_number() OVER (PARTITION BY src ORDER BY $pri1 ASC, dst ASC) AS r1
+           |    FROM e WHERE src <= 4)
+           |  WHERE r1 <= 3),
+           |h2 AS (
+           |  SELECT seed, r1, part, s2,
+           |    row_number() OVER (PARTITION BY seed, part ORDER BY $pri2 ASC, s2 ASC) AS r2
+           |  FROM (SELECT h1.seed, h1.r1, h1.part, e2.src AS s2
+           |        FROM h1 JOIN e e2 ON e2.dst = h1.part
+           |        WHERE e2.src <> h1.seed))
+           |SELECT seed, CAST(r1 AS INT) AS r1, part, CAST(r2 AS INT) AS r2, s2
+           |FROM h2 WHERE r2 <= 2
+           |ORDER BY seed, r1, r2""".stripMargin
+      }
     )
   )
 }

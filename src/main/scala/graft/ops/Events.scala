@@ -781,6 +781,51 @@ object Events {
               |  CAST(sum(CASE WHEN kind = 'last' THEN 1 ELSE 0 END) AS BIGINT) AS lt_purchases,
               |  ${sqlExactSum("CASE WHEN kind = 'last' THEN value END")} AS lt_revenue
               |FROM credits GROUP BY channel ORDER BY channel""".stripMargin)
+    ),
+
+    // ── windowed heavy hitters: top-3 event types per 6-hour window ────
+    // The "trending now" shape: tumbling event-time windows, per-window
+    // ranking by total value. Ranking happens on the exact micro-unit
+    // BIGINT sum (order-free under any shuffle; event_type breaks
+    // ties), so the rank — and therefore the emitted row set — is
+    // deterministic on both engines; the double emit divides once at
+    // the end. Two shuffles total: the (window, type) partial agg and
+    // the per-window rank over a HANDFUL of type rows per window —
+    // the per-key state never grows with row count, so the plan is
+    // unchanged at 100 TB (the streaming analogue is
+    // Streams.sessionize's windowed agg + an approx_top_k accumulator
+    // when the type domain explodes).
+    Q(
+      "evt_window_topk",
+      (s, d) => {
+        val agg = eventsUs(s, d)
+          .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(floor(col("value") * 1e6).cast("long")).as("sum_u"))
+        val rw = Window.partitionBy("w")
+          .orderBy(col("sum_u").desc, col("event_type").asc)
+        agg.withColumn("rk", row_number().over(rw))
+          .filter(col("rk") <= 3)
+          .select(col("w.start").as("window_start"), col("rk"),
+            col("event_type"), col("cnt"),
+            (col("sum_u") / 1e6).as("sum_value"))
+          .orderBy("window_start", "rk")
+      },
+      Some(s"""WITH agg AS (
+              |  SELECT time_bucket(INTERVAL '6 hours', $sqlTs) AS window_start,
+              |    event_type, count(*) AS cnt,
+              |    sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_u
+              |  FROM events GROUP BY 1, 2),
+              |rk AS (
+              |  SELECT window_start, event_type, cnt, sum_u,
+              |    row_number() OVER (PARTITION BY window_start
+              |                       ORDER BY sum_u DESC, event_type ASC) AS rk
+              |  FROM agg)
+              |SELECT window_start, CAST(rk AS INT) AS rk, event_type,
+              |  CAST(cnt AS BIGINT) AS cnt,
+              |  CAST(sum_u AS DOUBLE) / 1000000 AS sum_value
+              |FROM rk WHERE rk <= 3
+              |ORDER BY window_start, rk""".stripMargin)
     )
   )
 }

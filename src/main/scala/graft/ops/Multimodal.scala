@@ -421,6 +421,64 @@ object Multimodal {
              |SELECT media_id, frame, n_px, luma, delta,
              |  CASE WHEN delta > 1500 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_cut
              |FROM lg ORDER BY media_id, frame""".stripMargin)
+    ),
+
+    // ── voice-activity segments: energy gate + gaps-and-islands ────────
+    // The VAD step an audio-curation pipeline runs before transcription:
+    // a window is ACTIVE iff its mean energy clears the gate —
+    // sumsq ≥ 900·n, tested as a pure BIGINT cross-multiply (no float
+    // anywhere, so there is NO knife edge at all, unlike every
+    // ln/division fixed point in this repo); consecutive active windows
+    // merge into segments by the gaps-and-islands trick (win_id −
+    // row_number is constant within a run). Emits per segment: bounds,
+    // length, and the exact integer energy. Runs on the same
+    // [[pcmFrames]] typed seam as mm_audio_energy — the decoder slots
+    // in; the segmentation itself is two narrow windows over
+    // media-partitioned frames + one partial agg, the shape that holds
+    // per-recording at any corpus size.
+    Q(
+      "mm_audio_vad",
+      (s, d) => {
+        import s.implicits._
+        val frames = media(s, d)
+          .select(col("media_id"), col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) => pcmFrames(id, bytes, 256) })
+          .toDF()
+        val active = frames.filter(col("sumsq") >= lit(900L) * col("n_samples"))
+        val grp = active.withColumn("grp",
+          col("win_id") - row_number().over(
+            Window.partitionBy("media_id").orderBy(col("win_id").asc)))
+        grp.groupBy("media_id", "grp")
+          .agg(min("win_id").as("start_win"), max("win_id").as("end_win"),
+            count(lit(1)).as("n_wins"), sum("sumsq").as("energy"))
+          .withColumn("seg", row_number().over(
+            Window.partitionBy("media_id").orderBy(col("start_win").asc)))
+          .select(col("media_id"), col("seg"), col("start_win"),
+            col("end_win"), col("n_wins"), col("energy"))
+          .orderBy("media_id", "seg")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id AS media_id, CAST(i - 1 AS BIGINT) AS idx,
+             |    ascii(text[CAST(i AS INT)]) - 100 AS v
+             |  FROM documents, LATERAL unnest(range(1, len(text) + 1)) AS t(i)),
+             |f AS (
+             |  SELECT media_id, idx // 256 AS win_id,
+             |    CAST(count(*) AS BIGINT) AS n_samples,
+             |    CAST(sum(v * v) AS BIGINT) AS sumsq
+             |  FROM e GROUP BY media_id, win_id),
+             |act AS (
+             |  SELECT media_id, win_id, sumsq,
+             |    win_id - row_number() OVER (PARTITION BY media_id ORDER BY win_id ASC) AS grp
+             |  FROM f WHERE sumsq >= 900 * n_samples),
+             |seg AS (
+             |  SELECT media_id, min(win_id) AS start_win, max(win_id) AS end_win,
+             |    CAST(count(*) AS BIGINT) AS n_wins, CAST(sum(sumsq) AS BIGINT) AS energy
+             |  FROM act GROUP BY media_id, grp)
+             |SELECT media_id,
+             |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_win ASC) AS INT) AS seg,
+             |  start_win, end_win, n_wins, energy
+             |FROM seg ORDER BY media_id, seg""".stripMargin)
     )
   )
 }

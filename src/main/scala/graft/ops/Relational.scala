@@ -1037,6 +1037,67 @@ object Relational {
            |FROM p50 JOIN p95 ON p95.rf = p50.rf
            |ORDER BY l_returnflag""".stripMargin
       }
+    ),
+
+    // ── ANALYZE-style column statistics (the CBO primitive) ────────────
+    // What `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS` materializes
+    // for the cost-based optimizer, per column: row count, exact NDV,
+    // and a 9-point equi-DEPTH histogram (min, the 7 internal octile
+    // boundaries, max — the boundary layout selectivity estimation
+    // reads). Two columns are profiled in ONE scan: each row explodes
+    // to (col_name, x) pairs, so adding a column adds no pass over the
+    // table. Boundaries are order statistics at ranks ⌊i·(n−1)/8⌋+1 —
+    // exact integer rank arithmetic, values joined back through the
+    // rel_percentile_cont rank machinery (row_number is not a total
+    // order under ties, but the VALUE at a rank is tie-invariant) and
+    // pivoted wide with max-if. At 100 TB: one shuffle for the window
+    // (keyed by the profiled column — columns profile in parallel), one
+    // tiny rank join; the NDV swaps to the HLL sketch (agg_approx) when
+    // exactness stops paying for its distinct shuffle.
+    Q(
+      "rel_analyze_stats",
+      (s, d) => {
+        val st = lineitem(s, d).select(explode(array(
+            struct(lit("l_extendedprice").as("c"),
+              col("l_extendedprice").cast("double").as("x")),
+            struct(lit("l_quantity").as("c"),
+              col("l_quantity").cast("double").as("x")))).as("e"))
+          .select(col("e.c").as("c"), col("e.x").as("x"))
+        val ranked = st.withColumn("rn",
+          row_number().over(Window.partitionBy("c").orderBy(col("x").asc)))
+          .localCheckpoint(false) // nine rank lookups read one materialization
+        val stats = st.groupBy("c").agg(
+          count(lit(1)).as("n"), countDistinct(col("x")).as("ndv"))
+        val ks = stats.select(col("c"), col("n"), col("ndv"),
+            explode(sequence(lit(0), lit(8))).as("i"))
+          .withColumn("k", expr("(CAST(i AS BIGINT) * (n - 1)) div 8 + 1"))
+        ks.join(ranked.select(col("c").as("rc"), col("rn"), col("x")),
+            col("rc") === col("c") && col("rn") === col("k"))
+          .groupBy(col("c").as("col_name"), col("n"), col("ndv"))
+          .agg(max(when(col("i") === 0, col("x"))).as("d0"),
+            (1 to 8).map(j =>
+              max(when(col("i") === j, col("x"))).as(s"d$j")): _*)
+          .orderBy("col_name")
+      },
+      Some {
+        val pivots = (0 to 8)
+          .map(j => s"max(CASE WHEN i = $j THEN x END) AS d$j").mkString(",\n  ")
+        s"""WITH st AS (
+           |  SELECT 'l_extendedprice' AS c, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+           |  UNION ALL
+           |  SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem),
+           |ranked AS (SELECT c, x, row_number() OVER (PARTITION BY c ORDER BY x) AS rn FROM st),
+           |stats AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+           |            CAST(count(DISTINCT x) AS BIGINT) AS ndv
+           |          FROM st GROUP BY c),
+           |ks AS (SELECT c, n, ndv, i, (CAST(i AS BIGINT) * (n - 1)) // 8 + 1 AS k
+           |       FROM stats, (SELECT unnest(generate_series(0, 8)) AS i))
+           |SELECT ks.c AS col_name, ks.n, ks.ndv,
+           |  $pivots
+           |FROM ks JOIN ranked r ON r.c = ks.c AND r.rn = ks.k
+           |GROUP BY ks.c, ks.n, ks.ndv
+           |ORDER BY col_name""".stripMargin
+      }
     )
   )
 }

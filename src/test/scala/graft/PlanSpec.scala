@@ -323,4 +323,45 @@ class PlanSpec extends SparkSpec {
       s"span frequency must be a hash agg + equi-join:\n$p")
     assert(p.contains("Generate"), s"windows must come from one explode:\n$p")
   }
+
+  test("link predictors build candidates from the wedge equi-join, no product") {
+    Seq("graph_link_scores", "graph_jaccard_linkpred").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: wedge candidates must be an equi-join:\n$p")
+    }
+  }
+
+  test("range search scans the corpus once with a broadcast query, result-side sort only") {
+    val p = plan("ann_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row query side must broadcast:\n$p")
+    val scans = scansOf("ann_range_search").filter(_.toString.contains("embeddings"))
+    assert(scans.size <= 2, s"corpus must scan once (+1 for the query row):\n${scans.size}")
+  }
+
+  test("attribution plans one user window plus one small-key aggregation, no product") {
+    val p = plan("evt_attribution")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"as-of credit must be a window, not a self-join:\n$p")
+  }
+
+  test("naive Bayes broadcasts the tiny class tables; tf-weight join is an equi-join") {
+    val p = plan("ml_naive_bayes")
+    assert(p.contains("BroadcastExchange"), s"class totals/priors must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
+  test("neighbor sampling is two seed-side joins + per-parent windows, no product") {
+    val p = plan("graph_neighbor_sampling")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fanout must come from equi-joins:\n$p")
+  }
+
+  test("window top-k partial-aggregates before its two shuffles") {
+    val p = plan("evt_window_topk")
+    assert(p.contains("partial"), s"the (window,type) agg must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
 }

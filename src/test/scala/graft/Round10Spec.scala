@@ -304,6 +304,141 @@ class Round10Spec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(4)).sum - exactTotal) < 1e-6)
   }
 
+  test("rel_analyze_stats boundaries are the true order statistics") {
+    val rows = SparkEntry.queries("rel_analyze_stats")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("l_extendedprice", "l_quantity"))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice").cast("double"), col("l_quantity").cast("double"))
+      .collect()
+    val cols = Map(
+      "l_extendedprice" -> li.map(_.getDouble(0)).sorted,
+      "l_quantity" -> li.map(_.getDouble(1)).sorted)
+    rows.foreach { r =>
+      val xs = cols(r.getString(0))
+      assert(r.getLong(1) == xs.length)
+      assert(r.getLong(2) == xs.distinct.length)
+      val ds = (0 to 8).map(j => r.getDouble(3 + j))
+      val want = (0 to 8).map(i => xs((i * (xs.length - 1) / 8).toInt))
+      assert(ds == want, s"${r.getString(0)}: boundaries $ds != replay $want")
+      assert(ds.head == xs.head && ds.last == xs.last)
+      assert(ds.sliding(2).forall(p => p(0) <= p(1)), "boundaries not monotone")
+    }
+  }
+
+  test("evt_window_topk emits contiguous ranks that agree with a driver replay") {
+    val rows = SparkEntry.queries("evt_window_topk")(spark, sf).collect()
+    val byW = rows.groupBy(_.get(0).toString)
+    assert(byW.nonEmpty)
+    byW.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to g.length), "ranks not contiguous from 1")
+      assert(g.length <= 3)
+    }
+    // replay top-1 per window from raw events with the same exact sums
+    val raw = ops.Events.eventsUs(spark, sf)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("su"))
+      .collect()
+      .groupBy(_.getStruct(0).getTimestamp(0).toString)
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2)))
+        .minBy { case (t, s) => (-s, t) })
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      val k = r.getTimestamp(0).toString
+      assert(raw(k)._1 == r.getString(2),
+        s"window $k: top-1 ${r.getString(2)} != replay ${raw(k)._1}")
+    }
+  }
+
+  test("kmeans_silhouette matches a driver-side replay and stays in [0, 1]") {
+    val rows = SparkEntry.queries("kmeans_silhouette")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = cluster.KMeans.initCentroids(Tables.embeddings(spark, sf), 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val acc = scala.collection.mutable.Map[Long, (Long, Double)]()
+    e.foreach { case (_, v) =>
+      val sims = cents.map { case (cid, cv) => (cos(v, cv), cid) }
+      val best = sims.minBy { case (s, c) => (-s, c) }
+      val second = sims.filter(_ != best).minBy { case (s, c) => (-s, c) }
+      val (a, b) = (1.0 - best._1, 1.0 - second._1)
+      val sq = if (b > 0.0) math.floor((1.0 - a / b) * 1048576.0) / 1048576.0 else 0.0
+      val (n0, s0) = acc.getOrElse(best._2, (0L, 0.0))
+      acc(best._2) = (n0 + 1, s0 + sq)
+    }
+    assert(rows.keySet == acc.keySet)
+    rows.foreach { case (cid, (n, ms)) =>
+      val (wn, ws) = acc(cid)
+      assert(n == wn, s"cluster $cid size $n != replay $wn")
+      assert(ms == ws / wn, s"cluster $cid mean $ms != replay ${ws / wn}")
+      assert(ms >= 0.0 && ms <= 1.0)
+    }
+  }
+
+  test("ml_naive_bayes scores every test doc; weight ratios are knife-edge-free") {
+    val rows = SparkEntry.queries("ml_naive_bayes")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (Tables.detHash(col("doc_id")) % 5 === 0).as("isTest")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    val nTest = docs.count(_._4)
+    assert(rows.length == nTest, "one prediction row per test doc")
+    assert(rows.forall(_.getDouble(3) > 0.0), "NLL must be positive")
+    // knife-edge sweep over every observed smoothing ratio AND prior
+    val train = docs.filterNot(_._4)
+    val toks = train.flatMap(t => t._3.split(" ", -1).map(t._2 -> _))
+    val byLang = toks.groupBy(_._1)
+    val v = toks.map(_._2).distinct.length
+    def sweep(p: Double): Unit = {
+      val x = -math.log(p) * 1048576.0
+      val frac = x - math.floor(x)
+      assert(frac > 1e-6 && frac < 1 - 1e-6, s"ratio $p is knife-edged: frac $frac")
+    }
+    byLang.foreach { case (lang, ts) =>
+      val tot = ts.length
+      sweep(train.count(_._2 == lang).toDouble / train.length) // prior
+      val counts = ts.groupBy(_._2).view.mapValues(_.length).toMap
+      // every count that can appear in a weight: observed counts and 0
+      (counts.values.toSet + 0).foreach(c => sweep((c + 1).toDouble / (tot + v)))
+    }
+    // predictions must come from the class set
+    val langs = docs.map(_._2).toSet
+    assert(rows.forall(r => langs.contains(r.getString(2))))
+  }
+
+  test("mm_audio_vad segments are exactly the runs of gated windows") {
+    val rows = SparkEntry.queries("mm_audio_vad")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val media = ops.Multimodal.media(spark, sf)
+      .select(col("media_id"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val want = scala.collection.mutable.Map[(Long, Int), (Long, Long, Long, Long)]()
+    media.foreach { case (id, bytes) =>
+      val active = ops.Multimodal.pcmFrames(id, bytes, 256)
+        .filter(f => f.sumsq >= 900L * f.n_samples)
+      var seg = 0
+      var i = 0
+      val arr = active.toArray
+      while (i < arr.length) {
+        var j = i
+        while (j + 1 < arr.length && arr(j + 1).win_id == arr(j).win_id + 1) j += 1
+        seg += 1
+        want((id, seg)) = (arr(i).win_id, arr(j).win_id, (j - i + 1).toLong,
+          arr.slice(i, j + 1).map(_.sumsq).sum)
+        i = j + 1
+      }
+    }
+    assert(rows == want.toMap, "VAD segments differ from the driver replay")
+    assert(rows.nonEmpty)
+  }
+
   test("agg_quantile_sketch brackets hold and are genuinely narrow") {
     val rows = SparkEntry.queries("agg_quantile_sketch")(spark, sf).collect()
     assert(rows.nonEmpty)
