@@ -126,83 +126,230 @@ object Classify {
     // broadcast-assumed; the 5-row class/prior tables ARE broadcast.
     Q(
       "ml_naive_bayes",
-      (s, d) => {
-        import graft.ops.Text.tokens
-        val docs = documents(s, d)
-        val train = docs.filter(detHash(col("doc_id")) % 5 =!= 0)
-        val test = docs.filter(detHash(col("doc_id")) % 5 === 0)
-        val trainToks = train
-          .select(col("lang"), explode(tokens(col("text"))).as("term"))
-          .localCheckpoint(false) // class counts + totals + V read one tokenization
-        val cwc = trainToks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
-        val ctot = trainToks.groupBy("lang").agg(count(lit(1)).as("tot"))
-        val vsize = trainToks.agg(countDistinct(col("term")).as("v"))
-        val ndocs = train.groupBy("lang").agg(count(lit(1)).as("nd"))
-          .crossJoin(broadcast(train.agg(count(lit(1)).as("ndall"))))
-        val grid = lit(1048576.0)
-        val prior = ndocs.select(col("lang"),
-          (floor(-log(col("nd").cast("double") / col("ndall").cast("double"))
-            * grid) / grid).as("psq"))
-        val tf = test
-          .select(col("doc_id"), col("lang").as("true_lang"),
-            explode(tokens(col("text"))).as("term"))
-          .groupBy("doc_id", "true_lang", "term").agg(count(lit(1)).as("tf"))
-        val scored = tf
-          .crossJoin(broadcast(ctot.crossJoin(vsize)))
-          .join(cwc, Seq("lang", "term"), "left")
-          .select(col("doc_id"), col("true_lang"), col("lang"), col("tf"),
-            (floor(-log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
-              (col("tot") + col("v")).cast("double")) * grid) / grid).as("sq"))
-          .groupBy("doc_id", "true_lang", "lang")
-          .agg(sum(col("tf").cast("double") * col("sq")).as("llsum"))
-          .join(broadcast(prior), "lang")
-          .select(col("doc_id"), col("true_lang"), col("lang"),
-            (col("psq") + col("llsum")).as("nll"))
-        scored.withColumn("rk", row_number().over(
-            Window.partitionBy("doc_id")
-              .orderBy(col("nll").asc, col("lang").asc)))
-          .filter(col("rk") === 1)
-          .select(col("doc_id"), col("true_lang"), col("lang").as("pred"),
-            col("nll"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH train AS (
-              |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 <> 0),
-              |test AS (
-              |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 = 0),
-              |ttoks AS (
-              |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM train),
-              |cwc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
-              |        FROM ttoks GROUP BY 1, 2),
-              |ctot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
-              |         FROM ttoks GROUP BY 1),
-              |vsize AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ttoks),
-              |prior AS (
-              |  SELECT lang, floor(-ln(CAST(count(*) AS DOUBLE) /
-              |    (SELECT CAST(count(*) AS DOUBLE) FROM train)) * 1048576) / 1048576 AS psq
-              |  FROM train GROUP BY lang),
-              |tf AS (
-              |  SELECT doc_id, true_lang, term, CAST(count(*) AS BIGINT) AS tf
-              |  FROM (SELECT doc_id, lang AS true_lang,
-              |          unnest(string_split(text, ' ')) AS term FROM test)
-              |  GROUP BY 1, 2, 3),
-              |scored AS (
-              |  SELECT tf.doc_id, tf.true_lang, ct.lang,
-              |    sum(CAST(tf.tf AS DOUBLE) *
-              |      (floor(-ln(CAST(coalesce(cwc.cnt, 0) + 1 AS DOUBLE) /
-              |        CAST(ct.tot + vsize.v AS DOUBLE)) * 1048576) / 1048576)) AS llsum
-              |  FROM tf
-              |  CROSS JOIN ctot ct CROSS JOIN vsize
-              |  LEFT JOIN cwc ON cwc.lang = ct.lang AND cwc.term = tf.term
-              |  GROUP BY 1, 2, 3),
-              |nlls AS (
-              |  SELECT s.doc_id, s.true_lang, s.lang, p.psq + s.llsum AS nll,
-              |    row_number() OVER (PARTITION BY s.doc_id
-              |                       ORDER BY p.psq + s.llsum ASC, s.lang ASC) AS rk
-              |  FROM scored s JOIN prior p ON p.lang = s.lang)
+      (s, d) => nbPredictions(s, d).orderBy("doc_id"),
+      Some(s"""WITH $nbSqlCtes
               |SELECT doc_id, true_lang, lang AS pred, nll
               |FROM nlls WHERE rk = 1
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ── confusion matrix + per-class precision/recall/F1 ───────────────
+    // The eval report every trained classifier ships with, computed over
+    // [[nbPredictions]] so — unlike ml_classify_eval's float-order MLlib
+    // twin — every cell is driver-hashable: tp/fp/fn are exact BIGINT
+    // counts and each metric is ONE division of exact integers
+    // (f1 = 2·tp/(2·tp+fp+fn) — the harmonic mean refactored to a single
+    // quotient, so both engines evaluate the identical IEEE operation).
+    // Classes with an empty prediction column get precision 0 by the
+    // same CASE on both sides. SCALE: predictions reduce to a ≤k² cell
+    // matrix in one partial-agg shuffle; the per-class pivot is
+    // arithmetic on k rows.
+    Q(
+      "ml_confusion_prf",
+      (s, d) => {
+        val cm = nbPredictions(s, d)
+          .groupBy(col("true_lang"), col("pred")).agg(count(lit(1)).as("n"))
+          .localCheckpoint(false) // three marginals read one matrix
+        val tp = cm.filter(col("true_lang") === col("pred"))
+          .select(col("true_lang").as("lang"), col("n").as("tp"))
+        val byTrue = cm.groupBy(col("true_lang").as("lang"))
+          .agg(sum("n").as("n_true"))
+        val byPred = cm.groupBy(col("pred").as("lang"))
+          .agg(sum("n").as("n_pred"))
+        byTrue.join(byPred, Seq("lang"), "full_outer")
+          .join(tp, Seq("lang"), "left")
+          .select(col("lang"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+            (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"))
+          .withColumn("precision",
+            when(col("tp") + col("fp") === 0L, 0.0)
+              .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+          .withColumn("recall",
+            when(col("tp") + col("fn") === 0L, 0.0)
+              .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+          .withColumn("f1",
+            when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, 0.0)
+              .otherwise((lit(2L) * col("tp")).cast("double") /
+                (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $nbSqlCtes,
+              |pred AS (SELECT true_lang, lang AS pred FROM nlls WHERE rk = 1),
+              |cm AS (SELECT true_lang, pred, CAST(count(*) AS BIGINT) AS n
+              |       FROM pred GROUP BY 1, 2),
+              |tpx AS (SELECT true_lang AS lang, n AS tp FROM cm WHERE true_lang = pred),
+              |bt AS (SELECT true_lang AS lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY 1),
+              |bp AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+              |m AS (
+              |  SELECT coalesce(bt.lang, bp.lang) AS lang,
+              |    coalesce(tp, 0) AS tp,
+              |    coalesce(n_pred, 0) - coalesce(tp, 0) AS fp,
+              |    coalesce(n_true, 0) - coalesce(tp, 0) AS fn,
+              |    coalesce(n_true, 0) AS n_true
+              |  FROM bt FULL OUTER JOIN bp ON bp.lang = bt.lang
+              |  LEFT JOIN tpx ON tpx.lang = coalesce(bt.lang, bp.lang))
+              |SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              |  CAST(fn AS BIGINT) AS fn, n_true,
+              |  CASE WHEN tp + fp = 0 THEN 0.0
+              |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+              |  CASE WHEN tp + fn = 0 THEN 0.0
+              |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+              |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+              |       ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+              |FROM m ORDER BY lang""".stripMargin)
+    ),
+
+    // ── exact ROC-AUC by grouped rank-sum (Mann–Whitney) ───────────────
+    // One-vs-rest AUC for the 'en' class over the quantized NB scores.
+    // The textbook pairwise definition is O(n²); the rank-sum identity
+    // AUC = (Σ_pos rank − n₊(n₊+1)/2)/(n₊·n₋) computes it in one sort —
+    // and here even the sort shrinks: scores are first reduced to
+    // DISTINCT-score groups (cnt, pos), so the running-total window runs
+    // over |score domain| rows, not |test set| (at 100 TB: a partial-agg
+    // shuffle to the score groups, then a window over thousands of rows;
+    // range-partition the groups if even that explodes). Tie handling is
+    // the average-rank convention, kept integral by working with DOUBLED
+    // ranks: a tie group spanning ranks [lo, hi] contributes
+    // lo+hi = 2·cum_before + cnt + 1 per member — all BIGINT, so u2 = 2U
+    // is exact and the final AUC is one division. The NLL is dyadic on
+    // the 2^-20 grid, so score·2^20 is an exact integer key on both
+    // engines ("more positive" = LOWER nll → rank ascending by -s_int).
+    Q(
+      "ml_auc",
+      (s, d) => {
+        val en = nbNlls(s, d).filter(col("lang") === "en")
+          .select((col("nll") * 1048576.0).cast("long").as("s_int"),
+            (col("true_lang") === "en").cast("long").as("pos"))
+        val grouped = en.groupBy("s_int")
+          .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+        val w = Window.orderBy(col("s_int").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = grouped.withColumn("cum_before",
+          coalesce(sum("cnt").over(w), lit(0L)))
+        val agg = ranked.agg(
+          sum("np").as("n_pos"),
+          (sum("cnt") - sum("np")).as("n_neg"),
+          sum(col("np") * (lit(2L) * col("cum_before") + col("cnt") + 1L)).as("r2sum"))
+        agg.select(col("n_pos"), col("n_neg"),
+            (col("r2sum") - col("n_pos") * (col("n_pos") + 1L)).as("u2"),
+            ((col("r2sum") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+              (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+      },
+      Some(s"""WITH $nbSqlCtes,
+              |en AS (
+              |  SELECT CAST(nll * 1048576 AS BIGINT) AS s_int,
+              |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM nlls WHERE lang = 'en'),
+              |grouped AS (
+              |  SELECT s_int, CAST(count(*) AS BIGINT) AS cnt,
+              |    CAST(sum(pos) AS BIGINT) AS np
+              |  FROM en GROUP BY 1),
+              |ranked AS (
+              |  SELECT s_int, cnt, np,
+              |    coalesce(sum(cnt) OVER (ORDER BY s_int DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              |  FROM grouped),
+              |agg AS (
+              |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+              |    CAST(sum(cnt) - sum(np) AS BIGINT) AS n_neg,
+              |    CAST(sum(np * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2sum
+              |  FROM ranked)
+              |SELECT n_pos, n_neg,
+              |  CAST(r2sum - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+              |  CAST(r2sum - n_pos * (n_pos + 1) AS DOUBLE)
+              |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+              |FROM agg""".stripMargin)
     )
   )
+
+  /** Per-(test doc, candidate class) quantized negative log-likelihood —
+    * the shared scoring frame behind ml_naive_bayes / ml_confusion_prf /
+    * ml_auc. Columns: doc_id, true_lang, lang, nll (dyadic on the 2^-20
+    * grid, so exact-comparable and integer-scalable on both engines).
+    */
+  def nbNlls(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Text.tokens
+    val docs = documents(s, d)
+    val train = docs.filter(detHash(col("doc_id")) % 5 =!= 0)
+    val test = docs.filter(detHash(col("doc_id")) % 5 === 0)
+    val trainToks = train
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .localCheckpoint(false) // class counts + totals + V read one tokenization
+    val cwc = trainToks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val ctot = trainToks.groupBy("lang").agg(count(lit(1)).as("tot"))
+    val vsize = trainToks.agg(countDistinct(col("term")).as("v"))
+    val ndocs = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("ndall"))))
+    val grid = lit(1048576.0)
+    val prior = ndocs.select(col("lang"),
+      (floor(-log(col("nd").cast("double") / col("ndall").cast("double"))
+        * grid) / grid).as("psq"))
+    val tf = test
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "true_lang", "term").agg(count(lit(1)).as("tf"))
+    tf.crossJoin(broadcast(ctot.crossJoin(vsize)))
+      .join(cwc, Seq("lang", "term"), "left")
+      .select(col("doc_id"), col("true_lang"), col("lang"), col("tf"),
+        (floor(-log((coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+          (col("tot") + col("v")).cast("double")) * grid) / grid).as("sq"))
+      .groupBy("doc_id", "true_lang", "lang")
+      .agg(sum(col("tf").cast("double") * col("sq")).as("llsum"))
+      .join(broadcast(prior), "lang")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (col("psq") + col("llsum")).as("nll"))
+  }
+
+  /** Argmin-class prediction per test doc (ties to the smallest class
+    * name): doc_id, true_lang, pred, nll.
+    */
+  def nbPredictions(s: SparkSession, d: String): DataFrame =
+    nbNlls(s, d).withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("nll").asc, col("lang").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("pred"),
+        col("nll"))
+
+  /** The DuckDB CTE chain mirroring [[nbNlls]] + the argmin rank — shared
+    * verbatim by the three NB oracle queries so the engines can never
+    * drift per-query. Ends at `nlls(doc_id, true_lang, lang, nll, rk)`.
+    */
+  def nbSqlCtes: String =
+    s"""train AS (
+       |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 <> 0),
+       |test AS (
+       |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 = 0),
+       |ttoks AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM train),
+       |cwc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM ttoks GROUP BY 1, 2),
+       |ctot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+       |         FROM ttoks GROUP BY 1),
+       |vsize AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ttoks),
+       |prior AS (
+       |  SELECT lang, floor(-ln(CAST(count(*) AS DOUBLE) /
+       |    (SELECT CAST(count(*) AS DOUBLE) FROM train)) * 1048576) / 1048576 AS psq
+       |  FROM train GROUP BY lang),
+       |tf AS (
+       |  SELECT doc_id, true_lang, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, lang AS true_lang,
+       |          unnest(string_split(text, ' ')) AS term FROM test)
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.true_lang, ct.lang,
+       |    sum(CAST(tf.tf AS DOUBLE) *
+       |      (floor(-ln(CAST(coalesce(cwc.cnt, 0) + 1 AS DOUBLE) /
+       |        CAST(ct.tot + vsize.v AS DOUBLE)) * 1048576) / 1048576)) AS llsum
+       |  FROM tf
+       |  CROSS JOIN ctot ct CROSS JOIN vsize
+       |  LEFT JOIN cwc ON cwc.lang = ct.lang AND cwc.term = tf.term
+       |  GROUP BY 1, 2, 3),
+       |nlls AS (
+       |  SELECT s.doc_id, s.true_lang, s.lang, p.psq + s.llsum AS nll,
+       |    row_number() OVER (PARTITION BY s.doc_id
+       |                       ORDER BY p.psq + s.llsum ASC, s.lang ASC) AS rk
+       |  FROM scored s JOIN prior p ON p.lang = s.lang)""".stripMargin
 }

@@ -583,4 +583,73 @@ object Components {
     }
     (dist, rounds)
   }
+
+  /** Borůvka's minimum-spanning-forest, the parallel-native MST (each
+    * round EVERY component picks its lightest outgoing edge — all picks
+    * in one dataflow, components at least halve per round, so ≤ ⌈log₂ n⌉
+    * rounds; Kruskal/Prim are inherently sequential and never scale out).
+    * Ties are impossible by construction: edges rank by the total order
+    * (w, lo, hi), which is unique per canonical edge, so the forest — and
+    * therefore the oracle's replay — is deterministic regardless of data
+    * ties in w. Per round: ONE edge×labels equi-join + ONE per-component
+    * lexicographic argmin (min over a struct), then contraction of the
+    * picked component-graph via [[minLabel]] — a graph whose size is the
+    * CURRENT component count, not the vertex count, so the fixpoint
+    * shrinks geometrically. Everything is hash-partitioned equi-joins;
+    * nothing driver-side but the round counter.
+    *
+    * @param ue weighted undirected edges (src, dst, w) — both directions.
+    * @return ((round, lo, hi, w) — the forest edges, tagged with the
+    *         round that picked them; rounds run). */
+  def boruvkaMst(ue: DataFrame): (DataFrame, Int) = {
+    val nodes = ue.select(col("src").as("id")).distinct()
+    var comp = nodes.select(col("id"), col("id").as("c")).localCheckpoint(false)
+    var mst: DataFrame = null
+    var rounds = 0
+    var live = true
+    while (live) {
+      val cand = ue
+        .join(comp.select(col("id").as("src"), col("c").as("cs")), "src")
+        .join(comp.select(col("id").as("dst"), col("c").as("cd")), "dst")
+        .filter(col("cs") =!= col("cd"))
+        .select(col("cs"),
+          struct(col("w"), least(col("src"), col("dst")).as("lo"),
+            greatest(col("src"), col("dst")).as("hi"), col("cd")).as("k"))
+      val pick = cand.groupBy("cs").agg(min("k").as("k")).localCheckpoint(false)
+      val nPick = pick.count()
+      if (nPick == 0) live = false
+      else {
+        rounds += 1
+        val chosen = pick
+          .select(col("k.lo").as("lo"), col("k.hi").as("hi"), col("k.w").as("w"))
+          .distinct()
+          .select(lit(rounds).as("round"), col("lo"), col("hi"), col("w"))
+          .localCheckpoint(false)
+        mst = if (mst == null) chosen else mst.union(chosen)
+        // contract: CC over the picked component-graph (component-count
+        // sized), then push the new labels back onto the vertex map
+        val eg0 = pick.select(col("cs").as("a"), col("k.cd").as("b"))
+          .localCheckpoint(false)
+        val eg1 = eg0.select(col("a").as("src"), col("b").as("dst"))
+          .union(eg0.select(col("b").as("src"), col("a").as("dst")))
+        // the pick graph has ONE edge pair per current component, so it
+        // shrinks geometrically; once it fits a single partition, the
+        // minLabel fixpoint's cost is pure per-job scheduling overhead —
+        // narrow it to one partition (still the distributed API, no
+        // collect; large early rounds at 100 TB keep full width)
+        val eg = (if (nPick <= 65536) eg1.coalesce(1) else eg1)
+          .localCheckpoint(false)
+        val relab = minLabel(eg).select(col("id").as("c"), col("l"))
+        comp = comp.join(relab, Seq("c"), "left")
+          .select(col("id"), coalesce(col("l"), col("c")).as("c"))
+          .localCheckpoint(false)
+      }
+    }
+    val out =
+      if (mst == null)
+        nodes.limit(0).select(lit(0).as("round"), col("id").as("lo"),
+          col("id").as("hi"), col("id").as("w"))
+      else mst
+    (out, rounds)
+  }
 }

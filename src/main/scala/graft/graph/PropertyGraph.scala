@@ -178,6 +178,12 @@ object PropertyGraph {
   private val SpLandmarks = Seq(1L, 2L)
   private val SpMaxDepth = 24
 
+  /** Round unroll for `graph_mst_boruvka`'s oracle — components at
+    * least halve per round, so ⌈log₂ n⌉ bounds the rounds (the observed
+    * count is far lower: min-edge stars collapse whole neighborhoods in
+    * one contraction); drained-within-bound is `require`d loudly. */
+  private val MstUnroll = 16
+
   /** Pivot count for `graph_betweenness_sampled` (Brandes–Pich): tiny
     * here because the demonstration corpus has ~2k vertices; at scale
     * s grows like log n / ε², independent of n. */
@@ -1650,6 +1656,188 @@ object PropertyGraph {
            |SELECT seed, CAST(r1 AS INT) AS r1, part, CAST(r2 AS INT) AS r2, s2
            |FROM h2 WHERE r2 <= 2
            |ORDER BY seed, r1, r2""".stripMargin
+      }
+    ),
+
+    // ── butterfly counting: the bipartite clustering motif ─────────────
+    // The bipartite analogue of triangle counting (Sanei-Mehri et al.,
+    // "Butterfly Counting in Bipartite Networks", KDD'18): a butterfly
+    // is a (2 suppliers × 2 parts) complete biclique — the smallest unit
+    // of bipartite cohesion, and the quantity k-wing/bitruss dedup
+    // decompositions peel on. Identity: for a supplier pair with c
+    // common parts, the pair closes C(c,2) butterflies; a supplier's
+    // count is the sum over its pairs. Plan: the SAME wedge equi-join as
+    // graph_common_neighbors (pair volume Σ deg(part)², hub-salted when
+    // skewed — never all-pairs), one pair agg, one per-supplier agg; the
+    // global total divides by 2 exactly (each butterfly has 2 supplier
+    // ends) as integer arithmetic since Σ C(c,2) over both ends is even.
+    // Emits the 25 heaviest butterfly ends plus each one's share of the
+    // global count — the report a curation pipeline reads to find
+    // suspiciously co-purchased catalog blocks.
+    Q(
+      "graph_butterflies",
+      (s, d) => {
+        val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
+        val pairs = es.toDF("sa", "dst").join(es.toDF("sb", "dst"), "dst")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2L)
+          .select(col("sa"), col("sb"),
+            expr("c * (c - 1) div 2").as("bf"))
+        val perEnd = pairs.select(explode(array(col("sa"), col("sb"))).as("supplier"),
+            col("bf"))
+          .groupBy("supplier").agg(sum("bf").as("butterflies"))
+        val total = perEnd.agg(expr("sum(butterflies) div 2").as("total_bf"))
+        perEnd.crossJoin(broadcast(total))
+          .select(col("supplier"), col("butterflies"), col("total_bf"),
+            (col("butterflies").cast("double") / col("total_bf").cast("double"))
+              .as("share"))
+          .orderBy(col("butterflies").desc, col("supplier").asc)
+          .limit(25)
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+             |pairs AS (
+             |  SELECT a.src AS sa, b.src AS sb,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM e a JOIN e b ON a.dst = b.dst
+             |  WHERE a.src < b.src
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |bf AS (SELECT sa, sb, c * (c - 1) // 2 AS bf FROM pairs),
+             |per_end AS (
+             |  SELECT supplier, CAST(sum(bf) AS BIGINT) AS butterflies
+             |  FROM (SELECT sa AS supplier, bf FROM bf
+             |        UNION ALL SELECT sb, bf FROM bf)
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(sum(butterflies) // 2 AS BIGINT) AS total_bf FROM per_end)
+             |SELECT supplier, butterflies, total_bf,
+             |  CAST(butterflies AS DOUBLE) / CAST(total_bf AS DOUBLE) AS share
+             |FROM per_end CROSS JOIN tot
+             |ORDER BY butterflies DESC, supplier ASC LIMIT 25""".stripMargin)
+    ),
+
+    // ── landmark eccentricity + effective diameter (90th pct distance) ─
+    // The diameter-estimation report (the exact-BFS core of HyperANF /
+    // Palmer's ANF — at 100 TB the per-level reach COUNTS swap to HLL
+    // registers per node, same dataflow): for each closeness landmark,
+    // its eccentricity (max BFS distance), reached count, and effective
+    // eccentricity d90 = the smallest d covering ≥ 90% of reached nodes.
+    // The 90% cut is the pure-integer test 10·cum ≥ 9·n (no float
+    // percentile anywhere), computed on per-(seed, d) level counts — a
+    // seeds×depth-sized frame, so the cumulative window is tiny. Reuses
+    // the SAME multiBfs kernel (one equi-join + min-agg per superstep,
+    // all seeds in one dataflow) and the oracle reuses the SAME
+    // recursive-CTE dist table as graph_closeness_centrality — the two
+    // reports can never drift.
+    Q(
+      "graph_eccentricity",
+      (s, d) => {
+        val ue = undirectedEdges(s, d)
+        val per = Components.multiBfs(ue, ClosenessSeeds, SpMaxDepth)
+          .filter(col("d") > 0)
+          .groupBy("lm", "d").agg(count(lit(1)).as("c"))
+        val tot = per.groupBy("lm").agg(sum("c").as("n"),
+          max(col("d")).cast("int").as("ecc"))
+        val cum = per.withColumn("cum", sum("c").over(
+          Window.partitionBy("lm").orderBy(col("d").asc)))
+        val d90 = cum.join(tot, "lm")
+          .filter(lit(10L) * col("cum") >= lit(9L) * col("n"))
+          .groupBy("lm").agg(min(col("d")).cast("int").as("d90"))
+        tot.join(d90, "lm")
+          .select(col("lm").as("seed"), col("n").as("reached"),
+            col("ecc"), col("d90"))
+          .orderBy("seed")
+      },
+      Some {
+        val seedRows = ClosenessSeeds.map(x => s"($x, $x, 0)").mkString(", ")
+        s"""WITH RECURSIVE
+           |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+           |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+           |bfs(lm, id, d) AS (
+           |  SELECT * FROM (VALUES $seedRows) t(lm, id, d)
+           |  UNION
+           |  SELECT b.lm, ue.dst, b.d + 1 FROM bfs b JOIN ue ON ue.src = b.id
+           |  WHERE b.d < $SpMaxDepth),
+           |dist AS (SELECT lm, id, min(d) AS d FROM bfs GROUP BY lm, id),
+           |per AS (SELECT lm, d, CAST(count(*) AS BIGINT) AS c
+           |        FROM dist WHERE d > 0 GROUP BY lm, d),
+           |tot AS (SELECT lm, CAST(sum(c) AS BIGINT) AS n,
+           |          CAST(max(d) AS INT) AS ecc FROM per GROUP BY lm),
+           |cum AS (SELECT lm, d,
+           |          sum(c) OVER (PARTITION BY lm ORDER BY d) AS cum FROM per),
+           |d90 AS (SELECT cum.lm, CAST(min(d) AS INT) AS d90
+           |        FROM cum JOIN tot ON tot.lm = cum.lm
+           |        WHERE 10 * cum >= 9 * n GROUP BY cum.lm)
+           |SELECT t.lm AS seed, t.n AS reached, t.ecc, d90.d90
+           |FROM tot t JOIN d90 ON d90.lm = t.lm
+           |ORDER BY seed""".stripMargin
+      }
+    ),
+
+    // ── Borůvka minimum spanning forest (oracle-replayed per round) ────
+    // MST over the min-quantity-weighted supplier↔part graph via
+    // [[Components.boruvkaMst]] — the parallel-native MST. The edge
+    // total order (w, lo, hi) makes every per-component argmin unique,
+    // so the whole forest (including which ROUND picked each edge) is
+    // deterministic, and the oracle replays the identical rounds: per
+    // unrolled round a candidate join, a row_number argmin, and a
+    // WITH-RECURSIVE min-reach contraction of the picked component
+    // graph (the graph_connected_components closure, but on the
+    // component-count-sized pick graph, not the vertex set). Unroll
+    // depth $MstUnroll ≫ ⌈log₂ n⌉ rounds Borůvka can need; the Spark
+    // side `require`s it drained — a loud failure, never a silent
+    // truncation. Rounds past convergence contribute zero rows on both
+    // engines.
+    Q(
+      "graph_mst_boruvka",
+      (s, d) => {
+        val (mst, rounds) = Components.boruvkaMst(weightedUndirectedEdges(s, d))
+        require(rounds <= MstUnroll,
+          s"Borůvka converged in $rounds rounds > unroll depth $MstUnroll — " +
+            "raise MstUnroll or the oracle under-contracts")
+        mst.orderBy("lo", "hi")
+      },
+      Some {
+        val roundCtes = (1 to MstUnroll).map { k =>
+          s"""cand$k AS MATERIALIZED (
+             |  SELECT ls.c AS cs, ue.w, least(ue.src, ue.dst) AS lo,
+             |    greatest(ue.src, ue.dst) AS hi, ld.c AS cd
+             |  FROM ue JOIN comp${k - 1} ls ON ls.id = ue.src
+             |  JOIN comp${k - 1} ld ON ld.id = ue.dst
+             |  WHERE ls.c <> ld.c),
+             |pick$k AS MATERIALIZED (
+             |  SELECT cs, w, lo, hi, cd FROM (
+             |    SELECT cs, w, lo, hi, cd,
+             |      row_number() OVER (PARTITION BY cs ORDER BY w, lo, hi) AS rn
+             |    FROM cand$k) WHERE rn = 1),
+             |eg$k AS MATERIALIZED (
+             |  SELECT cs AS src, cd AS dst FROM pick$k
+             |  UNION SELECT cd, cs FROM pick$k),
+             |lblx$k(c, l) AS (
+             |  SELECT src, src FROM eg$k
+             |  UNION
+             |  SELECT eg.dst, x.l FROM lblx$k x JOIN eg$k eg ON eg.src = x.c),
+             |relab$k AS MATERIALIZED (SELECT c, min(l) AS l FROM lblx$k GROUP BY c),
+             |comp$k AS MATERIALIZED (
+             |  SELECT p.id, coalesce(r.l, p.c) AS c
+             |  FROM comp${k - 1} p LEFT JOIN relab$k r ON r.c = p.c)"""
+            .stripMargin
+        }.mkString(",\n")
+        val chosen = (1 to MstUnroll).map(k =>
+          s"SELECT $k AS round, lo, hi, w FROM (SELECT DISTINCT lo, hi, w FROM pick$k)")
+          .mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE
+           |e0 AS MATERIALIZED (
+           |  SELECT l_suppkey AS a, l_partkey + $PartIdOffset AS b,
+           |         CAST(min(l_quantity) AS BIGINT) AS w
+           |  FROM lineitem GROUP BY 1, 2),
+           |ue AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst, w FROM e0
+           |  UNION ALL SELECT b, a, w FROM e0),
+           |comp0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS c FROM ue),
+           |$roundCtes
+           |SELECT CAST(round AS INT) AS round, lo, hi, w FROM (
+           |$chosen)
+           |ORDER BY lo, hi""".stripMargin
       }
     )
   )

@@ -826,6 +826,107 @@ object Events {
               |  CAST(sum_u AS DOUBLE) / 1000000 AS sum_value
               |FROM rk WHERE rk <= 3
               |ORDER BY window_start, rk""".stripMargin)
+    ),
+
+    // ── frequent 3-step behavior sequences (sequential pattern mining) ─
+    // The k=3 slice of PrefixSpan-style mining: which consecutive
+    // type-triples dominate user journeys. evt_transition_matrix is the
+    // k=2 Markov view; triples expose order the 1-step matrix cannot
+    // (view→click→purchase vs click→view→purchase). Two LEADs over the
+    // same (user, ts, event_id) window — ONE shuffle for both — then a
+    // count and top-20; support is exact BIGINT, the journey share
+    // divides once by the exact triple total. At 100 TB the window is
+    // per-user-partitioned (no global sort), the count map-side
+    // combines, and top-20 is a TakeOrdered — the same plan at any
+    // corpus size.
+    Q(
+      "evt_seq_patterns",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val tri = eventsUs(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t3").isNotNull)
+          .groupBy(col("event_type").as("s1"), col("t2").as("s2"), col("t3").as("s3"))
+          .agg(count(lit(1)).as("support"))
+        tri.crossJoin(broadcast(tri.agg(sum("support").as("tot"))))
+          .select(col("s1"), col("s2"), col("s3"), col("support"),
+            (col("support").cast("double") / col("tot").cast("double")).as("share"))
+          .orderBy(col("support").desc, col("s1").asc, col("s2").asc, col("s3").asc)
+          .limit(20)
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, event_type, $sqlTs AS ts, event_id FROM events),
+              |led AS (
+              |  SELECT event_type AS s1,
+              |    lead(event_type, 1) OVER (PARTITION BY user_id
+              |      ORDER BY ts ASC, event_id ASC) AS s2,
+              |    lead(event_type, 2) OVER (PARTITION BY user_id
+              |      ORDER BY ts ASC, event_id ASC) AS s3
+              |  FROM ev),
+              |tri AS (
+              |  SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS support
+              |  FROM led WHERE s3 IS NOT NULL GROUP BY 1, 2, 3),
+              |tot AS (SELECT CAST(sum(support) AS BIGINT) AS tot FROM tri)
+              |SELECT s1, s2, s3, support,
+              |  CAST(support AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+              |FROM tri CROSS JOIN tot
+              |ORDER BY support DESC, s1 ASC, s2 ASC, s3 ASC LIMIT 20""".stripMargin)
+    ),
+
+    // ── CUSUM drift detection (integer-exact, two windows) ─────────────
+    // Page's one-sided CUSUM over the daily purchase-value series:
+    // S_t = max(0, S_{t-1} + (x_t − k)) flags sustained upward drift.
+    // The recurrence looks inherently sequential, but the prefix
+    // identity S_t = C_t − min_{j≤t} C_j (C = running sum of x − k)
+    // turns it into TWO stacked windows over the same per-day ordering —
+    // the standard trick for turning clamp-recurrences into dataflow.
+    // Everything is exact micro-unit BIGINT (x_t = day's value sum in
+    // µunits, k = 120 units): no float until the emitted columns, so
+    // the alarm set (S_t > h) is driver-hash-exact. SCALE: the daily
+    // rollup is one partial-agg shuffle; the series windows run over
+    // DAYS (tiny) — a per-entity CUSUM would partition both windows by
+    // the entity key, same two shuffles.
+    Q(
+      "evt_cusum",
+      (s, d) => {
+        val k = 120L * 1000000L
+        val h = 600L * 1000000L
+        val daily = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+        val wCum = Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val c = daily.withColumn("cu", sum(col("xu") - k).over(wCum))
+        val st = c.withColumn("smin", min(least(col("cu"), lit(0L))).over(wCum))
+          .select(col("day"), col("xu"),
+            (col("cu") - col("smin")).as("su"))
+        st.select(col("day"),
+            (col("xu").cast("double") / 1e6).as("day_value"),
+            (col("su").cast("double") / 1e6).as("cusum"),
+            (col("su") > h).as("alarm"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST($sqlTs AS DATE) AS day,
+              |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS xu
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |c AS (
+              |  SELECT day, xu,
+              |    sum(xu - 120000000) OVER (ORDER BY day ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+              |  FROM daily),
+              |st AS (
+              |  SELECT day, xu, cu,
+              |    cu - min(least(cu, 0)) OVER (ORDER BY day ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS su
+              |  FROM c)
+              |SELECT day, CAST(xu AS DOUBLE) / 1000000 AS day_value,
+              |  CAST(su AS DOUBLE) / 1000000 AS cusum,
+              |  su > 600000000 AS alarm
+              |FROM st ORDER BY day""".stripMargin)
     )
   )
 }

@@ -1098,6 +1098,117 @@ object Relational {
            |GROUP BY ks.c, ks.n, ks.ndv
            |ORDER BY col_name""".stripMargin
       }
+    ),
+
+    // ── 2-D skyline (Pareto frontier) by a single sorted sweep ─────────
+    // "Cheapest part at every size" — a part survives iff no other part
+    // is ≤ its price AND ≥ its size with one strict. The naive form is
+    // an O(n²) NOT EXISTS self-join; the sort-sweep identity reduces it
+    // to two windows over ONE sort: with price ascending, a row is
+    // dominated iff some strictly-cheaper row reaches its size
+    // (m_prev = max(size) over RANGE < price ≥ size) or a same-price row
+    // strictly exceeds it (m_tie = max(size) over the price partition
+    // > size). Price compares in floor-cents BIGINT (both engines floor
+    // the same double product), so the RANGE frame boundary is integral
+    // and tie groups agree exactly.
+    // At 100 TB: range-partition by price, sweep each partition
+    // locally, then subtract each partition's prefix-max carried in from
+    // cheaper partitions — one tiny broadcast; no self-join ever.
+    Q(
+      "rel_skyline",
+      (s, d) => {
+        val p = part(s, d).select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long").as("cents"),
+          col("p_size").cast("long").as("size"))
+        val wPrev = Window.orderBy(col("cents").asc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wTie = Window.partitionBy(col("cents"))
+        p.withColumn("m_prev", max("size").over(wPrev))
+          .withColumn("m_tie", max("size").over(wTie))
+          .filter((col("m_prev").isNull || col("m_prev") < col("size")) &&
+            col("m_tie") === col("size"))
+          .select(col("p_partkey"),
+            (col("cents").cast("double") / 100.0).as("price"),
+            col("size"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+             |    CAST(p_size AS BIGINT) AS size
+             |  FROM part),
+             |sw AS (
+             |  SELECT p_partkey, cents, size,
+             |    max(size) OVER (ORDER BY cents
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_prev,
+             |    max(size) OVER (PARTITION BY cents) AS m_tie
+             |  FROM p)
+             |SELECT p_partkey, CAST(cents AS DOUBLE) / 100.0 AS price, size
+             |FROM sw
+             |WHERE (m_prev IS NULL OR m_prev < size) AND m_tie = size
+             |ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // ── SCD2 point-in-time lookup (the as-of dimension join) ───────────
+    // The read side of rel_scd2_upsert: join facts to the dimension
+    // version that was valid WHEN the fact happened — the query every
+    // warehouse with history runs ("what was the customer's balance at
+    // order time?"). Same deterministic fixture as the upsert, but the
+    // change lands mid-history (1995-06-01) so orders genuinely split
+    // across versions. With validity intervals per key non-overlapping,
+    // the interval join reduces to an EQUI-join on custkey + a
+    // per-row validity predicate — no range-join machinery, no window;
+    // at 100 TB it's one shuffle on the fact's join key against a
+    // broadcast-or-bucketed dimension, exactly like any other star
+    // join. Rolled up per (order year, version currency) with
+    // exact-cents revenue so the 6-row report is driver-hashable.
+    Q(
+      "rel_scd2_lookup",
+      (s, d) => {
+        val dim = customer(s, d)
+          .select(col("c_custkey"), dec(col("c_acctbal")).cast("double").as("acctbal"))
+        val chDate = lit("1995-06-01").cast("date")
+        val hist = dim.select(col("c_custkey"), col("acctbal"),
+            lit("1992-01-01").cast("date").as("valid_from"),
+            when(col("c_custkey") % 10 === 1, chDate)
+              .otherwise(lit(null).cast("date")).as("valid_to"),
+            (col("c_custkey") % 10 =!= 1).as("is_current"))
+          .union(dim.filter(col("c_custkey") % 10 === 1)
+            .select(col("c_custkey"), (col("acctbal") + 100.0).as("acctbal"),
+              chDate.as("valid_from"), lit(null).cast("date").as("valid_to"),
+              lit(true).as("is_current")))
+        val o = orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        o.join(hist, col("o_custkey") === col("c_custkey") &&
+            col("o_orderdate") >= col("valid_from") &&
+            (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+          .groupBy(year(col("o_orderdate")).as("order_year"),
+            col("is_current").as("hit_current_version"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+            sum(floor(col("acctbal") * 100).cast("long")).as("acctbal_cents"))
+          .orderBy("order_year", "hit_current_version")
+      },
+      Some(s"""WITH dim AS (
+              |  SELECT c_custkey, CAST(${decSql("c_acctbal")} AS DOUBLE) AS acctbal
+              |  FROM customer),
+              |hist AS (
+              |  SELECT c_custkey, acctbal, DATE '1992-01-01' AS valid_from,
+              |    CASE WHEN c_custkey % 10 = 1 THEN DATE '1995-06-01' END AS valid_to,
+              |    c_custkey % 10 <> 1 AS is_current
+              |  FROM dim
+              |  UNION ALL
+              |  SELECT c_custkey, acctbal + 100.0, DATE '1995-06-01', NULL, TRUE
+              |  FROM dim WHERE c_custkey % 10 = 1)
+              |SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+              |  is_current AS hit_current_version,
+              |  CAST(count(*) AS BIGINT) AS n_orders,
+              |  CAST(sum(${decSql("o_totalprice")}) AS DOUBLE) AS revenue,
+              |  CAST(sum(CAST(floor(acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+              |FROM orders JOIN hist ON hist.c_custkey = o_custkey
+              |  AND o_orderdate >= valid_from
+              |  AND (valid_to IS NULL OR o_orderdate < valid_to)
+              |GROUP BY 1, 2
+              |ORDER BY order_year, hit_current_version""".stripMargin)
     )
   )
 }

@@ -2326,6 +2326,71 @@ object Text {
              |WHERE a.p_partkey < b.p_partkey
              |  AND levenshtein(a.p_name, b.p_name) <= 4
              |ORDER BY dist ASC, pa ASC, pb ASC LIMIT 100""".stripMargin)
+    ),
+
+    // ── Zipf fit: corpus health check by log-log rank/frequency OLS ────
+    // The curation smoke test for scraped corpora: natural text follows
+    // freq ∝ rank^s with s ≈ −1; a slope far off (or a low R²) flags
+    // boilerplate floods and dedup failures. Fit: rank the top 1000
+    // vocabulary terms (count desc, term asc — deterministic), take
+    // L = ⌊ln(rank)·2^16⌋ and F = ⌊ln(cnt)·2^16⌋ as BIGINT fixed point
+    // (the 2^16 grid keeps ΣLF ≤ 1000·4.6e5·7.6e5 ≈ 3.5e14 ≪ 2^63, so
+    // every moment is an order-free exact integer sum; Round10Spec
+    // sweeps every ln boundary so a cross-engine ulp cannot flip a
+    // floor), then the ml_linreg closed form on the five moments —
+    // doubles appear only in the final O(1) arithmetic, identical
+    // expression tree on both engines. SCALE: one vocab partial-agg +
+    // a top-k (the text_vocab_topk plan) and a 1000-row reduction —
+    // corpus size only touches the first shuffle.
+    Q(
+      "text_zipf_slope",
+      (s, d) => {
+        val ranked = documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token").asc)
+          .limit(1000)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("token").asc)))
+        val m = ranked.select(
+            floor(log(col("rank").cast("double")) * 65536.0).cast("long").as("lx"),
+            floor(log(col("cnt").cast("double")) * 65536.0).cast("long").as("ly"))
+          .agg(count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
+            sum(col("lx") * col("ly")).as("sxy"),
+            sum(col("lx") * col("lx")).as("sxx"),
+            sum(col("ly") * col("ly")).as("syy"))
+        val nD = col("n").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        val covn = nD * dd("sxy") - dd("sx") * dd("sy")
+        val varxn = nD * dd("sxx") - dd("sx") * dd("sx")
+        val varyn = nD * dd("syy") - dd("sy") * dd("sy")
+        val slope = covn / varxn
+        m.select(col("n"), slope.as("zipf_slope"),
+          (covn * covn / (varxn * varyn)).as("r2"))
+      },
+      Some("""WITH v AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 1000),
+             |ranked AS (
+             |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+             |  FROM v),
+             |fp AS (
+             |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 65536) AS BIGINT) AS lx,
+             |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 65536) AS BIGINT) AS ly
+             |  FROM ranked),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, sum(lx) AS sx, sum(ly) AS sy,
+             |    sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+             |  FROM fp)
+             |SELECT n,
+             |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+             |  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+             |FROM m""".stripMargin)
     )
   )
 }

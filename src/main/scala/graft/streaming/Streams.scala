@@ -54,6 +54,24 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))
 
+  /** Watermarked 6-hour (window, type) exact micro-unit value sums —
+    * the streaming half of `evt_window_topk`: the stream owns the heavy
+    * per-window aggregation (state bounded by the watermark); the
+    * per-window top-k RANKING is a trivial batch query over the closed
+    * windows the sink materializes — the production split, since
+    * ranking needs a window's aggregates to be final. Batch and
+    * streaming frames run the identical plan but for the watermark, so
+    * StreamingSpec grounds the stream against the oracle-checked batch
+    * query. */
+  def windowedValueSums(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * lit(1e6)).cast("long")).as("sum_u"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_u"))
+
   /** Watermarked 15-minute OHLC bars over purchase values — the
     * streaming form of `evt_ohlc_resample`'s aggregation, identical
     * struct-pick open/close (min/max over unique (ts, event_id, value)

@@ -364,4 +364,62 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"the (window,type) agg must map-side combine:\n$p")
     assert(!p.contains("CartesianProduct"), s"no products:\n$p")
   }
+
+  test("skyline is a pure sort-sweep: windows only, no self-join") {
+    val p = plan("rel_skyline")
+    assert(!p.contains("Join"), s"the O(n²) NOT EXISTS shape must not appear:\n$p")
+    assert(p.contains("Window"), s"dominance must come from the two windows:\n$p")
+  }
+
+  test("butterfly counting reuses the wedge equi-join; only the 1-row total broadcasts") {
+    val p = plan("graph_butterflies")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the 1-row total must broadcast:\n$p")
+    assert(p.contains("partial"), s"pair counts must map-side combine:\n$p")
+  }
+
+  test("AUC ranks over grouped scores, not raw rows") {
+    val p = plan("ml_auc")
+    assert(p.contains("partial"),
+      s"scores must reduce to distinct-score groups before the window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pairwise product:\n$p")
+  }
+
+  test("confusion matrix reduces to cells before the per-class pivot") {
+    val p = plan("ml_confusion_prf")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+    assert(p.contains("partial"), s"cell counts must map-side combine:\n$p")
+  }
+
+  test("SCD2 lookup joins facts to versions by key equi-join, not a range product") {
+    val p = plan("rel_scd2_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the validity predicate must ride the custkey equi-join:\n$p")
+    assert(p.contains("partial"), s"the rollup must map-side combine:\n$p")
+  }
+
+  test("zipf fit reduces the corpus to one vocab shuffle plus a 1000-row tail") {
+    val p = plan("text_zipf_slope")
+    assert(p.contains("partial"), s"vocab counts must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
+  test("eccentricity reads the per-level counts, no product") {
+    val p = plan("graph_eccentricity")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
+  test("sequence mining plans ONE per-user window for both leads") {
+    val p = plan("evt_seq_patterns")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+    assert("Window".r.findAllIn(p).size <= 2,
+      s"both lead() columns must share one window operator:\n$p")
+    assert(p.contains("partial"), s"triple counts must map-side combine:\n$p")
+  }
+
+  test("CUSUM is a daily rollup plus two stacked windows, no self-join") {
+    val p = plan("evt_cusum")
+    assert(!p.contains("Join"), s"the clamp recurrence must not become a join:\n$p")
+    assert(p.contains("partial"), s"the daily rollup must map-side combine:\n$p")
+  }
 }

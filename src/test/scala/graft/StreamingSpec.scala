@@ -78,6 +78,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed sums + batch rank reproduce evt_window_topk exactly") {
+    // the production split for streaming top-k: the stream owns the
+    // (window, type) aggregation; ranking happens over the sink. The
+    // composed result must equal the oracle-checked batch query.
+    val dir = tempDir("graft_stream_topk")
+    val batchDf = graft.ops.Events.eventsUs(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = Streams.windowedValueSums(streamDf)
+      .writeStream.format("memory").queryName("stream_wsums")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start")
+        .orderBy(col("sum_u").desc, col("event_type").asc)
+      val got = spark.table("stream_wsums")
+        .withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 3)
+        .select(col("window_start"), col("rk"), col("event_type"), col("cnt"),
+          (col("sum_u") / 1e6).as("sum_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val expect = SparkEntry.queries("evt_window_topk")(spark, sf)
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got === expect)
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars equal the batch resample on real event parquet") {
     val dir = tempDir("graft_ohlc_src")
     val batchDf = graft.ops.Events.eventsUs(spark, sf)
