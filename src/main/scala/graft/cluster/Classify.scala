@@ -127,7 +127,7 @@ object Classify {
     Q(
       "ml_naive_bayes",
       (s, d) => nbPredictions(s, d).orderBy("doc_id"),
-      Some(s"""WITH $nbSqlCtes
+      Some(s"""WITH ${nbSqlCtes()}
               |SELECT doc_id, true_lang, lang AS pred, nll
               |FROM nlls WHERE rk = 1
               |ORDER BY doc_id""".stripMargin)
@@ -175,7 +175,7 @@ object Classify {
                 (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
           .orderBy("lang")
       },
-      Some(s"""WITH $nbSqlCtes,
+      Some(s"""WITH ${nbSqlCtes()},
               |pred AS (SELECT true_lang, lang AS pred FROM nlls WHERE rk = 1),
               |cm AS (SELECT true_lang, pred, CAST(count(*) AS BIGINT) AS n
               |       FROM pred GROUP BY 1, 2),
@@ -237,7 +237,7 @@ object Classify {
             ((col("r2sum") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
               (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
       },
-      Some(s"""WITH $nbSqlCtes,
+      Some(s"""WITH ${nbSqlCtes()},
               |en AS (
               |  SELECT CAST(nll * 1048576 AS BIGINT) AS s_int,
               |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS pos
@@ -261,19 +261,64 @@ object Classify {
               |  CAST(r2sum - n_pos * (n_pos + 1) AS DOUBLE)
               |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
               |FROM agg""".stripMargin)
+    ),
+
+    // ── 5-fold cross-validation (the eval loop, not just one split) ────
+    // The honest generalization estimate: every id-hash residue takes a
+    // turn as the held-out fold, so each document is scored exactly once
+    // by a model that never saw it. Per fold: test size, correct count,
+    // accuracy (ONE division of exact BIGINTs — driver-hashable like the
+    // rest of the NB family); the cross-fold mean is arithmetic on the
+    // 5-row result. The oracle stacks five suffix-disambiguated copies
+    // of the SAME CTE chain the other NB queries share — five folds, one
+    // statement, zero drift. SCALE: 5 passes over the corpus, each the
+    // ml_naive_bayes plan; folds are independent, so a cluster runs them
+    // concurrently (here they union into one dataflow and Spark
+    // schedules the five subtrees in parallel).
+    Q(
+      "ml_kfold_cv",
+      (s, d) => {
+        val perFold = (0 until 5).map { f =>
+          nbPredictions(s, d, f)
+            .select(lit(f).as("fold"),
+              when(col("pred") === col("true_lang"), 1L).otherwise(0L).as("ok"))
+            .groupBy("fold")
+            .agg(count(lit(1)).as("n_test"), sum("ok").as("n_correct"))
+        }.reduce(_ union _)
+        perFold
+          .select(col("fold"), col("n_test"), col("n_correct"),
+            (col("n_correct").cast("double") / col("n_test").cast("double"))
+              .as("accuracy"))
+          .orderBy("fold")
+      },
+      Some {
+        val chains = (0 until 5).map(f => nbSqlCtes(f, s"f$f")).mkString(",\n")
+        val folds = (0 until 5).map { f =>
+          s"""SELECT $f AS fold, CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             |FROM nllsf$f WHERE rk = 1""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $chains,
+           |per_fold AS (
+           |$folds)
+           |SELECT fold, n_test, n_correct,
+           |  CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy
+           |FROM per_fold ORDER BY fold""".stripMargin
+      }
     )
   )
 
   /** Per-(test doc, candidate class) quantized negative log-likelihood —
     * the shared scoring frame behind ml_naive_bayes / ml_confusion_prf /
-    * ml_auc. Columns: doc_id, true_lang, lang, nll (dyadic on the 2^-20
-    * grid, so exact-comparable and integer-scalable on both engines).
+    * ml_auc / ml_kfold_cv. Columns: doc_id, true_lang, lang, nll (dyadic
+    * on the 2^-20 grid, so exact-comparable and integer-scalable on both
+    * engines). `fold` selects which id-hash residue is held out.
     */
-  def nbNlls(s: SparkSession, d: String): DataFrame = {
+  def nbNlls(s: SparkSession, d: String, fold: Int = 0): DataFrame = {
     import graft.ops.Text.tokens
     val docs = documents(s, d)
-    val train = docs.filter(detHash(col("doc_id")) % 5 =!= 0)
-    val test = docs.filter(detHash(col("doc_id")) % 5 === 0)
+    val train = docs.filter(detHash(col("doc_id")) % 5 =!= fold)
+    val test = docs.filter(detHash(col("doc_id")) % 5 === fold)
     val trainToks = train
       .select(col("lang"), explode(tokens(col("text"))).as("term"))
       .localCheckpoint(false) // class counts + totals + V read one tokenization
@@ -305,8 +350,8 @@ object Classify {
   /** Argmin-class prediction per test doc (ties to the smallest class
     * name): doc_id, true_lang, pred, nll.
     */
-  def nbPredictions(s: SparkSession, d: String): DataFrame =
-    nbNlls(s, d).withColumn("rk", row_number().over(
+  def nbPredictions(s: SparkSession, d: String, fold: Int = 0): DataFrame =
+    nbNlls(s, d, fold).withColumn("rk", row_number().over(
         Window.partitionBy("doc_id")
           .orderBy(col("nll").asc, col("lang").asc)))
       .filter(col("rk") === 1)
@@ -314,42 +359,44 @@ object Classify {
         col("nll"))
 
   /** The DuckDB CTE chain mirroring [[nbNlls]] + the argmin rank — shared
-    * verbatim by the three NB oracle queries so the engines can never
-    * drift per-query. Ends at `nlls(doc_id, true_lang, lang, nll, rk)`.
+    * verbatim by the NB oracle queries so the engines can never drift
+    * per-query. Ends at `nlls$sfx(doc_id, true_lang, lang, nll, rk)`;
+    * `fold`/`sfx` parameterize the held-out residue and the CTE-name
+    * suffix so ml_kfold_cv can stack five folds in one statement.
     */
-  def nbSqlCtes: String =
-    s"""train AS (
-       |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 <> 0),
-       |test AS (
-       |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 = 0),
-       |ttoks AS (
-       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM train),
-       |cwc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
-       |        FROM ttoks GROUP BY 1, 2),
-       |ctot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
-       |         FROM ttoks GROUP BY 1),
-       |vsize AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ttoks),
-       |prior AS (
+  def nbSqlCtes(fold: Int = 0, sfx: String = ""): String =
+    s"""train$sfx AS (
+       |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 <> $fold),
+       |test$sfx AS (
+       |  SELECT * FROM documents WHERE ${detHashSql("doc_id")} % 5 = $fold),
+       |ttoks$sfx AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM train$sfx),
+       |cwc$sfx AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM ttoks$sfx GROUP BY 1, 2),
+       |ctot$sfx AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot
+       |         FROM ttoks$sfx GROUP BY 1),
+       |vsize$sfx AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ttoks$sfx),
+       |prior$sfx AS (
        |  SELECT lang, floor(-ln(CAST(count(*) AS DOUBLE) /
-       |    (SELECT CAST(count(*) AS DOUBLE) FROM train)) * 1048576) / 1048576 AS psq
-       |  FROM train GROUP BY lang),
-       |tf AS (
+       |    (SELECT CAST(count(*) AS DOUBLE) FROM train$sfx)) * 1048576) / 1048576 AS psq
+       |  FROM train$sfx GROUP BY lang),
+       |tf$sfx AS (
        |  SELECT doc_id, true_lang, term, CAST(count(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, lang AS true_lang,
-       |          unnest(string_split(text, ' ')) AS term FROM test)
+       |          unnest(string_split(text, ' ')) AS term FROM test$sfx)
        |  GROUP BY 1, 2, 3),
-       |scored AS (
+       |scored$sfx AS (
        |  SELECT tf.doc_id, tf.true_lang, ct.lang,
        |    sum(CAST(tf.tf AS DOUBLE) *
        |      (floor(-ln(CAST(coalesce(cwc.cnt, 0) + 1 AS DOUBLE) /
        |        CAST(ct.tot + vsize.v AS DOUBLE)) * 1048576) / 1048576)) AS llsum
-       |  FROM tf
-       |  CROSS JOIN ctot ct CROSS JOIN vsize
-       |  LEFT JOIN cwc ON cwc.lang = ct.lang AND cwc.term = tf.term
+       |  FROM tf$sfx tf
+       |  CROSS JOIN ctot$sfx ct CROSS JOIN vsize$sfx vsize
+       |  LEFT JOIN cwc$sfx cwc ON cwc.lang = ct.lang AND cwc.term = tf.term
        |  GROUP BY 1, 2, 3),
-       |nlls AS (
+       |nlls$sfx AS (
        |  SELECT s.doc_id, s.true_lang, s.lang, p.psq + s.llsum AS nll,
        |    row_number() OVER (PARTITION BY s.doc_id
        |                       ORDER BY p.psq + s.llsum ASC, s.lang ASC) AS rk
-       |  FROM scored s JOIN prior p ON p.lang = s.lang)""".stripMargin
+       |  FROM scored$sfx s JOIN prior$sfx p ON p.lang = s.lang)""".stripMargin
 }

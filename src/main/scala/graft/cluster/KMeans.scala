@@ -599,6 +599,77 @@ object KMeans {
               |FROM sil GROUP BY cid ORDER BY cid""".stripMargin)
     ),
 
+    // ── label-noise audit: cell-bucketed kNN disagreement ──────────────
+    // The training-data quality check every supervised pipeline should
+    // run: a point whose 5 nearest neighbors' majority label differs
+    // from its own is a suspected mislabel (kNN-disagreement / "noisy
+    // label" detection, the classical edit-distance-to-consensus test).
+    // NEVER all-pairs: neighbors are searched within the point's
+    // centroid cell (the SemDeDup Σn_c² bound — an IVF-bucketed kNN),
+    // so at 100 TB the quadratic term is per-cell and the cell count
+    // grows with the corpus. All ranking is the bit-identical cosine
+    // fold (ties → neighbor id), the vote is exact counts (ties →
+    // smallest label), so the flagged set is driver-hash-exact. Emits
+    // the suspects with their consensus label and vote count.
+    Q(
+      "ml_label_noise",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val assigned = e
+          .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+          .crossJoin(broadcast(initCentroids(e, 8)))
+          .select(col("vec_id"), col("label"), col("v"), col("cid"),
+            cosine(col("v"), col("cv")).as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("v"), col("cid"))
+          .localCheckpoint(false) // both sides of the within-cell join
+        val q = assigned.select(col("vec_id").as("qid"),
+          col("label").as("qlabel"), col("v").as("qv"), col("cid"))
+        val n = assigned.select(col("vec_id").as("nid"),
+          col("label").as("nlabel"), col("v").as("nv"), col("cid"))
+        val knn = q.join(n, "cid").filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+            cosine(col("qv"), col("nv")).as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+          .filter(col("rk") <= 5)
+        knn.groupBy("qid", "qlabel", "nlabel")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("votes").desc, col("nlabel").asc)))
+          .filter(col("vr") === 1 && col("nlabel") =!= col("qlabel"))
+          .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+            col("nlabel").as("knn_majority"), col("votes"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val c = sqlCosine(sqlVec("q.embedding"), sqlVec("n.embedding"))
+        s"""WITH cents AS ${sqlCentroids(8)},
+           |assigned AS (
+           |  SELECT vec_id, label, embedding, cid
+           |  FROM (${sqlAssign(8)}) WHERE rk = 1),
+           |knn AS (
+           |  SELECT q.vec_id AS qid, q.label AS qlabel, n.label AS nlabel,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $c DESC, n.vec_id ASC) AS rk
+           |  FROM assigned q JOIN assigned n
+           |    ON n.cid = q.cid AND n.vec_id <> q.vec_id),
+           |votes AS (
+           |  SELECT qid, qlabel, nlabel, CAST(count(*) AS BIGINT) AS votes
+           |  FROM knn WHERE rk <= 5 GROUP BY 1, 2, 3),
+           |maj AS (
+           |  SELECT qid, qlabel, nlabel, votes,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY votes DESC, nlabel ASC) AS vr
+           |  FROM votes)
+           |SELECT qid AS vec_id, qlabel AS label, nlabel AS knn_majority, votes
+           |FROM maj WHERE vr = 1 AND nlabel <> qlabel
+           |ORDER BY vec_id""".stripMargin
+      }
+    ),
+
     // Full convergent loop — not one SQL statement (SURVEY.md §7 risk
     // register), so rows-only check here; semantics are covered by the
     // ScalaTest suite incl. an MLlib KMeans cross-check.

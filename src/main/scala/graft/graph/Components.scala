@@ -46,6 +46,7 @@ object Components {
     var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
       .localCheckpoint(false)
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
       val prop = ue
         .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
@@ -62,7 +63,10 @@ object Components {
         .select(col("id"), col("l"), coalesce(col("chRaw"), lit(false)).as("ch"))
         .localCheckpoint(false)
       changed = lbl.filter(col("ch")).count()
+      iters += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[minLabel] iters=$iters")
     lbl.select(col("id"), col("l"))
   }
 
@@ -602,21 +606,32 @@ object Components {
     * @return ((round, lo, hi, w) — the forest edges, tagged with the
     *         round that picked them; rounds run). */
   def boruvkaMst(ue: DataFrame): (DataFrame, Int) = {
-    val nodes = ue.select(col("src").as("id")).distinct()
-    var comp = nodes.select(col("id"), col("id").as("c")).localCheckpoint(false)
+    // Contracted representation: one canonical row per CURRENT component
+    // pair, carrying the lightest original edge (w, lo, hi) between them
+    // — the textbook Borůvka contraction. The work set shrinks
+    // geometrically (components at least halve AND parallel multi-edges
+    // collapse to their pair-minimum, which preserves every possible
+    // argmin winner), so only round 1 ever touches the full edge list —
+    // unlike a vertex-labels formulation that rescans |E| every round.
+    var edges = ue.filter(col("src") < col("dst"))
+      .groupBy(col("src").as("a"), col("dst").as("b"))
+      .agg(min(struct(col("w"), col("src").as("lo"), col("dst").as("hi"))).as("m"))
+      .select(col("a"), col("b"), col("m.w").as("w"), col("m.lo").as("lo"),
+        col("m.hi").as("hi"))
+      .localCheckpoint(false)
     var mst: DataFrame = null
     var rounds = 0
     var live = true
     while (live) {
-      val cand = ue
-        .join(comp.select(col("id").as("src"), col("c").as("cs")), "src")
-        .join(comp.select(col("id").as("dst"), col("c").as("cd")), "dst")
-        .filter(col("cs") =!= col("cd"))
-        .select(col("cs"),
-          struct(col("w"), least(col("src"), col("dst")).as("lo"),
-            greatest(col("src"), col("dst")).as("hi"), col("cd")).as("k"))
-      val pick = cand.groupBy("cs").agg(min("k").as("k")).localCheckpoint(false)
+      val cand = edges
+        .select(col("a").as("c"),
+          struct(col("w"), col("lo"), col("hi"), col("b").as("other")).as("k"))
+        .union(edges.select(col("b").as("c"),
+          struct(col("w"), col("lo"), col("hi"), col("a").as("other")).as("k")))
+      val pick = cand.groupBy("c").agg(min("k").as("k")).localCheckpoint(false)
       val nPick = pick.count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[boruvka] round=${rounds + 1} picks=$nPick")
       if (nPick == 0) live = false
       else {
         rounds += 1
@@ -627,28 +642,33 @@ object Components {
           .localCheckpoint(false)
         mst = if (mst == null) chosen else mst.union(chosen)
         // contract: CC over the picked component-graph (component-count
-        // sized), then push the new labels back onto the vertex map
-        val eg0 = pick.select(col("cs").as("a"), col("k.cd").as("b"))
+        // sized; geometrically shrinking), then relabel the edge pairs
+        // and re-reduce parallel edges to their pair minimum
+        val eg0 = pick.select(col("c").as("x"), col("k.other").as("y"))
           .localCheckpoint(false)
-        val eg1 = eg0.select(col("a").as("src"), col("b").as("dst"))
-          .union(eg0.select(col("b").as("src"), col("a").as("dst")))
-        // the pick graph has ONE edge pair per current component, so it
-        // shrinks geometrically; once it fits a single partition, the
-        // minLabel fixpoint's cost is pure per-job scheduling overhead —
-        // narrow it to one partition (still the distributed API, no
-        // collect; large early rounds at 100 TB keep full width)
-        val eg = (if (nPick <= 65536) eg1.coalesce(1) else eg1)
+        val eg = eg0.select(col("x").as("src"), col("y").as("dst"))
+          .union(eg0.select(col("y").as("src"), col("x").as("dst")))
           .localCheckpoint(false)
-        val relab = minLabel(eg).select(col("id").as("c"), col("l"))
-        comp = comp.join(relab, Seq("c"), "left")
-          .select(col("id"), coalesce(col("l"), col("c")).as("c"))
+        val relab = minLabel(eg)
+        edges = edges
+          .join(relab.select(col("id").as("a"), col("l").as("la")), Seq("a"), "left")
+          .join(relab.select(col("id").as("b"), col("l").as("lb")), Seq("b"), "left")
+          .select(coalesce(col("la"), col("a")).as("na"),
+            coalesce(col("lb"), col("b")).as("nb"),
+            col("w"), col("lo"), col("hi"))
+          .filter(col("na") =!= col("nb"))
+          .groupBy(least(col("na"), col("nb")).as("a"),
+            greatest(col("na"), col("nb")).as("b"))
+          .agg(min(struct(col("w"), col("lo"), col("hi"))).as("m"))
+          .select(col("a"), col("b"), col("m.w").as("w"), col("m.lo").as("lo"),
+            col("m.hi").as("hi"))
           .localCheckpoint(false)
       }
     }
     val out =
       if (mst == null)
-        nodes.limit(0).select(lit(0).as("round"), col("id").as("lo"),
-          col("id").as("hi"), col("id").as("w"))
+        ue.limit(0).select(lit(0).as("round"), col("src").as("lo"),
+          col("dst").as("hi"), col("w"))
       else mst
     (out, rounds)
   }

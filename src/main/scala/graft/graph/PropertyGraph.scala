@@ -1839,6 +1839,45 @@ object PropertyGraph {
            |$chosen)
            |ORDER BY lo, hi""".stripMargin
       }
+    ),
+
+    // ── single-linkage clustering at threshold τ (MST's read side) ─────
+    // Cut every edge heavier than τ and take connected components — the
+    // classic single-linkage flat clustering, and the reason pipelines
+    // bother building an MST at all: CC(edges ≤ τ) ≡ CC(MST edges ≤ τ)
+    // for EVERY τ (the single-linkage/MST identity, asserted against
+    // [[Components.boruvkaMst]] in Round10Spec), so once the O(E)
+    // forest exists, any threshold sweep touches only n−1 edges. This
+    // query computes the τ = 3 clustering directly on the thresholded
+    // graph (GraphX CC over the sparse subgraph — the same kernel as
+    // graph_connected_components), with untouched vertices kept as
+    // singletons; the oracle is the same recursive min-reach closure.
+    Q(
+      "graph_single_linkage",
+      (s, d) => {
+        val tau = 3L
+        val sub = weightedUndirectedEdges(s, d).filter(col("w") <= tau)
+        val lab = Components.minLabel(sub.select(col("src"), col("dst")))
+        supplierPartGraph(s, d).nodes.select(col("id"))
+          .join(lab, Seq("id"), "left")
+          .select(col("id"), coalesce(col("l"), col("id")).as("component"))
+          .groupBy("component").agg(count(lit(1)).as("size"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE
+              |e AS (SELECT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
+              |      FROM lineitem GROUP BY 1, 2
+              |      HAVING CAST(min(l_quantity) AS BIGINT) <= 3),
+              |ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+              |n AS (SELECT s_suppkey AS id FROM supplier
+              |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+              |lbl(id, l) AS (
+              |  SELECT id, id FROM n
+              |  UNION
+              |  SELECT ue.dst, lbl.l FROM lbl JOIN ue ON ue.src = lbl.id),
+              |comp AS (SELECT id, min(l) AS component FROM lbl GROUP BY id)
+              |SELECT component, count(*) AS size FROM comp
+              |GROUP BY component ORDER BY component""".stripMargin)
     )
   )
 }

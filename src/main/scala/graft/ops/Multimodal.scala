@@ -423,6 +423,62 @@ object Multimodal {
              |FROM lg ORDER BY media_id, frame""".stripMargin)
     ),
 
+    // ── per-shot statistics (the read side of scene-change detection) ──
+    // What a video-curation pipeline actually consumes: SHOTS, not cut
+    // flags — each maximal run of frames between cuts, with bounds,
+    // length, and luma stats. The shot id is the running count of cuts
+    // (a cut frame OPENS a new shot), so segmentation is one more
+    // window over the same per-media frame ordering mm_scene_change
+    // already computes — exact integers end to end; the mean divides
+    // once at the end. Per-media windows + one partial agg: the plan a
+    // 100 TB frame table runs unchanged, partitioned by media_id.
+    Q(
+      "mm_video_shot_stats",
+      (s, d) => {
+        val w = Window.partitionBy("media_id").orderBy(col("frame").asc)
+        val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"),
+            posexplode(split(col("text"), "")).as(Seq("idx", "ch")))
+          .select(col("media_id"), expr("CAST(idx AS BIGINT) DIV 100").as("frame"),
+            ascii(col("ch")).cast("long").as("v"))
+          .groupBy("media_id", "frame")
+          .agg(count(lit(1)).as("n_px"), sum("v").as("luma"))
+          .withColumn("delta", abs(col("luma") - lag(col("luma"), 1).over(w)))
+          .withColumn("is_cut", when(col("delta") > 1500L, 1L).otherwise(0L))
+          .withColumn("shot", sum(col("is_cut")).over(wCum))
+          .groupBy("media_id", "shot")
+          .agg(min("frame").as("start_frame"), max("frame").as("end_frame"),
+            count(lit(1)).as("n_frames"), sum("luma").as("luma_total"))
+          .withColumn("luma_mean",
+            col("luma_total").cast("double") / col("n_frames").cast("double"))
+          .orderBy("media_id", "shot")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id AS media_id, (CAST(i AS BIGINT) - 1) // 100 AS frame,
+             |    CAST(ascii(text[CAST(i AS INT)]) AS BIGINT) AS v
+             |  FROM documents, LATERAL unnest(range(1, len(text) + 1)) AS t(i)),
+             |f AS (
+             |  SELECT media_id, frame, CAST(count(*) AS BIGINT) AS n_px,
+             |    CAST(sum(v) AS BIGINT) AS luma
+             |  FROM e GROUP BY media_id, frame),
+             |lg AS (
+             |  SELECT media_id, frame, luma,
+             |    CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY media_id ORDER BY frame ASC)) > 1500
+             |         THEN 1 ELSE 0 END AS is_cut
+             |  FROM f),
+             |sh AS (
+             |  SELECT media_id, frame, luma,
+             |    CAST(sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot
+             |  FROM lg)
+             |SELECT media_id, shot, min(frame) AS start_frame, max(frame) AS end_frame,
+             |  CAST(count(*) AS BIGINT) AS n_frames, CAST(sum(luma) AS BIGINT) AS luma_total,
+             |  CAST(sum(luma) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS luma_mean
+             |FROM sh GROUP BY media_id, shot
+             |ORDER BY media_id, shot""".stripMargin)
+    ),
+
     // ── voice-activity segments: energy gate + gaps-and-islands ────────
     // The VAD step an audio-curation pipeline runs before transcription:
     // a window is ACTIVE iff its mean energy clears the gate —

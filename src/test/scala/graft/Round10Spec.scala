@@ -714,6 +714,111 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("ml_kfold_cv partitions every doc once and accuracies tie out per fold") {
+    val rows = SparkEntry.queries("ml_kfold_cv")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 5))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs,
+      "the five held-out folds must tile the corpus exactly")
+    rows.foreach { r =>
+      val (f, n, ok, acc) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val preds = cluster.Classify.nbPredictions(spark, sf, f).collect()
+      assert(n == preds.length)
+      assert(ok == preds.count(p => p.getString(2) == p.getString(1)))
+      assert(acc == ok.toDouble / n.toDouble)
+      assert(acc > 0.2, s"fold $f accuracy $acc at or below chance")
+    }
+  }
+
+  test("graph_single_linkage equals CC over the τ-thresholded MST (the SL/MST identity)") {
+    val got = SparkEntry.queries("graph_single_linkage")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tau = 3L
+    // union-find helper over an edge list
+    def cluster(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val nodes = graph.PropertyGraph.supplierPartGraph(spark, sf).nodes
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val we = graph.PropertyGraph.weightedUndirectedEdges(spark, sf)
+      .filter(col("src") < col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val direct = cluster(we.filter(_._3 <= tau).map(e => (e._1, e._2)).toSeq, nodes)
+    val mst = SparkEntry.queries("graph_mst_boruvka")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val viaMst = cluster(mst.filter(_._3 <= tau).map(e => (e._1, e._2)).toSeq, nodes)
+    // identity: same partition (labels are min ids in both constructions)
+    assert(direct == viaMst, "single-linkage/MST identity violated")
+    val wantSizes = direct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got == wantSizes, "query cluster sizes differ from the replay")
+  }
+
+  test("ml_label_noise flags exactly the cell-kNN majority disagreements") {
+    val got = SparkEntry.queries("ml_label_noise")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1).toLong, r.getInt(2).toLong, r.getLong(3)))).toMap
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cents = cluster.KMeans.initCentroids(Tables.embeddings(spark, sf), 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = e.groupBy { case (_, _, v) =>
+      cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .minBy { case (s, c) => (-s, c) }._2
+    }
+    val want = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    byCell.values.foreach { members =>
+      members.foreach { case (qid, qlabel, qv) =>
+        val knn = members.filter(_._1 != qid)
+          .map(m => (cos(qv, m._3), m._1, m._2))
+          .sortBy { case (s, nid, _) => (-s, nid) }.take(5)
+        if (knn.nonEmpty) {
+          val votes = knn.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+          val (maj, nv) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+          if (maj != qlabel) want(qid) = (qlabel, maj, nv)
+        }
+      }
+    }
+    assert(got == want.toMap, "flagged suspects differ from the driver replay")
+    assert(got.nonEmpty)
+  }
+
+  test("mm_video_shot_stats shots tile the frames and agree with the cut flags") {
+    val shots = SparkEntry.queries("mm_video_shot_stats")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    val frames = SparkEntry.queries("mm_scene_change")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5)))
+    assert(shots.nonEmpty)
+    val byMedia = frames.groupBy(_._1)
+    shots.groupBy(_._1).foreach { case (m, ss) =>
+      val fs = byMedia(m)
+      assert(ss.map(_._5).sum == fs.length, s"media $m: shots must tile frames")
+      assert(ss.length == 1 + fs.map(_._4).sum, s"media $m: shot count = cuts + 1")
+      ss.foreach { case (_, _, start, end, n, total, mean) =>
+        assert(end - start + 1 == n, "shot frames must be contiguous")
+        val inShot = fs.filter(f => f._2 >= start && f._2 <= end)
+        assert(inShot.map(_._3).sum == total, "luma total differs")
+        assert(mean == total.toDouble / n.toDouble)
+      }
+    }
+  }
+
   test("agg_quantile_sketch brackets hold and are genuinely narrow") {
     val rows = SparkEntry.queries("agg_quantile_sketch")(spark, sf).collect()
     assert(rows.nonEmpty)
