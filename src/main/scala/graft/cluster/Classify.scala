@@ -278,16 +278,21 @@ object Classify {
     Q(
       "ml_kfold_cv",
       (s, d) => {
+        // scalar aggregates (no groupBy): an EMPTY fold — possible on a
+        // tiny corpus whose id hashes miss a residue — must still emit
+        // its row (n_test = 0, accuracy 0.0), exactly like the oracle's
+        // scalar count; a groupBy would silently drop it on one engine
         val perFold = (0 until 5).map { f =>
           nbPredictions(s, d, f)
-            .select(lit(f).as("fold"),
-              when(col("pred") === col("true_lang"), 1L).otherwise(0L).as("ok"))
-            .groupBy("fold")
-            .agg(count(lit(1)).as("n_test"), sum("ok").as("n_correct"))
+            .agg(count(lit(1)).as("n_test"),
+              coalesce(sum(when(col("pred") === col("true_lang"), 1L)
+                .otherwise(0L)), lit(0L)).as("n_correct"))
+            .select(lit(f).as("fold"), col("n_test"), col("n_correct"))
         }.reduce(_ union _)
         perFold
           .select(col("fold"), col("n_test"), col("n_correct"),
-            (col("n_correct").cast("double") / col("n_test").cast("double"))
+            when(col("n_test") === 0L, 0.0)
+              .otherwise(col("n_correct").cast("double") / col("n_test").cast("double"))
               .as("accuracy"))
           .orderBy("fold")
       },
@@ -295,14 +300,15 @@ object Classify {
         val chains = (0 until 5).map(f => nbSqlCtes(f, s"f$f")).mkString(",\n")
         val folds = (0 until 5).map { f =>
           s"""SELECT $f AS fold, CAST(count(*) AS BIGINT) AS n_test,
-             |  CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             |  CAST(coalesce(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct
              |FROM nllsf$f WHERE rk = 1""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH $chains,
            |per_fold AS (
            |$folds)
            |SELECT fold, n_test, n_correct,
-           |  CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy
+           |  CASE WHEN n_test = 0 THEN 0.0
+           |       ELSE CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) END AS accuracy
            |FROM per_fold ORDER BY fold""".stripMargin
       }
     )

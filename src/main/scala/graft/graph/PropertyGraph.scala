@@ -189,6 +189,10 @@ object PropertyGraph {
     * s grows like log n / ε², independent of n. */
   private val BcSampleSeeds = 4
 
+  /** The estimator's pivot σ tower, one build per (session, dir) — the
+    * sampled sibling of [[sigmaTower]]. */
+  private val sampledTowerMemo = graft.SessionMemo[DataFrame]()
+
   /** Seed suppliers for `graph_closeness_centrality` — the sampled
     * landmark set of the Eppstein–Wang closeness estimate, shared
     * verbatim with the oracle's recursive CTE. */
@@ -707,7 +711,16 @@ object PropertyGraph {
         val seeds = nodes
           .orderBy(graft.Tables.detHash(col("id")).asc, col("id").asc)
           .limit(BcSampleSeeds).collect().map(_.getLong(0)).toSeq.sorted
-        Components.betweenness(undirectedEdges(s, d), seeds, SigmaUnroll)
+        // the pivot σ tower is a session artifact like the landmark one
+        // (sigmaTower): at 100 TB both live as persisted tables the
+        // centrality family reads, so the estimator shares one build
+        // per (session, dir) instead of re-running the forward BFS
+        val tower = sampledTowerMemo.getOrCompute(s, d) {
+          Components.multiBfsCounts(undirectedEdges(s, d), seeds, SigmaUnroll)
+            .cache()
+        }
+        Components.betweenness(undirectedEdges(s, d), seeds, SigmaUnroll,
+            tower = Some(tower))
           .select(col("id"),
             (lit(n.toDouble / BcSampleSeeds) * col("bc")).as("bc_est"))
           .orderBy("id")

@@ -465,4 +465,66 @@ class EdgeCaseSpec extends SparkSpec {
     val (h, l2) = ops.Image.hsvHistogramFull(Seq.empty)
     assert(h.isEmpty && l2 === 0.0)
   }
+
+  test("Borůvka MST on an empty edge list returns an empty forest in zero rounds") {
+    import spark.implicits._
+    val ue = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val (mst, rounds) = graph.Components.boruvkaMst(ue)
+    assert(mst.orderBy("lo").collect().isEmpty)
+    assert(rounds === 0)
+  }
+
+  test("Borůvka MST on one edge picks it in one round; weight ties break by (lo, hi)") {
+    import spark.implicits._
+    val one = Seq((1L, 2L, 5L), (2L, 1L, 5L)).toDF("src", "dst", "w")
+    val (m1, r1) = graph.Components.boruvkaMst(one)
+    assert(m1.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1, 1L, 2L, 5L)))
+    assert(r1 === 1)
+    // triangle with ALL-equal weights: MST = the two lexicographically
+    // smallest edges, never a cycle
+    val triE = Seq((1L, 2L, 7L), (2L, 3L, 7L), (1L, 3L, 7L))
+    val tri = (triE ++ triE.map(e => (e._2, e._1, e._3))).toDF("src", "dst", "w")
+    val (m2, _) = graph.Components.boruvkaMst(tri)
+    val picked = m2.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(picked == Set((1L, 2L), (1L, 3L)), s"tie-break must be (w, lo, hi): $picked")
+  }
+
+  test("Borůvka MST on two disconnected pairs yields a two-tree forest") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 3L), (10L, 11L, 4L))
+    val ue = (e ++ e.map(x => (x._2, x._1, x._3))).toDF("src", "dst", "w")
+    val (mst, rounds) = graph.Components.boruvkaMst(ue)
+    assert(mst.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet ==
+      Set((1L, 2L, 3L), (10L, 11L, 4L)))
+    assert(rounds === 1)
+  }
+
+  test("CUSUM prefix identity clamps at zero through a long negative stretch") {
+    // pure-driver check of the identity the query relies on: a deep dip
+    // followed by a rise must restart from 0, not from the dip's depth
+    val xs = Seq(50L, 10L, 10L, 200L, 150L) // k = 120 → d: -70,-110,-110,+80,+30
+    val k = 120L
+    var s = 0L
+    var cu = 0L
+    var mn = 0L
+    xs.foreach { x =>
+      s = math.max(0L, s + (x - k))
+      cu += x - k
+      mn = math.min(mn, cu)
+      assert(s == cu - mn, s"identity broke at x=$x: clamp $s vs prefix ${cu - mn}")
+    }
+    assert(s == 110L) // 80 + 30 after the full clamp
+  }
+
+  test("eccentricity drops a seed that reaches nothing (both engines agree by construction)") {
+    import spark.implicits._
+    // multiBfs yields only the seed row at d=0; the d>0 filter then
+    // removes the seed from the report — same as the oracle's recursive
+    // closure, whose `per` CTE is empty for that lm
+    val e = Seq((10L, 11L)).toDF("src", "dst")
+    val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val dist = graph.Components.multiBfs(ue, Seq(1L), 4)
+    assert(dist.filter(col("d") > 0).collect().isEmpty)
+  }
 }
