@@ -375,6 +375,76 @@ object KMeans {
       }
     ),
 
+    // ── IVF nprobe sweep: the recall/cost curve of the probe knob ──────
+    // THE operational question for an IVF deployment: how many cells
+    // must a probe read for the recall you need? One corpus scoring
+    // pass (checkpointed) feeds every sweep point AND the exact truth;
+    // each nprobe ∈ {1,2,4,8} then costs only a broadcast cell-filter +
+    // a 10-row rank. nprobe = 8 probes every cell, so its recall row is
+    // 1.0 BY CONSTRUCTION — the sweep carries its own internal check.
+    // At 100 TB the candidate count column is the real cost model: it
+    // is exactly the number of partition-pruned rows a cell-partitioned
+    // corpus would read per probe.
+    Q(
+      "ann_nprobe_sweep",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val cents = initCentroids(e, 8)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        val sc = assign(e, cents).select("vec_id", "cid", "v")
+          .filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), col("cid"), cosine(col("v"), col("qv")).as("sim"))
+          .localCheckpoint(false) // one scoring pass for truth + all sweep points
+        val truth = sc.orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+          .select("vec_id").localCheckpoint(false)
+        val cellRank = cents.crossJoin(broadcast(query))
+          .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
+          .withColumn("crk", row_number().over(
+            Window.orderBy(col("csim").desc, col("cid").asc)))
+          .localCheckpoint(false)
+        Seq(1, 2, 4, 8).map { np =>
+          val cand = sc.join(broadcast(
+            cellRank.filter(col("crk") <= np).select("cid")), "cid")
+          val top = cand.orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+            .select("vec_id")
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(top.join(truth, "vec_id").agg(count(lit(1)).as("hits")))
+            .select(lit(np).as("nprobe"), col("n_candidates"), col("hits"),
+              (col("hits").cast("double") / 10.0).as("recall_at_10"))
+        }.reduce(_ union _).orderBy("nprobe")
+      },
+      Some {
+        val sweep = Seq(1, 2, 4, 8).map { np =>
+          s"""SELECT $np AS nprobe,
+             |  CAST((SELECT count(*) FROM sc JOIN cellrank cr
+             |        ON cr.cid = sc.cid AND cr.crk <= $np) AS BIGINT) AS n_candidates,
+             |  CAST((SELECT count(*) FROM (
+             |      SELECT sc.vec_id FROM sc JOIN cellrank cr
+             |      ON cr.cid = sc.cid AND cr.crk <= $np
+             |      ORDER BY sim DESC, vec_id ASC LIMIT 10) t
+             |    JOIN truth USING (vec_id)) AS BIGINT) AS hits""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH cents AS ${sqlCentroids(8)},
+           |scored AS (${sqlAssign(8)}),
+           |assigned AS (SELECT vec_id, cid, ${sqlVec("embedding")} AS v
+           |             FROM scored WHERE rk = 1),
+           |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+           |sc AS (SELECT a.vec_id, a.cid, ${sqlCosine("a.v", "q.qv")} AS sim
+           |       FROM assigned a, q WHERE a.vec_id <> 0),
+           |truth AS (SELECT vec_id FROM sc ORDER BY sim DESC, vec_id ASC LIMIT 10),
+           |cellrank AS (
+           |  SELECT cid, row_number() OVER (
+           |    ORDER BY ${sqlCosine("c.cv", "q.qv")} DESC, cid ASC) AS crk
+           |  FROM cents c, q)
+           |SELECT nprobe, n_candidates, hits,
+           |  CAST(hits AS DOUBLE) / 10.0 AS recall_at_10
+           |FROM ($sweep)
+           |ORDER BY nprobe""".stripMargin
+      }
+    ),
+
     // ── IVF-PQ with exact re-rank: the billion-scale ANN composition ──
     // The standard large-scale ANN architecture (FAISS IVFPQ / SPANN
     // shape): (1) a coarse quantizer prunes the corpus to the nProbe=2

@@ -2,11 +2,16 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Semantic invariants for the round-10 surface additions: CEP pattern
+/** Semantic invariants for the round-10 surface additions — CEP pattern
   * matching, GROUPING SETS, moments-based OLS, scene-change detection,
-  * and the bigram LM surprisal score. Each test checks the Spark result
-  * against an independently derived ground truth (driver-side replay or
-  * an algebraic identity), not against the query's own plumbing.
+  * bigram surprisal, CBO column stats, windowed heavy hitters,
+  * silhouette, naive Bayes (+ confusion/AUC/k-fold eval), VAD, neighbor
+  * sampling, skyline, butterflies, Borůvka MST (+ single-linkage),
+  * eccentricity, Zipf fit, SCD2 lookup, sequence mining, CUSUM,
+  * label-noise audit, shot stats, and the IVF nprobe sweep. Each test
+  * checks the Spark result against an independently derived ground
+  * truth (driver-side replay or an algebraic identity), not against
+  * the query's own plumbing.
   */
 class Round10Spec extends SparkSpec {
 
@@ -817,6 +822,24 @@ class Round10Spec extends SparkSpec {
         assert(mean == total.toDouble / n.toDouble)
       }
     }
+  }
+
+  test("ann_nprobe_sweep: recall monotone in nprobe, exact at full probe") {
+    val rows = SparkEntry.queries("ann_nprobe_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // candidates grow with the probe width; recall never decreases
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2, "candidate count must grow with nprobe")
+        assert(a._4 <= b._4 + 1e-12, "recall must be monotone in nprobe")
+      case _ =>
+    }
+    val full = rows.last
+    val n = Tables.embeddings(spark, sf).count()
+    assert(full._2 == n - 1, "nprobe=8 must scan the whole corpus minus the query")
+    assert(full._3 == 10L && full._4 == 1.0, "full probe must be exact")
+    rows.foreach(r => assert(r._4 == r._3.toDouble / 10.0))
   }
 
   test("agg_quantile_sketch brackets hold and are genuinely narrow") {
