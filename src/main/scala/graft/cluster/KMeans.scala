@@ -375,6 +375,52 @@ object KMeans {
       }
     ),
 
+    // ── elbow curve: inertia vs k (clustering model selection) ─────────
+    // The k-selection diagnostic: total cosine distortion
+    // Σ (1 − sim-to-assigned-centroid) for k ∈ {2, 4, 8}. Per-point
+    // distortions are floor-quantized to the 2^-20 dyadic grid (the
+    // silhouette convention) so each k's inertia is an order-free exact
+    // sum; the mean divides once. Hash-prefix centroid init makes the
+    // k=2 centroids a PREFIX of the k=8 ones, so the three assignments
+    // share everything but the argmax width. Inertia must be
+    // non-increasing in k for nested centroid sets — asserted in spec,
+    // the curve's own sanity check. SCALE: three broadcast-argmax
+    // passes + three 1-row aggs; the corpus is read once per k (a 100 TB
+    // run would stack the three sims in one pass — here the plans stay
+    // separate so each matches its oracle subquery exactly).
+    Q(
+      "kmeans_elbow",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Seq(2, 4, 8).map { k =>
+          assign(e, initCentroids(e, k))
+            .select((floor((lit(1.0) - col("sim")) * 1048576.0) / 1048576.0)
+              .as("sq"))
+            .agg(count(lit(1)).as("n"), sum("sq").as("inertia"))
+            .select(lit(k).as("k"), col("n"), col("inertia"),
+              (col("inertia") / col("n").cast("double")).as("mean_distortion"))
+        }.reduce(_ union _).orderBy("k")
+      },
+      Some {
+        val rows = Seq(2, 4, 8).map { k =>
+          val c = sqlCosine(sqlVec("e.embedding"), "c.cv")
+          s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n,
+             |  sum(sq) AS inertia,
+             |  sum(sq) / CAST(count(*) AS DOUBLE) AS mean_distortion
+             |FROM (
+             |  SELECT floor((1.0 - sim) * 1048576) / 1048576 AS sq FROM (
+             |    SELECT e.vec_id, $c AS sim,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY $c DESC, c.cid ASC) AS rk
+             |    FROM embeddings e, ${sqlCentroids(k)} c)
+             |  WHERE rk = 1)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""SELECT k, n, inertia, mean_distortion FROM (
+           |$rows)
+           |ORDER BY k""".stripMargin
+      }
+    ),
+
     // ── IVF nprobe sweep: the recall/cost curve of the probe knob ──────
     // THE operational question for an IVF deployment: how many cells
     // must a probe read for the recall you need? One corpus scoring

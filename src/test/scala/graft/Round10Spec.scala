@@ -842,6 +842,39 @@ class Round10Spec extends SparkSpec {
     rows.foreach(r => assert(r._4 == r._3.toDouble / 10.0))
   }
 
+  test("kmeans_elbow inertia is non-increasing in k and replays exactly") {
+    val rows = SparkEntry.queries("kmeans_elbow")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    val n = Tables.embeddings(spark, sf).count()
+    rows.foreach(r => assert(r._2 == n))
+    // nested hash-prefix centroids → per-point distortion can only
+    // improve as k grows → inertia monotone non-increasing
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3 + 1e-12,
+        s"inertia rose from k=${a._1} (${a._3}) to k=${b._1} (${b._3})")
+      case _ =>
+    }
+    rows.foreach(r => assert(r._4 == r._3 / r._2.toDouble))
+    // exact replay at k=8 against the shared driver-side machinery
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cents = cluster.KMeans.initCentroids(Tables.embeddings(spark, sf), 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = e.map { case (_, v) =>
+      val best = cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .minBy { case (s, c) => (-s, c) }._1
+      math.floor((1.0 - best) * 1048576.0) / 1048576.0
+    }.sum
+    assert(rows.last._3 == want, "k=8 inertia differs from the driver replay")
+  }
+
   test("agg_quantile_sketch brackets hold and are genuinely narrow") {
     val rows = SparkEntry.queries("agg_quantile_sketch")(spark, sf).collect()
     assert(rows.nonEmpty)
