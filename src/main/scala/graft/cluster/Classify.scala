@@ -219,8 +219,12 @@ object Classify {
     Q(
       "ml_auc",
       (s, d) => {
+        // floor() before the BIGINT cast (r10 advice): Spark's cast
+        // truncates while DuckDB's rounds half-to-even — identical only
+        // while nll stays exactly on the 2^-20 dyadic grid. An explicit
+        // floor on BOTH sides makes the quantization convention-proof.
         val en = nbNlls(s, d).filter(col("lang") === "en")
-          .select((col("nll") * 1048576.0).cast("long").as("s_int"),
+          .select(floor(col("nll") * 1048576.0).cast("long").as("s_int"),
             (col("true_lang") === "en").cast("long").as("pos"))
         val grouped = en.groupBy("s_int")
           .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
@@ -239,7 +243,7 @@ object Classify {
       },
       Some(s"""WITH ${nbSqlCtes()},
               |en AS (
-              |  SELECT CAST(nll * 1048576 AS BIGINT) AS s_int,
+              |  SELECT CAST(floor(nll * 1048576) AS BIGINT) AS s_int,
               |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS pos
               |  FROM nlls WHERE lang = 'en'),
               |grouped AS (

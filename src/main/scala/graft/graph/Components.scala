@@ -70,6 +70,128 @@ object Components {
     lbl.select(col("id"), col("l"))
   }
 
+  /** [[minLabel]] lifted to a DIRECTED edge list with an explicit vertex
+    * set: l(v) converges to min{u : u reaches v along edge direction}
+    * (including v itself). The explicit `nodes` frame matters because a
+    * directed graph has sink-only vertices that never appear as `src`;
+    * propagation, merge, change-fusion, and the lazy-localCheckpoint +
+    * drain-count discipline are exactly [[minLabel]]'s — one equi-join +
+    * one partial min-agg + one count job per round, O(1) plan depth.
+    * Convergence takes one round per hop of the longest shortest
+    * label-carrying path (the directed diameter), so callers should keep
+    * that bounded by graph design (the SCC chain graph measures ~15
+    * rounds at sf0.1).
+    *
+    * @param nodes (id) — every vertex of the subgraph.
+    * @param de    directed edges (src, dst) — NOT symmetrized.
+    * @return (id, l) with l = min forward-reaching vertex id. */
+  def minLabelDirected(nodes: DataFrame, de: DataFrame): DataFrame = {
+    var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
+      .localCheckpoint(false)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = de
+        .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+        .groupBy(col("dst")).agg(min("nl").as("ml"))
+      lbl = lbl.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("l"), coalesce(col("ml"), col("l"))).as("l"),
+          (col("ml") < col("l")).as("chRaw"))
+        .select(col("id"), col("l"), coalesce(col("chRaw"), lit(false)).as("ch"))
+        .localCheckpoint(false)
+      changed = lbl.filter(col("ch")).count()
+    }
+    lbl.select(col("id"), col("l"))
+  }
+
+  /** Strongly connected components by deterministic forward-backward
+    * coloring (the Orzan / Fleischer–Hendrickson–Pinar family — the
+    * parallel-native SCC; Tarjan's single DFS is inherently sequential
+    * and never scales out). Each outer round:
+    *
+    *   1. FORWARD coloring: [[minLabelDirected]] gives every remaining
+    *      vertex the color c(v) = min id that reaches it. A vertex with
+    *      c(v) = v is a ROOT (nothing smaller reaches it) — the round's
+    *      pivot set, one pivot per color, all colors in one dataflow.
+    *   2. BACKWARD BFS within each color class: SCC(r) for a root r is
+    *      exactly the vertices of color r that reach r. Because color
+    *      classes partition the remaining graph, all roots sweep
+    *      together: keep edges whose endpoints share a color, reverse
+    *      them, BFS from the root set — one equi-join + one distinct +
+    *      one anti-join per hop for every root at once (the [[multiBfs]]
+    *      superstep budget).
+    *   3. Peel every settled SCC, drop their edges, repeat.
+    *
+    * The global min-id vertex is always a root, so every round peels ≥ 1
+    * SCC; min-id pivots make rounds — and therefore the output — fully
+    * deterministic and oracle-replayable. The definitional oracle (SCC
+    * label = min over mutually-reachable set) needs no round replay at
+    * all. Everything is hash-partitioned equi-joins + partial aggs;
+    * driver state is only the round counter and drain counts.
+    *
+    * @param nodes     (id) — the vertex set.
+    * @param de        directed edges (src, dst).
+    * @param maxRounds loud bound on outer peel rounds.
+    * @return ((id, scc) — scc = min id of v's SCC; outer rounds run). */
+  def sccColoring(nodes: DataFrame, de: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var rem = nodes.select(col("id")).localCheckpoint(false)
+    var edges = de.select(col("src"), col("dst")).localCheckpoint(false)
+    var out: DataFrame = null
+    var rounds = 0
+    var live = rem.count() > 0
+    while (live) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"SCC coloring still live past $maxRounds peel rounds — raise the bound")
+      val lbl = minLabelDirected(rem, edges) // (id, l): forward min color
+      // same-color edges, reversed: BFS follows them from the roots; the
+      // join keys the frontier on the ORIGINAL dst, so settle state is
+      // (vertex, its color) and colors never mix across classes.
+      val ec = edges
+        .join(lbl.select(col("id").as("src"), col("l").as("cs")), "src")
+        .join(lbl.select(col("id").as("dst"), col("l").as("cd")), "dst")
+        .filter(col("cs") === col("cd"))
+        .select(col("src"), col("dst"), col("cs").as("c"))
+        .localCheckpoint(false)
+      var settled = lbl.filter(col("id") === col("l"))
+        .select(col("id"), col("l").as("c"))
+        .localCheckpoint(false)
+      var frontier = settled
+      var drained = frontier.count() == 0 // roots always exist while rem ≠ ∅
+      while (!drained) {
+        // join on dst alone: ec carries c = color(dst) already (both
+        // endpoints share a color by construction), so the frontier side
+        // needs only its vertex ids
+        val next = ec
+          .join(frontier.select(col("id").as("dst")), Seq("dst"))
+          .select(col("src").as("id"), col("c")).distinct()
+          .join(settled.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(false)
+        if (next.count() == 0L) drained = true
+        else {
+          settled = settled.union(next).localCheckpoint(false)
+          frontier = next
+        }
+      }
+      val assigned = settled.select(col("id"), col("c").as("scc"))
+      out = if (out == null) assigned else out.union(assigned)
+      rem = rem.join(assigned.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint(false)
+      live = rem.count() > 0
+      if (live)
+        edges = edges
+          .join(assigned.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(assigned.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint(false)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[scc] round=$rounds")
+    }
+    val res =
+      if (out == null) nodes.select(col("id"), col("id").as("scc")).limit(0)
+      else out
+    (res, rounds)
+  }
+
   /** Synchronous label-propagation (Raghavan et al. 2007), made fully
     * deterministic: each round every vertex adopts the most frequent
     * label among its NEIGHBORS (no self-vote), ties toward the smallest

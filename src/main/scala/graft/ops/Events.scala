@@ -66,6 +66,21 @@ object Events {
   }
   val sqlTs = "make_timestamp(epoch_ns(ts) // 1000)"
 
+  /** Origin-alignment contract for every `time_bucket` oracle (r10
+    * advice): DuckDB's time_bucket buckets from a 2000-01-03 00:00 UTC
+    * origin while Spark's window() buckets from the 1970 epoch, so the
+    * two agree exactly IFF the bucket width divides the 946,857,600 s
+    * origin gap (10,959 days = 3·13·281 — so 15 min / 1 h / 6 h / 1 day
+    * all divide it, but e.g. 7 days does NOT). Asserted at class load so
+    * a new oracle width can't silently misalign buckets; any width
+    * outside this list must either divide the gap or pass an explicit
+    * `origin` to time_bucket. */
+  private val OriginGapSec = 946857600L
+  private val OracleBucketWidthsSec = Seq(15L * 60, 60L * 60, 6L * 3600)
+  require(OracleBucketWidthsSec.forall(OriginGapSec % _ == 0),
+    "a time_bucket oracle width does not divide the DuckDB origin gap — " +
+      "buckets would misalign vs Spark window(); pass an explicit origin")
+
   /** Exact order-free sum of a double column: floor-quantize to micro
     * units, sum as BIGINT, divide once at the end. */
   def exactSum(c: Column): Column =

@@ -268,4 +268,111 @@ class GraphSpec extends SparkSpec {
     assert(agg.getLong(1) === 6L)
     assert(agg.getLong(2) === 1000000000L + 500000000L + 333333333L)
   }
+
+  test("SCC coloring: hand-built 2-cycle + bridge + tail graph") {
+    import spark.implicits._
+    // two 3-cycles {1,2,3} and {10,11,12}, a bridge 3→10, a tail 12→20:
+    // SCC labels must be the component minima 1, 10, and singleton 20.
+    val de = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L), (12L, 20L)).toDF("src", "dst")
+    val nodes = de.select(col("src").as("id"))
+      .union(de.select(col("dst").as("id"))).distinct()
+    val (scc, rounds) = graph.Components.sccColoring(nodes, de, 8)
+    val got = scc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    assert(rounds <= 3, s"peel took $rounds rounds on a 2-level DAG of SCCs")
+    // the FIRST round must already peel the root SCC {1,2,3} (1 is the
+    // global min id, so it is always a round-1 root) AND {10,11,12}
+    // stays for a later round only if 1 colors it — it does (3→10), so
+    // the peel order exercises the multi-round path, not just round 1.
+    assert(rounds >= 2)
+  }
+
+  test("SCC condensation is acyclic and feeds the reachability kernels") {
+    import spark.implicits._
+    val de = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L), (12L, 20L)).toDF("src", "dst")
+    val nodes = de.select(col("src").as("id"))
+      .union(de.select(col("dst").as("id"))).distinct()
+    val (scc, _) = graph.Components.sccColoring(nodes, de, 8)
+    val cond = de
+      .join(scc.select(col("id").as("src"), col("scc").as("cs")), "src")
+      .join(scc.select(col("id").as("dst"), col("scc").as("cd")), "dst")
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+      .cache()
+    assert(cond.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (10L, 20L)))
+    // acyclicity: SCC of the condensation itself must be all singletons
+    val cn = cond.select(col("src").as("id"))
+      .union(cond.select(col("dst").as("id"))).distinct()
+    val (cScc, _) = graph.Components.sccColoring(cn, cond, 8)
+    assert(cScc.filter(col("id") =!= col("scc")).count() === 0L,
+      "condensation DAG contains a non-trivial SCC — contraction is broken")
+    // and it drives the existing reachability kernel directly: BFS from
+    // the root component reaches the whole condensation chain
+    val reach = graph.Components.multiBfs(cond, Seq(1L), 8)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(reach === Map(1L -> 0, 10L -> 1, 20L -> 2))
+  }
+
+  test("SCC on the sf0.001 chain graph matches a driver-side Tarjan replay") {
+    val de = PropertyGraph.partChainEdges(spark, sf)
+    val edges = de.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // iterative Tarjan over the collected edge list (test-only ground
+    // truth — the distributed kernel must agree on every label, where a
+    // label is the component's min id)
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var counter = 0
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStk = scala.collection.mutable.Set.empty[Long]
+    val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    for (v0 <- nodes if !index.contains(v0)) {
+      val work = scala.collection.mutable.Stack((v0, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.top
+        if (pi == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stk += v; onStk += v
+        }
+        val succs = adj.getOrElse(v, Array.empty[Long])
+        var i = pi
+        var recursed = false
+        while (i < succs.length && !recursed) {
+          val w = succs(i)
+          if (!index.contains(w)) {
+            work.pop(); work.push((v, i + 1)); work.push((w, 0)); recursed = true
+          } else {
+            if (onStk(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            while (w != v) { w = stk.remove(stk.length - 1); onStk -= w; comp += w }
+            val m = comp.min
+            comp.foreach(label(_) = m)
+          }
+          work.pop()
+          if (work.nonEmpty) {
+            val (u, _) = work.top
+            low(u) = math.min(low(u), low(v))
+          }
+        }
+      }
+    }
+    val got = SparkEntry.queries("graph_scc")(spark, sf)
+    val sizes = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = label.groupBy(_._2).map { case (l, m) => l -> m.size.toLong }
+    assert(sizes === want, "distributed SCC diverges from Tarjan ground truth")
+    assert(sizes.values.sum === nodes.length.toLong)
+  }
 }

@@ -145,6 +145,18 @@ class PlanSpec extends SparkSpec {
     assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")
   }
 
+  test("elbow curve scans the embeddings corpus once (r10 one-pass refactor)") {
+    // the query itself collects the 8-row centroid prefix (one tiny
+    // TakeOrdered scan at build time); the SCORING plan — what runs per
+    // corpus row — must read embeddings exactly once and shuffle only
+    // the 1-row partial agg.
+    val scans = scansOf("kmeans_elbow")
+    assert(scans.size == 1, s"expected ONE embeddings scan, got ${scans.size}")
+    val p = plan("kmeans_elbow")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin"),
+      s"elbow scoring must be join-free:\n$p")
+  }
+
   test("common-neighbors and keep-list plan equi/anti joins, never products") {
     for (q <- Seq("graph_common_neighbors", "dedup_keep_list", "evt_retention",
         "dedup_triangles", "dedup_triangles_ordered")) {
