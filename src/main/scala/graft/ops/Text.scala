@@ -337,6 +337,203 @@ object Text {
        |$rounds""".stripMargin
   }
 
+  // ── unigram-LM tokenizer (Kudo 2018 / SentencePiece family) ─────────
+  // The OTHER production tokenizer next to BPE: score candidate pieces
+  // by a unigram language model and segment by Viterbi. Deterministic,
+  // fixed-point variant: piece costs are ⌊−ln((cnt+1)/(tot+|V|))·2^20⌋
+  // BIGINTs (the idf/surprisal dyadic convention — integer-additive, so
+  // the DP is EXACT and engine-order-free), EM is hard (Viterbi) EM on
+  // the vocabulary-sized word-count table, and each round prunes to the
+  // top-K multi-char pieces by (count desc, piece asc) while ALWAYS
+  // keeping every single character (the SentencePiece coverage rule —
+  // and the invariant that keeps the DP feasible: round-r segmentations
+  // cover every word, so every piece they used survives with cnt > 0).
+  // Viterbi ties prefer the LONGER piece (explicit CASE order, mirrored
+  // verbatim in SQL).
+
+  private val UnigramSeedMulti = 48
+  private val UnigramKeeps = Seq(32, 24)
+  private val UnigramMaxPiece = 4
+  private val UnigramInf = 1099511627776L // 2^40 — unreachable-state cost
+
+  // trained artifact: (final vocab (piece, cnt, cost), final-cost word
+  // segmentations (word, cnt, dpcost, seg)) — one build per (session,
+  // dir), shared by the training query and the encoder (the bpeMemo
+  // convention: in production this is the tokenizer file every job
+  // loads).
+  private val unigramMemo = graft.SessionMemo[(DataFrame, DataFrame)]()
+
+  /** Viterbi segmentation of `words` (word, cnt) under driver-side
+    * piece costs: per word one `aggregate` fold over its positions
+    * carrying the last [[UnigramMaxPiece]] (cost, seg) DP states — a
+    * narrow per-row map against a broadcast literal cost map, no
+    * shuffle, vocabulary-sized input (the reason unigram-LM trains in
+    * minutes at corpus scale). Returns (word, cnt, dpcost, seg). */
+  private[graft] def viterbiSegment(words: DataFrame, costs: Map[String, Long]): DataFrame = {
+    val cm = typedLit(costs)
+    val infS = struct(lit(UnigramInf).as("c"), lit("").as("s"))
+    val init = array(infS, infS, infS, struct(lit(0L).as("c"), lit("").as("s")))
+    val folded = aggregate(
+      sequence(lit(1), length(col("word"))),
+      init,
+      (acc, k) => {
+        // dp[k−i] lives at acc[5−i] (acc = [dp[k−4] … dp[k−1]], 1-based)
+        def prev(i: Int): Column = element_at(acc, 5 - i)
+        def piece(i: Int): Column = col("word").substr(k - (i - 1), lit(i))
+        // candidate i: extend dp[k−i] with the i-char piece ending at k;
+        // out-of-range (k < i) and out-of-vocab candidates cost INF —
+        // never selected while any real segmentation exists (single
+        // chars are always in vocab, so one always does)
+        def v(i: Int): Column = when(k >= i,
+            prev(i).getField("c") + coalesce(element_at(cm, piece(i)), lit(UnigramInf)))
+          .otherwise(lit(2L * UnigramInf))
+        def s(i: Int): Column =
+          concat(prev(i).getField("s"), lit(" "), piece(i))
+        val m = least(v(4), v(3), v(2), v(1))
+        // tie → longest piece: the CASE checks i = 4 first (same order
+        // as the oracle's CASE, so the picked SEGMENTATION matches even
+        // when costs tie)
+        val seg = when(v(4) === m, s(4)).when(v(3) === m, s(3))
+          .when(v(2) === m, s(2)).otherwise(s(1))
+        array(element_at(acc, 2), element_at(acc, 3), element_at(acc, 4),
+          struct(m.as("c"), seg.as("s")))
+      },
+      acc => element_at(acc, 4))
+    words.withColumn("folded", folded)
+      .select(col("word"), col("cnt"), col("folded.c").as("dpcost"),
+        ltrim(col("folded.s")).as("seg"))
+  }
+
+  /** Seed-candidate pieces (piece, cnt): every 1..[[UnigramMaxPiece]]
+    * substring of every distinct word, weighted by word count. */
+  private[graft] def unigramPieces(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), lit(UnigramMaxPiece))).as("l"))
+      .select(col("word"), col("cnt"), col("l"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .filter(col("p") + col("l") - 1 <= length(col("word")))
+      .select(col("word").substr(col("p"), col("l")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+
+  /** One pruning + re-costing step: chars always kept (cnt 0 when
+    * unused), top-`keep` multi-char pieces by (cnt desc, piece asc),
+    * costs on the 2^-20 grid with +1 smoothing. */
+  private[graft] def unigramVocabFrom(chars: DataFrame, cnts: DataFrame, keep: Int): DataFrame = {
+    val vraw = chars.select(col("piece"))
+      .join(cnts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .unionByName(
+        cnts.filter(length(col("piece")) >= 2)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(keep))
+    val tot = vraw.agg(sum("cnt").as("tot"), count(lit(1)).as("nv"))
+    vraw.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        floor(-log((col("cnt") + 1).cast("double") / (col("tot") + col("nv")).cast("double"))
+          * 1048576.0).cast("long").as("cost"))
+  }
+
+  private def unigramTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    unigramMemo.getOrCompute(s, d) {
+      val words = documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val pieces = unigramPieces(words).localCheckpoint(false)
+      val chars = pieces.filter(length(col("piece")) === 1)
+      def costMap(v: DataFrame): Map[String, Long] =
+        // ≤ ~(chars + keep)-row driver boundary per round, the BPE
+        // top-pair convention: the piece table IS the model state
+        v.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      var vocab = unigramVocabFrom(chars, pieces, UnigramSeedMulti)
+      var seg: DataFrame = null
+      for (keep <- UnigramKeeps) {
+        seg = viterbiSegment(words, costMap(vocab))
+        val cnts = seg
+          .select(explode(split(col("seg"), " ")).as("piece"), col("cnt"))
+          .groupBy("piece").agg(sum("cnt").as("cnt"))
+        vocab = unigramVocabFrom(chars, cnts, keep)
+      }
+      val finalSeg = viterbiSegment(words, costMap(vocab))
+      (vocab.cache(), finalSeg.cache())
+    }
+
+  /** The identical training rounds as DuckDB CTEs: a recursive-CTE
+    * Viterbi DP per round (each row carries the last 4 DP states and
+    * steps one character; depth = word length, rows = vocabulary size)
+    * with the same INF sentinel, the same longest-piece CASE order, and
+    * the same smoothed fixed-point costs. `vocab2` is the trained
+    * model; `seg3` the final-cost segmentations the encoder reads. */
+  private lazy val sqlUnigramCtes: String = {
+    val inf = UnigramInf
+    def dpCte(i: Int, vocab: String): String = {
+      val joins = (1 to UnigramMaxPiece).map(l =>
+        s"  LEFT JOIN $vocab v$l ON v$l.piece = substr(d.word, d.k + 2 - $l, $l) AND d.k + 1 - $l >= 0")
+        .mkString("\n")
+      val prevs = Map(1 -> "d.c4", 2 -> "d.c3", 3 -> "d.c2", 4 -> "d.c1")
+      val segs = Map(1 -> "d.s4", 2 -> "d.s3", 3 -> "d.s2", 4 -> "d.s1")
+      def v(l: Int) = s"(${prevs(l)} + coalesce(v$l.cost, $inf))"
+      val m = s"least(${v(1)}, ${v(2)}, ${v(3)}, ${v(4)})"
+      def sfx(l: Int) = s"${segs(l)} || ' ' || substr(d.word, d.k + 2 - $l, $l)"
+      s"""dp$i(word, cnt, wl, k, c1, s1, c2, s2, c3, s3, c4, s4) AS (
+         |  SELECT word, cnt, len(word), 0, CAST($inf AS BIGINT), '',
+         |    CAST($inf AS BIGINT), '', CAST($inf AS BIGINT), '', CAST(0 AS BIGINT), ''
+         |  FROM words
+         |  UNION ALL
+         |  SELECT d.word, d.cnt, d.wl, d.k + 1, d.c2, d.s2, d.c3, d.s3, d.c4, d.s4,
+         |    lm.m,
+         |    CASE WHEN ${v(4)} = lm.m THEN ${sfx(4)}
+         |         WHEN ${v(3)} = lm.m THEN ${sfx(3)}
+         |         WHEN ${v(2)} = lm.m THEN ${sfx(2)}
+         |         ELSE ${sfx(1)} END
+         |  FROM (SELECT * FROM dp$i WHERE k < wl) d
+         |$joins,
+         |  LATERAL (SELECT $m AS m) lm
+         |),
+         |seg$i AS MATERIALIZED (
+         |  SELECT word, cnt, c4 AS dpcost, trim(s4) AS seg FROM dp$i WHERE k = wl),
+         |cnt$i AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(seg, ' ')) AS piece, cnt FROM seg$i)
+         |  GROUP BY piece)""".stripMargin
+    }
+    def vocabCte(i: Int, cntSrc: String, keep: Int): String =
+      s"""vraw$i AS (
+         |  SELECT c.piece, coalesce(k.cnt, 0) AS cnt
+         |  FROM chars c LEFT JOIN $cntSrc k USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM $cntSrc WHERE len(piece) >= 2
+         |    ORDER BY cnt DESC, piece ASC LIMIT $keep)),
+         |vtot$i AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         |           CAST(count(*) AS BIGINT) AS nv FROM vraw$i),
+         |vocab$i AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(floor(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + nv AS DOUBLE))
+         |      * 1048576) AS BIGINT) AS cost
+         |  FROM vraw$i, vtot$i)""".stripMargin
+    s"""words AS MATERIALIZED (
+       |  SELECT token AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> '' GROUP BY token),
+       |pieces AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(word, p, l) AS piece, cnt
+       |    FROM words,
+       |      (SELECT unnest(range(1, ${UnigramMaxPiece + 1})) AS l),
+       |      (SELECT unnest(range(1, (SELECT max(len(word)) FROM words) + 1)) AS p)
+       |    WHERE p + l - 1 <= len(word))
+       |  GROUP BY piece),
+       |chars AS MATERIALIZED (SELECT piece, cnt FROM pieces WHERE len(piece) = 1),
+       |${vocabCte(0, "pieces", UnigramSeedMulti)},
+       |${dpCte(1, "vocab0")},
+       |${vocabCte(1, "cnt1", UnigramKeeps.head)},
+       |${dpCte(2, "vocab1")},
+       |${vocabCte(2, "cnt2", UnigramKeeps(1))},
+       |${dpCte(3, "vocab2")}""".stripMargin
+  }
+
   /** LSH band rows (doc_id, band, h1..h4) for a sketch frame — the
     * bucket key both the self-join (minhashPairs) and the two-sided
     * incremental join (dedup_incremental) hash on. */
@@ -733,6 +930,65 @@ object Text {
               |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
               |  CAST(sum(e.n_syms) AS BIGINT) AS n_bpe,
               |  md5(string_agg(e.segs, ' | ' ORDER BY t.pos)) AS seg_md5
+              |FROM tok t JOIN enc e USING (word)
+              |WHERE t.word <> ''
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    // ── unigram-LM tokenizer training (the SentencePiece loop) ─────────
+    // Hard-EM over the word-count table: seed substring counts → cost →
+    // Viterbi segment → usage counts → prune-to-top-K + re-cost, twice
+    // ([[unigramTrained]]). Every cost is a 2^-20 fixed-point BIGINT, so
+    // the DP is integer-exact and the oracle's recursive-CTE Viterbi
+    // (one step per character, carrying the last 4 DP states) reproduces
+    // every segmentation — and therefore every count, prune, and cost —
+    // bit-for-bit.
+    Q(
+      "text_unigram_train",
+      (s, d) => {
+        val (vocab, seg) = unigramTrained(s, d)
+        require(seg.filter(col("dpcost") >= UnigramInf).count() == 0,
+          "unigram DP hit the INF sentinel — vocabulary lost character coverage")
+        vocab.orderBy("piece")
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlUnigramCtes
+              |SELECT piece, cnt, cost FROM vocab2 ORDER BY piece""".stripMargin)
+    ),
+
+    // ── unigram-LM encode (the tokenizer-APPLY step, corpus-wide) ──────
+    // Segment the corpus with the trained model: the vocabulary-sized
+    // final-cost segmentation table broadcasts to one corpus scan (the
+    // text_bpe_encode shape), and the segmentation ITSELF is verified
+    // byte-exact via the in-order md5 — so the Viterbi tie rule (longest
+    // piece) is pinned on real data, not just counts.
+    Q(
+      "text_unigram_encode",
+      (s, d) => {
+        val enc = unigramTrained(s, d)._2
+          .select(col("word"), size(split(col("seg"), " ")).as("np"), col("seg"))
+        documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+          .join(broadcast(enc), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("np")).as("n_pieces"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("seg")))),
+              e => e.getField("seg")), " | ")).as("seg_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlUnigramCtes,
+              |enc AS MATERIALIZED (
+              |  SELECT word, len(string_split(seg, ' ')) AS np, seg FROM seg3),
+              |tok AS (
+              |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS pos
+              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+              |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+              |  md5(string_agg(e.seg, ' | ' ORDER BY t.pos)) AS seg_md5
               |FROM tok t JOIN enc e USING (word)
               |WHERE t.word <> ''
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)

@@ -517,6 +517,43 @@ class EdgeCaseSpec extends SparkSpec {
     assert(s == 110L) // 80 + 30 after the full clamp
   }
 
+  test("unigram tokenizer: degenerate single-char corpus trains and encodes") {
+    import spark.implicits._
+    // a corpus of one repeated character: vocab = {'a'} with p = 1, so
+    // the cost is floor(-ln((5+1)/(5+1))·2^20) = 0 and the segmentation
+    // is the character itself
+    val words = Seq(("a", 5L)).toDF("word", "cnt")
+    val pieces = ops.Text.unigramPieces(words)
+    assert(pieces.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 5L)))
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val vocab = ops.Text.unigramVocabFrom(chars, pieces, 8).collect()
+    assert(vocab.length === 1 && vocab(0).getString(0) === "a"
+      && vocab(0).getLong(2) === 0L)
+    val seg = ops.Text.viterbiSegment(words, Map("a" -> 0L)).collect()
+    assert(seg(0).getString(3) === "a" && seg(0).getLong(2) === 0L)
+  }
+
+  test("unigram Viterbi: cost ties resolve to the LONGEST piece; OOV hits the sentinel") {
+    import spark.implicits._
+    // hand-pinned tie: 'abab' as one 4-piece (30) vs 'ab ab' (15+15=30)
+    // — equal cost, the rule picks the longer final piece
+    val words = Seq(("abab", 1L)).toDF("word", "cnt")
+    val seg = ops.Text.viterbiSegment(words,
+      Map("a" -> 10L, "b" -> 10L, "ab" -> 15L, "abab" -> 30L)).collect()
+    assert(seg(0).getLong(2) === 30L)
+    assert(seg(0).getString(3) === "abab", "tie must prefer the longest piece")
+    // flip the tie: make the 4-gram strictly worse — the pair wins
+    val seg2 = ops.Text.viterbiSegment(words,
+      Map("a" -> 10L, "b" -> 10L, "ab" -> 15L, "abab" -> 31L)).collect()
+    assert(seg2(0).getString(3) === "ab ab")
+    // a word containing an out-of-vocabulary character cannot segment:
+    // the DP cost crosses the INF sentinel (the train query's require)
+    val bad = ops.Text.viterbiSegment(Seq(("axb", 1L)).toDF("word", "cnt"),
+      Map("a" -> 10L, "b" -> 10L)).collect()
+    assert(bad(0).getLong(2) >= 1099511627776L)
+  }
+
   test("eccentricity drops a seed that reaches nothing (both engines agree by construction)") {
     import spark.implicits._
     // multiBfs yields only the seed row at d=0; the d>0 filter then
