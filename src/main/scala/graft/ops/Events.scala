@@ -942,6 +942,78 @@ object Events {
               |  CAST(su AS DOUBLE) / 1000000 AS cusum,
               |  su > 600000000 AS alarm
               |FROM st ORDER BY day""".stripMargin)
+    ),
+
+    // ── Holt–Winters double exponential smoothing + residual anomalies ─
+    // The forecasting layer on top of evt_cusum's drift alarm: level +
+    // trend smoothing (α = β = 1/2, exactly representable) over the
+    // same daily purchase series, one-step-ahead forecast f_t = l + b,
+    // residual r_t = x_t − f_t, anomaly when |r_t| > 1000 after a
+    // 4-day warmup. The coupled (l, b) recurrence is inherently
+    // sequential — the evt_ema discipline applies: Spark folds the
+    // sorted day iterator with O(1) state (flatMapSortedGroups; the
+    // global daily series is one group — a per-entity variant keys the
+    // groupBy by entity, same shape), and the oracle replays the SAME
+    // double expressions step-for-step via a recursive CTE over the day
+    // index, so every level/trend/forecast/residual is bit-identical.
+    // Zero seed (l₀ = b₀ = 0) like EMA's; x_t enters as the exact
+    // µunit BIGINT day sum divided once.
+    Q(
+      "evt_holt_winters",
+      (s, d) => {
+        import s.implicits._
+        val daily = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .as("epd"))
+          .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+        daily.as[(Int, Long)]
+          .groupByKey(_ => 0)
+          .flatMapSortedGroups(col("epd")) { (_, it) =>
+            var l = 0.0
+            var b = 0.0
+            var rn = 0
+            it.map { case (epd, xu) =>
+              rn += 1
+              val x = xu.toDouble / 1000000
+              val f = l + b
+              val r = x - f
+              val l2 = 0.5 * x + 0.5 * (l + b)
+              val b2 = 0.5 * (l2 - l) + 0.5 * b
+              l = l2; b = b2
+              (epd, x, f, r, l2, b2, rn >= 5 && math.abs(r) > 1000.0)
+            }
+          }
+          .toDF("epd", "day_value", "forecast", "residual", "level", "trend",
+            "anomaly")
+          .select(date_add(lit("1970-01-01").cast("date"), col("epd")).as("day"),
+            col("day_value"), col("forecast"), col("residual"),
+            col("level"), col("trend"), col("anomaly"))
+          .orderBy("day")
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+              |  SELECT CAST($sqlTs AS DATE) AS day,
+              |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS xu
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |idx AS (
+              |  SELECT day, CAST(xu AS DOUBLE) / 1000000 AS x,
+              |    row_number() OVER (ORDER BY day) AS rn
+              |  FROM daily),
+              |hw(rn, day, x, l, b, f, r) AS (
+              |  SELECT 0, DATE '1970-01-01', CAST(0.0 AS DOUBLE),
+              |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+              |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+              |  UNION ALL
+              |  SELECT i.rn, i.day, i.x,
+              |    0.5 * i.x + 0.5 * (h.l + h.b),
+              |    0.5 * ((0.5 * i.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+              |    h.l + h.b,
+              |    i.x - (h.l + h.b)
+              |  FROM hw h JOIN idx i ON i.rn = h.rn + 1)
+              |SELECT day, x AS day_value, f AS forecast, r AS residual,
+              |  l AS level, b AS trend,
+              |  (rn >= 5 AND abs(r) > 1000.0) AS anomaly
+              |FROM hw WHERE rn >= 1 ORDER BY day""".stripMargin)
     )
   )
 }

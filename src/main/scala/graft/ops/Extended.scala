@@ -44,6 +44,34 @@ object Extended {
       dir
     }
 
+  // Per-(session, dir) KLL quantile-sketch table for agg_quantile_rollup
+  // — the quantile counterpart of monthlySketchDir: one DataSketches KLL
+  // (k = 200) per (year, month) over o_totalprice, persisted once as a
+  // binary column; rollups reread stored sketch BYTES and merge, never
+  // the raw fact table. Same pid-scoped cleanup discipline.
+  private val kllDirMemo = graft.SessionMemo[String]()
+
+  private def monthlyKllDir(s: SparkSession, d: String): String =
+    kllDirMemo.getOrCompute(s, d) {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_kll_" +
+        s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(expr("kll_sketch_agg_double(CAST(o_totalprice AS DOUBLE), 200)").as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }))
+      dir
+    }
+
   // ── Z-order (Morton) interleave ──────────────────────────────────────
   /** Morton/Z-order key of two pre-quantized codes in [0, 2^bits):
     * result bit 2i is bit i of `a`, bit 2i+1 is bit i of `b`. Sorting or
@@ -1132,6 +1160,85 @@ object Extended {
              |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
              |  TRUE AS union_within_5pct
              |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
+    ),
+
+    // ── MERGEABLE quantile-sketch storage + rollup (KLL) ───────────────
+    // The quantile face of agg_sketch_rollup: per-(year, month) KLL
+    // sketches persisted as binary columns, the yearly p50/p99 answered
+    // by kll_merge_agg over the STORED sketch rows — quantiles, unlike
+    // counts or sums, cannot be rolled up from per-month scalars at all,
+    // which is exactly why a lakehouse stores the sketch column.
+    // Verification composes the agg_quantile_sketch audit with the
+    // rollup: the exact per-year order statistics at ranks k ± margin
+    // (margin = ⌈2%·n⌉ + 2 — over KLL k=200's ~1.65% merged rank-error
+    // bound, +2 for endpoint conventions at small n) bracket the merged
+    // estimate; bracket VALUES are data points hash-matched
+    // cell-for-cell, the in-bracket booleans pinned TRUE by the oracle.
+    Q(
+      "agg_quantile_rollup",
+      (s, d) => {
+        val rolled = s.read.parquet(monthlyKllDir(s, d))
+          .groupBy("yr")
+          .agg(expr("kll_merge_agg_double(sk)").as("msk"))
+          .select(col("yr"),
+            expr("kll_sketch_get_quantile_double(msk, 0.5)").as("ap50"),
+            expr("kll_sketch_get_quantile_double(msk, 0.99)").as("ap99"))
+        val li = orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"),
+            col("o_totalprice").cast("double").as("x"))
+        val ranked = li.withColumn("rn",
+          row_number().over(Window.partitionBy("yr").orderBy(col("x").asc)))
+          .localCheckpoint(false) // four rank lookups read one materialization
+        val stats = li.groupBy("yr").agg(count(lit(1)).as("n"))
+          .withColumn("margin", ceil(col("n") * 0.02).cast("long") + 2L)
+          .join(rolled, "yr")
+        def bracket(q: Double, apCol: String, name: String) = {
+          val k = (floor(lit(q) * (col("n") - 1)) + 1).cast("long")
+          val kg = stats.select(col("yr"),
+            greatest(k - col("margin"), lit(1L)).as("klo"),
+            least(k + col("margin"), col("n")).as("khi"),
+            col(apCol).as("apx"))
+          kg.join(ranked.select(col("yr").as("yl"), col("rn").as("rnl"),
+                col("x").as(s"${name}_lo")),
+              col("yl") === col("yr") && col("rnl") === col("klo"))
+            .join(ranked.select(col("yr").as("yh"), col("rn").as("rnh"),
+                col("x").as(s"${name}_hi")),
+              col("yh") === col("yr") && col("rnh") === col("khi"))
+            .select(col("yr"), col(s"${name}_lo"), col(s"${name}_hi"),
+              (col("apx") >= col(s"${name}_lo") &&
+                col("apx") <= col(s"${name}_hi")).as(s"${name}_in_bracket"))
+        }
+        bracket(0.5, "ap50", "p50").join(bracket(0.99, "ap99", "p99"), "yr")
+          .select(col("yr"),
+            col("p50_lo"), col("p50_hi"), col("p50_in_bracket"),
+            col("p99_lo"), col("p99_hi"), col("p99_in_bracket"))
+          .orderBy("yr")
+      },
+      Some {
+        def bracketSql(q0: String, name: String) =
+          s"""${name}kg AS (
+             |  SELECT yr,
+             |    greatest(CAST(floor(CAST($q0 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 - margin, 1) AS klo,
+             |    least(CAST(floor(CAST($q0 AS DOUBLE) * (n - 1)) AS BIGINT) + 1 + margin, n) AS khi
+             |  FROM stats),
+             |$name AS (
+             |  SELECT kg.yr, lo.x AS ${name}_lo, hi.x AS ${name}_hi
+             |  FROM ${name}kg kg
+             |  JOIN ranked lo ON lo.yr = kg.yr AND lo.rn = kg.klo
+             |  JOIN ranked hi ON hi.yr = kg.yr AND hi.rn = kg.khi)""".stripMargin
+        s"""WITH li AS (SELECT year(o_orderdate) AS yr, CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+           |ranked AS (SELECT yr, x, row_number() OVER (PARTITION BY yr ORDER BY x) AS rn FROM li),
+           |stats AS (SELECT yr, CAST(count(*) AS BIGINT) AS n,
+           |            CAST(ceil(count(*) * 0.02) AS BIGINT) + 2 AS margin
+           |          FROM li GROUP BY yr),
+           |${bracketSql("0.5", "p50")},
+           |${bracketSql("0.99", "p99")}
+           |SELECT p50.yr AS yr,
+           |  p50.p50_lo, p50.p50_hi, TRUE AS p50_in_bracket,
+           |  p99.p99_lo, p99.p99_hi, TRUE AS p99_in_bracket
+           |FROM p50 JOIN p99 ON p99.yr = p50.yr
+           |ORDER BY p50.yr""".stripMargin
+      }
     ),
 
     // ── mergeable frequent-items sketch (approx_top_k family) ──────────

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 kernel pins: Holt–Winters recurrence replay, the KLL
+  * quantile rollup's merge-vs-bracket contract, and SCC/condensation
+  * invariants on the live chain graph (the hand-built fixtures live in
+  * GraphSpec). */
+class Round11Spec extends SparkSpec {
+
+  test("evt_holt_winters is BIT-exactly the sequential level/trend recurrence") {
+    val rows = SparkEntry.queries("evt_holt_winters")(spark, sf).collect()
+      .map(r => (r.get(0).toString, r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    var l = 0.0
+    var b = 0.0
+    var rn = 0
+    rows.foreach { case (day, x, forecast, residual, level, trend, anomaly) =>
+      rn += 1
+      val f = l + b
+      val r = x - f
+      val l2 = 0.5 * x + 0.5 * (l + b)
+      val b2 = 0.5 * (l2 - l) + 0.5 * b
+      // bit-exact (==, no tolerance): the fold is the same double
+      // expression sequence on Spark, DuckDB, and here
+      assert(forecast == f, s"$day forecast $forecast != $f")
+      assert(residual == r, s"$day residual $residual != $r")
+      assert(level == l2, s"$day level $level != $l2")
+      assert(trend == b2, s"$day trend $trend != $b2")
+      assert(anomaly == (rn >= 5 && math.abs(r) > 1000.0))
+      l = l2; b = b2
+    }
+    // days strictly increase (the fold order IS the day order)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+
+  test("agg_quantile_rollup: merged-sketch estimates sit inside the exact brackets") {
+    val rows = SparkEntry.queries("agg_quantile_rollup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"yr ${r.get(0)}: merged p50 left its rank bracket")
+      assert(r.getBoolean(6), s"yr ${r.get(0)}: merged p99 left its rank bracket")
+      assert(r.getDouble(1) <= r.getDouble(2)) // p50 lo ≤ hi
+      assert(r.getDouble(4) <= r.getDouble(5)) // p99 lo ≤ hi
+      assert(r.getDouble(1) <= r.getDouble(5)) // p50_lo ≤ p99_hi
+    }
+  }
+
+  test("SCC labels are component minima, members, and closed under the condensation") {
+    val scc = SparkEntry.queries("graph_scc")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every label must itself be a vertex of its component (min-id ∈ SCC)
+    val de = graph.PropertyGraph.partChainEdges(spark, sf)
+    val nodes = de.select(col("src")).union(de.select(col("dst")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(scc.keySet.subsetOf(nodes))
+    assert(scc.values.sum == nodes.size.toLong, "SCC sizes must tile the vertex set")
+    // condensation edges connect DISTINCT labels only, each a real label
+    val cond = SparkEntry.queries("graph_scc_condensation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    cond.foreach { case (a, b, n) =>
+      assert(a != b && n > 0)
+      assert(scc.contains(a) && scc.contains(b))
+    }
+  }
+}
