@@ -364,7 +364,14 @@ object PropertyGraph {
           .localCheckpoint(false)
         steps ::= cur.withColumn("step", lit(t))
       }
-      steps.reduce(_ unionByName _).cache()
+      // repartition BEFORE caching: the 8-generation union stacks ~32
+      // checkpoint partitions per step (~260 cached slivers), so every
+      // downstream scan scheduled hundreds of near-empty tasks — the
+      // r10 skipgrams regression was pure task-launch overhead. One
+      // hash(walker) exchange at build time collapses the cache to the
+      // session partition count AND co-locates each walker's steps for
+      // the skip-gram self-join.
+      steps.reduce(_ unionByName _).repartition(col("walker")).cache()
     }
 
   /** The walk unroll as a complete SELECT — shared by
@@ -1279,7 +1286,14 @@ object PropertyGraph {
         val w = walkCorpus(s, d)
         val a = w.toDF("walker", "center", "sa")
         val b = w.toDF("walker", "context", "sb")
-        a.join(b, "walker")
+        // broadcast the context side: the walk corpus is |suppliers|·(L+1)
+        // rows (bounded by design — walks are the SAMPLE, not the graph),
+        // and without the hint the checkpoint-RDD union carries no stats,
+        // so the planner fell back to a SortMergeJoin with two exchanges
+        // (the r10 bench regression: 0.91 → 1.18 s of pure shuffle
+        // latency on a 9k-row join). At a scale where the walk table
+        // outgrows broadcast, drop the hint and the SMJ shape is correct.
+        a.join(broadcast(b), "walker")
           .filter(col("sa") =!= col("sb") &&
             abs(col("sa") - col("sb")) <= 2)
           .groupBy(col("center"), col("context"))
