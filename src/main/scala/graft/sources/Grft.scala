@@ -77,8 +77,18 @@ object Grft {
     * never pick it up. */
   val ManifestName = "_stats.grft-manifest"
 
+  /** Label-dictionary cap: files with more distinct labels than this
+    * drop the dictionary (None) and prune by min/max alone — the
+    * parquet/ORC dictionary-page fallback rule, keeping manifest lines
+    * bounded no matter the data. 64 covers any classification-style
+    * label column (CIFAR's is 10) with a ~6× margin. */
+  val LabelDictCap = 64
+
+  /** @param labels distinct labels in the file when ≤ [[LabelDictCap]];
+    *               None = dictionary overflowed or a pre-dictionary
+    *               manifest line (both degrade to min/max pruning). */
   final case class FileStats(vecMin: Long, vecMax: Long,
-      labelMin: Int, labelMax: Int)
+      labelMin: Int, labelMax: Int, labels: Option[Set[Int]] = None)
 
   private[graft] def readManifest(dir: Path): Map[String, FileStats] = {
     val p = new Path(dir, ManifestName)
@@ -89,8 +99,13 @@ object Grft {
       try {
         scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
           l.split('\t') match {
-            case Array(name, a, b, c, d) =>
+            case Array(name, a, b, c, d) => // pre-dictionary line: advisory
               Some(name -> FileStats(a.toLong, b.toLong, c.toInt, d.toInt))
+            case Array(name, a, b, c, d, e) =>
+              val dict =
+                if (e == "-") None
+                else Some(e.split(',').filter(_.nonEmpty).map(_.toInt).toSet)
+              Some(name -> FileStats(a.toLong, b.toLong, c.toInt, d.toInt, dict))
             case _ => None // unknown line shape: ignore (advisory contract)
           }
         }.toMap
@@ -103,7 +118,8 @@ object Grft {
     val tmp = new Path(dir, s".$ManifestName.tmp")
     val out = new DataOutputStream(f.create(tmp, true))
     try entries.toSeq.sortBy(_._1).foreach { case (n, st) =>
-      out.write(s"$n\t${st.vecMin}\t${st.vecMax}\t${st.labelMin}\t${st.labelMax}\n"
+      val dict = st.labels.map(_.toSeq.sorted.mkString(",")).getOrElse("-")
+      out.write(s"$n\t${st.vecMin}\t${st.vecMax}\t${st.labelMin}\t${st.labelMax}\t$dict\n"
         .getBytes("UTF-8"))
     } finally out.close()
     val fin = new Path(dir, ManifestName)
@@ -115,12 +131,28 @@ object Grft {
 
   /** Can a file whose scalar columns span the given ranges contain any
     * row satisfying the pushed filter? (min/max pruning — the same
-    * satisfiability test parquet row-group skipping runs.) */
+    * satisfiability test parquet row-group skipping runs — refined for
+    * `label` by the per-file dictionary when present: a file whose
+    * label range BRACKETS the probe but whose dictionary lacks it still
+    * prunes, the dictionary-page trick that matters for sparse label
+    * sets.) */
   private[sources] def rangeMaySatisfy(f: Filter, st: FileStats): Boolean = {
     def rng(a: String): (Long, Long) =
       if (a == "vec_id") (st.vecMin, st.vecMax)
       else (st.labelMin.toLong, st.labelMax.toLong)
+    // dictionary refinement: exact satisfiability over the ≤ 64-entry
+    // label set, for every comparison shape — strictly at least as
+    // strong as the min/max test it replaces
+    def dictMay(p: Long => Boolean): Option[Boolean] =
+      st.labels.map(_.exists(l => p(l.toLong)))
     f match {
+      case EqualTo("label", v) =>
+        dictMay(_ == asLong(v)).getOrElse(
+          asLong(v) >= st.labelMin && asLong(v) <= st.labelMax)
+      case GreaterThan("label", v) => dictMay(_ > asLong(v)).getOrElse(rng("label")._2 > asLong(v))
+      case GreaterThanOrEqual("label", v) => dictMay(_ >= asLong(v)).getOrElse(rng("label")._2 >= asLong(v))
+      case LessThan("label", v) => dictMay(_ < asLong(v)).getOrElse(rng("label")._1 < asLong(v))
+      case LessThanOrEqual("label", v) => dictMay(_ <= asLong(v)).getOrElse(rng("label")._1 <= asLong(v))
       case EqualTo(a, v) => val (mn, mx) = rng(a); asLong(v) >= mn && asLong(v) <= mx
       case GreaterThan(a, v) => rng(a)._2 > asLong(v)
       case GreaterThanOrEqual(a, v) => rng(a)._2 >= asLong(v)
@@ -511,11 +543,14 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
     rowBuf = ByteBuffer.allocate(Grft.rowWidth(d)).order(ByteOrder.LITTLE_ENDIAN)
   }
 
-  // streaming min/max for the stats manifest — free at write time
+  // streaming min/max + bounded label dictionary for the stats
+  // manifest — free at write time
   private var vecMin = Long.MaxValue
   private var vecMax = Long.MinValue
   private var labelMin = Int.MaxValue
   private var labelMax = Int.MinValue
+  private val labelDict = scala.collection.mutable.Set.empty[Int]
+  private var dictOverflow = false
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(iVec) && !row.isNullAt(iLabel) && !row.isNullAt(iEmb),
@@ -529,6 +564,10 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
     val label = row.getInt(iLabel)
     vecMin = math.min(vecMin, vecId); vecMax = math.max(vecMax, vecId)
     labelMin = math.min(labelMin, label); labelMax = math.max(labelMax, label)
+    if (!dictOverflow) {
+      labelDict += label
+      if (labelDict.size > Grft.LabelDictCap) { labelDict.clear(); dictOverflow = true }
+    }
     rowBuf.putLong(vecId).putInt(label)
     var i = 0
     while (i < dim) { rowBuf.putFloat(emb.getFloat(i)); i += 1 }
@@ -540,7 +579,8 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
     out.close()
     val stats =
       if (vecMin > vecMax) None // no data rows: nothing to prune on
-      else Some(Grft.FileStats(vecMin, vecMax, labelMin, labelMax))
+      else Some(Grft.FileStats(vecMin, vecMax, labelMin, labelMax,
+        if (dictOverflow) None else Some(labelDict.toSet)))
     GrftCommit(file.toString, stats)
   }
   override def abort(): Unit = {

@@ -328,4 +328,62 @@ object Streams {
       .transformWithState(new CdcApplyProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ── streaming CUSUM (Page's drift detector as keyed O(1) state) ──────
+
+  /** One closed daily aggregate on the wire: series key (0 for the
+    * global series; a per-entity CUSUM keys naturally), epoch day, and
+    * the day's exact µunit value sum. */
+  final case class DayAgg(series: Long, epd: Int, xu: Long)
+  final case class CusumState(lastEpd: Int, cu: Long, mn: Long)
+  final case class CusumOut(series: Long, epd: Int, xu: Long,
+                            su: Long, alarm: Boolean)
+
+  /** The STREAMING form of `evt_cusum`: per-series ValueState carrying
+    * (last folded day, running sum C, running min of min(C, 0)) — the
+    * prefix identity S_t = C_t − min_{j≤t} min(C_j, 0) needs exactly
+    * those two BIGINTs, so state is O(1) per series no matter how long
+    * the series runs. Within a batch, days fold in day order (the
+    * RunningTotals sort discipline); a day at or before the last folded
+    * day is a REPLAY (redelivered partition) and is dropped — the CDC
+    * seq-guard idempotency rule, because re-folding a day would
+    * double-count it into C. All arithmetic is the same exact µunit
+    * BIGINT path the batch query hash-proves, so batch ≡ stream is
+    * bit-equality, not approximation (StreamingSpec replays out-of-order
+    * and duplicated days to prove it). */
+  class CusumProcessor(kU: Long, hU: Long)
+      extends StatefulProcessor[Long, DayAgg, CusumOut] {
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("cusum",
+        Encoders.product[CusumState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[DayAgg],
+                                 tv: TimerValues): Iterator[CusumOut] = {
+      var cur = if (st.exists()) st.get() else CusumState(Int.MinValue, 0L, 0L)
+      val out = rows.toSeq.sortBy(_.epd).flatMap { r =>
+        if (r.epd <= cur.lastEpd) None // replayed day: already folded
+        else {
+          val cu = cur.cu + (r.xu - kU)
+          val mn = math.min(cur.mn, math.min(cu, 0L))
+          cur = CusumState(r.epd, cu, mn)
+          val su = cu - mn
+          Some(CusumOut(key, r.epd, r.xu, su, su > hU))
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** RocksDB-provider requirement as [[runningTotals]]. Defaults match
+    * the batch `evt_cusum` thresholds (k = 120 units, h = 600 units). */
+  def cusumStream(spark: SparkSession, days: Dataset[DayAgg],
+                  kU: Long = 120L * 1000000L,
+                  hU: Long = 600L * 1000000L): Dataset[CusumOut] = {
+    import spark.implicits._
+    days
+      .groupByKey(_.series)
+      .transformWithState(new CusumProcessor(kU, hU),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -213,4 +213,59 @@ class SourceSpec extends SparkSpec {
     assert(spark.read.format("grft").load(d)
       .filter(col("vec_id") === 250L).count() === 1L)
   }
+
+  test("grft label dictionary prunes files the min/max range cannot") {
+    import graft.sources.{Grft, GrftInputPartition, GrftScanBuilder}
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val d = tempDir("grft_dict")
+    import spark.implicits._
+    // two files with SPARSE, interleaved label sets whose min/max
+    // ranges overlap completely: {0, 4} and {1, 5} both span probe
+    // label 2 — min/max alone can never skip either, the dictionary
+    // skips both
+    // two writes → two files (and the manifest's merge-on-append path)
+    Seq((1L, 0, Seq(1.0f, 2.0f)), (2L, 4, Seq(3.0f, 4.0f)))  // file A: {0,4}
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.format("grft").mode("overwrite").save(d)
+    Seq((3L, 1, Seq(5.0f, 6.0f)), (4L, 5, Seq(7.0f, 8.0f)))  // file B: {1,5}
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.format("grft").mode("append").save(d)
+    val manifest = Grft.readManifest(new org.apache.hadoop.fs.Path(d))
+    val dataFiles = manifest.filter(_._2.labels.exists(_.nonEmpty))
+    assert(dataFiles.size === 2, s"fixture expects 2 data files: $manifest")
+    assert(dataFiles.values.map(_.labels.get).toSet === Set(Set(0, 4), Set(1, 5)))
+    def plannedFiles(filters: Array[org.apache.spark.sql.sources.Filter]): Set[String] = {
+      val sb = new GrftScanBuilder(d)
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions()
+        .collect { case p: GrftInputPartition => p.file }.toSet
+    }
+    // label = 2 sits inside BOTH files' [min, max] but neither
+    // dictionary: the dictionary must prune the whole directory
+    assert(plannedFiles(Array(EqualTo("label", 2))).isEmpty,
+      "in-range but out-of-dictionary probe must open zero files")
+    // label = 4: only file A's dictionary holds it
+    assert(plannedFiles(Array(EqualTo("label", 4))).size === 1)
+    // range refinement: label > 4 is satisfiable only by file B's {5}
+    assert(plannedFiles(Array(GreaterThan("label", 4))).size === 1)
+    // end-to-end: results stay correct under the pruning
+    assert(spark.read.format("grft").load(d)
+      .filter(col("label") === 2).count() === 0L)
+    assert(spark.read.format("grft").load(d)
+      .filter(col("label") === 4).select("vec_id").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    // a pre-dictionary 5-column manifest line still parses (labels None)
+    // and degrades to min/max — compatibility with r10-written tables
+    val mf = new java.io.File(d, Grft.ManifestName)
+    val legacy = scala.io.Source.fromFile(mf)
+    val lines = try legacy.getLines().map(_.split('\t').take(5).mkString("\t")).toList
+    finally legacy.close()
+    java.nio.file.Files.write(mf.toPath, lines.mkString("", "\n", "\n").getBytes)
+    // drop the Hadoop LocalFS checksum sidecar the out-of-band rewrite
+    // invalidated (simulating a hand-edited / r10-written manifest)
+    new java.io.File(d, s".${Grft.ManifestName}.crc").delete()
+    assert(plannedFiles(Array(EqualTo("label", 2))).size === 2,
+      "legacy manifest must fall back to min/max (no skip), never to wrong rows")
+  }
 }

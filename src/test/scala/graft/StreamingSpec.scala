@@ -466,6 +466,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM equals the oracle-checked batch query across out-of-order triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.DayAgg
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // grounding, not a fixture: the REAL sf0.001 daily purchase series
+    // (the same rollup the batch query runs), shipped as three triggers
+    // with each trigger's days SHUFFLED (the processor's in-batch day
+    // sort must restore order) and trigger 3 REPLAYING two already-
+    // folded days (the idempotency guard must drop them, CDC-style)
+    val daily = ops.Events.eventsUs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).as("epd"),
+        col("xu"))
+      .orderBy("epd")
+      .collect().map(r => DayAgg(0L, r.getInt(0), r.getLong(1)))
+    assert(daily.length >= 6, "need a real multi-day series")
+    val (c1, rest) = daily.splitAt(daily.length / 3)
+    val (c2, c3) = rest.splitAt(rest.length / 2)
+    val rnd = new scala.util.Random(42)
+    val input = MemoryStream[DayAgg]
+    val q = Streams.cusumStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(rnd.shuffle(c1.toSeq): _*); q.processAllAvailable()
+      input.addData(rnd.shuffle(c2.toSeq): _*); q.processAllAvailable()
+      // trigger 3: remaining days + a replay of the first two days
+      input.addData(rnd.shuffle((c3 ++ daily.take(2)).toSeq): _*)
+      q.processAllAvailable()
+      val got = spark.table("cusum_stream").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .sortBy(_._1)
+      // each day must be emitted EXACTLY once (replays dropped)
+      assert(got.map(_._1).toSeq === daily.map(_.epd).toSeq)
+      // ground truth: the driver-gate batch query, converted back to µunits
+      val batch = SparkEntry.queries("evt_cusum")(spark, sf).collect()
+        .map(r => (r.getDate(0).toLocalDate.toEpochDay.toInt,
+          math.round(r.getDouble(1) * 1e6), math.round(r.getDouble(2) * 1e6),
+          r.getBoolean(3)))
+        .sortBy(_._1)
+      assert(got.toSeq === batch.toSeq,
+        "streaming CUSUM diverged from the batch prefix identity")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionize reconstructs the oracle-checked batch session table") {
     // Grounding, not a fixture: the WHOLE sf0.001 events table (1000
     // rows, 15 users) flows through flatMapGroupsWithState across two
