@@ -104,6 +104,40 @@ object Components {
     lbl.select(col("id"), col("l"))
   }
 
+  /** Longest-path layering of a DAG: layer(v) = length of the longest
+    * directed path ending at v (sources sit at 0) — the level structure
+    * a topological schedule executes, computed by (max, +1) relaxation
+    * to a driver-counted fixpoint (the [[minLabelDirected]] kernel in
+    * the tropical semiring; converges in ≤ DAG-depth rounds). The
+    * `maxIters` require doubles as the ACYCLICITY check: a cycle
+    * relaxes forever, so hitting the bound is a loud contract failure,
+    * never an infinite loop.
+    *
+    * @return (id, layer) for every vertex in `nodes`. */
+  def dagLayers(nodes: DataFrame, de: DataFrame, maxIters: Int): DataFrame = {
+    var lbl = nodes.select(col("id"), lit(0).as("l"), lit(false).as("ch"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      iters += 1
+      require(iters <= maxIters,
+        s"DAG layering still relaxing after $maxIters rounds — " +
+          "the input has a cycle or the depth bound is too low")
+      val prop = de
+        .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+        .groupBy(col("dst")).agg((max("nl") + 1).as("ml"))
+      lbl = lbl.join(prop, col("id") === col("dst"), "left")
+        .select(col("id"),
+          greatest(col("l"), coalesce(col("ml"), col("l"))).as("l"),
+          (col("ml") > col("l")).as("chRaw"))
+        .select(col("id"), col("l"), coalesce(col("chRaw"), lit(false)).as("ch"))
+        .localCheckpoint(false)
+      changed = lbl.filter(col("ch")).count()
+    }
+    lbl.select(col("id"), col("l").as("layer"))
+  }
+
   /** Strongly connected components by deterministic forward-backward
     * coloring (the Orzan / Fleischer–Hendrickson–Pinar family — the
     * parallel-native SCC; Tarjan's single DFS is inherently sequential

@@ -2041,6 +2041,54 @@ object PropertyGraph {
               |WHERE ls.scc <> ld.scc
               |GROUP BY scc_src, scc_dst
               |ORDER BY scc_src, scc_dst""".stripMargin)
+    ),
+
+    // ── condensation DAG layering (topological level structure) ────────
+    // The schedule view of the quotient graph: layer(C) = longest
+    // chain of SCCs feeding C — what a staged computation over the
+    // dependency structure executes level by level. Spark runs
+    // [[Components.dagLayers]] ((max, +1) relaxation whose round bound
+    // IS the acyclicity proof of the contraction) over the memoized
+    // decomposition; the oracle enumerates path lengths in the
+    // (finite, acyclic) condensation via one recursive CTE and takes
+    // the per-node max. Reported as the layer histogram weighted by
+    // both SCC count and member count.
+    Q(
+      "graph_scc_layers",
+      (s, d) => {
+        val lbl = sccLabels(s, d)
+        val cond = partChainEdges(s, d)
+          .join(lbl.select(col("id").as("src"), col("scc").as("cs")), "src")
+          .join(lbl.select(col("id").as("dst"), col("scc").as("cd")), "dst")
+          .filter(col("cs") =!= col("cd"))
+          .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+          .localCheckpoint(false)
+        val cnodes = lbl.select(col("scc").as("id")).distinct()
+        val layers = Components.dagLayers(cnodes, cond, SccMaxRounds * 4)
+        val sizes = lbl.groupBy("scc").agg(count(lit(1)).as("size"))
+        layers.join(sizes, col("id") === col("scc"))
+          .groupBy("layer")
+          .agg(count(lit(1)).as("n_sccs"), sum("size").as("n_vertices"))
+          .orderBy("layer")
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlSccCtes,
+              |cnodes AS (SELECT DISTINCT scc AS id FROM lbl),
+              |cedges AS (
+              |  SELECT DISTINCT ls.scc AS src, ld.scc AS dst
+              |  FROM de JOIN lbl ls ON ls.id = de.src
+              |  JOIN lbl ld ON ld.id = de.dst
+              |  WHERE ls.scc <> ld.scc),
+              |paths(id, len) AS (
+              |  SELECT id, 0 FROM cnodes
+              |  UNION
+              |  SELECT ce.dst, p.len + 1 FROM paths p JOIN cedges ce ON ce.src = p.id),
+              |layers AS (SELECT id, max(len) AS layer FROM paths GROUP BY id),
+              |sizes AS (SELECT scc, count(*) AS size FROM lbl GROUP BY scc)
+              |SELECT l.layer, count(*) AS n_sccs,
+              |  CAST(sum(s.size) AS BIGINT) AS n_vertices
+              |FROM layers l JOIN sizes s ON s.scc = l.id
+              |GROUP BY l.layer ORDER BY l.layer""".stripMargin)
     )
   )
 }

@@ -2324,6 +2324,129 @@ object Text {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    // ── Kneser-Ney smoothed bigram LM (the production LM-filter form) ──
+    // Interpolated KN with absolute discount d = 1/2 (exactly
+    // representable): P(w2|w1) = (c(w1,w2) − d)/c(w1·)
+    // + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··) — the smoothing every real
+    // perplexity filter uses instead of raw MLE (text_bigram_surprisal),
+    // because MLE over-scores memorized bigrams and cannot score unseen
+    // ones. All five statistics are exact integer counts (bigram count,
+    // context count, distinct-successor fan-out, distinct-predecessor
+    // fan-in = the continuation count — KN's signature statistic — and
+    // total bigram types), so the probability is one fixed rational
+    // expression per pair, written token-for-token identically in both
+    // engines, then floor-quantized to the 2^-20 grid for order-free
+    // per-doc sums. Same narrow zip_with pairing and equi-join shape as
+    // the MLE query; the two extra count tables are vocabulary-sized.
+    Q(
+      "text_kneser_ney",
+      (s, d) => {
+        val arr = tokens(col("text"))
+        val bg = documents(s, d)
+          .select(col("doc_id"),
+            explode(zip_with(
+              slice(arr, lit(1), size(arr) - 1),
+              slice(arr, lit(2), size(arr) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .localCheckpoint(false)
+        val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+        val cctx = bg.groupBy("w1").agg(count(lit(1)).as("cctx"),
+          count_distinct(col("w2")).as("n1f"))
+        val cont = bg.select("w1", "w2").distinct()
+          .groupBy("w2").agg(count(lit(1)).as("n1p"))
+        val nbt = bg.select("w1", "w2").distinct().agg(count(lit(1)).as("nbt"))
+        val p = ((col("cbg").cast("double") - 0.5) / col("cctx").cast("double")) +
+          ((lit(0.5) * col("n1f").cast("double") / col("cctx").cast("double")) *
+            (col("n1p").cast("double") / col("nbt").cast("double")))
+        val sq = floor(-log(p) * 1048576.0) / 1048576.0
+        bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+          .join(broadcast(cbg), Seq("w1", "w2")).join(broadcast(cctx), "w1")
+          .join(broadcast(cont), "w2").crossJoin(broadcast(nbt))
+          .select(col("doc_id"), col("tf"), sq.as("sq"))
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_bigrams"),
+            sum(col("tf").cast("double") * col("sq")).as("kn_surprisal"))
+          .select(col("doc_id"), col("n_bigrams"), col("kn_surprisal"),
+            (col("kn_surprisal") / col("n_bigrams").cast("double"))
+              .as("mean_kn_surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |bg AS (
+             |  SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2
+             |  FROM ls, LATERAL unnest(range(1, len(l))) AS t(i)),
+             |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg FROM bg GROUP BY w1, w2),
+             |cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cctx,
+             |         CAST(count(DISTINCT w2) AS BIGINT) AS n1f FROM bg GROUP BY w1),
+             |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p
+             |       FROM (SELECT DISTINCT w1, w2 FROM bg) GROUP BY w2),
+             |bt AS (SELECT CAST(count(*) AS BIGINT) AS nbt
+             |       FROM (SELECT DISTINCT w1, w2 FROM bg)),
+             |tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+             |       FROM bg GROUP BY doc_id, w1, w2),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.tf,
+             |    floor(-ln(
+             |      ((CAST(cb.cbg AS DOUBLE) - 0.5) / CAST(cc.cctx AS DOUBLE)) +
+             |      ((0.5 * CAST(cc.n1f AS DOUBLE) / CAST(cc.cctx AS DOUBLE)) *
+             |        (CAST(ct.n1p AS DOUBLE) / CAST(bt.nbt AS DOUBLE)))
+             |    ) * 1048576) / 1048576 AS sq
+             |  FROM tf JOIN cb USING (w1, w2) JOIN cc USING (w1)
+             |  JOIN ct USING (w2) CROSS JOIN bt),
+             |agg AS (
+             |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |    sum(CAST(tf AS DOUBLE) * sq) AS kn_surprisal
+             |  FROM sc GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, kn_surprisal,
+             |  kn_surprisal / CAST(n_bigrams AS DOUBLE) AS mean_kn_surprisal
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ── corpus scoring under the trained unigram tokenizer ─────────────
+    // What the tokenizer's model is FOR: the per-document negative
+    // log-likelihood of its Viterbi segmentation, in the model's own
+    // 2^-20 fixed-point costs — so the total is an exact BIGINT
+    // (order-free, hash-stable with no float anywhere) and the
+    // per-piece mean divides once at the end. Composes the memoized
+    // [[unigramTrained]] artifact with one broadcast join over one
+    // corpus scan; the doc-level NLL is the ranking signal a
+    // tokenizer-aware quality filter thresholds on.
+    Q(
+      "text_unigram_score",
+      (s, d) => {
+        val enc = unigramTrained(s, d)._2
+          .select(col("word"), size(split(col("seg"), " ")).as("np"),
+            col("dpcost"))
+        documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(enc), "word")
+          .groupBy("doc_id")
+          .agg(sum(col("np")).as("n_pieces"),
+            sum(col("dpcost")).as("nll_u"))
+          .select(col("doc_id"), col("n_pieces"), col("nll_u"),
+            ((col("nll_u").cast("double") / 1048576.0) /
+              col("n_pieces").cast("double")).as("mean_nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlUnigramCtes,
+              |enc AS MATERIALIZED (
+              |  SELECT word, len(string_split(seg, ' ')) AS np, dpcost FROM seg3),
+              |tok AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              |  FROM documents)
+              |SELECT t.doc_id,
+              |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+              |  CAST(sum(e.dpcost) AS BIGINT) AS nll_u,
+              |  (CAST(sum(e.dpcost) AS DOUBLE) / 1048576.0)
+              |    / CAST(sum(e.np) AS DOUBLE) AS mean_nll
+              |FROM tok t JOIN enc e USING (word)
+              |WHERE t.word <> ''
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+    ),
+
     // ── the cleaned corpus: greedy near-dup keep list ──────────────────
     // The last step of the dedup pipeline — emit what SURVIVES. Greedy
     // keep-first: drop any doc with a ≥0.5-Jaccard neighbor of smaller

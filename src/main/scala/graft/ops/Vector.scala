@@ -406,6 +406,64 @@ object Vector {
       }
     ),
 
+    // ── Matryoshka prefix-dimension recall (MRL evaluation) ────────────
+    // Matryoshka-style embeddings promise that a PREFIX of the vector
+    // is itself a usable lower-dimensional embedding (Kusupati et al.
+    // 2022) — the operational question before truncating a 100 TB
+    // vector store to a quarter of its bytes is exactly this curve:
+    // top-10 recall of prefix-dim cosine vs the full-dim truth, for
+    // dims {8, 16, 32, 64}. ONE corpus pass scores all four prefixes
+    // (checkpointed, the nprobe-sweep pattern); each sweep point is
+    // then a 10-row rank + a tiny hit join. dim = 64 IS the truth, so
+    // its recall row is 1.0 by construction — the sweep self-checks.
+    // The prefix cosines reuse the same fused sequential fold on both
+    // engines, just over sliced arrays, so every sim is bit-identical.
+    Q(
+      "ann_matryoshka_recall",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        val dims = Seq(8, 16, 32, 64)
+        val sc = e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id") +: dims.map(k =>
+            cosine(slice(vec(col("embedding")), 1, k),
+              slice(col("qv"), 1, k)).as(s"s$k")): _*)
+          .localCheckpoint(false) // one scoring pass feeds all sweep points
+        val truth = sc.orderBy(col("s64").desc, col("vec_id").asc).limit(10)
+          .select("vec_id").localCheckpoint(false)
+        dims.map { k =>
+          val top = sc.orderBy(col(s"s$k").desc, col("vec_id").asc).limit(10)
+            .select("vec_id")
+          top.join(truth, "vec_id").agg(count(lit(1)).as("hits"))
+            .select(lit(k).as("dim"), col("hits"),
+              (col("hits").cast("double") / 10.0).as("recall_at_10"))
+        }.reduce(_ union _).orderBy("dim")
+      },
+      Some {
+        def pv(k: Int) = s"(${sqlVec("e.embedding")})[1:$k]"
+        def qv(k: Int) = s"(q.qv)[1:$k]"
+        val scCols = Seq(8, 16, 32, 64)
+          .map(k => s"${sqlCosine(pv(k), qv(k))} AS s$k").mkString(",\n    ")
+        val sweep = Seq(8, 16, 32, 64).map { k =>
+          s"""SELECT $k AS dim,
+             |  CAST((SELECT count(*) FROM (
+             |      SELECT vec_id FROM sc ORDER BY s$k DESC, vec_id ASC LIMIT 10) t
+             |    JOIN truth USING (vec_id)) AS BIGINT) AS hits""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH q AS (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |sc AS (
+           |  SELECT e.vec_id,
+           |    $scCols
+           |  FROM embeddings e, q WHERE e.vec_id <> 0),
+           |truth AS (SELECT vec_id FROM sc ORDER BY s64 DESC, vec_id ASC LIMIT 10)
+           |SELECT dim, hits, CAST(hits AS DOUBLE) / 10.0 AS recall_at_10
+           |FROM ($sweep)
+           |ORDER BY dim""".stripMargin
+      }
+    ),
+
     // ── k-NN join: top-3 neighbors for each of the first 10 vectors ────
     // Probe side (10 rows) is broadcast; corpus side is scanned once.
     // Window top-k per probe keeps only 3 rows per probe past the

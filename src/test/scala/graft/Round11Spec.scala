@@ -47,6 +47,34 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("dagLayers: path layering is exact; a cycle trips the acyclicity require") {
+    import spark.implicits._
+    // diamond with a tail: 1→2, 1→3, 2→4, 3→4, 4→5 — layers 0,1,1,2,3
+    val de = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val nodes = de.select(col("src").as("id"))
+      .union(de.select(col("dst").as("id"))).distinct()
+    val got = graph.Components.dagLayers(nodes, de, 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // a 3-cycle can never converge: the round bound must fail LOUDLY
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cn = cyc.select(col("src").as("id")).distinct()
+    val ex = intercept[IllegalArgumentException] {
+      graph.Components.dagLayers(cn, cyc, 6)
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
+  test("unigram corpus score is the exact BIGINT sum of per-word DP costs") {
+    val rows = SparkEntry.queries("text_unigram_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nll, mean) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(np > 0 && nll >= 0)
+      assert(mean == (nll.toDouble / 1048576.0) / np.toDouble)
+    }
+  }
+
   test("SCC labels are component minima, members, and closed under the condensation") {
     val scc = SparkEntry.queries("graph_scc")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
