@@ -267,6 +267,63 @@ object Classify {
               |FROM agg""".stripMargin)
     ),
 
+    // ── reliability table: empirical precision by score decile ─────────
+    // The calibration-style eval next to ml_auc: bucket the 'en'
+    // one-vs-rest scores into 10 fixed-width bins over the observed
+    // score range and report, per bin, the exact positive rate — the
+    // monotone-reliability evidence a threshold picker reads (AUC says
+    // the ranking is good; this says WHERE to cut it). Everything is
+    // integer-exact: scores are the 2^-20 quantized NLLs (explicit
+    // floor, the ml_auc convention), the bin index is one integer
+    // division against the broadcast (min, max) row, and each bin's
+    // rate/mean divide exact BIGINT sums once. Lower score = more
+    // 'en'-like, so the bottom-half score range must carry a decisively
+    // higher positive rate than the top half — asserted in spec as the
+    // table's own sanity check (per-bin monotonicity is NOT claimed:
+    // the unnormalized NLL mixes in document length, which is exactly
+    // what a threshold picker reads this table to find out).
+    Q(
+      "ml_reliability_bins",
+      (s, d) => {
+        val en = nbNlls(s, d).filter(col("lang") === "en")
+          .select(floor(col("nll") * 1048576.0).cast("long").as("s_int"),
+            (col("true_lang") === "en").cast("long").as("pos"))
+        val mm = en.agg(min("s_int").as("mn"), max("s_int").as("mx"))
+        en.crossJoin(broadcast(mm))
+          .select(least(lit(9L),
+              expr("((s_int - mn) * 10) DIV (mx - mn + 1)")).as("bin"),
+            col("s_int"), col("pos"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+            sum("s_int").as("ssum"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+            (col("ssum").cast("double") / col("n").cast("double") / 1048576.0)
+              .as("mean_nll"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH ${nbSqlCtes()},
+              |en AS (
+              |  SELECT CAST(floor(nll * 1048576) AS BIGINT) AS s_int,
+              |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM nlls WHERE lang = 'en'),
+              |mm AS (SELECT CAST(min(s_int) AS BIGINT) AS mn,
+              |       CAST(max(s_int) AS BIGINT) AS mx FROM en),
+              |binned AS (
+              |  SELECT least(9, ((s_int - mn) * 10) // (mx - mn + 1)) AS bin,
+              |    s_int, pos
+              |  FROM en, mm),
+              |agg AS (
+              |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(pos) AS BIGINT) AS n_pos,
+              |    CAST(sum(s_int) AS BIGINT) AS ssum
+              |  FROM binned GROUP BY bin)
+              |SELECT bin, n, n_pos,
+              |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+              |  CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mean_nll
+              |FROM agg ORDER BY bin""".stripMargin)
+    ),
+
     // ── 5-fold cross-validation (the eval loop, not just one split) ────
     // The honest generalization estimate: every id-hash residue takes a
     // turn as the held-out fold, so each document is scored exactly once

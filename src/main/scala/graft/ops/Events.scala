@@ -960,60 +960,123 @@ object Events {
     // µunit BIGINT day sum divided once.
     Q(
       "evt_holt_winters",
-      (s, d) => {
-        import s.implicits._
-        val daily = eventsUs(s, d)
-          .filter(col("event_type") === "purchase")
-          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-            .as("epd"))
-          .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
-        daily.as[(Int, Long)]
-          .groupByKey(_ => 0)
-          .flatMapSortedGroups(col("epd")) { (_, it) =>
-            var l = 0.0
-            var b = 0.0
-            var rn = 0
-            it.map { case (epd, xu) =>
-              rn += 1
-              val x = xu.toDouble / 1000000
-              val f = l + b
-              val r = x - f
-              val l2 = 0.5 * x + 0.5 * (l + b)
-              val b2 = 0.5 * (l2 - l) + 0.5 * b
-              l = l2; b = b2
-              (epd, x, f, r, l2, b2, rn >= 5 && math.abs(r) > 1000.0)
-            }
-          }
-          .toDF("epd", "day_value", "forecast", "residual", "level", "trend",
-            "anomaly")
+      (s, d) =>
+        holtWintersRows(s, d)
           .select(date_add(lit("1970-01-01").cast("date"), col("epd")).as("day"),
             col("day_value"), col("forecast"), col("residual"),
-            col("level"), col("trend"), col("anomaly"))
-          .orderBy("day")
-      },
-      Some(s"""WITH RECURSIVE daily AS (
-              |  SELECT CAST($sqlTs AS DATE) AS day,
-              |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS xu
-              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-              |idx AS (
-              |  SELECT day, CAST(xu AS DOUBLE) / 1000000 AS x,
-              |    row_number() OVER (ORDER BY day) AS rn
-              |  FROM daily),
-              |hw(rn, day, x, l, b, f, r) AS (
-              |  SELECT 0, DATE '1970-01-01', CAST(0.0 AS DOUBLE),
-              |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
-              |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
-              |  UNION ALL
-              |  SELECT i.rn, i.day, i.x,
-              |    0.5 * i.x + 0.5 * (h.l + h.b),
-              |    0.5 * ((0.5 * i.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
-              |    h.l + h.b,
-              |    i.x - (h.l + h.b)
-              |  FROM hw h JOIN idx i ON i.rn = h.rn + 1)
+            col("level"), col("trend"),
+            (col("rn") >= 5 && abs(col("residual")) > 1000.0).as("anomaly"))
+          .orderBy("day"),
+      Some(s"""WITH RECURSIVE
+              |$sqlHwCtes
               |SELECT day, x AS day_value, f AS forecast, r AS residual,
               |  l AS level, b AS trend,
               |  (rn >= 5 AND abs(r) > 1000.0) AS anomaly
               |FROM hw WHERE rn >= 1 ORDER BY day""".stripMargin)
+    ),
+
+    // ── forecast accuracy: MAE + MASE of the Holt–Winters one-step ─────
+    // The eval that decides whether a forecaster earns its keep: mean
+    // absolute error of the HW one-step forecast vs the naive-1
+    // baseline (f_t = x_{t−1}), and their ratio — MASE (Hyndman &
+    // Koehler 2006), < 1 iff the model beats naive. Both residual
+    // streams replay the SAME recurrence rows (the shared [[sqlHwCtes]]
+    // fold), then every |residual| is floor-quantized to exact µunits
+    // so the sums are order-free BIGINTs and each mean divides once.
+    // Day 1 is excluded on both sides (its HW "residual" is the zero
+    // seed's warmup artifact and naive-1 has no predecessor).
+    Q(
+      "evt_forecast_accuracy",
+      (s, d) => {
+        val w = Window.orderBy(col("epd"))
+        val rows = holtWintersRows(s, d)
+          .withColumn("prev_x", lag(col("day_value"), 1).over(w))
+          .filter(col("rn") >= 2)
+          .select(
+            floor(abs(col("residual")) * 1e6).cast("long").as("hwu"),
+            floor(abs(col("day_value") - col("prev_x")) * 1e6).cast("long")
+              .as("nvu"))
+        rows.agg(count(lit(1)).as("n_days"),
+            sum("hwu").as("shw"), sum("nvu").as("snv"))
+          .select(col("n_days"),
+            ((col("shw").cast("double") / 1e6) / col("n_days").cast("double"))
+              .as("mae_hw"),
+            ((col("snv").cast("double") / 1e6) / col("n_days").cast("double"))
+              .as("mae_naive"),
+            (col("shw").cast("double") / col("snv").cast("double")).as("mase"))
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlHwCtes,
+              |res AS (
+              |  SELECT h.rn,
+              |    CAST(floor(abs(h.r) * 1000000) AS BIGINT) AS hwu,
+              |    CAST(floor(abs(h.x - p.x) * 1000000) AS BIGINT) AS nvu
+              |  FROM hw h JOIN idx p ON p.rn = h.rn - 1
+              |  WHERE h.rn >= 2),
+              |agg AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+              |    CAST(sum(hwu) AS BIGINT) AS shw,
+              |    CAST(sum(nvu) AS BIGINT) AS snv
+              |  FROM res)
+              |SELECT n_days,
+              |  (CAST(shw AS DOUBLE) / 1000000) / CAST(n_days AS DOUBLE) AS mae_hw,
+              |  (CAST(snv AS DOUBLE) / 1000000) / CAST(n_days AS DOUBLE) AS mae_naive,
+              |  CAST(shw AS DOUBLE) / CAST(snv AS DOUBLE) AS mase
+              |FROM agg""".stripMargin)
     )
   )
+
+  /** The Holt–Winters level/trend fold over the daily purchase series —
+    * shared by `evt_holt_winters` (the per-day report) and
+    * `evt_forecast_accuracy` (the MASE eval): (epd, day_value, forecast,
+    * residual, level, trend, rn), one row per day in day order. */
+  private def holtWintersRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = eventsUs(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .as("epd"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+    daily.as[(Int, Long)]
+      .groupByKey(_ => 0)
+      .flatMapSortedGroups(col("epd")) { (_, it) =>
+        var l = 0.0
+        var b = 0.0
+        var rn = 0
+        it.map { case (epd, xu) =>
+          rn += 1
+          val x = xu.toDouble / 1000000
+          val f = l + b
+          val r = x - f
+          val l2 = 0.5 * x + 0.5 * (l + b)
+          val b2 = 0.5 * (l2 - l) + 0.5 * b
+          l = l2; b = b2
+          (epd, x, f, r, l2, b2, rn)
+        }
+      }
+      .toDF("epd", "day_value", "forecast", "residual", "level", "trend", "rn")
+  }
+
+  /** The identical fold as DuckDB CTEs (daily rollup, indexed series,
+    * recursive level/trend recurrence) — shared by both HW oracles. */
+  private lazy val sqlHwCtes: String =
+    s"""daily AS (
+       |  SELECT CAST($sqlTs AS DATE) AS day,
+       |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS xu
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |idx AS (
+       |  SELECT day, CAST(xu AS DOUBLE) / 1000000 AS x,
+       |    row_number() OVER (ORDER BY day) AS rn
+       |  FROM daily),
+       |hw(rn, day, x, l, b, f, r) AS (
+       |  SELECT 0, DATE '1970-01-01', CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT i.rn, i.day, i.x,
+       |    0.5 * i.x + 0.5 * (h.l + h.b),
+       |    0.5 * ((0.5 * i.x + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+       |    h.l + h.b,
+       |    i.x - (h.l + h.b)
+       |  FROM hw h JOIN idx i ON i.rn = h.rn + 1)""".stripMargin
 }

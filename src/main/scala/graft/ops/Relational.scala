@@ -731,6 +731,73 @@ object Relational {
               |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, gid ASC""".stripMargin)
     ),
 
+    // ── PIVOT (long→wide reshape with explicit value list) ─────────────
+    // The reporting reshape: one row per year, one column pair per
+    // order status. Spark's relational pivot with an EXPLICIT value
+    // list ('F','O','P' — the TPC-H status domain) keeps the schema
+    // static, which is the only shape that scales: an implicit pivot
+    // first runs a distinct scan to discover columns AND cannot be
+    // planned incrementally. Catalyst rewrites pivot to exactly the
+    // conditional aggregation the oracle spells out — one partial-agg'd
+    // shuffle on the year, no transpose operator. Counts coalesce to 0
+    // (Spark's empty pivot cell is NULL, DuckDB's count_if is 0);
+    // revenue stays the exact DECIMAL→DOUBLE convention, NULL for
+    // empty cells on both engines.
+    Q(
+      "rel_pivot",
+      (s, d) => {
+        val statuses = Seq("F", "O", "P")
+        val wide = orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderstatus", statuses)
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double").as("rev"))
+        wide.select(col("yr") +: statuses.flatMap(st => Seq(
+            coalesce(col(s"${st}_cnt"), lit(0L)).as(s"cnt_${st.toLowerCase}"),
+            col(s"${st}_rev").as(s"rev_${st.toLowerCase}"))): _*)
+          .orderBy("yr")
+      },
+      Some {
+        val cols = Seq("F", "O", "P").map { st =>
+          s"""  count(*) FILTER (o_orderstatus = '$st') AS cnt_${st.toLowerCase},
+             |  CAST(sum(${decSql("o_totalprice")}) FILTER (o_orderstatus = '$st')
+             |    AS DOUBLE) AS rev_${st.toLowerCase}""".stripMargin
+        }.mkString(",\n")
+        s"""SELECT year(o_orderdate) AS yr,
+           |$cols
+           |FROM orders GROUP BY yr ORDER BY yr""".stripMargin
+      }
+    ),
+
+    // ── UNPIVOT (wide→long, the inverse reshape) ───────────────────────
+    // Spark's native unpivot (melt) over the wide frame the pivot just
+    // built — the roundtrip proves the pair: long→wide→long recovers
+    // per-(year, status) counts exactly. unpivot plans as Expand (each
+    // input row replicated once per value column BEFORE the shuffle) —
+    // the same one-exchange shape as grouping sets, never a join.
+    Q(
+      "rel_unpivot",
+      (s, d) => {
+        val statuses = Seq("F", "O", "P")
+        val wide = orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .pivot("o_orderstatus", statuses)
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("yr") +: statuses.map(st =>
+            coalesce(col(st), lit(0L)).as(s"cnt_$st")): _*)
+        wide.unpivot(Array(col("yr")),
+            statuses.map(st => col(s"cnt_$st")).toArray,
+            "status_col", "cnt")
+          .select(col("yr"),
+            substring(col("status_col"), 5, 1).as("status"), col("cnt"))
+          .filter(col("cnt") > 0)
+          .orderBy("yr", "status")
+      },
+      Some("""SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
+             |  count(*) AS cnt
+             |FROM orders GROUP BY yr, status ORDER BY yr, status""".stripMargin)
+    ),
+
     // ── SCD2 upsert (MERGE-into / slowly-changing dimension) ───────────
     // The lakehouse merge pattern every warehouse runs: apply a changes
     // batch to a dimension producing a validity-interval history —

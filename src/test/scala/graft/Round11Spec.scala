@@ -75,6 +75,44 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("reliability bins: positive rate falls as the score bin rises") {
+    val rows = SparkEntry.queries("ml_reliability_bins")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // bins tile the test set
+    // lower NLL = more 'en'-like. Individual bins hold 5-13 docs at
+    // sf0.001, so per-bin rates are noisy — the robust claim is the
+    // halves: the bottom-half score range must be decisively more
+    // positive than the top half
+    val (lo, hi) = rows.partition(_._1 < 5)
+    val loRate = lo.map(_._3).sum.toDouble / lo.map(_._2).sum
+    val hiRate = hi.map(_._3).sum.toDouble / hi.map(_._2).sum
+    assert(loRate > hiRate,
+      s"bottom-half rate $loRate must exceed top-half rate $hiRate")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._5, s"mean_nll must increase with bin: $a vs $b")
+    }
+    rows.foreach { case (_, n, np, rate, _) =>
+      assert(np <= n && rate == np.toDouble / n.toDouble)
+    }
+  }
+
+  test("forecast accuracy: MASE ties out against the emitted Holt-Winters rows") {
+    val hw = SparkEntry.queries("evt_holt_winters")(spark, sf).collect()
+      .map(r => (r.get(0).toString, r.getDouble(1), r.getDouble(3)))
+      .sortBy(_._1)
+    val Array(row) = SparkEntry.queries("evt_forecast_accuracy")(spark, sf).collect()
+    val n = row.getLong(0)
+    assert(n == hw.length - 1, "accuracy row must cover every day but the first")
+    // replay the µunit quantization over the emitted residual/value rows
+    val shw = hw.drop(1).map(r => math.floor(math.abs(r._3) * 1e6).toLong).sum
+    val snv = hw.sliding(2).map { case Array(a, b) =>
+      math.floor(math.abs(b._2 - a._2) * 1e6).toLong }.sum
+    assert(row.getDouble(1) == (shw.toDouble / 1e6) / n.toDouble)
+    assert(row.getDouble(2) == (snv.toDouble / 1e6) / n.toDouble)
+    assert(row.getDouble(3) == shw.toDouble / snv.toDouble)
+  }
+
   test("SCC labels are component minima, members, and closed under the condensation") {
     val scc = SparkEntry.queries("graph_scc")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
