@@ -104,6 +104,36 @@ object Components {
     lbl.select(col("id"), col("l"))
   }
 
+  /** Set reachability: every vertex reachable from ANY seed along the
+    * directed edges (seeds included) — plain frontier BFS with a settled
+    * anti-join, all seeds in one dataflow (no per-seed keying, unlike
+    * [[multiBfs]] — the result is the UNION of cones, which is what
+    * bowtie/impact analyses consume). Lazy-localCheckpoint + drain-count
+    * discipline; `maxHops` is a loud diameter bound, never a silent
+    * truncation. */
+  def reachableFrom(seeds: DataFrame, de: DataFrame, maxHops: Int): DataFrame = {
+    var settled = seeds.select(col("id")).distinct().localCheckpoint(false)
+    var frontier = settled
+    var hops = 0
+    var drained = frontier.isEmpty
+    while (!drained) {
+      hops += 1
+      require(hops <= maxHops,
+        s"reachability frontier still live past $maxHops hops — raise the bound")
+      val next = de
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .localCheckpoint(false)
+      if (next.count() == 0L) drained = true
+      else {
+        settled = settled.union(next).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    settled
+  }
+
   /** Longest-path layering of a DAG: layer(v) = length of the longest
     * directed path ending at v (sources sit at 0) — the level structure
     * a topological schedule executes, computed by (max, +1) relaxation

@@ -307,7 +307,12 @@ object PropertyGraph {
   /** The chain-graph + definitional-SCC CTEs shared by both oracles:
     * scc(v) = min over the mutually-reachable set of v (v included) —
     * no round replay needed, unlike the fixpoint unrolls: the
-    * definition itself is engine-order-free. */
+    * definition itself is engine-order-free.
+    *
+    * DuckDB 1.0 quirk (found via graph_scc_bowtie): inside a `WITH
+    * RECURSIVE` block, a NON-recursive CTE's bare `UNION` does not
+    * deduplicate — so `n` dedups explicitly with DISTINCT. Harmless
+    * for consumers that aggregate per id, fatal for per-row counts. */
   private lazy val sqlSccCtes: String = {
     val key = Tables.detHashSql("sk * 1000003 + p")
     s"""inc AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p FROM lineitem),
@@ -317,7 +322,8 @@ object PropertyGraph {
        |de AS (SELECT DISTINCT a.p AS src, b.p AS dst
        |       FROM ordx a JOIN ordx b ON a.sk = b.sk AND b.rn = a.rn + 1
        |       WHERE a.p <> b.p),
-       |n AS (SELECT src AS id FROM de UNION SELECT dst FROM de),
+       |n AS (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM de UNION ALL SELECT dst FROM de)),
        |r(a, b) AS (
        |  SELECT src, dst FROM de
        |  UNION
@@ -2089,6 +2095,62 @@ object PropertyGraph {
               |  CAST(sum(s.size) AS BIGINT) AS n_vertices
               |FROM layers l JOIN sizes s ON s.scc = l.id
               |GROUP BY l.layer ORDER BY l.layer""".stripMargin)
+    ),
+
+    // ── bowtie decomposition around the largest SCC (Broder et al.) ────
+    // The macroscopic web-graph census: pick the CORE (largest SCC, tie
+    // → smallest label), then classify every vertex as core / IN
+    // (reaches the core) / OUT (reached from the core) / OTHER
+    // (tendrils + disconnected). IN ∩ OUT = core by definition of an
+    // SCC, so the classes partition the vertex set — spec-asserted.
+    // Spark runs TWO set-reachability sweeps ([[Components
+    // .reachableFrom]], forward over the edges and forward over their
+    // reversal) from the broadcast core set; the oracle reads the same
+    // answer straight off the closure it already built for the labels.
+    Q(
+      "graph_scc_bowtie",
+      (s, d) => {
+        val lbl = sccLabels(s, d)
+        val de = partChainEdges(s, d)
+        val core = lbl.groupBy("scc").agg(count(lit(1)).as("sz"))
+          .orderBy(col("sz").desc, col("scc").asc).limit(1)
+          .select("scc")
+        val coreSet = lbl.join(broadcast(core), "scc").select("id")
+          .localCheckpoint(false)
+        val outs = Components.reachableFrom(coreSet, de, 128)
+        val ins = Components.reachableFrom(coreSet,
+          de.select(col("dst").as("src"), col("src").as("dst")), 128)
+        lbl.select(col("id"))
+          .join(coreSet.select(col("id"), lit(1).as("isCore")), Seq("id"), "left")
+          .join(ins.select(col("id"), lit(1).as("isIn")), Seq("id"), "left")
+          .join(outs.select(col("id"), lit(1).as("isOut")), Seq("id"), "left")
+          .select(when(col("isCore") === 1, "core")
+            .when(col("isIn") === 1, "in")
+            .when(col("isOut") === 1, "out")
+            .otherwise("other").as("component_class"))
+          .groupBy("component_class").agg(count(lit(1)).as("n_vertices"))
+          .orderBy("component_class")
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlSccCtes,
+              |core AS (SELECT scc FROM (
+              |  SELECT scc, count(*) AS sz FROM lbl GROUP BY scc
+              |  ORDER BY sz DESC, scc ASC LIMIT 1)),
+              |coreset AS (SELECT id FROM lbl JOIN core USING (scc)),
+              |ins AS (SELECT DISTINCT r.a AS id FROM r JOIN coreset c ON r.b = c.id),
+              |outs AS (SELECT DISTINCT r.b AS id FROM r JOIN coreset c ON r.a = c.id),
+              |cls AS (
+              |  SELECT n.id,
+              |    CASE WHEN cs.id IS NOT NULL THEN 'core'
+              |         WHEN i.id IS NOT NULL THEN 'in'
+              |         WHEN o.id IS NOT NULL THEN 'out'
+              |         ELSE 'other' END AS component_class
+              |  FROM n
+              |  LEFT JOIN coreset cs USING (id)
+              |  LEFT JOIN ins i USING (id)
+              |  LEFT JOIN outs o USING (id))
+              |SELECT component_class, count(*) AS n_vertices
+              |FROM cls GROUP BY component_class ORDER BY component_class""".stripMargin)
     )
   )
 }

@@ -113,6 +113,40 @@ class Round11Spec extends SparkSpec {
     assert(row.getDouble(3) == shw.toDouble / snv.toDouble)
   }
 
+  test("bowtie classes partition the vertex set; IN and OUT are disjoint outside core") {
+    import spark.implicits._
+    val classes = SparkEntry.queries("graph_scc_bowtie")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val de = graph.PropertyGraph.partChainEdges(spark, sf)
+    val nVerts = de.select(col("src")).union(de.select(col("dst")))
+      .distinct().count()
+    assert(classes.values.sum == nVerts, s"classes $classes must tile $nVerts vertices")
+    assert(classes.keySet.subsetOf(Set("core", "in", "out", "other")))
+    assert(classes("core") >= 1L)
+    // hand fixture: core {10,11,12} with 1→10 (IN side) and 12→20 (OUT):
+    // the kernels must classify exactly core=3, in=4 ({1,2,3} SCC is
+    // smaller so its members land in IN), out=1
+    val fixture = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L), (12L, 20L)).toDF("src", "dst")
+    val nodes = fixture.select(col("src").as("id"))
+      .union(fixture.select(col("dst").as("id"))).distinct()
+    val (scc, _) = graph.Components.sccColoring(nodes, fixture, 8)
+    val sizes = scc.groupBy("scc").agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("scc").asc).limit(1).collect()
+    assert(sizes.head.getLong(0) === 1L) // tie on size 3 → smallest label 1
+    val coreSet = scc.filter(col("scc") === 1L).select("id")
+    val outs = graph.Components.reachableFrom(coreSet, fixture, 8)
+      .collect().map(_.getLong(0)).toSet
+    val ins = graph.Components.reachableFrom(coreSet,
+      fixture.select(col("dst").as("src"), col("src").as("dst")), 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(outs === Set(1L, 2L, 3L, 10L, 11L, 12L, 20L)) // everything downstream
+    assert(ins === Set(1L, 2L, 3L))                       // nothing feeds the core
+    // IN ∩ OUT = core exactly (mutual reachability with the core IS core)
+    assert((ins intersect outs) === Set(1L, 2L, 3L))
+  }
+
   test("SCC labels are component minima, members, and closed under the condensation") {
     val scc = SparkEntry.queries("graph_scc")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
