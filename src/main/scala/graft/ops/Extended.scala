@@ -372,6 +372,81 @@ object Extended {
       }
     ),
 
+    // ── Walsh–Hadamard perceptual hash pairs (frequency-domain dedup) ──
+    // The transform-domain member of the perceptual-hash family: where
+    // aHash thresholds raw pixels, pHash thresholds DCT coefficients —
+    // but the DCT's cosines are transcendental, so no hash built on
+    // them can be bit-proven across engines. The Walsh–Hadamard
+    // transform is the DCT's INTEGER-EXACT sibling (same
+    // energy-compaction role; entries ±1 via Sylvester's construction
+    // H[i][j] = (−1)^popcount(i AND j)), so every coefficient
+    // y_i = Σ_j ±lvl[j] is an exact BIGINT and the 16-bit signature
+    // (sign of coefficients 1..16 — the low-sequency band, DC index 0
+    // skipped exactly as pHash skips it) is driver-hashable. Banded
+    // search: 4 bands of 4 bits, pigeonhole-complete for Hamming ≤ 3;
+    // τ = 2 stays strictly inside the lossless regime. SCALE: at
+    // n ≫ 2^16 the 16-bit signature saturates — widen to 32/64
+    // coefficients (same construction, wider bands); the quantized lvl
+    // staging keeps each coefficient a linear fold, never a matrix op.
+    Q(
+      "vec_whash_pairs",
+      (s, d) => {
+        val v = vec(col("embedding"))
+        val lvls = transform(sequence(lit(0), lit(63)), i =>
+          least(greatest(
+            floor((element_at(v, (i + 1).cast("int")) + 0.5) * 256).cast("long"),
+            lit(0L)), lit(255L)))
+        val staged = embeddings(s, d).select(col("vec_id"), lvls.as("lvl"))
+        def coef(i: Int): Column = aggregate(
+          sequence(lit(0), lit(63)), lit(0L),
+          (a, j) => a + when(bit_count(j.bitwiseAND(lit(i))) % 2 === 1,
+              -element_at(col("lvl"), (j + 1).cast("int")))
+            .otherwise(element_at(col("lvl"), (j + 1).cast("int"))))
+        val withY = staged.select(col("vec_id") +:
+          (1 to 16).map(i => coef(i).as(s"y$i")): _*)
+        val sig = withY.select(col("vec_id"),
+          (1 to 16).map(i =>
+            when(col(s"y$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+            .reduce(_ + _).as("sig"))
+          .localCheckpoint(false)
+        val bands = sig.select(col("vec_id"), col("sig"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+          .select(col("vec_id"), col("sig"), col("band"),
+            expr("shiftright(sig, band * 4) & 15").as("nib"))
+        val cand = bands.select(col("vec_id").as("id_a"), col("sig").as("sa"),
+            col("band"), col("nib"))
+          .join(bands.select(col("vec_id").as("id_b"), col("sig").as("sb"),
+            col("band"), col("nib")), Seq("band", "nib"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "sa", "sb").distinct()
+        cand
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val lvl = s"list_transform(range(0, 64), i -> " +
+          s"least(greatest(CAST(floor((${sqlVec("embedding")}[CAST(i + 1 AS INT)] + 0.5) * 256) AS BIGINT), 0), 255))"
+        def coef(i: Int) =
+          s"list_reduce(list_transform(range(0, 64), j -> " +
+            s"CASE WHEN bit_count(CAST(j AS BIGINT) & $i) % 2 = 1 " +
+            s"THEN -lvl[CAST(j + 1 AS INT)] ELSE lvl[CAST(j + 1 AS INT)] END), (a, x) -> a + x)"
+        val bitsum = (1 to 16).map(i =>
+          s"(CASE WHEN y$i > 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ")
+        s"""WITH l AS MATERIALIZED (SELECT vec_id, $lvl AS lvl FROM embeddings),
+           |ys AS MATERIALIZED (
+           |  SELECT vec_id, ${(1 to 16).map(i => s"${coef(i)} AS y$i").mkString(",\n    ")}
+           |  FROM l),
+           |s AS MATERIALIZED (SELECT vec_id, CAST($bitsum AS BIGINT) AS sig FROM ys)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  CAST(bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS BIGINT) AS hamming
+           |FROM s a JOIN s b ON a.vec_id < b.vec_id
+           |WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      }
+    ),
+
     // ── perceptual average-hash near-dup pairs (image dedup) ───────────
     // The multimodal analogue of dedup_simhash_pairs: aHash quantizes
     // each 8×8 grid cell to one bit — cell above the image mean — giving

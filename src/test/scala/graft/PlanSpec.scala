@@ -157,6 +157,18 @@ class PlanSpec extends SparkSpec {
       s"elbow scoring must be join-free:\n$p")
   }
 
+  test("pivot plans as one conditional aggregation, no join or transpose") {
+    val p = plan("rel_pivot")
+    assert(!p.contains("Join"), s"pivot must not join:\n$p")
+    assert(p.contains("HashAggregate"), s"pivot must be an aggregate:\n$p")
+  }
+
+  test("wHash candidate generation joins on the band bucket, never a product") {
+    val p = plan("vec_whash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded wHash search must be an equi-join:\n$p")
+  }
+
   test("common-neighbors and keep-list plan equi/anti joins, never products") {
     for (q <- Seq("graph_common_neighbors", "dedup_keep_list", "evt_retention",
         "dedup_triangles", "dedup_triangles_ordered")) {
