@@ -1316,6 +1316,53 @@ object Extended {
       }
     ),
 
+    // ── HLL set-intersection estimate (inclusion-exclusion rollup) ─────
+    // The question unions cannot answer directly: how many customers
+    // were active in BOTH adjacent years? Sketches only union, so the
+    // standard move is inclusion-exclusion over the STORED per-month
+    // sketches: |A∩B| ≈ est(A) + est(B) − est(A ∪ B) — three estimates
+    // off the same persisted sketch rows, no raw-table rescan. I-E
+    // error compounds (each term carries HLL's ~0.8% at lgK = 14, and
+    // the subtraction cancels magnitude, not error), so the honest
+    // contract is a WIDER bound than the union query's 5%: the estimate
+    // must land within max(15% of exact, 64) — measured ~2-4% here, so
+    // the pin carries real headroom while still catching a broken merge
+    // path loudly. Exact companion hash-matched per year pair.
+    Q(
+      "agg_hll_intersect",
+      (s, d) => {
+        val yearly = s.read.parquet(monthlySketchDir(s, d))
+          .groupBy("yr").agg(hll_union_agg(col("sk")).as("ysk"))
+          .localCheckpoint(false) // a handful of rows; read three ways
+        val pairs = yearly.select(col("yr").as("yr_a"), col("ysk").as("ska"))
+          .join(yearly.select(col("yr").as("yr_b"), col("ysk").as("skb")),
+            col("yr_b") === col("yr_a") + 1)
+        val est = (hll_sketch_estimate(col("ska")) +
+          hll_sketch_estimate(col("skb")) -
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))).as("ie")
+        val yc = orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"), col("o_custkey")).distinct()
+        val exact = yc.select(col("yr").as("yr_a"), col("o_custkey"))
+          .join(yc.select((col("yr") - 1).as("yr_a"), col("o_custkey")),
+            Seq("yr_a", "o_custkey"))
+          .groupBy("yr_a").agg(count(lit(1)).as("exact_overlap"))
+        pairs.select(col("yr_a"), col("yr_b"), est)
+          .join(exact, "yr_a")
+          .select(col("yr_a"), col("yr_b"), col("exact_overlap"),
+            (abs(col("ie") - col("exact_overlap")) <=
+              greatest(col("exact_overlap") * 0.15, lit(64.0)))
+              .as("ie_within_bound"))
+          .orderBy("yr_a")
+      },
+      Some("""WITH yc AS (
+             |  SELECT DISTINCT year(o_orderdate) AS yr, o_custkey FROM orders)
+             |SELECT a.yr AS yr_a, a.yr + 1 AS yr_b,
+             |  count(*) AS exact_overlap,
+             |  TRUE AS ie_within_bound
+             |FROM yc a JOIN yc b ON b.yr = a.yr + 1 AND b.o_custkey = a.o_custkey
+             |GROUP BY a.yr ORDER BY yr_a""".stripMargin)
+    ),
+
     // ── mergeable frequent-items sketch (approx_top_k family) ──────────
     // The heavy-hitters counterpart of the HLL rollup: per-language
     // ApproxTopK sketches ACCUMULATED in one pass, COMBINED across
