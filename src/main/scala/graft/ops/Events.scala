@@ -1023,6 +1023,95 @@ object Events {
               |  (CAST(snv AS DOUBLE) / 1000000) / CAST(n_days AS DOUBLE) AS mae_naive,
               |  CAST(shw AS DOUBLE) / CAST(snv AS DOUBLE) AS mase
               |FROM agg""".stripMargin)
+    ),
+
+    // ── SEASONAL (triple) Holt–Winters: level + trend + weekly cycle ───
+    // The full Holt–Winters: an additive 7-slot day-of-week seasonal
+    // vector joins the level/trend pair, all smoothing constants 1/2:
+    //   f_t = l + b + s[dow],  r_t = x_t − f_t
+    //   l'  = 0.5·(x − s[dow]) + 0.5·(l + b)
+    //   b'  = 0.5·(l' − l) + 0.5·b
+    //   s'[dow] = 0.5·(x − l') + 0.5·s[dow]
+    // with dow = (t − 1) mod 7 over the gap-free daily index (shared
+    // verbatim with the oracle). State stays O(1) per series (2 + 7
+    // doubles in the sorted-iterator fold); the oracle carries the
+    // seven slots as recursive-CTE columns stepping the SAME double
+    // expressions (LATERAL binds s[dow] and l' once per step), so
+    // every level/trend/seasonal/forecast/residual is bit-identical.
+    // Anomaly threshold 1300 after a one-full-season warmup (rn ≥ 8).
+    Q(
+      "evt_holt_winters_seasonal",
+      (s, d) => {
+        import s.implicits._
+        val daily = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .as("epd"))
+          .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+        daily.as[(Int, Long)]
+          .groupByKey(_ => 0)
+          .flatMapSortedGroups(col("epd")) { (_, it) =>
+            var l = 0.0
+            var b = 0.0
+            val sv = Array.fill(7)(0.0)
+            var rn = 0
+            it.map { case (epd, xu) =>
+              rn += 1
+              val dow = (rn - 1) % 7
+              val x = xu.toDouble / 1000000
+              val sd = sv(dow)
+              val f = l + b + sd
+              val r = x - (l + b + sd)
+              val l2 = 0.5 * (x - sd) + 0.5 * (l + b)
+              val b2 = 0.5 * (l2 - l) + 0.5 * b
+              val s2 = 0.5 * (x - l2) + 0.5 * sd
+              l = l2; b = b2; sv(dow) = s2
+              (epd, x, f, r, l2, b2, s2, rn >= 8 && math.abs(r) > 1300.0)
+            }
+          }
+          .toDF("epd", "day_value", "forecast", "residual", "level", "trend",
+            "seasonal", "anomaly")
+          .select(date_add(lit("1970-01-01").cast("date"), col("epd")).as("day"),
+            col("day_value"), col("forecast"), col("residual"),
+            col("level"), col("trend"), col("seasonal"), col("anomaly"))
+          .orderBy("day")
+      },
+      Some {
+        val selSd = "CASE ((i.rn - 1) % 7) " +
+          (0 until 7).map(k => s"WHEN $k THEN h.s${k + 1}").mkString(" ") + " END"
+        val sCols = (0 until 7).map(k =>
+          s"CASE WHEN (i.rn - 1) % 7 = $k THEN 0.5 * (i.x - l2.ln2) + 0.5 * h.s${k + 1} " +
+            s"ELSE h.s${k + 1} END").mkString(",\n              |    ")
+        // the emitted seasonal is the row's OWN (just-updated) slot
+        val selOut = "CASE ((rn - 1) % 7) " +
+          (0 until 7).map(k => s"WHEN $k THEN s${k + 1}").mkString(" ") + " END"
+        val zeros = Seq.fill(12)("CAST(0.0 AS DOUBLE)").mkString(", ")
+        s"""WITH RECURSIVE daily AS (
+           |  SELECT CAST($sqlTs AS DATE) AS day,
+           |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS xu
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |idx AS (
+           |  SELECT day, CAST(xu AS DOUBLE) / 1000000 AS x,
+           |    row_number() OVER (ORDER BY day) AS rn
+           |  FROM daily),
+           |hws(rn, day, x, l, b, s1, s2, s3, s4, s5, s6, s7, f, r) AS (
+           |  SELECT 0, DATE '1970-01-01', $zeros
+           |  UNION ALL
+           |  SELECT i.rn, i.day, i.x,
+           |    l2.ln2,
+           |    0.5 * (l2.ln2 - h.l) + 0.5 * h.b,
+           |    $sCols,
+           |    h.l + h.b + l1.sd,
+           |    i.x - (h.l + h.b + l1.sd)
+           |  FROM hws h JOIN idx i ON i.rn = h.rn + 1,
+           |  LATERAL (SELECT $selSd AS sd) l1,
+           |  LATERAL (SELECT 0.5 * (i.x - l1.sd) + 0.5 * (h.l + h.b) AS ln2) l2)
+           |SELECT day, x AS day_value, f AS forecast, r AS residual,
+           |  l AS level, b AS trend,
+           |  ($selOut) AS seasonal,
+           |  (rn >= 8 AND abs(r) > 1300.0) AS anomaly
+           |FROM hws WHERE rn >= 1 ORDER BY day""".stripMargin
+      }
     )
   )
 

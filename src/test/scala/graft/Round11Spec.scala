@@ -97,6 +97,31 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("seasonal Holt-Winters is BIT-exactly the 7-slot recurrence") {
+    val rows = SparkEntry.queries("evt_holt_winters_seasonal")(spark, sf).collect()
+      .map(r => (r.get(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    var l = 0.0
+    var b = 0.0
+    val sv = Array.fill(7)(0.0)
+    var rn = 0
+    rows.foreach { case (day, x, forecast, residual, level, trend, seasonal, anomaly) =>
+      rn += 1
+      val dow = (rn - 1) % 7
+      val sd = sv(dow)
+      val f = l + b + sd
+      val r = x - (l + b + sd)
+      val l2 = 0.5 * (x - sd) + 0.5 * (l + b)
+      val b2 = 0.5 * (l2 - l) + 0.5 * b
+      val s2 = 0.5 * (x - l2) + 0.5 * sd
+      assert(forecast == f && residual == r && level == l2 && trend == b2
+        && seasonal == s2, s"$day diverged from the seasonal recurrence")
+      assert(anomaly == (rn >= 8 && math.abs(r) > 1300.0))
+      l = l2; b = b2; sv(dow) = s2
+    }
+  }
+
   test("forecast accuracy: MASE ties out against the emitted Holt-Winters rows") {
     val hw = SparkEntry.queries("evt_holt_winters")(spark, sf).collect()
       .map(r => (r.get(0).toString, r.getDouble(1), r.getDouble(3)))
