@@ -324,6 +324,66 @@ object Classify {
               |FROM agg ORDER BY bin""".stripMargin)
     ),
 
+    // ── precision/recall curve over the score-decile cuts ──────────────
+    // The operating-point view the reliability table implies: sweep the
+    // decision threshold down the 10 score-decile boundaries and emit
+    // the exact (precision, recall) at each cut — cumulative BIGINT
+    // sums over the same binning (a 10-row window), each metric one
+    // division. Recall is monotone non-decreasing in the cut by
+    // construction (cumulative positives over a fixed total) — the
+    // curve's own invariant, spec-asserted. At 100 TB the binning is
+    // the same one partial-agg shuffle; the cumulative window runs over
+    // 10 rows.
+    Q(
+      "ml_pr_curve",
+      (s, d) => {
+        val en = nbNlls(s, d).filter(col("lang") === "en")
+          .select(floor(col("nll") * 1048576.0).cast("long").as("s_int"),
+            (col("true_lang") === "en").cast("long").as("pos"))
+        val mm = en.agg(min("s_int").as("mn"), max("s_int").as("mx"))
+        val bins = en.crossJoin(broadcast(mm))
+          .select(least(lit(9L),
+              expr("((s_int - mn) * 10) DIV (mx - mn + 1)")).as("bin"),
+            col("pos"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+        val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        bins
+          .select(col("bin"), sum("n").over(w).as("cum_n"),
+            sum("np").over(w).as("cum_pos"))
+          .crossJoin(broadcast(en.agg(sum("pos").as("total_pos"))))
+          .select(col("bin"), col("cum_n"), col("cum_pos"),
+            (col("cum_pos").cast("double") / col("cum_n").cast("double"))
+              .as("precision"),
+            (col("cum_pos").cast("double") / col("total_pos").cast("double"))
+              .as("recall"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH ${nbSqlCtes()},
+              |en AS (
+              |  SELECT CAST(floor(nll * 1048576) AS BIGINT) AS s_int,
+              |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM nlls WHERE lang = 'en'),
+              |mm AS (SELECT CAST(min(s_int) AS BIGINT) AS mn,
+              |       CAST(max(s_int) AS BIGINT) AS mx FROM en),
+              |bins AS (
+              |  SELECT least(9, ((s_int - mn) * 10) // (mx - mn + 1)) AS bin,
+              |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+              |  FROM en, mm GROUP BY bin),
+              |cum AS (
+              |  SELECT bin,
+              |    CAST(sum(n) OVER (ORDER BY bin
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+              |    CAST(sum(np) OVER (ORDER BY bin
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+              |  FROM bins),
+              |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS total_pos FROM en)
+              |SELECT bin, cum_n, cum_pos,
+              |  CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS precision,
+              |  CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall
+              |FROM cum, tot ORDER BY bin""".stripMargin)
+    ),
+
     // ── 5-fold cross-validation (the eval loop, not just one split) ────
     // The honest generalization estimate: every id-hash residue takes a
     // turn as the held-out fold, so each document is scored exactly once

@@ -1025,6 +1025,132 @@ object Events {
               |FROM agg""".stripMargin)
     ),
 
+    // ── RFM segmentation (recency / frequency / monetary quintiles) ────
+    // The classic customer-base census: per user, days since last
+    // purchase (vs the corpus max day), purchase count, and exact
+    // µunit spend; each dimension scored 1-5 by ntile over a TOTAL
+    // order (value + user_id tiebreak — ntile is deterministic only
+    // under one, and both engines share the same remainder-to-early-
+    // groups division rule). rfm_code packs the three digits. SCALE:
+    // one partial-agg shuffle per user; the three ntiles here run as
+    // global windows (fine for a quintile census — at 100 TB you
+    // precompute the 4 quintile boundaries with the rel_analyze_stats
+    // rank-join shape and score by broadcast range lookup instead).
+    Q(
+      "evt_rfm",
+      (s, d) => {
+        val peru = eventsUs(s, d).filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max(to_date(col("ts"))).as("last_day"),
+            count(lit(1)).as("frequency"),
+            sum(floor(col("value") * 1e6).cast("long")).as("mu"))
+        val gmax = peru.agg(max("last_day").as("gday"))
+        val base = peru.crossJoin(broadcast(gmax))
+          .select(col("user_id"),
+            datediff(col("gday"), col("last_day")).cast("long").as("recency_days"),
+            col("frequency"), col("mu"))
+        val rS = ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id").asc))
+        val fS = ntile(5).over(Window.orderBy(col("frequency").asc, col("user_id").asc))
+        val mS = ntile(5).over(Window.orderBy(col("mu").asc, col("user_id").asc))
+        base
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            (col("mu").cast("double") / 1e6).as("monetary"),
+            rS.as("r_score"), fS.as("f_score"), mS.as("m_score"))
+          .withColumn("rfm_code",
+            col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH peru AS (
+              |  SELECT user_id, max(CAST($sqlTs AS DATE)) AS last_day,
+              |    CAST(count(*) AS BIGINT) AS frequency,
+              |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS mu
+              |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+              |g AS (SELECT max(last_day) AS gday FROM peru),
+              |base AS (
+              |  SELECT user_id, CAST(gday - last_day AS BIGINT) AS recency_days,
+              |    frequency, mu
+              |  FROM peru, g),
+              |scored AS (
+              |  SELECT user_id, recency_days, frequency,
+              |    CAST(mu AS DOUBLE) / 1000000 AS monetary,
+              |    ntile(5) OVER (ORDER BY recency_days DESC, user_id ASC) AS r_score,
+              |    ntile(5) OVER (ORDER BY frequency ASC, user_id ASC) AS f_score,
+              |    ntile(5) OVER (ORDER BY mu ASC, user_id ASC) AS m_score
+              |  FROM base)
+              |SELECT user_id, recency_days, frequency, monetary,
+              |  r_score, f_score, m_score,
+              |  r_score * 100 + f_score * 10 + m_score AS rfm_code
+              |FROM scored ORDER BY user_id""".stripMargin)
+    ),
+
+    // ── two-proportion A/B test (conversion z² in exact rationals) ─────
+    // The experimentation primitive: split users by id parity (the
+    // deterministic assignment a real platform hashes), compare
+    // high-value-purchase conversion rates (a purchase with value >
+    // 200 — plain purchase is universal in this corpus, which would
+    // pool p̂ to 1 and zero the variance term), and emit the two-proportion z²
+    // statistic — (p̂₁ − p̂₀)² / (p̂(1−p̂)(1/n₀ + 1/n₁)) with p̂ pooled —
+    // built from FOUR exact BIGINTs in one fixed expression written
+    // token-for-token identically in both engines (z² needs no sqrt,
+    // so nothing transcendental anywhere; significance is z² against
+    // the χ²₁ 95% critical value 3.84). SCALE: two distinct shuffles
+    // (users, converters) + a broadcast flag join + a 1-row agg.
+    Q(
+      "evt_ab_test",
+      (s, d) => {
+        val users = eventsUs(s, d).select(col("user_id")).distinct()
+        val conv = eventsUs(s, d)
+          .filter(col("event_type") === "purchase" && col("value") > 200.0)
+          .select(col("user_id")).distinct()
+          .withColumn("cflag", lit(1L))
+        val flagged = users.join(conv, Seq("user_id"), "left")
+          .select((col("user_id") % 2).as("arm"),
+            coalesce(col("cflag"), lit(0L)).as("cflag"))
+        val agg = flagged.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("cflag")).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, col("cflag")).otherwise(0L)).as("c1"))
+        val p0 = col("c0").cast("double") / col("n0").cast("double")
+        val p1 = col("c1").cast("double") / col("n1").cast("double")
+        val pp = (col("c0") + col("c1")).cast("double") /
+          (col("n0") + col("n1")).cast("double")
+        val z2 = ((p1 - p0) * (p1 - p0)) /
+          ((pp * (lit(1.0) - pp)) *
+            (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+        agg.select(col("n0"), col("n1"), col("c0"), col("c1"),
+          p0.as("rate_a"), p1.as("rate_b"), z2.as("z2"),
+          (z2 > 3.84).as("significant"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+              |cv AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS cflag
+              |       FROM events WHERE event_type = 'purchase' AND value > 200.0),
+              |f AS (
+              |  SELECT u.user_id % 2 AS arm, coalesce(cv.cflag, 0) AS cflag
+              |  FROM u LEFT JOIN cv USING (user_id)),
+              |agg AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              |    CAST(sum(CASE WHEN arm = 0 THEN cflag ELSE 0 END) AS BIGINT) AS c0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN cflag ELSE 0 END) AS BIGINT) AS c1
+              |  FROM f)
+              |SELECT n0, n1, c0, c1,
+              |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate_a,
+              |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_b,
+              |  (((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+              |    * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))))
+              |  / (((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              |      * (1.0 - (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))))
+              |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z2,
+              |  (((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+              |    * ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))))
+              |  / (((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              |      * (1.0 - (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))))
+              |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 3.84 AS significant
+              |FROM agg""".stripMargin)
+    ),
+
     // ── SEASONAL (triple) Holt–Winters: level + trend + weekly cycle ───
     // The full Holt–Winters: an additive 7-slot day-of-week seasonal
     // vector joins the level/trend pair, all smoothing constants 1/2:

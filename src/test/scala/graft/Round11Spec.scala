@@ -172,6 +172,49 @@ class Round11Spec extends SparkSpec {
     assert((ins intersect outs) === Set(1L, 2L, 3L))
   }
 
+  test("PR curve: recall monotone to 1.0, precision ties to the cumulative ratio") {
+    val rows = SparkEntry.queries("ml_pr_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._2 && a._3 <= b._3, "cumulative counts must grow")
+      assert(a._5 <= b._5, "recall must be monotone in the cut")
+    }
+    assert(rows.last._5 == 1.0, "the loosest cut must recall every positive")
+    rows.foreach { case (_, n, tp, prec, _) =>
+      assert(prec == tp.toDouble / n.toDouble)
+    }
+  }
+
+  test("RFM: quintile scores balance and the code packs the three digits") {
+    val rows = SparkEntry.queries("evt_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    // ntile(5) over n rows: bucket sizes differ by at most 1
+    for (dim <- Seq[((Long, Long, Long, Double, Int, Int, Int, Int)) => Int](_._5, _._6, _._7)) {
+      val sizes = rows.groupBy(dim).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1, s"quintiles must balance: $sizes")
+    }
+    rows.foreach { case (_, _, _, _, rS, fS, mS, code) =>
+      assert(rS >= 1 && rS <= 5 && fS >= 1 && fS <= 5 && mS >= 1 && mS <= 5)
+      assert(code == rS * 100 + fS * 10 + mS)
+    }
+  }
+
+  test("A/B test: z2 ties out against a driver replay of the pooled formula") {
+    val Array(r) = SparkEntry.queries("evt_ab_test")(spark, sf).collect()
+    val (n0, n1, c0, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 > 0 && n1 > 0 && c0 + c1 > 0 && c0 + c1 < n0 + n1)
+    val p0 = c0.toDouble / n0.toDouble
+    val p1 = c1.toDouble / n1.toDouble
+    val pp = (c0 + c1).toDouble / (n0 + n1).toDouble
+    val z2 = ((p1 - p0) * (p1 - p0)) /
+      ((pp * (1.0 - pp)) * (1.0 / n0.toDouble + 1.0 / n1.toDouble))
+    assert(r.getDouble(4) == p0 && r.getDouble(5) == p1)
+    assert(r.getDouble(6) == z2 && r.getBoolean(7) == (z2 > 3.84))
+  }
+
   test("SCC labels are component minima, members, and closed under the condensation") {
     val scc = SparkEntry.queries("graph_scc")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
