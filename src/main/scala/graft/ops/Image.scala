@@ -470,6 +470,36 @@ object Image {
     (h1, h2)
   }
 
+  /** 16-bit Walsh–Hadamard perceptual hash over the 8×8 block-sum
+    * plane — the live sibling of `vec_whash_pairs`' kernel: coefficient
+    * y_i = Σ_j (−1)^popcount(i AND j)·block[j] for i = 1..16 (DC index
+    * 0 skipped), bit = sign. Block SUMS (not means) feed the transform:
+    * the AC signs are scale-invariant, so the constant 16× factor vs a
+    * mean plane changes nothing and everything stays integer. */
+  def wHash16(u8: Array[Int]): Int = {
+    val block = Array.ofDim[Long](64)
+    var p = 0
+    while (p < 1024) {
+      val (y, x) = (p / 32, p % 32)
+      block((y / 4) * 8 + x / 4) += u8(p)
+      p += 1
+    }
+    var sig = 0
+    var i = 1
+    while (i <= 16) {
+      var y = 0L
+      var j = 0
+      while (j < 64) {
+        if (java.lang.Integer.bitCount(i & j) % 2 == 1) y -= block(j)
+        else y += block(j)
+        j += 1
+      }
+      if (y > 0) sig |= 1 << (i - 1)
+      i += 1
+    }
+    sig
+  }
+
   final case class AHashRow(file: String, h1: Long, h2: Long,
                             nn_file: String, nn_hamming: Long)
 
@@ -612,6 +642,36 @@ object Image {
               .orderBy(col("d").asc, col("file_b").asc)))
           .filter(col("rk") === 1)
           .select(col("file"), col("h1"), col("h2"),
+            col("file_b").as("nn_file"), col("d").as("nn_hamming"))
+          .orderBy("file")
+      },
+      None
+    ),
+
+    // ── Walsh–Hadamard hash live: frequency-domain dedup on real JPEGs ─
+    // The live sibling of the oracle-green vec_whash_pairs: decode,
+    // 8×8 block-sum plane, 16-coefficient WHT sign signature, nearest
+    // neighbor by Hamming over the 20-image corpus (broadcast product —
+    // a 20-row side; at scale the vec form's banded equi-join
+    // replaces it). ImageSpec cross-checks the corpus rows against
+    // [[wHash16]] and pins a hand fixture.
+    Q(
+      "img_whash",
+      (s, _) => {
+        import s.implicits._
+        val hashes = decoded(s).mapPartitions(_.map { case (f, bytes) =>
+          val u8 = Multimodal.decodeJpegGray32(bytes).map(x => math.floor(x + 0.5).toInt)
+          (f, wHash16(u8).toLong)
+        }).toDF("file", "sig").localCheckpoint(false)
+        val other = hashes.toDF("file_b", "sb")
+        hashes.join(broadcast(other), col("file") =!= col("file_b"))
+          .select(col("file"), col("sig"), col("file_b"),
+            bit_count(col("sig").bitwiseXOR(col("sb"))).cast("long").as("d"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("file")
+              .orderBy(col("d").asc, col("file_b").asc)))
+          .filter(col("rk") === 1)
+          .select(col("file"), col("sig"),
             col("file_b").as("nn_file"), col("d").as("nn_hamming"))
           .orderBy("file")
       },

@@ -994,6 +994,53 @@ object Text {
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
     ),
 
+    // ── tokenizer fertility comparison (BPE vs unigram-LM) ─────────────
+    // The metric that picks between trained tokenizers: corpus
+    // fertility = pieces emitted per word (lower = better compression
+    // at equal vocabulary budget). Both memoized artifacts are
+    // vocabulary-sized, so the whole comparison is two tiny scans and
+    // exact BIGINT sums — the oracle re-trains BOTH tokenizers in one
+    // statement (the two CTE chains share no names) and must reproduce
+    // every count, which transitively re-proves both training loops
+    // side by side.
+    Q(
+      "text_tokenizer_fertility",
+      (s, d) => {
+        val bpe = bpeTrained(s, d)._1
+          .select(lit("bpe").as("tokenizer"), col("cnt"),
+            size(split(trim(col("w")), "  ")).as("np"))
+        val uni = unigramTrained(s, d)._2
+          .select(lit("unigram").as("tokenizer"), col("cnt"),
+            size(split(col("seg"), " ")).as("np"))
+        bpe.unionByName(uni)
+          .groupBy("tokenizer")
+          .agg(sum(col("cnt")).as("total_words"),
+            sum(col("cnt") * col("np")).as("total_pieces"))
+          .select(col("tokenizer"), col("total_words"), col("total_pieces"),
+            (col("total_pieces").cast("double") / col("total_words").cast("double"))
+              .as("fertility"))
+          .orderBy("tokenizer")
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlBpeCtes,
+              |$sqlUnigramCtes,
+              |sides AS (
+              |  SELECT 'bpe' AS tokenizer, cnt,
+              |    CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS np
+              |  FROM w$BpeMerges
+              |  UNION ALL
+              |  SELECT 'unigram', cnt,
+              |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS np
+              |  FROM seg3),
+              |agg AS (
+              |  SELECT tokenizer, CAST(sum(cnt) AS BIGINT) AS total_words,
+              |    CAST(sum(cnt * np) AS BIGINT) AS total_pieces
+              |  FROM sides GROUP BY tokenizer)
+              |SELECT tokenizer, total_words, total_pieces,
+              |  CAST(total_pieces AS DOUBLE) / CAST(total_words AS DOUBLE) AS fertility
+              |FROM agg ORDER BY tokenizer""".stripMargin)
+    ),
+
     // ── text normalization (canonical form ahead of exact dedup) ───────
     // The canonicalization pass every dedup pipeline runs before exact
     // hashing: lowercase, strip everything outside [a-z0-9 ], collapse

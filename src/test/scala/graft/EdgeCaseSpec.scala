@@ -554,6 +554,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(bad(0).getLong(2) >= 1099511627776L)
   }
 
+  test("round-11 graph kernels survive empty and degenerate inputs") {
+    import spark.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noNodes = Seq.empty[Long].toDF("id")
+    // SCC of the empty graph: empty, zero rounds of real work
+    val (scc0, _) = graph.Components.sccColoring(noNodes, noEdges, 4)
+    assert(scc0.collect().isEmpty)
+    // a single self-loop vertex is its own SCC
+    val loop = Seq((7L, 7L)).toDF("src", "dst")
+    val (scc1, r1) = graph.Components.sccColoring(
+      Seq(7L).toDF("id"), loop, 4)
+    assert(scc1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((7L, 7L)) && r1 === 1)
+    // reachability from an empty seed set is empty without iterating
+    assert(graph.Components.reachableFrom(noNodes, loop, 4).collect().isEmpty)
+    // DAG layering of an edgeless vertex set: everyone at layer 0
+    val lay = graph.Components.dagLayers(Seq(1L, 2L).toDF("id"), noEdges, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lay === Map(1L -> 0, 2L -> 0))
+    // directed min-label: a sink-only vertex keeps a row (the reason
+    // the kernel takes an explicit vertex set)
+    val de = Seq((5L, 3L)).toDF("src", "dst")
+    val ml = graph.Components.minLabelDirected(Seq(5L, 3L).toDF("id"), de)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ml === Map(5L -> 5L, 3L -> 3L))
+  }
+
   test("eccentricity drops a seed that reaches nothing (both engines agree by construction)") {
     import spark.implicits._
     // multiBfs yields only the seed row at d=0; the d>0 filter then

@@ -239,6 +239,41 @@ class ImageSpec extends SparkSpec {
       got.getAs[Long]("nn_hamming") <= 64L)
   }
 
+  test("wHash fixture and img_whash corpus cross-check") {
+    // constant image: every AC coefficient cancels exactly to 0 → no
+    // bit set (sign is strict >)
+    assert(I.wHash16(Array.fill(1024)(77)) === 0)
+    // left half BRIGHT, right half dark: the alternating-column Walsh
+    // functions cancel a half split exactly, but i = 4 (column bit 2)
+    // flips sign precisely at the split → y₄ = bright − dark > 0, so
+    // bit 3 must be set; the full signature is replayed independently
+    val split = Array.tabulate(1024)(p => if (p % 32 < 16) 200 else 10)
+    val sig = I.wHash16(split)
+    assert((sig & (1 << 3)) !== 0, "the split-aligned coefficient must fire")
+    // replay independently with a direct double loop over pixels→blocks
+    val block = Array.ofDim[Long](64)
+    for (p <- 0 until 1024) block((p / 32 / 4) * 8 + (p % 32) / 4) += split(p)
+    var want = 0
+    for (i <- 1 to 16) {
+      val y = (0 until 64).map(j =>
+        if (java.lang.Integer.bitCount(i & j) % 2 == 1) -block(j) else block(j)).sum
+      if (y > 0) want |= 1 << (i - 1)
+    }
+    assert(sig === want)
+    assert(sig !== 0, "a hard split must excite some low-sequency sign")
+
+    val files = new java.io.File(Multimodal.JpegDir).listFiles()
+      .filter(_.getName.endsWith(".jpeg")).sortBy(_.getName)
+    val rows = SparkEntry.queries("img_whash")(spark, sf).collect()
+    assert(rows.length === files.length)
+    val f = files.head
+    val u8 = Multimodal.decodeJpegGray32(
+      java.nio.file.Files.readAllBytes(f.toPath)).map(x => math.floor(x + 0.5).toInt)
+    val got = rows.find(_.getAs[String]("file") == f.getName).get
+    assert(got.getAs[Long]("sig") === I.wHash16(u8).toLong)
+    assert(got.getAs[Long]("nn_hamming") >= 0L && got.getAs[Long]("nn_hamming") <= 16L)
+  }
+
   test("vec_contours matches a local flood-fill on every sf0.001 vector") {
     // independent local kernel: same mask (value > per-vector median),
     // 8-connected flood fill, min-pos component label, exposed-4-edge
