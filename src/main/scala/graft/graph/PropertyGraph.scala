@@ -313,7 +313,10 @@ object PropertyGraph {
     * RECURSIVE` block, a NON-recursive CTE's bare `UNION` does not
     * deduplicate — so `n` dedups explicitly with DISTINCT. Harmless
     * for consumers that aggregate per id, fatal for per-row counts. */
-  private lazy val sqlSccCtes: String = {
+  /** Just the directed chain-graph construction (inc → samp → ordx →
+    * de) — consumers that need edges but not the reachability closure
+    * (graph_triads) use this alone. */
+  private lazy val sqlChainCtes: String = {
     val key = Tables.detHashSql("sk * 1000003 + p")
     s"""inc AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p FROM lineitem),
        |samp AS (SELECT sk, p FROM inc WHERE $key % $SccSampleMod = 0),
@@ -321,7 +324,11 @@ object PropertyGraph {
        |  row_number() OVER (PARTITION BY sk ORDER BY $key, p) AS rn FROM samp),
        |de AS (SELECT DISTINCT a.p AS src, b.p AS dst
        |       FROM ordx a JOIN ordx b ON a.sk = b.sk AND b.rn = a.rn + 1
-       |       WHERE a.p <> b.p),
+       |       WHERE a.p <> b.p)""".stripMargin
+  }
+
+  private lazy val sqlSccCtes: String = {
+    s"""$sqlChainCtes,
        |n AS (SELECT DISTINCT id FROM (
        |  SELECT src AS id FROM de UNION ALL SELECT dst FROM de)),
        |r(a, b) AS (
@@ -2095,6 +2102,49 @@ object PropertyGraph {
               |  CAST(sum(s.size) AS BIGINT) AS n_vertices
               |FROM layers l JOIN sizes s ON s.scc = l.id
               |GROUP BY l.layer ORDER BY l.layer""".stripMargin)
+    ),
+
+    // ── directed triad census: feed-forward vs feedback triangles ──────
+    // The two 3-node motifs that distinguish directed structure (Milo
+    // et al.'s network motifs): transitive a→b→c with shortcut a→c
+    // (the feed-forward loop) vs cyclic a→b→c→a (feedback). One wedge
+    // equi-join builds the a→b→c paths; each closing edge is one more
+    // equi-join. A cyclic triangle matches its own 3 rotations, so the
+    // raw cyclic count divides by exactly 3 (require'd); transitive
+    // triangles have a unique source, one match each. All equi-joins on
+    // vertex keys — the Sanei-Mehri butterflies shape on the directed
+    // graph, never an all-pairs product.
+    Q(
+      "graph_triads",
+      (s, d) => {
+        val de = partChainEdges(s, d)
+        val wedges = de.toDF("a", "b")
+          .join(de.toDF("b", "c"), "b")
+          .filter(col("a") =!= col("c"))
+          .localCheckpoint(false) // both closures read one pathing
+        val nW = wedges.agg(count(lit(1)).as("n_paths2"))
+        val nT = wedges.join(de.toDF("a", "c"), Seq("a", "c"))
+          .agg(count(lit(1)).as("n_transitive"))
+        val nC = wedges.join(de.toDF("c", "a"), Seq("c", "a"))
+          .agg(count(lit(1)).as("cyc3"))
+        nW.crossJoin(nT).crossJoin(nC)
+          .select(col("n_paths2"), col("n_transitive"),
+            expr("cyc3 DIV 3").as("n_cyclic"),
+            (col("cyc3") % 3 === 0).as("rotation_exact"))
+      },
+      Some(s"""WITH
+              |$sqlChainCtes,
+              |w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              |      FROM de e1 JOIN de e2 ON e2.src = e1.dst
+              |      WHERE e1.src <> e2.dst),
+              |nw AS (SELECT CAST(count(*) AS BIGINT) AS n_paths2 FROM w),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_transitive
+              |       FROM w JOIN de e3 ON e3.src = w.a AND e3.dst = w.c),
+              |nc AS (SELECT CAST(count(*) AS BIGINT) AS cyc3
+              |       FROM w JOIN de e3 ON e3.src = w.c AND e3.dst = w.a)
+              |SELECT n_paths2, n_transitive,
+              |  cyc3 // 3 AS n_cyclic, cyc3 % 3 = 0 AS rotation_exact
+              |FROM nw, nt, nc""".stripMargin)
     ),
 
     // ── bowtie decomposition around the largest SCC (Broder et al.) ────

@@ -1083,6 +1083,66 @@ object Events {
               |FROM scored ORDER BY user_id""".stripMargin)
     ),
 
+    // ── cohort LTV curve (cumulative revenue by cohort age) ────────────
+    // The companion to evt_retention's activity grid: per signup-week
+    // cohort, cumulative purchase revenue per user at each week of
+    // cohort age — the curve a growth team reads payback periods off.
+    // Revenue accumulates as exact µunit BIGINTs; the cumulative window
+    // runs per cohort over its (few) age rows; cohort size divides
+    // once. Same date_trunc-week cohorting both engines (the
+    // evt_retention convention).
+    Q(
+      "evt_cohort_ltv",
+      (s, d) => {
+        val p = eventsUs(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"),
+            floor(col("value") * 1e6).cast("long").as("vu"))
+        val firstW = p.groupBy("user_id").agg(min("week").as("cohort"))
+        val sized = firstW.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+        val aged = p.join(firstW, "user_id")
+          .select(col("cohort"),
+            expr("CAST(datediff(CAST(week AS DATE), CAST(cohort AS DATE)) DIV 7 AS BIGINT)")
+              .as("age_weeks"), col("vu"))
+          .groupBy("cohort", "age_weeks").agg(sum("vu").as("rev_u"))
+        val w = Window.partitionBy("cohort").orderBy("age_weeks")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        aged
+          .withColumn("cum_u", sum("rev_u").over(w))
+          .join(sized, "cohort")
+          .select(col("cohort"), col("age_weeks"), col("n_users"),
+            (col("rev_u").cast("double") / 1e6).as("revenue"),
+            (col("cum_u").cast("double") / 1e6).as("cum_revenue"),
+            ((col("cum_u").cast("double") / 1e6) / col("n_users").cast("double"))
+              .as("ltv_per_user"))
+          .orderBy("cohort", "age_weeks")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT user_id, date_trunc('week', $sqlTs) AS week,
+              |    CAST(floor(value * 1000000) AS BIGINT) AS vu
+              |  FROM events WHERE event_type = 'purchase'),
+              |fw AS (SELECT user_id, min(week) AS cohort FROM p GROUP BY user_id),
+              |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+              |       FROM fw GROUP BY cohort),
+              |aged AS (
+              |  SELECT fw.cohort,
+              |    CAST(date_diff('day', CAST(fw.cohort AS DATE), CAST(p.week AS DATE)) // 7 AS BIGINT)
+              |      AS age_weeks,
+              |    CAST(sum(p.vu) AS BIGINT) AS rev_u
+              |  FROM p JOIN fw ON fw.user_id = p.user_id
+              |  GROUP BY 1, 2),
+              |cum AS (
+              |  SELECT cohort, age_weeks, rev_u,
+              |    CAST(sum(rev_u) OVER (PARTITION BY cohort ORDER BY age_weeks
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_u
+              |  FROM aged)
+              |SELECT c.cohort, c.age_weeks, s.n_users,
+              |  CAST(c.rev_u AS DOUBLE) / 1000000 AS revenue,
+              |  CAST(c.cum_u AS DOUBLE) / 1000000 AS cum_revenue,
+              |  (CAST(c.cum_u AS DOUBLE) / 1000000) / CAST(s.n_users AS DOUBLE) AS ltv_per_user
+              |FROM cum c JOIN sz s USING (cohort)
+              |ORDER BY c.cohort, c.age_weeks""".stripMargin)
+    ),
+
     // ── two-proportion A/B test (conversion z² in exact rationals) ─────
     // The experimentation primitive: split users by id parity (the
     // deterministic assignment a real platform hashes), compare

@@ -386,4 +386,56 @@ object Streams {
       .transformWithState(new CusumProcessor(kU, hU),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ── streaming Holt–Winters (the forecaster as keyed O(1) state) ──────
+
+  final case class HwState(lastEpd: Int, l: Double, b: Double)
+  final case class HwOut(series: Long, epd: Int, x: Double, f: Double,
+                         r: Double, l: Double, b: Double)
+
+  /** The STREAMING form of `evt_holt_winters`: per-series ValueState
+    * carrying (last folded day, level, trend) — the recurrence's whole
+    * state is three scalars, so a forecaster over millions of series is
+    * millions of fixed-size rows in RocksDB. The SAME double
+    * expressions as the batch fold (and its oracle), stepped in
+    * in-batch day order with the CUSUM replay guard (a day at or
+    * before the last folded one is a redelivery and must not re-enter
+    * the recurrence) — so batch ≡ stream is BIT-equality on every
+    * level/trend/forecast/residual, proven in StreamingSpec. Unlike
+    * CUSUM there is no out-of-order tolerance to buy with prefix
+    * identities: the recurrence is genuinely order-sensitive, so a
+    * production deployment feeds it CLOSED daily aggregates in day
+    * order (the watermark's job) and the guard only absorbs replays. */
+  class HoltWintersProcessor extends StatefulProcessor[Long, DayAgg, HwOut] {
+    @transient private var st: ValueState[HwState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("hw", Encoders.product[HwState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[DayAgg],
+                                 tv: TimerValues): Iterator[HwOut] = {
+      var cur = if (st.exists()) st.get() else HwState(Int.MinValue, 0.0, 0.0)
+      val out = rows.toSeq.sortBy(_.epd).flatMap { d =>
+        if (d.epd <= cur.lastEpd) None // replayed day
+        else {
+          val x = d.xu.toDouble / 1000000
+          val f = cur.l + cur.b
+          val r = x - f
+          val l2 = 0.5 * x + 0.5 * (cur.l + cur.b)
+          val b2 = 0.5 * (l2 - cur.l) + 0.5 * cur.b
+          cur = HwState(d.epd, l2, b2)
+          Some(HwOut(key, d.epd, x, f, r, l2, b2))
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** RocksDB-provider requirement as [[runningTotals]]. */
+  def holtWintersStream(spark: SparkSession, days: Dataset[DayAgg]): Dataset[HwOut] = {
+    import spark.implicits._
+    days
+      .groupByKey(_.series)
+      .transformWithState(new HoltWintersProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -523,6 +523,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt-Winters equals the oracle-checked batch fold bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.DayAgg
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val daily = ops.Events.eventsUs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).as("epd"),
+        col("xu"))
+      .orderBy("epd")
+      .collect().map(r => DayAgg(0L, r.getInt(0), r.getLong(1)))
+    val (c1, c2) = daily.splitAt(daily.length / 2)
+    val rnd = new scala.util.Random(7)
+    val input = MemoryStream[DayAgg]
+    val q = Streams.holtWintersStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("hw_stream")
+      .outputMode("update").start()
+    try {
+      // chunks arrive in order; WITHIN a chunk days are shuffled (the
+      // in-batch sort restores order) and chunk 2 replays chunk 1's
+      // last day (the guard must drop it — re-entering the recurrence
+      // would corrupt the level)
+      input.addData(rnd.shuffle(c1.toSeq): _*); q.processAllAvailable()
+      input.addData(rnd.shuffle((c2 :+ c1.last).toSeq): _*); q.processAllAvailable()
+      val got = spark.table("hw_stream").collect()
+        .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))
+        .sortBy(_._1)
+      assert(got.map(_._1).toSeq === daily.map(_.epd).toSeq, "one row per day")
+      val batch = SparkEntry.queries("evt_holt_winters")(spark, sf).collect()
+        .map(r => (r.getDate(0).toLocalDate.toEpochDay.toInt, r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .sortBy(_._1)
+      // BIT-equality: same doubles, not approximately
+      assert(got.toSeq === batch.toSeq,
+        "streaming Holt-Winters diverged from the batch fold")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessionize reconstructs the oracle-checked batch session table") {
     // Grounding, not a fixture: the WHOLE sf0.001 events table (1000
     // rows, 15 users) flows through flatMapGroupsWithState across two
