@@ -381,6 +381,74 @@ object KMeans {
       }
     ),
 
+    // ── farthest-first (k-center / Gonzalez) initialization ────────────
+    // The DETERMINISTIC answer to k-means++: D²-sampling needs
+    // randomness, but farthest-first traversal — each round pick the
+    // point at maximum cosine distance from the chosen set, ties to the
+    // smallest id — needs none, and is itself the classic 2-approx for
+    // the k-center objective. The emitted radius sequence (each pick's
+    // distance at selection time) is non-increasing BY CONSTRUCTION —
+    // the coverage-radius certificate, spec-asserted. Per round: one
+    // corpus scan against ≤ k broadcast literal centers + one
+    // TakeOrdered(1); the 1-row collect per round is the BPE top-pair
+    // driver boundary. Round 1 seeds from the hash-order corpus prefix
+    // (the initCentroids convention) with sentinel radius 2.0 (the
+    // cosine-distance supremum).
+    Q(
+      "kmeans_kcenter_init",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val spark = s
+        import spark.implicits._
+        val first = initCentroids(e, 1).collect()(0)
+        var chosen = List((first.getAs[Long]("cid"),
+          first.getAs[scala.collection.Seq[Double]]("cv").toArray, 2.0))
+        for (_ <- 2 to 8) {
+          val dists = chosen.map { case (_, cv, _) =>
+            lit(1.0) - cosine(col("v"), typedLit(cv)) }
+          val dm = if (dists.size == 1) dists.head else least(dists: _*)
+          val pick = e.select(col("vec_id"), vec(col("embedding")).as("v"))
+            .select(col("vec_id"), col("v"), dm.as("dm"))
+            .orderBy(col("dm").desc, col("vec_id").asc).limit(1)
+            .collect()(0)
+          chosen = (pick.getAs[Long]("vec_id"),
+            pick.getAs[scala.collection.Seq[Double]]("v").toArray,
+            pick.getAs[Double]("dm")) :: chosen
+        }
+        chosen.reverse.zipWithIndex
+          .map { case ((cid, _, r), i) => (i + 1, cid, r) }
+          .toDF("round", "cid", "radius")
+          .orderBy("round")
+      },
+      Some {
+        val c1 = s"""c1 AS MATERIALIZED (
+                    |  SELECT vec_id AS id1, ${sqlVec("embedding")} AS v1
+                    |  FROM embeddings ORDER BY ${detHashSql("vec_id")}, vec_id LIMIT 1)""".stripMargin
+        val rounds = (2 to 8).map { r =>
+          val prevs = (1 until r).map { j =>
+            val src = if (j == 1) "c1" else s"p$j"
+            (s"$src.v$j", src)
+          }
+          val dists = prevs.map { case (v, _) =>
+            s"(1.0 - ${sqlCosine(sqlVec("e.embedding"), v)})" }
+          val dm = if (dists.size == 1) dists.head
+            else s"least(${dists.mkString(", ")})"
+          val froms = prevs.map(_._2).distinct.mkString(", ")
+          s"""p$r AS MATERIALIZED (
+             |  SELECT e.vec_id AS id$r, ${sqlVec("e.embedding")} AS v$r, $dm AS r$r
+             |  FROM embeddings e, $froms
+             |  ORDER BY $dm DESC, e.vec_id ASC LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (s"SELECT 1 AS round, id1 AS cid, 2.0 AS radius FROM c1" +:
+          (2 to 8).map(r => s"SELECT $r, id$r, r$r FROM p$r")).mkString("\nUNION ALL\n")
+        s"""WITH $c1,
+           |$rounds
+           |SELECT round, cid, radius FROM (
+           |$out)
+           |ORDER BY round""".stripMargin
+      }
+    ),
+
     // ── elbow curve: inertia vs k (clustering model selection) ─────────
     // The k-selection diagnostic: total cosine distortion
     // Σ (1 − sim-to-assigned-centroid) for k ∈ {2, 4, 8}. Per-point

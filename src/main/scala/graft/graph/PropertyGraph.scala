@@ -2104,6 +2104,33 @@ object PropertyGraph {
               |GROUP BY l.layer ORDER BY l.layer""".stripMargin)
     ),
 
+    // ── edge reciprocity of the directed graph ─────────────────────────
+    // The first directed statistic anyone computes: what fraction of
+    // edges have their reverse? One self-equi-join on the swapped key
+    // pair over the memoized chain edges; the ratio is one division of
+    // two exact counts.
+    Q(
+      "graph_reciprocity",
+      (s, d) => {
+        val de = partChainEdges(s, d)
+        val n = de.agg(count(lit(1)).as("n_edges"))
+        val r = de.join(de.toDF("dst", "src"), Seq("src", "dst"))
+          .agg(count(lit(1)).as("n_reciprocal"))
+        n.crossJoin(r)
+          .select(col("n_edges"), col("n_reciprocal"),
+            (col("n_reciprocal").cast("double") / col("n_edges").cast("double"))
+              .as("reciprocity"))
+      },
+      Some(s"""WITH
+              |$sqlChainCtes,
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM de),
+              |r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+              |      FROM de a JOIN de b ON b.src = a.dst AND b.dst = a.src)
+              |SELECT n_edges, n_reciprocal,
+              |  CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity
+              |FROM n, r""".stripMargin)
+    ),
+
     // ── directed triad census: feed-forward vs feedback triangles ──────
     // The two 3-node motifs that distinguish directed structure (Milo
     // et al.'s network motifs): transitive a→b→c with shortcut a→c

@@ -367,6 +367,53 @@ object Relational {
              |ORDER BY k""".stripMargin)
     ),
 
+    // ── bag-semantics set operators (EXCEPT ALL / INTERSECT ALL) ───────
+    // The multiset forms rel_set_ops' distinct forms silently differ
+    // from: EXCEPT ALL subtracts MULTIPLICITIES (a customer with 3
+    // orders minus 1 return keeps 2 rows) and INTERSECT ALL keeps the
+    // min multiplicity — semantics that matter whenever the rows carry
+    // duplicated business events. Spark's exceptAll/intersectAll plan
+    // as the count-difference generate shape (one agg + one generate —
+    // no per-row anti-join); summarized per multiplicity so the output
+    // is a compact histogram of surviving copies.
+    Q(
+      "rel_set_ops_all",
+      (s, d) => {
+        val ordered = orders(s, d).select(col("o_custkey").as("k"))
+        val building = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        val exceptAll = ordered.exceptAll(building)
+          .groupBy("k").agg(count(lit(1)).as("copies"))
+          .groupBy("copies").agg(count(lit(1)).as("n_keys"))
+          .select(lit("except_all").as("op"), col("copies"), col("n_keys"))
+        val intersectAll = ordered.intersectAll(
+            orders(s, d).filter(col("o_totalprice") > 20000)
+              .select(col("o_custkey").as("k")))
+          .groupBy("k").agg(count(lit(1)).as("copies"))
+          .groupBy("copies").agg(count(lit(1)).as("n_keys"))
+          .select(lit("intersect_all").as("op"), col("copies"), col("n_keys"))
+        exceptAll.unionByName(intersectAll).orderBy("op", "copies")
+      },
+      Some("""WITH ea AS (
+             |  SELECT o_custkey AS k FROM orders
+             |  EXCEPT ALL
+             |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             |ia AS (
+             |  SELECT o_custkey AS k FROM orders
+             |  INTERSECT ALL
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 20000),
+             |he AS (SELECT k, CAST(count(*) AS BIGINT) AS copies FROM ea GROUP BY k),
+             |hi AS (SELECT k, CAST(count(*) AS BIGINT) AS copies FROM ia GROUP BY k)
+             |SELECT op, copies, n_keys FROM (
+             |  SELECT 'except_all' AS op, copies, CAST(count(*) AS BIGINT) AS n_keys
+             |  FROM he GROUP BY copies
+             |  UNION ALL
+             |  SELECT 'intersect_all', copies, CAST(count(*) AS BIGINT)
+             |  FROM hi GROUP BY copies)
+             |ORDER BY op, copies""".stripMargin)
+    ),
+
     // ── semi join (§2.6 gap): customers having a 1995 order ────────────
     // left_semi shuffles only keys of the probe side; no row multiplication.
     Q(

@@ -215,6 +215,18 @@ class Round11Spec extends SparkSpec {
     assert(r.getDouble(6) == z2 && r.getBoolean(7) == (z2 > 3.84))
   }
 
+  test("k-center init: coverage radius is non-increasing and centers are distinct") {
+    val rows = SparkEntry.queries("kmeans_kcenter_init")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1 to 8))
+    assert(rows.map(_._2).distinct.length == 8, "centers must be distinct points")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3,
+        s"coverage radius must shrink: round ${a._1} ${a._3} -> round ${b._1} ${b._3}")
+    }
+    assert(rows.head._3 == 2.0)
+  }
+
   test("SCC labels are component minima, members, and closed under the condensation") {
     val scc = SparkEntry.queries("graph_scc")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
