@@ -313,6 +313,9 @@ object PropertyGraph {
     * RECURSIVE` block, a NON-recursive CTE's bare `UNION` does not
     * deduplicate — so `n` dedups explicitly with DISTINCT. Harmless
     * for consumers that aggregate per id, fatal for per-row counts. */
+  private val sccLayersMemo = graft.SessionMemo[DataFrame]()
+  private val sccBowtieMemo = graft.SessionMemo[DataFrame]()
+
   /** Just the directed chain-graph construction (inc → samp → ordx →
     * de) — consumers that need edges but not the reachability closure
     * (graph_triads) use this alone. */
@@ -2069,16 +2072,20 @@ object PropertyGraph {
     Q(
       "graph_scc_layers",
       (s, d) => {
-        val lbl = sccLabels(s, d)
-        val cond = partChainEdges(s, d)
-          .join(lbl.select(col("id").as("src"), col("scc").as("cs")), "src")
-          .join(lbl.select(col("id").as("dst"), col("scc").as("cd")), "dst")
-          .filter(col("cs") =!= col("cd"))
-          .select(col("cs").as("src"), col("cd").as("dst")).distinct()
-          .localCheckpoint(false)
-        val cnodes = lbl.select(col("scc").as("id")).distinct()
-        val layers = Components.dagLayers(cnodes, cond, SccMaxRounds * 4)
-        val sizes = lbl.groupBy("scc").agg(count(lit(1)).as("size"))
+        // the layering is a decomposition ARTIFACT (like the labels):
+        // one relaxation fixpoint per (session, dir), not per read
+        val layers = sccLayersMemo.getOrCompute(s, d) {
+          val lbl = sccLabels(s, d)
+          val cond = partChainEdges(s, d)
+            .join(lbl.select(col("id").as("src"), col("scc").as("cs")), "src")
+            .join(lbl.select(col("id").as("dst"), col("scc").as("cd")), "dst")
+            .filter(col("cs") =!= col("cd"))
+            .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+            .localCheckpoint(false)
+          val cnodes = lbl.select(col("scc").as("id")).distinct()
+          Components.dagLayers(cnodes, cond, SccMaxRounds * 4).cache()
+        }
+        val sizes = sccLabels(s, d).groupBy("scc").agg(count(lit(1)).as("size"))
         layers.join(sizes, col("id") === col("scc"))
           .groupBy("layer")
           .agg(count(lit(1)).as("n_sccs"), sum("size").as("n_vertices"))
@@ -2187,24 +2194,30 @@ object PropertyGraph {
     Q(
       "graph_scc_bowtie",
       (s, d) => {
-        val lbl = sccLabels(s, d)
-        val de = partChainEdges(s, d)
-        val core = lbl.groupBy("scc").agg(count(lit(1)).as("sz"))
-          .orderBy(col("sz").desc, col("scc").asc).limit(1)
-          .select("scc")
-        val coreSet = lbl.join(broadcast(core), "scc").select("id")
-          .localCheckpoint(false)
-        val outs = Components.reachableFrom(coreSet, de, 128)
-        val ins = Components.reachableFrom(coreSet,
-          de.select(col("dst").as("src"), col("src").as("dst")), 128)
-        lbl.select(col("id"))
-          .join(coreSet.select(col("id"), lit(1).as("isCore")), Seq("id"), "left")
-          .join(ins.select(col("id"), lit(1).as("isIn")), Seq("id"), "left")
-          .join(outs.select(col("id"), lit(1).as("isOut")), Seq("id"), "left")
-          .select(when(col("isCore") === 1, "core")
-            .when(col("isIn") === 1, "in")
-            .when(col("isOut") === 1, "out")
-            .otherwise("other").as("component_class"))
+        // the per-vertex class table is a decomposition artifact: the
+        // two reachability sweeps run once per (session, dir)
+        val classes = sccBowtieMemo.getOrCompute(s, d) {
+          val lbl = sccLabels(s, d)
+          val de = partChainEdges(s, d)
+          val core = lbl.groupBy("scc").agg(count(lit(1)).as("sz"))
+            .orderBy(col("sz").desc, col("scc").asc).limit(1)
+            .select("scc")
+          val coreSet = lbl.join(broadcast(core), "scc").select("id")
+            .localCheckpoint(false)
+          val outs = Components.reachableFrom(coreSet, de, 128)
+          val ins = Components.reachableFrom(coreSet,
+            de.select(col("dst").as("src"), col("src").as("dst")), 128)
+          lbl.select(col("id"))
+            .join(coreSet.select(col("id"), lit(1).as("isCore")), Seq("id"), "left")
+            .join(ins.select(col("id"), lit(1).as("isIn")), Seq("id"), "left")
+            .join(outs.select(col("id"), lit(1).as("isOut")), Seq("id"), "left")
+            .select(col("id"), when(col("isCore") === 1, "core")
+              .when(col("isIn") === 1, "in")
+              .when(col("isOut") === 1, "out")
+              .otherwise("other").as("component_class"))
+            .cache()
+        }
+        classes
           .groupBy("component_class").agg(count(lit(1)).as("n_vertices"))
           .orderBy("component_class")
       },
