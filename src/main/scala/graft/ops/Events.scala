@@ -1083,6 +1083,71 @@ object Events {
               |FROM scored ORDER BY user_id""".stripMargin)
     ),
 
+    // ── interval union: total covered time per user ────────────────────
+    // The interval-algebra primitive (union length of overlapping
+    // spans): every event opens a 30-minute activity window; merged
+    // islands per user via gaps-and-islands — an island starts where
+    // the span's start exceeds the running max end of everything
+    // before it (two stacked windows, the evt_cusum discipline), then
+    // per-island extents aggregate. All µs BIGINTs; one shuffle by
+    // user, windows ROWS-bounded.
+    Q(
+      "evt_interval_union",
+      (s, d) => {
+        val span = 30L * 60L * 1000000L
+        val e = eventsUs(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("su"),
+            col("event_id"))
+          .withColumn("eu", col("su") + span)
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy(col("su").asc, col("event_id").asc)
+        val withPrev = e.withColumn("pmax",
+          max("eu").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        val islands = withPrev
+          .withColumn("newi",
+            when(col("pmax").isNull || col("su") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("island",
+            sum("newi").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        islands.groupBy("user_id", "island")
+          .agg(min("su").as("is_start"), max("eu").as("is_end"),
+            count(lit(1)).as("n_ev"))
+          .groupBy("user_id")
+          .agg(sum("n_ev").as("n_events"),
+            count(lit(1)).as("n_islands"),
+            sum(col("is_end") - col("is_start")).as("covered_us"))
+          .select(col("user_id"), col("n_events"), col("n_islands"),
+            (col("covered_us").cast("double") / 60000000.0).as("covered_minutes"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT user_id, epoch_ns(ts) // 1000 AS su, event_id,
+              |    epoch_ns(ts) // 1000 + 1800000000 AS eu
+              |  FROM events),
+              |p AS (
+              |  SELECT user_id, su, eu, event_id,
+              |    max(eu) OVER (PARTITION BY user_id ORDER BY su ASC, event_id ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+              |  FROM e),
+              |i AS (
+              |  SELECT user_id, su, eu,
+              |    CAST(sum(CASE WHEN pmax IS NULL OR su > pmax THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY su ASC, event_id ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+              |  FROM p),
+              |isl AS (
+              |  SELECT user_id, island, CAST(min(su) AS BIGINT) AS is_start,
+              |    CAST(max(eu) AS BIGINT) AS is_end, CAST(count(*) AS BIGINT) AS n_ev
+              |  FROM i GROUP BY user_id, island),
+              |agg AS (
+              |  SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+              |    CAST(count(*) AS BIGINT) AS n_islands,
+              |    CAST(sum(is_end - is_start) AS BIGINT) AS covered_us
+              |  FROM isl GROUP BY user_id)
+              |SELECT user_id, n_events, n_islands,
+              |  CAST(covered_us AS DOUBLE) / 60000000.0 AS covered_minutes
+              |FROM agg ORDER BY user_id""".stripMargin)
+    ),
+
     // ── cohort LTV curve (cumulative revenue by cohort age) ────────────
     // The companion to evt_retention's activity grid: per signup-week
     // cohort, cumulative purchase revenue per user at each week of

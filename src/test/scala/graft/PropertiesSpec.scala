@@ -355,4 +355,43 @@ class PropertiesSpec extends SparkSpec {
       assert(est >= cnt, s"key $k: est $est < exact $cnt")
     }
   }
+
+  test("unigram Viterbi equals brute-force minimum over ALL segmentations") {
+    import spark.implicits._
+    // random small vocabularies over {a,b} with random costs; the
+    // distributed DP's cost must equal an exhaustive enumeration of
+    // every 1..4-piece factorization, and its reported segmentation
+    // must achieve that cost under the in-vocab constraint
+    val rng = new scala.util.Random(1117)
+    val alph = "ab"
+    def randWord(len: Int) =
+      (1 to len).map(_ => alph(rng.nextInt(2))).mkString
+    for (trial <- 1 to 12) {
+      val wlen = 2 + rng.nextInt(7)
+      val word = randWord(wlen)
+      // vocab: all single chars (coverage) + a few random substrings
+      val pieces = scala.collection.mutable.Map[String, Long](
+        "a" -> (1 + rng.nextInt(50)).toLong, "b" -> (1 + rng.nextInt(50)).toLong)
+      for (_ <- 1 to 6) {
+        val i = rng.nextInt(wlen)
+        val l = 2 + rng.nextInt(3)
+        if (i + l <= wlen) pieces(word.substring(i, i + l)) = (1 + rng.nextInt(50)).toLong
+      }
+      val costs = pieces.toMap
+      def brute(s: String): Long =
+        if (s.isEmpty) 0L
+        else (1 to math.min(4, s.length)).flatMap { l =>
+          costs.get(s.take(l)).map(_ + brute(s.drop(l)))
+        }.min
+      val want = brute(word)
+      val got = ops.Text.viterbiSegment(
+        Seq((word, 1L)).toDF("word", "cnt"), costs).collect()(0)
+      assert(got.getLong(2) === want,
+        s"trial $trial '$word' costs $costs: DP ${got.getLong(2)} != brute $want")
+      // the emitted segmentation must be a real factorization at that cost
+      val segs = got.getString(3).split(" ")
+      assert(segs.mkString === word)
+      assert(segs.map(costs).sum === want)
+    }
+  }
 }
