@@ -169,6 +169,24 @@ class PlanSpec extends SparkSpec {
       s"banded wHash search must be an equi-join:\n$p")
   }
 
+  test("round-11 analytics plan equi-joins and windows, never products") {
+    for (q <- Seq("graph_triads", "graph_reciprocity", "evt_interval_union",
+        "rel_set_ops_all", "evt_cohort_ltv", "evt_rfm")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$p")
+      // BroadcastNestedLoopJoin is legal only for the 1-row stat sides
+      // (cross joins of single aggregates); a BNLJ with a non-trivial
+      // build would pair with a product-shaped row count — covered by
+      // the cartesian assert plus the oracle row counts.
+    }
+    // interval union: exactly one exchange keys the per-user windows +
+    // aggregation; only the presentation sort adds a second
+    val p = plan("evt_interval_union")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"interval union should shuffle once by user:\n$p")
+  }
+
   test("common-neighbors and keep-list plan equi/anti joins, never products") {
     for (q <- Seq("graph_common_neighbors", "dedup_keep_list", "evt_retention",
         "dedup_triangles", "dedup_triangles_ordered")) {

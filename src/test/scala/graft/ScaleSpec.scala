@@ -65,6 +65,35 @@ class ScaleSpec extends SparkSpec {
       s"o_prio filter should prune partitions at the scan:\n$p")
   }
 
+  test("IVF-cell-partitioned embedding store: an nprobe scan prunes to the probed cells") {
+    // substantiates the ANN family's standing scale claim: "at 100 TB
+    // the corpus is written partitioned by cell, so a probe is a
+    // partition-pruned read, not a scan". Write the sf0.001 assignment
+    // once (cid = nearest of the 8 deterministic centroids), read back
+    // with an nprobe=2 cell filter, and require directory-level
+    // PartitionFilters — plus result equality with the in-memory
+    // filter, so pruning provably drops no candidate.
+    val tmp = tempDir("graft-ivf")
+    val e = Tables.embeddings(spark, sf)
+    val assigned = cluster.KMeans.assign(e, cluster.KMeans.initCentroids(e, 8))
+      .select(col("vec_id"), col("cid"), col("sim"))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val cells = new java.io.File(tmp).listFiles().count(_.getName.startsWith("cid="))
+    assert(cells == 8, s"expected 8 cell directories, got $cells")
+    val probe = assigned.select(col("cid")).distinct()
+      .orderBy("cid").limit(2).collect().map(_.getLong(0))
+    val rd = spark.read.parquet(tmp)
+      .filter(col("cid").isin(probe.toIndexedSeq: _*))
+    rd.collect()
+    val p = finalPlan(rd)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*cid[^\\]]*\\].*"),
+      s"cid probe filter must prune cell directories at the scan:\n$p")
+    val got = rd.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = assigned.filter(col("cid").isin(probe.toIndexedSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === want, "pruned read must return exactly the probed cells' vectors")
+  }
+
   test("shuffle-hash-join hint switches the join strategy (no sort at 100 TB)") {
     // The third strategy in the 100 TB join toolbox: when both sides
     // are large but one fits a task's memory per partition, SHJ skips
