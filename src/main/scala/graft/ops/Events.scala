@@ -1083,6 +1083,56 @@ object Events {
               |FROM scored ORDER BY user_id""".stripMargin)
     ),
 
+    // ── anomaly consensus: CUSUM drift ∧ Holt–Winters residual ─────────
+    // The alert a pipeline actually pages on: CUSUM says the level has
+    // DRIFTED, the forecaster says today is FAR from predicted — the
+    // conjunction kills both false-positive families (a one-day spike
+    // trips HW but not CUSUM; slow drift trips CUSUM but not HW). Both
+    // detectors replay over the SAME daily rollup (shared CTE prefix);
+    // the join is by day, the consensus one boolean AND.
+    Q(
+      "evt_anomaly_consensus",
+      (s, d) => {
+        val k = 120L * 1000000L
+        val h = 600L * 1000000L
+        val hw = holtWintersRows(s, d)
+          .select(date_add(lit("1970-01-01").cast("date"), col("epd")).as("day"),
+            col("residual"), col("rn"))
+        val daily = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+        val wCum = Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cu = daily.withColumn("cu", sum(col("xu") - k).over(wCum))
+          .withColumn("smin", min(least(col("cu"), lit(0L))).over(wCum))
+          .select(col("day"), (col("cu") - col("smin") > h).as("cusum_alarm"))
+        hw.join(cu, "day")
+          .select(col("day"), col("cusum_alarm"),
+            (col("rn") >= 5 && abs(col("residual")) > 1000.0).as("hw_anomaly"))
+          .withColumn("consensus", col("cusum_alarm") && col("hw_anomaly"))
+          .orderBy("day")
+      },
+      Some(s"""WITH RECURSIVE
+              |$sqlHwCtes,
+              |c AS (
+              |  SELECT day, xu,
+              |    sum(xu - 120000000) OVER (ORDER BY day ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+              |  FROM daily),
+              |st AS (
+              |  SELECT day,
+              |    cu - min(least(cu, 0)) OVER (ORDER BY day ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS su
+              |  FROM c)
+              |SELECT h.day, st.su > 600000000 AS cusum_alarm,
+              |  (h.rn >= 5 AND abs(h.r) > 1000.0) AS hw_anomaly,
+              |  (st.su > 600000000 AND h.rn >= 5 AND abs(h.r) > 1000.0) AS consensus
+              |FROM hw h JOIN st ON st.day = h.day
+              |WHERE h.rn >= 1
+              |ORDER BY h.day""".stripMargin)
+    ),
+
     // ── interval union: total covered time per user ────────────────────
     // The interval-algebra primitive (union length of overlapping
     // spans): every event opens a 30-minute activity window; merged

@@ -845,6 +845,63 @@ object Relational {
              |FROM orders GROUP BY yr, status ORDER BY yr, status""".stripMargin)
     ),
 
+    // ── NULL semantics coverage (the corner every migration trips on) ──
+    // One row pinning the NULL rules engines must share before any
+    // query ports: COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col)
+    // (aggregates skip NULLs, DISTINCT excludes them), GROUP BY
+    // collecting all NULLs into ONE group, and the null-safe equality
+    // join (Spark <=> ≡ DuckDB IS NOT DISTINCT FROM) matching
+    // NULL-to-NULL where plain = never does. Nullable key synthesized
+    // deterministically (custkey % 7 = 0 → NULL) — fixture stated
+    // openly, the text_pii_scrub convention.
+    Q(
+      "rel_null_semantics",
+      (s, d) => {
+        val base = customer(s, d).select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, lit(null))
+              .otherwise(col("c_custkey") % 5).as("nk"))
+          .localCheckpoint(false) // aggregates + both join sides share it
+        val counts = base.agg(count(lit(1)).as("n_rows"),
+          count(col("nk")).as("n_nonnull"),
+          count_distinct(col("nk")).as("n_distinct"))
+        val groups = base.groupBy("nk").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_groups"))
+        val nullSafe = base.toDF("ka", "nka")
+          .join(base.toDF("kb", "nkb"),
+            col("ka") + 7 === col("kb") && col("nka") <=> col("nkb"))
+          .agg(count(lit(1)).as("nullsafe_pairs"))
+        val plainEq = base.toDF("ka", "nka")
+          .join(base.toDF("kb", "nkb"),
+            col("ka") + 7 === col("kb") && col("nka") === col("nkb"))
+          .agg(count(lit(1)).as("plain_pairs"))
+        counts.crossJoin(groups).crossJoin(nullSafe).crossJoin(plainEq)
+          .select(col("n_rows"), col("n_nonnull"), col("n_distinct"),
+            col("n_groups"), col("nullsafe_pairs"), col("plain_pairs"),
+            (col("nullsafe_pairs") > col("plain_pairs")).as("null_matches_null"))
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 5 END AS nk
+             |  FROM customer),
+             |counts AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(nk) AS BIGINT) AS n_nonnull,
+             |    CAST(count(DISTINCT nk) AS BIGINT) AS n_distinct
+             |  FROM base),
+             |groups AS (SELECT CAST(count(*) AS BIGINT) AS n_groups
+             |           FROM (SELECT nk FROM base GROUP BY nk)),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS nullsafe_pairs
+             |       FROM base a JOIN base b
+             |       ON a.c_custkey + 7 = b.c_custkey AND a.nk IS NOT DISTINCT FROM b.nk),
+             |pe AS (SELECT CAST(count(*) AS BIGINT) AS plain_pairs
+             |       FROM base a JOIN base b
+             |       ON a.c_custkey + 7 = b.c_custkey AND a.nk = b.nk)
+             |SELECT n_rows, n_nonnull, n_distinct, n_groups,
+             |  nullsafe_pairs, plain_pairs,
+             |  nullsafe_pairs > plain_pairs AS null_matches_null
+             |FROM counts, groups, ns, pe""".stripMargin)
+    ),
+
     // ── SCD2 upsert (MERGE-into / slowly-changing dimension) ───────────
     // The lakehouse merge pattern every warehouse runs: apply a changes
     // batch to a dimension producing a validity-interval history —
