@@ -994,6 +994,53 @@ object Text {
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
     ),
 
+    // ── character-level entropy (gibberish / encoding-glitch signal) ───
+    // Shannon entropy of the per-document character distribution — the
+    // quality signal that catches base64 blobs, mojibake, and
+    // minified/encoded payloads that token-level ratios miss (natural
+    // text sits ~2.8-4.2 bits/char; uniform gibberish pushes toward
+    // log2|alphabet|). Characters come from position indexing
+    // (substring(text, i, 1) — identical semantics on both engines,
+    // no regex-split edge cases); each distinct char contributes one
+    // 2^-20-quantized −p·ln(p) term, so the per-doc sum is an
+    // order-free dyadic total. One explode + one (doc, char) count —
+    // the same shuffle budget as token counting.
+    Q(
+      "text_char_entropy",
+      (s, d) => {
+        val chars = documents(s, d)
+          .select(col("doc_id"), length(col("text")).as("n"),
+            explode(transform(sequence(lit(1), length(col("text"))),
+              i => col("text").substr(i, lit(1)))).as("ch"))
+        val q = floor(-(col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")) * 1048576.0) / 1048576.0
+        chars.groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), col("n"), q.as("q"))
+          .groupBy("doc_id", "n")
+          .agg(count(lit(1)).as("n_distinct"), sum("q").as("entropy_nats"))
+          .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+            col("entropy_nats"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, CAST(length(text) AS INT) AS n,
+             |    unnest(list_transform(range(1, length(text) + 1),
+             |      i -> substr(text, CAST(i AS INT), 1))) AS ch
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id, n, ch, CAST(count(*) AS BIGINT) AS c
+             |  FROM ch GROUP BY doc_id, n, ch),
+             |q AS (
+             |  SELECT doc_id, n,
+             |    floor(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1048576) / 1048576 AS q
+             |  FROM cnt)
+             |SELECT doc_id, n AS n_chars,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  sum(q) AS entropy_nats
+             |FROM q GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── tokenizer fertility comparison (BPE vs unigram-LM) ─────────────
     // The metric that picks between trained tokenizers: corpus
     // fertility = pieces emitted per word (lower = better compression
