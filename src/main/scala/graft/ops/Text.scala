@@ -999,19 +999,23 @@ object Text {
     // quality signal that catches base64 blobs, mojibake, and
     // minified/encoded payloads that token-level ratios miss (natural
     // text sits ~2.8-4.2 bits/char; uniform gibberish pushes toward
-    // log2|alphabet|). Characters come from position indexing
-    // (substring(text, i, 1) — identical semantics on both engines,
-    // no regex-split edge cases); each distinct char contributes one
-    // 2^-20-quantized −p·ln(p) term, so the per-doc sum is an
-    // order-free dyadic total. One explode + one (doc, char) count —
-    // the same shuffle budget as token counting.
+    // log2|alphabet|). Characters come from a LINEAR split-to-codepoints
+    // (split(text, "", 0): Java limit-0 drops the trailing zero-width
+    // empty, so it matches DuckDB string_split(text, '') exactly;
+    // position-indexed substr(i, 1) would re-scan the UTF-8 prefix per
+    // char and go quadratic in doc length — 4.1 s vs ~1 s at sf0.1).
+    // Empty docs are filtered on BOTH sides because the engines disagree
+    // on splitting '' (both yield [''] but c/n would divide by zero).
+    // Each distinct char contributes one 2^-20-quantized −p·ln(p) term,
+    // so the per-doc sum is an order-free dyadic total. One explode +
+    // one (doc, char) count — the same shuffle budget as token counting.
     Q(
       "text_char_entropy",
       (s, d) => {
         val chars = documents(s, d)
+          .filter(length(col("text")) > 0)
           .select(col("doc_id"), length(col("text")).as("n"),
-            explode(transform(sequence(lit(1), length(col("text"))),
-              i => col("text").substr(i, lit(1)))).as("ch"))
+            explode(split(col("text"), "", 0)).as("ch"))
         val q = floor(-(col("c").cast("double") / col("n").cast("double")) *
           log(col("c").cast("double") / col("n").cast("double")) * 1048576.0) / 1048576.0
         chars.groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
@@ -1024,9 +1028,8 @@ object Text {
       },
       Some("""WITH ch AS (
              |  SELECT doc_id, CAST(length(text) AS INT) AS n,
-             |    unnest(list_transform(range(1, length(text) + 1),
-             |      i -> substr(text, CAST(i AS INT), 1))) AS ch
-             |  FROM documents),
+             |    unnest(string_split(text, '')) AS ch
+             |  FROM documents WHERE length(text) > 0),
              |cnt AS (
              |  SELECT doc_id, n, ch, CAST(count(*) AS BIGINT) AS c
              |  FROM ch GROUP BY doc_id, n, ch),
