@@ -1413,6 +1413,75 @@ object Events {
            |  (rn >= 8 AND abs(r) > 1300.0) AS anomaly
            |FROM hws WHERE rn >= 1 ORDER BY day""".stripMargin
       }
+    ),
+
+    // ── autocorrelation function (ACF) of the daily event series ───────
+    // The seasonality detector that feeds Holt–Winters its period: the
+    // lag-L Pearson correlation of daily event counts for L ∈ {1,2,3,7}
+    // (a 7-day peak ⇒ weekly cycle). Pairs come from a calendar self-
+    // join (day, day+L) — missing days simply drop the pair, which is
+    // the standard irregular-series convention and deterministic. All
+    // six sufficient statistics are exact BIGINTs (daily counts are
+    // small: n·Σab bounded far under 2^63), so both engines reach the
+    // identical integers and the final r = num/sqrt(d1·d2) is ONE
+    // token-identical IEEE expression — bit-exact, no quantization
+    // (the evt_rolling_zscore convention). At scale: one day-grained
+    // pre-aggregation (tiny), then a 4·|days|-row broadcast self-join —
+    // the corpus is touched once.
+    Q(
+      "evt_autocorr",
+      (s, d) => {
+        val daily = eventsUs(s, d)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val lagged = daily
+          .withColumn("lag", explode(array(Seq(1, 2, 3, 7).map(lit): _*)))
+          .withColumn("day2", date_add(col("day"), col("lag")))
+        val pairs = lagged.alias("a")
+          .join(daily.select(col("day").as("day2"), col("x").as("y")).alias("b"),
+            "day2")
+        pairs.groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("lag"), col("n_pairs"),
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("d1"),
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("d2"))
+          .filter(col("d1") > 0 && col("d2") > 0)
+          .select(col("lag"), col("n_pairs"), col("num"), col("d1"), col("d2"),
+            (col("num").cast("double") /
+              sqrt(col("d1").cast("double") * col("d2").cast("double"))).as("acf"))
+          .orderBy("lag")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST($sqlTs AS DATE) AS day,
+              |         CAST(count(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |pairs AS (
+              |  SELECT l.lag, a.x AS x, b.x AS y
+              |  FROM daily a
+              |  CROSS JOIN (VALUES (1),(2),(3),(7)) l(lag)
+              |  JOIN daily b ON b.day = a.day + l.lag),
+              |st AS (
+              |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              |         CAST(sum(x * x) AS BIGINT) AS sxx,
+              |         CAST(sum(y * y) AS BIGINT) AS syy,
+              |         CAST(sum(x * y) AS BIGINT) AS sxy
+              |  FROM pairs GROUP BY lag),
+              |mo AS (
+              |  SELECT lag, n_pairs,
+              |         n_pairs * sxy - sx * sy AS num,
+              |         n_pairs * sxx - sx * sx AS d1,
+              |         n_pairs * syy - sy * sy AS d2
+              |  FROM st)
+              |SELECT lag, n_pairs, num, d1, d2,
+              |       CAST(num AS DOUBLE) /
+              |         sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS acf
+              |FROM mo WHERE d1 > 0 AND d2 > 0 ORDER BY lag""".stripMargin)
     )
   )
 

@@ -1449,6 +1449,94 @@ object Extended {
            |FROM est JOIN ex USING (key)
            |ORDER BY key""".stripMargin
       }
+    ),
+
+    // ── Bloom filter: mergeable set-membership sketch ──────────────────
+    // The membership member of the sketch family (HLL cardinality, topk
+    // heavy hitters, CMS frequency, KLL quantiles): BUILDING-segment
+    // customer keys → one 16384-bit filter packed 32 bits/word into 512
+    // BIGINTs by a TypedImperativeAggregate (bit-OR merge, one ~4 KB row
+    // per partition on the shuffle — the runtime-filter join-pruning
+    // shape surfaced as an auditable operator). Probes: the 10 smallest
+    // keys per segment from BUILDING (members) and MACHINERY
+    // (non-members, segments partition customers) — bloom_hit must be
+    // TRUE for every member (no false negatives, structural); a hit on a
+    // non-member is a FALSE POSITIVE, reported not asserted. The hash
+    // family is the CMS SQL-replayable one, and words pack 32 bits so no
+    // sign bit is ever set: the oracle rebuilds the IDENTICAL bitset
+    // relationally and proves every probe verdict AND the filter's total
+    // popcount (n_bits_set — the whole bitset, not just probed words)
+    // cell-exact.
+    Q(
+      "agg_bloom_filter",
+      (s, d) => {
+        import org.apache.spark.sql.graft.{Bridge, BloomFilterAgg => BF}
+        val cust = customer(s, d)
+        val sk = cust.filter(col("c_mktsegment") === "BUILDING")
+          .agg(Bridge.column(BF(Bridge.expression(
+            col("c_custkey").cast("long"))).toAggregateExpression()).as("sk"))
+        val probes = cust
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("c_mktsegment").orderBy("c_custkey")))
+          .filter(col("rk") <= 10)
+          .select(col("c_custkey").cast("long").as("key"),
+            (col("c_mktsegment") === "BUILDING").as("in_build"))
+        val withPos = (0 until BF.NumHashes).foldLeft(
+          probes.crossJoin(broadcast(sk))) { (df, j) =>
+          df.withColumn(s"p$j",
+            expr(s"CAST(${BF.positionSql("key", j, "DIV")} AS INT)"))
+        }
+        val hit = (0 until BF.NumHashes).map { j =>
+          expr(s"(shiftright(element_at(sk, CAST(p$j DIV ${BF.BitsPerWord} + 1 AS INT)), " +
+            s"p$j % ${BF.BitsPerWord}) % 2) = 1")
+        }.reduce(_ && _)
+        withPos
+          .select(col("key"), col("in_build"), hit.as("bloom_hit"),
+            expr("aggregate(sk, CAST(0 AS BIGINT), (acc, w) -> acc + bit_count(w))")
+              .as("n_bits_set"))
+          .withColumn("false_positive", col("bloom_hit") && !col("in_build"))
+          .select("key", "in_build", "bloom_hit", "false_positive", "n_bits_set")
+          .orderBy("key")
+      },
+      Some {
+        import org.apache.spark.sql.graft.{BloomFilterAgg => BF}
+        val buildPos = (0 until BF.NumHashes).map(j =>
+          s"SELECT ${BF.positionSql("k", j, "//")} AS p FROM build")
+          .mkString("\nUNION ALL\n")
+        val probePos = (0 until BF.NumHashes).map(j =>
+          s"SELECT key, ${BF.positionSql("key", j, "//")} AS p FROM sel")
+          .mkString("\nUNION ALL\n")
+        s"""WITH build AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+           |  WHERE c_mktsegment = 'BUILDING'),
+           |pos AS (SELECT DISTINCT p FROM (
+           |$buildPos)),
+           |words AS (
+           |  SELECT p // ${BF.BitsPerWord} AS w,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(p % ${BF.BitsPerWord} AS INT)) AS BIGINT) AS wv
+           |  FROM pos GROUP BY 1),
+           |probes AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS key,
+           |         c_mktsegment = 'BUILDING' AS in_build,
+           |         row_number() OVER (PARTITION BY c_mktsegment
+           |                            ORDER BY c_custkey) AS rk
+           |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+           |sel AS (SELECT key, in_build FROM probes WHERE rk <= 10),
+           |pb AS (
+           |$probePos),
+           |hits AS (
+           |  SELECT pb.key,
+           |         bool_and(((coalesce(words.wv, 0) //
+           |           (CAST(1 AS BIGINT) << CAST(pb.p % ${BF.BitsPerWord} AS INT)))
+           |           % 2) = 1) AS bloom_hit
+           |  FROM pb LEFT JOIN words ON words.w = pb.p // ${BF.BitsPerWord}
+           |  GROUP BY pb.key)
+           |SELECT s.key, s.in_build, h.bloom_hit,
+           |       h.bloom_hit AND NOT s.in_build AS false_positive,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_bits_set
+           |FROM sel s JOIN hits h USING (key) ORDER BY key""".stripMargin
+      }
     )
   )
 }

@@ -356,6 +356,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bloom filter: partition merges are exact, members always hit, popcount bounded") {
+    import org.apache.spark.sql.graft.{Bridge, BloomFilterAgg => BF}
+    import spark.implicits._
+    val keys = Gen.listOfN(400, Gen.chooseNum(0L, 100000L))
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(Bridge.column(
+          BF(Bridge.expression(col("k"))).toAggregateExpression()).as("sk"))
+        .head().getAs[scala.collection.Seq[Long]](0).toArray
+    val df = keys.toDF("k")
+    // bit-OR merge exactness: 1 partition vs 8 (forces buffer merges)
+    assert(sketchOf(df.coalesce(1)).sameElements(sketchOf(df.repartition(8))))
+    val sk = sketchOf(df)
+    def bit(pos: Int): Boolean =
+      ((sk(pos / BF.BitsPerWord) >> (pos % BF.BitsPerWord)) & 1L) == 1L
+    // no false negatives, ever (structural)
+    keys.foreach { k =>
+      (0 until BF.NumHashes).foreach(j =>
+        assert(bit(BF.position(k, j)), s"member $k missing bit hash $j"))
+    }
+    // popcount == |distinct positions| and ≤ 4·|distinct keys|; 32-bit
+    // packing means no word ever goes negative (the oracle's
+    // division-semantics guarantee)
+    val distinctPos =
+      keys.distinct.flatMap(k => (0 until BF.NumHashes).map(BF.position(k, _))).distinct
+    assert(sk.map(java.lang.Long.bitCount).sum === distinctPos.size)
+    assert(distinctPos.size <= 4 * keys.distinct.size)
+    assert(sk.forall(w => w >= 0L && w < (1L << 32)))
+  }
+
   test("unigram Viterbi equals brute-force minimum over ALL segmentations") {
     import spark.implicits._
     // random small vocabularies over {a,b} with random costs; the
