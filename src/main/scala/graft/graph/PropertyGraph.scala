@@ -1619,6 +1619,62 @@ object PropertyGraph {
               |FROM sums""".stripMargin)
     ),
 
+    // ── rich-club coefficient φ(k) (Zhou & Mondragón 2004) ─────────────
+    // Do high-degree nodes preferentially link each other? For each
+    // degree threshold k: N_k = nodes with deg > k, φ(k) = fraction of
+    // the N_k(N_k−1) possible ordered pairs that are edges. The
+    // assortativity companion as a CURVE — a rising φ(k) is the "rich
+    // club" signature. Both directions of every edge are already rows in
+    // the staged undirected view, so the ordered-pair edge count is one
+    // CONDITIONAL aggregation over the degree-annotated pairs (sum of
+    // CASE per k — one edge pass for all four thresholds, map-side
+    // combined; never a per-k rescan or a threshold×edge explode) plus a
+    // 4-column degree-table agg, stacked to rows at the end (constant
+    // 1-row reshape). All counts exact BIGINTs; φ is one final division.
+    Q(
+      "graph_rich_club",
+      (s, d) => {
+        val ks = Seq(2, 4, 8, 16)
+        val ue = undirectedEdges(s, d)
+        val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
+          .select(col("src").as("v"), col("deg"))
+        val pairs = ue
+          .join(deg.select(col("v").as("src"), col("deg").as("dx")), "src")
+          .join(deg.select(col("v").as("dst"), col("deg").as("dy")), "dst")
+        val eCols = ks.map(k =>
+          sum(((col("dx") > k) && (col("dy") > k)).cast("long")).as(s"e$k"))
+        val nCols = ks.map(k => sum((col("deg") > k).cast("long")).as(s"n$k"))
+        val eAgg = pairs.agg(eCols.head, eCols.tail: _*)
+        val nAgg = deg.agg(nCols.head, nCols.tail: _*)
+        val stacked = ks.map(k => s"$k, n$k, e$k").mkString(", ")
+        eAgg.crossJoin(nAgg)
+          .select(expr(s"stack(${ks.size}, $stacked) AS (k, n_nodes, dir_rows)"))
+          .select(col("k"), col("n_nodes"),
+            expr("dir_rows DIV 2").as("n_edges"),
+            when(col("n_nodes") >= 2,
+              col("dir_rows").cast("double") /
+                (col("n_nodes") * (col("n_nodes") - 1)).cast("double")).as("phi"))
+          .orderBy("k")
+      },
+      Some(s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,
+              |  l_partkey + $PartIdOffset AS dst FROM lineitem),
+              |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+              |deg AS MATERIALIZED (
+              |  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM ue GROUP BY src),
+              |pairs AS (SELECT dx.deg AS dx, dy.deg AS dy
+              |          FROM ue JOIN deg dx ON dx.v = ue.src
+              |          JOIN deg dy ON dy.v = ue.dst),
+              |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+              |nn AS (SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes
+              |       FROM ks CROSS JOIN deg GROUP BY k),
+              |ee AS (SELECT k, CAST(sum(CASE WHEN dx > k AND dy > k THEN 1 ELSE 0 END) AS BIGINT) AS dir_rows
+              |       FROM ks CROSS JOIN pairs GROUP BY k)
+              |SELECT k, n_nodes, dir_rows // 2 AS n_edges,
+              |  CASE WHEN n_nodes >= 2 THEN CAST(dir_rows AS DOUBLE) /
+              |    CAST(n_nodes * (n_nodes - 1) AS DOUBLE) END AS phi
+              |FROM nn JOIN ee USING (k) ORDER BY k""".stripMargin)
+    ),
+
     // ── convergence-mode LPA (semi-synchronous, change fixpoint) ───────
     // The usable community detector next to the fixed-4-step oracle form
     // above: Components.lpaConverged runs half-step updates colored by

@@ -1044,6 +1044,60 @@ object Text {
              |FROM q GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
     ),
 
+    // ── Flesch reading-ease readability score ──────────────────────────
+    // The classic 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    // words) quality signal, with the standard regex heuristics:
+    // sentences = runs of [.!?] (min 1), syllables = vowel-group runs
+    // plus one per vowel-less token (the min-1-per-word correction).
+    // Run counting is the replace-vs-remove length trick (len after
+    // collapsing each run to one char − len after deleting runs = #runs)
+    // — pure per-row codegen'd string expressions, no explode, no
+    // shuffle; the vowel-less check rides a list_filter HOF over the
+    // SAME whitespace tokens() every text op uses. All three counts are
+    // exact integers, so the final score is ONE token-identical IEEE
+    // expression (both engines parse 206.835 to the same double).
+    Q(
+      "text_readability",
+      (s, d) => {
+        val lt = lower(col("text"))
+        documents(s, d)
+          .select(col("doc_id"),
+            size(tokens(lt)).as("n_words"),
+            greatest(lit(1),
+              length(regexp_replace(lt, "[.!?]+", "S")) -
+                length(regexp_replace(lt, "[.!?]+", ""))).as("n_sentences"),
+            ((length(regexp_replace(lt, "[aeiouy]+", "V")) -
+              length(regexp_replace(lt, "[aeiouy]+", ""))) +
+              size(filter(tokens(lt), w => !w.rlike("[aeiouy]"))))
+              .as("n_syllables"))
+          .filter(col("n_words") > 0)
+          .select(col("doc_id"), col("n_words"), col("n_sentences"),
+            col("n_syllables"),
+            (lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") /
+                col("n_sentences").cast("double")) -
+              lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double"))).as("flesch"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, lower(text) AS lt FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(lt, ' ')) AS INT) AS n_words,
+             |    greatest(1,
+             |      CAST(length(regexp_replace(lt, '[.!?]+', 'S', 'g')) AS INT) -
+             |      CAST(length(regexp_replace(lt, '[.!?]+', '', 'g')) AS INT)) AS n_sentences,
+             |    CAST(length(regexp_replace(lt, '[aeiouy]+', 'V', 'g')) -
+             |         length(regexp_replace(lt, '[aeiouy]+', '', 'g')) +
+             |         len(list_filter(string_split(lt, ' '),
+             |           t -> NOT regexp_matches(t, '[aeiouy]'))) AS INT) AS n_syllables
+             |  FROM b)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+             |  84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+             |FROM m WHERE n_words > 0 ORDER BY doc_id""".stripMargin)
+    ),
+
     // ── tokenizer fertility comparison (BPE vs unigram-LM) ─────────────
     // The metric that picks between trained tokenizers: corpus
     // fertility = pieces emitted per word (lower = better compression
