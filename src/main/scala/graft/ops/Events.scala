@@ -1482,6 +1482,138 @@ object Events {
               |       CAST(num AS DOUBLE) /
               |         sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS acf
               |FROM mo WHERE d1 > 0 AND d2 > 0 ORDER BY lag""".stripMargin)
+    ),
+
+    // ── CUPED variance-reduced A/B comparison (Deng et al. 2013) ───────
+    // The experimentation-platform workhorse: adjust each user's
+    // experiment-period purchase total by their PRE-period total
+    // (adj_i = post_i − θ·(pre_i − mean(pre)), θ = cov/var from the
+    // pooled pre/post pairs), shrinking metric variance by ρ² without
+    // biasing the treatment difference. Arms are the evt_ab_test
+    // deterministic user_id % 2 split; the period split is the month's
+    // midpoint. The key identity: the ARM-LEVEL adjusted mean needs no
+    // per-user adjusted column — mean_adj_a = (Σpost_a − θ·(Σpre_a −
+    // n_a·mean(pre)))/n_a — so the whole operator is ONE pass over the
+    // per-user pairs producing 11 exact BIGINT sums (values in cents;
+    // users absent from a period contribute 0), with the n·Σ cross
+    // terms ridden through DECIMAL(38,0)/HUGEINT (the assortativity
+    // convention) and every double derived from NAMED intermediates —
+    // token-identical on both engines.
+    Q(
+      "evt_cuped",
+      (s, d) => {
+        val cut = lit("2024-01-16").cast("timestamp")
+        val e = eventsUs(s, d)
+        val p = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("ts") < cut, floor(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("pre"),
+            sum(when(col("ts") >= cut, floor(col("value") * 100).cast("long"))
+              .otherwise(0L)).as("post"))
+        val pu = e.select(col("user_id")).distinct()
+          .join(p, Seq("user_id"), "left")
+          .select((col("user_id") % 2).as("arm"),
+            coalesce(col("pre"), lit(0L)).as("pre"),
+            coalesce(col("post"), lit(0L)).as("post"))
+        def dec38(c: Column) =
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        val sums = pu.agg(
+          count(lit(1)).as("n"),
+          sum("pre").as("sp"), sum("post").as("ss"),
+          sum(col("pre") * col("pre")).as("spp"),
+          sum(col("post") * col("post")).as("sss"),
+          sum(col("pre") * col("post")).as("sps"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("sp0"),
+          sum(when(col("arm") === 1, col("pre")).otherwise(0L)).as("sp1"),
+          sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("ss0"),
+          sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("ss1"))
+        sums
+          .withColumn("num",
+            (dec38(col("n")) * dec38(col("sps")) -
+              dec38(col("sp")) * dec38(col("ss"))).cast("double"))
+          .withColumn("d1",
+            (dec38(col("n")) * dec38(col("spp")) -
+              dec38(col("sp")) * dec38(col("sp"))).cast("double"))
+          .withColumn("d2",
+            (dec38(col("n")) * dec38(col("sss")) -
+              dec38(col("ss")) * dec38(col("ss"))).cast("double"))
+          .withColumn("theta", col("num") / col("d1"))
+          .withColumn("rho", col("num") / sqrt(col("d1") * col("d2")))
+          .withColumn("mean_pre", col("sp").cast("double") / col("n").cast("double"))
+          .withColumn("mean_post_a",
+            col("ss0").cast("double") / col("n0").cast("double") / 100.0)
+          .withColumn("mean_post_b",
+            col("ss1").cast("double") / col("n1").cast("double") / 100.0)
+          .withColumn("mean_adj_a",
+            (col("ss0").cast("double") - col("theta") *
+              (col("sp0").cast("double") - col("n0").cast("double") * col("mean_pre"))) /
+              col("n0").cast("double") / 100.0)
+          .withColumn("mean_adj_b",
+            (col("ss1").cast("double") - col("theta") *
+              (col("sp1").cast("double") - col("n1").cast("double") * col("mean_pre"))) /
+              col("n1").cast("double") / 100.0)
+          .select(col("n0"), col("n1"), col("theta"),
+            col("mean_post_a"), col("mean_post_b"),
+            (col("mean_post_b") - col("mean_post_a")).as("diff_raw"),
+            col("mean_adj_a"), col("mean_adj_b"),
+            (col("mean_adj_b") - col("mean_adj_a")).as("diff_cuped"),
+            (col("rho") * col("rho")).as("var_reduction"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT user_id,
+              |    CAST(sum(CASE WHEN $sqlTs < TIMESTAMP '2024-01-16'
+              |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+              |    CAST(sum(CASE WHEN $sqlTs >= TIMESTAMP '2024-01-16'
+              |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+              |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+              |pu AS (
+              |  SELECT u.user_id % 2 AS arm,
+              |         coalesce(p.pre, 0) AS pre, coalesce(p.post, 0) AS post
+              |  FROM (SELECT DISTINCT user_id FROM events) u
+              |  LEFT JOIN p USING (user_id)),
+              |sums AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(pre) AS BIGINT) AS sp, CAST(sum(post) AS BIGINT) AS ss,
+              |    CAST(sum(pre * pre) AS BIGINT) AS spp,
+              |    CAST(sum(post * post) AS BIGINT) AS sss,
+              |    CAST(sum(pre * post) AS BIGINT) AS sps,
+              |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              |    CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS sp0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS sp1,
+              |    CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS ss0,
+              |    CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS ss1
+              |  FROM pu),
+              |m1 AS (
+              |  SELECT *,
+              |    CAST(CAST(n AS HUGEINT) * sps - CAST(sp AS HUGEINT) * ss AS DOUBLE) AS num,
+              |    CAST(CAST(n AS HUGEINT) * spp - CAST(sp AS HUGEINT) * sp AS DOUBLE) AS d1,
+              |    CAST(CAST(n AS HUGEINT) * sss - CAST(ss AS HUGEINT) * ss AS DOUBLE) AS d2
+              |  FROM sums),
+              |m2 AS (
+              |  SELECT *, num / d1 AS theta, num / sqrt(d1 * d2) AS rho,
+              |    CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre
+              |  FROM m1),
+              |m3 AS (
+              |  SELECT *,
+              |    CAST(ss0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS mean_post_a,
+              |    CAST(ss1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS mean_post_b,
+              |    (CAST(ss0 AS DOUBLE) - theta *
+              |      (CAST(sp0 AS DOUBLE) - CAST(n0 AS DOUBLE) * mean_pre)) /
+              |      CAST(n0 AS DOUBLE) / 100.0 AS mean_adj_a,
+              |    (CAST(ss1 AS DOUBLE) - theta *
+              |      (CAST(sp1 AS DOUBLE) - CAST(n1 AS DOUBLE) * mean_pre)) /
+              |      CAST(n1 AS DOUBLE) / 100.0 AS mean_adj_b
+              |  FROM m2)
+              |SELECT n0, n1, theta, mean_post_a, mean_post_b,
+              |  mean_post_b - mean_post_a AS diff_raw,
+              |  mean_adj_a, mean_adj_b,
+              |  mean_adj_b - mean_adj_a AS diff_cuped,
+              |  rho * rho AS var_reduction
+              |FROM m3""".stripMargin)
     )
   )
 

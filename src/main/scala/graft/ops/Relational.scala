@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   import Tables._
+
+  /** The nine Benford first-digit probabilities log10(1+1/d), shared by
+    * the Spark plan and (as 17-significant-digit literals, which
+    * round-trip doubles exactly) the DuckDB oracle text. Declared before
+    * `queries`, whose oracle strings evaluate eagerly at object init. */
+  private val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(dg => (dg, math.log10(1.0 + 1.0 / dg)))
+  /** Scientific notation, 18 significant digits: DuckDB parses
+    * exponent-form literals directly as DOUBLE (correctly rounded from
+    * the decimal string), whereas a plain 17-digit literal becomes a
+    * DECIMAL whose int128→double cast double-rounds past 2^53. */
+  private def fmt17(x: Double): String = "%.17e".format(x)
 
   val queries: Seq[Q] = Seq(
     // ── Q1/Q2/Q8 scans + predicate pushdown ────────────────────────────
@@ -1380,6 +1392,151 @@ object Relational {
               |  AND (valid_to IS NULL OR o_orderdate < valid_to)
               |GROUP BY 1, 2
               |ORDER BY order_year, hit_current_version""".stripMargin)
+    ),
+
+    // ── Benford first-digit audit (fraud / synthetic-data detector) ────
+    // Does the leading digit of l_extendedprice follow Benford's law?
+    // The data-quality screen auditors run on any money column. The
+    // first digit comes from the CENTS BIGINT's decimal string length
+    // (c // 10^(len(c)−1)) — integer-exact on both engines, never
+    // float log10 of the raw value, whose ulp could flip the digit on
+    // an exact power of ten. The nine Benford probabilities are emitted
+    // into BOTH texts as 17-significant-digit literals from the same
+    // Scala doubles, so expected counts and χ² contributions are
+    // token-identical IEEE math; a LEFT JOIN from the digit table
+    // guarantees all nine rows even for never-observed digits. One
+    // scan, one 9-group aggregate.
+    Q(
+      "rel_benford_audit",
+      (s, d) => {
+        val obs = lineitem(s, d)
+          .select(floor(col("l_extendedprice") * 100).cast("long").as("c"))
+          .filter(col("c") > 0)
+          .select((col("c") / pow(lit(10.0), length(col("c").cast("string")) - 1))
+            .cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("observed"))
+        val bf = {
+          import s.implicits._
+          benfordP.toDF("digit", "p")
+        }
+        val n = obs.agg(sum("observed").as("n"))
+        bf.crossJoin(broadcast(n))
+          .join(obs, Seq("digit"), "left")
+          .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"),
+            (col("n").cast("double") * col("p")).as("expected"))
+          .withColumn("chi2_contrib",
+            (col("observed").cast("double") - col("expected")) *
+              (col("observed").cast("double") - col("expected")) / col("expected"))
+          .orderBy("digit")
+      },
+      Some {
+        val pRows = benfordP
+          .map { case (dg, p) => s"($dg, CAST(${fmt17(p)} AS DOUBLE))" }
+          .mkString(", ")
+        s"""WITH c AS (
+           |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+           |  FROM lineitem WHERE floor(l_extendedprice * 100) > 0),
+           |obs AS (
+           |  SELECT CAST(c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS BIGINT) AS digit,
+           |         CAST(count(*) AS BIGINT) AS observed
+           |  FROM c GROUP BY 1),
+           |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+           |bf(digit, p) AS (VALUES $pRows),
+           |j AS (
+           |  SELECT bf.digit, coalesce(obs.observed, 0) AS observed,
+           |         CAST(n.n AS DOUBLE) * bf.p AS expected
+           |  FROM bf CROSS JOIN n LEFT JOIN obs ON obs.digit = bf.digit)
+           |SELECT digit, observed, expected,
+           |  (CAST(observed AS DOUBLE) - expected) *
+           |  (CAST(observed AS DOUBLE) - expected) / expected AS chi2_contrib
+           |FROM j ORDER BY digit""".stripMargin
+      }
+    ),
+
+    // ── join-key skew report (the "do I need salting?" diagnostic) ─────
+    // For each candidate join key: row count, distinct keys, the
+    // heaviest key's count and share, the Gini coefficient of the
+    // per-key count distribution (counts ranked ascending with the
+    // deterministic (count, key) tie order: G = (2·Σi·cᵢ − (K+1)·Σcᵢ)
+    // / (K·Σcᵢ)) and the 2^-20-quantized key entropy — exactly the
+    // statistics a planner needs to choose broadcast vs shuffle vs
+    // salted (rel_skew_salted_agg is the remedy this report
+    // prescribes). The three candidate columns are UNIONED with a label
+    // FIRST so one groupBy profiles them all in parallel and the rank
+    // window partitions BY PROFILED COLUMN (the rel_analyze_stats
+    // shape — never an unpartitioned global sort); everything after the
+    // groupBy touches only per-key count tables. Exact BIGINT counts;
+    // Σi·cᵢ and the Gini numerator ride DECIMAL(38,0)/HUGEINT so the
+    // arithmetic survives a billion-key column.
+    Q(
+      "rel_key_skew_report",
+      (s, d) => {
+        def dec38(c: Column) =
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        val li = lineitem(s, d)
+        val keyed = li.select(lit("lineitem.l_partkey").as("kc"), col("l_partkey").as("k"))
+          .unionByName(li.select(lit("lineitem.l_suppkey").as("kc"), col("l_suppkey").as("k")))
+          .unionByName(orders(s, d).select(lit("orders.o_custkey").as("kc"), col("o_custkey").as("k")))
+        val counts = keyed.groupBy("kc", "k").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false) // read three ways below
+        val totals = counts.groupBy("kc").agg(
+          sum("c").as("n_rows"), count(lit(1)).as("n_keys"), max("c").as("max_cnt"))
+        val sic = counts
+          .withColumn("i", row_number().over(
+            Window.partitionBy("kc").orderBy(col("c"), col("k"))))
+          .groupBy("kc").agg(sum(dec38(col("i")) * dec38(col("c"))).as("sic"))
+        val ent = counts
+          .join(broadcast(totals.select(col("kc"), col("n_rows").as("nr"))), "kc")
+          .select(col("kc"),
+            (floor(-(col("c").cast("double") / col("nr").cast("double")) *
+              log(col("c").cast("double") / col("nr").cast("double")) * 1048576.0)
+              / 1048576.0).as("q"))
+          .groupBy("kc").agg(sum("q").as("entropy_nats"))
+        totals.join(sic, "kc").join(ent, "kc")
+          .select(col("kc").as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_cnt"),
+            (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+              .as("top1_share"),
+            ((lit(2) * col("sic") - dec38(col("n_keys") + 1) * dec38(col("n_rows")))
+              .cast("double") /
+              (dec38(col("n_keys")) * dec38(col("n_rows"))).cast("double")).as("gini"),
+            col("entropy_nats"))
+          .orderBy("key_col")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT 'lineitem.l_partkey' AS kc, l_partkey AS k FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey', o_custkey FROM orders),
+             |counts AS MATERIALIZED (
+             |  SELECT kc, k, CAST(count(*) AS BIGINT) AS c
+             |  FROM keyed GROUP BY kc, k),
+             |totals AS (
+             |  SELECT kc, CAST(sum(c) AS BIGINT) AS n_rows,
+             |         CAST(count(*) AS BIGINT) AS n_keys,
+             |         CAST(max(c) AS BIGINT) AS max_cnt
+             |  FROM counts GROUP BY kc),
+             |sic AS (
+             |  SELECT kc, sum(CAST(i AS HUGEINT) * c) AS sic FROM (
+             |    SELECT kc, c,
+             |           row_number() OVER (PARTITION BY kc ORDER BY c, k) AS i
+             |    FROM counts) GROUP BY kc),
+             |ent AS (
+             |  SELECT counts.kc, sum(
+             |    floor(-(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE)) *
+             |      ln(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE)) * 1048576)
+             |    / 1048576) AS entropy_nats
+             |  FROM counts JOIN totals ON totals.kc = counts.kc
+             |  GROUP BY counts.kc)
+             |SELECT t.kc AS key_col, t.n_rows, t.n_keys, t.max_cnt,
+             |  CAST(t.max_cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS top1_share,
+             |  CAST(2 * s.sic - CAST(t.n_keys + 1 AS HUGEINT) * t.n_rows AS DOUBLE) /
+             |    CAST(CAST(t.n_keys AS HUGEINT) * t.n_rows AS DOUBLE) AS gini,
+             |  e.entropy_nats
+             |FROM totals t JOIN sic s ON s.kc = t.kc JOIN ent e ON e.kc = t.kc
+             |ORDER BY key_col""".stripMargin)
     )
   )
+
 }
