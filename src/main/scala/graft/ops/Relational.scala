@@ -1536,6 +1536,95 @@ object Relational {
              |  e.entropy_nats
              |FROM totals t JOIN sic s ON s.kc = t.kc JOIN ent e ON e.kc = t.kc
              |ORDER BY key_col""".stripMargin)
+    ),
+
+    // ── table diff / snapshot reconciliation (the "data diff" op) ──────
+    // What changed between two pipeline runs? The before snapshot is
+    // orders; the after snapshot applies a deterministic edit script
+    // (delete k%13, bump price on k%7, flip status on k%5, insert fresh
+    // keys for k%17 — both engines derive the identical snapshot, the
+    // rel_cdc_apply convention). One FULL OUTER join on the key, then
+    // added/removed/changed/unchanged plus PER-COLUMN change counts in
+    // one conditional aggregation (null-safe <=> compares so a NULL
+    // column never miscounts), stacked to (metric, cnt) rows. This is
+    // the reconciliation report every migration/backfill signs off on;
+    // at 100 TB it is one co-partitioned join on the primary key —
+    // bucketing both snapshots on k makes it shuffle-free.
+    Q(
+      "rel_data_diff",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+        val after = o.filter(col("k") % 13 =!= 0)
+          .select(col("k"),
+            when(col("k") % 7 === 0, col("price") + 1.0).otherwise(col("price"))
+              .as("price"),
+            when(col("k") % 5 === 0, lit("X")).otherwise(col("status"))
+              .as("status"))
+          .unionByName(o.filter(col("k") % 17 === 0)
+            .select((col("k") + 1000000000L).as("k"), col("price"), col("status")))
+        val j = o.select(col("k"), col("price").as("bp"), col("status").as("bs"),
+            lit(true).as("inb"))
+          .join(after.select(col("k"), col("price").as("ap"),
+            col("status").as("as_"), lit(true).as("ina")),
+            Seq("k"), "full_outer")
+        val co = col("inb").isNotNull && col("ina").isNotNull
+        val agg = j.agg(
+          sum(when(col("inb").isNull, 1L).otherwise(0L)).as("added"),
+          sum(when(col("ina").isNull, 1L).otherwise(0L)).as("removed"),
+          sum(when(co && !(col("bp") <=> col("ap") && col("bs") <=> col("as_")),
+            1L).otherwise(0L)).as("changed"),
+          sum(when(co && (col("bp") <=> col("ap") && col("bs") <=> col("as_")),
+            1L).otherwise(0L)).as("unchanged"),
+          sum(when(co && !(col("bp") <=> col("ap")), 1L).otherwise(0L))
+            .as("chg_price"),
+          sum(when(co && !(col("bs") <=> col("as_")), 1L).otherwise(0L))
+            .as("chg_status"))
+        agg.select(expr("stack(6, 'added', added, 'removed', removed, " +
+            "'changed', changed, 'unchanged', unchanged, " +
+            "'col_changed.price', chg_price, 'col_changed.status', chg_status) " +
+            "AS (metric, cnt)"))
+          .orderBy("metric")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price,
+             |                  o_orderstatus AS status FROM orders),
+             |after AS (
+             |  SELECT k,
+             |    CASE WHEN k % 7 = 0 THEN price + 1.0 ELSE price END AS price,
+             |    CASE WHEN k % 5 = 0 THEN 'X' ELSE status END AS status
+             |  FROM o WHERE k % 13 <> 0
+             |  UNION ALL
+             |  SELECT k + 1000000000, price, status FROM o WHERE k % 17 = 0),
+             |j AS (
+             |  SELECT b.k AS bk, a.k AS ak,
+             |         b.price AS bp, b.status AS bs,
+             |         a.price AS ap, a.status AS as_
+             |  FROM o b FULL OUTER JOIN after a ON a.k = b.k),
+             |agg AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+             |    CAST(sum(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+             |    CAST(sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+             |      AND NOT (bp IS NOT DISTINCT FROM ap AND bs IS NOT DISTINCT FROM as_)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+             |    CAST(sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+             |      AND (bp IS NOT DISTINCT FROM ap AND bs IS NOT DISTINCT FROM as_)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+             |    CAST(sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+             |      AND NOT (bp IS NOT DISTINCT FROM ap)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS chg_price,
+             |    CAST(sum(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+             |      AND NOT (bs IS NOT DISTINCT FROM as_)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS chg_status
+             |  FROM j)
+             |SELECT metric, cnt FROM (
+             |  SELECT 'added' AS metric, added AS cnt FROM agg
+             |  UNION ALL SELECT 'removed', removed FROM agg
+             |  UNION ALL SELECT 'changed', changed FROM agg
+             |  UNION ALL SELECT 'unchanged', unchanged FROM agg
+             |  UNION ALL SELECT 'col_changed.price', chg_price FROM agg
+             |  UNION ALL SELECT 'col_changed.status', chg_status FROM agg)
+             |ORDER BY metric""".stripMargin)
     )
   )
 
