@@ -1614,6 +1614,171 @@ object Events {
               |  mean_adj_b - mean_adj_a AS diff_cuped,
               |  rho * rho AS var_reduction
               |FROM m3""".stripMargin)
+    ),
+
+    // ── Markov removal-effect attribution (Anderl et al. 2016) ─────────
+    // Data-driven multi-touch attribution — the principled answer to the
+    // first/last-touch heuristics in evt_attribution: model each user
+    // journey (truncated at the first purchase, which absorbs; journeys
+    // without one die at END) as a first-order Markov chain over event
+    // types, then credit each channel by its REMOVAL EFFECT — how much
+    // the start→purchase absorption probability drops when every
+    // transition into that channel is redirected to END. Transition
+    // counts are one distributed window pass (exact BIGINTs); the chain
+    // itself is a ≤6×7 count matrix — a BOUNDED driver boundary (the
+    // vec_pca_power convention) — and absorption probabilities come from
+    // 60 synchronous Jacobi iterations p ← Qp + r, unrolled in the SAME
+    // term order (click, error, signup, view, then r) in Scala and in
+    // the oracle's recursive CTE, so every double is bit-identical.
+    // Removing a channel zeroes q_{*,X}: IEEE-safe because acc + 0.0·p
+    // ≡ acc for the non-negative values here.
+    Q(
+      "evt_markov_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val base = eventsUs(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(w))
+        val firstP = base.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("rn").as("prn"))
+        val kept = base.join(firstP, Seq("user_id"), "left")
+          .filter(col("prn").isNull || col("rn") <= col("prn"))
+        val w2 = Window.partitionBy("user_id").orderBy("rn")
+        val steps = kept
+          .withColumn("src",
+            coalesce(lag(col("event_type"), 1).over(w2), lit("START")))
+          .select(col("src"), col("event_type").as("dst"))
+        val lastRn = kept.groupBy("user_id").agg(max("rn").as("mrn"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("hasp"))
+        val ends = kept.join(lastRn, "user_id")
+          .filter(col("rn") === col("mrn") && col("hasp") === 0)
+          .select(col("event_type").as("src"), lit("END").as("dst"))
+        val cnts = steps.unionByName(ends)
+          .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+          .collect() // bounded: ≤ 6 src × 7 dst transition-type pairs
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        val trans = Seq("START", "click", "error", "signup", "view")
+        val chans = Seq("click", "error", "signup", "view")
+        val tot: Map[String, Long] =
+          trans.map(f => f -> cnts.collect { case ((`f`, _), c) => c }.sum).toMap
+        def q(f: String, x: String, removed: Option[String]): Double =
+          if (tot(f) == 0L || removed.contains(x)) 0.0
+          else cnts.getOrElse((f, x), 0L).toDouble / tot(f).toDouble
+        def absorb(removed: Option[String]): Double = {
+          var p = chans.map(_ -> 0.0).toMap
+          var pStart = 0.0
+          var it = 0
+          while (it < 60) {
+            val nxt = trans.map { f =>
+              var acc = 0.0
+              chans.foreach(x => acc = acc + q(f, x, removed) * p.getOrElse(x, 0.0))
+              acc = acc + q(f, "purchase", removed)
+              f -> acc
+            }.toMap
+            pStart = nxt("START")
+            p = nxt.filterKeys(chans.contains).toMap
+            it += 1
+          }
+          pStart
+        }
+        val pBase = absorb(None)
+        val removedP = chans.map(c => c -> absorb(Some(c))).toMap
+        val effects = chans.map(c => pBase - removedP(c))
+        var sEff = 0.0
+        effects.foreach(e => sEff = sEff + e)
+        val rows = chans.zip(effects).map { case (c, e) =>
+          (c, pBase, removedP(c), e,
+            if (sEff > 0.0) Some(e / sEff) else None)
+        }
+        import s.implicits._
+        rows.toDF("channel", "p_base", "p_removed", "removal_effect",
+            "attribution_share")
+          .select(col("channel"), col("p_base"), col("p_removed"),
+            col("removal_effect"),
+            col("attribution_share").cast("double").as("attribution_share"))
+          .orderBy("channel")
+      },
+      Some {
+        val trans = Seq("START", "click", "error", "signup", "view")
+        val chans = Seq("click", "error", "signup", "view")
+        val key = Map("START" -> "s", "click" -> "c", "error" -> "e",
+          "signup" -> "g", "view" -> "v")
+        // one-row q matrix: q_<f>_<x> plus absorption r_<f>
+        val qCols = trans.flatMap { f =>
+          (chans :+ "purchase").map { x =>
+            val cnt = s"coalesce(max(CASE WHEN src = '$f' AND dst = '$x' THEN cnt END), 0)"
+            val t = s"coalesce(sum(CASE WHEN src = '$f' THEN cnt END), 0)"
+            val nm = if (x == "purchase") s"r_${key(f)}" else s"q_${key(f)}_${key(x)}"
+            s"CASE WHEN $t = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST($cnt AS DOUBLE) / CAST($t AS DOUBLE) END AS $nm"
+          }
+        }.mkString(",\n  ")
+        def iterCte(name: String, removed: Option[String]): String = {
+          val upd = trans.map { f =>
+            val terms = chans.map { x =>
+              val qn = if (removed.contains(x)) "0.0"
+              else s"q.q_${key(f)}_${key(x)}"
+              s"$qn * p_${key(x)}"
+            } :+ s"q.r_${key(f)}"
+            terms.mkString(" + ")
+          }.mkString(",\n    ")
+          s"""$name(it, p_s, p_c, p_e, p_g, p_v) AS (
+             |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+             |  UNION ALL
+             |  SELECT it + 1,
+             |    $upd
+             |  FROM $name, qrow q WHERE it < 60)""".stripMargin
+        }
+        val iters = (iterCte("it_base", None) +: chans.map(c =>
+          iterCte(s"it_no${key(c)}", Some(c)))).mkString(",\n")
+        val effSum = chans.map(c => s"(b.p_s - n${key(c)}.p_s)").mkString(" + ")
+        val outRows = chans.map(c =>
+          s"SELECT '$c' AS channel, b.p_s AS p_base, n${key(c)}.p_s AS p_removed, " +
+            s"b.p_s - n${key(c)}.p_s AS removal_effect, " +
+            s"CASE WHEN t.s > 0.0 THEN (b.p_s - n${key(c)}.p_s) / t.s END AS attribution_share " +
+            s"FROM fb b, ${chans.map(x => s"f${key(x)} n${key(x)}").mkString(", ")}, teff t")
+          .mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE base AS (
+           |  SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY $sqlTs, event_id) AS rn
+           |  FROM events),
+           |firstp AS (
+           |  SELECT user_id, min(rn) AS prn FROM base
+           |  WHERE event_type = 'purchase' GROUP BY user_id),
+           |kept AS (
+           |  SELECT b.user_id, b.event_type, b.rn
+           |  FROM base b LEFT JOIN firstp f USING (user_id)
+           |  WHERE f.prn IS NULL OR b.rn <= f.prn),
+           |steps AS (
+           |  SELECT coalesce(lag(event_type) OVER
+           |      (PARTITION BY user_id ORDER BY rn), 'START') AS src,
+           |    event_type AS dst
+           |  FROM kept),
+           |lastr AS (
+           |  SELECT user_id, max(rn) AS mrn,
+           |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hasp
+           |  FROM kept GROUP BY user_id),
+           |ends AS (
+           |  SELECT k.event_type AS src, 'END' AS dst
+           |  FROM kept k JOIN lastr l ON l.user_id = k.user_id
+           |  WHERE k.rn = l.mrn AND l.hasp = 0),
+           |tr AS (
+           |  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT src, dst FROM steps UNION ALL SELECT src, dst FROM ends)
+           |  GROUP BY src, dst),
+           |qrow AS (
+           |  SELECT
+           |  $qCols
+           |  FROM tr),
+           |$iters,
+           |fb AS (SELECT p_s FROM it_base WHERE it = 60),
+           |${chans.map(c => s"f${key(c)} AS (SELECT p_s FROM it_no${key(c)} WHERE it = 60)").mkString(",\n")},
+           |teff AS (
+           |  SELECT $effSum AS s
+           |  FROM fb b, ${chans.map(c => s"f${key(c)} n${key(c)}").mkString(", ")})
+           |$outRows
+           |ORDER BY channel""".stripMargin
+      }
     )
   )
 
