@@ -1616,6 +1616,127 @@ object Events {
               |FROM m3""".stripMargin)
     ),
 
+    // ── LTTB time-series downsampling (Steinarsson 2013) ───────────────
+    // Largest-Triangle-Three-Buckets — the downsampler every dashboard
+    // pipeline runs before plotting: keep the first and last point,
+    // split the interior into m−2 buckets, and in each bucket keep the
+    // point forming the largest triangle with the PREVIOUSLY KEPT point
+    // and the next bucket's centroid. The sequential dependence is
+    // resolved RELATIONALLY: a transition table precomputes, for EVERY
+    // candidate previous point, the bucket's argmax (area comparisons in
+    // exact BIGINTs — the centroid division is cleared by multiplying
+    // through by the next bucket's count, so |2·area·c| =
+    // |(xp·c−sx)(yq−yp) − (xp−xq)(sy−yp·c)| and there is NO float
+    // anywhere in the operator), then the kept path is an 8-step
+    // equi-join follow — unrolled joins on Spark, a recursive CTE in the
+    // oracle, both walking the IDENTICAL deterministic table
+    // ((area desc, rn asc) tie order). Per-bucket candidate pairs are
+    // (n/m)² — bounded; every step is an equi-join on (series, prev).
+    Q(
+      "evt_lttb_downsample",
+      (s, d) => {
+        val m = 10
+        val daily = eventsUs(s, d)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wS = Window.partitionBy("event_type")
+        val pts = daily
+          .withColumn("n", count(lit(1)).over(wS))
+          .filter(col("n") > 12)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("day")))
+          .withColumn("bucket",
+            when(col("rn") === 1, 0)
+              .when(col("rn") === col("n"), m - 1)
+              .otherwise(lit(1) + expr(s"((rn - 2) * ${m - 2}) DIV (n - 2)")))
+          .localCheckpoint(false) // read by nxt, trans, and both path ends
+        val nxt = pts.filter(col("bucket") >= 2)
+          .groupBy(col("event_type"), (col("bucket") - 1).as("b"))
+          .agg(count(lit(1)).as("c"), sum("rn").as("sx"), sum("y").as("sy"))
+        val prevSide = pts.filter(col("bucket") <= m - 2)
+          .select(col("event_type"), (col("bucket") + 1).as("b"),
+            col("rn").as("prn"), col("rn").as("xp"), col("y").as("yp"))
+        val candSide = pts.filter(col("bucket").between(1, m - 2))
+          .select(col("event_type"), col("bucket").as("b"), col("rn").as("qrn"),
+            col("day").as("qday"), col("y").as("qy"))
+        val trans = prevSide.join(candSide, Seq("event_type", "b"))
+          .join(nxt, Seq("event_type", "b"))
+          .withColumn("area2c",
+            abs((col("xp") * col("c") - col("sx")) * (col("qy") - col("yp")) -
+              (col("xp") - col("qrn")) * (col("sy") - col("yp") * col("c"))))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type", "b", "prn")
+              .orderBy(col("area2c").desc, col("qrn").asc)))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("b"), col("prn"), col("qrn"),
+            col("qday"), col("qy"))
+          .localCheckpoint(false) // walked 8 times below
+        var sel = pts.filter(col("bucket") === 0)
+          .select(col("event_type"), col("rn"), col("day"), col("y"),
+            lit(0).as("seq"))
+        var cur = sel.select(col("event_type"), col("rn"))
+        (1 to m - 2).foreach { b =>
+          val step = cur
+            .join(trans.filter(col("b") === b), Seq("event_type"))
+            .filter(col("prn") === col("rn"))
+            .select(col("event_type"), col("qrn").as("rn"),
+              col("qday").as("day"), col("qy").as("y"), lit(b).as("seq"))
+          sel = sel.unionByName(step)
+          cur = step.select(col("event_type"), col("rn"))
+        }
+        sel.unionByName(pts.filter(col("bucket") === m - 1)
+            .select(col("event_type"), col("rn"), col("day"), col("y"),
+              lit(m - 1).as("seq")))
+          .select(col("event_type"), col("seq"), col("day"), col("y"))
+          .orderBy("event_type", "seq")
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+              |  SELECT event_type, CAST($sqlTs AS DATE) AS day,
+              |         CAST(count(*) AS BIGINT) AS y
+              |  FROM events GROUP BY 1, 2),
+              |pts AS MATERIALIZED (
+              |  SELECT event_type, day, y, rn, n,
+              |    CASE WHEN rn = 1 THEN 0
+              |         WHEN rn = n THEN 9
+              |         ELSE 1 + ((rn - 2) * 8) // (n - 2) END AS bucket
+              |  FROM (
+              |    SELECT event_type, day, y,
+              |      row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+              |      count(*) OVER (PARTITION BY event_type) AS n
+              |    FROM daily)
+              |  WHERE n > 12),
+              |nxt AS (
+              |  SELECT event_type, bucket - 1 AS b, CAST(count(*) AS BIGINT) AS c,
+              |         CAST(sum(rn) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+              |  FROM pts WHERE bucket >= 2 GROUP BY 1, 2),
+              |trans AS MATERIALIZED (
+              |  SELECT event_type, b, prn, qrn, qday, qy FROM (
+              |    SELECT p.event_type, cand.b, p.rn AS prn, cand.qrn, cand.qday, cand.qy,
+              |      row_number() OVER (PARTITION BY p.event_type, cand.b, p.rn
+              |        ORDER BY abs((p.rn * n.c - n.sx) * (cand.qy - p.y) -
+              |                     (p.rn - cand.qrn) * (n.sy - p.y * n.c)) DESC,
+              |          cand.qrn ASC) AS rk
+              |    FROM pts p
+              |    JOIN (SELECT event_type, bucket AS b, rn AS qrn, day AS qday,
+              |                 y AS qy
+              |          FROM pts WHERE bucket BETWEEN 1 AND 8) cand
+              |      ON cand.event_type = p.event_type AND cand.b = p.bucket + 1
+              |    JOIN nxt n ON n.event_type = p.event_type AND n.b = cand.b
+              |    WHERE p.bucket <= 8)
+              |  WHERE rk = 1),
+              |path(event_type, b, rn, day, y) AS (
+              |  SELECT event_type, 0, rn, day, y FROM pts WHERE bucket = 0
+              |  UNION ALL
+              |  SELECT t.event_type, t.b, t.qrn, t.qday, t.qy
+              |  FROM path p JOIN trans t
+              |    ON t.event_type = p.event_type AND t.b = p.b + 1 AND t.prn = p.rn)
+              |SELECT event_type, seq, day, y FROM (
+              |  SELECT event_type, b AS seq, day, y FROM path
+              |  UNION ALL
+              |  SELECT event_type, 9, day, y FROM pts WHERE bucket = 9)
+              |ORDER BY event_type, seq""".stripMargin)
+    ),
+
     // ── Markov removal-effect attribution (Anderl et al. 2016) ─────────
     // Data-driven multi-touch attribution — the principled answer to the
     // first/last-touch heuristics in evt_attribution: model each user

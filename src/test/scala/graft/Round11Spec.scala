@@ -323,4 +323,44 @@ class Round11Spec extends SparkSpec {
         s"lag $lag")
     }
   }
+
+  test("LTTB relational path equals the classic sequential algorithm") {
+    val out = SparkEntry.queries("evt_lttb_downsample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDate(2).toString, r.getLong(3)))
+      .groupBy(_._1)
+    val daily = ops.Events.eventsUs(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { case (et, rows) =>
+      val series = daily(et).map(t => (t._2, t._3)).sortBy(_._1)
+      val n = series.length
+      val m = 10
+      // classic sequential LTTB with the same integer area comparison
+      def bucket(rn: Int): Int =
+        if (rn == 1) 0 else if (rn == n) m - 1
+        else 1 + ((rn - 2) * (m - 2)) / (n - 2)
+      val byBucket = (1 to n).groupBy(bucket)
+      var kept = List(1) // rn of first point
+      (1 to m - 2).foreach { b =>
+        val prev = kept.head
+        val nextPts = byBucket(if (b == m - 2) m - 1 else b + 1)
+        val c = nextPts.size.toLong
+        val sx = nextPts.map(_.toLong).sum
+        val sy = nextPts.map(rn => series(rn - 1)._2).sum
+        val (xp, yp) = (prev.toLong, series(prev - 1)._2)
+        val best = byBucket(b).minBy { q =>
+          val (xq, yq) = (q.toLong, series(q - 1)._2)
+          val a = math.abs((xp * c - sx) * (yq - yp) - (xp - xq) * (sy - yp * c))
+          (-a, q.toLong)
+        }
+        kept = best :: kept
+      }
+      kept = n :: kept
+      val expect = kept.reverse.map(rn => series(rn - 1))
+      val got = rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == expect, s"$et: $got vs $expect")
+    }
+  }
 }
