@@ -1616,6 +1616,135 @@ object Events {
               |FROM m3""".stripMargin)
     ),
 
+    // ── changepoint detection by binary segmentation ───────────────────
+    // The OFFLINE changepoint finder next to the online CUSUM monitor:
+    // on the daily purchase-revenue series, split at the t maximizing
+    // the scaled CUSUM statistic |L·P_t − t_rel·S| (the |prefix −
+    // expected-under-no-change| distance cleared of its division by L —
+    // pure BIGINT, argmax with the (stat desc, rn asc) deterministic
+    // tie), then recurse once into each half — three reported splits
+    // with exact before/after segment means. Both engines run the
+    // IDENTICAL two-level plan: prefix sums in one window, each level
+    // one argmax-by-row_number over a bounded segment set. At scale
+    // levels are sequential but each level is one parallel pass over
+    // (segment × day) rows; depth is the log of the segment budget.
+    Q(
+      "evt_changepoint_binseg",
+      (s, d) => {
+        val daily = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(floor(col("value") * 1000000).cast("long")).as("q"))
+        val dd = daily
+          .withColumn("rn", row_number().over(Window.orderBy("day")))
+          .withColumn("c", sum("q").over(
+            Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)))
+          .localCheckpoint(false) // small: one row per day; read per level
+        val tot = dd.agg(max("rn").as("n"), max("c").as("s"))
+        // level 0: the whole series is one segment [1, n]
+        val seg0 = tot.select(lit(0).as("level"), lit(1L).as("lo"),
+          col("n").cast("long").as("hi"))
+        def split(segs: DataFrame): DataFrame = {
+          val bounds = segs
+            .join(dd.select(col("rn").as("lo_m1"), col("c").as("cb")),
+              col("lo_m1") === col("lo") - 1, "left")
+            .select(col("level"), col("lo"), col("hi"),
+              coalesce(col("cb"), lit(0L)).as("cb"))
+          val cands = bounds.join(dd,
+              col("rn") >= col("lo") && col("rn") < col("hi"))
+            .join(dd.select(col("rn").as("hi_rn"), col("c").as("ch")),
+              col("hi_rn") === col("hi"))
+            .withColumn("len", col("hi") - col("lo") + 1)
+            .withColumn("sseg", col("ch") - col("cb"))
+            .withColumn("pt", col("c") - col("cb"))
+            .withColumn("trel", col("rn") - col("lo") + 1)
+            .withColumn("stat",
+              abs(col("len") * col("pt") - col("trel") * col("sseg")))
+          cands.withColumn("rk", row_number().over(
+              Window.partitionBy("level", "lo", "hi")
+                .orderBy(col("stat").desc, col("rn").asc)))
+            .filter(col("rk") === 1)
+            .select(col("level"), col("lo"), col("hi"), col("rn").as("t"),
+              col("day").as("split_day"),
+              (col("pt").cast("double") / col("trel").cast("double") / 1e6)
+                .as("mean_before"),
+              ((col("sseg") - col("pt")).cast("double") /
+                (col("hi") - col("rn")).cast("double") / 1e6).as("mean_after"))
+        }
+        val s0 = split(seg0).localCheckpoint(false)
+        val segs1 = s0.select(lit(1).as("level"), col("lo"), col("t").as("hi"))
+          .unionByName(s0.crossJoin(broadcast(tot))
+            .select(lit(1).as("level"), (col("t") + 1).as("lo"),
+              col("n").cast("long").as("hi")))
+          .filter(col("hi") - col("lo") >= 1)
+        val s1 = split(segs1)
+        s0.unionByName(s1)
+          .join(dd.select(col("rn").as("lo"), col("day").as("start_day")), "lo")
+          .join(dd.select(col("rn").as("hi"), col("day").as("end_day")), "hi")
+          .select(col("level"), col("start_day"), col("end_day"),
+            col("split_day"), col("mean_before"), col("mean_after"))
+          .orderBy("level", "start_day")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST($sqlTs AS DATE) AS day,
+              |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS q
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |dd AS MATERIALIZED (
+              |  SELECT day, q,
+              |    row_number() OVER (ORDER BY day) AS rn,
+              |    CAST(sum(q) OVER (ORDER BY day
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+              |  FROM daily),
+              |tot AS (SELECT max(rn) AS n, max(c) AS s FROM dd),
+              |seg0 AS (SELECT 0 AS level, CAST(1 AS BIGINT) AS lo,
+              |                CAST(n AS BIGINT) AS hi FROM tot),
+              |s0 AS (
+              |  SELECT level, lo, hi, rn AS t, day AS split_day,
+              |    CAST(pt AS DOUBLE) / CAST(trel AS DOUBLE) / 1e6 AS mean_before,
+              |    CAST(sseg - pt AS DOUBLE) / CAST(hi - rn AS DOUBLE) / 1e6 AS mean_after
+              |  FROM (
+              |    SELECT b.level, b.lo, b.hi, d.rn, d.day,
+              |      b.hi - b.lo + 1 AS len, ch.c - b.cb AS sseg,
+              |      d.c - b.cb AS pt, d.rn - b.lo + 1 AS trel,
+              |      row_number() OVER (PARTITION BY b.level, b.lo, b.hi
+              |        ORDER BY abs((b.hi - b.lo + 1) * (d.c - b.cb) -
+              |                     (d.rn - b.lo + 1) * (ch.c - b.cb)) DESC,
+              |          d.rn ASC) AS rk
+              |    FROM (SELECT g.level, g.lo, g.hi, coalesce(p.c, 0) AS cb
+              |          FROM seg0 g LEFT JOIN dd p ON p.rn = g.lo - 1) b
+              |    JOIN dd d ON d.rn >= b.lo AND d.rn < b.hi
+              |    JOIN dd ch ON ch.rn = b.hi)
+              |  WHERE rk = 1),
+              |segs1 AS (
+              |  SELECT 1 AS level, lo, t AS hi FROM s0
+              |  UNION ALL
+              |  SELECT 1, t + 1, CAST(n AS BIGINT) FROM s0, tot),
+              |s1 AS (
+              |  SELECT level, lo, hi, rn AS t, day AS split_day,
+              |    CAST(pt AS DOUBLE) / CAST(trel AS DOUBLE) / 1e6 AS mean_before,
+              |    CAST(sseg - pt AS DOUBLE) / CAST(hi - rn AS DOUBLE) / 1e6 AS mean_after
+              |  FROM (
+              |    SELECT b.level, b.lo, b.hi, d.rn, d.day,
+              |      b.hi - b.lo + 1 AS len, ch.c - b.cb AS sseg,
+              |      d.c - b.cb AS pt, d.rn - b.lo + 1 AS trel,
+              |      row_number() OVER (PARTITION BY b.level, b.lo, b.hi
+              |        ORDER BY abs((b.hi - b.lo + 1) * (d.c - b.cb) -
+              |                     (d.rn - b.lo + 1) * (ch.c - b.cb)) DESC,
+              |          d.rn ASC) AS rk
+              |    FROM (SELECT g.level, g.lo, g.hi, coalesce(p.c, 0) AS cb
+              |          FROM (SELECT * FROM segs1 WHERE hi - lo >= 1) g
+              |          LEFT JOIN dd p ON p.rn = g.lo - 1) b
+              |    JOIN dd d ON d.rn >= b.lo AND d.rn < b.hi
+              |    JOIN dd ch ON ch.rn = b.hi)
+              |  WHERE rk = 1)
+              |SELECT u.level, ds.day AS start_day, de.day AS end_day,
+              |       u.split_day, u.mean_before, u.mean_after
+              |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1) u
+              |JOIN dd ds ON ds.rn = u.lo
+              |JOIN dd de ON de.rn = u.hi
+              |ORDER BY level, start_day""".stripMargin)
+    ),
+
     // ── LTTB time-series downsampling (Steinarsson 2013) ───────────────
     // Largest-Triangle-Three-Buckets — the downsampler every dashboard
     // pipeline runs before plotting: keep the first and last point,
