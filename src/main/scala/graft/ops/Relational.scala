@@ -1538,6 +1538,59 @@ object Relational {
              |ORDER BY key_col""".stripMargin)
     ),
 
+    // ── small-file compaction planner (the lakehouse OPTIMIZE shape) ───
+    // Given a partition's file listing (here: each document as a "file"
+    // of length(text) bytes under its source partition), assign files to
+    // target-sized output bins with the running-sum rule: order by
+    // (size desc, id), bin = cumulative-bytes-before DIV target — the
+    // one-window equivalent of greedy first-fit on a sorted listing,
+    // fully deterministic and embarrassingly parallel BY PARTITION
+    // (the window partitions by source, exactly how a real OPTIMIZE
+    // plans per table-partition). Report per bin: file count, total
+    // bytes, fill ratio, and whether any single file already exceeds
+    // the target (rewrite-skippable). All BIGINT except the one fill
+    // division.
+    Q(
+      "rel_compaction_plan",
+      (s, d) => {
+        val target = 65536L
+        val files = documents(s, d)
+          .select(col("source"), col("doc_id"), length(col("text"))
+            .cast("long").as("bytes"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("bytes").desc, col("doc_id").asc)
+        files
+          .withColumn("cum_before",
+            coalesce(sum("bytes").over(w.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("bin", expr(s"cum_before DIV $target"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+            max((col("bytes") >= target).cast("int")).as("has_oversized"))
+          .select(col("source"), col("bin"), col("n_files"), col("total_bytes"),
+            (col("total_bytes").cast("double") / lit(target.toDouble))
+              .as("fill_ratio"),
+            (col("has_oversized") === 1).as("has_oversized"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH files AS (
+             |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS bytes
+             |  FROM documents),
+             |planned AS (
+             |  SELECT source, bytes,
+             |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+             |      ORDER BY bytes DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      // 65536 AS bin
+             |  FROM files)
+             |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+             |  CAST(sum(bytes) AS DOUBLE) / 65536.0 AS fill_ratio,
+             |  max(CASE WHEN bytes >= 65536 THEN 1 ELSE 0 END) = 1 AS has_oversized
+             |FROM planned GROUP BY source, bin
+             |ORDER BY source, bin""".stripMargin)
+    ),
+
     // ── table diff / snapshot reconciliation (the "data diff" op) ──────
     // What changed between two pipeline runs? The before snapshot is
     // orders; the after snapshot applies a deterministic edit script

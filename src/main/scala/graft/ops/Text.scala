@@ -2744,6 +2744,104 @@ object Text {
       }
     ),
 
+    // ── LSH banding tuner: the (bands, rows) selection report ──────────
+    // Which (b, r) banding should dedup_minhash_pairs run? For a pair
+    // of similarity s, banded MinHash detects it with p = 1 − (1−s^r)^b;
+    // this query evaluates the three 128-hash layouts (32×4, 16×8,
+    // 8×16) against the MEASURED Jaccard distribution of the window-pair
+    // sample (the dedup_ngram_jaccard pairs WITHOUT its 0.15 floor, so
+    // both the dup mass and the background mass are represented),
+    // reporting expected recall on true pairs (s ≥ 0.5) and expected
+    // false-candidate rate below. Every power is an EXPLICIT repeated-
+    // squaring chain (s², s⁴, s⁸, s¹⁶; (1−sʳ)², …, ³²) — pure IEEE
+    // multiplications, NO libm pow whose ulps differ across engines —
+    // and per-pair probabilities are 2^-20-floor-quantized before the
+    // order-free sum. One pass over the candidate pairs × 3 combos.
+    Q(
+      "dedup_lsh_tuning",
+      (s, d) => {
+        val sk = docSketch(s, d)
+        val a = sk.select(col("doc_id").as("id_a"), col("sh").as("sa"),
+          explode(sequence(col("doc_id") + 1, col("doc_id") + 5)).as("id_b"))
+        val b = sk.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+        val pairs = a.join(b, "id_b")
+          .select((size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb")))).as("s"))
+        val combos = {
+          import s.implicits._
+          Seq((32, 4), (16, 8), (8, 16)).toDF("b", "r")
+        }
+        val p = pairs.crossJoin(broadcast(combos))
+          .withColumn("s2", col("s") * col("s"))
+          .withColumn("s4", col("s2") * col("s2"))
+          .withColumn("s8", col("s4") * col("s4"))
+          .withColumn("s16", col("s8") * col("s8"))
+          .withColumn("t", lit(1.0) - when(col("r") === 4, col("s4"))
+            .when(col("r") === 8, col("s8")).otherwise(col("s16")))
+          .withColumn("t2", col("t") * col("t"))
+          .withColumn("t4", col("t2") * col("t2"))
+          .withColumn("t8", col("t4") * col("t4"))
+          .withColumn("t16", col("t8") * col("t8"))
+          .withColumn("t32", col("t16") * col("t16"))
+          .withColumn("p", lit(1.0) - when(col("b") === 32, col("t32"))
+            .when(col("b") === 16, col("t16")).otherwise(col("t8")))
+          .withColumn("q", floor(col("p") * 1048576.0) / 1048576.0)
+        p.groupBy("b", "r")
+          .agg(
+            sum(when(col("s") >= 0.5, 1L).otherwise(0L)).as("n_true"),
+            sum(when(col("s") >= 0.5, col("q")).otherwise(0.0)).as("sq_true"),
+            sum(when(col("s") < 0.5, 1L).otherwise(0L)).as("n_bg"),
+            sum(when(col("s") < 0.5, col("q")).otherwise(0.0)).as("sq_bg"))
+          .select(col("b"), col("r"), col("n_true"),
+            when(col("n_true") > 0,
+              col("sq_true") / col("n_true").cast("double")).as("expected_recall"),
+            col("n_bg"),
+            when(col("n_bg") > 0,
+              col("sq_bg") / col("n_bg").cast("double")).as("false_candidate_rate"))
+          .orderBy("b")
+      },
+      Some {
+        s"""WITH $sqlSketchCtes,
+           |pairs AS (
+           |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           |         len(list_distinct(list_concat(a.sh, b.sh))) AS s
+           |  FROM sketch a JOIN sketch b
+           |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5),
+           |combos(b, r) AS (VALUES (32, 4), (16, 8), (8, 16)),
+           |pw AS (
+           |  SELECT s, b, r,
+           |    s * s AS s2, (s * s) * (s * s) AS s4 FROM pairs CROSS JOIN combos),
+           |pw2 AS (SELECT s, b, r, s4 * s4 AS s8, (s4 * s4) * (s4 * s4) AS s16, s4
+           |        FROM pw),
+           |tt AS (
+           |  SELECT s, b, r,
+           |    1.0 - CASE r WHEN 4 THEN s4 WHEN 8 THEN s8 ELSE s16 END AS t
+           |  FROM pw2),
+           |tp AS (
+           |  SELECT s, b, r, t2 * t2 AS t4, (t2 * t2) * (t2 * t2) AS t8 FROM (
+           |    SELECT s, b, r, t * t AS t2 FROM tt)),
+           |tp2 AS (SELECT s, b, r, t8, t8 * t8 AS t16, (t8 * t8) * (t8 * t8) AS t32
+           |        FROM tp),
+           |pp AS (
+           |  SELECT s, b, r,
+           |    floor((1.0 - CASE b WHEN 32 THEN t32 WHEN 16 THEN t16 ELSE t8 END)
+           |      * 1048576) / 1048576 AS q
+           |  FROM tp2)
+           |SELECT b, r,
+           |  CAST(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           |  CASE WHEN sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) > 0 THEN
+           |    sum(CASE WHEN s >= 0.5 THEN q ELSE 0.0 END) /
+           |    CAST(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) END
+           |    AS expected_recall,
+           |  CAST(sum(CASE WHEN s < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bg,
+           |  CASE WHEN sum(CASE WHEN s < 0.5 THEN 1 ELSE 0 END) > 0 THEN
+           |    sum(CASE WHEN s < 0.5 THEN q ELSE 0.0 END) /
+           |    CAST(sum(CASE WHEN s < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) END
+           |    AS false_candidate_rate
+           |FROM pp GROUP BY b, r ORDER BY b""".stripMargin
+      }
+    ),
+
     // ── prefix-filtered exact similarity join: evaluated, REJECTED ─────
     // The PPJoin family (prefix filtering: J ≥ t pairs must share a
     // token within their (sz − ⌈t·sz⌉ + 1)-prefixes under a global df
