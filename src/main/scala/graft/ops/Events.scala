@@ -1616,6 +1616,101 @@ object Events {
               |FROM m3""".stripMargin)
     ),
 
+    // ── two-state burst detection (Kleinberg 2002, batched form) ───────
+    // Which days are BURSTS? A two-state hidden process over the daily
+    // purchase-count series: state 0 emits at the base rate λ₀ = N/n,
+    // state 1 at λ₁ = 1.15·λ₀ (a 15% lift with entry cost γ = 0.5 — sensible
+    // sensitivity knobs for a daily retail series; Kleinberg's s and γ); day costs are the Poisson NLL differences
+    // λ_s − x·ln λ_s (the x! term is state-independent and drops),
+    //  Costs are floor-quantized to
+    // the 2^-20 grid THROUGH THE SAME Spark log()/DuckDB ln() path every
+    // entropy/idf query already drives bit-identically; after that the
+    // Viterbi forward pass, backpointers, and backtrack are PURE BIGINT
+    // min-plus — zero float anywhere in the DP. Spark runs the integer
+    // DP at the driver over the collected ≤366-row cost series (a
+    // bounded calendar boundary, the vec_pca_power convention); the
+    // oracle replays forward AND backward as recursive CTEs. Ties break
+    // to state 0 everywhere — deterministic.
+    Q(
+      "evt_burst_detect",
+      (s, d) => {
+        val daily = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val tot = daily.agg(sum("x").as("nn"), count(lit(1)).as("n"))
+        val l0 = col("nn").cast("double") / col("n").cast("double")
+        val l1 = lit(1.15) * (col("nn").cast("double") / col("n").cast("double"))
+        val costs = daily.crossJoin(broadcast(tot))
+          .select(col("day"), col("x"),
+            floor((l0 - col("x").cast("double") * log(l0)) * 1048576.0)
+              .cast("long").as("c0"),
+            floor((l1 - col("x").cast("double") * log(l1)) * 1048576.0)
+              .cast("long").as("c1"))
+          .orderBy("day")
+          .collect() // bounded: one row per calendar day (≤366)
+          .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val gq = 524288L
+        val far = 1000000000000000L
+        // forward pass with backpointers, ties to state 0
+        var d0 = 0L; var d1 = far
+        val bps = costs.map { case (_, _, c0, c1) =>
+          val bp0 = if (d0 <= d1) 0 else 1
+          val bp1 = if (d0 + gq <= d1) 0 else 1
+          val nd0 = c0 + math.min(d0, d1)
+          val nd1 = c1 + math.min(d0 + gq, d1)
+          d0 = nd0; d1 = nd1
+          (bp0, bp1)
+        }
+        var st = if (d0 <= d1) 0 else 1
+        val states = new Array[Int](costs.length)
+        var i = costs.length - 1
+        while (i >= 0) {
+          states(i) = st
+          st = if (st == 0) bps(i)._1 else bps(i)._2
+          i -= 1
+        }
+        import s.implicits._
+        costs.zip(states).map { case ((day, x, _, _), stt) =>
+          (day, x, stt, stt == 1)
+        }.toSeq.toDF("day", "x", "state", "burst").orderBy("day")
+      },
+      Some(s"""WITH RECURSIVE daily AS (
+              |  SELECT CAST($sqlTs AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |tot AS (SELECT CAST(sum(x) AS BIGINT) AS nn,
+              |               CAST(count(*) AS BIGINT) AS n FROM daily),
+              |costs AS MATERIALIZED (
+              |  SELECT day, x,
+              |    CAST(floor(((CAST(nn AS DOUBLE) / CAST(n AS DOUBLE)) -
+              |      CAST(x AS DOUBLE) * ln(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE)))
+              |      * 1048576) AS BIGINT) AS c0,
+              |    CAST(floor(((1.15 * (CAST(nn AS DOUBLE) / CAST(n AS DOUBLE))) -
+              |      CAST(x AS DOUBLE) * ln(1.15 * (CAST(nn AS DOUBLE) / CAST(n AS DOUBLE))))
+              |      * 1048576) AS BIGINT) AS c1,
+              |    row_number() OVER (ORDER BY day) AS t
+              |  FROM daily CROSS JOIN tot),
+              |fwd(t, d0, d1, bp0, bp1) AS (
+              |  SELECT 0, CAST(0 AS BIGINT), CAST(1000000000000000 AS BIGINT), 0, 0
+              |  UNION ALL
+              |  SELECT c.t,
+              |    c.c0 + least(f.d0, f.d1),
+              |    c.c1 + least(f.d0 + 524288, f.d1),
+              |    CASE WHEN f.d0 <= f.d1 THEN 0 ELSE 1 END,
+              |    CASE WHEN f.d0 + 524288 <= f.d1 THEN 0 ELSE 1 END
+              |  FROM fwd f JOIN costs c ON c.t = f.t + 1),
+              |back(t, s) AS (
+              |  SELECT t, CASE WHEN d0 <= d1 THEN 0 ELSE 1 END
+              |  FROM fwd WHERE t = (SELECT max(t) FROM costs)
+              |  UNION ALL
+              |  SELECT b.t - 1, CASE WHEN b.s = 0 THEN f.bp0 ELSE f.bp1 END
+              |  FROM back b JOIN fwd f ON f.t = b.t
+              |  WHERE b.t > 1)
+              |SELECT c.day, c.x, b.s AS state, b.s = 1 AS burst
+              |FROM costs c JOIN back b ON b.t = c.t
+              |ORDER BY day""".stripMargin)
+    ),
+
     // ── changepoint detection by binary segmentation ───────────────────
     // The OFFLINE changepoint finder next to the online CUSUM monitor:
     // on the daily purchase-revenue series, split at the t maximizing
