@@ -464,4 +464,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"the clamp recurrence must not become a join:\n$p")
     assert(p.contains("partial"), s"the daily rollup must map-side combine:\n$p")
   }
+
+  test("rich club is ONE conditional-aggregation edge pass, all thresholds") {
+    val p = plan("graph_rich_club")
+    // the only nested-loop joins are the two 1-row stat sides
+    assert(!p.contains("CartesianProduct"), s"no raw products:\n$p")
+    // all four thresholds ride one aggregate over the pairs (no per-k scan):
+    // the degree-annotated pair join appears ONCE
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p).size <= 4,
+      s"per-threshold rescans would multiply the join count:\n$p")
+    assert(p.contains("partial"), s"threshold sums must map-side combine:\n$p")
+  }
+
+  test("key-skew report's rank window is partitioned BY PROFILED COLUMN") {
+    val p = plan("rel_key_skew_report")
+    // never an unpartitioned global sort: every window partitions by kc
+    val specs = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(m => assert(m.group(1).contains("kc"),
+      s"window must partition by the profiled column:\n${m.matched}"))
+  }
+
+  test("char entropy plans a LINEAR split, not positional substring indexing") {
+    val p = plan("text_char_entropy")
+    assert(!p.contains("substring"),
+      s"substr(i,1) re-scans the UTF-8 prefix per char (quadratic):\n$p")
+    assert(p.contains("partial"), s"char counts must map-side combine:\n$p")
+  }
+
+  test("LSH tuner broadcasts the 3-row combo table over the pair stream") {
+    val p = plan("dedup_lsh_tuning")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"combos must broadcast:\n$p")
+    assert(p.contains("partial"), s"per-combo sums must map-side combine:\n$p")
+  }
+
+  test("compaction plan: one per-source window, one aggregate, no join") {
+    val p = plan("rel_compaction_plan")
+    assert(!p.contains("Join"), s"the running-sum rule needs no join:\n$p")
+    val specs = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p).toSeq
+    specs.foreach(m => assert(m.group(1).contains("source"),
+      s"the packing window must partition by source:\n${m.matched}"))
+  }
 }
