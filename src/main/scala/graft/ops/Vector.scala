@@ -773,6 +773,96 @@ object Vector {
               |ORDER BY qdist ASC, s.vec_id ASC LIMIT 10""".stripMargin)
     ),
 
+    // ── binary (1-bit) quantization + Hamming search + exact rerank ────
+    // The third production quantizer tier after SQ8 and PQ: binarize
+    // each dimension against its corpus MEAN, pack the 64 sign bits
+    // into two 32-bit words (never touching a BIGINT sign bit — the
+    // Bloom-filter packing rule), scan candidates by Hamming distance
+    // (two XOR+popcounts per comparison — the 64-byte float vector
+    // becomes 8 bytes, and at 100 TB the packed column IS the resident
+    // index), then rerank the top 32 binary candidates by exact float
+    // cosine. The binarization threshold is ALL-INTEGER: bit_j =
+    // qx_j·n > Σqx_j over the 2^-20-quantized coordinates, so both
+    // engines pack identical words without a float mean ever being
+    // compared. Probe = one broadcast row; candidates =
+    // TakeOrderedAndProject; rerank touches 32 rows.
+    Q(
+      "ann_binary_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), transform(vec(col("embedding")),
+            x => floor(x * 1048576.0).cast("long")).as("qx"))
+        val dims = e.select(posexplode(col("qx")).as(Seq("j", "x")))
+          .groupBy("j").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        val st = dims.groupBy()
+          .agg(sort_array(collect_list(struct(col("j"), col("sx"), col("n"))))
+            .as("st"))
+        def word(lo: Int, hi: Int) =
+          expr(s"""aggregate(sequence($lo, $hi), CAST(0 AS BIGINT), (acc, i) ->
+                  |  acc + CASE WHEN element_at(qx, i) * element_at(st, i).n >
+                  |                  element_at(st, i).sx
+                  |        THEN shiftleft(CAST(1 AS BIGINT), i - $lo)
+                  |        ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+        val packed = e.crossJoin(broadcast(st))
+          .select(col("vec_id"), word(1, 32).as("w1"), word(33, 64).as("w2"))
+          .localCheckpoint(false) // probe row + candidate scan share it
+        val q = packed.filter(col("vec_id") === 0L)
+          .select(col("w1").as("q1"), col("w2").as("q2"))
+        val cands = packed.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            (expr("bit_count(w1 ^ q1)") + expr("bit_count(w2 ^ q2)"))
+              .as("hamming"))
+          .orderBy(col("hamming").asc, col("vec_id").asc)
+          .limit(32)
+        val qv = embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        cands
+          .join(embeddings(s, d)
+            .select(col("vec_id"), vec(col("embedding")).as("v")), "vec_id")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("hamming"),
+            cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val c = sqlCosine(sqlVec("e.embedding"), "q.qv")
+        def w(lo: Int, hi: Int) =
+          s"""CAST(list_reduce(list_transform(range($lo, ${hi + 1}), i ->
+             |      CASE WHEN qx[CAST(i AS INT)] * stq.st[CAST(i AS INT)].n >
+             |                stq.st[CAST(i AS INT)].sx
+             |           THEN CAST(1 AS BIGINT) << CAST(i - $lo AS INT)
+             |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS BIGINT)""".stripMargin
+        s"""WITH qx AS (
+           |  SELECT vec_id, list_transform(${sqlVec("embedding")},
+           |    x -> CAST(floor(x * 1048576) AS BIGINT)) AS qx
+           |  FROM embeddings),
+           |dims AS (
+           |  SELECT j, CAST(sum(qx[j]) AS BIGINT) AS sx,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM qx, (SELECT unnest(range(1, 65)) AS j) js GROUP BY j),
+           |stq AS (SELECT list(struct_pack(sx := sx, n := n) ORDER BY j) AS st
+           |        FROM dims),
+           |packed AS (
+           |  SELECT vec_id,
+           |    ${w(1, 32)} AS w1,
+           |    ${w(33, 64)} AS w2
+           |  FROM qx, stq),
+           |qq AS (SELECT w1 AS q1, w2 AS q2 FROM packed WHERE vec_id = 0),
+           |cands AS (
+           |  SELECT p.vec_id,
+           |    CAST(bit_count(xor(p.w1, q1)) + bit_count(xor(p.w2, q2)) AS INT)
+           |      AS hamming
+           |  FROM packed p, qq WHERE p.vec_id <> 0
+           |  ORDER BY hamming ASC, p.vec_id ASC LIMIT 32)
+           |SELECT cd.vec_id, cd.hamming, $c AS sim
+           |FROM cands cd JOIN embeddings e USING (vec_id),
+           |  (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0) q
+           |ORDER BY sim DESC, cd.vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
     // ── fixed-point PCA: top principal component, bit-deterministic ────
     // The PCA-reduction step a SemDeDup/whitening pipeline runs before
     // clustering, made hash-checkable the way graph_pagerank_exact made
