@@ -339,6 +339,80 @@ object KMeans {
     // probe reads nProbe partitions instead of the whole corpus — the
     // complement of the ann_lsh_buckets path. Fully SQL-expressible, so
     // unlike most ANN indexes the oracle can check it exactly.
+    // ── filtered vector search: predicate pushed INTO the IVF probe ────
+    // The "metadata-filtered ANN" problem every production vector store
+    // fights: searching only label=3 vectors. Post-filtering an
+    // unfiltered candidate list starves (the filter survivors of a
+    // top-k may be < k); the scale-right shape is the PRE-filter riding
+    // the cell-candidate join — the label predicate lands inside the
+    // probed-partition scan (at 100 TB: partition pruning by cell, then
+    // a pushed parquet filter on label), with a WIDER probe (nprobe 4
+    // of 8) because filtering thins cells. The output self-audits
+    // against the exact filtered brute-force truth (in_exact_topk flag,
+    // the nprobe-sweep convention), so the driver hash pins both the
+    // filtered index path and its recall on this corpus.
+    Q(
+      "ann_filtered_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val cents = initCentroids(e, 8)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        val probeCells = cents.crossJoin(broadcast(query))
+          .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(4)
+          .select("cid")
+        val assigned = assign(e, cents).select("vec_id", "cid", "v")
+        val ivfTop = assigned.join(broadcast(probeCells), "cid")
+          .join(e.select(col("vec_id"), col("label")), "vec_id")
+          .filter(col("vec_id") =!= 0L && col("label") === 3)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+        val truth = e.filter(col("vec_id") =!= 0L && col("label") === 3)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"),
+            cosine(vec(col("embedding")), col("qv")).as("tsim"))
+          .orderBy(col("tsim").desc, col("vec_id").asc)
+          .limit(10)
+          .select(col("vec_id"), lit(true).as("in_exact_topk"))
+        ivfTop.join(broadcast(truth), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("sim"),
+            coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+      },
+      Some {
+        val k = 8
+        val cents = sqlCentroids(k)
+        s"""WITH cents AS $cents,
+           |scored AS (${sqlAssign(k)}),
+           |assigned AS (SELECT vec_id, cid, ${sqlVec("embedding")} AS v
+           |             FROM scored WHERE rk = 1),
+           |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cid FROM cents c, q
+           |  ORDER BY ${sqlCosine("c.cv", "q.qv")} DESC, cid ASC LIMIT 4),
+           |ivf AS (
+           |  SELECT a.vec_id, ${sqlCosine("a.v", "q.qv")} AS sim
+           |  FROM assigned a JOIN probe p ON a.cid = p.cid
+           |    JOIN embeddings e ON e.vec_id = a.vec_id, q
+           |  WHERE a.vec_id <> 0 AND e.label = 3
+           |  ORDER BY sim DESC, a.vec_id ASC LIMIT 10),
+           |truth AS (
+           |  SELECT e.vec_id, TRUE AS in_exact_topk
+           |  FROM embeddings e, q
+           |  WHERE e.vec_id <> 0 AND e.label = 3
+           |  ORDER BY ${sqlCosine(sqlVec("e.embedding"), "q.qv")} DESC,
+           |    e.vec_id ASC LIMIT 10)
+           |SELECT i.vec_id, i.sim,
+           |  coalesce(t.in_exact_topk, FALSE) AS in_exact_topk
+           |FROM ivf i LEFT JOIN truth t ON t.vec_id = i.vec_id
+           |ORDER BY sim DESC, i.vec_id ASC""".stripMargin
+      }
+    ),
+
     Q(
       "ann_ivf_topk",
       (s, d) => {
