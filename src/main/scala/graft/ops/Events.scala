@@ -1616,6 +1616,121 @@ object Events {
               |FROM m3""".stripMargin)
     ),
 
+    // ── seasonal/trend strength (Hyndman tsfeatures, classical STL) ────
+    // The two features that tell a forecaster WHICH model the series
+    // needs: F_trend = max(0, 1 − Var(R)/Var(T+R)) and F_seasonal =
+    // max(0, 1 − Var(R)/Var(S+R)) from a classical decomposition —
+    // T = centered 7-day moving average (full windows only), S =
+    // day-of-week means of the detrended series, R the remainder. The
+    // decomposition is pure windows + one group-by; every intermediate
+    // double derives deterministically from exact µunit BIGINTs, and
+    // each variance input is floor-µquantized BEFORE the Σ/Σ² sums so
+    // the aggregation is order-free BIGINT (the repo's float-fold
+    // rule). One row out, every strength one final double expression.
+    Q(
+      "evt_seasonal_strength",
+      (s, d) => {
+        val daily = eventsUs(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(floor(col("value") * 1000000).cast("long")).as("xu"))
+        val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+        val dec0 = daily
+          .withColumn("s7", sum("xu").over(w7))
+          .withColumn("c7", count(lit(1)).over(w7))
+          .filter(col("c7") === 7)
+          .withColumn("x", col("xu").cast("double") / 1e6)
+          .withColumn("t", col("s7").cast("double") / 7.0 / 1e6)
+          .withColumn("dq", floor((col("x") - col("t")) * 1e6).cast("long"))
+          .withColumn("dow", dayofweek(col("day")))
+          .localCheckpoint(false) // the dow means and the variances share it
+        val sdow = dec0.groupBy("dow")
+          .agg(sum("dq").as("sd"), count(lit(1)).as("cd"))
+          .select(col("dow"),
+            (col("sd").cast("double") / col("cd").cast("double") / 1e6).as("sv"))
+        // variance inputs quantized to CENTS and the square-sums ridden
+        // through DECIMAL(38,0)/HUGEINT: daily totals reach ~1.6e7 cents
+        // at sf0.1, whose squares overflow BIGINT sums at larger sf
+        def dec38(c: Column) =
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        val terms = dec0.join(broadcast(sdow), "dow")
+          .withColumn("r", col("dq").cast("double") / 1e6 - col("sv"))
+          .select(
+            floor(col("r") * 100).cast("long").as("rq"),
+            floor((col("sv") + col("r")) * 100).cast("long").as("srq"),
+            floor((col("t") + col("r")) * 100).cast("long").as("trq"))
+        val agg = terms.agg(count(lit(1)).as("n"),
+          sum("rq").as("s_r"), sum(dec38(col("rq")) * dec38(col("rq"))).as("ss_r"),
+          sum("srq").as("s_sr"), sum(dec38(col("srq")) * dec38(col("srq"))).as("ss_sr"),
+          sum("trq").as("s_tr"), sum(dec38(col("trq")) * dec38(col("trq"))).as("ss_tr"))
+        def vr(ss: String, sg: String) =
+          (col(ss).cast("double") / col("n").cast("double") -
+            (col(sg).cast("double") / col("n").cast("double")) *
+              (col(sg).cast("double") / col("n").cast("double"))) / 1e4
+        agg.select(col("n").as("n_days"),
+            vr("ss_r", "s_r").as("var_r"),
+            vr("ss_sr", "s_sr").as("var_sr"),
+            vr("ss_tr", "s_tr").as("var_tr"))
+          .select(col("n_days"), col("var_r"),
+            greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_tr"))
+              .as("f_trend"),
+            greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_sr"))
+              .as("f_seasonal"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT CAST($sqlTs AS DATE) AS day,
+              |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS xu
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |ma AS (
+              |  SELECT day, xu,
+              |    CAST(sum(xu) OVER w AS BIGINT) AS s7,
+              |    count(*) OVER w AS c7
+              |  FROM daily
+              |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              |dec0 AS MATERIALIZED (
+              |  SELECT day, CAST(xu AS DOUBLE) / 1e6 AS x,
+              |    CAST(s7 AS DOUBLE) / 7.0 / 1e6 AS t,
+              |    CAST(floor((CAST(xu AS DOUBLE) / 1e6 -
+              |      CAST(s7 AS DOUBLE) / 7.0 / 1e6) * 1e6) AS BIGINT) AS dq,
+              |    dayofweek(day) + 1 AS dow
+              |  FROM ma WHERE c7 = 7),
+              |sdow AS (
+              |  SELECT dow,
+              |    CAST(sum(dq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6 AS sv
+              |  FROM dec0 GROUP BY dow),
+              |terms AS (
+              |  SELECT
+              |    CAST(floor((CAST(dq AS DOUBLE) / 1e6 - sv) * 100) AS BIGINT) AS rq,
+              |    CAST(floor((sv + (CAST(dq AS DOUBLE) / 1e6 - sv)) * 100) AS BIGINT) AS srq,
+              |    CAST(floor((t + (CAST(dq AS DOUBLE) / 1e6 - sv)) * 100) AS BIGINT) AS trq
+              |  FROM dec0 JOIN sdow USING (dow)),
+              |agg AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(rq) AS BIGINT) AS s_r,
+              |    sum(CAST(rq AS HUGEINT) * rq) AS ss_r,
+              |    CAST(sum(srq) AS BIGINT) AS s_sr,
+              |    sum(CAST(srq AS HUGEINT) * srq) AS ss_sr,
+              |    CAST(sum(trq) AS BIGINT) AS s_tr,
+              |    sum(CAST(trq AS HUGEINT) * trq) AS ss_tr
+              |  FROM terms),
+              |vars AS (
+              |  SELECT n AS n_days,
+              |    (CAST(ss_r AS DOUBLE) / CAST(n AS DOUBLE) -
+              |      (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE)) *
+              |      (CAST(s_r AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4 AS var_r,
+              |    (CAST(ss_sr AS DOUBLE) / CAST(n AS DOUBLE) -
+              |      (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE)) *
+              |      (CAST(s_sr AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4 AS var_sr,
+              |    (CAST(ss_tr AS DOUBLE) / CAST(n AS DOUBLE) -
+              |      (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE)) *
+              |      (CAST(s_tr AS DOUBLE) / CAST(n AS DOUBLE))) / 1e4 AS var_tr
+              |  FROM agg)
+              |SELECT n_days, var_r,
+              |  greatest(0.0, 1.0 - var_r / var_tr) AS f_trend,
+              |  greatest(0.0, 1.0 - var_r / var_sr) AS f_seasonal
+              |FROM vars""".stripMargin)
+    ),
+
     // ── two-state burst detection (Kleinberg 2002, batched form) ───────
     // Which days are BURSTS? A two-state hidden process over the daily
     // purchase-count series: state 0 emits at the base rate λ₀ = N/n,
