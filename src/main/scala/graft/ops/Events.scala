@@ -1616,6 +1616,106 @@ object Events {
               |FROM m3""".stripMargin)
     ),
 
+    // ── Kaplan–Meier survival curve (signup → first purchase) ──────────
+    // The churn/conversion-lag estimator: for the cohort of users with a
+    // signup, time-to-event is days from FIRST signup to FIRST purchase
+    // at-or-after it; users who never convert are right-censored at the
+    // study end (global max event date). At each distinct duration t:
+    // d_t events, c_t censorings, n_t at-risk (computed by one
+    // cumulative window over the duration-grouped table — never a
+    // per-t rescan), and S(t) = Π_{t_i ≤ t} (1 − d_i/n_i). The product
+    // is a SEQUENTIAL left fold over ≤(study-days) ordered rows — Spark
+    // folds it in one sorted-group iterator (the evt_ema shape) emitting
+    // each prefix product incrementally; the oracle recomputes every
+    // prefix with list_reduce over the same ordered factor list, which
+    // performs the IDENTICAL left-multiplication sequence → bit-equal.
+    Q(
+      "evt_survival_km",
+      (s, d) => {
+        import s.implicits._
+        val e = eventsUs(s, d)
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts").cast("date")).as("sd"))
+        val endDay = e.agg(max(col("ts").cast("date")).as("ed"))
+        val pu = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").cast("date").as("pd"))
+        val firstP = su.join(pu, Seq("user_id"), "left")
+          .filter(col("pd").isNull || col("pd") >= col("sd"))
+          .groupBy("user_id", "sd").agg(min("pd").as("fp"))
+        // users whose only purchases precede signup are censored too:
+        // re-join the full cohort so they aren't dropped by the filter
+        val cohort = su.join(firstP.select(col("user_id"), col("fp")),
+            Seq("user_id"), "left")
+          .crossJoin(broadcast(endDay))
+          .select(col("user_id"),
+            when(col("fp").isNotNull, datediff(col("fp"), col("sd")))
+              .otherwise(datediff(col("ed"), col("sd"))).as("dur"),
+            when(col("fp").isNotNull, 1L).otherwise(0L).as("ev"))
+        val times = cohort.groupBy("dur")
+          .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+        val wCum = Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val tot = times.agg(sum(col("d") + col("c")).as("tot"))
+        val atRisk = times.crossJoin(broadcast(tot))
+          .withColumn("n", col("tot") -
+            coalesce(sum(col("d") + col("c")).over(wCum), lit(0L)))
+        atRisk.select(col("dur"), col("d"), col("c"), col("n"))
+          .as[(Int, Long, Long, Long)]
+          .groupByKey(_ => 0)
+          .flatMapSortedGroups(col("dur")) { (_, it) =>
+            var surv = 1.0
+            it.map { case (dur, dd, cc, nn) =>
+              surv = surv * (1.0 - dd.toDouble / nn.toDouble)
+              (dur, dd, cc, nn, surv)
+            }
+          }
+          .toDF("t_days", "n_events", "n_censored", "n_risk", "survival")
+          .orderBy("t_days")
+      },
+      Some(s"""WITH su AS (
+              |  SELECT user_id, min(CAST($sqlTs AS DATE)) AS sd
+              |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+              |ed AS (SELECT max(CAST($sqlTs AS DATE)) AS ed FROM events),
+              |pu AS (
+              |  SELECT user_id, CAST($sqlTs AS DATE) AS pd
+              |  FROM events WHERE event_type = 'purchase'),
+              |firstp AS (
+              |  SELECT su.user_id, min(pu.pd) AS fp
+              |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id AND pu.pd >= su.sd
+              |  GROUP BY su.user_id),
+              |cohort AS (
+              |  SELECT su.user_id,
+              |    CASE WHEN f.fp IS NOT NULL THEN datediff('day', su.sd, f.fp)
+              |         ELSE datediff('day', su.sd, ed.ed) END AS dur,
+              |    CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+              |  FROM su JOIN firstp f ON f.user_id = su.user_id CROSS JOIN ed),
+              |times AS (
+              |  SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+              |         CAST(sum(1 - ev) AS BIGINT) AS c
+              |  FROM cohort GROUP BY dur),
+              |atrisk AS (
+              |  SELECT dur, d, c,
+              |    (SELECT CAST(count(*) AS BIGINT) FROM cohort) -
+              |      CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |      AS n
+              |  FROM times),
+              |seq AS (
+              |  SELECT list(struct_pack(dur := dur, d := d, c := c, n := n)
+              |    ORDER BY dur) AS sq
+              |  FROM atrisk)
+              |SELECT sq[CAST(i AS INT)].dur AS t_days,
+              |  sq[CAST(i AS INT)].d AS n_events,
+              |  sq[CAST(i AS INT)].c AS n_censored,
+              |  sq[CAST(i AS INT)].n AS n_risk,
+              |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+              |    list_transform(sq[1:CAST(i AS INT)],
+              |      e -> 1.0 - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))),
+              |    (acc, x) -> acc * x) AS survival
+              |FROM seq, LATERAL unnest(range(1, len(sq) + 1)) AS t(i)
+              |ORDER BY t_days""".stripMargin)
+    ),
+
     // ── seasonal/trend strength (Hyndman tsfeatures, classical STL) ────
     // The two features that tell a forecaster WHICH model the series
     // needs: F_trend = max(0, 1 − Var(R)/Var(T+R)) and F_seasonal =
