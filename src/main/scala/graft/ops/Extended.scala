@@ -1451,6 +1451,111 @@ object Extended {
       }
     ),
 
+    // ── mergeable moments sketch: skew/kurtosis rollup (Gan et al.) ────
+    // The higher-moment member of the sketch family: per (year, month)
+    // the EXACT power sums (n, Σc, Σc², Σc³, Σc⁴) of order totals in
+    // cents — c ≤ ~6e7 so c⁴ has ≤32 digits, riding DECIMAL(38,0)/
+    // HUGEINT — and the YEARLY skewness/kurtosis computed by SUMMING
+    // the monthly power sums, never rescanning rows: the mergeability
+    // that makes moments a sketch (one 5-number row per partition at
+    // 100 TB, merged by +). Central moments come from the raw sums by
+    // the standard expansion; m2^1.5 is written m2·sqrt(m2) (no libm
+    // pow), every double expression token-identical in both engines,
+    // and the driver hash pins the month rows AND the merged year rows
+    // against DuckDB's identical integer sums.
+    Q(
+      "agg_moments_rollup",
+      (s, d) => {
+        def dec38(c: Column) =
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        val c = floor(col("o_totalprice") * 100).cast("long")
+        val monthly = orders(s, d)
+          .select(year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"), c.as("c"))
+          .groupBy("yr", "mo")
+          .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+            sum(dec38(col("c")) * col("c")).as("s2"),
+            sum(dec38(col("c")) * col("c") * col("c")).as("s3"),
+            sum(dec38(col("c")) * col("c") * col("c") * col("c")).as("s4"))
+          .localCheckpoint(false) // month rows + the year merge read it
+        val yearly = monthly.groupBy("yr")
+          .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+            sum("s3").as("s3"), sum("s4").as("s4"))
+        def stats(df: DataFrame, grain: String, moCol: Column): DataFrame = {
+          val nD = col("n").cast("double")
+          val mean = col("s1").cast("double") / nD
+          val m2 = col("s2").cast("double") / nD - mean * mean
+          val m3 = col("s3").cast("double") / nD -
+            lit(3.0) * mean * (col("s2").cast("double") / nD) +
+            lit(2.0) * mean * mean * mean
+          val m4 = col("s4").cast("double") / nD -
+            lit(4.0) * mean * (col("s3").cast("double") / nD) +
+            lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
+            lit(3.0) * mean * mean * mean * mean
+          df.select(lit(grain).as("grain"), col("yr"), moCol.as("mo"),
+            col("n"),
+            (mean / 100.0).as("mean_dollars"),
+            (sqrt(m2) / 100.0).as("stddev_dollars"),
+            (m3 / (m2 * sqrt(m2))).as("skewness"),
+            (m4 / (m2 * m2) - 3.0).as("excess_kurtosis"))
+        }
+        stats(monthly, "month", col("mo"))
+          .unionByName(stats(yearly, "year", lit(null).cast("int")))
+          .orderBy(col("grain"), col("yr"), coalesce(col("mo"), lit(0)))
+      },
+      Some {
+        val form =
+          """CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+            |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+            |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+            |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) -
+            |      3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) +
+            |      2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3,
+            |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) -
+            |      4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) +
+            |      6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) -
+            |      3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |        (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m4""".stripMargin
+        s"""WITH monthly AS MATERIALIZED (
+           |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(c) AS BIGINT) AS s1,
+           |    sum(CAST(c AS HUGEINT) * c) AS s2,
+           |    sum(CAST(c AS HUGEINT) * c * c) AS s3,
+           |    sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+           |  FROM (SELECT o_orderdate,
+           |          CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+           |  GROUP BY 1, 2),
+           |yearly AS (
+           |  SELECT yr, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s1) AS BIGINT) AS s1,
+           |    sum(s2) AS s2, sum(s3) AS s3, sum(s4) AS s4
+           |  FROM monthly GROUP BY yr),
+           |mm AS (
+           |  SELECT 'month' AS grain, yr, mo, n,
+           |    $form
+           |  FROM monthly
+           |  UNION ALL
+           |  SELECT 'year', yr, CAST(NULL AS INT), n,
+           |    $form
+           |  FROM yearly)
+           |SELECT grain, yr, mo, n,
+           |  mean / 100.0 AS mean_dollars,
+           |  sqrt(m2) / 100.0 AS stddev_dollars,
+           |  m3 / (m2 * sqrt(m2)) AS skewness,
+           |  m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+           |FROM mm ORDER BY grain, yr, coalesce(mo, 0)""".stripMargin
+      }
+    ),
+
     // ── Bloom filter: mergeable set-membership sketch ──────────────────
     // The membership member of the sketch family (HLL cardinality, topk
     // heavy hitters, CMS frequency, KLL quantiles): BUILDING-segment
