@@ -432,6 +432,86 @@ object Classify {
            |       ELSE CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) END AS accuracy
            |FROM per_fold ORDER BY fold""".stripMargin
       }
+    ),
+
+    // ── regression decision stump (the GBM weak learner) ───────────────
+    // CART's one-split tree: choose the l_quantity threshold v that
+    // minimizes total SSE when predicting l_extendedprice by the two
+    // leaf means — equivalently MAXIMIZES the variance-reduction gain
+    // S_L²/n_L + S_R²/n_R − S²/n. The whole split scan is ONE pass:
+    // group by the (integer-ish) quantity, one cumulative window over
+    // the ≤50 candidate rows yields every (n_L, S_L) prefix, totals by
+    // a broadcast 1-row agg. Price sums are exact cents BIGINTs; the
+    // gain is one token-identical double expression (reported in
+    // dollars²); the best split is the (gain desc, qty asc) argmax,
+    // emitted as a flag on the full gain curve so the driver hash pins
+    // the ENTIRE split scan, not just the winner. This is the exact
+    // inner loop a distributed GBDT (LightGBM-style histogram split
+    // finding) runs per feature per node.
+    Q(
+      "ml_decision_stump",
+      (s, d) => {
+        val li = lineitem(s, d)
+          .select(col("l_quantity").cast("int").as("qty"),
+            floor(col("l_extendedprice") * 100).cast("long").as("c"))
+        val byQty = li.groupBy("qty")
+          .agg(count(lit(1)).as("cnt"), sum("c").as("sc"))
+        val tot = byQty.agg(sum("cnt").as("n"), sum("sc").as("s"))
+        val wCum = Window.orderBy("qty")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val scan = byQty
+          .withColumn("nl", sum("cnt").over(wCum))
+          .withColumn("sl", sum("sc").over(wCum))
+          .crossJoin(broadcast(tot))
+          .filter(col("nl") < col("n")) // a split must leave a right leaf
+          .select(col("qty"), col("nl"), (col("n") - col("nl")).as("nr"),
+            ((col("sl").cast("double") * col("sl").cast("double") /
+              col("nl").cast("double") +
+              (col("s") - col("sl")).cast("double") *
+                (col("s") - col("sl")).cast("double") /
+                (col("n") - col("nl")).cast("double") -
+              col("s").cast("double") * col("s").cast("double") /
+                col("n").cast("double")) / 10000.0).as("gain"),
+            (col("sl").cast("double") / col("nl").cast("double") / 100.0)
+              .as("left_mean"),
+            ((col("s") - col("sl")).cast("double") /
+              (col("n") - col("nl")).cast("double") / 100.0).as("right_mean"))
+        scan
+          .withColumn("is_best", row_number().over(
+            Window.orderBy(col("gain").desc, col("qty").asc)) === 1)
+          .orderBy("qty")
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(l_quantity AS INT) AS qty,
+             |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+             |  FROM lineitem),
+             |byqty AS (
+             |  SELECT qty, CAST(count(*) AS BIGINT) AS cnt,
+             |         CAST(sum(c) AS BIGINT) AS sc
+             |  FROM li GROUP BY qty),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |               CAST(sum(sc) AS BIGINT) AS s FROM byqty),
+             |scan AS (
+             |  SELECT qty,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+             |    CAST(sum(sc) OVER w AS BIGINT) AS sl
+             |  FROM byqty
+             |  WINDOW w AS (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING
+             |               AND CURRENT ROW)),
+             |gains AS (
+             |  SELECT qty, nl, n - nl AS nr,
+             |    (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) +
+             |     CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE) /
+             |       CAST(n - nl AS DOUBLE) -
+             |     CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / 10000.0 AS gain,
+             |    CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) / 100.0 AS left_mean,
+             |    CAST(s - sl AS DOUBLE) / CAST(n - nl AS DOUBLE) / 100.0 AS right_mean
+             |  FROM scan CROSS JOIN tot
+             |  WHERE nl < n)
+             |SELECT qty, nl, nr, gain, left_mean, right_mean,
+             |  row_number() OVER (ORDER BY gain DESC, qty ASC) = 1 AS is_best
+             |FROM gains ORDER BY qty""".stripMargin)
     )
   )
 
