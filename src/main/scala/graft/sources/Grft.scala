@@ -84,11 +84,38 @@ object Grft {
     * label column (CIFAR's is 10) with a ~6× margin. */
   val LabelDictCap = 64
 
+  /** Per-file vec_id Bloom filter (the parquet bloom-filter analogue):
+    * 16384 bits under the engine's SQL-replayable hash family
+    * ([[org.apache.spark.sql.graft.BloomFilterAgg]]), packed 64 bits
+    * per long here (manifest-internal — no cross-engine division rides
+    * these words). Kept only for files of ≤ [[BloomRowCap]] rows so the
+    * fill stays ≤ ~40% (fpp ≲ 2.5%); larger files drop it and prune by
+    * min/max alone — the same bounded-metadata rule as the label
+    * dictionary. Point lookups on vec_id skip files whose min/max
+    * BRACKETS the probe but whose bloom lacks it — the case range
+    * stats can never win when ids interleave across files. */
+  val BloomRowCap = 2048
+  val BloomWords64: Int = org.apache.spark.sql.graft.BloomFilterAgg.Bits / 64
+
   /** @param labels distinct labels in the file when ≤ [[LabelDictCap]];
     *               None = dictionary overflowed or a pre-dictionary
-    *               manifest line (both degrade to min/max pruning). */
+    *               manifest line (both degrade to min/max pruning).
+    * @param bloom  vec_id bloom when the file has ≤ [[BloomRowCap]]
+    *               rows; None degrades to min/max pruning. */
   final case class FileStats(vecMin: Long, vecMax: Long,
-      labelMin: Int, labelMax: Int, labels: Option[Set[Int]] = None)
+      labelMin: Int, labelMax: Int, labels: Option[Set[Int]] = None,
+      bloom: Option[Array[Long]] = None)
+
+  private[graft] def bloomMayContain(bloom: Array[Long], key: Long): Boolean = {
+    import org.apache.spark.sql.graft.{BloomFilterAgg => BF, CountMinSketchAgg => CMS}
+    // a stored bloom implies every inserted key was in the hash domain,
+    // so an out-of-domain probe was definitionally never inserted
+    if (key < 0 || key >= CMS.KeyBound) false
+    else (0 until BF.NumHashes).forall { j =>
+      val pos = BF.position(key, j)
+      ((bloom(pos >> 6) >> (pos & 63)) & 1L) == 1L
+    }
+  }
 
   private[graft] def readManifest(dir: Path): Map[String, FileStats] = {
     val p = new Path(dir, ManifestName)
@@ -97,15 +124,27 @@ object Grft {
     else {
       val in = f.open(p)
       try {
+        def parseDict(e: String): Option[Set[Int]] =
+          if (e == "-") None
+          else Some(e.split(',').filter(_.nonEmpty).map(_.toInt).toSet)
+        def parseBloom(bl: String): Option[Array[Long]] =
+          if (bl == "-") None
+          else {
+            val bytes = java.util.Base64.getDecoder.decode(bl)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val ws = Array.fill(bytes.length / 8)(bb.getLong)
+            if (ws.length == BloomWords64) Some(ws) else None // advisory
+          }
         scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap { l =>
           l.split('\t') match {
             case Array(name, a, b, c, d) => // pre-dictionary line: advisory
               Some(name -> FileStats(a.toLong, b.toLong, c.toInt, d.toInt))
-            case Array(name, a, b, c, d, e) =>
-              val dict =
-                if (e == "-") None
-                else Some(e.split(',').filter(_.nonEmpty).map(_.toInt).toSet)
-              Some(name -> FileStats(a.toLong, b.toLong, c.toInt, d.toInt, dict))
+            case Array(name, a, b, c, d, e) => // pre-bloom line: advisory
+              Some(name -> FileStats(a.toLong, b.toLong, c.toInt, d.toInt,
+                parseDict(e)))
+            case Array(name, a, b, c, d, e, bl) =>
+              Some(name -> FileStats(a.toLong, b.toLong, c.toInt, d.toInt,
+                parseDict(e), parseBloom(bl)))
             case _ => None // unknown line shape: ignore (advisory contract)
           }
         }.toMap
@@ -119,7 +158,12 @@ object Grft {
     val out = new DataOutputStream(f.create(tmp, true))
     try entries.toSeq.sortBy(_._1).foreach { case (n, st) =>
       val dict = st.labels.map(_.toSeq.sorted.mkString(",")).getOrElse("-")
-      out.write(s"$n\t${st.vecMin}\t${st.vecMax}\t${st.labelMin}\t${st.labelMax}\t$dict\n"
+      val bl = st.bloom.map { ws =>
+        val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
+        ws.foreach(bb.putLong)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }.getOrElse("-")
+      out.write(s"$n\t${st.vecMin}\t${st.vecMax}\t${st.labelMin}\t${st.labelMax}\t$dict\t$bl\n"
         .getBytes("UTF-8"))
     } finally out.close()
     val fin = new Path(dir, ManifestName)
@@ -146,6 +190,10 @@ object Grft {
     def dictMay(p: Long => Boolean): Option[Boolean] =
       st.labels.map(_.exists(l => p(l.toLong)))
     f match {
+      // bloom refinement for vec_id point lookups: strictly at least as
+      // strong as min/max (a key outside [min,max] was never inserted)
+      case EqualTo("vec_id", v) if st.bloom.isDefined =>
+        bloomMayContain(st.bloom.get, asLong(v))
       case EqualTo("label", v) =>
         dictMay(_ == asLong(v)).getOrElse(
           asLong(v) >= st.labelMin && asLong(v) <= st.labelMax)
@@ -551,6 +599,8 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
   private var labelMax = Int.MinValue
   private val labelDict = scala.collection.mutable.Set.empty[Int]
   private var dictOverflow = false
+  private val bloomWords = new Array[Long](Grft.BloomWords64)
+  private var bloomRows = 0L // > BloomRowCap drops the bloom (fill bound)
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(iVec) && !row.isNullAt(iLabel) && !row.isNullAt(iEmb),
@@ -568,6 +618,19 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
       labelDict += label
       if (labelDict.size > Grft.LabelDictCap) { labelDict.clear(); dictOverflow = true }
     }
+    // vec_id bloom: free at write time; an id outside the replayable
+    // hash domain or a file past the row cap drops it (advisory)
+    bloomRows += 1
+    if (bloomRows <= Grft.BloomRowCap &&
+        vecId >= 0 && vecId < org.apache.spark.sql.graft.CountMinSketchAgg.KeyBound) {
+      import org.apache.spark.sql.graft.{BloomFilterAgg => BF}
+      var j = 0
+      while (j < BF.NumHashes) {
+        val pos = BF.position(vecId, j)
+        bloomWords(pos >> 6) |= (1L << (pos & 63))
+        j += 1
+      }
+    } else bloomRows = Grft.BloomRowCap + 1 // poison: drop on commit
     rowBuf.putLong(vecId).putInt(label)
     var i = 0
     while (i < dim) { rowBuf.putFloat(emb.getFloat(i)); i += 1 }
@@ -580,7 +643,8 @@ class GrftDataWriter(path: String, partitionId: Int, taskId: Long,
     val stats =
       if (vecMin > vecMax) None // no data rows: nothing to prune on
       else Some(Grft.FileStats(vecMin, vecMax, labelMin, labelMax,
-        if (dictOverflow) None else Some(labelDict.toSet)))
+        if (dictOverflow) None else Some(labelDict.toSet),
+        if (bloomRows <= Grft.BloomRowCap) Some(bloomWords) else None))
     GrftCommit(file.toString, stats)
   }
   override def abort(): Unit = {

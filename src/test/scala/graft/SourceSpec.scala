@@ -268,4 +268,56 @@ class SourceSpec extends SparkSpec {
     assert(plannedFiles(Array(EqualTo("label", 2))).size === 2,
       "legacy manifest must fall back to min/max (no skip), never to wrong rows")
   }
+
+  test("grft vec_id bloom skips point lookups min/max ranges cannot") {
+    import graft.sources.{Grft, GrftInputPartition, GrftScanBuilder}
+    import org.apache.spark.sql.sources.EqualTo
+    val d = tempDir("grft_bloom")
+    import spark.implicits._
+    // two files with INTERLEAVED vec_ids whose [min,max] ranges overlap:
+    // A = {1,5} spans [1,5], B = {2,6} spans [2,6]. Probe id 3 sits
+    // inside BOTH ranges but in NEITHER file — min/max can never skip,
+    // the bloom skips both. Probe 5 is bracketed by both ranges but
+    // present only in A — the bloom opens exactly one file.
+    Seq((1L, 0, Seq(1.0f, 2.0f)), (5L, 0, Seq(3.0f, 4.0f)))   // file A: {1,5}
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.format("grft").mode("overwrite").save(d)
+    Seq((2L, 0, Seq(5.0f, 6.0f)), (6L, 0, Seq(7.0f, 8.0f)))   // file B: {2,6}
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.format("grft").mode("append").save(d)
+    val manifest = Grft.readManifest(new org.apache.hadoop.fs.Path(d))
+    assert(manifest.count(_._2.bloom.isDefined) === 2,
+      s"both files must carry a vec_id bloom: $manifest")
+    def plannedFiles(filters: Array[org.apache.spark.sql.sources.Filter]): Set[String] = {
+      val sb = new GrftScanBuilder(d)
+      sb.pushFilters(filters)
+      sb.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions()
+        .collect { case p: GrftInputPartition => p.file }.toSet
+    }
+    // unseen in-range id (fpp at 2 keys / 16384 bits ~ 1e-12): no files
+    assert(plannedFiles(Array(EqualTo("vec_id", 3L))).isEmpty,
+      "in-range but unseen id must open zero files")
+    // id 5: bracketed by both ranges, in file A's bloom only
+    assert(plannedFiles(Array(EqualTo("vec_id", 5L))).size === 1,
+      "bloom must open exactly the one file holding the id")
+    // end-to-end correctness under the pruning; no false negatives
+    assert(spark.read.format("grft").load(d)
+      .filter(col("vec_id") === 3L).count() === 0L)
+    Seq(1L, 2L, 5L, 6L).foreach { id =>
+      assert(plannedFiles(Array(EqualTo("vec_id", id))).nonEmpty, s"id $id")
+      assert(spark.read.format("grft").load(d)
+        .filter(col("vec_id") === id).count() === 1L, s"id $id")
+    }
+    // a pre-bloom 6-column manifest line parses (bloom None) and
+    // degrades to min/max — compatibility with earlier-written tables
+    val mf = new java.io.File(d, Grft.ManifestName)
+    val legacy = scala.io.Source.fromFile(mf)
+    val lines = try legacy.getLines().map(_.split('\t').take(6).mkString("\t")).toList
+    finally legacy.close()
+    java.nio.file.Files.write(mf.toPath, lines.mkString("", "\n", "\n").getBytes)
+    new java.io.File(d, s".${Grft.ManifestName}.crc").delete()
+    assert(plannedFiles(Array(EqualTo("vec_id", 3L))).size === 2,
+      "pre-bloom manifest must fall back to min/max (no skip), never wrong rows")
+  }
 }
