@@ -1498,7 +1498,11 @@ object Events {
     // users absent from a period contribute 0), with the n·Σ cross
     // terms ridden through DECIMAL(38,0)/HUGEINT (the assortativity
     // convention) and every double derived from NAMED intermediates —
-    // token-identical on both engines.
+    // token-identical on both engines. SF ceiling: the n·Σxx cross
+    // terms stay under 1e38 while n·(Σ cents²) < 1e38 — at ~1e4-cent
+    // user totals that is n ≲ 1e13 users, far past any realistic
+    // experiment; past it Spark NULLs silently vs DuckDB raising (the
+    // agg_moments_rollup guard pattern applies if ever approached).
     Q(
       "evt_cuped",
       (s, d) => {

@@ -1482,6 +1482,20 @@ object Extended {
           .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
             sum("s3").as("s3"), sum("s4").as("s4"))
         def stats(df: DataFrame, grain: String, moCol: Column): DataFrame = {
+          // Loud headroom guard (ADVICE r11): Σc⁴ rides DECIMAL(38,0) ↔
+          // HUGEINT, and past ~1e38 Spark's non-ANSI decimal overflow
+          // silently NULLs while DuckDB raises — the engines would
+          // diverge quietly. Fail LOUDLY at 10× margin instead: if any
+          // group's s4 reaches 1e37 (≈ SF ≥ ~10 at these cent
+          // magnitudes), raise with the remediation (rescale cents or
+          // roll up at a finer grain). The guard rides the projected
+          // `n` column so column pruning can never eliminate it.
+          val nGuard = when(col("s4").cast("double") < 1e37, col("n"))
+            .otherwise(raise_error(concat(lit(
+              "agg_moments_rollup: sum(c^4) >= 1e37 — within 10x of " +
+                "DECIMAL(38,0)/HUGEINT overflow where Spark silently " +
+                "NULLs but DuckDB raises; rescale cents or use a finer " +
+                "rollup grain. s4="), col("s4").cast("string"))))
           val nD = col("n").cast("double")
           val mean = col("s1").cast("double") / nD
           val m2 = col("s2").cast("double") / nD - mean * mean
@@ -1493,7 +1507,7 @@ object Extended {
             lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
             lit(3.0) * mean * mean * mean * mean
           df.select(lit(grain).as("grain"), col("yr"), moCol.as("mo"),
-            col("n"),
+            nGuard.as("n"),
             (mean / 100.0).as("mean_dollars"),
             (sqrt(m2) / 100.0).as("stddev_dollars"),
             (m3 / (m2 * sqrt(m2))).as("skewness"),

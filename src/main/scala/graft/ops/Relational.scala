@@ -1412,8 +1412,9 @@ object Relational {
         val obs = lineitem(s, d)
           .select(floor(col("l_extendedprice") * 100).cast("long").as("c"))
           .filter(col("c") > 0)
-          .select((col("c") / pow(lit(10.0), length(col("c").cast("string")) - 1))
-            .cast("long").as("digit"))
+          .select(expr(
+            "c DIV CAST(pow(10, length(CAST(c AS STRING)) - 1) AS BIGINT)")
+            .as("digit"))
           .groupBy("digit").agg(count(lit(1)).as("observed"))
         val bf = {
           import s.implicits._

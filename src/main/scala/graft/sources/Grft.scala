@@ -190,10 +190,13 @@ object Grft {
     def dictMay(p: Long => Boolean): Option[Boolean] =
       st.labels.map(_.exists(l => p(l.toLong)))
     f match {
-      // bloom refinement for vec_id point lookups: strictly at least as
-      // strong as min/max (a key outside [min,max] was never inserted)
+      // bloom refinement for vec_id point lookups, ANDed with the
+      // min/max bracket: a bloom false positive on a key outside
+      // [min,max] must still prune (bloom ∧ range is strictly at least
+      // as strong as either test alone)
       case EqualTo("vec_id", v) if st.bloom.isDefined =>
-        bloomMayContain(st.bloom.get, asLong(v))
+        bloomMayContain(st.bloom.get, asLong(v)) &&
+          asLong(v) >= st.vecMin && asLong(v) <= st.vecMax
       case EqualTo("label", v) =>
         dictMay(_ == asLong(v)).getOrElse(
           asLong(v) >= st.labelMin && asLong(v) <= st.labelMax)

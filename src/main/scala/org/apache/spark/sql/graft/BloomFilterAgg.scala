@@ -9,21 +9,22 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
 
 /** Bloom filter (Bloom 1970) over an integer key column as one mergeable
-  * TypedImperativeAggregate: 4096 bits packed 32-per-word into 128
+  * TypedImperativeAggregate: 16384 bits packed 32-per-word into 512
   * BIGINT words, bit-OR on merge — the set-MEMBERSHIP member of the
   * sketch family next to HLL (cardinality, agg_sketch_rollup), ApproxTopK
   * (heavy hitters, agg_topk_sketch), count-min (point frequency,
   * agg_cms_freq) and KLL (quantiles, agg_quantile_rollup). At scale the
-  * shuffle carries one 1 KB row per partition instead of the build side's
+  * shuffle carries one ~4 KB row per partition instead of the build side's
   * key set, and the probe is a broadcast bit-test — the runtime-filter
   * shape Spark itself uses for join pruning
   * (spark.sql.optimizer.runtime.bloomFilter.enabled), here surfaced as a
   * first-class auditable operator.
   *
   * The hash family is the CMS one (CountMinSketch.scala): multiplicative
-  * odd constants + offset, mod 2^32, top-12-bits position — every step
+  * odd constants + offset, mod 2^32, top-14-bits position (>> 18) —
+  * every step
   * BIGINT-exact for keys in [0, 2^31), so the DuckDB oracle rebuilds the
-  * IDENTICAL 128 packed words relationally and proves the engine's
+  * IDENTICAL 512 packed words relationally and proves the engine's
   * bitset (and every probe verdict) cell-exact. Words pack 32 bits, not
   * 64, so no word ever sets a sign bit and integer division/modulo
   * bit-tests can never hit the truncate-vs-floor divergence between the

@@ -89,7 +89,7 @@ class Round11Spec extends SparkSpec {
     val hiRate = hi.map(_._3).sum.toDouble / hi.map(_._2).sum
     assert(loRate > hiRate,
       s"bottom-half rate $loRate must exceed top-half rate $hiRate")
-    rows.sliding(2).foreach { case Array(a, b) =>
+    rows.zip(rows.drop(1)).foreach { case (a, b) =>
       assert(a._5 < b._5, s"mean_nll must increase with bin: $a vs $b")
     }
     rows.foreach { case (_, n, np, rate, _) =>
