@@ -1028,14 +1028,23 @@ object Events {
     // ── RFM segmentation (recency / frequency / monetary quintiles) ────
     // The classic customer-base census: per user, days since last
     // purchase (vs the corpus max day), purchase count, and exact
-    // µunit spend; each dimension scored 1-5 by ntile over a TOTAL
-    // order (value + user_id tiebreak — ntile is deterministic only
-    // under one, and both engines share the same remainder-to-early-
-    // groups division rule). rfm_code packs the three digits. SCALE:
-    // one partial-agg shuffle per user; the three ntiles here run as
-    // global windows (fine for a quintile census — at 100 TB you
-    // precompute the 4 quintile boundaries with the rel_analyze_stats
-    // rank-join shape and score by broadcast range lookup instead).
+    // µunit spend; each dimension scored 1-5 by quintile over a TOTAL
+    // order (value + user_id tiebreak — quintiles are deterministic
+    // only under one). The oracle says `ntile(5)` over a flat window;
+    // the engine computes the IDENTICAL tile without any global
+    // single-partition sort (VERDICT r11): the three dimensions
+    // explode into (dim, sort_value) pairs, the global rank comes from
+    // the text_weighted_sample two-level scan — per-block partitioned
+    // row_numbers (parallel) + a tiny per-dim block-offset table
+    // joined back by broadcast — and the tile is then a PURE INTEGER
+    // FUNCTION of (rank, N): with q = N DIV 5, r = N MOD 5, row i gets
+    // tile (i−1) DIV (q+1) + 1 when i ≤ r·(q+1), else
+    // r + (i − r·(q+1) − 1) DIV q + 1 — exactly SQL ntile's
+    // remainder-to-early-groups rule on both engines. SCALE: one
+    // partial-agg shuffle per user, one partitioned window per block,
+    // one broadcast; the only ordered pass over a non-blocked input is
+    // the offset window over the BLOCK table (≈ N / block-width rows;
+    // the per-dim widths are the knob).
     Q(
       "evt_rfm",
       (s, d) => {
@@ -1049,13 +1058,52 @@ object Events {
           .select(col("user_id"),
             datediff(col("gday"), col("last_day")).cast("long").as("recency_days"),
             col("frequency"), col("mu"))
-        val rS = ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id").asc))
-        val fS = ntile(5).over(Window.orderBy(col("frequency").asc, col("user_id").asc))
-        val mS = ntile(5).over(Window.orderBy(col("mu").asc, col("user_id").asc))
-        base
+          .localCheckpoint(false) // rank pass + final join read one materialization
+        // sv ascending ≡ each ntile's ORDER BY (recency DESC → negate).
+        // Blocks are RANGES of sv (DIV is monotone, truncation included)
+        // sized to the dimension's magnitude: days ~1e2, counts ~1e2-1e4,
+        // µunit spend ~1e9 — so blocks hold O(10-100) rows at the gate
+        // SFs and the offset table stays ≪ N at any SF.
+        val ex = base.select(col("user_id"), explode(array(
+            struct(lit("r").as("dim"), (-col("recency_days")).as("sv")),
+            struct(lit("f").as("dim"), col("frequency").cast("long").as("sv")),
+            struct(lit("m").as("dim"), col("mu").as("sv")))).as("e"))
+          .select(col("user_id"), col("e.dim").as("dim"), col("e.sv").as("sv"))
+          .withColumn("blk",
+            when(col("dim") === "r", expr("sv DIV 8"))
+              .when(col("dim") === "f", expr("sv DIV 8"))
+              .otherwise(expr("sv DIV 4194304"))) // 2^22 µunits ≈ $4.19
+        val rin = row_number().over(
+          Window.partitionBy("dim", "blk").orderBy(col("sv").asc, col("user_id").asc))
+        val blkTot = ex.groupBy("dim", "blk").agg(count(lit(1)).as("btot"))
+        val blkOff = blkTot.withColumn("boff",
+            coalesce(sum("btot").over(Window.partitionBy("dim").orderBy("blk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("dim").as("odim"), col("blk").as("oblk"), col("boff"))
+        val ncnt = base.agg(count(lit(1)).as("nn"))
+        // ntile(5) as arithmetic on the exact global rank: q=N DIV 5,
+        // r=N MOD 5; greatest(q,1) keeps the (unreached when q=0) else
+        // branch division total.
+        val tile =
+          when(expr("grank <= (nn % 5) * (nn DIV 5 + 1)"),
+              expr("(grank - 1) DIV (nn DIV 5 + 1) + 1"))
+            .otherwise(expr(
+              "nn % 5 + (grank - (nn % 5) * (nn DIV 5 + 1) - 1) DIV greatest(nn DIV 5, 1) + 1"))
+            .cast("int")
+        val scored = ex.withColumn("rin", rin)
+          .join(broadcast(blkOff),
+            col("dim") === col("odim") && col("blk") === col("oblk"))
+          .withColumn("grank", col("boff") + col("rin"))
+          .crossJoin(broadcast(ncnt))
+          .withColumn("score", tile)
+          .groupBy("user_id")
+          .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),
+            max(when(col("dim") === "f", col("score"))).as("f_score"),
+            max(when(col("dim") === "m", col("score"))).as("m_score"))
+        base.join(scored, "user_id")
           .select(col("user_id"), col("recency_days"), col("frequency"),
             (col("mu").cast("double") / 1e6).as("monetary"),
-            rS.as("r_score"), fS.as("f_score"), mS.as("m_score"))
+            col("r_score"), col("f_score"), col("m_score"))
           .withColumn("rfm_code",
             col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .orderBy("user_id")

@@ -1294,20 +1294,32 @@ object Relational {
     // > size). Price compares in floor-cents BIGINT (both engines floor
     // the same double product), so the RANGE frame boundary is integral
     // and tie groups agree exactly.
-    // At 100 TB: range-partition by price, sweep each partition
-    // locally, then subtract each partition's prefix-max carried in from
-    // cheaper partitions — one tiny broadcast; no self-join ever.
+    // The sweep is RANGE-PARTITIONED (VERDICT r11): cents DIV 1024
+    // blocks the price axis into intervals, the strictly-cheaper
+    // prefix-max runs per block (parallel partitioned windows), and
+    // each block's carry-in from all cheaper blocks comes from a tiny
+    // per-block max table cumulated block-over-block (a window over
+    // ~range/1024 rows, never the data) and broadcast back. The oracle
+    // states the same sweep as one flat window — values identical
+    // because max is associative over the block split.
     Q(
       "rel_skyline",
       (s, d) => {
         val p = part(s, d).select(col("p_partkey"),
           floor(col("p_retailprice") * 100).cast("long").as("cents"),
           col("p_size").cast("long").as("size"))
-        val wPrev = Window.orderBy(col("cents").asc)
+          .withColumn("blk", expr("cents DIV 1024"))
+        val wPrevL = Window.partitionBy("blk").orderBy(col("cents").asc)
           .rangeBetween(Window.unboundedPreceding, -1)
         val wTie = Window.partitionBy(col("cents"))
-        p.withColumn("m_prev", max("size").over(wPrev))
+        val blkCarry = p.groupBy("blk").agg(max("size").as("bmax"))
+          .withColumn("carry", max("bmax").over(Window.orderBy("blk")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+          .select(col("blk").as("cblk"), col("carry"))
+        p.withColumn("m_prev_local", max("size").over(wPrevL))
           .withColumn("m_tie", max("size").over(wTie))
+          .join(broadcast(blkCarry), col("blk") === col("cblk"))
+          .withColumn("m_prev", greatest(col("m_prev_local"), col("carry")))
           .filter((col("m_prev").isNull || col("m_prev") < col("size")) &&
             col("m_tie") === col("size"))
           .select(col("p_partkey"),
