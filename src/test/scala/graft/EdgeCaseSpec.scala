@@ -591,4 +591,21 @@ class EdgeCaseSpec extends SparkSpec {
     val dist = graph.Components.multiBfs(ue, Seq(1L), 4)
     assert(dist.filter(col("d") > 0).collect().isEmpty)
   }
+
+  test("unsatisfiable motif patterns return empty frames with the declared schema") {
+    val g = graph.PropertyGraph.supplierPartGraph(spark, sf)
+    // label conflict: SUPPLIES destinations are Parts, never Suppliers
+    val byLabel = g.find("(s)-[:SUPPLIES]->(p:Supplier) RETURN s.id AS src, p.id AS dst")
+    assert(byLabel.columns.toSeq == Seq("src", "dst"))
+    assert(byLabel.count() == 0)
+    // rel-type that exists nowhere in the graph
+    assert(g.find("(a)-[:NO_SUCH_TYPE]->(b) RETURN a.id AS a").count() == 0)
+    // contradictory predicates on one variable
+    assert(g.find(
+      "(a)-[:SUPPLIES]->(b) WHERE a.id = 1 AND a.id = 2 RETURN a.id AS a")
+      .count() == 0)
+    // and an aggregate over the empty match is an empty grouped frame
+    assert(g.find(
+      "(a)-[:NO_SUCH_TYPE]->(b) RETURN a.id AS a, count(b) AS d").count() == 0)
+  }
 }

@@ -512,6 +512,47 @@ class PlanSpec extends SparkSpec {
       s"the packing window must partition by source:\n${m.matched}"))
   }
 
+  // ── the pattern front-end compiles to the hand-written shapes ───────
+  /** Join/aggregate operator multiset of a query's physical plan (AQE
+    * unwrapped; cached-relation inner plans excluded by tree collect). */
+  private def shape(name: String): Seq[String] = {
+    val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    val un = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    un.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.getClass.getSimpleName
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => "Agg"
+    }.sorted
+  }
+
+  test("compiled pattern two-hop has the IDENTICAL shape to hand-written graph_two_hop") {
+    // one broadcast equi-join through the shared supplier + the
+    // two-phase distinct — nothing extra, nothing product-shaped
+    assert(shape("graph_pattern_two_hop") == shape("graph_two_hop"),
+      s"${shape("graph_pattern_two_hop")} vs ${shape("graph_two_hop")}")
+  }
+
+  test("compiled pattern aggregate = out_degree shape + broadcast label joins only") {
+    val agg = shape("graph_pattern_agg")
+    assert(agg.count(_ == "Agg") == shape("graph_out_degree").count(_ == "Agg"),
+      s"same two-phase count aggregate expected: $agg")
+    assert(agg.filterNot(_ == "Agg").forall(_ == "BroadcastHashJoinExec"),
+      s"label joins must broadcast, never product: $agg")
+    val p = plan("graph_pattern_agg")
+    assert(p.contains("partial_count"), s"count must map-side combine:\n$p")
+  }
+
+  test("compiled pattern point-lookup broadcasts like the hand-written star join") {
+    val s = shape("graph_pattern_edge")
+    assert(s.nonEmpty && s.filterNot(_ == "Agg").forall(_ == "BroadcastHashJoinExec"),
+      s"selective pattern must plan broadcast equi-joins: $s")
+    val p = plan("graph_pattern_edge")
+    assert(!p.contains("CartesianProduct"), s"no products:\n$p")
+  }
+
   // ── the global-window SWEEP (VERDICT r11 task 2) ────────────────────
   // An un-partitioned Window is a single-partition sort: one task
   // serializes the whole input. That is only acceptable when the input
