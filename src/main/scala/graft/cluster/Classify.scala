@@ -512,6 +512,149 @@ object Classify {
              |SELECT qty, nl, nr, gain, left_mean, right_mean,
              |  row_number() OVER (ORDER BY gain DESC, qty ASC) = 1 AS is_best
              |FROM gains ORDER BY qty""".stripMargin)
+    ),
+
+    // ── gradient-boosted stumps (the GBDT loop, closed) ────────────────
+    // VERDICT r11 task 5: K=8 squared-loss boosting rounds, each round
+    // EXACTLY the ml_decision_stump one-pass SSE scan run over the
+    // current RESIDUALS (Friedman 2001 — with squared loss the negative
+    // gradient IS the residual). Residuals stay BIGINT cents
+    // throughout: the round-t leaf values are v = floor(S/(2n) + 0.5)
+    // — the ν=½-shrunk leaf mean on the integer grid, round-half-up
+    // (a true floor, so no DIV-truncation divergence) — which PROVABLY
+    // never increases train SSE per leaf (for |mean| < 1 cent v is 0;
+    // otherwise v lies between 0 and the mean, where Δ = n·v·(v−2u) ≤
+    // 0), so train_mse is monotone non-increasing, pinned in
+    // Round12Spec. Driver state per round = ONE collected best-split
+    // row (the BPE top-pair convention); the oracle replays all K
+    // rounds as chained MATERIALIZED CTEs — byqty/tot/scan/best/
+    // residual-update per round — bit-identical through the shared
+    // floor/gain/mse expressions (Σr² rides DECIMAL(38,0)/HUGEINT).
+    // SCALE: per round ONE groupBy shuffle over the residual table +
+    // a ≤50-row candidate scan + one map-pass update (localCheckpoint
+    // per round = the cached-training-set iteration every distributed
+    // GBDT performs); K rounds of bounded driver sync.
+    Q(
+      "ml_gbdt_stumps",
+      (s, d) => {
+        val K = 8
+        def dec38(c: org.apache.spark.sql.Column) =
+          c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        // F0 = the global mean on the cent grid (standard GBDT init);
+        // residuals start centered so round-1 MSE ≤ the price variance
+        val raw = lineitem(s, d)
+          .select(col("l_quantity").cast("int").as("qty"),
+            floor(col("l_extendedprice") * 100).cast("long").as("c"))
+          .localCheckpoint(false)
+        val v0 = raw.agg(count(lit(1)).as("n"), sum("c").as("s"))
+          .select(floor(col("s").cast("double") / col("n").cast("double") + 0.5)
+            .cast("long").as("v0"))
+          .collect()(0).getLong(0) // 1-value driver boundary: the init
+        var resid = raw.select(col("qty"), (col("c") - lit(v0)).as("r"))
+          .localCheckpoint(false)
+        val rows = Seq.newBuilder[(Int, Int, Long, Long, Long, Long, Double, Double)]
+        for (t <- 1 to K) {
+          val byQty = resid.groupBy("qty")
+            .agg(count(lit(1)).as("cnt"), sum("r").as("sr"))
+          val tot = byQty.agg(sum("cnt").as("n"), sum("sr").as("s"))
+          val wCum = Window.orderBy("qty")
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val best = byQty
+            .withColumn("nl", sum("cnt").over(wCum))
+            .withColumn("sl", sum("sr").over(wCum))
+            .crossJoin(broadcast(tot))
+            .filter(col("nl") < col("n"))
+            .select(col("qty"), col("nl"), (col("n") - col("nl")).as("nr"),
+              floor(col("sl").cast("double") /
+                (lit(2.0) * col("nl").cast("double")) + 0.5)
+                .cast("long").as("vl"),
+              floor((col("s") - col("sl")).cast("double") /
+                (lit(2.0) * (col("n") - col("nl")).cast("double")) + 0.5)
+                .cast("long").as("vr"),
+              ((col("sl").cast("double") * col("sl").cast("double") /
+                col("nl").cast("double") +
+                (col("s") - col("sl")).cast("double") *
+                  (col("s") - col("sl")).cast("double") /
+                  (col("n") - col("nl")).cast("double") -
+                col("s").cast("double") * col("s").cast("double") /
+                  col("n").cast("double")) / 10000.0).as("gain"))
+            .orderBy(col("gain").desc, col("qty").asc).limit(1)
+            .collect()(0) // 1-row driver boundary: the round's stump
+          val (q, nl, nr) = (best.getInt(0), best.getLong(1), best.getLong(2))
+          val (vl, vr, gain) = (best.getLong(3), best.getLong(4), best.getDouble(5))
+          resid = resid.select(col("qty"),
+              (col("r") - when(col("qty") <= lit(q), lit(vl)).otherwise(lit(vr)))
+                .as("r"))
+            .localCheckpoint(false)
+          val m = resid.agg(count(lit(1)).as("n"),
+              sum(dec38(col("r")) * col("r")).as("ssq"))
+            .select((col("ssq").cast("double") / col("n").cast("double") /
+              10000.0 / 10000.0).as("mse"))
+            .collect()(0).getDouble(0)
+          rows += ((t, q, nl, nr, vl, vr, gain, m))
+        }
+        import s.implicits._
+        rows.result().toDF("round", "split_qty", "n_left", "n_right",
+          "left_value_cents", "right_value_cents", "gain", "train_mse")
+          .orderBy("round")
+      },
+      Some {
+        val K = 8
+        val rounds = (1 to K).map { t =>
+          val in = s"li${t - 1}"
+          s"""byqty$t AS (
+             |  SELECT qty, CAST(count(*) AS BIGINT) AS cnt,
+             |         CAST(sum(r) AS BIGINT) AS sr
+             |  FROM $in GROUP BY qty),
+             |tot$t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |                 CAST(sum(sr) AS BIGINT) AS s FROM byqty$t),
+             |scan$t AS (
+             |  SELECT qty,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+             |    CAST(sum(sr) OVER w AS BIGINT) AS sl
+             |  FROM byqty$t
+             |  WINDOW w AS (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING
+             |               AND CURRENT ROW)),
+             |best$t AS MATERIALIZED (
+             |  SELECT qty, nl, n - nl AS nr,
+             |    CAST(floor(CAST(sl AS DOUBLE) / (2.0 * CAST(nl AS DOUBLE)) + 0.5) AS BIGINT) AS vl,
+             |    CAST(floor(CAST(s - sl AS DOUBLE) / (2.0 * CAST(n - nl AS DOUBLE)) + 0.5) AS BIGINT) AS vr,
+             |    (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) +
+             |     CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE) /
+             |       CAST(n - nl AS DOUBLE) -
+             |     CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / 10000.0 AS gain
+             |  FROM scan$t CROSS JOIN tot$t
+             |  WHERE nl < n
+             |  ORDER BY gain DESC, qty ASC LIMIT 1),
+             |li$t AS MATERIALIZED (
+             |  SELECT li.qty,
+             |    li.r - CASE WHEN li.qty <= b.qty THEN b.vl ELSE b.vr END AS r
+             |  FROM $in li CROSS JOIN best$t b),
+             |mse$t AS (
+             |  SELECT CAST(sum(CAST(r AS HUGEINT) * r) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE) / 10000.0 / 10000.0 AS mse
+             |  FROM li$t)""".stripMargin
+        }.mkString(",\n")
+        val report = (1 to K).map { t =>
+          s"""SELECT $t AS round, qty AS split_qty, nl AS n_left, nr AS n_right,
+             |  vl AS left_value_cents, vr AS right_value_cents, gain,
+             |  (SELECT mse FROM mse$t) AS train_mse
+             |FROM best$t""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH raw AS MATERIALIZED (
+           |  SELECT CAST(l_quantity AS INT) AS qty,
+           |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+           |  FROM lineitem),
+           |f0 AS (
+           |  SELECT CAST(floor(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS v0
+           |  FROM raw),
+           |li0 AS MATERIALIZED (
+           |  SELECT qty, c - v0 AS r FROM raw CROSS JOIN f0),
+           |$rounds
+           |$report
+           |ORDER BY round""".stripMargin
+      }
     )
   )
 
