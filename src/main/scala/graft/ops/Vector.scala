@@ -498,6 +498,123 @@ object Vector {
       }
     ),
 
+    // ── NN-descent KNN-graph construction (Dong et al. 2011) ───────────
+    // VERDICT r11 task 6: the ANN tiers answer point queries; the
+    // pipeline substrate (SemDeDup cells, label-noise audits, graph
+    // clustering) needs the full k-nearest-neighbor GRAPH. NN-descent's
+    // local join: seed every node with k deterministic neighbors
+    // (stride picks over the contiguous id space — no RNG), then per
+    // round each node introduces its general neighbors (forward ∪
+    // rotating-hash-capped reverse) to each other through a pivot
+    // equi-join, and keeps its best k' by cosine (partitioned window,
+    // ties by id). The graph BUILDS at k'=2k=16 and emits the top k=8 —
+    // over-building is what lifts descent out of the clustered local
+    // optimum (recall@8 0.68 → 0.97 on the gate corpus in 4 rounds,
+    // pinned ≥ 0.9 vs the exact graph in Round12Spec; at 4× corpus the
+    // curve reaches ~0.86 by round 6 — rounds are the recall knob, the
+    // classic NN-descent "until few updates" stop). Every pick is
+    // deterministic, so the
+    // oracle replays all rounds verbatim as chained CTEs over the SAME
+    // cosine fold — the full final graph is driver-hashed. SCALE: the
+    // candidate volume is Σ_p |G(p)|² ≤ N·(2k)² per round (the reverse
+    // cap bounds hub fan-in), all equi-joins hash-partitioned on id —
+    // NEVER a corpus² product (plan-asserted in PlanSpec); per-round
+    // state is the N·k edge table (localCheckpointed, the fixpoint
+    // discipline).
+    Q(
+      "ann_nndescent_graph",
+      (s, d) => {
+        val K = 8   // output graph degree
+        val KB = 16  // BUILD degree: over-building 2× is what lifts the
+                     // descent out of the clustered local optimum
+                     // (recall@8 0.68 -> 0.97 on the gate corpus)
+        val Rounds = 4
+        val strides = Seq(48L, 85L, 122L, 159L, 196L, 233L, 270L, 307L,
+          11L, 97L, 201L, 333L, 421L, 57L, 153L, 289L)
+        val e = embeddings(s, d)
+          .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
+          .localCheckpoint(false) // id+vector staging read by every round
+        val n = e.count() // 1-value driver boundary: corpus size for the mod-N seeds
+        var b = e.select(col("id").as("src"),
+            explode(array(strides.map(sj => (col("id") + sj) % n): _*)).as("dst"))
+          .localCheckpoint(false)
+        var out: DataFrame = null
+        for (r <- 1 to Rounds) {
+          // reverse cap ROTATES per round (deterministic multiplicative
+          // hash keyed by r): a fixed id-order cap would drop the same
+          // reverse neighbors of a hub every round and stall descent
+          val rev = b.select(col("dst").as("piv"), col("src").as("nbr"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("piv").orderBy(
+                ((col("nbr") + lit(r.toLong)) * lit(2654435761L) % lit(4294967296L)).asc,
+                col("nbr").asc)))
+            .filter(col("rk") <= KB).drop("rk")
+          val gen = b.select(col("src").as("piv"), col("dst").as("nbr"))
+            .union(rev).distinct()
+          val cand = gen.select(col("piv"), col("nbr").as("src"))
+            .join(gen.select(col("piv"), col("nbr").as("dst")), "piv")
+            .filter(col("src") =!= col("dst"))
+            .select("src", "dst")
+            .union(b)
+            .distinct()
+          val scored = cand
+            .join(e.select(col("id").as("src"), col("v").as("va")), "src")
+            .join(e.select(col("id").as("dst"), col("v").as("vb")), "dst")
+            .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("sim"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+          if (r < Rounds)
+            b = scored.filter(col("rk") <= KB).select("src", "dst")
+              .localCheckpoint(false)
+          else out = scored.filter(col("rk") <= K)
+        }
+        out.select(col("src").as("vec_id"), col("rk").cast("int").as("rank"),
+            col("dst").as("nbr"), col("sim"))
+          .orderBy("vec_id", "rank")
+      },
+      Some {
+        val K = 8
+        val KB = 16
+        val strides = Seq(48, 85, 122, 159, 196, 233, 270, 307,
+          11, 97, 201, 333, 421, 57, 153, 289)
+        val c = sqlCosine("ea.v", "eb.v")
+        val rounds = (1 to 4).map { r =>
+          val p = s"b${r - 1}"
+          s"""rev$r AS (
+             |  SELECT piv, nbr FROM (
+             |    SELECT dst AS piv, src AS nbr,
+             |      row_number() OVER (PARTITION BY dst
+             |        ORDER BY (src + $r) * 2654435761 % 4294967296 ASC, src ASC) AS rk
+             |    FROM $p) WHERE rk <= $KB),
+             |gen$r AS (
+             |  SELECT src AS piv, dst AS nbr FROM $p
+             |  UNION SELECT piv, nbr FROM rev$r),
+             |cand$r AS (
+             |  SELECT a.nbr AS src, b.nbr AS dst
+             |  FROM gen$r a JOIN gen$r b ON a.piv = b.piv AND a.nbr <> b.nbr
+             |  UNION SELECT src, dst FROM $p),
+             |sim$r AS (
+             |  SELECT c.src, c.dst, $c AS sim
+             |  FROM cand$r c JOIN e ea ON ea.id = c.src JOIN e eb ON eb.id = c.dst),
+             |rk$r AS (
+             |  SELECT src, dst, sim,
+             |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+             |  FROM sim$r),
+             |b$r AS MATERIALIZED (SELECT src, dst FROM rk$r WHERE rk <= $KB)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+           |st(s) AS (VALUES ${strides.map(x => s"($x)").mkString(", ")}),
+           |b0 AS MATERIALIZED (
+           |  SELECT id AS src, (id + s) % n AS dst FROM e CROSS JOIN n CROSS JOIN st),
+           |$rounds
+           |SELECT src AS vec_id, CAST(rk AS INT) AS rank, dst AS nbr, sim
+           |FROM rk4 WHERE rk <= $K
+           |ORDER BY vec_id, rank""".stripMargin
+      }
+    ),
+
     // ── LSH-bucketed ANN: bucket histogram ─────────────────────────────
     // Random-hyperplane LSH: sign of the projection onto 8 deterministic
     // pseudo-random hyperplanes (literal arrays — see `hyperplane`) →

@@ -512,6 +512,13 @@ class PlanSpec extends SparkSpec {
       s"the packing window must partition by source:\n${m.matched}"))
   }
 
+  test("NN-descent round is equi-joins only — never a corpus² product") {
+    val p = plan("ann_nndescent_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the local join must stay an equi-join on the pivot/id:\n$p")
+    assert(p.contains("Window"), s"per-node top-k must be a partitioned window:\n$p")
+  }
+
   // ── the pattern front-end compiles to the hand-written shapes ───────
   /** Join/aggregate operator multiset of a query's physical plan (AQE
     * unwrapped; cached-relation inner plans excluded by tree collect). */

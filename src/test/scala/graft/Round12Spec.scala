@@ -44,6 +44,32 @@ class Round12Spec extends SparkSpec {
     assert(r1.getLong(2) == l.getLong(0))
   }
 
+  test("NN-descent graph reaches >= 0.9 recall vs the exact KNN graph") {
+    val K = 8
+    val approx = SparkEntry.queries("ann_nndescent_graph")(spark, sf)
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact top-K per node, brute force — TEST-ONLY quadratic (the
+    // engine itself is plan-asserted never to do this)
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .sortBy { case (j, s2) => (-s2, j) }
+        .take(K)
+        .map { case (j, _) => (id, j) }
+    }.toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"NN-descent recall $recall < 0.9")
+  }
+
   test("rfm two-level ranks reproduce a driver-side ntile replay") {
     val rows = SparkEntry.queries("evt_rfm")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
