@@ -827,15 +827,54 @@ object Components {
           .select(lit(rounds).as("round"), col("lo"), col("hi"), col("w"))
           .localCheckpoint(false)
         mst = if (mst == null) chosen else mst.union(chosen)
-        // contract: CC over the picked component-graph (component-count
-        // sized; geometrically shrinking), then relabel the edge pairs
-        // and re-reduce parallel edges to their pair minimum
-        val eg0 = pick.select(col("c").as("x"), col("k.other").as("y"))
-          .localCheckpoint(false)
-        val eg = eg0.select(col("x").as("src"), col("y").as("dst"))
-          .union(eg0.select(col("y").as("src"), col("x").as("dst")))
-          .localCheckpoint(false)
-        val relab = minLabel(eg)
+        // contract: the picks form a PSEUDO-FOREST — under the (w,lo,hi)
+        // total order every cycle in the functional graph c → other is a
+        // mutual-pick 2-cycle — so contraction needs no general CC
+        // fixpoint: root each tree at its 2-cycle's smaller endpoint,
+        // then POINTER-JUMP (p := p∘p) to the root in ⌈log₂ depth⌉
+        // driver-synced jumps over the component-count-sized parent
+        // table, instead of [[minLabel]]'s one-hop-per-iteration
+        // diameter walk (VERDICT r11 task 4: 30 inner iterations → ~8
+        // jumps at sf0.1). The representative choice differs from
+        // minLabel's component-minimum, but the forest output is
+        // label-invariant: picks and pair-minima depend only on the
+        // component PARTITION, never on which id names it.
+        // Generation snapshot for the jump loop: localCheckpoint would
+        // carry originStats forward, and a SELF-join SQUARES
+        // sizeInBytes every generation — by round 4 the stats visitor
+        // is multiplying million-digit BigInts and the driver burns
+        // ~40 s in SizeInBytesOnlyStatsPlanVisitor (measured; jstack'd
+        // this session). Re-wrapping the checkpointed RDD through
+        // createDataFrame resets the leaf to default stats — constant
+        // per generation, so the product can never compound. The
+        // Row round-trip is negligible at component-count sizes.
+        def snap(df: DataFrame): DataFrame = {
+          val rdd = df.rdd
+          rdd.localCheckpoint()
+          df.sparkSession.createDataFrame(rdd, df.schema)
+        }
+        val pk = pick.select(col("c"), col("k.other").as("o"))
+        var par = snap(pk
+          .join(pk.select(col("c").as("oc"), col("o").as("oo")),
+            col("o") === col("oc"), "left")
+          .select(col("c"),
+            when(col("oo") === col("c") && col("c") < col("o"), col("c"))
+              .otherwise(col("o")).as("p")))
+        var jumping = true
+        var jumps = 0
+        while (jumping) {
+          jumps += 1
+          val j = snap(par
+            .join(par.select(col("c").as("pc"), col("p").as("pp")),
+              col("p") === col("pc"))
+            .select(col("c"), col("pp").as("p"),
+              (col("pp") =!= col("p")).as("ch")))
+          jumping = j.filter(col("ch")).count() > 0
+          par = j.select("c", "p")
+        }
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[boruvka] contraction pointer-jumped in $jumps")
+        val relab = par.select(col("c").as("id"), col("p").as("l"))
         edges = edges
           .join(relab.select(col("id").as("a"), col("l").as("la")), Seq("a"), "left")
           .join(relab.select(col("id").as("b"), col("l").as("lb")), Seq("b"), "left")
