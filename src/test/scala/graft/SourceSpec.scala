@@ -320,4 +320,43 @@ class SourceSpec extends SparkSpec {
     assert(plannedFiles(Array(EqualTo("vec_id", 3L))).size === 2,
       "pre-bloom manifest must fall back to min/max (no skip), never wrong rows")
   }
+
+  test("grft runtime filtering: a join-driven In() prunes files at execution time") {
+    import graft.sources.{Grft, GrftInputPartition, GrftScanBuilder}
+    import org.apache.spark.sql.sources.In
+    val d = tempDir("grft_runtime")
+    Tables.embeddings(spark, sf).select("vec_id", "label", "embedding")
+      .repartitionByRange(4, col("vec_id"))
+      .write.format("grft").mode("overwrite").save(d)
+    // mechanism: a runtime In() handed to the scan AFTER build (the
+    // SupportsRuntimeFiltering contract) re-plans fewer files, by the
+    // same manifest satisfiability tests the static path uses
+    def scanFor(runtime: Array[org.apache.spark.sql.sources.Filter]): Set[String] = {
+      val sc = new GrftScanBuilder(d).build()
+      sc.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+        .filter(runtime)
+      sc.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions()
+        .collect { case p: GrftInputPartition => p.file }.toSet
+    }
+    assert(scanFor(Array.empty).size === 4)
+    val pruned = scanFor(Array(In("vec_id", Array(5L, 250L))))
+    assert(pruned.size === 2, s"two-point In must plan 2 files, got $pruned")
+    // an unknown runtime shape keeps every file (advisory contract)
+    assert(scanFor(Array(org.apache.spark.sql.sources.StringContains("x", "y")))
+      .size === 4)
+    // wiring: Catalyst's partition-pruning rule must actually INJECT the
+    // subquery filter into the GRFT scan for a selective dimension join
+    val dim = Tables.embeddings(spark, sf).select(col("vec_id").as("k"))
+      .filter(col("k") === 250L)
+    val fact = spark.read.format("grft").load(d)
+    val joined = fact.join(dim, fact("vec_id") === dim("k"))
+      .select("vec_id", "label")
+    val rows = joined.collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === 250L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [") &&
+      plan.matches("(?s).*RuntimeFilters: \\[[^\\]]*vec_id.*"),
+      s"the v2 scan must carry an injected runtime filter:\n$plan")
+  }
 }
