@@ -612,4 +612,97 @@ class StreamingSpec extends SparkSpec {
         s"stream sessions must equal the batch table: got ${got.size}, want ${want.size}")
     } finally q.stop()
   }
+
+  test("streaming LTTB equals the sequential fixed-bucket fold over shuffled triggers with replays") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{DayAgg, LttbPt}
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val W = Streams.LttbBucketDays
+    // the REAL sf0.001 daily purchase series, one point per day
+    val daily = ops.Events.eventsUs(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("xu"))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).as("epd"),
+        col("xu"))
+      .orderBy("epd")
+      .collect().map(r => DayAgg(0L, r.getInt(0), r.getLong(1)))
+    assert(daily.length >= 4 * W, "need several buckets of real days")
+    // reference: the same freeze/finalize rules folded sequentially in
+    // day order — bucket b finalizes when a point lands in b+2+, anchor
+    // keeps the first point, |2·area·c| exact-BIGINT argmax, ties to
+    // the earliest day, empty next bucket degrades area to 0
+    def bucketOf(epd: Int) = Math.floorDiv(epd, W)
+    val expected = {
+      var open = Vector.empty[LttbPt]
+      var haveLast = false
+      var lastX = 0L; var lastY = 0L
+      val out = Seq.newBuilder[(Int, Int, Long)]
+      daily.foreach { p =>
+        open = (open :+ LttbPt(p.epd, p.xu)).sortBy(_.epd)
+        var advanced = true
+        while (advanced) {
+          advanced = false
+          val bs = open.map(q => bucketOf(q.epd))
+          if (bs.nonEmpty && bs.max >= bs.min + 2) {
+            val bMin = bs.min
+            val (cand, rest) = open.partition(q => bucketOf(q.epd) == bMin)
+            val keep =
+              if (!haveLast) cand.head
+              else {
+                val nxt = rest.filter(q => bucketOf(q.epd) == bMin + 1)
+                val c = nxt.size.toLong
+                val sx = nxt.map(_.epd.toLong).sum
+                val sy = nxt.map(_.yu).sum
+                cand.maxBy { q =>
+                  val a = (BigInt(lastX) * c - sx) * (q.yu - lastY) -
+                    BigInt(lastX - q.epd) * (sy - BigInt(lastY) * c)
+                  (a.abs, -q.epd)
+                }
+              }
+            out += ((bMin, keep.epd, keep.yu))
+            haveLast = true; lastX = keep.epd.toLong; lastY = keep.yu
+            open = rest
+            advanced = true
+          }
+        }
+      }
+      out.result()
+    }
+    assert(expected.size >= 2, "fixture must finalize at least two buckets")
+    // stream: three triggers, days shuffled WITHIN each trigger (the
+    // in-batch sort restores order; the 2-bucket horizon is respected
+    // because trigger boundaries are cuts of the ordered series), the
+    // last trigger replaying the first two days (guard must drop them)
+    val (c1, rest) = daily.splitAt(daily.length / 3)
+    val (c2, c3) = rest.splitAt(rest.length / 2)
+    val rnd = new scala.util.Random(7)
+    val input = MemoryStream[DayAgg]
+    val q = Streams.lttbStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("lttb_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(rnd.shuffle(c1.toSeq): _*); q.processAllAvailable()
+      input.addData(rnd.shuffle(c2.toSeq): _*); q.processAllAvailable()
+      input.addData(rnd.shuffle((c3 ++ daily.take(2)).toSeq): _*)
+      q.processAllAvailable()
+      val got = spark.table("lttb_stream").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(got.toSeq === expected,
+        s"streaming LTTB diverged: got ${got.toSeq}, want $expected")
+      // downsampling sanity: one kept point per finalized bucket
+      assert(got.map(_._1).distinct.length === got.length)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
