@@ -103,6 +103,16 @@ object Bench {
       passes.head(i)._1 -> passes.map(_(i)._2).min
     }
     val loadEnd = loadAvg1m()
+    // storage diagnostic (r12 drift investigation): how much of the
+    // block-manager memory the session memos + cached artifacts occupy
+    // after the timed passes, and whether anything spilled to disk —
+    // cache EVICTION during a pass silently converts warm memoized
+    // reads into recomputes and was the r11 suspect for the 5-22%
+    // graph-family drift
+    val (storUsedMb, storDiskMb) = {
+      val st = spark.sparkContext.getRDDStorageInfo
+      (st.map(_.memSize).sum / 1048576, st.map(_.diskSize).sum / 1048576)
+    }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // the driver keeps only ~2.3 KB of stdout tail; with 90+ queries a
@@ -137,7 +147,7 @@ object Bench {
         ((busy1 - busy0) - (self1 - self0)) / hz / wallTimed
       else -1.0
     val tainted = loadStart > LoadThreshold || otherCpuCores > LoadThreshold || skew > 1.5
-    val loadJson = s""""load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"other_cpu_cores":${ms(otherCpuCores)},"wall_timed":${ms(wallTimed)},"pass_totals":[${passTotals.map(ms).mkString(",")}],"skew":${ms(skew)},"tainted":$tainted"""
+    val loadJson = s""""load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"other_cpu_cores":${ms(otherCpuCores)},"wall_timed":${ms(wallTimed)},"pass_totals":[${passTotals.map(ms).mkString(",")}],"skew":${ms(skew)},"tainted":$tainted,"storage_mb":$storUsedMb,"storage_disk_mb":$storDiskMb"""
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timed":${results.size},$loadJson,"queries":$qjson,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout goes through sbt's [info]
