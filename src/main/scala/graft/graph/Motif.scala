@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   *   (a property map desugars to equality predicates)
   * - edge: `-[:TYPE]->`, `-[e:TYPE]->`, `<-[:TYPE]-`, `-[e]->`, `-->`
   *   (direction is resolved at parse time; edge variables expose
-  *   `e.weight` / `e.rel_type`)
+  *   `e.weight` / `e.rel_type`); variable-length: `-[:TYPE*2]->`,
+  *   `-[:TYPE*1..3]->`, `-[:TYPE*..3]->` — one row per PATH, bounds
+  *   explicit and ≤ [[MaxVarHops]] (each hop is one more equi-join;
+  *   unbounded reachability belongs to the iterated kernels)
   * - predicates: `var.prop op literal` or `var.prop op var.prop` with
   *   op ∈ {=, <>, !=, <, <=, >, >=}; conjunctions with AND
   * - RETURN: property refs (with optional alias) and the aggregates
@@ -58,8 +61,17 @@ object Motif {
   final case class LitStr(x: String) extends Operand
 
   final case class Pred(left: PropRef, op: String, right: Operand)
+  /** minHops/maxHops > 1 ⇒ a variable-length edge `-[:T*a..b]->`:
+    * one output row per PATH (UNION ALL over hop counts, Cypher's
+    * path-multiplicity semantics under homomorphism). */
   final case class EdgePat(src: String, name: Option[String],
-      relType: Option[String], dst: String)
+      relType: Option[String], dst: String,
+      minHops: Int = 1, maxHops: Int = 1)
+
+  /** Loud bound on `*a..b` expansion — each hop is one more equi-join;
+    * past this, express the traversal as an iterated kernel (BFS /
+    * reachability) instead of a pattern. */
+  val MaxVarHops = 8
 
   sealed trait RetItem { def alias: String }
   final case class ColItem(ref: PropRef, alias: String) extends RetItem
@@ -205,6 +217,7 @@ object Motif {
         next()
         var ename: Option[String] = None
         var etype: Option[String] = None
+        var hops = (1, 1)
         if (peek == TSym("[")) {
           next()
           peek match {
@@ -212,6 +225,34 @@ object Motif {
             case _ => ()
           }
           if (peek == TSym(":")) { next(); etype = Some(ident()) }
+          if (peek == TSym("*")) {
+            next()
+            require(ename.isEmpty,
+              "motif parse: variable-length edges cannot bind a variable")
+            // the tokenizer reads digits+dots greedily, so `2..3`
+            // arrives as ONE number token; `..3` as two '.' + a number
+            val (lo, hi) = peek match {
+              case TNum(s0) if s0.contains("..") =>
+                next()
+                val parts = s0.split("\\.\\.")
+                require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+                  s"motif parse: malformed hop range '*$s0'")
+                (parts(0).toInt, parts(1).toInt)
+              case TNum(s0) if s0.forall(_.isDigit) =>
+                next(); (s0.toInt, s0.toInt)
+              case TSym(".") =>
+                next(); expectSym(".")
+                peek match {
+                  case TNum(s) if s.forall(_.isDigit) => next(); (1, s.toInt)
+                  case t => fail(s"expected max hop count after '*..', got $t")
+                }
+              case t => fail(s"expected explicit hop bounds after '*' " +
+                s"(unbounded '*' is not supported — use an iterated kernel), got $t")
+            }
+            require(lo >= 1 && hi >= lo && hi <= MaxVarHops,
+              s"motif parse: hop range *$lo..$hi out of [1, $MaxVarHops]")
+            hops = (lo, hi)
+          }
           expectSym("]")
           if (back) expectSym("-")
           else next() match {
@@ -236,8 +277,10 @@ object Motif {
           require(!labels.contains(e), s"motif parse: '$e' is both node and edge")
           edgeVars += e
         }
-        edges += (if (back) EdgePat(right, ename, etype, left)
-                  else EdgePat(left, ename, etype, right))
+        require(hops == (1, 1) || left != right,
+          "motif parse: variable-length self-loop patterns are not supported")
+        edges += (if (back) EdgePat(right, ename, etype, left, hops._1, hops._2)
+                  else EdgePat(left, ename, etype, right, hops._1, hops._2))
         left = right
       }
     }
@@ -402,15 +445,33 @@ object Motif {
 
     p.edges.zipWithIndex.foreach { case (ep, _) =>
       val base0 = ep.relType.fold(g.edges)(t => g.edges.filter(col("rel_type") === t))
-      val cols = Seq.newBuilder[Column]
-      if (ep.src == ep.dst) cols += col("src").as(ep.src)
-      else { cols += col("src").as(ep.src); cols += col("dst").as(ep.dst) }
-      ep.name.foreach { e =>
-        EdgeProps.foreach(pr =>
-          if (refs.contains(PropRef(e, pr))) cols += col(pr).as(s"${e}__$pr"))
-      }
-      val base = if (ep.src == ep.dst) base0.filter(col("src") === col("dst")) else base0
-      val edf = base.select(cols.result(): _*)
+      val edf =
+        if (ep.maxHops == 1) {
+          val cols = Seq.newBuilder[Column]
+          if (ep.src == ep.dst) cols += col("src").as(ep.src)
+          else { cols += col("src").as(ep.src); cols += col("dst").as(ep.dst) }
+          ep.name.foreach { e =>
+            EdgeProps.foreach(pr =>
+              if (refs.contains(PropRef(e, pr))) cols += col(pr).as(s"${e}__$pr"))
+          }
+          val base = if (ep.src == ep.dst) base0.filter(col("src") === col("dst")) else base0
+          base.select(cols.result(): _*)
+        } else {
+          // `*a..b`: UNION ALL of the k-hop equi-join chains, one row
+          // per path — each chain joins k copies of the typed edge
+          // list on the hop column, exactly the graph_two_hop kernel
+          // iterated
+          def kHop(k: Int): DataFrame = {
+            var cur = base0.select(col("src").as(ep.src), col("dst").as("__hop"))
+            (2 to k).foreach { _ =>
+              cur = cur.join(base0.select(col("src").as("__hop"),
+                  col("dst").as("__nxt")), "__hop")
+                .select(col(ep.src), col("__nxt").as("__hop"))
+            }
+            cur.select(col(ep.src), col("__hop").as(ep.dst))
+          }
+          (ep.minHops to ep.maxHops).map(kHop).reduce(_ unionByName _)
+        }
       val shared = Seq(ep.src, ep.dst).distinct.filter(bound.contains)
       merge(edf, shared)
       bound += ep.src; bound += ep.dst
@@ -509,8 +570,27 @@ object Motif {
     p.edges.zipWithIndex.foreach { case (ep, i) =>
       val a = s"e$i"
       val conds = Seq.newBuilder[String]
-      ep.relType.foreach(t => conds += s"$a.rel_type = '$t'")
-      if (ep.src == ep.dst) conds += s"$a.src = $a.dst"
+      val rel =
+        if (ep.maxHops == 1) {
+          ep.relType.foreach(t => conds += s"$a.rel_type = '$t'")
+          if (ep.src == ep.dst) conds += s"$a.src = $a.dst"
+          "edges"
+        } else {
+          // derived table: UNION ALL of the unrolled k-hop join chains
+          // (type predicate inside, so the alias exposes plain src/dst)
+          def kHopSql(k: Int): String = {
+            val joins = (2 to k).map { j =>
+              val tc = ep.relType.fold("")(t => s" AND h$j.rel_type = '$t'")
+              s"  JOIN edges h$j ON h$j.src = h${j - 1}.dst$tc"
+            }.mkString("\n")
+            val t1 = ep.relType.fold("")(t => s" WHERE h1.rel_type = '$t'")
+            s"SELECT h1.src AS src, h$k.dst AS dst FROM edges h1" +
+              (if (k > 1) s"\n$joins" else "") + t1
+          }
+          val sub = (ep.minHops to ep.maxHops).map(kHopSql)
+            .mkString("(", "\n  UNION ALL\n", ")")
+          sub
+        }
       if (bind.contains(ep.src)) conds += s"$a.src = ${bind(ep.src)}"
       else bind(ep.src) = s"$a.src"
       if (ep.dst != ep.src) {
@@ -518,7 +598,7 @@ object Motif {
         else bind(ep.dst) = s"$a.dst"
       }
       ep.name.foreach(e => bind(e) = a)
-      addRel("edges", a, conds.result())
+      addRel(rel, a, conds.result())
     }
 
     p.nodeOrder.foreach { v =>

@@ -609,6 +609,33 @@ object PropertyGraph {
        |    SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst
        |    FROM lineitem))""".stripMargin
 
+  /** The part-chain graph as a PropertyGraph (nodes = chain parts,
+    * edges = NEXT) — the directed multi-hop substrate the var-length
+    * pattern query traverses; shares [[partChainEdges]]'s memoized
+    * cache. */
+  private def chainMotifGraph(s: SparkSession, d: String): PropertyGraph = {
+    val de = partChainEdges(s, d)
+    val nodes = de.select(col("src").as("id"))
+      .union(de.select(col("dst").as("id"))).distinct()
+      .select(col("id"), lit("Part").as("label"),
+        concat(lit("part-"), col("id")).as("name"))
+    PropertyGraph(nodes,
+      de.select(col("src"), col("dst"), lit("NEXT").as("rel_type"),
+        lit(1.0).as("weight")))
+  }
+
+  /** nodes/edges CTEs over the chain graph for generated pattern
+    * oracles — the [[motifCtes]] analogue on the [[sqlChainCtes]]
+    * substrate. */
+  private lazy val chainMotifCtes: String =
+    s"""WITH $sqlChainCtes,
+       |nodes AS (
+       |  SELECT id, 'Part' AS label, 'part-' || id AS name FROM (
+       |    SELECT DISTINCT src AS id FROM de
+       |    UNION SELECT DISTINCT dst FROM de)),
+       |edges AS (
+       |  SELECT src, dst, 'NEXT' AS rel_type, 1.0 AS weight FROM de)""".stripMargin
+
   /** One gated query from ONE pattern string: the Spark side compiles
     * the parsed AST onto the graph DataFrames, the oracle side emits
     * ANSI SQL from the SAME AST — parse once, prove both targets. */
@@ -682,6 +709,19 @@ object PropertyGraph {
     motifQ("graph_pattern_agg",
       "MATCH (s:Supplier)-[:SUPPLIES]->(p:Part) " +
         "RETURN s.id AS src, count(p) AS degree ORDER BY src"),
+    // 4) variable-length traversal over the directed part-chain graph
+    //    (the SCC substrate): every 2-or-3-hop NEXT path, counted per
+    //    endpoint pair — one row per PATH (Cypher multiplicity), the
+    //    compiled plan a UNION ALL of the unrolled hop-chain equi-joins
+    //    on both engines.
+    {
+      val ast = Motif.parse(
+        "MATCH (a)-[:NEXT*2..3]->(b) " +
+          "RETURN a.id AS src, b.id AS dst, count(*) AS paths ORDER BY src, dst")
+      Q("graph_pattern_varlen",
+        (s, d) => Motif.dataFrame(chainMotifGraph(s, d), ast),
+        Some(s"$chainMotifCtes\n${Motif.sql(ast)}"))
+    },
 
     // ── weighted degree over the cluster graph ─────────────────────────
     // Build the reference's actual graph — Image-[:CLOSEST_TO]->Centroid

@@ -128,6 +128,44 @@ class MotifSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq.sorted.reverse == rows.map(_.getLong(1)).toSeq)
   }
 
+  test("variable-length patterns parse and count one row per path") {
+    val p = Motif.parse("(a)-[:T*2..3]->(b) RETURN a.id AS a, b.id AS b")
+    assert(p.edges == Seq(Motif.EdgePat("a", None, Some("T"), "b", 2, 3)))
+    assert(Motif.parse("(a)-[:T*2]->(b)").edges.head.maxHops == 2)
+    assert(Motif.parse("(a)-[:T*..3]->(b)").edges.head ==
+      Motif.EdgePat("a", None, Some("T"), "b", 1, 3))
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](Motif.parse(s)).getMessage
+    assert(bad("(a)-[:T*]->(b)").contains("explicit hop bounds"))
+    assert(bad("(a)-[:T*0..2]->(b)").contains("out of"))
+    assert(bad("(a)-[:T*2..99]->(b)").contains("out of"))
+    assert(bad("(a)-[e:T*2]->(b)").contains("cannot bind"))
+    assert(bad("(a)-[:T*2]->(a)").contains("self-loop"))
+    // semantics on a hand-built diamond: 1→{2,3}→4→5; 2-hop paths 1→4
+    // have multiplicity 2 (per-PATH rows), 1..2 unions both depths
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+      .select(col("src"), col("dst"), lit("T").as("rel_type"), lit(1.0).as("weight"))
+    val ns = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      .select(col("id"), lit("N").as("label"), col("id").cast("string").as("name"))
+    val dg = PropertyGraph(ns, es)
+    val twoHop = dg.find("(a)-[:T*2]->(b) RETURN a.id AS a, b.id AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(twoHop == Seq((1L, 4L), (1L, 4L), (2L, 5L), (3L, 5L)))
+    val upTo2 = dg.find(
+      "(a)-[:T*1..2]->(b) RETURN a.id AS a, b.id AS b, count(*) AS paths " +
+        "ORDER BY a, b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(upTo2.contains((1L, 4L, 2L))) // two distinct 2-hop paths
+    assert(upTo2.contains((1L, 2L, 1L)))
+    // generated SQL unrolls the same chains
+    val sql = Motif.sql(Motif.parse("(a)-[:T*2..3]->(b) RETURN a.id AS a"))
+    assert(sql.contains("UNION ALL") && sql.contains("JOIN edges h2") &&
+      sql.contains("h3"), sql)
+  }
+
   // ── the generated-SQL target ────────────────────────────────────────
 
   test("Motif.sql emits the same joins the DataFrame target plans") {
