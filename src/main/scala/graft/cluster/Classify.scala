@@ -514,6 +514,78 @@ object Classify {
              |FROM gains ORDER BY qty""".stripMargin)
     ),
 
+    // ── isotonic calibration of the reliability curve (PAV) ────────────
+    // The missing piece between ml_reliability_bins and a usable
+    // probability: fit the best MONOTONE (here non-increasing — higher
+    // NLL ⇒ less likely the class) step function to the per-decile
+    // positive rates. Instead of replaying pool-adjacent-violators
+    // sequentially, use the minimax identity (Robertson-Wright-Dykstra):
+    //   antitonic fit(i) = min_{j≤i} max_{k≥i} mean(pos over bins j..k)
+    // which is FULLY RELATIONAL: segment means for all (j,k) pairs come
+    // from one bins×bins×bins range join over the 10-row decile table
+    // (≤1000 tuples — never data-sized), each mean ONE division of
+    // exact BIGINT segment sums, and the min/max select among doubles
+    // both engines computed bit-identically (selection, never
+    // accumulation). Round12Spec cross-checks against a driver PAV
+    // pooling replay and pins monotonicity.
+    Q(
+      "ml_isotonic_calibration",
+      (s, d) => {
+        val en = nbNlls(s, d).filter(col("lang") === "en")
+          .select(floor(col("nll") * 1048576.0).cast("long").as("s_int"),
+            (col("true_lang") === "en").cast("long").as("pos"))
+        val mm = en.agg(min("s_int").as("mn"), max("s_int").as("mx"))
+        val bins = en.crossJoin(broadcast(mm))
+          .select(least(lit(9L),
+              expr("((s_int - mn) * 10) DIV (mx - mn + 1)")).as("bin"),
+            col("pos"))
+          .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("np"))
+          .localCheckpoint(false) // the three range joins read one 10-row table
+        val seg = bins.select(col("bin").as("j"))
+          .join(bins.select(col("bin").as("k")), col("j") <= col("k"))
+          .join(bins.select(col("bin").as("m"), col("n"), col("np")),
+            col("m") >= col("j") && col("m") <= col("k"))
+          .groupBy("j", "k")
+          .agg((sum("np").cast("double") / sum("n").cast("double")).as("mean"))
+        val fit = bins.select(col("bin").as("i"))
+          .join(seg, col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy("i", "j").agg(max("mean").as("mx"))
+          .groupBy("i").agg(min("mx").as("fitted"))
+        bins.join(fit, col("bin") === col("i"))
+          .select(col("bin"), col("n"), col("np").as("n_pos"),
+            (col("np").cast("double") / col("n").cast("double")).as("pos_rate"),
+            col("fitted"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH ${nbSqlCtes()},
+              |en AS (
+              |  SELECT CAST(floor(nll * 1048576) AS BIGINT) AS s_int,
+              |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM nlls WHERE lang = 'en'),
+              |mm AS (SELECT CAST(min(s_int) AS BIGINT) AS mn,
+              |       CAST(max(s_int) AS BIGINT) AS mx FROM en),
+              |bins AS (
+              |  SELECT least(9, ((s_int - mn) * 10) // (mx - mn + 1)) AS bin,
+              |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+              |  FROM en, mm GROUP BY 1),
+              |seg AS (
+              |  SELECT j.bin AS j, k.bin AS k,
+              |    CAST(sum(m.np) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS mean
+              |  FROM bins j JOIN bins k ON j.bin <= k.bin
+              |  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+              |  GROUP BY 1, 2),
+              |mx1 AS (
+              |  SELECT i.bin AS i, s.j, max(s.mean) AS mx
+              |  FROM bins i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin
+              |  GROUP BY 1, 2),
+              |fit AS (SELECT i, min(mx) AS fitted FROM mx1 GROUP BY i)
+              |SELECT b.bin, b.n, b.np AS n_pos,
+              |  CAST(b.np AS DOUBLE) / CAST(b.n AS DOUBLE) AS pos_rate,
+              |  f.fitted
+              |FROM bins b JOIN fit f ON f.i = b.bin
+              |ORDER BY bin""".stripMargin)
+    ),
+
     // ── gradient-boosted stumps (the GBDT loop, closed) ────────────────
     // VERDICT r11 task 5: K=8 squared-loss boosting rounds, each round
     // EXACTLY the ml_decision_stump one-pass SSE scan run over the

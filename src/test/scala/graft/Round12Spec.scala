@@ -94,6 +94,44 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("isotonic calibration equals a driver PAV pooling replay and is antitonic") {
+    val rows = SparkEntry.queries("ml_isotonic_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // pool-adjacent-violators, non-increasing direction: merge whenever a
+    // later block's mean EXCEEDS the previous block's (a violation)
+    var blocks = List.empty[(Long, Long)] // (n, np), head = latest
+    rows.foreach { case (_, n, np, _) =>
+      blocks = (n, np) :: blocks
+      def mean(b: (Long, Long)) = b._2.toDouble / b._1.toDouble
+      while (blocks.lengthCompare(2) >= 0 && mean(blocks.head) > mean(blocks(1))) {
+        val a = blocks.head; val b = blocks(1)
+        blocks = (a._1 + b._1, a._2 + b._2) :: blocks.drop(2)
+      }
+    }
+    // expand block means back onto bins: each block covers consecutive bins
+    // whose n-sum equals the block n — replay by walking bins
+    val fittedByBin = {
+      val out = Array.fill(rows.length)(0.0)
+      var bi = 0
+      blocks.reverse.foreach { case (bn, bnp) =>
+        var acc = 0L
+        val m = bnp.toDouble / bn.toDouble
+        while (acc < bn) { acc += rows(bi)._2; out(bi) = m; bi += 1 }
+        assert(acc == bn, "block boundary must align with bin boundaries")
+      }
+      out
+    }
+    rows.zipWithIndex.foreach { case ((bin, _, _, fitted), i) =>
+      assert(fitted == fittedByBin(i),
+        s"bin $bin: minimax fit $fitted != PAV replay ${fittedByBin(i)}")
+    }
+    rows.map(_._4).zip(rows.map(_._4).drop(1)).foreach { case (a, b) =>
+      assert(b <= a, "fitted curve must be non-increasing")
+    }
+  }
+
   test("skyline block decomposition equals the flat O(n^2) dominance scan") {
     val got = SparkEntry.queries("rel_skyline")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
