@@ -47,6 +47,14 @@ object Classify {
       .orderBy("label")
   }
 
+  /** KS α=0.05 asymptotic coefficient c(α) = sqrt(−ln(α/2)/2). Computed
+    * once here and emitted into the oracle text in scientific notation
+    * (playbook rule: DuckDB parses %.17e directly as DOUBLE, skipping
+    * the DECIMAL double-rounding path), so both engines multiply by the
+    * bit-identical constant. */
+  private val KsCrit: Double = math.sqrt(-math.log(0.025) / 2.0)
+  private val KsCritSql: String = f"$KsCrit%.17e"
+
   val queries: Seq[Q] = Seq(
     // MLlib training is iterative + float-order-dependent → rows-only.
     Q("ml_classify_eval", (s, d) => trainEval(s, d), None),
@@ -584,6 +592,101 @@ object Classify {
               |  f.fitted
               |FROM bins b JOIN fit f ON f.i = b.bin
               |ORDER BY bin""".stripMargin)
+    ),
+
+    // ── two-sample Kolmogorov–Smirnov over the score distributions ─────
+    // The distribution-level companion to ml_auc's ranking view: does
+    // the 'en'-class NLL distribution actually SEPARATE from the rest
+    // (the credit-scoring KS discriminant)? D = max_s |F₊(s) − F₋(s)|
+    // computed entirely in integers by clearing both denominators:
+    // |cp·n₋ − cn·n₊| over the SAME distinct-score group table ml_auc
+    // ranks (so the cumulative window runs over |score domain| rows,
+    // never the raw test set — the allowlisted reduction). The argmax
+    // threshold ties break to the smallest score (min over the equality
+    // filter — selection, never float). The only doubles are ONE
+    // division for D and the α=0.05 critical value
+    // c·sqrt((n₊+n₋)/(n₊·n₋)) — sqrt is correctly rounded, c is the
+    // same compile-time literal in both texts. The cross products ride
+    // DECIMAL(38,0)/HUGEINT per the moments convention (BIGINT would
+    // cap at ~3e9 positives); ks_num re-enters BIGINT only at emission
+    // (valid while n₊·n₋ < 2^63 — loudly past any gate SF).
+    // SCALE: one partial-agg shuffle to score groups + a window over
+    // thousands of rows + two 1-row aggregates. Round12Spec replays the
+    // whole statistic from the raw scores on the driver.
+    Q(
+      "ml_ks_test",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val en = nbNlls(s, d).filter(col("lang") === "en")
+          .select(floor(col("nll") * 1048576.0).cast("long").as("s_int"),
+            (col("true_lang") === "en").cast("long").as("pos"))
+        val grouped = en.groupBy("s_int")
+          .agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+        val w = Window.orderBy("s_int")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = grouped
+          .withColumn("cp", sum("np").over(w))
+          .withColumn("cn", sum(col("cnt") - col("np")).over(w))
+        val tot = grouped.agg(sum("np").as("n_pos"),
+          (sum("cnt") - sum("np")).as("n_neg"))
+        val diffs = cum.crossJoin(broadcast(tot))
+          .select(col("s_int"),
+            abs(col("cp").cast(dec) * col("n_neg").cast(dec) -
+              col("cn").cast(dec) * col("n_pos").cast(dec)).as("diff"))
+        val mx = diffs.agg(max("diff").as("mxd"))
+        val thr = diffs.crossJoin(broadcast(mx))
+          .filter(col("diff") === col("mxd"))
+          .agg(min("s_int").as("thr_s"), max("diff").as("ksd"))
+        thr.crossJoin(broadcast(tot)).select(
+          col("n_pos"), col("n_neg"),
+          (col("thr_s").cast("double") / 1048576.0).as("threshold_nll"),
+          col("ksd").cast("long").as("ks_num"),
+          (col("ksd").cast("double") /
+            (col("n_pos") * col("n_neg")).cast("double")).as("ks_stat"),
+          (lit(KsCrit) * sqrt((col("n_pos") + col("n_neg")).cast("double") /
+            (col("n_pos") * col("n_neg")).cast("double"))).as("crit_05"),
+          ((col("ksd").cast("double") /
+            (col("n_pos") * col("n_neg")).cast("double")) >
+            (lit(KsCrit) * sqrt((col("n_pos") + col("n_neg")).cast("double") /
+              (col("n_pos") * col("n_neg")).cast("double")))).as("reject_05"))
+      },
+      Some(s"""WITH ${nbSqlCtes()},
+              |en AS (
+              |  SELECT CAST(floor(nll * 1048576) AS BIGINT) AS s_int,
+              |    CASE WHEN true_lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM nlls WHERE lang = 'en'),
+              |grouped AS (
+              |  SELECT s_int, CAST(count(*) AS BIGINT) AS cnt,
+              |    CAST(sum(pos) AS BIGINT) AS np
+              |  FROM en GROUP BY 1),
+              |cum AS (
+              |  SELECT s_int,
+              |    CAST(sum(np) OVER (ORDER BY s_int
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+              |    CAST(sum(cnt - np) OVER (ORDER BY s_int
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+              |  FROM grouped),
+              |tot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+              |        CAST(sum(cnt) - sum(np) AS BIGINT) AS n_neg FROM grouped),
+              |diffs AS (
+              |  SELECT s_int,
+              |    abs(CAST(cp AS HUGEINT) * CAST(n_neg AS HUGEINT)
+              |      - CAST(cn AS HUGEINT) * CAST(n_pos AS HUGEINT)) AS diff
+              |  FROM cum, tot),
+              |mx AS (SELECT max(diff) AS mxd FROM diffs),
+              |thr AS (
+              |  SELECT CAST(min(s_int) AS BIGINT) AS thr_s, max(diff) AS ksd
+              |  FROM diffs, mx WHERE diff = mxd)
+              |SELECT n_pos, n_neg,
+              |  CAST(thr_s AS DOUBLE) / 1048576.0 AS threshold_nll,
+              |  CAST(ksd AS BIGINT) AS ks_num,
+              |  CAST(ksd AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE) AS ks_stat,
+              |  $KsCritSql * sqrt(CAST(n_pos + n_neg AS DOUBLE)
+              |    / CAST(n_pos * n_neg AS DOUBLE)) AS crit_05,
+              |  (CAST(ksd AS DOUBLE) / CAST(n_pos * n_neg AS DOUBLE))
+              |    > ($KsCritSql * sqrt(CAST(n_pos + n_neg AS DOUBLE)
+              |      / CAST(n_pos * n_neg AS DOUBLE))) AS reject_05
+              |FROM thr, tot""".stripMargin)
     ),
 
     // ── gradient-boosted stumps (the GBDT loop, closed) ────────────────

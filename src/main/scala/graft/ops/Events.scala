@@ -76,6 +76,17 @@ object Events {
     * outside this list must either divide the gap or pass an explicit
     * `origin` to time_bucket. */
   private val OriginGapSec = 946857600L
+
+  /** Power-analysis constants: standard normal quantiles z_{0.975}
+    * (α=0.05 two-sided) and z_{0.80} (power 0.8), plus the 10%-lift
+    * multiplier. The Scala doubles are the single source of truth; the
+    * *_Sql forms are their %.17e renderings so DuckDB parses the SAME
+    * IEEE double directly (playbook: never a plain decimal literal). */
+  private val ZAlpha: Double = 1.9599639845400545
+  private val ZBeta: Double = 0.8416212335729143
+  private val ZAlphaSql: String = f"$ZAlpha%.17e"
+  private val ZBetaSql: String = f"$ZBeta%.17e"
+  private val Lit11: String = f"${1.1}%.17e"
   private val OracleBucketWidthsSec = Seq(15L * 60, 60L * 60, 6L * 3600)
   require(OracleBucketWidthsSec.forall(OriginGapSec % _ == 0),
     "a time_bucket oracle width does not divide the DuckDB origin gap — " +
@@ -1372,6 +1383,73 @@ object Events {
               |      * (1.0 - (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))))
               |     * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 3.84 AS significant
               |FROM agg""".stripMargin)
+    ),
+
+    // ── experiment power analysis (required sample size per arm) ──────
+    // The question every A/B test report gets asked next: "how long
+    // until we could DETECT a 10% relative lift?" Classic two-proportion
+    // sample-size formula at α=0.05 (two-sided) / power 0.8:
+    //   n = (z_α·sqrt(2·p̄·(1−p̄)) + z_β·sqrt(p₁q₁ + p₂q₂))² / (p₁−p₂)²
+    // with p₁ the MEASURED control conversion (evt_ab_test's exact
+    // c0/n0), p₂ = 1.1·p₁ the target, p̄ their midpoint. Everything
+    // downstream of the four exact BIGINTs is one fixed token-identical
+    // double chain: two correctly-rounded sqrts, the z constants
+    // emitted as %.17e literals (the KS/Benford convention), one final
+    // ceil that both engines take on the same double. SCALE: identical
+    // to evt_ab_test — two distinct shuffles + a 1-row formula.
+    Q(
+      "evt_power_analysis",
+      (s, d) => {
+        val users = eventsUs(s, d).select(col("user_id")).distinct()
+        val conv = eventsUs(s, d)
+          .filter(col("event_type") === "purchase" && col("value") > 200.0)
+          .select(col("user_id")).distinct()
+          .withColumn("cflag", lit(1L))
+        val agg = users.join(conv, Seq("user_id"), "left")
+          .select((col("user_id") % 2).as("arm"),
+            coalesce(col("cflag"), lit(0L)).as("cflag"))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 0, col("cflag")).otherwise(0L)).as("c0"))
+        val p1 = col("c0").cast("double") / col("n0").cast("double")
+        val p2 = lit(1.1) * p1
+        val pbar = (p1 + p2) / lit(2.0)
+        val num = lit(ZAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+          lit(ZBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+        val nReq = (num * num) / ((p2 - p1) * (p2 - p1))
+        agg.select(col("n0"), col("c0"),
+          p1.as("p_base"), p2.as("p_target"),
+          nReq.as("n_required"),
+          ceil(nReq).cast("long").as("n_required_ceil"),
+          (col("n0").cast("double") >= nReq).as("arm_large_enough"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+              |cv AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS cflag
+              |       FROM events WHERE event_type = 'purchase' AND value > 200.0),
+              |agg AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN u.user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              |    CAST(sum(CASE WHEN u.user_id % 2 = 0 THEN coalesce(cv.cflag, 0) ELSE 0 END) AS BIGINT) AS c0
+              |  FROM u LEFT JOIN cv ON u.user_id = cv.user_id),
+              |f AS (
+              |  SELECT n0, c0,
+              |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p1,
+              |    $Lit11 * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS p2
+              |  FROM agg),
+              |g AS (
+              |  SELECT n0, c0, p1, p2, (p1 + p2) / 2.0 AS pbar FROM f),
+              |h AS (
+              |  SELECT n0, c0, p1, p2,
+              |    $ZAlphaSql * sqrt(2.0 * pbar * (1.0 - pbar))
+              |      + $ZBetaSql * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)) AS num
+              |  FROM g)
+              |SELECT n0, c0, p1 AS p_base, p2 AS p_target,
+              |  (num * num) / ((p2 - p1) * (p2 - p1)) AS n_required,
+              |  CAST(ceil((num * num) / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+              |    AS n_required_ceil,
+              |  CAST(n0 AS DOUBLE) >= (num * num) / ((p2 - p1) * (p2 - p1))
+              |    AS arm_large_enough
+              |FROM h""".stripMargin)
     ),
 
     // ── SEASONAL (triple) Holt–Winters: level + trend + weekly cycle ───

@@ -612,6 +612,7 @@ object PlanSpec {
     "evt_survival_km" -> "KM product-limit over distinct event DURATIONS in days (bounded)",
     "ml_auc" -> "rank over DISTINCT quantized NLL score groups (collapsed; PlanSpec 'AUC ranks over grouped scores' pins the reduction)",
     "ml_decision_stump" -> "SSE sweep over the distinct-quantity split-candidate table (~50 rows)",
+    "ml_ks_test" -> "cumulative CDFs over the same DISTINCT quantized score-group table ml_auc ranks (collapsed)",
     "ml_pr_curve" -> "cumulative precision/recall over the 10 score-decile bins (bounded)",
     "rel_skyline" -> "carry cumulation over the per-BLOCK max table (price-range/1024 rows, not data)",
     "text_weighted_sample" -> "block-offset cumulation over the N/100 block table (the two-level-scan offset side itself)",

@@ -132,6 +132,48 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("KS statistic equals a driver replay over the raw quantized scores") {
+    val r = SparkEntry.queries("ml_ks_test")(spark, sf).collect()(0)
+    val (nPos, nNeg, thr, ksNum, ksStat) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+    val en = graft.cluster.Classify.nbNlls(spark, sf)
+      .filter(col("lang") === "en")
+      .select(floor(col("nll") * 1048576.0).cast("long").as("s"),
+        (col("true_lang") === "en").cast("long").as("p"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val np = en.count(_._2 == 1L).toLong
+    val nn = en.length - np
+    assert(nPos == np && nNeg == nn)
+    var cp = 0L; var cn = 0L; var best = BigInt(0); var bestS = Long.MaxValue
+    en.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (s2, xs) =>
+      cp += xs.count(_._2 == 1L); cn += xs.count(_._2 == 0L)
+      val d2 = (BigInt(cp) * nn - BigInt(cn) * np).abs
+      if (d2 > best || (d2 == best && s2 < bestS)) { best = d2; bestS = s2 }
+    }
+    assert(ksNum == best.toLong)
+    assert(thr == bestS.toDouble / 1048576.0)
+    assert(ksStat == best.toDouble / (np.toDouble * nn.toDouble))
+    assert(ksStat >= 0.0 && ksStat <= 1.0)
+  }
+
+  test("power analysis reproduces the textbook two-proportion formula") {
+    val r = SparkEntry.queries("evt_power_analysis")(spark, sf).collect()(0)
+    val (n0, c0, nReq, nCeil) =
+      (r.getLong(0), r.getLong(1), r.getDouble(4), r.getLong(5))
+    val p1 = c0.toDouble / n0.toDouble
+    val p2 = 1.1 * p1
+    val pbar = (p1 + p2) / 2.0
+    val zA = 1.9599639845400545
+    val zB = 0.8416212335729143
+    val num = zA * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      zB * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+    val exp = (num * num) / ((p2 - p1) * (p2 - p1))
+    assert(nReq == exp, s"n_required $nReq != replay $exp")
+    assert(nCeil == math.ceil(exp).toLong)
+    // a 10% relative lift on a sub-50% base rate needs a real sample:
+    assert(nReq > 100.0 && p1 > 0.0 && p1 < 1.0)
+  }
+
   test("skyline block decomposition equals the flat O(n^2) dominance scan") {
     val got = SparkEntry.queries("rel_skyline")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
