@@ -445,6 +445,113 @@ object Relational {
              |ORDER BY c_custkey""".stripMargin)
     ),
 
+    // ── Bloom-filtered semi-join: the runtime-filter shape, audited ───
+    // THE 100 TB shuffle saver: a semi-join of a fact table against a
+    // selective dimension subset normally shuffles every fact key; the
+    // bloom path ships one 4 KB bitset (agg_bloom_filter's 16384-bit
+    // TypedImperativeAggregate) to every probe task and drops
+    // non-members BEFORE any exchange — the same plan Spark's own
+    // spark.sql.optimizer.runtime.bloomFilter injects, surfaced here as
+    // an operator whose effectiveness is MEASURED, not assumed. Build:
+    // BUILDING-segment customers in nations 0–4 (~4% of customers).
+    // Probe: every distinct order custkey through the 4-hash bit test
+    // (distinct-first, so the hash expansion rides the key domain, not
+    // the fact rows), joined back to order rows for row-weighted
+    // counts. Reported: exact vs bloom-passed selectivity, false-
+    // positive rows, the shuffle fraction saved, and the bitset
+    // popcount. No false negatives is structural (n_pass ≥ n_match by
+    // construction, pinned in spec with a full driver bitset replay).
+    // The oracle rebuilds the IDENTICAL bitset relationally (the
+    // agg_bloom_filter convention) and re-derives every count.
+    Q(
+      "rel_bloom_semijoin",
+      (s, d) => {
+        import org.apache.spark.sql.graft.{Bridge, BloomFilterAgg => BF}
+        val build = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+          .select(col("c_custkey").cast("long").as("k"))
+        val sk = build.agg(Bridge.column(BF(Bridge.expression(col("k")))
+          .toAggregateExpression()).as("sk"))
+        val ords = orders(s, d).select(col("o_custkey").cast("long").as("key"))
+        val dk = ords.distinct()
+        val withPos = (0 until BF.NumHashes).foldLeft(dk.crossJoin(broadcast(sk))) {
+          (df, j) =>
+            df.withColumn(s"p$j",
+              expr(s"CAST(${BF.positionSql("key", j, "DIV")} AS INT)"))
+        }
+        val hit = (0 until BF.NumHashes).map { j =>
+          expr(s"(shiftright(element_at(sk, CAST(p$j DIV ${BF.BitsPerWord} + 1 AS INT)), " +
+            s"p$j % ${BF.BitsPerWord}) % 2) = 1")
+        }.reduce(_ && _)
+        val keyVerdict = withPos
+          .select(col("key"), hit.as("bloom_hit"),
+            expr("aggregate(sk, CAST(0 AS BIGINT), (acc, w) -> acc + bit_count(w))")
+              .as("bits_set"))
+          .join(build.withColumnRenamed("k", "key").withColumn("is_member", lit(true)),
+            Seq("key"), "left")
+          .select(col("key"), col("bloom_hit"),
+            coalesce(col("is_member"), lit(false)).as("is_member"), col("bits_set"))
+        val agg = ords.join(keyVerdict, "key").agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("is_member"), 1L).otherwise(0L)).as("n_match"),
+          max("bits_set").as("bits_set"))
+        agg.select(col("n_orders"), col("n_pass"), col("n_match"),
+          (col("n_pass") - col("n_match")).as("n_fp_rows"),
+          col("bits_set"),
+          (col("n_match").cast("double") / col("n_orders").cast("double"))
+            .as("sel_exact"),
+          (col("n_pass").cast("double") / col("n_orders").cast("double"))
+            .as("sel_bloom"),
+          (lit(1.0) - col("n_pass").cast("double") / col("n_orders").cast("double"))
+            .as("shuffle_saved"))
+      },
+      Some {
+        import org.apache.spark.sql.graft.{BloomFilterAgg => BF}
+        val buildPos = (0 until BF.NumHashes).map(j =>
+          s"SELECT ${BF.positionSql("k", j, "//")} AS p FROM build")
+          .mkString("\nUNION ALL\n")
+        val probePos = (0 until BF.NumHashes).map(j =>
+          s"SELECT key, ${BF.positionSql("key", j, "//")} AS p FROM dk")
+          .mkString("\nUNION ALL\n")
+        s"""WITH build AS (
+           |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+           |  WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5),
+           |pos AS (SELECT DISTINCT p FROM (
+           |$buildPos)),
+           |words AS (
+           |  SELECT p // ${BF.BitsPerWord} AS w,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(p % ${BF.BitsPerWord} AS INT)) AS BIGINT) AS wv
+           |  FROM pos GROUP BY 1),
+           |ords AS (SELECT CAST(o_custkey AS BIGINT) AS key FROM orders),
+           |dk AS (SELECT DISTINCT key FROM ords),
+           |pb AS (
+           |$probePos),
+           |hits AS (
+           |  SELECT pb.key,
+           |         bool_and(((coalesce(words.wv, 0) //
+           |           (CAST(1 AS BIGINT) << CAST(pb.p % ${BF.BitsPerWord} AS INT)))
+           |           % 2) = 1) AS bloom_hit
+           |  FROM pb LEFT JOIN words ON words.w = pb.p // ${BF.BitsPerWord}
+           |  GROUP BY pb.key),
+           |verdict AS (
+           |  SELECT h.key, h.bloom_hit, build.k IS NOT NULL AS is_member
+           |  FROM hits h LEFT JOIN build ON build.k = h.key),
+           |agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           |    CAST(sum(CASE WHEN v.bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           |    CAST(sum(CASE WHEN v.is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pos) AS bits_set
+           |  FROM ords JOIN verdict v USING (key))
+           |SELECT n_orders, n_pass, n_match,
+           |  CAST(n_pass - n_match AS BIGINT) AS n_fp_rows, bits_set,
+           |  CAST(n_match AS DOUBLE) / CAST(n_orders AS DOUBLE) AS sel_exact,
+           |  CAST(n_pass AS DOUBLE) / CAST(n_orders AS DOUBLE) AS sel_bloom,
+           |  1.0 - CAST(n_pass AS DOUBLE) / CAST(n_orders AS DOUBLE) AS shuffle_saved
+           |FROM agg""".stripMargin
+      }
+    ),
+
     // ── anti join (§2.6 gap): parts with no pre-1996 shipment ──────────
     Q(
       "rel_anti_join",

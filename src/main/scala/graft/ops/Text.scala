@@ -3019,6 +3019,120 @@ object Text {
              |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
              |FROM m""".stripMargin)
+    ),
+
+    // ── PSI drift monitor: per-slice population stability index ───────
+    // The ML-monitoring staple: PSI = Σ_bins (aᵢ−eᵢ)·ln(aᵢ/eᵢ) between a
+    // REFERENCE population's feature distribution and each incoming
+    // slice's ( <0.1 stable / 0.1–0.25 watch / >0.25 drifted ). Here:
+    // reference = the 'en' corpus, slices = each other language, feature
+    // = doc length (n_chars) over 10 fixed-width bins spanning the
+    // corpus min/max (the reliability-bins integer binning). Shares are
+    // Laplace-smoothed ((cnt+1)/(n+10)) so empty bins stay defined with
+    // no epsilon hack; a seeded lang×bin grid guarantees all 10 terms
+    // exist. Parity: bin index is pure integer arithmetic; each share is
+    // ONE division of exact BIGINTs; ln rides the proven Spark log() ≡
+    // DuckDB ln() path; the per-slice total is the 10 terms summed in
+    // FIXED textual order via conditional aggregation (never a float
+    // sum over unordered rows). SCALE: one binning pass + two
+    // counting shuffles; the grid/term/total tables are langs×10 rows.
+    Q(
+      "text_psi_drift",
+      (s, d) => {
+        val dbl = (c: Column) => c.cast("double")
+        val docs = documents(s, d).select(col("lang"), col("n_chars"))
+        val mm = docs.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+        val binned = docs.crossJoin(broadcast(mm))
+          .select(col("lang"),
+            least(lit(9L), expr("((n_chars - mn) * 10) DIV (mx - mn + 1)")).as("bin"))
+        val eCnt = binned.filter(col("lang") === "en")
+          .groupBy("bin").agg(count(lit(1)).as("e_cnt"))
+        val eTot = binned.filter(col("lang") === "en")
+          .agg(count(lit(1)).as("n_e"))
+        val aCnt = binned.filter(col("lang") =!= "en")
+          .groupBy("lang", "bin").agg(count(lit(1)).as("a_cnt"))
+        val aTot = binned.filter(col("lang") =!= "en")
+          .groupBy("lang").agg(count(lit(1)).as("n_a"))
+        val seed = docs.filter(col("lang") =!= "en").select("lang").distinct()
+          .select(col("lang"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+        val grid = seed
+          .join(aCnt, Seq("lang", "bin"), "left")
+          .join(eCnt, Seq("bin"), "left")
+          .join(aTot, Seq("lang"))
+          .crossJoin(broadcast(eTot))
+          .select(col("lang"), col("bin"),
+            coalesce(col("e_cnt"), lit(0L)).as("e_n"),
+            coalesce(col("a_cnt"), lit(0L)).as("a_n"),
+            col("n_e"), col("n_a"))
+        val terms = grid.select(col("lang"), col("bin"), col("e_n"), col("a_n"),
+            (dbl(col("e_n") + 1L) / dbl(col("n_e") + 10L)).as("e_share"),
+            (dbl(col("a_n") + 1L) / dbl(col("n_a") + 10L)).as("a_share"))
+          .withColumn("psi_term",
+            (col("a_share") - col("e_share")) * log(col("a_share") / col("e_share")))
+        val tot = terms.groupBy("lang").agg(
+          max(when(col("bin") === 0, col("psi_term"))).as("t0"),
+          (1 to 9).map(i =>
+            max(when(col("bin") === i, col("psi_term"))).as(s"t$i")): _*)
+        val psi = tot.select(col("lang"),
+          (col("t0") + col("t1") + col("t2") + col("t3") + col("t4") +
+            col("t5") + col("t6") + col("t7") + col("t8") + col("t9")).as("psi_total"))
+        terms.join(psi, "lang")
+          .select(col("lang"), col("bin"), col("e_n"), col("a_n"),
+            col("e_share"), col("a_share"), col("psi_term"), col("psi_total"))
+          .orderBy("lang", "bin")
+      },
+      Some("""WITH mm AS (
+             |  SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+             |    CAST(max(n_chars) AS BIGINT) AS mx FROM documents),
+             |b AS (
+             |  SELECT lang, least(9, ((n_chars - mn) * 10) // (mx - mn + 1)) AS bin
+             |  FROM documents, mm),
+             |ec AS (SELECT bin, CAST(count(*) AS BIGINT) AS e_cnt
+             |       FROM b WHERE lang = 'en' GROUP BY 1),
+             |et AS (SELECT CAST(count(*) AS BIGINT) AS n_e FROM b WHERE lang = 'en'),
+             |ac AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS a_cnt
+             |       FROM b WHERE lang <> 'en' GROUP BY 1, 2),
+             |at2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_a
+             |        FROM b WHERE lang <> 'en' GROUP BY 1),
+             |seed AS (
+             |  SELECT l.lang, CAST(r.range AS BIGINT) AS bin
+             |  FROM (SELECT DISTINCT lang FROM documents WHERE lang <> 'en') l
+             |  CROSS JOIN range(10) r),
+             |grid AS (
+             |  SELECT seed.lang, seed.bin,
+             |    coalesce(ec.e_cnt, 0) AS e_n, coalesce(ac.a_cnt, 0) AS a_n,
+             |    et.n_e, at2.n_a
+             |  FROM seed
+             |  LEFT JOIN ac ON ac.lang = seed.lang AND ac.bin = seed.bin
+             |  LEFT JOIN ec ON ec.bin = seed.bin
+             |  JOIN at2 ON at2.lang = seed.lang
+             |  CROSS JOIN et),
+             |t AS (
+             |  SELECT lang, bin, e_n, a_n,
+             |    CAST(e_n + 1 AS DOUBLE) / CAST(n_e + 10 AS DOUBLE) AS e_share,
+             |    CAST(a_n + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE) AS a_share,
+             |    (CAST(a_n + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE)
+             |      - CAST(e_n + 1 AS DOUBLE) / CAST(n_e + 10 AS DOUBLE))
+             |      * ln((CAST(a_n + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))
+             |        / (CAST(e_n + 1 AS DOUBLE) / CAST(n_e + 10 AS DOUBLE))) AS psi_term
+             |  FROM grid),
+             |tot AS (
+             |  SELECT lang,
+             |    max(CASE WHEN bin = 0 THEN psi_term END)
+             |    + max(CASE WHEN bin = 1 THEN psi_term END)
+             |    + max(CASE WHEN bin = 2 THEN psi_term END)
+             |    + max(CASE WHEN bin = 3 THEN psi_term END)
+             |    + max(CASE WHEN bin = 4 THEN psi_term END)
+             |    + max(CASE WHEN bin = 5 THEN psi_term END)
+             |    + max(CASE WHEN bin = 6 THEN psi_term END)
+             |    + max(CASE WHEN bin = 7 THEN psi_term END)
+             |    + max(CASE WHEN bin = 8 THEN psi_term END)
+             |    + max(CASE WHEN bin = 9 THEN psi_term END) AS psi_total
+             |  FROM t GROUP BY lang)
+             |SELECT t.lang, t.bin, t.e_n, t.a_n, t.e_share, t.a_share,
+             |  t.psi_term, tot.psi_total
+             |FROM t JOIN tot ON tot.lang = t.lang
+             |ORDER BY lang, bin""".stripMargin)
     )
   )
 }
