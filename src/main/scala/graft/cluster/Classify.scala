@@ -608,8 +608,9 @@ object Classify {
     // c·sqrt((n₊+n₋)/(n₊·n₋)) — sqrt is correctly rounded, c is the
     // same compile-time literal in both texts. The cross products ride
     // DECIMAL(38,0)/HUGEINT per the moments convention (BIGINT would
-    // cap at ~3e9 positives); ks_num re-enters BIGINT only at emission
-    // (valid while n₊·n₋ < 2^63 — loudly past any gate SF).
+    // cap at ~3e9 positives); ks_num re-enters BIGINT only at emission,
+    // behind a raise_error guard at 10× headroom so Spark fails as
+    // loudly as DuckDB would past n₊·n₋ ≈ 2^63.
     // SCALE: one partial-agg shuffle to score groups + a window over
     // thousands of rows + two 1-row aggregates. Round12Spec replays the
     // whole statistic from the raw scores on the driver.
@@ -637,10 +638,23 @@ object Classify {
         val thr = diffs.crossJoin(broadcast(mx))
           .filter(col("diff") === col("mxd"))
           .agg(min("s_int").as("thr_s"), max("diff").as("ksd"))
+        // Loud headroom guard (ADVICE r12, the agg_moments_rollup
+        // pattern): ksd ≤ n₊·n₋ rides DECIMAL(38,0) and re-enters BIGINT
+        // at emission — past 2^63 non-ANSI Spark silently NULLs the cast
+        // while DuckDB raises, so the engines would diverge quietly.
+        // Fail LOUDLY at 10× margin on the Spark side too.
+        val ksNum = when(
+          (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("double") < 9e17,
+          col("ksd").cast("long"))
+          .otherwise(raise_error(concat(lit(
+            "ml_ks_test: n_pos*n_neg within 10x of BIGINT overflow — " +
+              "ks_num would silently NULL on Spark but raise on DuckDB; " +
+              "emit the DECIMAL form instead. n_pos*n_neg="),
+            (col("n_pos").cast(dec) * col("n_neg").cast(dec)).cast("string"))))
         thr.crossJoin(broadcast(tot)).select(
           col("n_pos"), col("n_neg"),
           (col("thr_s").cast("double") / 1048576.0).as("threshold_nll"),
-          col("ksd").cast("long").as("ks_num"),
+          ksNum.as("ks_num"),
           (col("ksd").cast("double") /
             (col("n_pos") * col("n_neg")).cast("double")).as("ks_stat"),
           (lit(KsCrit) * sqrt((col("n_pos") + col("n_neg")).cast("double") /

@@ -722,6 +722,94 @@ object PropertyGraph {
         (s, d) => Motif.dataFrame(chainMotifGraph(s, d), ast),
         Some(s"$chainMotifCtes\n${Motif.sql(ast)}"))
     },
+    // 5) OPTIONAL MATCH (VERDICT r12 task 5): left-join semantics — every
+    //    supplier, with the part-1000001 edge attached where it exists
+    //    and NULLs elsewhere. Both targets compile the optional group as
+    //    a derived sub-pattern LEFT JOINed on the shared variable, and
+    //    the generated ORDER BY pins NULLS FIRST/LAST to Spark defaults.
+    motifQ("graph_pattern_optional",
+      "MATCH (s:Supplier) " +
+        "OPTIONAL MATCH (s)-[e:SUPPLIES]->(p:Part {id: 1000001}) " +
+        "RETURN s.id AS supplier, p.id AS part, e.weight AS w ORDER BY supplier"),
+    // 6) negation (VERDICT r12 task 5): suppliers with NO edge to part
+    //    1000001 — `WHERE NOT (s)-[:SUPPLIES]->(x {id: …})` compiles to
+    //    a left-anti join on Spark and a correlated NOT EXISTS in the
+    //    generated oracle.
+    motifQ("graph_pattern_negation",
+      "MATCH (s:Supplier) WHERE NOT (s)-[:SUPPLIES]->(x {id: 1000001}) " +
+        "RETURN s.id AS supplier, s.name AS supplier_name ORDER BY supplier LIMIT 50"),
+
+    // ── pattern-surface writes (VERDICT r12 task 4) ────────────────────
+    // The reference's Cypher surface includes writes: create_relationship
+    // string-interpolates `MATCH (a),(b) WHERE … CREATE (a)-[r:TYPE
+    // props]->(b)` (database.py:51-67) and the centroid update is a SET
+    // (image_classification.py:499-503). Both clauses now compile from
+    // the same Motif AST: CREATE → the new-edge rows for the
+    // edges-append sink; SET → the recompute-overwrite relation.
+    //
+    // 7) CREATE roundtrip: co-supplier edges derived from a two-edge
+    //    match are WRITTEN to parquet (a real sink write), read back,
+    //    unioned with the base graph, and RE-READ BY A PATTERN QUERY —
+    //    the oracle replays the created set as a CTE generated from the
+    //    same CreateStmt AST and points the read pattern at the unioned
+    //    edge view, so the write→read cycle is hash-matched end-to-end.
+    {
+      val createAst = Motif.parseStatement(
+        "MATCH (a:Supplier)-[:SUPPLIES]->(p:Part {id: 1000001}), " +
+          "(b:Supplier)-[:SUPPLIES]->(p) WHERE a.id < b.id " +
+          "CREATE (a)-[:CO_SUPPLIER {weight: 2.0}]->(b)")
+        .asInstanceOf[Motif.CreateStmt]
+      val readAst = Motif.parse(
+        "MATCH (x:Supplier)-[e:CO_SUPPLIER]->(y:Supplier) " +
+          "RETURN x.id AS a_id, y.id AS b_id, e.weight AS w ORDER BY a_id, b_id")
+      Q("graph_pattern_create",
+        (s, d) => {
+          val g = supplierPartGraph(s, d)
+          val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pat_create_" +
+            s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          Motif.createDf(g, createAst).write.mode("overwrite").parquet(dir)
+          val g2 = PropertyGraph(g.nodes,
+            g.edges.unionByName(s.read.parquet(dir)))
+          Motif.dataFrame(g2, readAst)
+        },
+        Some(s"""$motifCtes,
+               |created AS (
+               |${Motif.createSql(createAst)}),
+               |edges2 AS (
+               |  SELECT src, dst, rel_type, CAST(weight AS DOUBLE) AS weight FROM edges
+               |  UNION ALL SELECT * FROM created)
+               |${Motif.sql(readAst, nodesRel = "nodes", edgesRel = "edges2")}""".stripMargin))
+    },
+    // 8) SET on a node property: matched suppliers get a new name; the
+    //    result is the FULL updated nodes relation (overwrite semantics,
+    //    Q16's recompute-overwrite kernel), oracle = CASE WHEN over the
+    //    matched-id set generated from the same SetStmt AST.
+    {
+      val ast = Motif.parseStatement(
+        "MATCH (s:Supplier)-[:SUPPLIES]->(p:Part {id: 1000001}) " +
+          "SET s.name = 'PREFERRED SUPPLIER'").asInstanceOf[Motif.SetStmt]
+      Q("graph_pattern_set",
+        (s, d) => Motif.setDf(supplierPartGraph(s, d), ast).orderBy("id"),
+        Some(s"""$motifCtes
+               |SELECT id, label, name FROM (
+               |${Motif.setSql(ast)})
+               |ORDER BY id""".stripMargin))
+    },
+    // 9) SET on an edge property (the reference's centroid-update shape
+    //    generalized): matched SUPPLIES edges get weight 2.5; top-100 by
+    //    weight shows the updated rows with a deterministic tiebreak.
+    {
+      val ast = Motif.parseStatement(
+        "MATCH (a:Supplier)-[e:SUPPLIES]->(p:Part {id: 1000001}) " +
+          "SET e.weight = 2.5").asInstanceOf[Motif.SetStmt]
+      Q("graph_pattern_set_weight",
+        (s, d) => Motif.setDf(supplierPartGraph(s, d), ast)
+          .orderBy(col("weight").desc, col("src"), col("dst")).limit(100),
+        Some(s"""$motifCtes
+               |SELECT src, dst, rel_type, weight FROM (
+               |${Motif.setSql(ast)})
+               |ORDER BY weight DESC, src, dst LIMIT 100""".stripMargin))
+    },
 
     // ── weighted degree over the cluster graph ─────────────────────────
     // Build the reference's actual graph — Image-[:CLOSEST_TO]->Centroid

@@ -3032,7 +3032,10 @@ object Text {
     // no epsilon hack; a seeded lang×bin grid guarantees all 10 terms
     // exist. Parity: bin index is pure integer arithmetic; each share is
     // ONE division of exact BIGINTs; ln rides the proven Spark log() ≡
-    // DuckDB ln() path; the per-slice total is the 10 terms summed in
+    // DuckDB ln() path UNDER 2^-20 floor-quantization of the log output
+    // (r12 red: unquantized ln diverged by 1 ulp on one bin — the same
+    // lesson as the entropy/idf family); the per-slice total is the 10
+    // terms summed in
     // FIXED textual order via conditional aggregation (never a float
     // sum over unordered rows). SCALE: one binning pass + two
     // counting shuffles; the grid/term/total tables are langs×10 rows.
@@ -3068,7 +3071,8 @@ object Text {
             (dbl(col("e_n") + 1L) / dbl(col("n_e") + 10L)).as("e_share"),
             (dbl(col("a_n") + 1L) / dbl(col("n_a") + 10L)).as("a_share"))
           .withColumn("psi_term",
-            (col("a_share") - col("e_share")) * log(col("a_share") / col("e_share")))
+            (col("a_share") - col("e_share")) *
+              (floor(log(col("a_share") / col("e_share")) * 1048576.0) / 1048576.0))
         val tot = terms.groupBy("lang").agg(
           max(when(col("bin") === 0, col("psi_term"))).as("t0"),
           (1 to 9).map(i =>
@@ -3113,8 +3117,9 @@ object Text {
              |    CAST(a_n + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE) AS a_share,
              |    (CAST(a_n + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE)
              |      - CAST(e_n + 1 AS DOUBLE) / CAST(n_e + 10 AS DOUBLE))
-             |      * ln((CAST(a_n + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))
-             |        / (CAST(e_n + 1 AS DOUBLE) / CAST(n_e + 10 AS DOUBLE))) AS psi_term
+             |      * (floor(ln((CAST(a_n + 1 AS DOUBLE) / CAST(n_a + 10 AS DOUBLE))
+             |        / (CAST(e_n + 1 AS DOUBLE) / CAST(n_e + 10 AS DOUBLE)))
+             |        * 1048576) / 1048576) AS psi_term
              |  FROM grid),
              |tot AS (
              |  SELECT lang,
@@ -3132,7 +3137,7 @@ object Text {
              |SELECT t.lang, t.bin, t.e_n, t.a_n, t.e_share, t.a_share,
              |  t.psi_term, tot.psi_total
              |FROM t JOIN tot ON tot.lang = t.lang
-             |ORDER BY lang, bin""".stripMargin)
+             |ORDER BY t.lang, t.bin""".stripMargin)
     )
   )
 }

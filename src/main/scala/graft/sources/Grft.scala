@@ -385,7 +385,14 @@ class GrftScan(path: String, required: StructType, pushed: Array[Filter],
     * else defers to the static per-value test. Unknown shapes keep the
     * file (advisory contract, same as a missing manifest entry). */
   private def runtimeMaySatisfy(f: Filter, st: Grft.FileStats): Boolean = f match {
-    case In(a, vs) => vs.exists(v => Grft.rangeMaySatisfy(EqualTo(a, v), st))
+    // a null build-side key never matches an equi-join, so it proves
+    // nothing about the file — skip it rather than let asLong throw and
+    // fail the scan at planning time (advisory contract: unknown values
+    // keep the file, and if ONLY nulls arrive no non-null value can
+    // match, but conservatively keep the file — result-safe either way)
+    case In(a, vs) =>
+      val nonNull = vs.filter(_ != null)
+      nonNull.isEmpty || nonNull.exists(v => Grft.rangeMaySatisfy(EqualTo(a, v), st))
     case other if Grft.supportedFilter(other) => Grft.rangeMaySatisfy(other, st)
     case _ => true
   }

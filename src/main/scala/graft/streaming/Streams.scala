@@ -491,7 +491,14 @@ object Streams {
         val frozenThrough =
           if (cur.haveLast) cur.finalizedThrough + 1 else cur.finalizedThrough
         if (b > frozenThrough) {
-          var open = (cur.open :+ LttbPt(p.epd, p.xu)).sortBy(_.epd)
+          // at-least-once guard INSIDE the horizon: a re-delivered day
+          // whose bucket is still open passes the frozenThrough check —
+          // dedupe by epd so the replay can't double-count the day in
+          // the centroid sums (frozen buckets are handled above; this
+          // closes the open-horizon half of the idempotency contract)
+          var open =
+            if (cur.open.exists(_.epd == p.epd)) cur.open
+            else (cur.open :+ LttbPt(p.epd, p.xu)).sortBy(_.epd)
           // cascade finalization while two buckets of lookahead exist
           var advanced = true
           while (advanced) {

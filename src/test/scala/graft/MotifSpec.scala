@@ -185,4 +185,117 @@ class MotifSpec extends SparkSpec {
     assert(!hop.contains("nodes"), hop)
     assert(hop.contains("e1.src = e0.src"), hop)
   }
+
+  // ── r12 additions: duplicate edge vars, OPTIONAL, NOT, writes ───────
+
+  test("the same edge variable on two edges fails loudly (ADVICE r12)") {
+    val m = intercept[IllegalArgumentException](Motif.parse(
+      "(a)-[e:T]->(b), (c)-[e:T]->(d) RETURN a.id AS a")).getMessage
+    assert(m.contains("bound on two edges"), m)
+  }
+
+  /** A part id some-but-not-all suppliers supply — at sf0.001 part
+    * 1000001 is supplied by EVERY one of the 10 suppliers, which would
+    * degenerate the optional/negation fixtures. */
+  private lazy val partialPart: Long = {
+    val nSup = g.nodesByLabel("Supplier").count()
+    g.edges.groupBy("dst").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") < nSup && col("deg") > 0).orderBy("dst")
+      .first().getLong(0)
+  }
+
+  test("OPTIONAL MATCH left-joins: unmatched rows keep NULLs, matched carry props") {
+    val out = g.find(
+      s"MATCH (s:Supplier) OPTIONAL MATCH (s)-[e:SUPPLIES]->(p:Part {id: $partialPart}) " +
+        "RETURN s.id AS supplier, p.id AS part, e.weight AS w ORDER BY supplier")
+      .collect()
+    val all = g.nodesByLabel("Supplier").count()
+    assert(out.length == all, "one row per supplier — left join, not inner")
+    val matched = out.filter(!_.isNullAt(1))
+    val unmatched = out.filter(_.isNullAt(1))
+    assert(matched.nonEmpty && unmatched.nonEmpty, "fixture needs both cases")
+    assert(matched.forall(r => r.getLong(1) == partialPart && r.getDouble(2) == 1.0))
+    assert(unmatched.forall(_.isNullAt(2)))
+    // ≡ the hand-written left join
+    val want = g.nodesByLabel("Supplier").select(col("id"))
+      .join(g.edges.filter(col("dst") === partialPart).select(col("src").as("id")),
+        Seq("id"), "left_semi").count()
+    assert(matched.length.toLong == want)
+  }
+
+  test("OPTIONAL MATCH validation: shared var required, scoping enforced") {
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](Motif.parse(s)).getMessage
+    assert(bad("MATCH (a)-[:T]->(b) OPTIONAL MATCH (x)-[:U]->(y) RETURN a.id AS a")
+      .contains("share at least one variable"))
+    // a NEW label on a main-bound var inside OPTIONAL would mis-scope
+    assert(bad("MATCH (a)-[:T]->(b) OPTIONAL MATCH (a:Supplier)-[:U]->(y) RETURN a.id AS a")
+      .contains("may not add a label"))
+    // main WHERE cannot see optional vars (Cypher scoping)
+    assert(bad("MATCH (a)-[:T]->(b) WHERE y.id = 1 OPTIONAL MATCH (a)-[:U]->(y) RETURN a.id AS a")
+      .contains("cannot see 'y'"))
+    // optional WHERE sees optional vars + shared ids, not main props
+    assert(bad("MATCH (a:Supplier)-[:T]->(b) OPTIONAL MATCH (a)-[:U]->(y) " +
+      "WHERE a.name = 'x' RETURN a.id AS a").contains("optional WHERE"))
+  }
+
+  test("NOT pattern ≡ hand-written anti-join; validation rejects bad forms") {
+    val out = g.find(
+      s"MATCH (s:Supplier) WHERE NOT (s)-[:SUPPLIES]->(x {id: $partialPart}) " +
+        "RETURN s.id AS supplier ORDER BY supplier").collect().map(_.getLong(0))
+    val want = g.nodesByLabel("Supplier").select(col("id"))
+      .join(g.edges.filter(col("dst") === partialPart).select(col("src").as("id")),
+        Seq("id"), "left_anti").orderBy("id").collect().map(_.getLong(0))
+    assert(out.toSeq == want.toSeq && out.nonEmpty)
+    def bad(s: String): String =
+      intercept[IllegalArgumentException](Motif.parse(s)).getMessage
+    assert(bad("MATCH (a)-[:T]->(b) WHERE NOT (x)-[:T]->(y) RETURN a.id AS a")
+      .contains("at least one bound endpoint"))
+    assert(bad("MATCH (a)-[:T]->(b) WHERE NOT (a:Supplier)-[:T]->(x) RETURN a.id AS a")
+      .contains("re-constrain"))
+    // generated SQL uses a correlated NOT EXISTS
+    val sql = Motif.sql(Motif.parse(
+      "MATCH (s:Supplier) WHERE NOT (s)-[:SUPPLIES]->(x {id: 7}) RETURN s.id AS s"))
+    assert(sql.contains("NOT EXISTS") && sql.contains("gx0.dst = 7"), sql)
+  }
+
+  test("CREATE compiles to new-edge rows; parse() rejects writes") {
+    val st = Motif.parseStatement(
+      "MATCH (a:Supplier)-[:SUPPLIES]->(p:Part {id: 1000001}), " +
+        "(b:Supplier)-[:SUPPLIES]->(p) WHERE a.id < b.id " +
+        "CREATE (a)-[:CO_SUPPLIER {weight: 2.0}]->(b)")
+      .asInstanceOf[Motif.CreateStmt]
+    val created = Motif.createDf(g, st)
+    assert(created.columns.toSeq == Seq("src", "dst", "rel_type", "weight"))
+    val rows = created.collect()
+    val deg = g.edges.filter(col("dst") === 1000001L).count()
+    assert(rows.length.toLong == deg * (deg - 1) / 2, "one edge per a<b pair")
+    assert(rows.forall(r => r.getString(2) == "CO_SUPPLIER" && r.getDouble(3) == 2.0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    intercept[IllegalArgumentException](Motif.parse(
+      "MATCH (a)-[:T]->(b) CREATE (a)-[:U]->(b)"))
+    def badSt(s: String): String =
+      intercept[IllegalArgumentException](Motif.parseStatement(s)).getMessage
+    assert(badSt("MATCH (a)-[:T]->(b) CREATE (a)-[:U]->(zz)")
+      .contains("not a bound node variable"))
+    assert(badSt("MATCH (a)-[:T]->(b) CREATE (a)-[:U {name: 'x'}]->(b)")
+      .contains("must be weight"))
+  }
+
+  test("SET compiles to the overwrite relation; bad targets rejected") {
+    val st = Motif.parseStatement(
+      "MATCH (s:Supplier)-[:SUPPLIES]->(p:Part {id: 1000001}) " +
+        "SET s.name = 'X'").asInstanceOf[Motif.SetStmt]
+    val updated = Motif.setDf(g, st)
+    assert(updated.count() == g.nodes.count(), "full relation, overwrite semantics")
+    val hit = updated.filter(col("name") === "X").count()
+    val want = g.edges.filter(col("dst") === 1000001L).select("src").distinct().count()
+    assert(hit == want && hit > 0)
+    def badSt(s: String): String =
+      intercept[IllegalArgumentException](Motif.parseStatement(s)).getMessage
+    assert(badSt("MATCH (a)-[:T]->(b) SET a.id = 7").contains("must target name"))
+    assert(badSt("MATCH (a)-[e:T]->(b) SET e.rel_type = 'x'").contains("must target weight"))
+    assert(badSt("MATCH (a)-[:T]->(b) SET a.name = 7").contains("string literal"))
+    assert(badSt("MATCH (a)-[:T]->(b) SET zz.name = 'x'").contains("not bound"))
+  }
 }

@@ -560,6 +560,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no products:\n$p")
   }
 
+  /** Join types of a query's physical plan, AQE unwrapped like shape(). */
+  private def joinTypes(name: String): Seq[String] = {
+    val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    val un = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    un.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+    }
+  }
+
+  test("OPTIONAL MATCH compiles to an outer equi-join, negation to an anti join") {
+    // the optional group must reach the plan as a LeftOuter hash join on
+    // the shared variable — never an inner join (which would drop
+    // unmatched suppliers) and never a product
+    val optJoins = joinTypes("graph_pattern_optional")
+    assert(optJoins.contains("LeftOuter"), s"optional must plan LeftOuter: $optJoins")
+    assert(!plan("graph_pattern_optional").contains("CartesianProduct"))
+    // NOT (s)-[:T]->(x) must be a LeftAnti equi-join (the NOT EXISTS shape)
+    val negJoins = joinTypes("graph_pattern_negation")
+    assert(negJoins.contains("LeftAnti"), s"negation must plan LeftAnti: $negJoins")
+  }
+
+  test("pattern writes: SET is a single outer-join overwrite, CREATE equi-joins only") {
+    val setJoins = joinTypes("graph_pattern_set")
+    assert(setJoins.count(_ == "LeftOuter") == 1,
+      s"overwrite = base LEFT JOIN matched-keys exactly once: $setJoins")
+    val create = plan("graph_pattern_create")
+    assert(!create.contains("CartesianProduct") &&
+      !create.contains("BroadcastNestedLoopJoin"),
+      s"create-match must stay equi-join shaped:\n$create")
+  }
+
   // ── the global-window SWEEP (VERDICT r11 task 2) ────────────────────
   // An un-partitioned Window is a single-partition sort: one task
   // serializes the whole input. That is only acceptable when the input

@@ -613,6 +613,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LTTB discards a replayed day whose bucket is still inside the open horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.DayAgg
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // W=7 buckets: b0={0,3} b1={7,9} b2={14,16,18}. The frozenThrough
+    // guard only rejects buckets ≤ finalizedThrough+1, so after trigger 1
+    // (finalizedThrough=0, frozen=1) a REPLAY of day 16 (bucket 2) is
+    // accepted into `open` — values are chosen so that, were the replay
+    // double-counted in bucket 2's centroid sums (c=4, sx=64, sy=540
+    // instead of c=3, sx=48, sy=290), bucket 1's |2·area·c| argmax flips
+    // from day 7 to day 9. The dedupe-by-epd guard must keep day 7.
+    val pts = Seq(
+      DayAgg(0L, 0, 0L), DayAgg(0L, 3, 5L),            // b0 (anchor keeps day 0)
+      DayAgg(0L, 7, 99L), DayAgg(0L, 9, 1L),           // b1 candidates
+      DayAgg(0L, 14, 20L), DayAgg(0L, 16, 250L), DayAgg(0L, 18, 20L)) // b2 centroid
+    val input = MemoryStream[DayAgg]
+    val q = Streams.lttbStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("lttb_replay_open")
+      .outputMode("update").start()
+    try {
+      input.addData(pts.take(5): _*); q.processAllAvailable()   // … day 14 arrives
+      input.addData(pts.drop(5): _*); q.processAllAvailable()   // 16, 18
+      input.addData(DayAgg(0L, 16, 250L)); q.processAllAvailable() // REPLAY of open day 16
+      input.addData(DayAgg(0L, 35, 0L)); q.processAllAvailable()   // flush: finalize b1, b2
+      val got = spark.table("lttb_replay_open").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(_._1).toSeq
+      assert(got === Seq((0, 0, 0L), (1, 7, 99L), (2, 14, 20L)),
+        s"open-horizon replay must be idempotent: got $got")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming LTTB equals the sequential fixed-bucket fold over shuffled triggers with replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
