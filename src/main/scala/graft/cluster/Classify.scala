@@ -6,6 +6,7 @@ import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** MLlib classification over the embedding features — the supervised
   * counterpart the reference README advertises ("image classification",
@@ -157,7 +158,7 @@ object Classify {
       (s, d) => {
         val cm = nbPredictions(s, d)
           .groupBy(col("true_lang"), col("pred")).agg(count(lit(1)).as("n"))
-          .localCheckpoint(false) // three marginals read one matrix
+          .transform(GenSnap.snap) // three marginals read one matrix
         val tp = cm.filter(col("true_lang") === col("pred"))
           .select(col("true_lang").as("lang"), col("n").as("tp"))
         val byTrue = cm.groupBy(col("true_lang").as("lang"))
@@ -548,7 +549,7 @@ object Classify {
               expr("((s_int - mn) * 10) DIV (mx - mn + 1)")).as("bin"),
             col("pos"))
           .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("np"))
-          .localCheckpoint(false) // the three range joins read one 10-row table
+          .transform(GenSnap.snap) // the three range joins read one 10-row table
         val seg = bins.select(col("bin").as("j"))
           .join(bins.select(col("bin").as("k")), col("j") <= col("k"))
           .join(bins.select(col("bin").as("m"), col("n"), col("np")),
@@ -734,13 +735,13 @@ object Classify {
         val raw = lineitem(s, d)
           .select(col("l_quantity").cast("int").as("qty"),
             floor(col("l_extendedprice") * 100).cast("long").as("c"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val v0 = raw.agg(count(lit(1)).as("n"), sum("c").as("s"))
           .select(floor(col("s").cast("double") / col("n").cast("double") + 0.5)
             .cast("long").as("v0"))
           .collect()(0).getLong(0) // 1-value driver boundary: the init
         var resid = raw.select(col("qty"), (col("c") - lit(v0)).as("r"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val rows = Seq.newBuilder[(Int, Int, Long, Long, Long, Long, Double, Double)]
         for (t <- 1 to K) {
           val byQty = resid.groupBy("qty")
@@ -774,7 +775,7 @@ object Classify {
           resid = resid.select(col("qty"),
               (col("r") - when(col("qty") <= lit(q), lit(vl)).otherwise(lit(vr)))
                 .as("r"))
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
           val m = resid.agg(count(lit(1)).as("n"),
               sum(dec38(col("r")) * col("r")).as("ssq"))
             .select((col("ssq").cast("double") / col("n").cast("double") /
@@ -860,7 +861,7 @@ object Classify {
     val test = docs.filter(detHash(col("doc_id")) % 5 === fold)
     val trainToks = train
       .select(col("lang"), explode(tokens(col("text"))).as("term"))
-      .localCheckpoint(false) // class counts + totals + V read one tokenization
+      .transform(GenSnap.snap) // class counts + totals + V read one tokenization
     val cwc = trainToks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
     val ctot = trainToks.groupBy("lang").agg(count(lit(1)).as("tot"))
     val vsize = trainToks.agg(countDistinct(col("term")).as("v"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** The reference's k-means core, Spark-first. The reference keeps cluster
   * state in Neo4j and loops in Python — collect-all + O(n·k) driver loop +
@@ -157,7 +158,7 @@ object KMeans {
     // returned assignments are dereferenced, so repeated run() calls in
     // one session don't accumulate dead entries.
     val corpus = e.select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
-      .localCheckpoint(false)
+      .transform(GenSnap.snap)
     def toDriver(df: DataFrame): Array[(Long, Array[Double])] =
       df.collect().map(r => r.getAs[Long]("cid") ->
         r.getAs[scala.collection.Seq[Double]]("cv").toArray)
@@ -603,14 +604,14 @@ object KMeans {
           .filter(col("vec_id") =!= 0L)
           .crossJoin(broadcast(query))
           .select(col("vec_id"), col("cid"), cosine(col("v"), col("qv")).as("sim"))
-          .localCheckpoint(false) // one scoring pass for truth + all sweep points
+          .transform(GenSnap.snap) // one scoring pass for truth + all sweep points
         val truth = sc.orderBy(col("sim").desc, col("vec_id").asc).limit(10)
-          .select("vec_id").localCheckpoint(false)
+          .select("vec_id").transform(GenSnap.snap)
         val cellRank = cents.crossJoin(broadcast(query))
           .select(col("cid"), cosine(col("cv"), col("qv")).as("csim"))
           .withColumn("crk", row_number().over(
             Window.orderBy(col("csim").desc, col("cid").asc)))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         Seq(1, 2, 4, 8).map { np =>
           val cand = sc.join(broadcast(
             cellRank.filter(col("crk") <= np).select("cid")), "cid")
@@ -791,7 +792,7 @@ object KMeans {
       (s, d) => {
         val cells = assignPrefix(embeddings(s, d), SemCells)
           .select(col("vec_id"), col("cid"), col("v"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val a = cells.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
         val b = cells.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
         val drops = a.join(b, "cid").filter(col("id_a") < col("id_b"))
@@ -901,7 +902,7 @@ object KMeans {
             Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
           .filter(col("rk") === 1)
           .select(col("vec_id"), col("label"), col("v"), col("cid"))
-          .localCheckpoint(false) // both sides of the within-cell join
+          .transform(GenSnap.snap) // both sides of the within-cell join
         val q = assigned.select(col("vec_id").as("qid"),
           col("label").as("qlabel"), col("v").as("qv"), col("cid"))
         val n = assigned.select(col("vec_id").as("nid"),

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** Min-label connected components over an undirected edge list, run
   * distributed to a driver-counted fixpoint — the shared kernel behind
@@ -11,12 +12,18 @@ import org.apache.spark.sql.functions._
   * equi-join on the (cached) edges plus ONE partial min-agg — the
   * per-superstep shape Pregel runs at 100 TB.
   *
-  * Every generation is `localCheckpoint`'d (lazily — the convergence
-  * count materializes it in the same job): the hop is
+  * Every generation is snapshot through [[GenSnap.snap]] (a lazy
+  * `localCheckpoint` whose carried stats estimate is capped — the
+  * convergence count materializes it in the same job): the hop is
   * materialized AND its lineage truncated to a LogicalRDD, so plan depth
   * stays O(1) per iteration instead of nesting one join per generation —
   * a deep-diameter graph (chain corpus, long near-dup chains) converges
-  * without planner blowup (EdgeCaseSpec drives a 30-link chain).
+  * without planner blowup (EdgeCaseSpec drives a 30-link chain). The
+  * stats cap keeps PLANNING cost O(1) too: each merge joins the
+  * generation against a frame derived from itself, which squares the
+  * size-only estimate per round — uncapped, the BigInt digit count
+  * doubles per generation (see GenSnap's Scaladoc for the measured
+  * Borůvka blowup).
   *
   * The per-round driver `count()` is NOT removable by checking
   * convergence every second round: the count is the one full action
@@ -44,7 +51,7 @@ object Components {
     // the distinct's own agg exchange already leaves this hash(id)
     val nodes = ue.select(col("src").as("id")).distinct()
     var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
-      .localCheckpoint(false)
+      .transform(GenSnap.snap)
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -61,7 +68,7 @@ object Components {
           least(col("l"), coalesce(col("ml"), col("l"))).as("l"),
           (col("ml") < col("l")).as("chRaw"))
         .select(col("id"), col("l"), coalesce(col("chRaw"), lit(false)).as("ch"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       changed = lbl.filter(col("ch")).count()
       iters += 1
     }
@@ -87,7 +94,7 @@ object Components {
     * @return (id, l) with l = min forward-reaching vertex id. */
   def minLabelDirected(nodes: DataFrame, de: DataFrame): DataFrame = {
     var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
-      .localCheckpoint(false)
+      .transform(GenSnap.snap)
     var changed = 1L
     while (changed > 0) {
       val prop = de
@@ -98,7 +105,7 @@ object Components {
           least(col("l"), coalesce(col("ml"), col("l"))).as("l"),
           (col("ml") < col("l")).as("chRaw"))
         .select(col("id"), col("l"), coalesce(col("chRaw"), lit(false)).as("ch"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       changed = lbl.filter(col("ch")).count()
     }
     lbl.select(col("id"), col("l"))
@@ -112,7 +119,7 @@ object Components {
     * discipline; `maxHops` is a loud diameter bound, never a silent
     * truncation. */
   def reachableFrom(seeds: DataFrame, de: DataFrame, maxHops: Int): DataFrame = {
-    var settled = seeds.select(col("id")).distinct().localCheckpoint(false)
+    var settled = seeds.select(col("id")).distinct().transform(GenSnap.snap)
     var frontier = settled
     var hops = 0
     var drained = frontier.isEmpty
@@ -124,10 +131,10 @@ object Components {
         .join(frontier.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       if (next.count() == 0L) drained = true
       else {
-        settled = settled.union(next).localCheckpoint(false)
+        settled = settled.union(next).transform(GenSnap.snap)
         frontier = next
       }
     }
@@ -146,7 +153,7 @@ object Components {
     * @return (id, layer) for every vertex in `nodes`. */
   def dagLayers(nodes: DataFrame, de: DataFrame, maxIters: Int): DataFrame = {
     var lbl = nodes.select(col("id"), lit(0).as("l"), lit(false).as("ch"))
-      .localCheckpoint(false)
+      .transform(GenSnap.snap)
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -162,7 +169,7 @@ object Components {
           greatest(col("l"), coalesce(col("ml"), col("l"))).as("l"),
           (col("ml") > col("l")).as("chRaw"))
         .select(col("id"), col("l"), coalesce(col("chRaw"), lit(false)).as("ch"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       changed = lbl.filter(col("ch")).count()
     }
     lbl.select(col("id"), col("l").as("layer"))
@@ -198,8 +205,8 @@ object Components {
     * @param maxRounds loud bound on outer peel rounds.
     * @return ((id, scc) — scc = min id of v's SCC; outer rounds run). */
   def sccColoring(nodes: DataFrame, de: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    var rem = nodes.select(col("id")).localCheckpoint(false)
-    var edges = de.select(col("src"), col("dst")).localCheckpoint(false)
+    var rem = nodes.select(col("id")).transform(GenSnap.snap)
+    var edges = de.select(col("src"), col("dst")).transform(GenSnap.snap)
     var out: DataFrame = null
     var rounds = 0
     var live = rem.count() > 0
@@ -216,10 +223,10 @@ object Components {
         .join(lbl.select(col("id").as("dst"), col("l").as("cd")), "dst")
         .filter(col("cs") === col("cd"))
         .select(col("src"), col("dst"), col("cs").as("c"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       var settled = lbl.filter(col("id") === col("l"))
         .select(col("id"), col("l").as("c"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       var frontier = settled
       var drained = frontier.count() == 0 // roots always exist while rem ≠ ∅
       while (!drained) {
@@ -230,23 +237,23 @@ object Components {
           .join(frontier.select(col("id").as("dst")), Seq("dst"))
           .select(col("src").as("id"), col("c")).distinct()
           .join(settled.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         if (next.count() == 0L) drained = true
         else {
-          settled = settled.union(next).localCheckpoint(false)
+          settled = settled.union(next).transform(GenSnap.snap)
           frontier = next
         }
       }
       val assigned = settled.select(col("id"), col("c").as("scc"))
       out = if (out == null) assigned else out.union(assigned)
       rem = rem.join(assigned.select(col("id")), Seq("id"), "left_anti")
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       live = rem.count() > 0
       if (live)
         edges = edges
           .join(assigned.select(col("id").as("src")), Seq("src"), "left_anti")
           .join(assigned.select(col("id").as("dst")), Seq("dst"), "left_anti")
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[scc] round=$rounds")
     }
@@ -291,7 +298,7 @@ object Components {
     // with a pagerank_exact superstep, which is the floor this shape
     // targets).
     val ueBySrc =
-      if (stageEdges) ue.repartition(col("src")).localCheckpoint(false)
+      if (stageEdges) ue.repartition(col("src")).transform(GenSnap.snap)
       else {
         // precondition (r8 advice): a caller claiming pre-staged edges
         // must pass a persisted artifact (cache()'d or a checkpoint
@@ -319,7 +326,7 @@ object Components {
     // isolated-vertex anti-join, no union.
     var lbl = nodes.select(col("id"), col("id").as("l"))
       .repartition(col("id"))
-      .localCheckpoint(false)
+      .transform(GenSnap.snap)
     for (_ <- 1 to iters) {
       val votes = ueBySrc
         .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
@@ -329,7 +336,7 @@ object Components {
         .select(col("dst").as("id"), (-col("b.negl")).as("bl"))
       lbl = lbl.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
     }
     lbl
   }
@@ -389,7 +396,7 @@ object Components {
       color: Column => Column = pmod(_, lit(2)),
       stageEdges: Boolean = true): LpaRun = {
     val ueBySrc =
-      if (stageEdges) ue.repartition(col("src")).localCheckpoint(false)
+      if (stageEdges) ue.repartition(col("src")).transform(GenSnap.snap)
       else {
         // the frame itself must be the persisted artifact: cache()'d, or a
         // checkpoint LogicalRDD at the plan ROOT — a lineage-wide exists()
@@ -404,7 +411,7 @@ object Components {
       }
     var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
       .repartition(col("id"))
-      .localCheckpoint(false)
+      .transform(GenSnap.snap)
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
     var live = true
     while (live && history.size < maxIters) {
@@ -427,7 +434,7 @@ object Components {
           .select(col("id"), coalesce(col("bl"), col("l")).as("l"),
             when(col("bl").isNotNull, col("bl") =!= col("l"))
               .otherwise(carryCh).as("ch"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
       }
       val changed = lbl.filter(col("ch")).count()
       if (history.nonEmpty)
@@ -478,14 +485,14 @@ object Components {
     */
   def kCorePeel(ue: DataFrame, k: Int): (DataFrame, Int) = {
     val BcastMax = 1000000L
-    var edges = ue.localCheckpoint(false)
+    var edges = ue.transform(GenSnap.snap)
     var rounds = 0
     var live = true
     while (live) {
       rounds += 1
       val bad = edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k).select(col("src").as("v"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       val nBad = bad.count() // materializes bad AND the current edge gen
       if (nBad == 0) live = false
       else {
@@ -494,7 +501,7 @@ object Components {
           .join(b.select(col("v").as("src")), Seq("src"), "left_anti")
           .join(b.select(col("v").as("dst")), Seq("dst"), "left_anti")
           .select("src", "dst")
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
       }
     }
     (edges, rounds)
@@ -534,7 +541,7 @@ object Components {
         .select(col("lm"), ue("dst").as("id")).distinct()
         .join(settled, Seq("lm", "id"), "left_anti")
         .select(col("lm"), col("id"), lit(depth).as("d"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       if (next.count() == 0L) drained = true
       else frontiers ::= next
     }
@@ -570,7 +577,7 @@ object Components {
         .join(settled, Seq("lm", "id"), "left_anti")
         .groupBy("lm", "id").agg(sum("sigma").as("sigma"))
         .select(col("lm"), col("id"), lit(depth).as("d"), col("sigma"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       if (next.count() == 0L) drained = true
       else frontiers ::= next
     }
@@ -607,7 +614,7 @@ object Components {
     // pass the shared memoized frame; a fresh one is checkpointed so
     // each backward level reads a materialization, not the BFS lineage
     val fc = tower.getOrElse(multiBfsCounts(ue, seeds, maxDepth)
-      .localCheckpoint(false))
+      .transform(GenSnap.snap))
     // Sweep from the DEEPEST OCCUPIED level, not the caller's loud
     // bound: the bound is a drain guarantee (typically ~2× the real BFS
     // depth), and every level between them is empty — yet each one used
@@ -636,7 +643,7 @@ object Components {
       levels ::= vk.join(contrib, Seq("vlm", "vid"), "left")
         .select(col("vlm").as("lm"), col("vid").as("id"),
           col("sv").as("sigma"), coalesce(col("delta"), lit(0.0)).as("delta"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
     }
     // levels was built by PREPENDING from the deepest level down, so it
     // reads [d0, d1, …, dmax]; drop the head (d0 = the seeds — Brandes
@@ -681,8 +688,8 @@ object Components {
         "priority encoding before ids this large")
     def pri(r: Int): Column =
       (col("id") * 2654435761L + lit(r.toLong * 40503L)) % 4294967296L * 2097152L + col("id")
-    var rem = nodes.select(col("id")).localCheckpoint(false)
-    var edges = ue.localCheckpoint(false)
+    var rem = nodes.select(col("id")).transform(GenSnap.snap)
+    var edges = ue.transform(GenSnap.snap)
     var mis: DataFrame = null
     var rounds = 0
     var live = rem.count() > 0
@@ -697,19 +704,19 @@ object Components {
       val m = p.join(nmin, Seq("id"), "left")
         .filter(col("np").isNull || col("p") < col("np"))
         .select("id")
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       mis = if (mis == null) m else mis.union(m)
       val rm = m.union(
           edges.join(m.select(col("id").as("src")), "src")
             .select(col("dst").as("id")))
         .distinct()
-        .localCheckpoint(false)
-      rem = rem.join(rm, Seq("id"), "left_anti").localCheckpoint(false)
+        .transform(GenSnap.snap)
+      rem = rem.join(rm, Seq("id"), "left_anti").transform(GenSnap.snap)
       edges = edges
         .join(rm.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(rm.select(col("id").as("dst")), Seq("dst"), "left_anti")
         .select("src", "dst")
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       live = rem.count() > 0
     }
     (mis, rounds)
@@ -754,7 +761,7 @@ object Components {
           col("id") === col("id2"), "left")
         .filter(col("old").isNull || col("d") < col("old"))
         .select(col("id"), col("d"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       frontierRows = imp.count()
       if (sys.env.contains("MINDIST_DEBUG"))
         System.err.println(s"[minDist] round=$rounds frontier=$frontierRows")
@@ -768,7 +775,7 @@ object Components {
         dist = imp.union(
             dist.join(bcastIf(frontierRows, imp.select(col("id"))),
               Seq("id"), "left_anti"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
       }
     }
     (dist, rounds)
@@ -804,7 +811,7 @@ object Components {
       .agg(min(struct(col("w"), col("src").as("lo"), col("dst").as("hi"))).as("m"))
       .select(col("a"), col("b"), col("m.w").as("w"), col("m.lo").as("lo"),
         col("m.hi").as("hi"))
-      .localCheckpoint(false)
+      .transform(GenSnap.snap)
     var mst: DataFrame = null
     var rounds = 0
     var live = true
@@ -814,7 +821,7 @@ object Components {
           struct(col("w"), col("lo"), col("hi"), col("b").as("other")).as("k"))
         .union(edges.select(col("b").as("c"),
           struct(col("w"), col("lo"), col("hi"), col("a").as("other")).as("k")))
-      val pick = cand.groupBy("c").agg(min("k").as("k")).localCheckpoint(false)
+      val pick = cand.groupBy("c").agg(min("k").as("k")).transform(GenSnap.snap)
       val nPick = pick.count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[boruvka] round=${rounds + 1} picks=$nPick")
@@ -825,7 +832,7 @@ object Components {
           .select(col("k.lo").as("lo"), col("k.hi").as("hi"), col("k.w").as("w"))
           .distinct()
           .select(lit(rounds).as("round"), col("lo"), col("hi"), col("w"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         mst = if (mst == null) chosen else mst.union(chosen)
         // contract: the picks form a PSEUDO-FOREST — under the (w,lo,hi)
         // total order every cycle in the functional graph c → other is a
@@ -839,20 +846,16 @@ object Components {
         // minLabel's component-minimum, but the forest output is
         // label-invariant: picks and pair-minima depend only on the
         // component PARTITION, never on which id names it.
-        // Generation snapshot for the jump loop: localCheckpoint would
-        // carry originStats forward, and a SELF-join SQUARES
+        // Generation snapshot for the jump loop: a bare localCheckpoint
+        // would carry originStats forward, and a SELF-join SQUARES
         // sizeInBytes every generation — by round 4 the stats visitor
         // is multiplying million-digit BigInts and the driver burns
         // ~40 s in SizeInBytesOnlyStatsPlanVisitor (measured; jstack'd
-        // this session). Re-wrapping the checkpointed RDD through
-        // createDataFrame resets the leaf to default stats — constant
-        // per generation, so the product can never compound. The
-        // Row round-trip is negligible at component-count sizes.
-        def snap(df: DataFrame): DataFrame = {
-          val rdd = df.rdd
-          rdd.localCheckpoint()
-          df.sparkSession.createDataFrame(rdd, df.schema)
-        }
+        // round 12). [[GenSnap.snap]] is that finding generalized: it
+        // caps the carried estimate so the product can never compound,
+        // without the round-12 createDataFrame re-wrap's
+        // InternalRow→Row→InternalRow round-trip.
+        def snap(df: DataFrame): DataFrame = GenSnap.snap(df)
         val pk = pick.select(col("c"), col("k.other").as("o"))
         var par = snap(pk
           .join(pk.select(col("c").as("oc"), col("o").as("oo")),
@@ -887,7 +890,7 @@ object Components {
           .agg(min(struct(col("w"), col("lo"), col("hi"))).as("m"))
           .select(col("a"), col("b"), col("m.w").as("w"), col("m.lo").as("lo"),
             col("m.hi").as("hi"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
       }
     }
     val out =

@@ -5,6 +5,7 @@ import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** The reference's property-graph data model, Spark-first. The reference
   * stores Image/Centroid nodes and CLOSEST_TO edges in Neo4j
@@ -229,9 +230,15 @@ object PropertyGraph {
   private val N2vLen = 6
 
   /** Seed + oracle unroll for `graph_temporal_reach` (earliest-arrival
-    * converges in ≤ temporal-diameter rounds; loud require). */
+    * converges in ≤ temporal-diameter LEVELS; loud require). Raised
+    * 16 → 32 in r13: sf0.1 measures 18 levels (the time-respecting
+    * constraint makes the temporal diameter exceed the hop diameter —
+    * arrivals keep improving through late-timestamped detours), so the
+    * old bound THREW at bench scale; the driver bench swallows
+    * exceptions, which is why BENCH_r12's 6.56 s for this query was
+    * really time-to-failure at level 17. */
   private val TemporalSeed = 1L
-  private val TemporalUnroll = 16
+  private val TemporalUnroll = 32
 
   private val temporalMemo = graft.SessionMemo[DataFrame]()
 
@@ -388,7 +395,7 @@ object PropertyGraph {
             (expr(s"((src * 2654435761) + $t * 1000003) % 4294967296")
               % col("deg")) + 1)
           .select(col("walker"), col("dst").as("node"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         steps ::= cur.withColumn("step", lit(t))
       }
       // repartition BEFORE caching: the 8-generation union stacks ~32
@@ -1422,30 +1429,48 @@ object PropertyGraph {
         val spark = s
         import spark.implicits._
         val et = temporalEdges(s, d)
+        // TWO-LEVEL BATCHED relaxation (r13): the (min, time-filter)
+        // semiring is monotone, so relaxing twice before checking
+        // convergence reaches the same fixpoint — and the driver pays
+        // ONE count() sync per two levels instead of one per level.
+        // That matters here because this graph's temporal diameter is
+        // deep (sf0.1 measures 18 levels — the bipartite supplier↔part
+        // alternation relaxes in odd/even waves) and each sync is
+        // driver-bound, not data-bound. Level A relaxes the incoming
+        // frontier against `arr`; level B relaxes level A's improvements
+        // against the merged view — both stay LAZY inside one job, so
+        // the batch materializes impA, impB, and the count in a single
+        // action. impB empty proves the fixpoint: relaxing level A's
+        // improvements produced nothing, and every other vertex was
+        // already stable (level A's merge is still folded in via arrA).
         var arr = Seq((TemporalSeed, 0L)).toDF("id", "arr").localCheckpoint()
         var frontier = arr
-        var rounds = 0
+        var batches = 0
         var live = true
+        def relax(f: DataFrame, base: DataFrame): DataFrame = et
+          .join(f.select(col("id").as("src"), col("arr").as("va")), "src")
+          .filter(col("t") >= col("va"))
+          .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
+          .join(base.select(col("id").as("id2"), col("arr").as("old")),
+            col("id") === col("id2"), "left")
+          .filter(col("old").isNull || col("cand") < col("old"))
+          .select(col("id"), col("cand").as("arr"))
         while (live) {
-          rounds += 1
-          require(rounds <= TemporalUnroll,
-            s"temporal relaxation past $TemporalUnroll rounds — raise the unroll")
-          val cand = et
-            .join(frontier.select(col("id").as("src"), col("arr").as("va")), "src")
-            .filter(col("t") >= col("va"))
-            .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
-          val imp = cand
-            .join(arr.select(col("id").as("id2"), col("arr").as("old")),
-              col("id") === col("id2"), "left")
-            .filter(col("old").isNull || col("cand") < col("old"))
-            .select(col("id"), col("cand").as("arr"))
-            .localCheckpoint(false)
-          if (imp.count() == 0L) live = false
-          else {
-            frontier = imp
-            arr = imp.union(
-                arr.join(imp.select(col("id")), Seq("id"), "left_anti"))
-              .localCheckpoint(false)
+          batches += 1
+          require(batches * 2 <= TemporalUnroll,
+            s"temporal relaxation past $TemporalUnroll levels — raise the unroll")
+          val impA = relax(frontier, arr).transform(GenSnap.snap)
+          val arrA = impA.union(
+            arr.join(impA.select(col("id")), Seq("id"), "left_anti"))
+          val impB = relax(impA, arrA).transform(GenSnap.snap)
+          if (impB.count() == 0L) {
+            arr = arrA // level A's improvements still fold into the result
+            live = false
+          } else {
+            frontier = impB
+            arr = impB.union(
+                arrA.join(impB.select(col("id")), Seq("id"), "left_anti"))
+              .transform(GenSnap.snap)
           }
         }
         arr.orderBy("id")
@@ -1543,7 +1568,7 @@ object PropertyGraph {
           .filter(col("rn") ===
             (expr(s"((src * 2654435761) + 1000003) % 4294967296") % col("deg")) + 1)
           .select(col("walker"), col("src").as("prev"), col("dst").as("node"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         walk ::= cur.select(col("walker"), col("node"), lit(1).as("step"))
         for (t <- 2 to N2vLen) {
           val w = Window.partitionBy("walker").orderBy("x")
@@ -1563,7 +1588,7 @@ object PropertyGraph {
           cur = stepped
             .filter(col("cum") - col("wt") <= col("r") && col("r") < col("cum"))
             .select(col("walker"), col("src").as("prev"), col("x").as("node"))
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
           walk ::= cur.select(col("walker"), col("node"), lit(t).as("step"))
         }
         walk.reduce(_ unionByName _).orderBy("walker", "step")
@@ -1702,7 +1727,7 @@ object PropertyGraph {
       "graph_hits",
       (s, d) => {
         val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
-          .localCheckpoint(false) // 2 joins per iteration read one materialization
+          .transform(GenSnap.snap) // 2 joins per iteration read one materialization
         def normalized(raw: DataFrame): DataFrame = {
           val tot = raw.agg(sum("raw").as("tot"))
           raw.crossJoin(broadcast(tot))
@@ -1710,17 +1735,17 @@ object PropertyGraph {
         }
         var h = supplier(s, d)
           .select(col("s_suppkey").as("id"), lit(HitsScale).as("x"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         var a = h // replaced in the first half-step
         for (_ <- 1 to HitsIters) {
           a = normalized(
             es.join(h.select(col("id").as("src"), col("x")), "src")
               .groupBy(col("dst").as("id")).agg(sum("x").as("raw")))
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
           h = normalized(
             es.join(a.select(col("id").as("dst"), col("x")), "dst")
               .groupBy(col("src").as("id")).agg(sum("x").as("raw")))
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
         }
         h.select(col("id"), lit("hub").as("kind"), col("x").as("score"))
           .unionByName(a.select(col("id"), lit("authority").as("kind"),
@@ -2327,7 +2352,7 @@ object PropertyGraph {
             .join(lbl.select(col("id").as("dst"), col("scc").as("cd")), "dst")
             .filter(col("cs") =!= col("cd"))
             .select(col("cs").as("src"), col("cd").as("dst")).distinct()
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
           val cnodes = lbl.select(col("scc").as("id")).distinct()
           Components.dagLayers(cnodes, cond, SccMaxRounds * 4).cache()
         }
@@ -2401,7 +2426,7 @@ object PropertyGraph {
         val wedges = de.toDF("a", "b")
           .join(de.toDF("b", "c"), "b")
           .filter(col("a") =!= col("c"))
-          .localCheckpoint(false) // both closures read one pathing
+          .transform(GenSnap.snap) // both closures read one pathing
         val nW = wedges.agg(count(lit(1)).as("n_paths2"))
         val nT = wedges.join(de.toDF("a", "c"), Seq("a", "c"))
           .agg(count(lit(1)).as("n_transitive"))
@@ -2449,7 +2474,7 @@ object PropertyGraph {
             .orderBy(col("sz").desc, col("scc").asc).limit(1)
             .select("scc")
           val coreSet = lbl.join(broadcast(core), "scc").select("id")
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
           val outs = Components.reachableFrom(coreSet, de, 128)
           val ins = Components.reachableFrom(coreSet,
             de.select(col("dst").as("src"), col("src").as("dst")), 128)

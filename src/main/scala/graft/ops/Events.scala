@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** Event-time windowing over `events.parquet` — the streaming-shaped
   * surface the reference only advertises (README.md:2 promises "Spark &
@@ -1069,7 +1070,7 @@ object Events {
           .select(col("user_id"),
             datediff(col("gday"), col("last_day")).cast("long").as("recency_days"),
             col("frequency"), col("mu"))
-          .localCheckpoint(false) // rank pass + final join read one materialization
+          .transform(GenSnap.snap) // rank pass + final join read one materialization
         // sv ascending ≡ each ntile's ORDER BY (recency DESC → negate).
         // Blocks are RANGES of sv (DIV is monotone, truncation included)
         // sized to the dimension's magnitude: days ~1e2, counts ~1e2-1e4,
@@ -1873,7 +1874,7 @@ object Events {
           .withColumn("t", col("s7").cast("double") / 7.0 / 1e6)
           .withColumn("dq", floor((col("x") - col("t")) * 1e6).cast("long"))
           .withColumn("dow", dayofweek(col("day")))
-          .localCheckpoint(false) // the dow means and the variances share it
+          .transform(GenSnap.snap) // the dow means and the variances share it
         val sdow = dec0.groupBy("dow")
           .agg(sum("dq").as("sd"), count(lit(1)).as("cd"))
           .select(col("dow"),
@@ -2079,7 +2080,7 @@ object Events {
           .withColumn("rn", row_number().over(Window.orderBy("day")))
           .withColumn("c", sum("q").over(
             Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)))
-          .localCheckpoint(false) // small: one row per day; read per level
+          .transform(GenSnap.snap) // small: one row per day; read per level
         val tot = dd.agg(max("rn").as("n"), max("c").as("s"))
         // level 0: the whole series is one segment [1, n]
         val seg0 = tot.select(lit(0).as("level"), lit(1L).as("lo"),
@@ -2111,7 +2112,7 @@ object Events {
               ((col("sseg") - col("pt")).cast("double") /
                 (col("hi") - col("rn")).cast("double") / 1e6).as("mean_after"))
         }
-        val s0 = split(seg0).localCheckpoint(false)
+        val s0 = split(seg0).transform(GenSnap.snap)
         val segs1 = s0.select(lit(1).as("level"), col("lo"), col("t").as("hi"))
           .unionByName(s0.crossJoin(broadcast(tot))
             .select(lit(1).as("level"), (col("t") + 1).as("lo"),
@@ -2218,7 +2219,7 @@ object Events {
             when(col("rn") === 1, 0)
               .when(col("rn") === col("n"), m - 1)
               .otherwise(lit(1) + expr(s"((rn - 2) * ${m - 2}) DIV (n - 2)")))
-          .localCheckpoint(false) // read by nxt, trans, and both path ends
+          .transform(GenSnap.snap) // read by nxt, trans, and both path ends
         val nxt = pts.filter(col("bucket") >= 2)
           .groupBy(col("event_type"), (col("bucket") - 1).as("b"))
           .agg(count(lit(1)).as("c"), sum("rn").as("sx"), sum("y").as("sy"))
@@ -2239,7 +2240,7 @@ object Events {
           .filter(col("rk") === 1)
           .select(col("event_type"), col("b"), col("prn"), col("qrn"),
             col("qday"), col("qy"))
-          .localCheckpoint(false) // walked 8 times below
+          .transform(GenSnap.snap) // walked 8 times below
         var sel = pts.filter(col("bucket") === 0)
           .select(col("event_type"), col("rn"), col("day"), col("y"),
             lit(0).as("seq"))

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** Remaining SURVEY.md §2 surface + §2.6 gap operators: the dead-code
   * feature extractors re-expressed over numeric arrays (F2 histogram,
@@ -408,7 +409,7 @@ object Extended {
           (1 to 16).map(i =>
             when(col(s"y$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
             .reduce(_ + _).as("sig"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val bands = sig.select(col("vec_id"), col("sig"),
           explode(sequence(lit(0), lit(3))).as("band"))
           .select(col("vec_id"), col("sig"), col("band"),
@@ -490,7 +491,7 @@ object Extended {
             (element_at(col("bytes"), 5) + element_at(col("bytes"), 6) * 256L +
               element_at(col("bytes"), 7) * 65536L + element_at(col("bytes"), 8) * 16777216L)
               .as("h2"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val bands = sig.select(col("vec_id"), posexplode(col("bytes")).as(Seq("band", "byte")))
         val cand = bands.toDF("id_a", "band", "byte")
           .join(bands.toDF("id_b", "band", "byte"), Seq("band", "byte"))
@@ -1114,7 +1115,7 @@ object Extended {
             col("l_extendedprice").cast("double").as("x"))
         val ranked = li.withColumn("rn",
           row_number().over(Window.partitionBy("rf").orderBy(col("x").asc)))
-          .localCheckpoint(false) // four rank lookups read one materialization
+          .transform(GenSnap.snap) // four rank lookups read one materialization
         val stats = li.groupBy("rf").agg(
           count(lit(1)).as("n"),
           percentile_approx(col("x"), array(lit(0.5), lit(0.99)), lit(10000))
@@ -1263,7 +1264,7 @@ object Extended {
             col("o_totalprice").cast("double").as("x"))
         val ranked = li.withColumn("rn",
           row_number().over(Window.partitionBy("yr").orderBy(col("x").asc)))
-          .localCheckpoint(false) // four rank lookups read one materialization
+          .transform(GenSnap.snap) // four rank lookups read one materialization
         val stats = li.groupBy("yr").agg(count(lit(1)).as("n"))
           .withColumn("margin", ceil(col("n") * 0.02).cast("long") + 2L)
           .join(rolled, "yr")
@@ -1333,7 +1334,7 @@ object Extended {
       (s, d) => {
         val yearly = s.read.parquet(monthlySketchDir(s, d))
           .groupBy("yr").agg(hll_union_agg(col("sk")).as("ysk"))
-          .localCheckpoint(false) // a handful of rows; read three ways
+          .transform(GenSnap.snap) // a handful of rows; read three ways
         val pairs = yearly.select(col("yr").as("yr_a"), col("ysk").as("ska"))
           .join(yearly.select(col("yr").as("yr_b"), col("ysk").as("skb")),
             col("yr_b") === col("yr_a") + 1)
@@ -1477,7 +1478,7 @@ object Extended {
             sum(dec38(col("c")) * col("c")).as("s2"),
             sum(dec38(col("c")) * col("c") * col("c")).as("s3"),
             sum(dec38(col("c")) * col("c") * col("c") * col("c")).as("s4"))
-          .localCheckpoint(false) // month rows + the year merge read it
+          .transform(GenSnap.snap) // month rows + the year merge read it
         val yearly = monthly.groupBy("yr")
           .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
             sum("s3").as("s3"), sum("s4").as("s4"))

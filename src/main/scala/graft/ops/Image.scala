@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** Pixel-domain operators over the LIVE decode path (Multimodal.
   * decodeJpegGray32) — the reference's remaining image surface, now that
@@ -631,7 +632,7 @@ object Image {
           val u8 = Multimodal.decodeJpegGray32(bytes).map(x => math.floor(x + 0.5).toInt)
           val (h1, h2) = aHash64(u8)
           (f, h1, h2)
-        }).toDF("file", "h1", "h2").localCheckpoint(false)
+        }).toDF("file", "h1", "h2").transform(GenSnap.snap)
         val other = hashes.toDF("file_b", "b1", "b2")
         hashes.join(broadcast(other), col("file") =!= col("file_b"))
           .select(col("file"), col("h1"), col("h2"), col("file_b"),
@@ -662,7 +663,7 @@ object Image {
         val hashes = decoded(s).mapPartitions(_.map { case (f, bytes) =>
           val u8 = Multimodal.decodeJpegGray32(bytes).map(x => math.floor(x + 0.5).toInt)
           (f, wHash16(u8).toLong)
-        }).toDF("file", "sig").localCheckpoint(false)
+        }).toDF("file", "sig").transform(GenSnap.snap)
         val other = hashes.toDF("file_b", "sb")
         hashes.join(broadcast(other), col("file") =!= col("file_b"))
           .select(col("file"), col("sig"), col("file_b"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Q
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** ANN quality as a driver-gated number (judge r7 task 6): each
   * approximate top-k — IVF, IVF-PQ, LSH, PQ — joined against the exact
@@ -44,7 +45,7 @@ object Recall {
         val truth = fns("ann_bruteforce_topk")(s, d)
           .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
           .select(col("vec_id"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         Methods.map { case (m, qn) =>
           fns(qn)(s, d).select(col("vec_id")).join(truth, "vec_id")
             .agg(count(lit(1)).as("hits"))

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** The reference's declarative query surface (SURVEY.md §2.3, Q1–Q18),
   * re-expressed over the harness tables as idiomatic DataFrame pipelines.
@@ -979,7 +980,7 @@ object Relational {
         val base = customer(s, d).select(col("c_custkey"),
             when(col("c_custkey") % 7 === 0, lit(null))
               .otherwise(col("c_custkey") % 5).as("nk"))
-          .localCheckpoint(false) // aggregates + both join sides share it
+          .transform(GenSnap.snap) // aggregates + both join sides share it
         val counts = base.agg(count(lit(1)).as("n_rows"),
           count(col("nk")).as("n_nonnull"),
           count_distinct(col("nk")).as("n_distinct"))
@@ -1188,7 +1189,7 @@ object Relational {
       (s, d) => {
         val op = lineitem(s, d)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-          .localCheckpoint(false) // three aggregations read one materialization
+          .transform(GenSnap.snap) // three aggregations read one materialization
         val n = op.select("o").distinct().agg(count(lit(1)).as("n"))
         val cnt = op.groupBy("p").agg(count(lit(1)).as("c"))
         val pairs = op.toDF("o", "pa").join(op.toDF("o", "pb"), "o")
@@ -1278,7 +1279,7 @@ object Relational {
           .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
         val ranked = li.withColumn("rn",
           row_number().over(Window.partitionBy("rf").orderBy(col("x").asc)))
-          .localCheckpoint(false) // two rank lookups per q read one materialization
+          .transform(GenSnap.snap) // two rank lookups per q read one materialization
         val n = li.groupBy("rf").agg(count(lit(1)).as("n"))
         def pct(q: Double, name: String) = {
           val pos = lit(q) * (col("n") - 1).cast("double")
@@ -1355,7 +1356,7 @@ object Relational {
           .select(col("e.c").as("c"), col("e.x").as("x"))
         val ranked = st.withColumn("rn",
           row_number().over(Window.partitionBy("c").orderBy(col("x").asc)))
-          .localCheckpoint(false) // nine rank lookups read one materialization
+          .transform(GenSnap.snap) // nine rank lookups read one materialization
         val stats = st.groupBy("c").agg(
           count(lit(1)).as("n"), countDistinct(col("x")).as("ndv"))
         val ks = stats.select(col("c"), col("n"), col("ndv"),
@@ -1598,7 +1599,7 @@ object Relational {
           .unionByName(li.select(lit("lineitem.l_suppkey").as("kc"), col("l_suppkey").as("k")))
           .unionByName(orders(s, d).select(lit("orders.o_custkey").as("kc"), col("o_custkey").as("k")))
         val counts = keyed.groupBy("kc", "k").agg(count(lit(1)).as("c"))
-          .localCheckpoint(false) // read three ways below
+          .transform(GenSnap.snap) // read three ways below
         val totals = counts.groupBy("kc").agg(
           sum("c").as("n_rows"), count(lit(1)).as("n_keys"), max("c").as("max_cnt"))
         val sic = counts

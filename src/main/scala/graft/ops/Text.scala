@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** Text-analysis + deduplication operators over `documents.parquet` —
   * the beyond-reference training-data-pipeline surface (SURVEY.md §2.6):
@@ -278,7 +279,7 @@ object Text {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .select(col("word"), concat(lit(" "),
           regexp_replace(col("word"), "(.)", "$1  ")).as("w"), col("cnt"))
-        .localCheckpoint(false)
+        .transform(GenSnap.snap)
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       var r = 0
       var live = true
@@ -302,7 +303,7 @@ object Text {
           merges += ((r, a, b, f))
           words = words.withColumn("w",
             replace(col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
         }
       }
       (words.cache(), merges.toList)
@@ -439,8 +440,8 @@ object Text {
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(false)
-      val pieces = unigramPieces(words).localCheckpoint(false)
+        .transform(GenSnap.snap)
+      val pieces = unigramPieces(words).transform(GenSnap.snap)
       val chars = pieces.filter(length(col("piece")) === 1)
       def costMap(v: DataFrame): Map[String, Long] =
         // ≤ ~(chars + keep)-row driver boundary per round, the BPE
@@ -1534,7 +1535,7 @@ object Text {
           .join(deg.select(col("v").as("id_b"), col("deg").as("db")), "id_b")
           .select(when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
             when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val tri = o.toDF("x", "y")
           .join(o.toDF("y", "z"), "y")
           .join(o.toDF("x", "z"), Seq("x", "z"))
@@ -1661,7 +1662,7 @@ object Text {
               struct(col("x").as("id_a"), col("z").as("id_b")))).as("e"))
             .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
             .groupBy("id_a", "id_b").agg(count(lit(1)).as("support"))
-        var edges = dupEdges(s, d).localCheckpoint(false)
+        var edges = dupEdges(s, d).transform(GenSnap.snap)
         var n = edges.count()
         var rounds = 0
         var live = true
@@ -1669,7 +1670,7 @@ object Text {
           val kept = edges.join(support(edges), Seq("id_a", "id_b"), "left")
             .filter(coalesce(col("support"), lit(0L)) >= K - 2)
             .select("id_a", "id_b")
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
           val nk = kept.count()
           if (nk == n) live = false
           else { rounds += 1; edges = kept; n = nk }
@@ -1728,10 +1729,10 @@ object Text {
         val dup = dupEdges(s, d)
         val ue = dup.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(dup.select(col("id_b").as("src"), col("id_a").as("dst")))
-        var edges = ue.localCheckpoint(false)
+        var edges = ue.transform(GenSnap.snap)
         var core = edges.select(col("src").as("doc_id")).distinct()
           .select(col("doc_id"), lit(1L).as("core"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         var k = 2
         var n = edges.count()
         while (n > 0) {
@@ -1745,7 +1746,7 @@ object Text {
             .join(survivors.select(col("doc_id"), lit(1).as("up")), Seq("doc_id"), "left")
             .select(col("doc_id"),
               when(col("up").isNotNull, lit(k.toLong)).otherwise(col("core")).as("core"))
-            .localCheckpoint(false)
+            .transform(GenSnap.snap)
           edges = ck
           n = edges.count()
           k += 1
@@ -1810,7 +1811,7 @@ object Text {
                   (acc, x) => (acc * 1000003L + x) % P32)))
               .otherwise(array(aggregate(col("wh"), lit(0L),
                 (acc, x) => (acc * 1000003L + x) % P32)))).as("sh"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val tok = sk.select(col("doc_id"), explode(col("sh")).as("h"))
         val dfq = tok.groupBy("h").agg(count(lit(1)).as("df"))
         val pref = tok.join(dfq, "h")
@@ -2095,7 +2096,7 @@ object Text {
         val docs = documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
-          .localCheckpoint(false) // stats agg + candidate probe + scoring join read one tokenization
+          .transform(GenSnap.snap) // stats agg + candidate probe + scoring join read one tokenization
         val statAggs = sum(col("dl")).as("totdl") +:
           qterms.map(w => sum(when(array_contains(col("t"), w), 1L)
             .otherwise(0L)).as(s"df_$w"))
@@ -2163,7 +2164,7 @@ object Text {
       (s, d) => {
         val docs = documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("t"))
-          .localCheckpoint(false) // N + df + tf aggregations read one tokenization
+          .transform(GenSnap.snap) // N + df + tf aggregations read one tokenization
         val n = docs.agg(count(lit(1)).as("n"))
         val dfs = docs.select(explode(array_distinct(col("t"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("df"))
@@ -2280,7 +2281,7 @@ object Text {
           .filter((size(array_intersect(col("sa"), col("sb"))).cast("double") /
             size(array_union(col("sa"), col("sb")))) >= 0.5)
           .select("id_a", "id_b")
-          .localCheckpoint(false) // counted twice below
+          .transform(GenSnap.snap) // counted twice below
         val found = dupEdges(s, d)
         val nT = truth.agg(count(lit(1)).as("n_true"))
         val nF = truth.join(found, Seq("id_a", "id_b"), "left_semi")
@@ -2381,7 +2382,7 @@ object Text {
       (s, d) => {
         val toks = documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-          .localCheckpoint(false) // unigram table + per-doc tf read one tokenization
+          .transform(GenSnap.snap) // unigram table + per-doc tf read one tokenization
         val uni = toks.groupBy("term").agg(count(lit(1)).as("ctf"))
         val tot = uni.agg(sum("ctf").as("tot"))
         val sq = floor(-log(col("ctf").cast("double") / col("tot").cast("double"))
@@ -2439,7 +2440,7 @@ object Text {
               slice(arr, lit(2), size(arr) - 1),
               (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .localCheckpoint(false) // counts + per-doc tf read one pairing
+          .transform(GenSnap.snap) // counts + per-doc tf read one pairing
         val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
         val cctx = bg.groupBy("w1").agg(count(lit(1)).as("cctx"))
         val sq = floor(-log(col("cbg").cast("double") / col("cctx").cast("double"))
@@ -2500,7 +2501,7 @@ object Text {
               slice(arr, lit(2), size(arr) - 1),
               (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-          .localCheckpoint(false)
+          .transform(GenSnap.snap)
         val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
         val cctx = bg.groupBy("w1").agg(count(lit(1)).as("cctx"),
           count_distinct(col("w2")).as("n1f"))

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GenSnap
 
 /** Vector/feature operators over `embeddings.parquet` (64-dim float
   * vectors): the reference's feature-stats F1 and cosine-similarity F6
@@ -63,6 +64,93 @@ object Vector {
   def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
   def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)}))"
+
+  // ── NN-descent shared kernel (ann_nndescent_graph / _incremental) ───
+  /** Emit degree / BUILD degree / round counts for the descent kernels.
+    * Over-building at 2k is what lifts descent out of the clustered
+    * local optimum (recall@8 0.68 → 0.97 on the gate corpus). The
+    * incremental query builds its "existing" graph in one fewer round —
+    * the persisted state a production system extends, not re-derives. */
+  private val NnK = 8
+  private val NnKb = 16
+  private val NnRounds = 4
+  private val NnOldRounds = 3
+
+  /** Deterministic seed strides over the contiguous id space — no RNG,
+    * so the oracle replays the seeds verbatim. */
+  private val NnStrides = Seq(48L, 85L, 122L, 159L, 196L, 233L, 270L, 307L,
+    11L, 97L, 201L, 333L, 421L, 57L, 153L, 289L)
+
+  /** k seed edges per node: stride picks modulo the corpus size. Targets
+    * that don't exist in the caller's corpus (the incremental query's
+    * old-graph build seeds over the full id space) drop in the scoring
+    * join — deterministically, so both compilation targets agree. */
+  private def strideSeeds(e: DataFrame, n: Long): DataFrame =
+    e.select(col("id").as("src"),
+      explode(array(NnStrides.map(sj => (col("id") + sj) % n): _*)).as("dst"))
+
+  /** One NN-descent pass (Dong et al. 2011 local join): per node,
+    * introduce its general neighbors (forward ∪ rotating-hash-capped
+    * reverse) to each other through a pivot equi-join, score by cosine,
+    * and rank per source. The reverse cap ROTATES per round
+    * (deterministic multiplicative hash keyed by r): a fixed id-order
+    * cap would drop the same reverse neighbors of a hub every round and
+    * stall descent. Candidate volume is Σ_p |G(p)|² ≤ N·(2k)² — the cap
+    * bounds hub fan-in — and every join is hash-partitioned on id:
+    * NEVER a corpus² product (plan-asserted in PlanSpec).
+    * @return (src, dst, sim, rk) — caller filters to its keep degree. */
+  private def nnDescentRound(b: DataFrame, e: DataFrame, r: Int): DataFrame = {
+    val rev = b.select(col("dst").as("piv"), col("src").as("nbr"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("piv").orderBy(
+          ((col("nbr") + lit(r.toLong)) * lit(2654435761L) % lit(4294967296L)).asc,
+          col("nbr").asc)))
+      .filter(col("rk") <= NnKb).drop("rk")
+    val gen = b.select(col("src").as("piv"), col("dst").as("nbr"))
+      .union(rev).distinct()
+    val cand = gen.select(col("piv"), col("nbr").as("src"))
+      .join(gen.select(col("piv"), col("nbr").as("dst")), "piv")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .union(b)
+      .distinct()
+    cand
+      .join(e.select(col("id").as("src"), col("v").as("va")), "src")
+      .join(e.select(col("id").as("dst"), col("v").as("vb")), "dst")
+      .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+  }
+
+  /** The oracle twin of [[nnDescentRound]]: one round as chained CTEs
+    * reading edge table `prev`, emitting `$out` (the rk ≤ build-degree
+    * edge set) plus `rk_$out` (the full ranking the final round's caller
+    * selects its emit degree from). `corpus` is the (id, v) CTE the
+    * scoring join reads. */
+  private def sqlNnRound(r: Int, prev: String, out: String, corpus: String): String = {
+    val c = sqlCosine("ea.v", "eb.v")
+    s"""rev_$out AS (
+       |  SELECT piv, nbr FROM (
+       |    SELECT dst AS piv, src AS nbr,
+       |      row_number() OVER (PARTITION BY dst
+       |        ORDER BY (src + $r) * 2654435761 % 4294967296 ASC, src ASC) AS rk
+       |    FROM $prev) WHERE rk <= $NnKb),
+       |gen_$out AS (
+       |  SELECT src AS piv, dst AS nbr FROM $prev
+       |  UNION SELECT piv, nbr FROM rev_$out),
+       |cand_$out AS (
+       |  SELECT a.nbr AS src, b.nbr AS dst
+       |  FROM gen_$out a JOIN gen_$out b ON a.piv = b.piv AND a.nbr <> b.nbr
+       |  UNION SELECT src, dst FROM $prev),
+       |sim_$out AS (
+       |  SELECT c.src, c.dst, $c AS sim
+       |  FROM cand_$out c JOIN $corpus ea ON ea.id = c.src JOIN $corpus eb ON eb.id = c.dst),
+       |rk_$out AS (
+       |  SELECT src, dst, sim,
+       |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+       |  FROM sim_$out),
+       |$out AS MATERIALIZED (SELECT src, dst FROM rk_$out WHERE rk <= $NnKb)""".stripMargin
+  }
 
   // ── random-hyperplane LSH (shared by ann_lsh_buckets / ann_lsh_topk) ─
   // Hyperplane coefficients are Knuth-multiplicative-hash values mapped
@@ -430,9 +518,9 @@ object Vector {
           .select(col("vec_id") +: dims.map(k =>
             cosine(slice(vec(col("embedding")), 1, k),
               slice(col("qv"), 1, k)).as(s"s$k")): _*)
-          .localCheckpoint(false) // one scoring pass feeds all sweep points
+          .transform(GenSnap.snap) // one scoring pass feeds all sweep points
         val truth = sc.orderBy(col("s64").desc, col("vec_id").asc).limit(10)
-          .select("vec_id").localCheckpoint(false)
+          .select("vec_id").transform(GenSnap.snap)
         dims.map { k =>
           val top = sc.orderBy(col(s"s$k").desc, col("vec_id").asc).limit(10)
             .select("vec_id")
@@ -524,93 +612,194 @@ object Vector {
     Q(
       "ann_nndescent_graph",
       (s, d) => {
-        val K = 8   // output graph degree
-        val KB = 16  // BUILD degree: over-building 2× is what lifts the
-                     // descent out of the clustered local optimum
-                     // (recall@8 0.68 -> 0.97 on the gate corpus)
-        val Rounds = 4
-        val strides = Seq(48L, 85L, 122L, 159L, 196L, 233L, 270L, 307L,
-          11L, 97L, 201L, 333L, 421L, 57L, 153L, 289L)
         val e = embeddings(s, d)
           .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
-          .localCheckpoint(false) // id+vector staging read by every round
+          .transform(GenSnap.snap) // id+vector staging read by every round
         val n = e.count() // 1-value driver boundary: corpus size for the mod-N seeds
-        var b = e.select(col("id").as("src"),
-            explode(array(strides.map(sj => (col("id") + sj) % n): _*)).as("dst"))
-          .localCheckpoint(false)
+        var b = strideSeeds(e, n).transform(GenSnap.snap)
         var out: DataFrame = null
-        for (r <- 1 to Rounds) {
-          // reverse cap ROTATES per round (deterministic multiplicative
-          // hash keyed by r): a fixed id-order cap would drop the same
-          // reverse neighbors of a hub every round and stall descent
-          val rev = b.select(col("dst").as("piv"), col("src").as("nbr"))
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("piv").orderBy(
-                ((col("nbr") + lit(r.toLong)) * lit(2654435761L) % lit(4294967296L)).asc,
-                col("nbr").asc)))
-            .filter(col("rk") <= KB).drop("rk")
-          val gen = b.select(col("src").as("piv"), col("dst").as("nbr"))
-            .union(rev).distinct()
-          val cand = gen.select(col("piv"), col("nbr").as("src"))
-            .join(gen.select(col("piv"), col("nbr").as("dst")), "piv")
-            .filter(col("src") =!= col("dst"))
-            .select("src", "dst")
-            .union(b)
-            .distinct()
-          val scored = cand
-            .join(e.select(col("id").as("src"), col("v").as("va")), "src")
-            .join(e.select(col("id").as("dst"), col("v").as("vb")), "dst")
-            .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("sim"))
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
-          if (r < Rounds)
-            b = scored.filter(col("rk") <= KB).select("src", "dst")
-              .localCheckpoint(false)
-          else out = scored.filter(col("rk") <= K)
+        for (r <- 1 to NnRounds) {
+          val scored = nnDescentRound(b, e, r)
+          if (r < NnRounds)
+            b = scored.filter(col("rk") <= NnKb).select("src", "dst")
+              .transform(GenSnap.snap)
+          else out = scored.filter(col("rk") <= NnK)
         }
         out.select(col("src").as("vec_id"), col("rk").cast("int").as("rank"),
             col("dst").as("nbr"), col("sim"))
           .orderBy("vec_id", "rank")
       },
       Some {
-        val K = 8
-        val KB = 16
-        val strides = Seq(48, 85, 122, 159, 196, 233, 270, 307,
-          11, 97, 201, 333, 421, 57, 153, 289)
-        val c = sqlCosine("ea.v", "eb.v")
-        val rounds = (1 to 4).map { r =>
-          val p = s"b${r - 1}"
-          s"""rev$r AS (
-             |  SELECT piv, nbr FROM (
-             |    SELECT dst AS piv, src AS nbr,
-             |      row_number() OVER (PARTITION BY dst
-             |        ORDER BY (src + $r) * 2654435761 % 4294967296 ASC, src ASC) AS rk
-             |    FROM $p) WHERE rk <= $KB),
-             |gen$r AS (
-             |  SELECT src AS piv, dst AS nbr FROM $p
-             |  UNION SELECT piv, nbr FROM rev$r),
-             |cand$r AS (
-             |  SELECT a.nbr AS src, b.nbr AS dst
-             |  FROM gen$r a JOIN gen$r b ON a.piv = b.piv AND a.nbr <> b.nbr
-             |  UNION SELECT src, dst FROM $p),
-             |sim$r AS (
-             |  SELECT c.src, c.dst, $c AS sim
-             |  FROM cand$r c JOIN e ea ON ea.id = c.src JOIN e eb ON eb.id = c.dst),
-             |rk$r AS (
-             |  SELECT src, dst, sim,
-             |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
-             |  FROM sim$r),
-             |b$r AS MATERIALIZED (SELECT src, dst FROM rk$r WHERE rk <= $KB)""".stripMargin
-        }.mkString(",\n")
+        val rounds = (1 to NnRounds)
+          .map(r => sqlNnRound(r, s"b${r - 1}", s"b$r", "e")).mkString(",\n")
         s"""WITH e AS MATERIALIZED (
            |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
            |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-           |st(s) AS (VALUES ${strides.map(x => s"($x)").mkString(", ")}),
+           |st(s) AS (VALUES ${NnStrides.map(x => s"($x)").mkString(", ")}),
            |b0 AS MATERIALIZED (
            |  SELECT id AS src, (id + s) % n AS dst FROM e CROSS JOIN n CROSS JOIN st),
            |$rounds
            |SELECT src AS vec_id, CAST(rk AS INT) AS rank, dst AS nbr, sim
-           |FROM rk4 WHERE rk <= $K
+           |FROM rk_b$NnRounds WHERE rk <= $NnK
+           |ORDER BY vec_id, rank""".stripMargin
+      }
+    ),
+
+    // ── incremental NN-descent: a new batch joins the EXISTING graph ───
+    // VERDICT r12 task 6, the ingestion story: a production pipeline
+    // does not rebuild the N·k graph when a batch lands — it seeds the
+    // incoming vectors against the current graph and runs a couple of
+    // descent rounds that touch only BATCH-ADJACENT candidates. The
+    // deterministic 10% slice vec_id % 10 = 7 plays the incoming batch
+    // (the dedup_incremental convention); the rest is the "existing"
+    // corpus whose graph (build degree 2k, the persisted state a real
+    // system keeps) is constructed by the same shared descent kernel.
+    // Each incremental round then (1) caps the new nodes' reverse lists
+    // per pivot (rotating hash — same discipline as the full build),
+    // (2) pulls the pivots' OWN adjacency from existing-graph ∪ batch
+    // edges, and (3) introduces each new node to every co-member —
+    // candidate volume is Σ over batch-adjacent pivots only, NEVER the
+    // corpus (plan-asserted in Round13Spec: every join is a hash
+    // equi-join keyed by pivot/id, and the introduction's left side is
+    // the batch's reverse list). The final merge folds the reverse of
+    // the batch edges into the old nodes' lists — an old vector whose
+    // new arrival beats its k-th neighbor gets updated, everyone else's
+    // list survives verbatim — and re-ranks once to the emit degree.
+    // Recall vs a full rebuild is pinned ≥ 0.9 on batch nodes in
+    // Round13Spec. Everything is deterministic, so the oracle replays
+    // the old build AND every incremental round as chained CTEs.
+    Q(
+      "ann_nndescent_incremental",
+      (s, d) => {
+        val IncRounds = 3
+        val isNew = col("id") % 10 === 7
+        val e = embeddings(s, d)
+          .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
+          .transform(GenSnap.snap)
+        val n = e.count() // 1-value driver boundary (mod-N seed space)
+        val eOld = e.filter(!isNew).transform(GenSnap.snap)
+        // existing graph at BUILD degree (2k) — the persisted state;
+        // seeds cover the full id space, targets that fall on batch ids
+        // simply drop in the old-corpus scoring join (deterministic)
+        var g = strideSeeds(eOld, n).transform(GenSnap.snap)
+        var gOld: DataFrame = null
+        for (r <- 1 to NnOldRounds) {
+          val scored = nnDescentRound(g, eOld, r)
+          if (r < NnOldRounds)
+            g = scored.filter(col("rk") <= NnKb).select("src", "dst")
+              .transform(GenSnap.snap)
+          else gOld = scored.filter(col("rk") <= NnKb)
+            .select("src", "dst", "sim").transform(GenSnap.snap)
+        }
+        // incoming batch: stride seeds into the full corpus, then
+        // IncRounds of batch-local descent
+        var bn = strideSeeds(e.filter(isNew), n)
+          .filter(col("src") =!= col("dst"))
+          .join(e.select(col("id").as("dst")), "dst") // drop non-existent targets
+          .select(col("src"), col("dst"), lit(0.0).as("sim"))
+          .transform(GenSnap.snap)
+        for (r <- 1 to IncRounds) {
+          val mNew = bn.select(col("dst").as("piv"), col("src").as("nbr"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("piv").orderBy(
+                ((col("nbr") + lit(r.toLong)) * lit(2654435761L) % lit(4294967296L)).asc,
+                col("nbr").asc)))
+            .filter(col("rk") <= NnKb).drop("rk")
+          // pivots' own adjacency: existing graph ∪ current batch edges
+          // (src sides are disjoint — old vs new — so no dedup needed)
+          val gAll = gOld.select("src", "dst").union(bn.select("src", "dst"))
+          val mFwd = mNew.select("piv").distinct()
+            .join(gAll.select(col("src").as("piv"), col("dst").as("nbr")), "piv")
+          val members = mNew.union(mFwd).distinct()
+          val cand = mNew.select(col("piv"), col("nbr").as("src"))
+            .join(members.select(col("piv"), col("nbr").as("dst")), "piv")
+            .filter(col("src") =!= col("dst"))
+            .select("src", "dst")
+            .union(bn.select("src", "dst"))
+            .distinct()
+          bn = cand
+            .join(e.select(col("id").as("src"), col("v").as("va")), "src")
+            .join(e.select(col("id").as("dst"), col("v").as("vb")), "dst")
+            .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("sim"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+            .filter(col("rk") <= NnKb).select("src", "dst", "sim")
+            .transform(GenSnap.snap)
+        }
+        // merge: old lists ∪ reverse of the batch edges (old nodes gain
+        // new arrivals that beat their k-th; new-new reverse edges flow
+        // into new nodes the same way) ∪ the batch lists, one re-rank
+        val rev = bn.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+        gOld.union(rev).union(bn)
+          .groupBy("src", "dst").agg(max("sim").as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+          .filter(col("rk") <= NnK)
+          .select(col("src").as("vec_id"), col("rk").cast("int").as("rank"),
+            col("dst").as("nbr"), col("sim"))
+          .orderBy("vec_id", "rank")
+      },
+      Some {
+        val IncRounds = 3
+        val c = sqlCosine("ea.v", "eb.v")
+        val oldRounds = (1 to NnOldRounds)
+          .map(r => sqlNnRound(r, s"g${r - 1}", s"g$r", "eold")).mkString(",\n")
+        val incRounds = (1 to IncRounds).map { r =>
+          val p = s"bn${r - 1}"
+          s"""mnew$r AS (
+             |  SELECT piv, nbr FROM (
+             |    SELECT dst AS piv, src AS nbr,
+             |      row_number() OVER (PARTITION BY dst
+             |        ORDER BY (src + $r) * 2654435761 % 4294967296 ASC, src ASC) AS rk
+             |    FROM $p) WHERE rk <= $NnKb),
+             |gall$r AS (
+             |  SELECT src, dst FROM gold UNION ALL SELECT src, dst FROM $p),
+             |mem$r AS (
+             |  SELECT piv, nbr FROM mnew$r
+             |  UNION
+             |  SELECT g.src AS piv, g.dst AS nbr
+             |  FROM gall$r g JOIN (SELECT DISTINCT piv FROM mnew$r) m ON g.src = m.piv),
+             |candn$r AS (
+             |  SELECT a.nbr AS src, b.nbr AS dst
+             |  FROM mnew$r a JOIN mem$r b ON a.piv = b.piv AND a.nbr <> b.nbr
+             |  UNION SELECT src, dst FROM $p),
+             |simn$r AS (
+             |  SELECT c.src, c.dst, $c AS sim
+             |  FROM candn$r c JOIN e ea ON ea.id = c.src JOIN e eb ON eb.id = c.dst),
+             |bn$r AS MATERIALIZED (
+             |  SELECT src, dst, sim FROM (
+             |    SELECT src, dst, sim,
+             |      row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+             |    FROM simn$r) WHERE rk <= $NnKb)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+           |st(s) AS (VALUES ${NnStrides.map(x => s"($x)").mkString(", ")}),
+           |eold AS MATERIALIZED (SELECT * FROM e WHERE id % 10 <> 7),
+           |enew AS (SELECT * FROM e WHERE id % 10 = 7),
+           |g0 AS MATERIALIZED (
+           |  SELECT id AS src, (id + s) % n AS dst FROM eold CROSS JOIN n CROSS JOIN st),
+           |$oldRounds,
+           |gold AS MATERIALIZED (
+           |  SELECT src, dst, sim FROM rk_g$NnOldRounds WHERE rk <= $NnKb),
+           |bn0 AS MATERIALIZED (
+           |  SELECT src, dst, CAST(0.0 AS DOUBLE) AS sim FROM (
+           |    SELECT en.id AS src, (en.id + s) % n AS dst
+           |    FROM enew en CROSS JOIN n CROSS JOIN st) s0
+           |  JOIN e ON e.id = s0.dst WHERE src <> dst),
+           |$incRounds,
+           |rev AS (SELECT dst AS src, src AS dst, sim FROM bn$IncRounds),
+           |allp AS (
+           |  SELECT src, dst, max(sim) AS sim FROM (
+           |    SELECT src, dst, sim FROM gold
+           |    UNION ALL SELECT src, dst, sim FROM rev
+           |    UNION ALL SELECT src, dst, sim FROM bn$IncRounds)
+           |  GROUP BY src, dst)
+           |SELECT src AS vec_id, CAST(rk AS INT) AS rank, dst AS nbr, sim FROM (
+           |  SELECT src, dst, sim,
+           |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+           |  FROM allp) WHERE rk <= $NnK
            |ORDER BY vec_id, rank""".stripMargin
       }
     ),
@@ -922,7 +1111,7 @@ object Vector {
                   |        ELSE CAST(0 AS BIGINT) END)""".stripMargin)
         val packed = e.crossJoin(broadcast(st))
           .select(col("vec_id"), word(1, 32).as("w1"), word(33, 64).as("w2"))
-          .localCheckpoint(false) // probe row + candidate scan share it
+          .transform(GenSnap.snap) // probe row + candidate scan share it
         val q = packed.filter(col("vec_id") === 0L)
           .select(col("w1").as("q1"), col("w2").as("q2"))
         val cands = packed.filter(col("vec_id") =!= 0L)

@@ -1,0 +1,74 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Stats-capped generation snapshot for driver-counted fixpoint kernels.
+  *
+  * `Dataset.localCheckpoint` truncates lineage to a [[LogicalRDD]] but
+  * copies the pre-checkpoint plan's estimated `Statistics` into the new
+  * leaf (`originStats`). A fixpoint kernel whose next generation JOINS
+  * the previous one against a frame derived from it (minLabel's merge,
+  * Borůvka's pointer-jump self-join, NN-descent's neighbor-of-neighbor
+  * join) makes the size-only stats visitor MULTIPLY that leaf estimate
+  * by itself — so sizeInBytes SQUARES per generation, the BigInt's digit
+  * count doubles per round, and after enough rounds the driver burns
+  * seconds multiplying million-digit integers inside
+  * SizeInBytesOnlyStatsPlanVisitor (measured via jstack on
+  * graph_mst_boruvka, round 12: ~40 s of driver CPU, zero executor
+  * work). This helper generalizes the Borůvka fix to every generation
+  * snapshot: lazily localCheckpoint, then if the carried estimate
+  * exceeds [[CapBytes]] rebuild the [[LogicalRDD]] with the SAME rdd /
+  * partitioning / ordering but a capped `originStats`. Below the cap the
+  * frame is returned untouched, so honest small-frame estimates (and
+  * broadcast decisions) are preserved; above it the estimate is pinned,
+  * so a self-join can square it at most once before the next snap
+  * re-pins — planning cost stays O(1) across generations instead of
+  * doubly exponential. Unlike the round-12 `createDataFrame` re-wrap,
+  * no InternalRow→Row→InternalRow round-trip is paid.
+  *
+  * The cap is 64 GiB: far above any honest generation estimate at test
+  * scale (so it only engages once compounding has begun), far above the
+  * 10 MB broadcast threshold (a capped generation can never be wrongly
+  * broadcast — and an uncapped compounding estimate was never
+  * broadcastable either, so capping changes no join strategy), and small
+  * enough that cap² ≈ 2^72 is a two-word BigInt.
+  *
+  * DEAD END, measured and documented (r13): under AQE the checkpoint
+  * records UnknownPartitioning(0) on the LogicalRDD (the physical root
+  * is AdaptiveSparkPlanExec, which hides the final plan's partitioning),
+  * so each downstream merge on the generation key re-pays one Exchange.
+  * Two recovery attempts both LOST on the bench: (a) planning the
+  * checkpoint with AQE disabled records the true hash partitioning but
+  * costs the PRODUCER plan its runtime re-optimization
+  * (ml_isotonic_calibration 2 s → 47 s when its corpus-sized upstream
+  * lost AQE); (b) grafting the finalized adaptive plan's
+  * outputPartitioning back onto the leaf claims the AQE-COALESCED
+  * partitioning (often 1-4 partitions at test scale), which downstream
+  * stages then inherit without re-expanding — serializing work that the
+  * "redundant" Exchange would have re-parallelized
+  * (graph_betweenness_sampled 4.2 s → 9.8 s). The per-round Exchange of
+  * a generation-sized (node-count, not edge-count) frame is the cheaper
+  * side of both trades; at 100 TB the same holds because the exchange
+  * volume is the frontier, never the adjacency.
+  */
+object GenSnap {
+  val CapBytes: BigInt = BigInt(1L) << 36
+
+  def snap(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = false)
+    ck.queryExecution.logical match {
+      case lr: LogicalRDD if lr.stats.sizeInBytes > CapBytes =>
+        val rowCount = lr.stats.rowCount.filter(_ <= BigInt(Long.MaxValue))
+        val capped = new LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(Statistics(sizeInBytes = CapBytes, rowCount = rowCount)),
+          None)
+        Bridge.ofRows(df.sparkSession, capped)
+      case _ => ck
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: incremental NN-descent (batch nodes join the
+  * existing graph without a rebuild) and the two-level-batched temporal
+  * reachability fixpoint. */
+class Round13Spec extends SparkSpec {
+
+  test("incremental NN-descent: batch recall >= 0.9 vs the full rebuild") {
+    val full = SparkEntry.queries("ann_nndescent_graph")(spark, sf)
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = SparkEntry.queries("ann_nndescent_incremental")(spark, sf)
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the claim under test is the INGESTION path: the new arrivals'
+    // lists must land where a scratch rebuild would put them
+    val batchFull = full.filter(_._1 % 10 == 7)
+    val batchInc = inc.filter(_._1 % 10 == 7)
+    assert(batchFull.nonEmpty && batchInc.nonEmpty)
+    val recall = (batchInc intersect batchFull).size.toDouble / batchFull.size
+    assert(recall >= 0.9, s"incremental batch recall $recall < 0.9")
+    // and the untouched old nodes keep k-deep lists too (the merge did
+    // not orphan anyone): every node has exactly k rows
+    val perNode = SparkEntry.queries("ann_nndescent_incremental")(spark, sf)
+      .groupBy("vec_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 8).count()
+    assert(perNode == 0, s"$perNode nodes lack exactly 8 neighbors")
+  }
+
+  test("incremental NN-descent plans only hash equi-joins (no corpus product)") {
+    val p = SparkEntry.queries("ann_nndescent_incremental")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"incremental descent must never plan a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"incremental descent must never plan a nested-loop product:\n$p")
+  }
+
+  test("incremental NN-descent candidate volume scales with the batch") {
+    // quantitative bound, not just plan shape: the final merged graph
+    // restricted to batch sources carries exactly |batch|·k rows, and
+    // the batch descent state can never exceed |batch|·KB edges — if an
+    // implementation regression ever introduced corpus-sized pivots the
+    // per-source cap would still hold but OLD sources would appear with
+    // fresh (non-gOld) neighbors en masse; pin that: old nodes' lists
+    // may differ from the pure old-corpus build only by NEW members.
+    val out = SparkEntry.queries("ann_nndescent_incremental")(spark, sf)
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBatch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 7).count()
+    assert(out.count(_._1 % 10 == 7) == nBatch * 8)
+    // every OLD source's neighbor is either old (from its existing list)
+    // or a genuinely new arrival (folded in by the reverse merge)
+    val oldRows = out.filter(_._1 % 10 != 7)
+    assert(oldRows.nonEmpty)
+    val gainedNew = oldRows.count(_._2 % 10 == 7)
+    assert(gainedNew > 0,
+      "some old node should have gained a new arrival that beats its k-th")
+  }
+
+  test("temporal reach two-level batching matches the single-level fixpoint") {
+    // replay the UNBATCHED relaxation here (test-only) and require the
+    // batched kernel's fixpoint to be identical row-for-row
+    val spark2 = spark
+    import spark2.implicits._
+    val PartIdOffset = 1000000L
+    val e0 = Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
+      .agg(min(expr(
+        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")).as("t"))
+    val et = e0.select(col("a").as("src"), col("b").as("dst"), col("t"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst"), col("t")))
+      .cache()
+    var arr = Seq((1L, 0L)).toDF("id", "arr").localCheckpoint()
+    var frontier = arr
+    var live = true
+    var guard = 0
+    while (live) {
+      guard += 1
+      assert(guard <= 64, "unbatched replay did not converge")
+      val imp = et
+        .join(frontier.select(col("id").as("src"), col("arr").as("va")), "src")
+        .filter(col("t") >= col("va"))
+        .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
+        .join(arr.select(col("id").as("id2"), col("arr").as("old")),
+          col("id") === col("id2"), "left")
+        .filter(col("old").isNull || col("cand") < col("old"))
+        .select(col("id"), col("cand").as("arr"))
+        .localCheckpoint(false)
+      if (imp.count() == 0L) live = false
+      else {
+        frontier = imp
+        arr = imp.union(arr.join(imp.select(col("id")), Seq("id"), "left_anti"))
+          .localCheckpoint(false)
+      }
+    }
+    val expected = arr.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("graph_temporal_reach")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"batched fixpoint diverged: ${(got diff expected).take(5)} vs ${(expected diff got).take(5)}")
+    et.unpersist()
+  }
+}
