@@ -1799,6 +1799,39 @@ object Relational {
              |  UNION ALL SELECT 'col_changed.price', chg_price FROM agg
              |  UNION ALL SELECT 'col_changed.status', chg_status FROM agg)
              |ORDER BY metric""".stripMargin)
+    ),
+
+    // ── k-anonymity audit (privacy gate before a corpus ships) ─────────
+    // A training corpus carrying user-linked rows must not expose
+    // quasi-identifier combinations rarer than k: any (nationality,
+    // market segment, coarse balance band) group with fewer than k = 5
+    // members re-identifies its members by intersection. One hash
+    // aggregation over the QI tuple, each group flagged; the rows a real
+    // pipeline would suppress or generalize are exactly the
+    // k_anonymous = false groups. The balance band floors the DOUBLE
+    // balance at 1000-unit width — floor(x/1000) is one IEEE division +
+    // floor on both engines, exact for the same bits. SCALE: a single
+    // groupBy shuffle on the QI key; no window, no join.
+    Q(
+      "rel_k_anonymity",
+      (s, d) =>
+        customer(s, d)
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+          .groupBy("nation", "segment", "bal_band")
+          .agg(count(lit(1)).as("group_size"))
+          .select(col("nation"), col("segment"), col("bal_band"),
+            col("group_size"), (col("group_size") >= 5).as("k_anonymous"))
+          .orderBy("nation", "segment", "bal_band"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |  c_mktsegment AS segment,
+             |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |  CAST(count(*) AS BIGINT) AS group_size,
+             |  count(*) >= 5 AS k_anonymous
+             |FROM customer
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin)
     )
   )
 

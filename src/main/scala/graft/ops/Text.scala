@@ -3139,6 +3139,148 @@ object Text {
              |  t.psi_term, tot.psi_total
              |FROM t JOIN tot ON tot.lang = t.lang
              |ORDER BY t.lang, t.bin""".stripMargin)
+    ),
+
+    // ── DoReMi-style domain reweighting (Xie et al. 2023, simplified) ──
+    // The mixture-weights question every multi-source training run
+    // faces: how much of each SOURCE should the next epoch sample? The
+    // full algorithm trains a proxy model per round; this operator runs
+    // the reweighting LOOP itself exactly — per-domain excess loss is
+    // the corpus-unigram cross-entropy per token (cost of a token =
+    // floor(ln(N/c_w)·2^20), the same Spark log ≡ DuckDB ln quantized
+    // path the entropy/burst queries already drive bit-identically),
+    // then 8 multiplicative-weights rounds w ← w·(1 + η·û)/Z in PURE
+    // BIGINT fixed point (η = 1/4, û the min-max-normalized excess,
+    // weights renormalized to 2^24 with truncating division each round —
+    // truncation makes every round depend on the last, so the oracle's
+    // 8 chained CTEs genuinely replay the loop, not a closed form).
+    // SCALE: the corpus-sized work (tokenize, count, per-domain NLL sum)
+    // is all distributed aggregation; only the DOMAIN table (one row per
+    // source — 20 here, thousands at worst in production) crosses to the
+    // driver for the loop, the bounded model-state boundary the Markov
+    // attribution matrix established.
+    Q(
+      "ml_doremi_weights",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val T = 8
+        val Scale = 1048576L   // 2^20 quantization grid
+        val WScale = 16777216L // 2^24 weight normalization
+        val toks = documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .transform(GenSnap.snap) // vocab counts + domain sums read one tokenization
+        val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val nDf = toks.agg(count(lit(1)).as("n"))
+        val cost = cnt.crossJoin(broadcast(nDf))
+          .select(col("w"),
+            floor(log(col("n").cast("double") / col("c").cast("double")) * Scale)
+              .cast("long").as("cost"))
+        val dom = toks.join(broadcast(cost), "w")
+          .groupBy("source")
+          .agg(count(lit(1)).as("tokens"), sum("cost").as("nll"))
+          .orderBy("source")
+          .collect() // BOUNDED: one row per domain/source
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val excess = dom.map { case (_, t, nll) => nll * Scale / t }
+        val minE = excess.min
+        val maxE = excess.max
+        val u = excess.map(e => (e - minE) * Scale / (maxE - minE + 1))
+        var w = Array.fill(dom.length)(WScale / dom.length)
+        for (_ <- 1 to T) {
+          val wf = w.zip(u).map { case (wi, ui) => wi * (Scale + ui / 4) / Scale }
+          val z = wf.sum
+          w = wf.map(x => x * WScale / z)
+        }
+        dom.zipWithIndex.map { case ((src, t, nll), i) =>
+          (src, t, nll, excess(i), w(i))
+        }.toSeq.toDF("source", "tokens", "nll", "excess_fp", "weight_fp")
+          .orderBy("source")
+      },
+      Some {
+        // every round CTE is MATERIALIZED: w$t references wf$t twice
+        // (projection + the normalization scalar subquery), so without
+        // materialization DuckDB re-inlines the whole upstream chain
+        // per reference — 2^rounds re-executions of the corpus scan
+        val rounds = (1 to 8).map { t =>
+          s"""wf$t AS MATERIALIZED (SELECT source, tokens, nll, excess, u,
+             |  (w * (1048576 + u // 4)) // 1048576 AS wf FROM w${t - 1}),
+             |w$t AS MATERIALIZED (SELECT source, tokens, nll, excess, u,
+             |  CAST((wf * 16777216) // (SELECT sum(wf) FROM wf$t) AS BIGINT) AS w
+             |  FROM wf$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS MATERIALIZED (
+           |  SELECT source, w FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE w <> ''),
+           |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+           |cost AS (
+           |  SELECT w, CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(c AS DOUBLE))
+           |    * 1048576) AS BIGINT) AS cost
+           |  FROM cnt CROSS JOIN n),
+           |dom AS MATERIALIZED (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+           |    CAST(sum(cost) AS BIGINT) AS nll
+           |  FROM toks JOIN cost USING (w) GROUP BY source),
+           |ex AS MATERIALIZED (SELECT source, tokens, nll,
+           |         (nll * 1048576) // tokens AS excess FROM dom),
+           |u AS MATERIALIZED (SELECT source, tokens, nll, excess,
+           |        ((excess - (SELECT min(excess) FROM ex)) * 1048576)
+           |          // ((SELECT max(excess) FROM ex)
+           |             - (SELECT min(excess) FROM ex) + 1) AS u
+           |      FROM ex),
+           |w0 AS MATERIALIZED (SELECT source, tokens, nll, excess, u,
+           |        CAST(16777216 // (SELECT count(*) FROM u) AS BIGINT) AS w FROM u),
+           |$rounds
+           |SELECT source, tokens, nll, excess AS excess_fp, w AS weight_fp
+           |FROM w8 ORDER BY source""".stripMargin
+      }
+    ),
+
+    // ── deterministic mixture sampling (the data-mixing manifest) ──────
+    // Given per-language token budgets (the weights ml_doremi_weights
+    // produces upstream), emit WHICH documents the next epoch reads:
+    // per language, documents are ranked by the deterministic
+    // multiplicative hash (an unbiased, reproducible shuffle — the F8
+    // convention) and taken in hash order until the cumulative character
+    // budget is crossed, INCLUDING the crossing document (cum − own <
+    // budget), so every budget is met, never silently under-filled.
+    // SCALE: one partitioned window per language — rank and running sum
+    // share the single (lang, hash) sort; the output is the manifest a
+    // 100 TB run would hand its reader as a pushed-down id list.
+    Q(
+      "text_mixture_sample",
+      (s, d) => {
+        val budget = when(col("lang") === "en", 20000L).otherwise(5000L)
+        val ord = Window.partitionBy("lang")
+          .orderBy(col("h").asc, col("doc_id").asc)
+        documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            Tables.detHash(col("doc_id")).as("h"))
+          .withColumn("rk", row_number().over(ord))
+          .withColumn("cum", sum("n_chars").over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("cum") - col("n_chars") < budget)
+          .select(col("lang"), col("rk").cast("int").as("pick_rank"),
+            col("doc_id"), col("n_chars"), col("cum").as("cum_chars"))
+          .orderBy("lang", "pick_rank")
+      },
+      Some {
+        val h = Tables.detHashSql("doc_id")
+        s"""WITH ranked AS (
+           |  SELECT doc_id, lang, n_chars,
+           |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rk,
+           |    sum(n_chars) OVER (PARTITION BY lang ORDER BY $h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM documents)
+           |SELECT lang, CAST(rk AS INT) AS pick_rank, doc_id, n_chars,
+           |  CAST(cum AS BIGINT) AS cum_chars
+           |FROM ranked
+           |WHERE cum - n_chars < CASE WHEN lang = 'en' THEN 20000 ELSE 5000 END
+           |ORDER BY lang, pick_rank""".stripMargin
+      }
     )
   )
 }

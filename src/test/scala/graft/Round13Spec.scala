@@ -61,6 +61,46 @@ class Round13Spec extends SparkSpec {
       "some old node should have gained a new arrival that beats its k-th")
   }
 
+  test("doremi weights: normalized, and monotone in domain excess loss") {
+    val rows = SparkEntry.queries("ml_doremi_weights")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 20, "one row per source domain")
+    val wSum = rows.map(_._3).sum
+    // truncating renormalization loses at most 1 unit per domain per round
+    assert(wSum <= (1L << 24) && wSum >= (1L << 24) - rows.length,
+      s"weights must stay ~2^24-normalized, got $wSum")
+    // multiplicative weights with a static loss must ORDER weights by
+    // excess loss: a domain with strictly higher excess never ends lighter
+    rows.sortBy(_._2).sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 <= hi._3,
+        s"${hi._1} (excess ${hi._2}) ended lighter than ${lo._1} (excess ${lo._2})")
+    }
+    // and the loop genuinely moved mass: max weight above uniform
+    assert(rows.map(_._3).max > (1L << 24) / 20)
+  }
+
+  test("mixture sample meets every language budget without overshoot") {
+    val rows = SparkEntry.queries("text_mixture_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val langs = Tables.documents(spark, sf).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_._1).toSet == langs, "every language must be sampled")
+    rows.groupBy(_._1).foreach { case (lang, picks) =>
+      val budget = if (lang == "en") 20000L else 5000L
+      val sorted = picks.sortBy(_._2)
+      // ranks are contiguous from 1 (a prefix of the hash order)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"$lang picks are not a rank prefix")
+      val last = sorted.last
+      // every pick except possibly the last starts inside the budget,
+      // and the selection either crosses the budget or exhausted the lang
+      assert(last._5 - last._4 < budget, s"$lang overshot: kept a doc starting past budget")
+      val total = Tables.documents(spark, sf).filter(col("lang") === lang).count()
+      assert(last._5 >= budget || sorted.length == total,
+        s"$lang under-filled: ${last._5} chars of $budget with docs remaining")
+    }
+  }
+
   test("temporal reach two-level batching matches the single-level fixpoint") {
     // replay the UNBATCHED relaxation here (test-only) and require the
     // batched kernel's fixpoint to be identical row-for-row
