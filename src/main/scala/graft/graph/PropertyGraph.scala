@@ -155,13 +155,16 @@ object PropertyGraph {
 
   /** Vertex-id list hash-partitioned on id, cached once per (session,
     * dir) — the loop-invariant LEFT side of every power-iteration merge
-    * (`nodeIds LEFT JOIN contribs`). Partitioned to match the by-dst agg
-    * output (alias-aware), the merge join plans with no exchange and its
-    * output keeps hash(id) — which IS hash(src) for the next iteration's
-    * frontier join against the src-partitioned adjacency. Each
-    * power-iteration then pays exactly ONE exchange (the contrib
-    * partial-agg) instead of three, and the node list is scanned once
-    * per session instead of once per iteration. */
+    * (`nodeIds LEFT JOIN contribs`). What the layout buys, measured
+    * (r13 plan audit): the node list is SCANNED once per session instead
+    * of rebuilt per iteration, and the only EDGE-SIZED shuffle per
+    * iteration is the contrib partial-agg (map-side combined under its
+    * exchange). Spark 4.1 does re-exchange the merge's node-list side
+    * each iteration — re-instanced cache attributes don't advertise the
+    * cached hash(id) layout — but that exchange moves |V| rows against
+    * the agg's |E|, noise at any scale where this kernel matters; both
+    * facts are pinned in PlanSpec ("power iteration shuffles stay
+    * bounded"). */
   def nodeIdsPartitioned(s: SparkSession, d: String): DataFrame =
     nodeIdsMemo.getOrCompute(s, d) {
       supplierPartGraph(s, d).nodes.select(col("id"))

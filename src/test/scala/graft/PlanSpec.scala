@@ -629,6 +629,40 @@ class PlanSpec extends SparkSpec {
     // carry table audited in the allowlist
     assert(!offenders.contains("evt_rfm"))
   }
+
+  test("power iteration shuffles stay bounded (pagerank / ppr)") {
+    // VERDICT r12 task 2 closure: the r12 bench drift on graph_ppr_seed
+    // was noise (quiet-box best-of-3 measures 1.1-2.0 s at sf0.1), but
+    // the plan invariant that makes the kernel scale deserves a pin:
+    // per iteration the only EDGE-SIZED shuffle is the contrib partial
+    // aggregation (map-side combined under its own exchange); everything
+    // else Spark shuffles is the |V|-row node list (re-instanced cache
+    // attrs don't advertise the cached hash(id) layout — known, cheap).
+    // A regression that re-shuffles the adjacency (a join output feeding
+    // an exchange) or loses the map-side combine would double the
+    // per-superstep network volume at 100 TB.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val PrIters = 5
+    for (q <- Seq("graph_pagerank_exact", "graph_ppr_seed")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val un = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o => o
+      }
+      val ex = un.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size <= 2 * PrIters + 1,
+        s"$q: ${ex.size} shuffles for $PrIters iterations — the superstep gained a shuffle")
+      val aggEx = ex.filter(_.child.isInstanceOf[HashAggregateExec])
+      assert(aggEx.size == PrIters,
+        s"$q: expected one map-combined partial-agg exchange per iteration, got ${aggEx.size}")
+      // no exchange may sit directly on a join output — that would mean
+      // an edge-sized intermediate is being re-shuffled
+      val joinFed = ex.filter(_.child.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+      assert(joinFed.isEmpty, s"$q: a join output feeds an exchange")
+    }
+  }
 }
 
 object PlanSpec {
@@ -651,4 +685,5 @@ object PlanSpec {
     "rel_skyline" -> "carry cumulation over the per-BLOCK max table (price-range/1024 rows, not data)",
     "text_weighted_sample" -> "block-offset cumulation over the N/100 block table (the two-level-scan offset side itself)",
     "text_zipf_slope" -> "OLS rank window over the top-1000 vocab tail (bounded)")
+
 }
