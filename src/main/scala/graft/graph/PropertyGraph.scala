@@ -243,6 +243,13 @@ object PropertyGraph {
   private val TemporalSeed = 1L
   private val TemporalUnroll = 32
 
+  /** Levels relaxed per driver sync in graph_temporal_reach (the
+    * batching factor): 3 → the 18-level sf0.1 fixpoint costs 6 driver
+    * round-trips + one drain batch instead of 18. Raising it further
+    * trades sync count against wasted relaxations past convergence
+    * (the final batch always runs its full depth on empty frontiers). */
+  private val TemporalBatch = 3
+
   private val temporalMemo = graft.SessionMemo[DataFrame]()
 
   /** Timestamped undirected edges (src, dst, t) with t = first shipment
@@ -1432,20 +1439,22 @@ object PropertyGraph {
         val spark = s
         import spark.implicits._
         val et = temporalEdges(s, d)
-        // TWO-LEVEL BATCHED relaxation (r13): the (min, time-filter)
-        // semiring is monotone, so relaxing twice before checking
-        // convergence reaches the same fixpoint — and the driver pays
-        // ONE count() sync per two levels instead of one per level.
-        // That matters here because this graph's temporal diameter is
-        // deep (sf0.1 measures 18 levels — the bipartite supplier↔part
-        // alternation relaxes in odd/even waves) and each sync is
-        // driver-bound, not data-bound. Level A relaxes the incoming
-        // frontier against `arr`; level B relaxes level A's improvements
-        // against the merged view — both stay LAZY inside one job, so
-        // the batch materializes impA, impB, and the count in a single
-        // action. impB empty proves the fixpoint: relaxing level A's
-        // improvements produced nothing, and every other vertex was
-        // already stable (level A's merge is still folded in via arrA).
+        // MULTI-LEVEL BATCHED relaxation (r13): the (min, time-filter)
+        // semiring is monotone, so relaxing several levels before
+        // checking convergence reaches the same fixpoint — and the
+        // driver pays ONE count() sync per TemporalBatch levels instead
+        // of one per level. That matters here because this graph's
+        // temporal diameter is deep (sf0.1 measures 18 levels — the
+        // bipartite supplier↔part alternation relaxes in odd/even
+        // waves) and each sync is driver-bound, not data-bound. Level i
+        // relaxes level i−1's improvements against the running merged
+        // view; all levels of a batch stay LAZY (each imp is a lazy
+        // snap, shared by the merge and the next level), so the batch
+        // materializes its imps and the count in a single action. The
+        // LAST level's imp being empty proves the fixpoint: relaxing
+        // the last improvements produced nothing new, every earlier
+        // level's improvements are already folded into the merge, and
+        // every other vertex was stable before the batch.
         var arr = Seq((TemporalSeed, 0L)).toDF("id", "arr").localCheckpoint()
         var frontier = arr
         var batches = 0
@@ -1460,20 +1469,22 @@ object PropertyGraph {
           .select(col("id"), col("cand").as("arr"))
         while (live) {
           batches += 1
-          require(batches * 2 <= TemporalUnroll,
+          require(batches * TemporalBatch <= TemporalUnroll,
             s"temporal relaxation past $TemporalUnroll levels — raise the unroll")
-          val impA = relax(frontier, arr).transform(GenSnap.snap)
-          val arrA = impA.union(
-            arr.join(impA.select(col("id")), Seq("id"), "left_anti"))
-          val impB = relax(impA, arrA).transform(GenSnap.snap)
-          if (impB.count() == 0L) {
-            arr = arrA // level A's improvements still fold into the result
+          var imp = frontier
+          var merged = arr
+          for (_ <- 1 to TemporalBatch) {
+            val next = relax(imp, merged).transform(GenSnap.snap)
+            merged = next.union(
+              merged.join(next.select(col("id")), Seq("id"), "left_anti"))
+            imp = next
+          }
+          if (imp.count() == 0L) {
+            arr = merged // earlier levels' improvements still fold in
             live = false
           } else {
-            frontier = impB
-            arr = impB.union(
-                arrA.join(impB.select(col("id")), Seq("id"), "left_anti"))
-              .transform(GenSnap.snap)
+            frontier = imp
+            arr = merged.transform(GenSnap.snap)
           }
         }
         arr.orderBy("id")

@@ -1832,6 +1832,87 @@ object Relational {
              |FROM customer
              |GROUP BY 1, 2, 3
              |ORDER BY 1, 2, 3""".stripMargin)
+    ),
+
+    // ── Z-order layout planning (multi-dimensional data clustering) ────
+    // THE lakehouse layout decision at 100 TB: a table sorted by one
+    // column prunes scans on that column only; interleaving the bits of
+    // two columns (Morton / Z-order) makes every file a RECTANGLE in
+    // (custkey, orderdate) space, so point/range predicates on EITHER
+    // column skip most files. This operator computes the layout plan
+    // and its pruning report: both dimensions min-max-scaled to 16 bits,
+    // bits interleaved into a 32-bit z-value, files assigned by z-VALUE
+    // range (top 4 bits → a 4×4 grid of rectangles — the
+    // repartitionByRange shape a writer runs at scale, deliberately NOT
+    // a global row_number window), compared against the date-sorted
+    // linear layout on the same 16-file budget. Each file row carries
+    // its min/max on both raw dimensions plus whether the fixed
+    // custkey-band probe [100, 120] would have to read it — z-order
+    // hits the files in one grid column (4/16), the date-linear layout
+    // hits all 16 (pinned in Round13Spec). All arithmetic is BIGINT
+    // (scale, interleave, bucket), so both engines agree bit-for-bit.
+    Q(
+      "rel_zorder_layout",
+      (s, d) => {
+        val day = expr(
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+        val base = orders(s, d).select(col("o_custkey").as("cust"), day.as("day"))
+        val bounds = base.agg(min("cust").as("cmin"), max("cust").as("cmax"),
+          min("day").as("dmin"), max("day").as("dmax"))
+        val zBits = (0 until 16).map(i =>
+          s"(shiftleft((c16 >> $i) & 1, ${2 * i}) + shiftleft((d16 >> $i) & 1, ${2 * i + 1}))")
+          .mkString(" + ")
+        val withF = base.crossJoin(broadcast(bounds))
+          .select(col("cust"), col("day"),
+            expr("((cust - cmin) * 65535L) div greatest(cmax - cmin, 1L)").as("c16"),
+            expr("((day - dmin) * 65535L) div greatest(dmax - dmin, 1L)").as("d16"))
+          .select(col("cust"), col("day"),
+            expr(s"shiftright($zBits, 28)").as("zfile"),
+            expr("shiftright(d16, 12)").as("dfile"))
+        def layout(name: String, fcol: String) = withF
+          .groupBy(col(fcol).as("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("cust").as("min_cust"), max("cust").as("max_cust"),
+            min("day").as("min_day"), max("day").as("max_day"))
+          .select(lit(name).as("layout"), col("file_id"), col("n_rows"),
+            col("min_cust"), col("max_cust"), col("min_day"), col("max_day"))
+        layout("zorder", "zfile").unionByName(layout("linear_date", "dfile"))
+          .withColumn("hits_cust_probe",
+            col("min_cust") <= 120L && col("max_cust") >= 100L)
+          .orderBy("layout", "file_id")
+      },
+      Some {
+        val zBits = (0 until 16).map(i =>
+          s"(((c16 >> $i) & 1) << ${2 * i}) + (((d16 >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+        s"""WITH base AS (
+           |  SELECT o_custkey AS cust,
+           |    CAST(date_diff('day', DATE '1970-01-01',
+           |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           |  FROM orders),
+           |b AS (SELECT min(cust) AS cmin, max(cust) AS cmax,
+           |             min(day) AS dmin, max(day) AS dmax FROM base),
+           |scaled AS (
+           |  SELECT cust, day,
+           |    ((cust - cmin) * 65535) // greatest(cmax - cmin, 1) AS c16,
+           |    ((day - dmin) * 65535) // greatest(dmax - dmin, 1) AS d16
+           |  FROM base CROSS JOIN b),
+           |f AS (SELECT cust, day,
+           |    ($zBits) >> 28 AS zfile, d16 >> 12 AS dfile FROM scaled),
+           |lay AS (
+           |  SELECT 'zorder' AS layout, zfile AS file_id,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    min(cust) AS min_cust, max(cust) AS max_cust,
+           |    min(day) AS min_day, max(day) AS max_day
+           |  FROM f GROUP BY zfile
+           |  UNION ALL
+           |  SELECT 'linear_date', dfile, CAST(count(*) AS BIGINT),
+           |    min(cust), max(cust), min(day), max(day)
+           |  FROM f GROUP BY dfile)
+           |SELECT layout, file_id, n_rows, min_cust, max_cust, min_day, max_day,
+           |  min_cust <= 120 AND max_cust >= 100 AS hits_cust_probe
+           |FROM lay ORDER BY layout, file_id""".stripMargin
+      }
     )
   )
 

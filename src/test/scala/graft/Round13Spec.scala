@@ -101,7 +101,22 @@ class Round13Spec extends SparkSpec {
     }
   }
 
-  test("temporal reach two-level batching matches the single-level fixpoint") {
+  test("z-order layout prunes the cust probe strictly better than date-linear") {
+    val rows = SparkEntry.queries("rel_zorder_layout")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(7)))
+    val (z, lin) = rows.partition(_._1 == "zorder")
+    assert(z.nonEmpty && lin.nonEmpty)
+    // both layouts place every row
+    assert(z.map(_._3).sum == lin.map(_._3).sum, "layouts must cover the same rows")
+    val zHits = z.count(_._4)
+    val linHits = lin.count(_._4)
+    // the whole point of the interleave: a narrow custkey band touches
+    // one grid COLUMN under z-order but every date-run file under linear
+    assert(zHits < linHits,
+      s"z-order must prune harder: z=$zHits/${z.length} vs linear=$linHits/${lin.length}")
+  }
+
+  test("temporal reach multi-level batching matches the single-level fixpoint") {
     // replay the UNBATCHED relaxation here (test-only) and require the
     // batched kernel's fixpoint to be identical row-for-row
     val spark2 = spark
