@@ -106,8 +106,14 @@ object Vector {
           ((col("nbr") + lit(r.toLong)) * lit(2654435761L) % lit(4294967296L)).asc,
           col("nbr").asc)))
       .filter(col("rk") <= NnKb).drop("rk")
+    // NO distinct on gen: an edge present both forward and in the capped
+    // reverse list yields duplicate (piv, nbr) rows here, but every
+    // candidate they generate is removed by cand's own distinct below —
+    // the candidate SET is provably identical, and skipping the dedup
+    // saves one full shuffle of the general-neighbor table per round
+    // (the oracle's gen UNION still dedups; set-equal either way).
     val gen = b.select(col("src").as("piv"), col("dst").as("nbr"))
-      .union(rev).distinct()
+      .union(rev)
     val cand = gen.select(col("piv"), col("nbr").as("src"))
       .join(gen.select(col("piv"), col("nbr").as("dst")), "piv")
       .filter(col("src") =!= col("dst"))
