@@ -1869,6 +1869,7 @@ object Relational {
           .select(col("cust"), col("day"),
             expr(s"shiftright($zBits, 28)").as("zfile"),
             expr("shiftright(d16, 12)").as("dfile"))
+          .transform(GenSnap.snap) // both layout aggregations read ONE orders scan
         def layout(name: String, fcol: String) = withF
           .groupBy(col(fcol).as("file_id"))
           .agg(count(lit(1)).as("n_rows"),

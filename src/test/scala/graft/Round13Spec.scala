@@ -114,6 +114,19 @@ class Round13Spec extends SparkSpec {
     // one grid COLUMN under z-order but every date-run file under linear
     assert(zHits < linHits,
       s"z-order must prune harder: z=$zHits/${z.length} vs linear=$linHits/${lin.length}")
+    // both layout aggregations must read the staged z-annotated rows,
+    // not re-scan orders: the snap hides the one real scan behind a
+    // checkpoint leaf, so the final plan carries NO parquet scan and
+    // no sort-merge join (the bounds side broadcasts)
+    val plan = SparkEntry.queries("rel_zorder_layout")(spark, sf)
+      .queryExecution.executedPlan
+    val un = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    val scans = un.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.isEmpty, s"layout report re-scans parquet ${scans.size}x")
+    assert(!plan.toString.contains("SortMergeJoin"), "bounds must broadcast")
   }
 
   test("temporal reach multi-level batching matches the single-level fixpoint") {
