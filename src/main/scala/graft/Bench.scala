@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: times every SparkEntry query at the sf under
   * test and prints ONE compact JSON line.
@@ -19,8 +19,51 @@ import org.apache.spark.sql.SparkSession
   * That is the honest production shape (a persisted adjacency table is
   * built once, not per query), but it means r8+ totals are not directly
   * comparable to r7- totals for the five graph fixpoint queries.
+  *
+  * FAILURE VISIBILITY (r14, VERDICT-r13 task 1): a query that throws is
+  * recorded as an ERROR, never as a plausible timing. r12's
+  * graph_temporal_reach crash shipped as a "6.56 s" number for a full
+  * round because the timed pass swallowed the exception — invisible to
+  * CORRECTNESS too, which runs at sf0.01 where the bound didn't fire.
+  * Now every per-query run returns ok/err; the JSON line carries a
+  * top-level "errors" count plus an "errors_detail" map, each failure
+  * is echoed loudly to stderr, and BenchSpec proves a deliberately
+  * throwing query surfaces as an error rather than a timing.
   */
 object Bench {
+  /** One query's outcome in one pass: wall seconds plus the error (class +
+    * truncated message) if the query threw. A thrown query's `sec` is
+    * time-to-failure and is NEVER reported as a timing — see merge(). */
+  final case class QTime(name: String, sec: Double, err: Option[String])
+
+  /** Time one pass over the query set. Failures are captured, not
+    * swallowed: the error is carried in the result AND echoed to stderr
+    * immediately (so even a truncated artifact leaves a loud trace). */
+  def runPass(spark: SparkSession, sfDir: String,
+              qs: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QTime] =
+    qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch {
+          case t: Throwable =>
+            val msg = (t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("")).replaceAll("""["\\\n\r\t]""", " ").take(160)
+            System.err.println(s"[bench] ERROR in $name: $msg")
+            Some(msg)
+        }
+      QTime(name, (System.nanoTime() - t0) / 1e9, err)
+    }
+
+  /** Best-of-N merge: per-query minimum wall time over the passes, but a
+    * query that threw in ANY pass is an error (first message kept) — a
+    * partial failure must not hide behind one lucky pass. */
+  def merge(passes: Seq[Seq[QTime]]): Seq[QTime] =
+    passes.head.indices.map { i =>
+      val name = passes.head(i).name
+      QTime(name, passes.map(_(i).sec).min, passes.flatMap(_(i).err).headOption)
+    }
+
   /** 1-minute load average from /proc/loadavg (-1.0 if unreadable —
     * non-Linux or restricted proc; the bench still runs, just unannotated). */
   private def loadAvg1m(): Double =
@@ -68,26 +111,18 @@ object Bench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    awaitQuietStart()
+  /** One full timed measurement: 3 passes, best-of merge, contamination
+    * annotations. Kept as a unit so the tainted-retry loop in main() can
+    * re-run the WHOLE measurement (VERDICT-r13 task 2: a self-flagged
+    * tainted artifact is a do-not-ship; retry beats recording a lie). */
+  private final case class Measurement(
+    results: Seq[QTime], wallTimed: Double, passTotals: Seq[Double],
+    skew: Double, otherCpuCores: Double, loadStart: Double, loadEnd: Double,
+    tainted: Boolean)
+
+  private def measure(spark: SparkSession, sfDir: String,
+                      qs: Seq[(String, (SparkSession, String) => DataFrame)]): Measurement = {
     val loadStart = loadAvg1m()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runAll(): Seq[(String, Double)] = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    runAll() // warm-up pass at the sf under test (untimed)
     // best-of-3 timed passes: single-pass timings on this shared box
     // swing ±30-50% (same bytecode, both directions — scheduling/JIT/
     // page-cache variance, plus sustained EXTERNAL load spikes from
@@ -96,41 +131,11 @@ object Bench {
     // best-of-2 cannot.
     val tWall0 = System.nanoTime()
     val busy0 = busyJiffiesAll(); val self0 = selfJiffies()
-    val passes = Seq(runAll(), runAll(), runAll())
+    val passes = Seq(runPass(spark, sfDir, qs), runPass(spark, sfDir, qs), runPass(spark, sfDir, qs))
     val wallTimed = (System.nanoTime() - tWall0) / 1e9
     val busy1 = busyJiffiesAll(); val self1 = selfJiffies()
-    val results = passes.head.indices.map { i =>
-      passes.head(i)._1 -> passes.map(_(i)._2).min
-    }
+    val results = merge(passes)
     val loadEnd = loadAvg1m()
-    // storage diagnostic (r12 drift investigation): how much of the
-    // block-manager memory the session memos + cached artifacts occupy
-    // after the timed passes, and whether anything spilled to disk —
-    // cache EVICTION during a pass silently converts warm memoized
-    // reads into recomputes and was the r11 suspect for the 5-22%
-    // graph-family drift. VERDICT-r11 task 3 finding: eviction ruled
-    // out (76 MB cached, 0 on disk, pool is GBs); two back-to-back
-    // r12 runs of IDENTICAL code on a quiet box (tainted=false,
-    // other_cpu_cores ~0.01) showed median 7%, p90 16%, worst 21%
-    // per-query |drift| — the r10->r11 common-tail movement (worst
-    // +22%, every regression <0.4 s absolute) is inside the run-to-run
-    // variance of best-of-3 on this shared box, not a code cause.
-    // These two fields pin the eviction check machine-readably for
-    // every future round.
-    val (storUsedMb, storDiskMb) = {
-      val st = spark.sparkContext.getRDDStorageInfo
-      (st.map(_.memSize).sum / 1048576, st.map(_.diskSize).sum / 1048576)
-    }
-    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // the driver keeps only ~2.3 KB of stdout tail; with 90+ queries a
-    // full per-query map no longer fits, so emit the slowest 40 (the
-    // informative ones — everything omitted ran < the 40th time) and
-    // the total over ALL queries.
-    val slowest = results.sortBy(-_._2).take(40).sortBy(_._1)
-    val qjson = slowest.map { case (k, v) => s"""\"$k\":${ms(v)}""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // Load annotations (judge r7 task 1, refined per r8 advice): the
     // reported total is the best-of-3 per-query minimum, but external
     // tenant load can still contaminate all three passes. Make a
@@ -147,7 +152,8 @@ object Bench {
     //    box inflates some pass and skew climbs past ~1.5.
     // load_end stays as an annotation only — it measures us + them and
     // cannot distinguish the two.
-    val passTotals = passes.map(_.map(_._2).sum)
+    val passTotals = passes.map(_.map(_.sec).sum)
+    val total = results.map(_.sec).sum
     val skew = if (total > 0) (wallTimed / passes.size) / total else 1.0
     val hz = 100.0 // USER_HZ; getconf CLK_TCK — 100 on every mainstream linux
     val otherCpuCores =
@@ -155,8 +161,88 @@ object Bench {
         ((busy1 - busy0) - (self1 - self0)) / hz / wallTimed
       else -1.0
     val tainted = loadStart > LoadThreshold || otherCpuCores > LoadThreshold || skew > 1.5
-    val loadJson = s""""load_start":${ms(loadStart)},"load_end":${ms(loadEnd)},"other_cpu_cores":${ms(otherCpuCores)},"wall_timed":${ms(wallTimed)},"pass_totals":[${passTotals.map(ms).mkString(",")}],"skew":${ms(skew)},"tainted":$tainted,"storage_mb":$storUsedMb,"storage_disk_mb":$storDiskMb"""
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","timed":${results.size},$loadJson,"queries":$qjson,"sf":"$sfDir"}"""
+    Measurement(results, wallTimed, passTotals, skew, otherCpuCores, loadStart, loadEnd, tainted)
+  }
+
+  // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+  private def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Render the one-line artifact. Exposed (with merge/runPass) so
+    * BenchSpec can prove a throwing query is reported as an error, not a
+    * timing: erroring queries are EXCLUDED from the timings map and the
+    * total, and surfaced in "errors"/"errors_detail" instead. */
+  def renderJson(m: Measurement0, sfDir: String, attempts: Int): String = {
+    val (okQ, errQ) = m.results.partition(_.err.isEmpty)
+    // the driver keeps only ~2.3 KB of stdout tail; with 90+ queries a
+    // full per-query map no longer fits, so emit the slowest 40 (the
+    // informative ones — everything omitted ran < the 40th time) and
+    // the total over the ok queries.
+    val slowest = okQ.sortBy(-_.sec).take(40).sortBy(_.name)
+    val qjson = slowest.map(q => s"""\"${q.name}\":${ms(q.sec)}""").mkString("{", ",", "}")
+    val total = okQ.map(_.sec).sum
+    // errors first in the line: if the driver's stdout tail truncates,
+    // the failure signal survives and a timing tail is what gets lost.
+    val errDetail = errQ.take(5).map(q => s"""\"${q.name}\":\"${q.err.get.take(80)}\"""")
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errQ.size},"errors_detail":$errDetail,"timed":${okQ.size},"attempts":$attempts,"load_start":${ms(m.loadStart)},"load_end":${ms(m.loadEnd)},"other_cpu_cores":${ms(m.otherCpuCores)},"wall_timed":${ms(m.wallTimed)},"pass_totals":[${m.passTotals.map(ms).mkString(",")}],"skew":${ms(m.skew)},"tainted":${m.tainted},"storage_mb":${m.storageMb},"storage_disk_mb":${m.storageDiskMb},"queries":$qjson,"sf":"$sfDir"}"""
+  }
+
+  /** The render-facing slice of a measurement (storage read separately so
+    * the spec can synthesize one without a full timed phase). */
+  final case class Measurement0(
+    results: Seq[QTime], wallTimed: Double, passTotals: Seq[Double],
+    skew: Double, otherCpuCores: Double, loadStart: Double, loadEnd: Double,
+    tainted: Boolean, storageMb: Long, storageDiskMb: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    awaitQuietStart()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    runPass(spark, sfDir, qs) // warm-up pass at the sf under test (untimed)
+    // Tainted-retry (VERDICT-r13 task 2): a measurement that self-flags
+    // tainted is invalid by its own tool — BENCH_r13 shipped with skew
+    // 1.537 and overstated the total by ~27% vs the judge's quiet-box
+    // re-runs. Re-measure up to 2 more times (re-awaiting a quiet
+    // window between attempts) before accepting a tainted result.
+    var attempts = 0
+    var m = null.asInstanceOf[Measurement]
+    var accepted = false
+    while (!accepted) {
+      m = measure(spark, sfDir, qs)
+      attempts += 1
+      accepted = !m.tainted || attempts >= 3
+      if (!accepted) {
+        System.err.println(s"[bench] attempt $attempts tainted (skew=${ms(m.skew)}, other_cpu_cores=${ms(m.otherCpuCores)}); awaiting quiet and retrying")
+        awaitQuietStart()
+      }
+    }
+    if (m.results.exists(_.err.isDefined))
+      System.err.println(s"[bench] ${m.results.count(_.err.isDefined)} QUERIES FAILED — see errors_detail")
+    // storage diagnostic (r12 drift investigation): how much of the
+    // block-manager memory the session memos + cached artifacts occupy
+    // after the timed passes, and whether anything spilled to disk —
+    // cache EVICTION during a pass silently converts warm memoized
+    // reads into recomputes and was the r11 suspect for the 5-22%
+    // graph-family drift. VERDICT-r11 task 3 finding: eviction ruled
+    // out (76 MB cached, 0 on disk, pool is GBs). These two fields pin
+    // the eviction check machine-readably for every future round.
+    val (storUsedMb, storDiskMb) = {
+      val st = spark.sparkContext.getRDDStorageInfo
+      (st.map(_.memSize).sum / 1048576, st.map(_.diskSize).sum / 1048576)
+    }
+    val line = renderJson(
+      Measurement0(m.results, m.wallTimed, m.passTotals, m.skew, m.otherCpuCores,
+        m.loadStart, m.loadEnd, m.tainted, storUsedMb, storDiskMb),
+      sfDir, attempts)
     println(line)
     // also land the line in a file: stdout goes through sbt's [info]
     // prefixing and tail-truncation, which has defeated the driver's
