@@ -252,6 +252,85 @@ object PropertyGraph {
 
   private val temporalMemo = graft.SessionMemo[DataFrame]()
 
+  /** Earliest-arrival temporal reachability over timestamped edges
+    * (src, dst, t): arr(w) = min over edges (v,w,t) with t ≥ arr(v).
+    *
+    * MULTI-LEVEL BATCHED relaxation (r13): the (min, time-filter)
+    * semiring is monotone, so relaxing several levels before checking
+    * convergence reaches the same fixpoint — and the driver pays ONE
+    * count() sync per `batch` levels instead of one per level. That
+    * matters because this graph's temporal diameter is deep (sf0.1
+    * measures 18 levels — the bipartite supplier↔part alternation
+    * relaxes in odd/even waves) and each sync is driver-bound, not
+    * data-bound. Level i relaxes level i−1's improvements against the
+    * running merged view; all levels of a batch stay LAZY (each imp is a
+    * lazy snap, shared by the merge and the next level), so the batch
+    * materializes its imps and the count in a single action. The LAST
+    * level's imp being empty proves the fixpoint: relaxing the last
+    * improvements produced nothing new, every earlier level's
+    * improvements are already folded into the merge, and every other
+    * vertex was stable before the batch.
+    *
+    * Exposed (default bounds overridable) so Round14Spec can pin the
+    * unroll guard's EXACT boundary on synthetic chains — the r12
+    * time-to-failure bug class (a data-dependent bound passing at
+    * sf0.01 and throwing at sf0.1, invisible to a bench that swallowed
+    * exceptions) is gated by construction now. */
+  private[graft] def temporalReach(s: SparkSession, et: DataFrame,
+      seed: Long = TemporalSeed, unroll: Int = TemporalUnroll,
+      batch: Int = TemporalBatch): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    var arr = Seq((seed, 0L)).toDF("id", "arr").localCheckpoint()
+    var frontier = arr
+    var levels = 0 // levels relaxed so far (improving or not)
+    var live = true
+    def relax(f: DataFrame, base: DataFrame): DataFrame = et
+      .join(f.select(col("id").as("src"), col("arr").as("va")), "src")
+      .filter(col("t") >= col("va"))
+      .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
+      .join(base.select(col("id").as("id2"), col("arr").as("old")),
+        col("id") === col("id2"), "left")
+      .filter(col("old").isNull || col("cand") < col("old"))
+      .select(col("id"), col("cand").as("arr"))
+    while (live) {
+      // Guard semantics (ADVICE r13 rework): the guard must match the
+      // unroll EXACTLY — return iff the temporal diameter ≤ unroll
+      // (where the oracle's unroll-level chain provably converges),
+      // throw iff it exceeds it. The r13 guard counted whole batches
+      // including the convergence-proving one, silently shaving the
+      // advertised 32-level bound to ~29. Counting levels alone isn't
+      // enough either: a full batch straddling the bound could fold
+      // level-(unroll+1) improvements into the merge and still END on
+      // an empty level, returning a result the unroll-level oracle
+      // doesn't compute. So the LAST batch is CLAMPED to end exactly at
+      // level unroll+1 — mid-batch levels never exceed unroll, and
+      // level unroll+1 is purely the convergence prover: empty means
+      // diameter ≤ unroll (merged == the oracle's converged chain),
+      // non-empty means diameter > unroll and only then do we throw.
+      val thisBatch = math.min(batch, unroll + 1 - levels)
+      var imp = frontier
+      var merged = arr
+      for (_ <- 1 to thisBatch) {
+        val next = relax(imp, merged).transform(GenSnap.snap)
+        merged = next.union(
+          merged.join(next.select(col("id")), Seq("id"), "left_anti"))
+        imp = next
+      }
+      levels += thisBatch
+      if (imp.count() == 0L) {
+        arr = merged // earlier levels' improvements still fold in
+        live = false
+      } else {
+        require(levels <= unroll,
+          s"temporal relaxation past $unroll levels — raise the unroll")
+        frontier = imp
+        arr = merged.transform(GenSnap.snap)
+      }
+    }
+    arr
+  }
+
   /** Timestamped undirected edges (src, dst, t) with t = first shipment
     * day (exact epoch-day BIGINT) per supplier-part link — staged once
     * per (session, dir) like the other adjacency artifacts. */
@@ -1435,60 +1514,7 @@ object PropertyGraph {
     // exact BIGINTs.
     Q(
       "graph_temporal_reach",
-      (s, d) => {
-        val spark = s
-        import spark.implicits._
-        val et = temporalEdges(s, d)
-        // MULTI-LEVEL BATCHED relaxation (r13): the (min, time-filter)
-        // semiring is monotone, so relaxing several levels before
-        // checking convergence reaches the same fixpoint — and the
-        // driver pays ONE count() sync per TemporalBatch levels instead
-        // of one per level. That matters here because this graph's
-        // temporal diameter is deep (sf0.1 measures 18 levels — the
-        // bipartite supplier↔part alternation relaxes in odd/even
-        // waves) and each sync is driver-bound, not data-bound. Level i
-        // relaxes level i−1's improvements against the running merged
-        // view; all levels of a batch stay LAZY (each imp is a lazy
-        // snap, shared by the merge and the next level), so the batch
-        // materializes its imps and the count in a single action. The
-        // LAST level's imp being empty proves the fixpoint: relaxing
-        // the last improvements produced nothing new, every earlier
-        // level's improvements are already folded into the merge, and
-        // every other vertex was stable before the batch.
-        var arr = Seq((TemporalSeed, 0L)).toDF("id", "arr").localCheckpoint()
-        var frontier = arr
-        var batches = 0
-        var live = true
-        def relax(f: DataFrame, base: DataFrame): DataFrame = et
-          .join(f.select(col("id").as("src"), col("arr").as("va")), "src")
-          .filter(col("t") >= col("va"))
-          .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
-          .join(base.select(col("id").as("id2"), col("arr").as("old")),
-            col("id") === col("id2"), "left")
-          .filter(col("old").isNull || col("cand") < col("old"))
-          .select(col("id"), col("cand").as("arr"))
-        while (live) {
-          batches += 1
-          require(batches * TemporalBatch <= TemporalUnroll,
-            s"temporal relaxation past $TemporalUnroll levels — raise the unroll")
-          var imp = frontier
-          var merged = arr
-          for (_ <- 1 to TemporalBatch) {
-            val next = relax(imp, merged).transform(GenSnap.snap)
-            merged = next.union(
-              merged.join(next.select(col("id")), Seq("id"), "left_anti"))
-            imp = next
-          }
-          if (imp.count() == 0L) {
-            arr = merged // earlier levels' improvements still fold in
-            live = false
-          } else {
-            frontier = imp
-            arr = merged.transform(GenSnap.snap)
-          }
-        }
-        arr.orderBy("id")
-      },
+      (s, d) => temporalReach(s, temporalEdges(s, d)).orderBy("id"),
       Some {
         val levels = (1 to TemporalUnroll).map { k =>
           s"""a$k AS MATERIALIZED (

@@ -35,6 +35,22 @@ object Text {
 
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Overflow-safe scaled truncating division: n*scale/d without forming
+    * the n*scale product. Exact for n,d,scale ≥ 0 by the Euclidean split
+    * n = (n/d)*d + n%d — floor((n*s)/d) = (n/d)*s + floor((n%d)*s/d)
+    * because the first term's numerator is divisible by d. Headroom moves
+    * from n·scale < 2^63 (DoReMi: a domain of ~1M tokens wraps a Long at
+    * the 2^20 grid — ADVICE r13) to d·scale < 2^63 (~8.8e12 tokens per
+    * domain at 2^20). The oracle uses the token-identical SQL identity
+    * (see sqlScaledDiv) so both engines stay bit-equal at every sf. */
+  def scaledDiv(n: Long, d: Long, scale: Long): Long =
+    (n / d) * scale + (n % d) * scale / d
+
+  /** DuckDB form of scaledDiv — `//` truncates like Scala's Long `/` on
+    * the non-negative operands these fixed-point paths produce. */
+  def sqlScaledDiv(n: String, d: String, scale: String): String =
+    s"(($n) // ($d)) * ($scale) + (($n) % ($d)) * ($scale) // ($d)"
+
   /** 60-bit integer hash of a string, identical in Spark and DuckDB. */
   def strHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -3183,10 +3199,13 @@ object Text {
           .orderBy("source")
           .collect() // BOUNDED: one row per domain/source
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        val excess = dom.map { case (_, t, nll) => nll * Scale / t }
+        // scaledDiv: nll·2^20 would wrap a Long once a domain holds ~1M
+        // tokens (nll > 2^43); the Euclidean-split identity keeps the
+        // quotient exact without the product (ADVICE r13, medium)
+        val excess = dom.map { case (_, t, nll) => scaledDiv(nll, t, Scale) }
         val minE = excess.min
         val maxE = excess.max
-        val u = excess.map(e => (e - minE) * Scale / (maxE - minE + 1))
+        val u = excess.map(e => scaledDiv(e - minE, maxE - minE + 1, Scale))
         var w = Array.fill(dom.length)(WScale / dom.length)
         for (_ <- 1 to T) {
           val wf = w.zip(u).map { case (wi, ui) => wi * (Scale + ui / 4) / Scale }
@@ -3225,12 +3244,13 @@ object Text {
            |    CAST(sum(cost) AS BIGINT) AS nll
            |  FROM toks JOIN cost USING (w) GROUP BY source),
            |ex AS MATERIALIZED (SELECT source, tokens, nll,
-           |         (nll * 1048576) // tokens AS excess FROM dom),
+           |         ${sqlScaledDiv("nll", "tokens", "1048576")} AS excess FROM dom),
+           |exb AS MATERIALIZED (SELECT source, tokens, nll, excess,
+           |        (SELECT min(excess) FROM ex) AS min_e,
+           |        (SELECT max(excess) FROM ex) AS max_e FROM ex),
            |u AS MATERIALIZED (SELECT source, tokens, nll, excess,
-           |        ((excess - (SELECT min(excess) FROM ex)) * 1048576)
-           |          // ((SELECT max(excess) FROM ex)
-           |             - (SELECT min(excess) FROM ex) + 1) AS u
-           |      FROM ex),
+           |        ${sqlScaledDiv("excess - min_e", "max_e - min_e + 1", "1048576")} AS u
+           |      FROM exb),
            |w0 AS MATERIALIZED (SELECT source, tokens, nll, excess, u,
            |        CAST(16777216 // (SELECT count(*) FROM u) AS BIGINT) AS w FROM u),
            |$rounds

@@ -61,12 +61,17 @@ object GenSnap {
     ck.queryExecution.logical match {
       case lr: LogicalRDD if lr.stats.sizeInBytes > CapBytes =>
         val rowCount = lr.stats.rowCount.filter(_ <= BigInt(Long.MaxValue))
+        // Forward the checkpoint leaf's effective constraints (lr.constraints
+        // resolves its originConstraints): the plain localCheckpoint leaf
+        // carries the producer plan's constraints, and dropping them on the
+        // capped re-wrap cost above-cap generations non-null inference —
+        // redundant IsNotNull filters in downstream plans (ADVICE r13).
         val capped = new LogicalRDD(
           lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
           lr.isStreaming, lr.stream)(
           df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
           Some(Statistics(sizeInBytes = CapBytes, rowCount = rowCount)),
-          None)
+          Some(lr.constraints))
         Bridge.ofRows(df.sparkSession, capped)
       case _ => ck
     }

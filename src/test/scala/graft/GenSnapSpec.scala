@@ -91,7 +91,54 @@ class GenSnapSpec extends SparkSpec {
   test("capped generations can never be broadcast") {
     // the cap (64 GiB) sits far above the autoBroadcastJoinThreshold, so
     // a capped generation joined against a big side must not plan as the
-    // build side of a BroadcastHashJoin
+    // build side of a BroadcastHashJoin — asserted on an EXECUTED plan,
+    // not just the constant inequality (ADVICE r13: a future planner
+    // visitor reading rowCount instead of sizeInBytes would slip past a
+    // constant-only check)
     assert(GenSnap.CapBytes > BigInt(10L << 20))
+    val base = spark.range(1000)
+      .select(col("id"), col("id").as("k"))
+      .repartition(col("k"))
+    var gen = GenSnap.snap(base.toDF())
+    for (_ <- 1 to 4) gen = squaringStep(gen)
+    assert(leafStats(gen) == GenSnap.CapBytes, "cap should be engaged")
+    // big enough that the PROBE side is over the 10 MB broadcast
+    // threshold too — otherwise Spark broadcasts the probe side and the
+    // test can't distinguish that legitimate plan from the violation
+    val big = spark.range(3000000).select(col("id").as("k"), col("id").as("v"))
+    val joined = big.join(gen, "k")
+    joined.count() // executed, so AQE's final plan is the one inspected
+    val executed = joined.queryExecution.executedPlan.toString
+    assert(!executed.contains("BroadcastHashJoin"),
+      s"a capped generation must not be broadcast:\n$executed")
+    assert(executed.contains("SortMergeJoin") || executed.contains("ShuffledHashJoin"),
+      s"expected a shuffle join over the capped side:\n$executed")
+  }
+
+  test("the capped re-wrap forwards the producer plan's constraints") {
+    // the plain localCheckpoint leaf carries the producer's constraints
+    // (e.g. non-null inference from an inner equi-join); the capped
+    // re-wrap must not drop them, or downstream plans re-add redundant
+    // IsNotNull filters (ADVICE r13)
+    val base = spark.range(1000)
+      .select(col("id"), col("id").as("k"))
+      .repartition(col("k"))
+    var gen = GenSnap.snap(base.toDF())
+    for (_ <- 1 to 4) gen = squaringStep(gen)
+    val lrSnap = gen.queryExecution.logical
+      .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr }.get
+    assert(leafStats(gen) == GenSnap.CapBytes, "cap should be engaged")
+    // the squaring step's inner equi-join proves k (and id) non-null;
+    // the plain (sub-cap) checkpoint of the same plan carries that —
+    // the capped leaf must match it
+    val plain = gen // already capped
+    val uncappedTwin = squaringStep(GenSnap.snap(base.toDF()))
+    val plainLr = uncappedTwin.queryExecution.logical
+      .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr }.get
+    assert(plainLr.constraints.nonEmpty,
+      "fixture assumption: the checkpoint leaf carries producer constraints")
+    assert(lrSnap.constraints.nonEmpty,
+      "capped re-wrap dropped the producer plan's constraints")
+    assert(plain.count() == 1000)
   }
 }

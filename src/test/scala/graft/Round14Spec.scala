@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+
+/** Round-14 pins: the ADVICE-r13 fixes (DoReMi fixed-point overflow,
+  * temporal-reach unroll guard) with the exact boundary cases that
+  * distinguished the bug from the fix. */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ── ml_doremi_weights overflow (ADVICE r13, medium) ─────────────────
+  test("scaledDiv matches BigInt n*s/d past the Long n*s wrap point") {
+    val Scale = 1048576L // 2^20
+    // nll values straddling 2^43 (where nll*Scale wraps a Long): the
+    // exact r13 failure mode — a domain holding ~1M tokens at the 2^20
+    // cost grid. Also the u-normalization shape (small numerator, +1 d).
+    val cases = Seq(
+      (1L << 43, 999983L),             // just at the wrap
+      ((1L << 43) + 12345L, 1048573L), // past it
+      ((1L << 50) - 7L, 33554467L),    // far past it
+      (8796093022208L, 1000003L),      // 2^43, prime-ish divisor
+      (123L, 7L), (0L, 5L), (Long.MaxValue / Scale, 3L))
+    for ((n, d) <- cases) {
+      val expect = (BigInt(n) * Scale / d).toLong
+      assert(Text.scaledDiv(n, d, Scale) == expect,
+        s"scaledDiv($n, $d) != BigInt reference")
+      // the naive product genuinely wraps on the big cases — the bug was real
+      if (BigInt(n) * Scale > Long.MaxValue)
+        assert(n * Scale / d != expect, s"fixture: $n*Scale should wrap")
+    }
+  }
+
+  test("sqlScaledDiv is the token-identical DuckDB identity (string form)") {
+    // both engines must evaluate the SAME Euclidean split; pin the SQL
+    // text so a drive-by 'simplification' back to (n*s)//d is visible
+    val sql = Text.sqlScaledDiv("nll", "tokens", "1048576")
+    assert(sql.contains("// (tokens)) * (1048576)"))
+    assert(sql.contains("% (tokens)) * (1048576) // (tokens)"))
+  }
+
+  // ── temporal-reach unroll guard (ADVICE r13, low → exact-bound rework) ──
+  // A directed chain 0→1→…→D with non-decreasing edge times has temporal
+  // diameter exactly D: level k first reaches node k, so D improving
+  // levels then one empty prover level. The guard contract: return iff
+  // D ≤ unroll (matching the oracle's unroll-level chain), throw iff
+  // D > unroll — at EVERY (unroll, batch) alignment, including the
+  // batch=1 and batch∤unroll shapes where the r13 guard (and the naive
+  // level-count guard) were off by up to batch−1 levels.
+  private def chain(d: Int) =
+    (0 until d).map(i => (i.toLong, i.toLong + 1, i.toLong))
+      .toDF("src", "dst", "t")
+
+  private def reach(d: Int, unroll: Int, batch: Int) =
+    graph.PropertyGraph.temporalReach(spark, chain(d), seed = 0L,
+      unroll = unroll, batch = batch)
+
+  test("diameter == unroll converges for every batch alignment") {
+    for ((unroll, batch) <- Seq((8, 3), (8, 1), (6, 3), (9, 3), (8, 4))) {
+      val out = reach(unroll, unroll, batch).orderBy("id").collect()
+      assert(out.length == unroll + 1, s"(unroll=$unroll,batch=$batch)")
+      // earliest arrival of node k on this chain is day k−1 (edge times)
+      assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        (0 to unroll).map(k => (k.toLong, math.max(0L, k - 1L))),
+        s"(unroll=$unroll,batch=$batch)")
+    }
+  }
+
+  test("diameter == unroll+1 throws for every batch alignment (never a silent wrong answer)") {
+    for ((unroll, batch) <- Seq((8, 3), (8, 1), (6, 3), (9, 3), (8, 4))) {
+      val ex = intercept[IllegalArgumentException] {
+        reach(unroll + 1, unroll, batch).collect()
+      }
+      assert(ex.getMessage.contains("raise the unroll"),
+        s"(unroll=$unroll,batch=$batch): ${ex.getMessage}")
+    }
+  }
+
+  test("shallow diameters still converge early (batching unchanged off the boundary)") {
+    val out = reach(3, 32, 3).orderBy("id").collect()
+    assert(out.length == 4)
+  }
+}
