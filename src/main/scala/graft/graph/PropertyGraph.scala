@@ -213,6 +213,23 @@ object PropertyGraph {
     * verbatim with the oracle's recursive CTE. */
   private val ClosenessSeeds: Seq[Long] = (1L to 8L).toSeq
 
+  /** The ClosenessSeeds multiBfs dist tower, one build per (session,
+    * dir) — `graph_closeness_centrality` and `graph_eccentricity` both
+    * consume the IDENTICAL `multiBfs(ue, ClosenessSeeds, SpMaxDepth)`
+    * frame, and building it twice doubled the centrality family's cost
+    * (~3 s of pure recompute per suite pass at sf0.1; VERDICT r13). At
+    * 100 TB this is a persisted landmark-distance table every
+    * centrality report reads — the [[sampledTowerMemo]] convention. The
+    * frame is seeds×reached rows (S·|V|, node-count not edge-count), so
+    * the cache footprint is small and bounded by the seed set. */
+  private val closenessDistMemo = graft.SessionMemo[DataFrame]()
+
+  private[graft] def closenessDist(s: SparkSession, d: String): DataFrame =
+    closenessDistMemo.getOrCompute(s, d) {
+      Components.multiBfs(undirectedEdges(s, d), ClosenessSeeds, SpMaxDepth)
+        .cache()
+    }
+
   /** Unroll depth for `graph_path_counts`' per-level MATERIALIZED-CTE
     * oracle — the Spark kernel `require`s its frontier drains within
     * this bound (BFS depth on this graph is ~6-8). */
@@ -1155,8 +1172,7 @@ object PropertyGraph {
     Q(
       "graph_closeness_centrality",
       (s, d) => {
-        val ue = undirectedEdges(s, d)
-        val dist = Components.multiBfs(ue, ClosenessSeeds, SpMaxDepth)
+        val dist = closenessDist(s, d) // shared with graph_eccentricity
         dist.filter(col("d") > 0)
           .groupBy("lm")
           .agg(count(lit(1)).as("reached"),
@@ -2169,8 +2185,7 @@ object PropertyGraph {
     Q(
       "graph_eccentricity",
       (s, d) => {
-        val ue = undirectedEdges(s, d)
-        val per = Components.multiBfs(ue, ClosenessSeeds, SpMaxDepth)
+        val per = closenessDist(s, d) // shared with graph_closeness_centrality
           .filter(col("d") > 0)
           .groupBy("lm", "d").agg(count(lit(1)).as("c"))
         val tot = per.groupBy("lm").agg(sum("c").as("n"),

@@ -80,4 +80,22 @@ class Round14Spec extends SparkSpec {
     val out = reach(3, 32, 3).orderBy("id").collect()
     assert(out.length == 4)
   }
+
+  // ── closeness/eccentricity shared dist tower (VERDICT r13 task 3) ────
+  test("closeness and eccentricity read ONE memoized multiBfs tower") {
+    // the memo must hand back the identical cached frame (one build per
+    // session+dir), and both queries' executed plans must read it as an
+    // in-memory scan rather than rebuilding the BFS tower
+    val d1 = graph.PropertyGraph.closenessDist(spark, sf)
+    val d2 = graph.PropertyGraph.closenessDist(spark, sf)
+    assert(d1 eq d2, "closenessDist must memoize per (session, dir)")
+    val closeness = SparkEntry.queries("graph_closeness_centrality")(spark, sf)
+    val ecc = SparkEntry.queries("graph_eccentricity")(spark, sf)
+    closeness.count(); ecc.count()
+    for ((name, df) <- Seq("closeness" -> closeness, "eccentricity" -> ecc)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name must read the cached shared tower, got:\n$plan")
+    }
+  }
 }
