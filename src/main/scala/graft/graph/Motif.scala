@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * ( RETURN [DISTINCT] a.id AS src, count(p) AS cnt
   *   [ORDER BY src [ASC|DESC], ...] [LIMIT n]
   * | CREATE (a)-[:CO_SUPPLIER {weight: 2.0}]->(b)
-  * | SET a.name = 'PREFERRED' | SET e.weight = 2.0 )
+  * | SET a.name = 'PREFERRED' | SET e.weight = 2.0
+  * | DELETE e | DETACH DELETE a )
   * }}}
   *
   * - node: `(name)` | `(name:Label)` | `(name:Label {prop: lit, ...})`
@@ -63,8 +64,12 @@ import org.apache.spark.sql.functions._
   *   per match row — for the edges-append sink; `SET v.name = 'x'`
   *   compiles to the full updated nodes relation and `SET e.weight = w`
   *   to the full updated edges relation (the recompute-overwrite
-  *   kernel). Writes go through [[parseStatement]]; [[parse]] accepts
-  *   reads only.
+  *   kernel); `DELETE e` / `DETACH DELETE n` (the reference's teardown
+  *   statements — `MATCH (n) DETACH DELETE n` at database.py:42-48 and
+  *   `MATCH ()-[r]-() DELETE r` at image_classification.py:353-362)
+  *   compile to the post-delete nodes/edges relations via anti-joins
+  *   over the matched key set. Writes go through [[parseStatement]];
+  *   [[parse]] accepts reads only.
   *
   * Semantics are SQL join semantics (pattern HOMOMORPHISM — repeated
   * edges allowed, like GraphFrames `find`, unlike Cypher's
@@ -150,6 +155,14 @@ object Motif {
   /** `MATCH … SET target = value` — node `name` or edge `weight`. */
   final case class SetStmt(pattern: Pattern, target: PropRef,
       value: Operand) extends Statement
+  /** `MATCH … DELETE e` (edge variable) or `MATCH … DETACH DELETE n`
+    * (node variable; incident edges go too — Cypher's DETACH semantics,
+    * the reference's teardown statements at database.py:42-48 /
+    * image_classification.py:353-362). Plain `DELETE n` on a node is
+    * rejected at parse time (Cypher would fail it at runtime whenever
+    * edges remain; rejecting early is the loud version). */
+  final case class DeleteStmt(pattern: Pattern, target: String,
+      detach: Boolean) extends Statement
 
   private val NodeProps = Set("id", "label", "name")
   private val EdgeProps = Set("rel_type", "weight")
@@ -566,6 +579,17 @@ object Motif {
         val st = SetStmt(pat, target, v)
         validateStatement(st)
         st
+      } else if (isKw(peek, "DETACH") || isKw(peek, "DELETE")) {
+        val detach = eatKw("DETACH")
+        if (detach)
+          require(eatKw("DELETE"), "motif parse: DETACH must be followed by DELETE")
+        else { eatKw("DELETE"); () }
+        val v = ident()
+        require(peek == TEnd, s"motif parse: trailing tokens after DELETE from #$pos")
+        val pat = basePattern(distinct = false, Seq.empty, Seq.empty, None)
+        val st = DeleteStmt(pat, v, detach)
+        validateStatement(st)
+        st
       } else {
         var distinct = false
         val items = Seq.newBuilder[RetItem]
@@ -686,6 +710,18 @@ object Motif {
           case _ => ()
         }
         validate(p.copy(items = Seq(ColItem(PropRef(a, "id"), a))))
+      case DeleteStmt(p, v, detach) =>
+        require(p.optEdges.isEmpty, "motif parse: DELETE with OPTIONAL MATCH is not supported")
+        if (detach)
+          require(p.mainVars.contains(v),
+            s"motif parse: DETACH DELETE target '$v' is not a bound node variable")
+        else if (p.mainVars.contains(v))
+          fail(s"motif parse: DELETE on node '$v' needs DETACH DELETE (incident edges would remain)")
+        else
+          require(p.mainEdgeVars.contains(v),
+            s"motif parse: DELETE target '$v' is not a bound edge variable")
+        validate(p.copy(items = Seq(ColItem(PropRef(p.nodeOrder.head, "id"),
+          p.nodeOrder.head))))
       case SetStmt(p, t, v) =>
         require(p.optEdges.isEmpty, "motif parse: SET with OPTIONAL MATCH is not supported")
         if (p.mainEdgeVars.contains(t.v)) {
@@ -951,6 +987,35 @@ object Motif {
     }
   }
 
+  /** `DELETE e` / `DETACH DELETE n` → the post-delete (nodes, edges)
+    * relations — the same recompute-overwrite kernel as [[setDf]]
+    * (never row-at-a-time): survivors are an anti-join of the base
+    * relation against the matched key set. Edge delete leaves nodes
+    * untouched; DETACH node delete also drops every incident edge. */
+  def deleteDf(g: PropertyGraph, st: DeleteStmt): (DataFrame, DataFrame) = {
+    val p = st.pattern
+    if (st.detach) {
+      val ids = matchDf(g, p)
+        .select(col(st.target).as("id")).distinct()
+      val nodes2 = g.nodes.join(ids, Seq("id"), "left_anti")
+      val edges2 = g.edges
+        .join(ids.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"), col("rel_type"), col("weight"))
+      (nodes2, edges2)
+    } else {
+      val ep = p.edges.find(_.name.contains(st.target)).get
+      val matched = matchDf(g, p)
+        .select(col(ep.src).as("src"), col(ep.dst).as("dst")).distinct()
+        .withColumn("__hit", lit(1))
+      val typeOk: Column = ep.relType.fold(lit(true))(t => col("rel_type") === t)
+      val edges2 = g.edges.join(matched, Seq("src", "dst"), "left")
+        .filter(!(col("__hit").isNotNull && typeOk))
+        .select(col("src"), col("dst"), col("rel_type"), col("weight"))
+      (g.nodes, edges2)
+    }
+  }
+
   // ── target 2: ANSI SQL from the SAME AST (the generated oracle) ─────
   /** Join-chain context for one pattern block. */
   private final class SqlBlock(p: Pattern, refs: Set[PropRef],
@@ -1188,4 +1253,45 @@ object Motif {
          |FROM $nodesRel g LEFT JOIN ($sub) m ON m.id = g.id""".stripMargin
     }
   }
+
+  /** The SQL twins of [[deleteDf]]: the post-delete edges / nodes
+    * relations via anti-joins over the matched key set generated from
+    * the same DeleteStmt AST. */
+  def deleteEdgesSql(st: DeleteStmt, nodesRel: String = "nodes",
+      edgesRel: String = "edges"): String = {
+    val p = st.pattern
+    val refs = referencedProps(p)
+    val (main, fromAll, where, _) = matchSql(p, refs, nodesRel, edgesRel)
+    val whereSql = if (where.nonEmpty) s"\n  WHERE ${where.mkString(" AND ")}" else ""
+    if (st.detach) {
+      val sub = s"SELECT DISTINCT ${main.bind(st.target)} AS id\n  FROM $fromAll$whereSql"
+      s"""SELECT g.src, g.dst, g.rel_type, g.weight
+         |FROM $edgesRel g
+         |WHERE g.src NOT IN ($sub) AND g.dst NOT IN ($sub)""".stripMargin
+    } else {
+      val ep = p.edges.find(_.name.contains(st.target)).get
+      val sub = s"SELECT DISTINCT ${main.bind(ep.src)} AS src, " +
+        s"${main.bind(ep.dst)} AS dst\n  FROM $fromAll$whereSql"
+      val typeOk = ep.relType.fold("")(t => s" AND g.rel_type = '$t'")
+      s"""SELECT g.src, g.dst, g.rel_type, g.weight
+         |FROM $edgesRel g LEFT JOIN ($sub) m ON m.src = g.src AND m.dst = g.dst
+         |WHERE NOT (m.src IS NOT NULL$typeOk)""".stripMargin
+    }
+  }
+
+  /** Post-delete nodes: unchanged for an edge delete, anti-joined for
+    * DETACH. */
+  def deleteNodesSql(st: DeleteStmt, nodesRel: String = "nodes",
+      edgesRel: String = "edges"): String =
+    if (!st.detach) s"SELECT id, label, name FROM $nodesRel"
+    else {
+      val p = st.pattern
+      val refs = referencedProps(p)
+      val (main, fromAll, where, _) = matchSql(p, refs, nodesRel, edgesRel)
+      val whereSql = if (where.nonEmpty) s"\n  WHERE ${where.mkString(" AND ")}" else ""
+      val sub = s"SELECT DISTINCT ${main.bind(st.target)} AS id\n  FROM $fromAll$whereSql"
+      s"""SELECT g.id, g.label, g.name
+         |FROM $nodesRel g
+         |WHERE g.id NOT IN ($sub)""".stripMargin
+    }
 }

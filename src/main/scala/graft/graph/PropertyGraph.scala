@@ -923,6 +923,69 @@ object PropertyGraph {
                |${Motif.setSql(ast)})
                |ORDER BY weight DESC, src, dst LIMIT 100""".stripMargin))
     },
+    // 10) DELETE roundtrip (VERDICT r13 task 6 — the last ad-hoc write
+    //     form the reference uses live: `MATCH ()-[r]-() DELETE r` at
+    //     image_classification.py:353-362): matched SUPPLIES edges are
+    //     anti-joined away, the post-delete edge relation is WRITTEN to
+    //     a parquet sink (the truncate-overwrite shape), read back, and
+    //     RE-READ BY A PATTERN QUERY — deleted parts must vanish from
+    //     the degree report while neighbors keep theirs. The oracle
+    //     replays the delete as a CTE generated from the same
+    //     DeleteStmt AST.
+    {
+      val delAst = Motif.parseStatement(
+        "MATCH (a:Supplier)-[r:SUPPLIES]->(p:Part) WHERE p.id <= 1000010 " +
+          "DELETE r").asInstanceOf[Motif.DeleteStmt]
+      val readAst = Motif.parse(
+        "MATCH (s:Supplier)-[:SUPPLIES]->(p:Part) WHERE p.id <= 1000020 " +
+          "RETURN p.id AS part, count(s) AS degree ORDER BY part")
+      Q("graph_pattern_delete",
+        (s, d) => {
+          val g = supplierPartGraph(s, d)
+          val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pat_delete_" +
+            s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          val (n2, e2) = Motif.deleteDf(g, delAst)
+          e2.write.mode("overwrite").parquet(dir)
+          val g2 = PropertyGraph(n2, s.read.parquet(dir))
+          Motif.dataFrame(g2, readAst)
+        },
+        Some(s"""$motifCtes,
+               |edges2 AS (
+               |${Motif.deleteEdgesSql(delAst)})
+               |${Motif.sql(readAst, nodesRel = "nodes", edgesRel = "edges2")}""".stripMargin))
+    },
+    // 11) DETACH DELETE roundtrip (database.py:42-48, live at
+    //     train.py:10): matched Part nodes AND every incident edge are
+    //     deleted; both post-delete relations go through a parquet sink
+    //     and the re-read pattern must see neither the nodes nor their
+    //     edges (min surviving part id + edge count, hash-matched
+    //     against the oracle's twin anti-join CTEs).
+    {
+      val delAst = Motif.parseStatement(
+        "MATCH (p:Part) WHERE p.id <= 1000050 DETACH DELETE p")
+        .asInstanceOf[Motif.DeleteStmt]
+      val readAst = Motif.parse(
+        "MATCH (s:Supplier)-[:SUPPLIES]->(p:Part) " +
+          "RETURN count(*) AS edges_left, min(p.id) AS min_part")
+      Q("graph_pattern_detach_delete",
+        (s, d) => {
+          val g = supplierPartGraph(s, d)
+          val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pat_detach_" +
+            s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          val (n2, e2) = Motif.deleteDf(g, delAst)
+          n2.write.mode("overwrite").parquet(s"$dir/nodes")
+          e2.write.mode("overwrite").parquet(s"$dir/edges")
+          val g2 = PropertyGraph(s.read.parquet(s"$dir/nodes"),
+            s.read.parquet(s"$dir/edges"))
+          Motif.dataFrame(g2, readAst)
+        },
+        Some(s"""$motifCtes,
+               |nodes2 AS (
+               |${Motif.deleteNodesSql(delAst)}),
+               |edges2 AS (
+               |${Motif.deleteEdgesSql(delAst)})
+               |${Motif.sql(readAst, nodesRel = "nodes2", edgesRel = "edges2")}""".stripMargin))
+    },
 
     // ── weighted degree over the cluster graph ─────────────────────────
     // Build the reference's actual graph — Image-[:CLOSEST_TO]->Centroid

@@ -298,4 +298,53 @@ class MotifSpec extends SparkSpec {
     assert(badSt("MATCH (a)-[:T]->(b) SET a.name = 7").contains("string literal"))
     assert(badSt("MATCH (a)-[:T]->(b) SET zz.name = 'x'").contains("not bound"))
   }
+
+  test("DELETE e compiles to the surviving-edges relation") {
+    val st = Motif.parseStatement(
+      "MATCH (a:Supplier)-[r:SUPPLIES]->(p:Part {id: 1000001}) DELETE r")
+      .asInstanceOf[Motif.DeleteStmt]
+    val (n2, e2) = Motif.deleteDf(g, st)
+    assert(n2.count() == g.nodes.count(), "edge delete leaves nodes untouched")
+    assert(e2.columns.toSeq == Seq("src", "dst", "rel_type", "weight"))
+    val victims = g.edges.filter(col("dst") === 1000001L).count()
+    assert(victims > 0, "fixture: part 1000001 must have edges to delete")
+    assert(e2.count() == g.edges.count() - victims)
+    assert(e2.filter(col("dst") === 1000001L).count() == 0)
+  }
+
+  test("DETACH DELETE n drops the nodes AND every incident edge") {
+    val st = Motif.parseStatement(
+      "MATCH (p:Part) WHERE p.id <= 1000003 DETACH DELETE p")
+      .asInstanceOf[Motif.DeleteStmt]
+    val (n2, e2) = Motif.deleteDf(g, st)
+    val victims = g.nodes
+      .filter(col("label") === "Part" && col("id") <= 1000003L).count()
+    assert(victims == 4) // p_partkey starts at 0 → part ids 1000000..1000003
+    assert(n2.count() == g.nodes.count() - victims)
+    assert(n2.filter(col("id") <= 1000003L && col("label") === "Part").count() == 0)
+    assert(e2.filter(col("dst") <= 1000003L && col("dst") > PropertyGraph.PartIdOffset)
+      .count() == 0, "incident edges must be gone")
+    val incident = g.edges.filter(col("dst") <= 1000003L).count()
+    assert(incident > 0 && e2.count() == g.edges.count() - incident)
+  }
+
+  test("DELETE validation rejects bad forms; parse() rejects deletes") {
+    def badSt(s: String): String =
+      intercept[IllegalArgumentException](Motif.parseStatement(s)).getMessage
+    // node delete without DETACH — Cypher fails this at runtime whenever
+    // edges remain; we fail it loudly at parse time
+    assert(badSt("MATCH (a)-[:T]->(b) DELETE a").contains("needs DETACH DELETE"))
+    // unbound targets
+    assert(badSt("MATCH (a)-[:T]->(b) DELETE zz").contains("not a bound edge variable"))
+    assert(badSt("MATCH (a)-[:T]->(b) DETACH DELETE zz").contains("not a bound node variable"))
+    // DETACH DELETE of an edge variable is a node-form statement
+    assert(badSt("MATCH (a)-[e:T]->(b) DETACH DELETE e").contains("not a bound node variable"))
+    // OPTIONAL MATCH cannot feed a delete
+    assert(badSt("MATCH (a)-[e:T]->(b) OPTIONAL MATCH (a)-[:U]->(c) DELETE e")
+      .contains("OPTIONAL MATCH is not supported"))
+    // trailing tokens after the target
+    assert(badSt("MATCH (a)-[e:T]->(b) DELETE e, a").contains("trailing tokens"))
+    // read-only entry point rejects the write
+    intercept[IllegalArgumentException](Motif.parse("MATCH (a)-[e:T]->(b) DELETE e"))
+  }
 }
