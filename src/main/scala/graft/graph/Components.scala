@@ -172,6 +172,7 @@ object Components {
         .transform(GenSnap.snap)
       changed = lbl.filter(col("ch")).count()
     }
+    graft.tools.BoundProbe.record("dag_layers", iters, maxIters)
     lbl.select(col("id"), col("l").as("layer"))
   }
 
@@ -257,6 +258,7 @@ object Components {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[scc] round=$rounds")
     }
+    graft.tools.BoundProbe.record("scc_coloring", rounds, maxRounds)
     val res =
       if (out == null) nodes.select(col("id"), col("id").as("scc")).limit(0)
       else out
@@ -547,6 +549,7 @@ object Components {
     }
     require(drained, s"BFS frontier still live at depth bound $maxDepth — " +
       "oracle would under-report; raise the bound")
+    graft.tools.BoundProbe.record("multi_bfs", depth, maxDepth)
     frontiers.reduce(_ union _)
   }
 
@@ -583,6 +586,7 @@ object Components {
     }
     require(drained, s"σ frontier still live at depth bound $maxDepth — " +
       "an unrolled oracle would under-count; raise the bound")
+    graft.tools.BoundProbe.record("multi_bfs_counts", depth, maxDepth)
     val all = frontiers.reduce(_ union _)
     val maxSigma = all.agg(max("sigma")).head().getLong(0)
     require(maxSigma < (1L << 40),
@@ -719,6 +723,7 @@ object Components {
         .transform(GenSnap.snap)
       live = rem.count() > 0
     }
+    graft.tools.BoundProbe.record("mis_luby", rounds, maxRounds)
     (mis, rounds)
   }
 

@@ -336,6 +336,9 @@ object PropertyGraph {
       }
       levels += thisBatch
       if (imp.count() == 0L) {
+        // `levels` includes the convergence-proving level, so the
+        // capacity it is measured against is unroll + 1
+        graft.tools.BoundProbe.record("temporal_reach", levels, unroll + 1)
         arr = merged // earlier levels' improvements still fold in
         live = false
       } else {
@@ -1468,6 +1471,7 @@ object PropertyGraph {
         require(rounds <= WSsspUnroll,
           s"weighted SSSP converged in $rounds rounds > unroll depth $WSsspUnroll — " +
             "raise WSsspUnroll or the oracle under-relaxes")
+        graft.tools.BoundProbe.record("weighted_sssp", rounds, WSsspUnroll)
         supplierPartGraph(s, d).nodes.select(col("id"))
           .join(dist, Seq("id"), "left")
           .select(col("id"), coalesce(col("d"), lit(-1L)).as("dist_w"))
@@ -2310,6 +2314,7 @@ object PropertyGraph {
         require(rounds <= MstUnroll,
           s"Borůvka converged in $rounds rounds > unroll depth $MstUnroll — " +
             "raise MstUnroll or the oracle under-contracts")
+        graft.tools.BoundProbe.record("mst_boruvka", rounds, MstUnroll)
         mst.orderBy("lo", "hi")
       },
       Some {

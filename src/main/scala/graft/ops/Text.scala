@@ -1632,6 +1632,7 @@ object Text {
         val (edges, rounds) = graft.graph.Components.kCorePeel(ue, 2)
         require(rounds <= KCoreUnroll,
           s"k-core peel used $rounds rounds > oracle unroll $KCoreUnroll")
+        graft.tools.BoundProbe.record("kcore_peel", rounds, KCoreUnroll)
         edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("core_deg"))
           .orderBy("doc_id")
       },
@@ -1693,6 +1694,7 @@ object Text {
         }
         require(rounds <= KTrussUnroll,
           s"k-truss peel used $rounds rounds > oracle unroll $KTrussUnroll")
+        graft.tools.BoundProbe.record("ktruss_peel", rounds, KTrussUnroll)
         edges.join(support(edges), Seq("id_a", "id_b"))
           .orderBy("id_a", "id_b")
       },
