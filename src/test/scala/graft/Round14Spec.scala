@@ -81,6 +81,42 @@ class Round14Spec extends SparkSpec {
     assert(out.length == 4)
   }
 
+  // ── power-iteration family: structural job-count pin (VERDICT r13 #7) ─
+  // graph_pagerank_exact / graph_ppr_seed build ONE lazy 5-iteration
+  // plan — a single action, with AQE materializing one shuffle stage per
+  // exchange. ppr's wall time has swung 1.1–3.9 s across quiet runs of
+  // identical code, so a timing can't catch a structural slip; the JOB
+  // COUNT can: an accidental eager materialization per iteration (a
+  // count/checkpoint inside the loop) multiplies it immediately. The
+  // plan-shape pin (PlanSpec) covers the exchanges; this covers the
+  // driver-sync structure.
+  test("pagerank/ppr execute as one action with a bounded job count") {
+    val sc = spark.sparkContext
+    for (q <- Seq("graph_pagerank_exact", "graph_ppr_seed")) {
+      SparkEntry.queries(q)(spark, sf).collect() // warm the session memos
+      val group = s"r14-jobpin-$q"
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try SparkEntry.queries(q)(spark, sf).collect()
+      finally sc.clearJobGroup()
+      // statusTracker is fed asynchronously off the listener bus — poll
+      // until the count stabilizes rather than sleeping a fixed time
+      def jobCount: Int = sc.statusTracker.getJobIdsForGroup(group).length
+      var last = -1; var cur = jobCount; var spins = 0
+      while (cur != last && spins < 50) {
+        last = cur; Thread.sleep(100); cur = jobCount; spins += 1
+      }
+      info(s"$q: $cur jobs for one warm execution")
+      assert(cur > 0, s"$q: job-group attribution broke — zero jobs recorded")
+      // 5 iterations × one agg exchange + the merge/top-k stages:
+      // measured 16 jobs under AQE at this scale for both queries. 20
+      // is the loud ceiling — one eager sync added inside the loop
+      // lands at 5+ extra jobs (one per iteration), well past it.
+      assert(cur <= 20,
+        s"$q fired $cur jobs for one execution — an eager driver sync " +
+          "crept into the power-iteration loop")
+    }
+  }
+
   // ── closeness/eccentricity shared dist tower (VERDICT r13 task 3) ────
   test("closeness and eccentricity read ONE memoized multiBfs tower") {
     // the memo must hand back the identical cached frame (one build per
