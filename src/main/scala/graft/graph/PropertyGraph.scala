@@ -264,7 +264,10 @@ object PropertyGraph {
     * batching factor): 3 → the 18-level sf0.1 fixpoint costs 6 driver
     * round-trips + one drain batch instead of 18. Raising it further
     * trades sync count against wasted relaxations past convergence
-    * (the final batch always runs its full depth on empty frontiers). */
+    * (the final batch always runs its full depth on empty frontiers) —
+    * measured r14 at sf0.1: batch 6 is SLOWER (13.2 s vs 9.4 s warm);
+    * the 3 extra tail relaxations' join stages cost more than the 3
+    * saved driver syncs. */
   private val TemporalBatch = 3
 
   private val temporalMemo = graft.SessionMemo[DataFrame]()
@@ -1390,6 +1393,66 @@ object PropertyGraph {
            |r0 AS (SELECT id, CAST($Scale AS BIGINT) AS rank FROM n),
            |$iters
            |SELECT id, rank FROM r$PrIters ORDER BY rank DESC, id LIMIT 20""".stripMargin
+      }
+    ),
+
+    // ── Katz centrality (attenuated path counting) ─────────────────────
+    // The remaining classical centrality: x_{i+1}(v) = 1 + α·Σ_{u→v}
+    // x_i(u) — every walk into v counts, attenuated α per hop (Katz
+    // 1953), unlike PageRank's degree-normalized mass. α = 1/64 as a
+    // pure integer shift-division keeps the truncated 5-term series in
+    // exact BIGINT fixed point (Scale 1e9): contributions are
+    // `x div 64` summed order-free, so the unrolled DuckDB CTE replays
+    // every bit. α must sit below 1/λ_max for the infinite series; for
+    // the TRUNCATED series it only bounds growth — the loud driver
+    // check pins max(x) ≪ BIGINT so Spark can never wrap where the
+    // oracle raises. Same per-iteration plan as pagerank_exact (one
+    // equi-join against the memoized adjacency + one partial-agg
+    // shuffle), same 100 TB shape.
+    Q(
+      "graph_katz_centrality",
+      (s, d) => {
+        val nodeIds = nodeIdsPartitioned(s, d)
+        val adj = degreeAdjacency(s, d)
+        var x = nodeIds.select(col("id"), lit(Scale).as("x"))
+        for (_ <- 1 to PrIters) {
+          val contribs = adj
+            .join(x.withColumnRenamed("id", "src"), "src")
+            .select(col("dst"), expr("x div 64").as("contrib"))
+            .groupBy("dst").agg(sum("contrib").as("inflow"))
+          x = nodeIds
+            .join(contribs, col("id") === col("dst"), "left")
+            .select(col("id"),
+              (lit(Scale) + coalesce(col("inflow"), lit(0L))).as("x"))
+        }
+        val ranked = x.orderBy(col("x").desc, col("id").asc).limit(20)
+          .select(col("id"), col("x").as("katz_fp"))
+        // overflow margin: the oracle's BIGINT sum RAISES where a Scala
+        // Long silently wraps — abort loudly while ~256x headroom remains
+        val maxX = ranked.agg(max("katz_fp")).head().getLong(0)
+        require(maxX < (1L << 55),
+          s"max Katz $maxX approaches BIGINT wrap — lower alpha or rescale")
+        ranked
+      },
+      Some {
+        val iters = (1 to PrIters).map { i =>
+          s"""c$i AS (
+             |  SELECT ue.dst, CAST(sum(r.x // 64) AS BIGINT) AS inflow
+             |  FROM ue JOIN r${i - 1} r ON r.id = ue.src
+             |  GROUP BY ue.dst),
+             |r$i AS (
+             |  SELECT n.id, $Scale + coalesce(c$i.inflow, 0) AS x
+             |  FROM n LEFT JOIN c$i ON c$i.dst = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH
+           |e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + $PartIdOffset AS dst FROM lineitem),
+           |ue AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+           |n AS (SELECT s_suppkey AS id FROM supplier
+           |      UNION ALL SELECT p_partkey + $PartIdOffset FROM part),
+           |r0 AS (SELECT id, CAST($Scale AS BIGINT) AS x FROM n),
+           |$iters
+           |SELECT id, x AS katz_fp FROM r$PrIters
+           |ORDER BY katz_fp DESC, id LIMIT 20""".stripMargin
       }
     ),
 

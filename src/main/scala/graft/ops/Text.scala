@@ -51,6 +51,80 @@ object Text {
   def sqlScaledDiv(n: String, d: String, scale: String): String =
     s"(($n) // ($d)) * ($scale) + (($n) % ($d)) * ($scale) // ($d)"
 
+  // ── BM25 retrieval kernel (shared by text_bm25_topk + ann_hybrid_rrf) ─
+  /** The standing query-term set for the gated retrieval queries. */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "filter")
+
+  /** BM25 top-20 over `documents` for [[Bm25Terms]] — Lucene-form idf
+    * floor-quantized to 2^-20 (see text_bm25_topk's Q comment for the
+    * cross-engine determinism argument), k1=1.2, b=0.75. Shape:
+    * candidate set from an inverted-index probe, one 1-row stats
+    * broadcast, per-row scoring, TakeOrderedAndProject. */
+  def bm25Top20(s: SparkSession, d: String): DataFrame = {
+    val qterms = Bm25Terms
+    val docs = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+      .transform(GenSnap.snap) // stats agg + candidate probe + scoring join read one tokenization
+    val statAggs = sum(col("dl")).as("totdl") +:
+      qterms.map(w => sum(when(array_contains(col("t"), w), 1L)
+        .otherwise(0L)).as(s"df_$w"))
+    val stats = docs.agg(count(lit(1)).cast("long").as("n"), statAggs: _*)
+      .select(col("*"), (col("totdl").cast("double") / col("n")).as("avgdl"))
+    val cand = docs
+      .select(col("doc_id"), explode(array_distinct(col("t"))).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .select("doc_id").distinct()
+    val score = qterms.map { w =>
+      val df = col(s"df_$w")
+      val idf = floor(log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+        * 1048576.0) / 1048576.0
+      val tf = size(org.apache.spark.sql.functions.filter(col("t"),
+        x => x === w)).cast("double")
+      idf * (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+    }.reduce(_ + _)
+    cand.join(docs, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** The CTE chain of [[bm25Top20]]'s oracle (docs/stats0/stats/cand) —
+    * composable, so ann_hybrid_rrf's generated oracle embeds the SAME
+    * lexical leg text_bm25_topk is gated on. */
+  def bm25SqlCtes(): String = {
+    val qterms = Bm25Terms
+    val dfs = qterms.map(w =>
+      s"CAST(sum(CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END) AS BIGINT) AS df_$w")
+      .mkString(",\n  ")
+    s"""docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS totdl,
+       |  $dfs
+       |  FROM docs),
+       |stats AS (SELECT *, CAST(totdl AS DOUBLE) / n AS avgdl FROM stats0),
+       |cand AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(t) AS term FROM docs)
+       |  WHERE term IN (${qterms.map(w => s"'$w'").mkString(", ")}))""".stripMargin
+  }
+
+  /** The final SELECT of [[bm25Top20]]'s oracle over [[bm25SqlCtes]]. */
+  def bm25SelectSql(): String = {
+    val score = Bm25Terms.map { w =>
+      val idf = s"floor(ln((s.n - s.df_$w + 0.5) / (s.df_$w + 0.5) + 1.0) * 1048576) / 1048576"
+      val tf = s"CAST(len(list_filter(d.t, x -> x = '$w')) AS DOUBLE)"
+      s"$idf * ($tf * 2.2 / ($tf + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))"
+    }.mkString("(", " + ", ")")
+    s"""SELECT d.doc_id, $score AS score
+       |FROM cand c JOIN docs d USING (doc_id), stats s
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
+
   /** 60-bit integer hash of a string, identical in Spark and DuckDB. */
   def strHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -2109,62 +2183,8 @@ object Text {
     // per-row scoring, TakeOrderedAndProject.
     Q(
       "text_bm25_topk",
-      (s, d) => {
-        val qterms = Seq("spark", "join", "filter")
-        val docs = documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-          .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
-          .transform(GenSnap.snap) // stats agg + candidate probe + scoring join read one tokenization
-        val statAggs = sum(col("dl")).as("totdl") +:
-          qterms.map(w => sum(when(array_contains(col("t"), w), 1L)
-            .otherwise(0L)).as(s"df_$w"))
-        val stats = docs.agg(count(lit(1)).cast("long").as("n"), statAggs: _*)
-          .select(col("*"), (col("totdl").cast("double") / col("n")).as("avgdl"))
-        val cand = docs
-          .select(col("doc_id"), explode(array_distinct(col("t"))).as("term"))
-          .filter(col("term").isin(qterms: _*))
-          .select("doc_id").distinct()
-        val score = qterms.map { w =>
-          val df = col(s"df_$w")
-          val idf = floor(log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
-            * 1048576.0) / 1048576.0
-          val tf = size(org.apache.spark.sql.functions.filter(col("t"),
-            x => x === w)).cast("double")
-          idf * (tf * 2.2 / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
-        }.reduce(_ + _)
-        cand.join(docs, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), score.as("score"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(20)
-      },
-      Some {
-        val qterms = Seq("spark", "join", "filter")
-        val dfs = qterms.map(w =>
-          s"CAST(sum(CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END) AS BIGINT) AS df_$w")
-          .mkString(",\n  ")
-        val score = qterms.map { w =>
-          val idf = s"floor(ln((s.n - s.df_$w + 0.5) / (s.df_$w + 0.5) + 1.0) * 1048576) / 1048576"
-          val tf = s"CAST(len(list_filter(d.t, x -> x = '$w')) AS DOUBLE)"
-          s"$idf * ($tf * 2.2 / ($tf + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))"
-        }.mkString("(", " + ", ")")
-        s"""WITH docs AS (
-           |  SELECT doc_id, string_split(text, ' ') AS t,
-           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-           |  FROM documents),
-           |stats0 AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS totdl,
-           |  $dfs
-           |  FROM docs),
-           |stats AS (SELECT *, CAST(totdl AS DOUBLE) / n AS avgdl FROM stats0),
-           |cand AS (
-           |  SELECT DISTINCT doc_id FROM (
-           |    SELECT doc_id, unnest(t) AS term FROM docs)
-           |  WHERE term IN (${qterms.map(w => s"'$w'").mkString(", ")}))
-           |SELECT d.doc_id, $score AS score
-           |FROM cand c JOIN docs d USING (doc_id), stats s
-           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
-      }
+      (s, d) => bm25Top20(s, d),
+      Some(s"WITH ${bm25SqlCtes()}\n${bm25SelectSql()}")
     ),
 
     // ── TF-IDF keyword extraction (top-3 terms per document) ───────────

@@ -500,6 +500,138 @@ object Vector {
       }
     ),
 
+    // ── hybrid retrieval: BM25 + vector, reciprocal-rank fusion ────────
+    // The production RAG-retrieval shape: a lexical leg (the gated BM25
+    // top-20 over documents, Text.bm25Top20 — shared kernel, shared
+    // oracle CTEs) and a semantic leg (cosine top-20 vs vec 0, the
+    // ann_bruteforce shape) fused by RRF (Cormack et al. 2009):
+    // score(d) = Σ_lists 1/(60 + rank_d). Each term is computed as the
+    // exact integer floor(1e12/(60+r)) — identical under Spark DIV and
+    // DuckDB // — so the fused ranking is hash-exact even though the
+    // leg SCORES are floats (only their deterministic RANKS cross into
+    // the fusion; rank-not-score is exactly why production systems fuse
+    // with RRF instead of score mixing). doc_id ≡ vec_id row-for-row in
+    // the test corpus, standing in for the doc↔embedding join key a
+    // real store carries. SCALE: each leg is its own top-k (heap-merged,
+    // no shuffle); fusion joins two 20-row frames — free at any corpus
+    // size; the legs swap to inverted-index / IVF probes at 100 TB
+    // without touching the fusion.
+    Q(
+      "ann_hybrid_rrf",
+      (s, d) => {
+        val lex = Text.bm25Top20(s, d)
+          .withColumn("rl", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select("doc_id", "rl")
+        val e = embeddings(s, d)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        val sem = e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id").as("doc_id"),
+            cosine(vec(col("embedding")), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("doc_id").asc).limit(20)
+          .withColumn("rv", row_number().over(
+            Window.orderBy(col("sim").desc, col("doc_id").asc)))
+          .select("doc_id", "rv")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000000000 DIV (60 + rl)"), lit(0L))
+              + coalesce(expr("1000000000000 DIV (60 + rv)"), lit(0L))).as("rrf_fp"),
+            col("rl").isNotNull.as("in_lex"), col("rv").isNotNull.as("in_vec"))
+          .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some {
+        val c = sqlCosine(sqlVec("e.embedding"), "q.qv")
+        s"""WITH ${Text.bm25SqlCtes()},
+           |lex0 AS (${Text.bm25SelectSql()}),
+           |lex AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rl
+           |        FROM lex0),
+           |q AS (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |sem0 AS (SELECT e.vec_id AS doc_id, $c AS sim
+           |         FROM embeddings e, q WHERE e.vec_id <> 0
+           |         ORDER BY sim DESC, doc_id ASC LIMIT 20),
+           |sem AS (SELECT doc_id,
+           |          row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rv
+           |        FROM sem0)
+           |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           |  coalesce(1000000000000 // (60 + rl), 0)
+           |    + coalesce(1000000000000 // (60 + rv), 0) AS rrf_fp,
+           |  rl IS NOT NULL AS in_lex, rv IS NOT NULL AS in_vec
+           |FROM lex FULL OUTER JOIN sem ON sem.doc_id = lex.doc_id
+           |ORDER BY rrf_fp DESC, doc_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
+    // ── contrastive hard-example mining (training-pair selection) ──────
+    // The pair-mining stage of contrastive/metric training: for each
+    // anchor, the most-similar SAME-label vector (hard positive) and
+    // most-similar OTHER-label vector (hard negative) plus the margin
+    // between them — the pairs that actually move a contrastive loss,
+    // and the audit row (a negative margin = anchor's nearest neighbor
+    // has the wrong label) that predicts label noise. ONE broadcast
+    // scoring pass (10 anchors × corpus) feeds both legs via GenSnap;
+    // per-leg argmax is a window partitioned BY ANCHOR (never global).
+    // Sims/margins are floats but bit-identical on both engines (the
+    // shared sequential-fold cosine); ties break on vec_id. SCALE: the
+    // anchor batch is the broadcast side, the corpus is scanned once
+    // per batch — and the candidate generation swaps to the IVF-cell
+    // join (ann_filtered_topk's shape) at 100 TB, bounding each anchor
+    // to its probed cells instead of the corpus.
+    Q(
+      "ann_hard_negatives",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val anchors = e.filter(col("vec_id") < 10L)
+          .select(col("vec_id").as("aid"), vec(col("embedding")).as("av"),
+            col("label").as("alabel"))
+        val scored = e.crossJoin(broadcast(anchors))
+          .filter(col("vec_id") =!= col("aid"))
+          .select(col("aid"), col("alabel"), col("vec_id"), col("label"),
+            cosine(vec(col("embedding")), col("av")).as("sim"))
+          .transform(GenSnap.snap) // both legs read one scoring pass
+        val w = Window.partitionBy("aid")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        def best(leg: DataFrame, idAs: String, simAs: String): DataFrame = leg
+          .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("aid"), col("vec_id").as(idAs), col("sim").as(simAs))
+        val pos = best(scored.filter(col("label") === col("alabel")),
+          "hard_pos", "pos_sim")
+        val neg = best(scored.filter(col("label") =!= col("alabel")),
+          "hard_neg", "neg_sim")
+        pos.join(neg, "aid")
+          .select(col("aid").as("anchor"), col("hard_pos"), col("pos_sim"),
+            col("hard_neg"), col("neg_sim"),
+            (col("pos_sim") - col("neg_sim")).as("margin"))
+          .orderBy("anchor")
+      },
+      Some {
+        val c = sqlCosine(sqlVec("e.embedding"), "a.av")
+        s"""WITH anchors AS (
+           |  SELECT vec_id AS aid, ${sqlVec("embedding")} AS av, label AS alabel
+           |  FROM embeddings WHERE vec_id < 10),
+           |scored AS MATERIALIZED (
+           |  SELECT a.aid, a.alabel, e.vec_id, e.label, $c AS sim
+           |  FROM embeddings e, anchors a WHERE e.vec_id <> a.aid),
+           |pos AS (
+           |  SELECT aid, vec_id AS hard_pos, sim AS pos_sim FROM (
+           |    SELECT aid, vec_id, sim, row_number() OVER (
+           |      PARTITION BY aid ORDER BY sim DESC, vec_id ASC) AS rk
+           |    FROM scored WHERE label = alabel) WHERE rk = 1),
+           |neg AS (
+           |  SELECT aid, vec_id AS hard_neg, sim AS neg_sim FROM (
+           |    SELECT aid, vec_id, sim, row_number() OVER (
+           |      PARTITION BY aid ORDER BY sim DESC, vec_id ASC) AS rk
+           |    FROM scored WHERE label <> alabel) WHERE rk = 1)
+           |SELECT pos.aid AS anchor, hard_pos, pos_sim, hard_neg, neg_sim,
+           |  pos_sim - neg_sim AS margin
+           |FROM pos JOIN neg ON neg.aid = pos.aid
+           |ORDER BY anchor""".stripMargin
+      }
+    ),
+
     // ── Matryoshka prefix-dimension recall (MRL evaluation) ────────────
     // Matryoshka-style embeddings promise that a PREFIX of the vector
     // is itself a usable lower-dimensional embedding (Kusupati et al.

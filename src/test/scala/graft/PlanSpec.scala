@@ -684,6 +684,7 @@ object PlanSpec {
     "ml_pr_curve" -> "cumulative precision/recall over the 10 score-decile bins (bounded)",
     "rel_skyline" -> "carry cumulation over the per-BLOCK max table (price-range/1024 rows, not data)",
     "text_weighted_sample" -> "block-offset cumulation over the N/100 block table (the two-level-scan offset side itself)",
-    "text_zipf_slope" -> "OLS rank window over the top-1000 vocab tail (bounded)")
+    "text_zipf_slope" -> "OLS rank window over the top-1000 vocab tail (bounded)",
+    "ann_hybrid_rrf" -> "RRF rank windows over the two top-20 retrieval legs (LIMIT-bounded, 20 rows each)")
 
 }
