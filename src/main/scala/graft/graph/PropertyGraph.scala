@@ -1427,6 +1427,7 @@ object PropertyGraph {
         }
         val ranked = x.orderBy(col("x").desc, col("id").asc).limit(20)
           .select(col("id"), col("x").as("katz_fp"))
+          .transform(GenSnap.snap) // the margin check + the caller read ONE materialization
         // overflow margin: the oracle's BIGINT sum RAISES where a Scala
         // Long silently wraps — abort loudly while ~256x headroom remains
         val maxX = ranked.agg(max("katz_fp")).head().getLong(0)
