@@ -1591,6 +1591,139 @@ object PropertyGraph {
       Some(sqlLpaOracle)
     ),
 
+    // ── Louvain level-1 (synchronous modularity-ascent sweeps) ─────────
+    // The community-detection workhorse (Blondel et al. 2008), in its
+    // deterministic SEMI-SYNCHRONOUS form: per half-step every node of
+    // ONE bipartite side simultaneously evaluates moving to each
+    // NEIGHBORING community and takes the move with the largest
+    // modularity gain, strictly positive over staying; sides alternate
+    // (part half-step, then supplier half-step, twice). Classic Louvain
+    // sweeps nodes sequentially — inherently serial; the FULLY
+    // synchronous variant measurably DEGRADES modularity here (both
+    // sides chase each other and the partition fragments — the same
+    // bipartite oscillation graph_lpa_converged half-steps around,
+    // verified by the Round14Spec ascent pin failing on it), while
+    // same-side movers share no edges, so their simultaneous moves are
+    // independent given the fixed other side — the distributed-Louvain
+    // coloring trick with the bipartition as the free 2-coloring.
+    // All gain comparisons are EXACT BIGINTs: the float gain
+    // w_vc/m − k_v·Σtot_c/(2m²) is scaled by 2m² into
+    // gain_fp = 2m·w_vc − k_v·Σtot'_c (Σtot' with v removed from its
+    // own community), so the argmax and the move test carry no float
+    // anywhere; ties break toward the smaller community id, equality
+    // stays. SCALE: per sweep one (edges ⋈ communities) equi-join +
+    // three hash aggregations — node/community-sized state, the same
+    // superstep budget as LPA/PageRank; the 1-row 2m aggregate
+    // broadcasts. Scope: nodes with ≥1 edge (isolated nodes are their
+    // own community trivially).
+    Q(
+      "graph_louvain_one_level",
+      (s, d) => {
+        val ue = weightedUndirectedEdges(s, d) // (src, dst, w), both directions
+        val deg = ue.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+          .transform(GenSnap.snap) // read by every half-step
+        val twoM = ue.agg(sum("w").as("m2")) // Σ over both directions = 2m
+        var comm = deg.select(col("id"), col("id").as("c"))
+        for (h <- 1 to 4) {
+          val moverIsPart = h % 2 == 1 // parts first, sides alternate
+          def isMover(idCol: Column): Column =
+            (idCol >= PartIdOffset) === lit(moverIsPart)
+          // the gain machinery only matters for this half-step's movers —
+          // restricting nc/base halves each half-step's join volume
+          val nc = ue.filter(isMover(col("src")))
+            .join(comm.select(col("id").as("dst"), col("c").as("cn")), "dst")
+            .groupBy(col("src").as("id"), col("cn")).agg(sum("w").as("wvc"))
+          val tot = comm.join(deg, "id").groupBy("c").agg(sum("k").as("totc"))
+          val base = comm.filter(isMover(col("id")))
+            .join(deg, "id").crossJoin(broadcast(twoM))
+          val cand = base
+            .join(nc, Seq("id"))
+            .join(tot.select(col("c").as("cn"), col("totc")), Seq("cn"))
+            .select(col("id"), col("c"), col("k"), col("cn"),
+              (col("m2") * col("wvc") - col("k") *
+                (col("totc") - when(col("cn") === col("c"), col("k"))
+                  .otherwise(lit(0L)))).as("gain"))
+          // argmax by (gain, then smaller community id) — the struct max
+          // is lexicographic, (gain, -cn) max ⇔ gain DESC, cn ASC
+          val best = cand
+            .groupBy("id").agg(max(struct(col("gain"), (-col("cn")).as("ncn"))).as("b"))
+            .select(col("id"), col("b.gain").as("bg"), (-col("b.ncn")).as("bc"))
+          // staying gain: the own-community cand row where it exists
+          // (v has a neighbor in its community), else −k·(Σtot−k)
+          val own = cand.filter(col("cn") === col("c"))
+            .select(col("id"), col("gain").as("gown"))
+          val stay = base.join(tot, Seq("c"))
+            .join(own, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("gown"),
+                -col("k") * (col("totc") - col("k"))).as("gstay"))
+          comm = comm
+            .join(best, Seq("id"), "left")
+            .join(stay, Seq("id"), "left") // mover rows only
+            .select(col("id"),
+              when(col("bg").isNotNull && col("gstay").isNotNull
+                  && col("bg") > col("gstay"), col("bc"))
+                .otherwise(col("c")).as("c"))
+            .transform(GenSnap.snap)
+        }
+        comm.select(col("id"), col("c").as("community")).orderBy("id")
+      },
+      Some {
+        val sweeps = (1 to 4).map { k =>
+          val moverIsPart = k % 2 == 1
+          def moverCond(id: String) =
+            if (moverIsPart) s"$id >= $PartIdOffset" else s"$id < $PartIdOffset"
+          s"""nc$k AS (
+             |  SELECT ue.src AS id, p.c AS cn, CAST(sum(ue.w) AS BIGINT) AS wvc
+             |  FROM ue JOIN c${k - 1} p ON p.id = ue.dst
+             |  WHERE ${moverCond("ue.src")} GROUP BY 1, 2),
+             |tot$k AS (
+             |  SELECT c, CAST(sum(k) AS BIGINT) AS totc
+             |  FROM c${k - 1} JOIN deg USING (id) GROUP BY c),
+             |cand$k AS MATERIALIZED (
+             |  SELECT b.id, b.c, b.k, nc.cn,
+             |    m.m2 * nc.wvc
+             |      - b.k * (tot.totc - CASE WHEN nc.cn = b.c THEN b.k ELSE 0 END) AS gain
+             |  FROM (SELECT p.id, p.c, deg.k FROM c${k - 1} p JOIN deg USING (id)
+             |        WHERE ${moverCond("p.id")}) b
+             |  JOIN nc$k nc ON nc.id = b.id
+             |  JOIN tot$k tot ON tot.c = nc.cn
+             |  CROSS JOIN m),
+             |best$k AS (
+             |  SELECT id, gain AS bg, cn AS bc FROM (
+             |    SELECT id, gain, cn,
+             |      row_number() OVER (PARTITION BY id ORDER BY gain DESC, cn ASC) AS rk
+             |    FROM cand$k) WHERE rk = 1),
+             |stay$k AS (
+             |  SELECT b.id, coalesce(own.gain, -b.k * (tot.totc - b.k)) AS gstay
+             |  FROM (SELECT p.id, p.c, deg.k FROM c${k - 1} p JOIN deg USING (id)
+             |        WHERE ${moverCond("p.id")}) b
+             |  JOIN tot$k tot ON tot.c = b.c
+             |  LEFT JOIN (SELECT id, gain FROM cand$k WHERE cn = c) own
+             |    ON own.id = b.id),
+             |c$k AS MATERIALIZED (
+             |  SELECT p.id,
+             |    CASE WHEN b.bg IS NOT NULL AND st.gstay IS NOT NULL
+             |              AND b.bg > st.gstay
+             |         THEN b.bc ELSE p.c END AS c
+             |  FROM c${k - 1} p
+             |  LEFT JOIN best$k b ON b.id = p.id
+             |  LEFT JOIN stay$k st ON st.id = p.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT l_suppkey AS a, l_partkey + $PartIdOffset AS b,
+           |    CAST(min(l_quantity) AS BIGINT) AS w
+           |  FROM lineitem GROUP BY 1, 2),
+           |ue AS (SELECT a AS src, b AS dst, w FROM e0
+           |       UNION ALL SELECT b, a, w FROM e0),
+           |deg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM ue GROUP BY src),
+           |m AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ue),
+           |c0 AS (SELECT id, id AS c FROM deg),
+           |$sweeps
+           |SELECT id, c AS community FROM c4 ORDER BY id""".stripMargin
+      }
+    ),
+
     // ── modularity of the LPA communities (exact fixed point) ──────────
     // Newman's Q = Σ_c [in_c/(2m) − (tot_c/(2m))²], the standard quality
     // score for a community assignment — scored here for the driver-

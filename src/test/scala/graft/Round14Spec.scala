@@ -147,6 +147,38 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ── Louvain level-1: the partition must beat singletons on modularity ─
+  test("Louvain sweeps strictly improve exact-fixed-point modularity over singletons") {
+    val ue = graph.PropertyGraph.weightedUndirectedEdges(spark, sf)
+    val m2 = ue.agg(sum("w")).head().getLong(0) // 2m
+    val deg = ue.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+    val comm = SparkEntry.queries("graph_louvain_one_level")(spark, sf)
+      .select(col("id"), col("community").as("c"))
+    // Q·(2m)² = Σ_c (2m·in2_c − tot_c²), in2 counting both directions —
+    // exact BIGINTs throughout (the graph_modularity convention)
+    def qfp(cm: org.apache.spark.sql.DataFrame): BigInt = {
+      val in2 = ue
+        .join(cm.select(col("id").as("src"), col("c").as("cs")), "src")
+        .join(cm.select(col("id").as("dst"), col("c").as("cd")), "dst")
+        .filter(col("cs") === col("cd"))
+        .groupBy(col("cs").as("c")).agg(sum("w").as("in2"))
+      val tot = cm.join(deg, "id").groupBy("c").agg(sum("k").as("tot"))
+      tot.join(in2, Seq("c"), "left")
+        .select((lit(m2) * coalesce(col("in2"), lit(0L))
+          - col("tot") * col("tot")).as("contrib"))
+        .collect().map(r => BigInt(r.getLong(0))).sum
+    }
+    val singles = deg.select(col("id"), col("id").as("c"))
+    val qSingle = qfp(singles)
+    val qLouvain = qfp(comm)
+    info(s"Qfp singletons=$qSingle louvain=$qLouvain (scale (2m)², 2m=$m2)")
+    assert(qLouvain > qSingle,
+      "the modularity-ascent sweeps must beat the singleton partition")
+    val nComm = comm.select("c").distinct().count()
+    val nNodes = comm.count()
+    assert(nComm < nNodes, "sweeps should merge nodes into communities")
+  }
+
   // ── closeness/eccentricity shared dist tower (VERDICT r13 task 3) ────
   test("closeness and eccentricity read ONE memoized multiBfs tower") {
     // the memo must hand back the identical cached frame (one build per
