@@ -594,6 +594,92 @@ object Vector {
       }
     ),
 
+    // ── MMR diversity re-ranking (Carbonell & Goldstein 1998) ──────────
+    // The last stage of a production retrieval stack: the raw cosine
+    // top-20 is redundancy-heavy, so the emitted list is re-ranked by
+    // Maximal Marginal Relevance — greedily pick argmax of
+    // 0.5·sim(q,d) − 0.5·max_{s∈S} sim(d,s), 8 picks. The greedy loop
+    // unrolls into ONE lazy plan: the candidate pool and its 20×20
+    // pairwise-cosine table stage once (GenSnap), then each pick is an
+    // anti-join + a grouped max over the selected set + a 1-row top-k —
+    // all over ≤ 20-row frames, so the unroll costs nothing at any
+    // corpus scale (the corpus is touched only by the initial top-20).
+    // Scores are floats but deterministic on both engines: the shared
+    // sequential-fold cosine, an order-free MAX over the selected set,
+    // and exact-halves 0.5·a − 0.5·b; ties break on vec_id. The first
+    // pick's score is its relevance-only 0.5·sim (empty penalty set).
+    Q(
+      "ann_mmr_rerank",
+      (s, d) => {
+        val Picks = 8
+        val e = embeddings(s, d)
+        val query = e.filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv"))
+        val cand = e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id"), vec(col("embedding")).as("v"),
+            cosine(vec(col("embedding")), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(20)
+          .transform(GenSnap.snap) // pool + pairwise table read one scan
+        val pc = cand.select(col("vec_id").as("a"), col("v").as("va"))
+          .crossJoin(cand.select(col("vec_id").as("b"), col("v").as("vb")))
+          .filter(col("a") =!= col("b"))
+          .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("ps"))
+          .transform(GenSnap.snap)
+        var sel = cand.orderBy(col("sim").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), lit(1).as("rank"),
+            (col("sim") * 0.5).as("score"))
+          .transform(GenSnap.snap)
+        for (k <- 2 to Picks) {
+          val pen = pc
+            .join(sel.select(col("vec_id").as("b")), "b")
+            .groupBy(col("a").as("vec_id")).agg(max("ps").as("pen"))
+          val pick = cand
+            .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .join(pen, "vec_id")
+            .select(col("vec_id"),
+              (col("sim") * 0.5 - col("pen") * 0.5).as("score"))
+            .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+            .select(col("vec_id"), lit(k).as("rank"), col("score"))
+          // snap per pick: pick_k references sel_{k-1} TWICE (anti-join
+          // + penalty max), so an un-checkpointed unroll doubles the
+          // plan per level — 2^8 subplans, measured 137 s at sf0.1; the
+          // 8-row checkpoint chain keeps plan depth O(1) per pick (the
+          // fixpoint discipline)
+          sel = sel.unionByName(pick).transform(GenSnap.snap)
+        }
+        sel.orderBy("rank")
+      },
+      Some {
+        val c = sqlCosine(sqlVec("e.embedding"), "q.qv")
+        val pcc = sqlCosine("ca.v", "cb.v")
+        val picks = (2 to 8).map { k =>
+          s"""pen$k AS (
+             |  SELECT pc.a AS vec_id, max(pc.ps) AS pen
+             |  FROM pc JOIN s${k - 1} s ON s.vec_id = pc.b GROUP BY pc.a),
+             |pick$k AS (
+             |  SELECT c.vec_id, $k AS rank, c.sim * 0.5 - p.pen * 0.5 AS score
+             |  FROM cand c JOIN pen$k p ON p.vec_id = c.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${k - 1})
+             |  ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+             |s$k AS (SELECT vec_id, rank, score FROM s${k - 1}
+             |        UNION ALL SELECT * FROM pick$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |cand AS MATERIALIZED (
+           |  SELECT e.vec_id, ${sqlVec("e.embedding")} AS v, $c AS sim
+           |  FROM embeddings e, q WHERE e.vec_id <> 0
+           |  ORDER BY sim DESC, vec_id ASC LIMIT 20),
+           |pc AS MATERIALIZED (
+           |  SELECT ca.vec_id AS a, cb.vec_id AS b, $pcc AS ps
+           |  FROM cand ca JOIN cand cb ON ca.vec_id <> cb.vec_id),
+           |s1 AS (SELECT vec_id, 1 AS rank, sim * 0.5 AS score
+           |       FROM cand ORDER BY sim DESC, vec_id ASC LIMIT 1),
+           |$picks
+           |SELECT vec_id, rank, score FROM s8 ORDER BY rank""".stripMargin
+      }
+    ),
+
     // ── contrastive hard-example mining (training-pair selection) ──────
     // The pair-mining stage of contrastive/metric training: for each
     // anchor, the most-similar SAME-label vector (hard positive) and
