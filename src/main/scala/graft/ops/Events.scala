@@ -1330,6 +1330,66 @@ object Events {
     // so nothing transcendental anywhere; significance is z² against
     // the χ²₁ 95% critical value 3.84). SCALE: two distinct shuffles
     // (users, converters) + a broadcast flag join + a 1-row agg.
+    // ── difference-in-differences (the quasi-experiment estimator) ─────
+    // When assignment isn't randomized per-exposure (a feature ships to
+    // arm 1 mid-month), the causal read is DiD: (post−pre) change in the
+    // treated arm minus the same change in the control arm, which nets
+    // out both the arm-level baseline difference and the common time
+    // trend. Arms are the user_id % 2 convention (evt_ab_test); the
+    // intervention date splits the fixed 30-day window in half. All
+    // sufficient statistics are EXACT: per-arm user counts and per-
+    // (arm, period) revenue totals floor-quantized to cents (the
+    // evt_cuped discipline), so only the final estimate divides — one
+    // token-identical rational expression on both engines. SCALE: one
+    // distinct-users shuffle + ONE conditional-aggregation pass over
+    // the purchase rows; the two 1-row aggregates cross-join free.
+    Q(
+      "evt_did",
+      (s, d) => {
+        val ev = eventsUs(s, d)
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val ua = ev.select(col("user_id")).distinct()
+          .agg(
+            sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+        val r = ev.filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("arm"), (col("ts") >= cut).as("post"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val ra = r.agg(
+          sum(when(!col("post") && col("arm") === 0, col("cents")).otherwise(0L)).as("pre0"),
+          sum(when(col("post") && col("arm") === 0, col("cents")).otherwise(0L)).as("post0"),
+          sum(when(!col("post") && col("arm") === 1, col("cents")).otherwise(0L)).as("pre1"),
+          sum(when(col("post") && col("arm") === 1, col("cents")).otherwise(0L)).as("post1"))
+        ra.crossJoin(ua).select(
+          col("n0"), col("n1"), col("pre0"), col("post0"), col("pre1"), col("post1"),
+          ((col("post1").cast("double") - col("pre1").cast("double")) / col("n1").cast("double")
+            - (col("post0").cast("double") - col("pre0").cast("double")) / col("n0").cast("double"))
+            .as("did_cents_per_user"))
+      },
+      Some("""WITH ua AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+             |  FROM (SELECT DISTINCT user_id FROM events)),
+             |r AS (
+             |  SELECT user_id % 2 AS arm,
+             |    (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |ra AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN NOT post AND arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS pre0,
+             |    CAST(sum(CASE WHEN post AND arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS post0,
+             |    CAST(sum(CASE WHEN NOT post AND arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS pre1,
+             |    CAST(sum(CASE WHEN post AND arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS post1
+             |  FROM r)
+             |SELECT n0, n1, pre0, post0, pre1, post1,
+             |  (CAST(post1 AS DOUBLE) - CAST(pre1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+             |    - (CAST(post0 AS DOUBLE) - CAST(pre0 AS DOUBLE)) / CAST(n0 AS DOUBLE)
+             |    AS did_cents_per_user
+             |FROM ra, ua""".stripMargin)
+    ),
+
     Q(
       "evt_ab_test",
       (s, d) => {
