@@ -717,9 +717,22 @@ object Motif {
             s"motif parse: DETACH DELETE target '$v' is not a bound node variable")
         else if (p.mainVars.contains(v))
           fail(s"motif parse: DELETE on node '$v' needs DETACH DELETE (incident edges would remain)")
-        else
+        else {
           require(p.mainEdgeVars.contains(v),
             s"motif parse: DELETE target '$v' is not a bound edge variable")
+          // ADVICE r14: the delete's survivor anti-join keys on
+          // (endpoints, rel_type) only — a predicate on the deleted
+          // edge's OWN properties (WHERE e.weight > x) would also remove
+          // parallel sibling edges between the same endpoints that the
+          // pattern did not match, diverging from Cypher; and the SQL
+          // twin shares the anti-join, so the oracle gate cannot catch
+          // it. Reject the form (the SET-statement restriction style)
+          // until the anti-join key carries the edge properties.
+          require(!referencedProps(p).exists(_.v == v),
+            s"motif parse: DELETE $v with a predicate on $v's properties is " +
+              "not supported (the survivor anti-join keys on endpoints + " +
+              "rel_type and would drop parallel sibling edges)")
+        }
         validate(p.copy(items = Seq(ColItem(PropRef(p.nodeOrder.head, "id"),
           p.nodeOrder.head))))
       case SetStmt(p, t, v) =>
