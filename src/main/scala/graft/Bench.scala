@@ -108,6 +108,32 @@ object Bench {
     * bounded time rather than record a lie. */
   private val LoadThreshold = 2.0
 
+  /** Pass-total dispersion gate (VERDICT-r14 task 4): the skew metric
+    * (mean-pass-wall / best-of-total) tolerates ONE bad pass by
+    * construction — BENCH_r14 shipped pass totals [267, 368, 296]
+    * (one pass +38%, another +11%) at skew 1.255 < 1.5, overstating
+    * the best-of total ~12% vs the judge's quiet box (whose passes
+    * agreed within 2.5%). max/min over the pass totals catches exactly
+    * that shape: a quiet warm run sits ≤ ~1.1 (pass 1 pays lazy JIT
+    * tails the warm-up already absorbed), so 1.25 is a loose-but-real
+    * ceiling; breaching it marks the measurement tainted and the
+    * existing bounded retry loop re-measures after a quiet wait. */
+  val DispersionThreshold = 1.25
+
+  /** max/min over per-pass wall totals — 1.0 when passes agree. */
+  def passDispersion(passTotals: Seq[Double]): Double =
+    if (passTotals.nonEmpty && passTotals.min > 0)
+      passTotals.max / passTotals.min
+    else 1.0
+
+  /** The taint decision, pure so BenchSpec can drive it with synthetic
+    * measurements: pre-existing load, external CPU during the window,
+    * mean-vs-best skew, or one elevated pass (dispersion) each flag. */
+  def isTainted(loadStart: Double, otherCpuCores: Double, skew: Double,
+                passTotals: Seq[Double]): Boolean =
+    loadStart > LoadThreshold || otherCpuCores > LoadThreshold ||
+      skew > 1.5 || passDispersion(passTotals) > DispersionThreshold
+
   private def awaitQuietStart(): Unit = {
     var waited = 0
     while (loadAvg1m() > LoadThreshold && waited < 180) {
@@ -166,7 +192,7 @@ object Bench {
       if (busy0 >= 0 && busy1 >= 0 && self0 >= 0 && self1 >= 0 && wallTimed > 0)
         ((busy1 - busy0) - (self1 - self0)) / hz / wallTimed
       else -1.0
-    val tainted = loadStart > LoadThreshold || otherCpuCores > LoadThreshold || skew > 1.5
+    val tainted = isTainted(loadStart, otherCpuCores, skew, passTotals)
     Measurement(results, wallTimed, passTotals, skew, otherCpuCores, loadStart, loadEnd, tainted)
   }
 
@@ -190,7 +216,7 @@ object Bench {
     // the failure signal survives and a timing tail is what gets lost.
     val errDetail = errQ.take(5).map(q => s"""\"${q.name}\":\"${q.err.get.take(80)}\"""")
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errQ.size},"errors_detail":$errDetail,"timed":${okQ.size},"attempts":$attempts,"load_start":${ms(m.loadStart)},"load_end":${ms(m.loadEnd)},"other_cpu_cores":${ms(m.otherCpuCores)},"wall_timed":${ms(m.wallTimed)},"pass_totals":[${m.passTotals.map(ms).mkString(",")}],"skew":${ms(m.skew)},"tainted":${m.tainted},"storage_mb":${m.storageMb},"storage_disk_mb":${m.storageDiskMb},"storage_ok":${m.storageMb <= StorageBudgetMb},"queries":$qjson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errQ.size},"errors_detail":$errDetail,"timed":${okQ.size},"attempts":$attempts,"load_start":${ms(m.loadStart)},"load_end":${ms(m.loadEnd)},"other_cpu_cores":${ms(m.otherCpuCores)},"wall_timed":${ms(m.wallTimed)},"pass_totals":[${m.passTotals.map(ms).mkString(",")}],"skew":${ms(m.skew)},"pass_dispersion":${ms(passDispersion(m.passTotals))},"tainted":${m.tainted},"storage_mb":${m.storageMb},"storage_disk_mb":${m.storageDiskMb},"storage_ok":${m.storageMb <= StorageBudgetMb},"queries":$qjson,"sf":"$sfDir"}"""
   }
 
   /** The render-facing slice of a measurement (storage read separately so
@@ -227,7 +253,9 @@ object Bench {
       attempts += 1
       accepted = !m.tainted || attempts >= 3
       if (!accepted) {
-        System.err.println(s"[bench] attempt $attempts tainted (skew=${ms(m.skew)}, other_cpu_cores=${ms(m.otherCpuCores)}); awaiting quiet and retrying")
+        System.err.println(s"[bench] attempt $attempts tainted (skew=${ms(m.skew)}, " +
+          s"pass_dispersion=${ms(passDispersion(m.passTotals))}, " +
+          s"other_cpu_cores=${ms(m.otherCpuCores)}); awaiting quiet and retrying")
         awaitQuietStart()
       }
     }

@@ -884,8 +884,10 @@ object PropertyGraph {
       Q("graph_pattern_create",
         (s, d) => {
           val g = supplierPartGraph(s, d)
-          val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pat_create_" +
-            s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          // staging dir registered for shutdown cleanup (ADVICE r14); the
+          // parquet write runs inside every timed bench pass by DESIGN —
+          // the write→read roundtrip is the operator being measured
+          val dir = graft.tools.Staging.dir("create", d)
           Motif.createDf(g, createAst).write.mode("overwrite").parquet(dir)
           val g2 = PropertyGraph(g.nodes,
             g.edges.unionByName(s.read.parquet(dir)))
@@ -948,8 +950,7 @@ object PropertyGraph {
       Q("graph_pattern_delete",
         (s, d) => {
           val g = supplierPartGraph(s, d)
-          val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pat_delete_" +
-            s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          val dir = graft.tools.Staging.dir("delete", d) // cleanup-registered; in-pass write is intentional
           val (n2, e2) = Motif.deleteDf(g, delAst)
           e2.write.mode("overwrite").parquet(dir)
           val g2 = PropertyGraph(n2, s.read.parquet(dir))
@@ -976,8 +977,7 @@ object PropertyGraph {
       Q("graph_pattern_detach_delete",
         (s, d) => {
           val g = supplierPartGraph(s, d)
-          val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pat_detach_" +
-            s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${ProcessHandle.current().pid()}"
+          val dir = graft.tools.Staging.dir("detach", d) // cleanup-registered; in-pass write is intentional
           val (n2, e2) = Motif.deleteDf(g, delAst)
           n2.write.mode("overwrite").parquet(s"$dir/nodes")
           e2.write.mode("overwrite").parquet(s"$dir/edges")

@@ -67,6 +67,38 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""storage_ok":true"""))
   }
 
+  test("one elevated pass self-flags via dispersion even under the skew gate") {
+    // VERDICT-r14 task 4: BENCH_r14 shipped pass totals [267.1, 368.3,
+    // 296.5] — one pass +38% — with skew 1.255 < 1.5, so the old gate
+    // passed a measurement that overstated the total ~12%. The synthetic
+    // twin of that shape must now be tainted purely on dispersion.
+    val elevated = Seq(267.1, 368.3, 296.5)
+    assert(Bench.passDispersion(elevated) > Bench.DispersionThreshold)
+    assert(Bench.isTainted(loadStart = 0.5, otherCpuCores = 0.1,
+      skew = 1.255, passTotals = elevated),
+      "the r14 one-bad-pass shape must self-flag")
+    // and the judge's quiet-box shape (passes within 2.5%) stays clean
+    val quiet = Seq(234.8, 233.1, 239.0)
+    assert(Bench.passDispersion(quiet) <= Bench.DispersionThreshold)
+    assert(!Bench.isTainted(loadStart = 0.5, otherCpuCores = 0.1,
+      skew = 1.071, passTotals = quiet))
+    // the other three triggers still fire independently
+    assert(Bench.isTainted(3.0, 0.0, 1.0, quiet), "pre-existing load")
+    assert(Bench.isTainted(0.0, 3.0, 1.0, quiet), "external CPU")
+    assert(Bench.isTainted(0.0, 0.0, 1.6, quiet), "mean-vs-best skew")
+  }
+
+  test("renderJson carries pass_dispersion for the artifact reader") {
+    val m = Measurement0(
+      results = Seq(QTime("a", 1.0, None)),
+      wallTimed = 3.0, passTotals = Seq(1.0, 1.3, 1.0), skew = 1.1,
+      otherCpuCores = 0.0, loadStart = 0.1, loadEnd = 0.2, tainted = true,
+      storageMb = 0L, storageDiskMb = 0L)
+    val json = Bench.renderJson(m, "/tmp/sf", attempts = 2)
+    assert(json.contains(""""pass_dispersion":1.300"""), json)
+    assert(json.contains(""""tainted":true"""), json)
+  }
+
   test("renderJson flags a storage-budget breach") {
     val m = Measurement0(
       results = Seq(QTime("a", 1.0, None)),
