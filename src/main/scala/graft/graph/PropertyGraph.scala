@@ -562,6 +562,161 @@ object PropertyGraph {
         .cache()
     }
 
+  // ── Louvain shared machinery (graph_louvain_one_level / _two_level) ─
+  /** One semi-synchronous Louvain half-step: every mover (one conflict-
+    * free class at a time) evaluates moving to each NEIGHBORING
+    * community and takes the strictly-positive best gain over staying.
+    * All gain comparisons are EXACT BIGINTs scaled by 2m²:
+    * gain_fp = 2m·w_vc − k_v·Σtot'_c. Self-loop rows (present in the
+    * level-2 quotient graph; absent in the bipartite level-1 graph) are
+    * excluded from w_vc — a node's internal mass moves WITH it, so it
+    * contributes to no community's link weight. Shape: one
+    * (edges ⋈ communities) equi-join + three hash aggregations per
+    * half-step, node/community-sized state, broadcast 1-row 2m. */
+  private def louvainSweep(ue: DataFrame, deg: DataFrame, twoM: DataFrame,
+      comm: DataFrame, isMover: Column => Column): DataFrame = {
+    val nc = ue.filter(isMover(col("src")) && col("src") =!= col("dst"))
+      .join(comm.select(col("id").as("dst"), col("c").as("cn")), "dst")
+      .groupBy(col("src").as("id"), col("cn")).agg(sum("w").as("wvc"))
+    val tot = comm.join(deg, "id").groupBy("c").agg(sum("k").as("totc"))
+    val base = comm.filter(isMover(col("id")))
+      .join(deg, "id").crossJoin(broadcast(twoM))
+    val cand = base
+      .join(nc, Seq("id"))
+      .join(tot.select(col("c").as("cn"), col("totc")), Seq("cn"))
+      .select(col("id"), col("c"), col("k"), col("cn"),
+        (col("m2") * col("wvc") - col("k") *
+          (col("totc") - when(col("cn") === col("c"), col("k"))
+            .otherwise(lit(0L)))).as("gain"))
+    // argmax by (gain, then smaller community id) — the struct max
+    // is lexicographic, (gain, -cn) max ⇔ gain DESC, cn ASC
+    val best = cand
+      .groupBy("id").agg(max(struct(col("gain"), (-col("cn")).as("ncn"))).as("b"))
+      .select(col("id"), col("b.gain").as("bg"), (-col("b.ncn")).as("bc"))
+    // staying gain: the own-community cand row where it exists
+    // (v has a neighbor in its community), else −k·(Σtot−k)
+    val own = cand.filter(col("cn") === col("c"))
+      .select(col("id"), col("gain").as("gown"))
+    val stay = base.join(tot, Seq("c"))
+      .join(own, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("gown"),
+          -col("k") * (col("totc") - col("k"))).as("gstay"))
+    comm
+      .join(best, Seq("id"), "left")
+      .join(stay, Seq("id"), "left") // mover rows only
+      .select(col("id"),
+        when(col("bg").isNotNull && col("gstay").isNotNull
+            && col("bg") > col("gstay"), col("bc"))
+          .otherwise(col("c")).as("c"))
+      .transform(GenSnap.snap)
+  }
+
+  /** ADVICE r14: the exact gain m2·wvc − k·totc' is unguarded Long
+    * arithmetic — at a large enough scale Spark wraps silently while
+    * the DuckDB oracle raises on BIGINT overflow. |gain| ≤ m2·max(k)
+    * (wvc ≤ k ≤ max(k), totc' ≤ m2), so pin that product under 2^55
+    * (~256× headroom below Long.MaxValue), the graph_katz_centrality
+    * margin convention. BigInt on the CHECK itself so the guard cannot
+    * be the thing that wraps. 1-row driver boundary over the node-sized
+    * degree frame. */
+  private def louvainOverflowGuard(deg: DataFrame, level: String): Unit = {
+    val r = deg.agg(sum("k").as("m2"), max("k").as("maxk")).head()
+    val (m2v, maxk) = (r.getLong(0), r.getLong(1))
+    require(BigInt(m2v) * BigInt(maxk) < (BigInt(1) << 55),
+      s"louvain $level: 2m=$m2v × max degree $maxk approaches BIGINT " +
+        "wrap in the exact gain — rescale edge weights")
+  }
+
+  private val louvainL1Memo = graft.SessionMemo[(DataFrame, DataFrame)]()
+
+  /** Level-1 Louvain state — (weighted degree (id, k), labels (id, c)) —
+    * one build per (session, dir), shared by `graph_louvain_one_level`
+    * and `graph_louvain_two_level` (which contracts exactly this
+    * partition): the persisted-partition convention of lpaLabels and
+    * the closeness/eccentricity tower. Sides of the bipartition
+    * alternate as the conflict-free mover class (part half-step, then
+    * supplier half-step, twice). */
+  private def louvainLevel1(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    louvainL1Memo.getOrCompute(s, d) {
+      val ue = weightedUndirectedEdges(s, d)
+      val deg = ue.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+        .transform(GenSnap.snap) // read by every half-step
+      louvainOverflowGuard(deg, "level-1")
+      val twoM = ue.agg(sum("w").as("m2")) // Σ over both directions = 2m
+      var comm = deg.select(col("id"), col("id").as("c"))
+      for (h <- 1 to 4) {
+        val moverIsPart = h % 2 == 1 // parts first, sides alternate
+        comm = louvainSweep(ue, deg, twoM, comm,
+          idCol => (idCol >= PartIdOffset) === lit(moverIsPart))
+      }
+      (deg, comm.cache())
+    }
+
+  /** One Louvain half-step as chained CTEs — the oracle twin of
+    * [[louvainSweep]], shared by both levels: reads communities `$prev`
+    * (id, c), edges `$ue` (src, dst, w), degrees `$deg` (id, k) and the
+    * 1-row `m` (m2); emits `$out` (id, c). */
+  private def sqlLouvainSweep(prev: String, out: String,
+      moverCond: String => String, ue: String, deg: String): String =
+    s"""nc_$out AS (
+       |  SELECT ue.src AS id, p.c AS cn, CAST(sum(ue.w) AS BIGINT) AS wvc
+       |  FROM $ue ue JOIN $prev p ON p.id = ue.dst
+       |  WHERE ${moverCond("ue.src")} AND ue.src <> ue.dst GROUP BY 1, 2),
+       |tot_$out AS (
+       |  SELECT c, CAST(sum(k) AS BIGINT) AS totc
+       |  FROM $prev JOIN $deg USING (id) GROUP BY c),
+       |cand_$out AS MATERIALIZED (
+       |  SELECT b.id, b.c, b.k, nc.cn,
+       |    m.m2 * nc.wvc
+       |      - b.k * (tot.totc - CASE WHEN nc.cn = b.c THEN b.k ELSE 0 END) AS gain
+       |  FROM (SELECT p.id, p.c, d.k FROM $prev p JOIN $deg d USING (id)
+       |        WHERE ${moverCond("p.id")}) b
+       |  JOIN nc_$out nc ON nc.id = b.id
+       |  JOIN tot_$out tot ON tot.c = nc.cn
+       |  CROSS JOIN m),
+       |best_$out AS (
+       |  SELECT id, gain AS bg, cn AS bc FROM (
+       |    SELECT id, gain, cn,
+       |      row_number() OVER (PARTITION BY id ORDER BY gain DESC, cn ASC) AS rk
+       |    FROM cand_$out) WHERE rk = 1),
+       |stay_$out AS (
+       |  SELECT b.id, coalesce(own.gain, -b.k * (tot.totc - b.k)) AS gstay
+       |  FROM (SELECT p.id, p.c, d.k FROM $prev p JOIN $deg d USING (id)
+       |        WHERE ${moverCond("p.id")}) b
+       |  JOIN tot_$out tot ON tot.c = b.c
+       |  LEFT JOIN (SELECT id, gain FROM cand_$out WHERE cn = c) own
+       |    ON own.id = b.id),
+       |$out AS MATERIALIZED (
+       |  SELECT p.id,
+       |    CASE WHEN b.bg IS NOT NULL AND st.gstay IS NOT NULL
+       |              AND b.bg > st.gstay
+       |         THEN b.bc ELSE p.c END AS c
+       |  FROM $prev p
+       |  LEFT JOIN best_$out b ON b.id = p.id
+       |  LEFT JOIN stay_$out st ON st.id = p.id)""".stripMargin
+
+  /** The shared level-1 oracle prefix: e0/ue/deg/m/c0 + the four
+    * bipartite half-steps, ending at labels CTE `c4` (id, c). */
+  private def sqlLouvainL1Ctes: String = {
+    val sweeps = (1 to 4).map { k =>
+      val moverIsPart = k % 2 == 1
+      def moverCond(id: String) =
+        if (moverIsPart) s"$id >= $PartIdOffset" else s"$id < $PartIdOffset"
+      sqlLouvainSweep(s"c${k - 1}", s"c$k", moverCond, "ue", "deg")
+    }.mkString(",\n")
+    s"""e0 AS (
+       |  SELECT l_suppkey AS a, l_partkey + $PartIdOffset AS b,
+       |    CAST(min(l_quantity) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |ue AS (SELECT a AS src, b AS dst, w FROM e0
+       |       UNION ALL SELECT b, a, w FROM e0),
+       |deg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM ue GROUP BY src),
+       |m AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ue),
+       |c0 AS (SELECT id, id AS c FROM deg),
+       |$sweeps""".stripMargin
+  }
+
   private val sigmaMemo = graft.SessionMemo[DataFrame]()
 
   /** The σ tower (multi-source BFS distances + shortest-path counts for
@@ -1618,109 +1773,72 @@ object PropertyGraph {
     // own community trivially).
     Q(
       "graph_louvain_one_level",
+      (s, d) => louvainLevel1(s, d)._2
+        .select(col("id"), col("c").as("community")).orderBy("id"),
+      Some(s"""WITH ${sqlLouvainL1Ctes}
+              |SELECT id, c AS community FROM c4 ORDER BY id""".stripMargin)
+    ),
+
+    // ── Louvain level-2 (contract and sweep again) ─────────────────────
+    // VERDICT-r14 task 2 — the step that makes Louvain HIERARCHICAL
+    // (Blondel et al. 2008 §2): aggregate the level-1 communities into a
+    // weighted quotient graph — community nodes, summed edge weights,
+    // self-loops carrying the intra-community mass (each undirected
+    // intra edge contributes both directions, so the self-loop weight is
+    // 2·w_in and quotient degrees/2m are EXACTLY preserved) — then run
+    // the same exact-BIGINT half-step machinery one level up. The
+    // bipartition is gone after contraction, so the conflict-free mover
+    // class becomes community-id PARITY (sweeps alternate odd/even ids,
+    // two opportunities per side — the general distributed-Louvain
+    // coloring heuristic; Round15Spec pins the resulting modularity
+    // strictly above level-1's, the ascent-pin convention). Self-loops
+    // are excluded from w_vc inside the sweep (a community's internal
+    // mass moves WITH it); the overflow guard re-checks at quotient
+    // degrees, which are strictly larger. Output maps every ORIGINAL
+    // node through both levels. SCALE: the quotient graph is
+    // community-sized — strictly smaller than level 1's input — and the
+    // contraction itself is one (edges ⋈ labels ⋈ labels) equi-join +
+    // one hash aggregation, the graph_scc_condensation shape.
+    Q(
+      "graph_louvain_two_level",
       (s, d) => {
-        val ue = weightedUndirectedEdges(s, d) // (src, dst, w), both directions
-        val deg = ue.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+        val (deg1, c1) = louvainLevel1(s, d)
+        val ue = weightedUndirectedEdges(s, d)
+        val qe = ue
+          .join(c1.select(col("id").as("src"), col("c").as("cs")), "src")
+          .join(c1.select(col("id").as("dst"), col("c").as("cd")), "dst")
+          .groupBy(col("cs").as("src"), col("cd").as("dst"))
+          .agg(sum("w").as("w"))
           .transform(GenSnap.snap) // read by every half-step
-        val twoM = ue.agg(sum("w").as("m2")) // Σ over both directions = 2m
-        var comm = deg.select(col("id"), col("id").as("c"))
+        val qdeg = qe.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+          .transform(GenSnap.snap)
+        louvainOverflowGuard(qdeg, "level-2")
+        val twoM = qe.agg(sum("w").as("m2")) // = level-1 2m exactly
+        var comm = qdeg.select(col("id"), col("id").as("c"))
         for (h <- 1 to 4) {
-          val moverIsPart = h % 2 == 1 // parts first, sides alternate
-          def isMover(idCol: Column): Column =
-            (idCol >= PartIdOffset) === lit(moverIsPart)
-          // the gain machinery only matters for this half-step's movers —
-          // restricting nc/base halves each half-step's join volume
-          val nc = ue.filter(isMover(col("src")))
-            .join(comm.select(col("id").as("dst"), col("c").as("cn")), "dst")
-            .groupBy(col("src").as("id"), col("cn")).agg(sum("w").as("wvc"))
-          val tot = comm.join(deg, "id").groupBy("c").agg(sum("k").as("totc"))
-          val base = comm.filter(isMover(col("id")))
-            .join(deg, "id").crossJoin(broadcast(twoM))
-          val cand = base
-            .join(nc, Seq("id"))
-            .join(tot.select(col("c").as("cn"), col("totc")), Seq("cn"))
-            .select(col("id"), col("c"), col("k"), col("cn"),
-              (col("m2") * col("wvc") - col("k") *
-                (col("totc") - when(col("cn") === col("c"), col("k"))
-                  .otherwise(lit(0L)))).as("gain"))
-          // argmax by (gain, then smaller community id) — the struct max
-          // is lexicographic, (gain, -cn) max ⇔ gain DESC, cn ASC
-          val best = cand
-            .groupBy("id").agg(max(struct(col("gain"), (-col("cn")).as("ncn"))).as("b"))
-            .select(col("id"), col("b.gain").as("bg"), (-col("b.ncn")).as("bc"))
-          // staying gain: the own-community cand row where it exists
-          // (v has a neighbor in its community), else −k·(Σtot−k)
-          val own = cand.filter(col("cn") === col("c"))
-            .select(col("id"), col("gain").as("gown"))
-          val stay = base.join(tot, Seq("c"))
-            .join(own, Seq("id"), "left")
-            .select(col("id"),
-              coalesce(col("gown"),
-                -col("k") * (col("totc") - col("k"))).as("gstay"))
-          comm = comm
-            .join(best, Seq("id"), "left")
-            .join(stay, Seq("id"), "left") // mover rows only
-            .select(col("id"),
-              when(col("bg").isNotNull && col("gstay").isNotNull
-                  && col("bg") > col("gstay"), col("bc"))
-                .otherwise(col("c")).as("c"))
-            .transform(GenSnap.snap)
+          val parity = h % 2 // odd ids first, sides alternate
+          comm = louvainSweep(qe, qdeg, twoM, comm,
+            idCol => idCol % 2 === lit(parity.toLong))
         }
-        comm.select(col("id"), col("c").as("community")).orderBy("id")
+        c1.join(comm.select(col("id").as("c"), col("c").as("community")), "c")
+          .select(col("id"), col("community")).orderBy("id")
       },
       Some {
         val sweeps = (1 to 4).map { k =>
-          val moverIsPart = k % 2 == 1
-          def moverCond(id: String) =
-            if (moverIsPart) s"$id >= $PartIdOffset" else s"$id < $PartIdOffset"
-          s"""nc$k AS (
-             |  SELECT ue.src AS id, p.c AS cn, CAST(sum(ue.w) AS BIGINT) AS wvc
-             |  FROM ue JOIN c${k - 1} p ON p.id = ue.dst
-             |  WHERE ${moverCond("ue.src")} GROUP BY 1, 2),
-             |tot$k AS (
-             |  SELECT c, CAST(sum(k) AS BIGINT) AS totc
-             |  FROM c${k - 1} JOIN deg USING (id) GROUP BY c),
-             |cand$k AS MATERIALIZED (
-             |  SELECT b.id, b.c, b.k, nc.cn,
-             |    m.m2 * nc.wvc
-             |      - b.k * (tot.totc - CASE WHEN nc.cn = b.c THEN b.k ELSE 0 END) AS gain
-             |  FROM (SELECT p.id, p.c, deg.k FROM c${k - 1} p JOIN deg USING (id)
-             |        WHERE ${moverCond("p.id")}) b
-             |  JOIN nc$k nc ON nc.id = b.id
-             |  JOIN tot$k tot ON tot.c = nc.cn
-             |  CROSS JOIN m),
-             |best$k AS (
-             |  SELECT id, gain AS bg, cn AS bc FROM (
-             |    SELECT id, gain, cn,
-             |      row_number() OVER (PARTITION BY id ORDER BY gain DESC, cn ASC) AS rk
-             |    FROM cand$k) WHERE rk = 1),
-             |stay$k AS (
-             |  SELECT b.id, coalesce(own.gain, -b.k * (tot.totc - b.k)) AS gstay
-             |  FROM (SELECT p.id, p.c, deg.k FROM c${k - 1} p JOIN deg USING (id)
-             |        WHERE ${moverCond("p.id")}) b
-             |  JOIN tot$k tot ON tot.c = b.c
-             |  LEFT JOIN (SELECT id, gain FROM cand$k WHERE cn = c) own
-             |    ON own.id = b.id),
-             |c$k AS MATERIALIZED (
-             |  SELECT p.id,
-             |    CASE WHEN b.bg IS NOT NULL AND st.gstay IS NOT NULL
-             |              AND b.bg > st.gstay
-             |         THEN b.bc ELSE p.c END AS c
-             |  FROM c${k - 1} p
-             |  LEFT JOIN best$k b ON b.id = p.id
-             |  LEFT JOIN stay$k st ON st.id = p.id)""".stripMargin
+          val parity = k % 2
+          sqlLouvainSweep(s"d${k - 1}", s"d$k",
+            id => s"$id % 2 = $parity", "qe", "qdeg")
         }.mkString(",\n")
-        s"""WITH e0 AS (
-           |  SELECT l_suppkey AS a, l_partkey + $PartIdOffset AS b,
-           |    CAST(min(l_quantity) AS BIGINT) AS w
-           |  FROM lineitem GROUP BY 1, 2),
-           |ue AS (SELECT a AS src, b AS dst, w FROM e0
-           |       UNION ALL SELECT b, a, w FROM e0),
-           |deg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM ue GROUP BY src),
-           |m AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ue),
-           |c0 AS (SELECT id, id AS c FROM deg),
+        s"""WITH ${sqlLouvainL1Ctes},
+           |qe AS MATERIALIZED (
+           |  SELECT cs.c AS src, cd.c AS dst, CAST(sum(ue.w) AS BIGINT) AS w
+           |  FROM ue JOIN c4 cs ON cs.id = ue.src JOIN c4 cd ON cd.id = ue.dst
+           |  GROUP BY 1, 2),
+           |qdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM qe GROUP BY src),
+           |d0 AS (SELECT id, id AS c FROM qdeg),
            |$sweeps
-           |SELECT id, c AS community FROM c4 ORDER BY id""".stripMargin
+           |SELECT c4.id, d4.c AS community FROM c4 JOIN d4 ON d4.id = c4.c
+           |ORDER BY c4.id""".stripMargin
       }
     ),
 

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: Louvain level-2 must genuinely ASCEND modularity over
+  * the level-1 partition it contracts (VERDICT-r14 task 2 — the
+  * Round14Spec ascent-pin convention, one level up). */
+class Round15Spec extends SparkSpec {
+
+  // Q·(2m)² = Σ_c (2m·in2_c − tot_c²) over the ORIGINAL weighted graph,
+  // in2 counting both directions — exact BigInt throughout (the
+  // graph_modularity convention), so the comparison carries no float.
+  private def qfp(cm: org.apache.spark.sql.DataFrame): BigInt = {
+    val ue = graph.PropertyGraph.weightedUndirectedEdges(spark, sf)
+    val m2 = ue.agg(sum("w")).head().getLong(0)
+    val deg = ue.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+    val in2 = ue
+      .join(cm.select(col("id").as("src"), col("c").as("cs")), "src")
+      .join(cm.select(col("id").as("dst"), col("c").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("c")).agg(sum("w").as("in2"))
+    val tot = cm.join(deg, "id").groupBy("c").agg(sum("k").as("tot"))
+    tot.join(in2, Seq("c"), "left")
+      .select((lit(m2) * coalesce(col("in2"), lit(0L))
+        - col("tot") * col("tot")).as("contrib"))
+      .collect().map(r => BigInt(r.getLong(0))).sum
+  }
+
+  test("Louvain level-2 strictly ascends modularity over level-1") {
+    val l1 = SparkEntry.queries("graph_louvain_one_level")(spark, sf)
+      .select(col("id"), col("community").as("c"))
+    val l2 = SparkEntry.queries("graph_louvain_two_level")(spark, sf)
+      .select(col("id"), col("community").as("c"))
+    val (q1, q2) = (qfp(l1), qfp(l2))
+    info(s"Qfp level1=$q1 level2=$q2")
+    assert(q2 > q1,
+      "contract-and-sweep must strictly improve exact modularity — the " +
+        "parity mover classes are oscillating instead of ascending")
+  }
+
+  test("level-2 is a coarsening of level-1 (communities only merge)") {
+    val l1 = SparkEntry.queries("graph_louvain_one_level")(spark, sf)
+      .select(col("id"), col("community").as("c1"))
+    val l2 = SparkEntry.queries("graph_louvain_two_level")(spark, sf)
+      .select(col("id"), col("community").as("c2"))
+    // every level-1 community maps to exactly ONE level-2 community
+    val fanout = l1.join(l2, "id").select("c1", "c2").distinct()
+      .groupBy("c1").count().filter(col("count") > 1).count()
+    assert(fanout == 0, "a level-1 community split across level-2 labels")
+    val n1 = l1.select("c1").distinct().count()
+    val n2 = l2.select("c2").distinct().count()
+    info(s"communities: level1=$n1 level2=$n2")
+    assert(n2 < n1, "level 2 should merge at least one pair of communities")
+  }
+}
