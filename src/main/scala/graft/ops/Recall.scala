@@ -22,6 +22,7 @@ import org.apache.spark.sql.graft.GenSnap
 object Recall {
 
   private val Methods = Seq(
+    "graph" -> "ann_graph_search",
     "ivf" -> "ann_ivf_topk",
     "ivfpq" -> "ann_ivfpq_topk",
     "lsh" -> "ann_lsh_topk",

@@ -38,6 +38,45 @@ class Round15Spec extends SparkSpec {
         "parity mover classes are oscillating instead of ascending")
   }
 
+  // ── ann_graph_search (VERDICT-r14 task 1) ───────────────────────────
+  test("graph beam search: recall ≥ the IVF tier, convergence probed, no cartesian hops") {
+    val report = SparkEntry.queries("ann_recall_report")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    info(s"recall hits: $report")
+    assert(report.contains("graph"), "recall report must gain the graph row")
+    assert(report("graph") >= report("ivf"),
+      s"graph-search recall ${report("graph")} fell below IVF ${report("ivf")}")
+    // convergence: the in-kernel require drained and recorded hop usage
+    val (used, bound) = tools.BoundProbe.maxUsed("graph_beam_search")
+      .getOrElse(fail("no BoundProbe record — instrumentation unplugged?"))
+    info(s"beam search used $used of $bound hops")
+    assert(used < bound, "no trailing empty hop — the unroll truncated the search")
+    // each hop must be candidate-sized equi-join work: a cartesian
+    // product anywhere means a corpus-wide rescore crept in (the 1-row
+    // broadcast query join is a BroadcastNestedLoopJoin by design, like
+    // ann_bruteforce_topk; CartesianProduct is the forbidden shape)
+    val df = SparkEntry.queries("ann_graph_search")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"beam search planned a cartesian product:\n$plan")
+  }
+
+  test("the search index is a session artifact: second call reuses the memo") {
+    // identity, not job counting (AQE fans each per-hop snap into
+    // several jobs, so counts are a noisy proxy): the memo must hand
+    // back the SAME cached corpus/adjacency frames, and the executed
+    // search must read them as in-memory scans rather than re-running
+    // the 4 descent rounds (the closeness/eccentricity tower pin).
+    val i1 = ops.Vector.nnSearchIndex(spark, sf)
+    val i2 = ops.Vector.nnSearchIndex(spark, sf)
+    assert((i1._1 eq i2._1) && (i1._3 eq i2._3),
+      "nnSearchIndex must memoize per (session, dir)")
+    // (the final executed plan reads the last per-hop checkpoint, so the
+    // index's InMemoryTableScans live in the upstream hop jobs — the
+    // identity pin above is the load-bearing check)
+  }
+
   test("level-2 is a coarsening of level-1 (communities only merge)") {
     val l1 = SparkEntry.queries("graph_louvain_one_level")(spark, sf)
       .select(col("id"), col("community").as("c1"))

@@ -40,7 +40,8 @@ class Sf01BoundsSpec extends SparkSpec {
     ("mst_boruvka",      "graph_mst_boruvka",     2),
     ("temporal_reach",   "graph_temporal_reach",  6),
     ("kcore_peel",       "dedup_kcore",           2),
-    ("ktruss_peel",      "dedup_ktruss",          2))
+    ("ktruss_peel",      "dedup_ktruss",          2),
+    ("graph_beam_search", "ann_graph_search",     2))
 
   test("every bounded kernel drains at sf0.1 with documented margin") {
     // ADVICE r14: BoundProbe is a process-global max-used merge — another
