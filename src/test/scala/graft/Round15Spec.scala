@@ -77,6 +77,29 @@ class Round15Spec extends SparkSpec {
     // identity pin above is the load-bearing check)
   }
 
+  // ── text_dedup_spans (VERDICT-r14 task 3) ───────────────────────────
+  test("dup-span removal shrinks template docs and passes unique docs byte-identical") {
+    val res = SparkEntry.queries("text_dedup_spans")(spark, sf)
+    val covg = SparkEntry.queries("text_dup_span_coverage")(spark, sf)
+      .select(col("doc_id"), col("dup_spans"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"))
+    val j = res.join(covg, "doc_id").join(docs, "doc_id").cache()
+    // every doc with zero corpus-duplicated spans survives BYTE-EXACT
+    val mutatedClean = j.filter(col("dup_spans") === 0 &&
+      (col("clean_md5") =!= col("orig_md5") ||
+        col("kept_tokens") =!= col("n_tokens"))).count()
+    assert(mutatedClean == 0, "a unique doc was rewritten")
+    // every doc with dup spans loses at least the covered tokens
+    val unshrunk = j.filter(col("dup_spans") > 0 &&
+      col("kept_tokens") >= col("n_tokens")).count()
+    assert(unshrunk == 0, "a template-family doc failed to shrink")
+    val shrunk = j.filter(col("kept_tokens") < col("n_tokens")).count()
+    info(s"${shrunk} of ${j.count()} docs shrank")
+    assert(shrunk > 0, "fixture should contain template families")
+    j.unpersist()
+  }
+
   test("level-2 is a coarsening of level-1 (communities only merge)") {
     val l1 = SparkEntry.queries("graph_louvain_one_level")(spark, sf)
       .select(col("id"), col("community").as("c1"))
