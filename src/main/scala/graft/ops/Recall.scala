@@ -28,6 +28,7 @@ object Recall {
     "lsh" -> "ann_lsh_topk",
     "pq" -> "ann_pq_topk",
     "prefix" -> "ann_prefix_rerank",
+    "rq" -> "ann_rq_topk",
     "sq8" -> "ann_sq8_topk")
 
   private lazy val fns =

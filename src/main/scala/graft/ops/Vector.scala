@@ -1328,6 +1328,151 @@ object Vector {
       }
     ),
 
+    // ── residual quantization: coarse + residual-PQ (IVFADC shape) ─────
+    // VERDICT-r14 task 6 — the refinement step production FAISS runs
+    // between IVF and PQ: encode each vector's RESIDUAL against its
+    // coarse centroid instead of the raw vector, so the PQ codebooks
+    // spend their 16 entries on the (much smaller) residual cloud.
+    // Fully deterministic two-level pipeline: (1) unit-normalize (the
+    // SQ8 convention — quantized-L2 order then targets the cosine
+    // ranking the tiers are graded against); (2) coarse codebook = the
+    // 16 detHash-first picks (the initCentroids convention), c1 =
+    // full-vector L2 argmin; (3) residual codebook = the RESIDUALS of
+    // picks 17..32 encoded against the coarse book, per-subspace argmin
+    // over 8 dims × 16 entries (the PQ shape); (4) asymmetric distance
+    // Σ_m ‖q_m − (C1[c1]_m + C2[c2_m]_m)‖². Everything is +,−,×,
+    // strict-< argmins with ascending-index tie order — the oracle
+    // replays codebook construction, both encodes, and the scoring
+    // bit-for-bit. Recall beats raw PQ (residuals ARE smaller — pinned
+    // in Round15Spec via ann_recall_report's new rq row). SCALE: the
+    // two codebooks are 32 rows total (broadcast literals); the corpus
+    // is scanned once with a narrow per-row encode — at 100 TB the
+    // codes persist as INT columns and scoring touches only the 8-byte
+    // codes, the IVFADC serving shape.
+    Q(
+      "ann_rq_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val eu = e.select(col("vec_id"), vec(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+          .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+        val pk = eu.withColumn("rn", row_number().over(
+          Window.orderBy(Tables.detHash(col("vec_id")), col("vec_id"))))
+          .filter(col("rn") <= 32)
+        // full-vector ‖a−b‖² (left-to-right over the 64 dims)
+        def l2full(a: Column, b: Column): Column =
+          seqSum(transform(sequence(lit(1), lit(64)), i => {
+            val dd = element_at(a, i.cast("int")) - element_at(b, i.cast("int"))
+            dd * dd
+          }))
+        // ‖a_m − b_m‖² over subspace m (dims m·8+1 .. m·8+8)
+        def l2sub(a: Column, b: Column, m: Column): Column =
+          seqSum(transform(sequence(lit(1), lit(8)), i => {
+            val ix = (m * 8 + i).cast("int")
+            val dd = element_at(a, ix) - element_at(b, ix)
+            dd * dd
+          }))
+        def argmin16(dist: Column => Column): Column =
+          array_min(transform(sequence(lit(1), lit(16)), ci =>
+            struct(dist(ci).as("dist"), ci.as("ci")))).getField("ci")
+        val cb1 = pk.filter(col("rn") <= 16)
+          .select(col("vec_id").as("cid"), col("u").as("cv"))
+          .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb1"))
+        def coarse(u: Column, cb: Column): Column =
+          argmin16(ci => l2full(u, element_at(cb, ci.cast("int")).getField("cv")))
+        val res = pk.filter(col("rn") > 16)
+          .crossJoin(broadcast(cb1))
+          .withColumn("c1", coarse(col("u"), col("cb1")))
+          .select(col("vec_id").as("cid"),
+            transform(sequence(lit(1), lit(64)), i =>
+              element_at(col("u"), i.cast("int")) -
+                element_at(element_at(col("cb1"), col("c1").cast("int"))
+                  .getField("cv"), i.cast("int"))).as("cv"))
+        val cb2 = res
+          .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb2"))
+        val q = eu.filter(col("vec_id") === 0L).select(col("u").as("qu"))
+        eu.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(cb1)).crossJoin(broadcast(cb2))
+          .crossJoin(broadcast(q))
+          .withColumn("c1", coarse(col("u"), col("cb1")))
+          .withColumn("cv1",
+            element_at(col("cb1"), col("c1").cast("int")).getField("cv"))
+          .withColumn("r", transform(sequence(lit(1), lit(64)), i =>
+            element_at(col("u"), i.cast("int")) -
+              element_at(col("cv1"), i.cast("int"))))
+          .withColumn("codes", transform(sequence(lit(0), lit(7)), m =>
+            argmin16(ci => l2sub(col("r"),
+              element_at(col("cb2"), ci.cast("int")).getField("cv"), m))))
+          .select(col("vec_id"),
+            seqSum(transform(sequence(lit(0), lit(7)), m => {
+              val c2v = element_at(col("cb2"),
+                element_at(col("codes"), (m + 1).cast("int")).cast("int"))
+                .getField("cv")
+              seqSum(transform(sequence(lit(1), lit(8)), i => {
+                val ix = (m * 8 + i).cast("int")
+                val dd = element_at(col("qu"), ix) -
+                  element_at(col("cv1"), ix) - element_at(c2v, ix)
+                dd * dd
+              }))
+            })).as("adist"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val l2full = (a: String, b: String) => sqlSeqSum(
+          s"list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
+        val l2sub = (a: String, b: String) => sqlSeqSum(
+          s"list_transform(range(1, 9), i -> " +
+            s"($a[m * 8 + i] - $b[m * 8 + i]) * ($a[m * 8 + i] - $b[m * 8 + i]))")
+        val argmin16 = (body: String) =>
+          s"""list_reduce(
+             |        list_transform(range(1, 17), ci -> struct_pack(
+             |          dist := $body,
+             |          ci := ci)),
+             |        (a, b) -> CASE WHEN b.dist < a.dist THEN b ELSE a END).ci""".stripMargin
+        s"""WITH eu AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    list_transform(v, x -> x / nrm) AS u
+           |  FROM (SELECT vec_id, ${sqlVec("embedding")} AS v,
+           |          ${sqlNorm(sqlVec("embedding"))} AS nrm FROM embeddings)),
+           |pk AS (SELECT vec_id, u,
+           |         row_number() OVER (ORDER BY ${Tables.detHashSql("vec_id")}, vec_id) AS rn
+           |       FROM eu),
+           |cb1t AS (SELECT list(struct_pack(cid := vec_id, cv := u) ORDER BY vec_id) AS cb1
+           |         FROM pk WHERE rn <= 16),
+           |res AS (
+           |  SELECT vec_id AS cid,
+           |    list_transform(range(1, 65), i -> u[i] - cb1[c1].cv[i]) AS cv
+           |  FROM (SELECT p.vec_id, p.u, cb1t.cb1,
+           |          ${argmin16(l2full("p.u", "cb1[ci].cv"))} AS c1
+           |        FROM pk p, cb1t WHERE p.rn > 16 AND p.rn <= 32)),
+           |cb2t AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid) AS cb2
+           |         FROM res),
+           |q AS (SELECT u AS qu FROM eu WHERE vec_id = 0),
+           |enc1 AS (
+           |  SELECT e.vec_id, e.u, cb1t.cb1, cb2t.cb2, q.qu,
+           |    ${argmin16(l2full("e.u", "cb1[ci].cv"))} AS c1
+           |  FROM eu e, cb1t, cb2t, q WHERE e.vec_id <> 0),
+           |enc2 AS (
+           |  SELECT vec_id, cb2, qu, cb1[c1].cv AS cv1,
+           |    list_transform(range(1, 65), i -> u[i] - cb1[c1].cv[i]) AS r
+           |  FROM enc1),
+           |enc3 AS (
+           |  SELECT vec_id, cb2, qu, cv1,
+           |    list_transform(range(0, 8), m ->
+           |      ${argmin16(l2sub("r", "cb2[ci].cv"))}) AS codes
+           |  FROM enc2)
+           |SELECT vec_id,
+           |  ${sqlSeqSum(
+              "list_transform(range(0, 8), m -> " + sqlSeqSum(
+                "list_transform(range(1, 9), i -> " +
+                  "(qu[m * 8 + i] - cv1[m * 8 + i] - cb2[codes[m + 1]].cv[m * 8 + i]) * " +
+                  "(qu[m * 8 + i] - cv1[m * 8 + i] - cb2[codes[m + 1]].cv[m * 8 + i]))") + ")")} AS adist
+           |FROM enc3
+           |ORDER BY adist ASC, vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
     // ── prefix-dimension re-rank (Matryoshka-style progressive ANN) ────
     // Stage 1 ranks by cosine over the FIRST 32 of 64 dims (half the
     // arithmetic and — at scale, with a materialized prefix column — half
