@@ -36,6 +36,19 @@ object Recall {
   private lazy val sqls =
     Q.oracleMap(Vector.queries) ++ Q.oracleMap(graft.cluster.KMeans.queries)
 
+  /** (method, query, score column, ascending?) — each tier's OWN final
+    * ordering, re-derived as an explicit rank for the MRR terms. */
+  private val MrrMethods: Seq[(String, String, String, Boolean)] = Seq(
+    ("bruteforce", "ann_bruteforce_topk", "sim", false),
+    ("graph", "ann_graph_search", "sim", false),
+    ("ivf", "ann_ivf_topk", "sim", false),
+    ("ivfpq", "ann_ivfpq_topk", "sim", false),
+    ("lsh", "ann_lsh_topk", "sim", false),
+    ("pq", "ann_pq_topk", "adist", true),
+    ("prefix", "ann_prefix_rerank", "sim", false),
+    ("rq", "ann_rq_topk", "adist", true),
+    ("sq8", "ann_sq8_topk", "qdist", true))
+
   val queries: Seq[Q] = Seq(
     Q(
       "ann_recall_report",
@@ -71,6 +84,73 @@ object Recall {
            |SELECT method, hits, CAST(hits AS DOUBLE) / 10.0 AS recall_at_10
            |FROM ($rows)
            |ORDER BY method""".stripMargin
+      }
+    ),
+
+    // ── per-anchor retrieval eval: MRR terms, hash-exact ───────────────
+    // VERDICT-r14 task 7: the recall report grades top-k HIT RATE; RAG
+    // stacks tune on rank-position metrics. Per method: re-derive its
+    // own deterministic ranking as an explicit rank, join against the
+    // exact top-10 truth, and emit EXACT INTEGER rank terms (the RRF
+    // floor convention, 1e12 grid): rr_fp = 1e12 // first_hit_rank (the
+    // MRR term for this query) and rrsum_fp = Σ_hits 1e12 // rank (the
+    // reciprocal-rank mass — how early the whole relevant set sits).
+    // Methods come out RANKED by rr_fp. The oracle recomputes every
+    // method end-to-end (its own green SQL embedded) plus the ranking
+    // window — nothing is pinned. bruteforce rides along as the
+    // sanity ceiling (rr_fp = 1e12, rrsum = Σ 1e12/k exactly). Cost:
+    // each side is ≤ 20 rows beyond the methods' own benched plans.
+    Q(
+      "ann_mrr_report",
+      (s, d) => {
+        val truth = fns("ann_bruteforce_topk")(s, d)
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+          .select(col("vec_id"))
+          .transform(GenSnap.snap)
+        MrrMethods.map { case (m, qn, score, asc) =>
+          val ord =
+            if (asc) Seq(col(score).asc, col("vec_id").asc)
+            else Seq(col(score).desc, col("vec_id").asc)
+          fns(qn)(s, d)
+            .withColumn("mrank", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+            .select(col("vec_id"), col("mrank"))
+            .join(truth, "vec_id")
+            .agg(count(lit(1)).as("hits"),
+              coalesce(min("mrank"), lit(0)).as("fr"),
+              coalesce(sum(expr("1000000000000 DIV mrank")), lit(0L)).as("rrsum_fp"))
+            .select(lit(m).as("method"), col("hits"),
+              col("fr").cast("int").as("first_hit_rank"),
+              when(col("fr") > 0, expr("1000000000000 DIV fr"))
+                .otherwise(lit(0L)).as("rr_fp"),
+              col("rrsum_fp"))
+        }.reduce(_ union _)
+          .orderBy(col("rr_fp").desc, col("rrsum_fp").desc, col("method"))
+      },
+      Some {
+        val truth =
+          s"""truth AS (
+             |  SELECT vec_id FROM (
+             |${sqls("ann_bruteforce_topk")}
+             |  ) ORDER BY sim DESC, vec_id ASC LIMIT 10)""".stripMargin
+        val rows = MrrMethods.map { case (m, qn, score, asc) =>
+          val ord = s"$score ${if (asc) "ASC" else "DESC"}, vec_id ASC"
+          s"""SELECT '$m' AS method, hits, first_hit_rank,
+             |  CAST(CASE WHEN first_hit_rank > 0
+             |       THEN 1000000000000 // first_hit_rank ELSE 0 END AS BIGINT) AS rr_fp,
+             |  rrsum_fp
+             |FROM (
+             |  SELECT CAST(count(*) AS BIGINT) AS hits,
+             |    CAST(coalesce(min(mrank), 0) AS INT) AS first_hit_rank,
+             |    CAST(coalesce(sum(1000000000000 // mrank), 0) AS BIGINT) AS rrsum_fp
+             |  FROM (SELECT vec_id, row_number() OVER (ORDER BY $ord) AS mrank
+             |        FROM (
+             |${sqls(qn)}
+             |        )) mq JOIN truth USING (vec_id))""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $truth
+           |SELECT * FROM ($rows)
+           |ORDER BY rr_fp DESC, rrsum_fp DESC, method""".stripMargin
       }
     )
   )
