@@ -1356,9 +1356,12 @@ object Vector {
         val eu = e.select(col("vec_id"), vec(col("embedding")).as("v"))
           .withColumn("nrm", l2norm(col("v")))
           .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-        val pk = eu.withColumn("rn", row_number().over(
-          Window.orderBy(Tables.detHash(col("vec_id")), col("vec_id"))))
-          .filter(col("rn") <= 32)
+        // limit-then-rank (the initCentroids TakeOrderedAndProject
+        // shape): the 32 picks are cut with orderBy+limit so the rank
+        // window runs over 32 rows, never the corpus (PlanSpec sweep)
+        val pk = eu.orderBy(Tables.detHash(col("vec_id")), col("vec_id")).limit(32)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(Tables.detHash(col("vec_id")), col("vec_id"))))
         // full-vector ‖a−b‖² (left-to-right over the 64 dims)
         def l2full(a: Column, b: Column): Column =
           seqSum(transform(sequence(lit(1), lit(64)), i => {
