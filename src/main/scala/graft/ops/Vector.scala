@@ -380,6 +380,183 @@ object Vector {
       .limit(10)
   }
 
+  // ── residual-quantization kernel (benched path of ann_rq_topk) ──────
+  final case class RqScore(vec_id: Long, adist: Double)
+
+  /** RQ encode + asymmetric-distance scoring as a typed per-partition
+    * kernel (the pqTopk convention — the interpreted HOF form measured
+    * 5.2 s at sf0.1, the kernel < 1 s): the 32 unit-normalized picks are
+    * collected at the driver (bounded codebook-state boundary), the
+    * coarse book is picks 1–16 cid-sorted, the residual book is picks
+    * 17–32's residuals computed with the SAME left-to-right folds, and
+    * each corpus row is coarse-encoded, residual-PQ-encoded and scored
+    * in one narrow pass of while-loops. Fold order matches [[rqTopkHof]]
+    * exactly (strict `<` argmins keep the lowest code on ties; sums
+    * accumulate dims then subspaces in order) — bit-identical to the
+    * HOF form and the DuckDB oracle, pinned in VectorSpec. */
+  private[graft] def rqTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val eu = e.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val picks: Array[(Long, Array[Double])] = eu
+      .orderBy(Tables.detHash(col("vec_id")), col("vec_id")).limit(32)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toArray)
+    def l2full(a: Array[Double], b: Array[Double]): Double = {
+      var sum = 0.0
+      var i = 0
+      while (i < 64) { val dd = a(i) - b(i); sum += dd * dd; i += 1 }
+      sum
+    }
+    val cb1: Array[Array[Double]] = picks.take(16).sortBy(_._1).map(_._2)
+    def enc1(u: Array[Double]): Int = {
+      var best = Double.PositiveInfinity; var bi = 0; var ci = 0
+      while (ci < 16) {
+        val dd = l2full(u, cb1(ci))
+        if (dd < best) { best = dd; bi = ci }
+        ci += 1
+      }
+      bi
+    }
+    val cb2: Array[Array[Double]] = picks.drop(16).sortBy(_._1).map { case (_, u) =>
+      val c = cb1(enc1(u))
+      val r = new Array[Double](64)
+      var i = 0
+      while (i < 64) { r(i) = u(i) - c(i); i += 1 }
+      r
+    }
+    val qu: Array[Double] = eu.filter(col("vec_id") === 0L)
+      .head().getAs[scala.collection.Seq[Double]](1).toArray
+    val bcb1 = s.sparkContext.broadcast(cb1)
+    val bcb2 = s.sparkContext.broadcast(cb2)
+    val bq = s.sparkContext.broadcast(qu)
+    eu.filter(col("vec_id") =!= 0L)
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val c1b = bcb1.value; val c2b = bcb2.value; val q = bq.value
+        def l2f(a: Array[Double], b: Array[Double]): Double = {
+          var sum = 0.0; var i = 0
+          while (i < 64) { val dd = a(i) - b(i); sum += dd * dd; i += 1 }
+          sum
+        }
+        it.map { case (id, u) =>
+          var best = Double.PositiveInfinity; var c1 = 0; var ci = 0
+          while (ci < 16) {
+            val dd = l2f(u, c1b(ci))
+            if (dd < best) { best = dd; c1 = ci }
+            ci += 1
+          }
+          val cv1 = c1b(c1)
+          var adist = 0.0
+          var m = 0
+          while (m < 8) {
+            var bd = Double.PositiveInfinity; var c2 = 0; var cj = 0
+            while (cj < 16) {
+              var dsum = 0.0; var i = 0
+              while (i < 8) {
+                val ix = m * 8 + i
+                val dd = (u(ix) - cv1(ix)) - c2b(cj)(ix)
+                dsum += dd * dd
+                i += 1
+              }
+              if (dsum < bd) { bd = dsum; c2 = cj }
+              cj += 1
+            }
+            var asum = 0.0; var i = 0
+            while (i < 8) {
+              val ix = m * 8 + i
+              val dd = q(ix) - cv1(ix) - c2b(c2)(ix)
+              asum += dd * dd
+              i += 1
+            }
+            adist += asum
+            m += 1
+          }
+          RqScore(id, adist)
+        }
+      }
+      .toDF()
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** The declarative RQ composition — the oracle's structural mirror,
+    * kept as the bit-parity witness for [[rqTopk]] (VectorSpec asserts
+    * kernel ≡ HOF, the pqTopkHof convention). */
+  private[graft] def rqTopkHof(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val eu = e.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    // limit-then-rank (the initCentroids TakeOrderedAndProject shape):
+    // the 32 picks are cut with orderBy+limit so the rank window runs
+    // over 32 rows, never the corpus (PlanSpec sweep)
+    val pk = eu.orderBy(Tables.detHash(col("vec_id")), col("vec_id")).limit(32)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(Tables.detHash(col("vec_id")), col("vec_id"))))
+    // full-vector ‖a−b‖² (left-to-right over the 64 dims)
+    def l2full(a: Column, b: Column): Column =
+      seqSum(transform(sequence(lit(1), lit(64)), i => {
+        val dd = element_at(a, i.cast("int")) - element_at(b, i.cast("int"))
+        dd * dd
+      }))
+    // ‖a_m − b_m‖² over subspace m (dims m·8+1 .. m·8+8)
+    def l2sub(a: Column, b: Column, m: Column): Column =
+      seqSum(transform(sequence(lit(1), lit(8)), i => {
+        val ix = (m * 8 + i).cast("int")
+        val dd = element_at(a, ix) - element_at(b, ix)
+        dd * dd
+      }))
+    def argmin16(dist: Column => Column): Column =
+      array_min(transform(sequence(lit(1), lit(16)), ci =>
+        struct(dist(ci).as("dist"), ci.as("ci")))).getField("ci")
+    val cb1 = pk.filter(col("rn") <= 16)
+      .select(col("vec_id").as("cid"), col("u").as("cv"))
+      .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb1"))
+    def coarse(u: Column, cb: Column): Column =
+      argmin16(ci => l2full(u, element_at(cb, ci.cast("int")).getField("cv")))
+    val res = pk.filter(col("rn") > 16)
+      .crossJoin(broadcast(cb1))
+      .withColumn("c1", coarse(col("u"), col("cb1")))
+      .select(col("vec_id").as("cid"),
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(col("u"), i.cast("int")) -
+            element_at(element_at(col("cb1"), col("c1").cast("int"))
+              .getField("cv"), i.cast("int"))).as("cv"))
+    val cb2 = res
+      .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb2"))
+    val q = eu.filter(col("vec_id") === 0L).select(col("u").as("qu"))
+    eu.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(cb1)).crossJoin(broadcast(cb2))
+      .crossJoin(broadcast(q))
+      .withColumn("c1", coarse(col("u"), col("cb1")))
+      .withColumn("cv1",
+        element_at(col("cb1"), col("c1").cast("int")).getField("cv"))
+      .withColumn("r", transform(sequence(lit(1), lit(64)), i =>
+        element_at(col("u"), i.cast("int")) -
+          element_at(col("cv1"), i.cast("int"))))
+      .withColumn("codes", transform(sequence(lit(0), lit(7)), m =>
+        argmin16(ci => l2sub(col("r"),
+          element_at(col("cb2"), ci.cast("int")).getField("cv"), m))))
+      .select(col("vec_id"),
+        seqSum(transform(sequence(lit(0), lit(7)), m => {
+          val c2v = element_at(col("cb2"),
+            element_at(col("codes"), (m + 1).cast("int")).cast("int"))
+            .getField("cv")
+          seqSum(transform(sequence(lit(1), lit(8)), i => {
+            val ix = (m * 8 + i).cast("int")
+            val dd = element_at(col("qu"), ix) -
+              element_at(col("cv1"), ix) - element_at(c2v, ix)
+            dd * dd
+          }))
+        })).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ── scalar quantization (SQ8): unit-normalize → per-dim affine int8 ──
   // The 4×-memory tier of the ANN stack (raw float32 256 B/vector →
   // 64 B/vector): unit-normalize each vector (so quantized-L2 order
@@ -1351,76 +1528,7 @@ object Vector {
     // codes, the IVFADC serving shape.
     Q(
       "ann_rq_topk",
-      (s, d) => {
-        val e = embeddings(s, d)
-        val eu = e.select(col("vec_id"), vec(col("embedding")).as("v"))
-          .withColumn("nrm", l2norm(col("v")))
-          .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-        // limit-then-rank (the initCentroids TakeOrderedAndProject
-        // shape): the 32 picks are cut with orderBy+limit so the rank
-        // window runs over 32 rows, never the corpus (PlanSpec sweep)
-        val pk = eu.orderBy(Tables.detHash(col("vec_id")), col("vec_id")).limit(32)
-          .withColumn("rn", row_number().over(
-            Window.orderBy(Tables.detHash(col("vec_id")), col("vec_id"))))
-        // full-vector ‖a−b‖² (left-to-right over the 64 dims)
-        def l2full(a: Column, b: Column): Column =
-          seqSum(transform(sequence(lit(1), lit(64)), i => {
-            val dd = element_at(a, i.cast("int")) - element_at(b, i.cast("int"))
-            dd * dd
-          }))
-        // ‖a_m − b_m‖² over subspace m (dims m·8+1 .. m·8+8)
-        def l2sub(a: Column, b: Column, m: Column): Column =
-          seqSum(transform(sequence(lit(1), lit(8)), i => {
-            val ix = (m * 8 + i).cast("int")
-            val dd = element_at(a, ix) - element_at(b, ix)
-            dd * dd
-          }))
-        def argmin16(dist: Column => Column): Column =
-          array_min(transform(sequence(lit(1), lit(16)), ci =>
-            struct(dist(ci).as("dist"), ci.as("ci")))).getField("ci")
-        val cb1 = pk.filter(col("rn") <= 16)
-          .select(col("vec_id").as("cid"), col("u").as("cv"))
-          .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb1"))
-        def coarse(u: Column, cb: Column): Column =
-          argmin16(ci => l2full(u, element_at(cb, ci.cast("int")).getField("cv")))
-        val res = pk.filter(col("rn") > 16)
-          .crossJoin(broadcast(cb1))
-          .withColumn("c1", coarse(col("u"), col("cb1")))
-          .select(col("vec_id").as("cid"),
-            transform(sequence(lit(1), lit(64)), i =>
-              element_at(col("u"), i.cast("int")) -
-                element_at(element_at(col("cb1"), col("c1").cast("int"))
-                  .getField("cv"), i.cast("int"))).as("cv"))
-        val cb2 = res
-          .groupBy().agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cb2"))
-        val q = eu.filter(col("vec_id") === 0L).select(col("u").as("qu"))
-        eu.filter(col("vec_id") =!= 0L)
-          .crossJoin(broadcast(cb1)).crossJoin(broadcast(cb2))
-          .crossJoin(broadcast(q))
-          .withColumn("c1", coarse(col("u"), col("cb1")))
-          .withColumn("cv1",
-            element_at(col("cb1"), col("c1").cast("int")).getField("cv"))
-          .withColumn("r", transform(sequence(lit(1), lit(64)), i =>
-            element_at(col("u"), i.cast("int")) -
-              element_at(col("cv1"), i.cast("int"))))
-          .withColumn("codes", transform(sequence(lit(0), lit(7)), m =>
-            argmin16(ci => l2sub(col("r"),
-              element_at(col("cb2"), ci.cast("int")).getField("cv"), m))))
-          .select(col("vec_id"),
-            seqSum(transform(sequence(lit(0), lit(7)), m => {
-              val c2v = element_at(col("cb2"),
-                element_at(col("codes"), (m + 1).cast("int")).cast("int"))
-                .getField("cv")
-              seqSum(transform(sequence(lit(1), lit(8)), i => {
-                val ix = (m * 8 + i).cast("int")
-                val dd = element_at(col("qu"), ix) -
-                  element_at(col("cv1"), ix) - element_at(c2v, ix)
-                dd * dd
-              }))
-            })).as("adist"))
-          .orderBy(col("adist").asc, col("vec_id").asc)
-          .limit(10)
-      },
+      (s, d) => rqTopk(s, d),
       Some {
         val l2full = (a: String, b: String) => sqlSeqSum(
           s"list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")

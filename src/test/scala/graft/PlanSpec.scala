@@ -687,8 +687,6 @@ object PlanSpec {
     "text_zipf_slope" -> "OLS rank window over the top-1000 vocab tail (bounded)",
     "ann_hybrid_rrf" -> "RRF rank windows over the two top-20 retrieval legs (LIMIT-bounded, 20 rows each)",
     "ann_graph_search" -> "beam re-cut windows over beam ∪ candidates (≤ 24 + 24·16 rows/hop — candidate-sized by the frontier expansion, never corpus)",
-    "ann_rq_topk" -> "pick ranking over the orderBy+LIMIT-32 frame (TakeOrdered feeds the window, never corpus)",
-    "ann_mrr_report" -> "mrank windows over each tier's own ≤20-row top-k output (LIMIT-bounded)",
-    "ann_recall_report" -> "inherits the composed methods' bounded windows (graph beam / rq picks above) — adds none of its own")
+    "ann_mrr_report" -> "mrank windows over each tier's own ≤20-row cached top-k frame (LIMIT-bounded)")
 
 }

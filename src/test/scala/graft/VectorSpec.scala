@@ -161,6 +161,18 @@ class VectorSpec extends SparkSpec {
     assert(kernel === hof)
   }
 
+  test("RQ typed kernel is bit-identical to the HOF composition") {
+    // same contract as the PQ pair: the while-loop kernel (benched path,
+    // driver-side codebooks) must replay the declarative form's folds —
+    // coarse argmin, residual subtraction, per-subspace argmin, adist
+    // accumulation — bit-for-bit, since the DuckDB oracle mirrors the HOF
+    val kernel = V.rqTopk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toList
+    val hof = V.rqTopkHof(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toList
+    assert(kernel === hof)
+  }
+
   test("PQ top-k returns genuinely close vectors under the true L2 metric") {
     val pq = SparkEntry.queries("ann_pq_topk")(spark, sf).collect()
     assert(pq.length === 10)
