@@ -219,7 +219,7 @@ object Vector {
     * 24 > 2×k keeps recall@10 at 1.0 on the gate corpus (pinned ≥ the
     * IVF tier in Round15Spec via ann_recall_report). */
   private val GsBeam = 24
-  private val GsHops = 8
+  private val GsHops = 10 // sf0.1 usage: 5 single-probe, 7 batch (one far probe) — margin ≥ 3, Sf01BoundsSpec-pinned
   private val GsEntrySeeds = Seq(48L, 85L, 122L, 159L)
 
   // ── random-hyperplane LSH (shared by ann_lsh_buckets / ann_lsh_topk) ─
@@ -1358,6 +1358,114 @@ object Vector {
            |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
            |  FROM bm$GsHops)
            |WHERE rk <= 10 ORDER BY rank""".stripMargin
+      }
+    ),
+
+    // ── batch graph-traversal ANN: many probes, one dataflow ──────────
+    // The production serving shape for a QUERY BATCH (the ann_knn_join
+    // convention: probes = the first 10 vectors): every probe runs the
+    // same deterministic beam search over the shared memoized index
+    // simultaneously — beam state is (probe_id, id, sim, eh) and every
+    // window is PARTITIONED BY probe_id, so per-hop work is
+    // (probes × beam)-sized and the whole batch costs one unroll, not
+    // one unroll per probe. A probe is excluded from its own beam (the
+    // knn_join self-exclusion); entries/hops/ties are the single-probe
+    // query's exactly. Emits each probe's top-3 neighbors — directly
+    // comparable to the EXACT ann_knn_join, overlap pinned in
+    // Round15Spec. SCALE: batch serving amortizes the index over the
+    // query stream; exchanges stay candidate-sized per probe, and the
+    // scoring equi-join against the cached corpus becomes bucketed point
+    // lookups at 100 TB (the single-probe note).
+    Q(
+      "ann_graph_search_batch",
+      (s, d) => {
+        val (e, n, adj) = nnSearchIndex(s, d)
+        val probes = e.filter(col("id") < 10L)
+          .select(col("id").as("probe_id"), col("v").as("pv"))
+        val entryIds = GsEntrySeeds.map(sj => (sj * 2654435761L) % n).distinct
+        def score(ids: DataFrame): DataFrame =
+          ids.join(e, "id").join(broadcast(probes), "probe_id")
+            .select(col("probe_id"), col("id"),
+              cosine(col("v"), col("pv")).as("sim"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("id").asc)
+        val ent = probes.select(col("probe_id"))
+          .crossJoin(e.select("id").filter(col("id").isin(entryIds: _*)))
+          .filter(col("id") =!= col("probe_id"))
+        var beam = score(ent).withColumn("eh", lit(0))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= GsBeam).drop("rk")
+          .transform(GenSnap.snap)
+        for (h <- 1 to GsHops) {
+          val frontier = beam.filter(col("eh") === h - 1)
+            .select(col("probe_id"), col("id").as("src"))
+          val cand = frontier.join(adj, "src")
+            .select(col("probe_id"), col("dst").as("id"))
+            .filter(col("id") =!= col("probe_id")).distinct()
+            .join(beam.select("probe_id", "id"), Seq("probe_id", "id"), "left_anti")
+          val scored = score(cand).withColumn("eh", lit(h))
+          beam = beam.unionByName(scored)
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= GsBeam).drop("rk")
+            .transform(GenSnap.snap)
+        }
+        val maxEh = beam.agg(max("eh")).head().getInt(0)
+        graft.tools.BoundProbe.record("graph_beam_search_batch", maxEh + 1, GsHops)
+        require(maxEh < GsHops,
+          s"a probe's beam is still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        beam.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select(col("probe_id"), col("id").as("vec_id"), col("sim"),
+            col("rk").cast("int").as("rk"))
+          .orderBy("probe_id", "rk")
+      },
+      Some {
+        val rounds = (1 to NnRounds)
+          .map(r => sqlNnRound(r, s"b${r - 1}", s"b$r", "e")).mkString(",\n")
+        val c = sqlCosine("e.v", "p.pv")
+        val hops = (1 to GsHops).map { h =>
+          s"""f$h AS (SELECT probe_id, id AS src FROM bm${h - 1} WHERE eh = ${h - 1}),
+             |c$h AS (SELECT DISTINCT f$h.probe_id, adj.dst AS id
+             |        FROM f$h JOIN adj ON adj.src = f$h.src
+             |        WHERE adj.dst <> f$h.probe_id
+             |          AND NOT EXISTS (SELECT 1 FROM bm${h - 1} b
+             |                          WHERE b.probe_id = f$h.probe_id AND b.id = adj.dst)),
+             |s$h AS (SELECT cc.probe_id, cc.id, $c AS sim, $h AS eh
+             |        FROM c$h cc JOIN e ON e.id = cc.id
+             |        JOIN p ON p.probe_id = cc.probe_id),
+             |bm$h AS MATERIALIZED (SELECT probe_id, id, sim, eh FROM (
+             |  SELECT probe_id, id, sim, eh,
+             |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rk
+             |  FROM (SELECT * FROM bm${h - 1} UNION ALL SELECT * FROM s$h))
+             |  WHERE rk <= $GsBeam)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+           |st(s) AS (VALUES ${NnStrides.map(x => s"($x)").mkString(", ")}),
+           |b0 AS MATERIALIZED (
+           |  SELECT id AS src, (id + s) % n AS dst FROM e CROSS JOIN n CROSS JOIN st),
+           |$rounds,
+           |adj AS MATERIALIZED (SELECT src, dst FROM rk_b$NnRounds WHERE rk <= $NnKb),
+           |p AS (SELECT id AS probe_id, v AS pv FROM e WHERE id < 10),
+           |ent AS (SELECT p.probe_id, x.id
+           |        FROM p CROSS JOIN (
+           |          SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
+           |          FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
+           |          CROSS JOIN n) x
+           |        WHERE x.id <> p.probe_id),
+           |s0 AS (SELECT ent.probe_id, e.id, $c AS sim, 0 AS eh
+           |       FROM ent JOIN e ON e.id = ent.id
+           |       JOIN p ON p.probe_id = ent.probe_id),
+           |bm0 AS MATERIALIZED (SELECT probe_id, id, sim, eh FROM (
+           |  SELECT probe_id, id, sim, eh,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rk
+           |  FROM s0) WHERE rk <= $GsBeam),
+           |$hops
+           |SELECT probe_id, id AS vec_id, sim, CAST(rk AS INT) AS rk FROM (
+           |  SELECT probe_id, id, sim,
+           |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rk
+           |  FROM bm$GsHops)
+           |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin
       }
     ),
 

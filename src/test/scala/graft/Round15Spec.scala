@@ -114,6 +114,23 @@ class Round15Spec extends SparkSpec {
     j.unpersist()
   }
 
+  test("batch graph search agrees with the exact k-NN join") {
+    val exact = SparkEntry.queries("ann_knn_join")(spark, sf)
+      .select(col("probe_id"), col("vec_id"))
+    val batch = SparkEntry.queries("ann_graph_search_batch")(spark, sf)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = batch.join(exact, Seq("probe_id", "vec_id")).count()
+    val total = exact.count()
+    info(s"batch graph search matched $hits of $total exact top-3 slots")
+    assert(total == 30)
+    assert(hits >= 27,
+      s"batch beam search recovered only $hits of $total exact neighbors")
+    val (used, bound) = tools.BoundProbe.maxUsed("graph_beam_search_batch")
+      .getOrElse(fail("no BoundProbe record for the batch search"))
+    info(s"batch beam search used $used of $bound hops")
+    assert(used < bound)
+  }
+
   test("level-2 is a coarsening of level-1 (communities only merge)") {
     val l1 = SparkEntry.queries("graph_louvain_one_level")(spark, sf)
       .select(col("id"), col("community").as("c1"))
