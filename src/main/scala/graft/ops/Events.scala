@@ -1446,6 +1446,81 @@ object Events {
               |FROM agg""".stripMargin)
     ),
 
+    // ── sequential probability ratio test (Wald 1945) ─────────────────
+    // The experimentation family's SEQUENTIAL member: evt_ab_test is the
+    // fixed-horizon z-test, but production experiment platforms monitor
+    // daily and stop early — SPRT is the optimal such rule. Treatment
+    // arm (user_id % 2 = 1) conversions (the ab_test flag) are rolled up
+    // by ENROLLMENT day (the user's first event date); the
+    // log-likelihood ratio for H1: p=0.06 vs H0: p=0.03 accumulates as a
+    // calendar-bounded prefix sum of EXACT integers on the 2^20 grid
+    // (the DoReMi ln-quantization path, bit-identical across engines):
+    // each day adds convs·⌊ln(p1/p0)·2^20⌋ + misses·⌊ln((1−p1)/(1−p0))
+    // ·2^20⌋, and the Wald boundaries ⌊ln(0.95/0.05)·2^20⌋ /
+    // ⌊ln(0.05/0.95)·2^20⌋ (α=β=0.05) classify each day into
+    // accept_h1 / accept_h0 / continue. SCALE: the corpus-sized work is
+    // one groupBy(user) + one groupBy(day); the sequential fold runs on
+    // the per-day table (bounded by calendar — the evt_cusum shape).
+    Q(
+      "evt_sprt",
+      (s, d) => {
+        val Scale = 1048576L
+        val win = floor(log(lit(0.06) / lit(0.03)) * Scale).cast("long")
+        val loss = floor(log((lit(1.0) - lit(0.06)) / (lit(1.0) - lit(0.03))) * Scale).cast("long")
+        val upperA = floor(log(lit(0.95) / lit(0.05)) * Scale).cast("long")
+        val lowerB = floor(log(lit(0.05) / lit(0.95)) * Scale).cast("long")
+        val firstDay = eventsUs(s, d)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .filter(col("user_id") % 2 === 1)
+          .select(col("user_id"), to_date(col("t0")).as("day"))
+        val conv = eventsUs(s, d)
+          .filter(col("event_type") === "purchase" && col("value") > 200.0)
+          .select(col("user_id")).distinct()
+          .withColumn("cflag", lit(1L))
+        val daily = firstDay.join(conv, Seq("user_id"), "left")
+          .groupBy("day")
+          .agg(count(lit(1)).as("enrolls"),
+            sum(coalesce(col("cflag"), lit(0L))).as("convs"))
+        val wCum = Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("llr_fp",
+            sum(col("convs") * win + (col("enrolls") - col("convs")) * loss).over(wCum))
+          .select(col("day"), col("enrolls"), col("convs"), col("llr_fp"),
+            when(col("llr_fp") >= upperA, "accept_h1")
+              .when(col("llr_fp") <= lowerB, "accept_h0")
+              .otherwise("continue").as("signal"))
+          .orderBy("day")
+      },
+      Some(s"""WITH fd AS (
+              |  SELECT user_id, CAST(min($sqlTs) AS DATE) AS day
+              |  FROM events GROUP BY user_id),
+              |t AS (SELECT user_id, day FROM fd WHERE user_id % 2 = 1),
+              |cv AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS cflag
+              |       FROM events WHERE event_type = 'purchase' AND value > 200.0),
+              |daily AS (
+              |  SELECT day, CAST(count(*) AS BIGINT) AS enrolls,
+              |    CAST(sum(coalesce(cv.cflag, 0)) AS BIGINT) AS convs
+              |  FROM t LEFT JOIN cv USING (user_id) GROUP BY day),
+              |k AS (SELECT
+              |  CAST(floor(ln(0.06 / 0.03) * 1048576) AS BIGINT) AS win,
+              |  CAST(floor(ln((1.0 - 0.06) / (1.0 - 0.03)) * 1048576) AS BIGINT) AS loss,
+              |  CAST(floor(ln(0.95 / 0.05) * 1048576) AS BIGINT) AS ua,
+              |  CAST(floor(ln(0.05 / 0.95) * 1048576) AS BIGINT) AS lb),
+              |pre AS (
+              |  SELECT day, enrolls, convs,
+              |    CAST(sum(convs * k.win + (enrolls - convs) * k.loss)
+              |      OVER (ORDER BY day ASC
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS llr_fp,
+              |    k.ua, k.lb
+              |  FROM daily CROSS JOIN k)
+              |SELECT day, enrolls, convs, llr_fp,
+              |  CASE WHEN llr_fp >= ua THEN 'accept_h1'
+              |       WHEN llr_fp <= lb THEN 'accept_h0'
+              |       ELSE 'continue' END AS signal
+              |FROM pre ORDER BY day""".stripMargin)
+    ),
+
     // ── experiment power analysis (required sample size per arm) ──────
     // The question every A/B test report gets asked next: "how long
     // until we could DETECT a 10% relative lift?" Classic two-proportion

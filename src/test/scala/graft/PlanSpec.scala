@@ -676,6 +676,7 @@ object PlanSpec {
   val GlobalWindowAllowlist: Map[String, String] = Map(
     "evt_anomaly_consensus" -> "prefix windows over the per-DAY rollup (≤366 rows/yr of data)",
     "evt_cusum" -> "CUSUM prefix identity over the per-DAY rollup (bounded by calendar)",
+    "evt_sprt" -> "SPRT log-likelihood prefix over the per-DAY enrollment rollup (bounded by calendar — the evt_cusum convention)",
     "evt_forecast_accuracy" -> "Holt-Winters recurrence rows: one per day (bounded by calendar)",
     "evt_survival_km" -> "KM product-limit over distinct event DURATIONS in days (bounded)",
     "ml_auc" -> "rank over DISTINCT quantized NLL score groups (collapsed; PlanSpec 'AUC ranks over grouped scores' pins the reduction)",

@@ -131,6 +131,24 @@ class Round15Spec extends SparkSpec {
     assert(used < bound)
   }
 
+  test("SPRT llr replays the sequential recurrence exactly") {
+    val rows = SparkEntry.queries("evt_sprt")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val S = 1048576L
+    val win = math.floor(math.log(0.06 / 0.03) * S).toLong
+    val loss = math.floor(math.log((1.0 - 0.06) / (1.0 - 0.03)) * S).toLong
+    val ua = math.floor(math.log(0.95 / 0.05) * S).toLong
+    val lb = math.floor(math.log(0.05 / 0.95) * S).toLong
+    var acc = 0L
+    for ((enrolls, convs, llr, signal) <- rows) {
+      acc += convs * win + (enrolls - convs) * loss
+      assert(llr == acc, s"llr $llr != driver replay $acc")
+      val expect = if (llr >= ua) "accept_h1" else if (llr <= lb) "accept_h0" else "continue"
+      assert(signal == expect)
+    }
+  }
+
   test("level-2 is a coarsening of level-1 (communities only merge)") {
     val l1 = SparkEntry.queries("graph_louvain_one_level")(spark, sf)
       .select(col("id"), col("community").as("c1"))
