@@ -387,6 +387,66 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ── streaming SPRT (Wald's sequential test as keyed O(1) state) ──────
+
+  /** One closed enrollment-day aggregate: experiment series key, epoch
+    * day, enrollments and conversions. */
+  final case class SprtDay(series: Long, epd: Int, enrolls: Long, convs: Long)
+  final case class SprtState(lastEpd: Int, llr: Long)
+  final case class SprtOut(series: Long, epd: Int, enrolls: Long, convs: Long,
+                           llrFp: Long, signal: String)
+
+  /** The STREAMING form of `evt_sprt`: per-experiment ValueState carrying
+    * (last folded day, running LLR) — the sequential test's whole state
+    * is ONE exact 2^20-grid BIGINT, the shape a platform monitoring
+    * thousands of concurrent experiments keeps per key. Same in-batch
+    * day-sort and replay-drop discipline as [[CusumProcessor]]; the
+    * per-day increment convs·win + misses·loss is the identical integer
+    * arithmetic the batch query hash-proves, so batch ≡ stream is
+    * bit-equality (StreamingSpec replays out-of-order and duplicated
+    * days to prove it). */
+  class SprtProcessor(winFp: Long, lossFp: Long, upperFp: Long, lowerFp: Long)
+      extends StatefulProcessor[Long, SprtDay, SprtOut] {
+    @transient private var st: ValueState[SprtState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("sprt",
+        Encoders.product[SprtState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[SprtDay],
+                                 tv: TimerValues): Iterator[SprtOut] = {
+      var cur = if (st.exists()) st.get() else SprtState(Int.MinValue, 0L)
+      val out = rows.toSeq.sortBy(_.epd).flatMap { r =>
+        if (r.epd <= cur.lastEpd) None // replayed day: already folded
+        else {
+          val llr = cur.llr + r.convs * winFp + (r.enrolls - r.convs) * lossFp
+          cur = SprtState(r.epd, llr)
+          val sig =
+            if (llr >= upperFp) "accept_h1"
+            else if (llr <= lowerFp) "accept_h0"
+            else "continue"
+          Some(SprtOut(key, r.epd, r.enrolls, r.convs, llr, sig))
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Defaults match the batch `evt_sprt` design (H1 p=0.06 vs H0 p=0.03,
+    * α=β=0.05) — the constants quantize through the SAME Math.log the
+    * batch query constant-folds, so the increments agree bit-for-bit. */
+  def sprtStream(spark: SparkSession, days: Dataset[SprtDay]): Dataset[SprtOut] = {
+    import spark.implicits._
+    val S = 1048576L
+    val win = math.floor(math.log(0.06 / 0.03) * S).toLong
+    val loss = math.floor(math.log((1.0 - 0.06) / (1.0 - 0.03)) * S).toLong
+    val ua = math.floor(math.log(0.95 / 0.05) * S).toLong
+    val lb = math.floor(math.log(0.05 / 0.95) * S).toLong
+    days
+      .groupByKey(_.series)
+      .transformWithState(new SprtProcessor(win, loss, ua, lb),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ── streaming Holt–Winters (the forecaster as keyed O(1) state) ──────
 
   final case class HwState(lastEpd: Int, l: Double, b: Double)

@@ -523,6 +523,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming SPRT equals the oracle-checked batch prefix bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.SprtDay
+    val conf = spark.conf
+    val prevProvider = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // grounding: the REAL enrollment-day rollup the batch query runs
+    // (treatment arm, first-event day, ab_test conversion flag), shipped
+    // shuffled across triggers with trigger 2 replaying folded days
+    val fd = ops.Events.eventsUs(spark, sf)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      .filter(col("user_id") % 2 === 1)
+      .select(col("user_id"), to_date(col("t0")).as("day"))
+    val cv = ops.Events.eventsUs(spark, sf)
+      .filter(col("event_type") === "purchase" && col("value") > 200.0)
+      .select(col("user_id")).distinct().withColumn("cflag", lit(1L))
+    val daily = fd.join(cv, Seq("user_id"), "left")
+      .groupBy("day")
+      .agg(count(lit(1)).as("enrolls"),
+        sum(coalesce(col("cflag"), lit(0L))).as("convs"))
+      .select(datediff(col("day"), lit("1970-01-01").cast("date")).as("epd"),
+        col("enrolls"), col("convs"))
+      .orderBy("epd")
+      .collect().map(r => SprtDay(0L, r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(daily.nonEmpty, "need a real enrollment series")
+    val rnd = new scala.util.Random(7)
+    val input = MemoryStream[SprtDay]
+    val q = Streams.sprtStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("sprt_stream")
+      .outputMode("update").start()
+    try {
+      val (t1, t2) = daily.splitAt(math.max(1, daily.length / 2))
+      input.addData(rnd.shuffle(t1.toSeq): _*); q.processAllAvailable()
+      input.addData(rnd.shuffle((t2 ++ daily.take(1)).toSeq): _*)
+      q.processAllAvailable()
+      val got = spark.table("sprt_stream").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+        .sortBy(_._1)
+      assert(got.map(_._1).toSeq === daily.map(_.epd).toSeq, "replays must fold once")
+      val batch = SparkEntry.queries("evt_sprt")(spark, sf).collect()
+        .map(r => (r.getDate(0).toLocalDate.toEpochDay.toInt,
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .sortBy(_._1)
+      assert(got.toSeq === batch.toSeq,
+        "streaming SPRT diverged from the batch LLR prefix")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Holt-Winters equals the oracle-checked batch fold bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
