@@ -221,6 +221,88 @@ object Vector {
   private val GsBeam = 24
   private val GsHops = 10 // sf0.1 usage: 5 single-probe, 7 batch (one far probe) — margin ≥ 3, Sf01BoundsSpec-pinned
   private val GsEntrySeeds = Seq(48L, 85L, 122L, 159L)
+  private val GsSweepWidths = Seq(8, 16, 24) // efSearch-style serving knob
+
+  /** One deterministic single-probe beam-search unroll over the memoized
+    * index at the given beam WIDTH: hash-fixed entries scored, each hop
+    * expands only the previous hop's new entrants, unseen candidates
+    * are scored and the top `width` re-cut by (sim DESC, id ASC).
+    * Returns the final (id, sim, eh) beam — shared by ann_graph_search
+    * (width 24) and ann_beam_sweep (the width tuning curve). */
+  private def gsBeamUnroll(e: DataFrame, adj: DataFrame, n: Long,
+      width: Int): DataFrame = {
+    val q = e.filter(col("id") === 0L).select(col("v").as("qv"))
+    val entryIds = GsEntrySeeds.map(sj => (sj * 2654435761L) % n)
+      .distinct.filterNot(_ == 0L)
+    def score(ids: DataFrame): DataFrame =
+      ids.join(e, "id").crossJoin(broadcast(q))
+        .select(col("id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.orderBy(col("sim").desc, col("id").asc)
+    var beam = score(e.select("id").filter(col("id").isin(entryIds: _*)))
+      .withColumn("eh", lit(0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= width).drop("rk")
+      .transform(GenSnap.snap) // per-hop snap: the MMR 2^hops lesson
+    for (h <- 1 to GsHops) {
+      val frontier = beam.filter(col("eh") === h - 1)
+        .select(col("id").as("src"))
+      val cand = frontier.join(adj, "src").select(col("dst").as("id"))
+        .filter(col("id") =!= 0L).distinct()
+        .join(beam.select("id"), Seq("id"), "left_anti")
+      val scored = score(cand).withColumn("eh", lit(h))
+      beam = beam.unionByName(scored)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= width).drop("rk")
+        .transform(GenSnap.snap)
+    }
+    beam
+  }
+
+  /** The oracle twin of [[gsBeamUnroll]]: the hop CTE chain at the given
+    * width, reading index CTEs `adj`/`e`/`q`/`ent`, emitting beam CTEs
+    * `$pfx0..$pfx$GsHops`. */
+  private def sqlGsHops(width: Int, pfx: String): String = {
+    val c = sqlCosine("e.v", "q.qv")
+    val s0 =
+      s"""s${pfx}0 AS (SELECT e.id, $c AS sim, 0 AS eh
+         |       FROM ent JOIN e ON e.id = ent.id CROSS JOIN q),
+         |${pfx}0 AS MATERIALIZED (SELECT id, sim, eh FROM (
+         |  SELECT id, sim, eh, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+         |  FROM s${pfx}0) WHERE rk <= $width)""".stripMargin
+    val hops = (1 to GsHops).map { h =>
+      s"""f$pfx$h AS (SELECT id AS src FROM $pfx${h - 1} WHERE eh = ${h - 1}),
+         |c$pfx$h AS (SELECT DISTINCT adj.dst AS id FROM f$pfx$h JOIN adj ON adj.src = f$pfx$h.src
+         |        WHERE adj.dst <> 0 AND adj.dst NOT IN (SELECT id FROM $pfx${h - 1})),
+         |s$pfx$h AS (SELECT cc.id, $c AS sim, $h AS eh
+         |        FROM c$pfx$h cc JOIN e ON e.id = cc.id CROSS JOIN q),
+         |$pfx$h AS MATERIALIZED (SELECT id, sim, eh FROM (
+         |  SELECT id, sim, eh, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+         |  FROM (SELECT * FROM $pfx${h - 1} UNION ALL SELECT * FROM s$pfx$h))
+         |  WHERE rk <= $width)""".stripMargin
+    }.mkString(",\n")
+    s0 + ",\n" + hops
+  }
+
+  /** The shared index + query + entry CTEs for the search oracles:
+    * the full-corpus descent build at degree 2k (`adj`), corpus `e`,
+    * 1-row `q`, entry set `ent`. */
+  private def sqlGsIndexCtes: String = {
+    val rounds = (1 to NnRounds)
+      .map(r => sqlNnRound(r, s"b${r - 1}", s"b$r", "e")).mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |st(s) AS (VALUES ${NnStrides.map(x => s"($x)").mkString(", ")}),
+       |b0 AS MATERIALIZED (
+       |  SELECT id AS src, (id + s) % n AS dst FROM e CROSS JOIN n CROSS JOIN st),
+       |$rounds,
+       |adj AS MATERIALIZED (SELECT src, dst FROM rk_b$NnRounds WHERE rk <= $NnKb),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |ent AS (SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
+       |        FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
+       |        CROSS JOIN n
+       |        WHERE (s2.s * 2654435761) % n.n <> 0)""".stripMargin
+  }
 
   // ── random-hyperplane LSH (shared by ann_lsh_buckets / ann_lsh_topk) ─
   // Hyperplane coefficients are Knuth-multiplicative-hash values mapped
@@ -1283,30 +1365,7 @@ object Vector {
       "ann_graph_search",
       (s, d) => {
         val (e, n, adj) = nnSearchIndex(s, d)
-        val q = e.filter(col("id") === 0L).select(col("v").as("qv"))
-        val entryIds = GsEntrySeeds.map(sj => (sj * 2654435761L) % n)
-          .distinct.filterNot(_ == 0L)
-        def score(ids: DataFrame): DataFrame =
-          ids.join(e, "id").crossJoin(broadcast(q))
-            .select(col("id"), cosine(col("v"), col("qv")).as("sim"))
-        val w = Window.orderBy(col("sim").desc, col("id").asc)
-        var beam = score(e.select("id").filter(col("id").isin(entryIds: _*)))
-          .withColumn("eh", lit(0))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= GsBeam).drop("rk")
-          .transform(GenSnap.snap) // per-hop snap: the MMR 2^hops lesson
-        for (h <- 1 to GsHops) {
-          val frontier = beam.filter(col("eh") === h - 1)
-            .select(col("id").as("src"))
-          val cand = frontier.join(adj, "src").select(col("dst").as("id"))
-            .filter(col("id") =!= 0L).distinct()
-            .join(beam.select("id"), Seq("id"), "left_anti")
-          val scored = score(cand).withColumn("eh", lit(h))
-          beam = beam.unionByName(scored)
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= GsBeam).drop("rk")
-            .transform(GenSnap.snap)
-        }
+        val beam = gsBeamUnroll(e, adj, n, GsBeam)
         // convergence gate: the final beam's newest entrant tells how
         // many hops did work; at least one trailing hop must have added
         // NOTHING or the unroll truncated the search (1-row agg over
@@ -1315,50 +1374,18 @@ object Vector {
         graft.tools.BoundProbe.record("graph_beam_search", maxEh + 1, GsHops)
         require(maxEh < GsHops,
           s"beam still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        val w = Window.orderBy(col("sim").desc, col("id").asc)
         beam.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
           .select(col("rank").cast("int").as("rank"),
             col("id").as("vec_id"), col("sim"))
           .orderBy("rank")
       },
-      Some {
-        val rounds = (1 to NnRounds)
-          .map(r => sqlNnRound(r, s"b${r - 1}", s"b$r", "e")).mkString(",\n")
-        val c = sqlCosine("e.v", "q.qv")
-        val hops = (1 to GsHops).map { h =>
-          s"""f$h AS (SELECT id AS src FROM bm${h - 1} WHERE eh = ${h - 1}),
-             |c$h AS (SELECT DISTINCT adj.dst AS id FROM f$h JOIN adj ON adj.src = f$h.src
-             |        WHERE adj.dst <> 0 AND adj.dst NOT IN (SELECT id FROM bm${h - 1})),
-             |s$h AS (SELECT cc.id, $c AS sim, $h AS eh
-             |        FROM c$h cc JOIN e ON e.id = cc.id CROSS JOIN q),
-             |bm$h AS MATERIALIZED (SELECT id, sim, eh FROM (
-             |  SELECT id, sim, eh, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
-             |  FROM (SELECT * FROM bm${h - 1} UNION ALL SELECT * FROM s$h))
-             |  WHERE rk <= $GsBeam)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS MATERIALIZED (
-           |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
-           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-           |st(s) AS (VALUES ${NnStrides.map(x => s"($x)").mkString(", ")}),
-           |b0 AS MATERIALIZED (
-           |  SELECT id AS src, (id + s) % n AS dst FROM e CROSS JOIN n CROSS JOIN st),
-           |$rounds,
-           |adj AS MATERIALIZED (SELECT src, dst FROM rk_b$NnRounds WHERE rk <= $NnKb),
-           |q AS (SELECT v AS qv FROM e WHERE id = 0),
-           |ent AS (SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
-           |        FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
-           |        CROSS JOIN n
-           |        WHERE (s2.s * 2654435761) % n.n <> 0),
-           |s0 AS (SELECT e.id, $c AS sim, 0 AS eh
-           |       FROM ent JOIN e ON e.id = ent.id CROSS JOIN q),
-           |bm0 AS MATERIALIZED (SELECT id, sim, eh FROM (
-           |  SELECT id, sim, eh, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
-           |  FROM s0) WHERE rk <= $GsBeam),
-           |$hops
-           |SELECT CAST(rk AS INT) AS rank, id AS vec_id, sim FROM (
-           |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
-           |  FROM bm$GsHops)
-           |WHERE rk <= 10 ORDER BY rank""".stripMargin
-      }
+      Some(s"""WITH $sqlGsIndexCtes,
+              |${sqlGsHops(GsBeam, "bm")}
+              |SELECT CAST(rk AS INT) AS rank, id AS vec_id, sim FROM (
+              |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+              |  FROM bm$GsHops)
+              |WHERE rk <= 10 ORDER BY rank""".stripMargin)
     ),
 
     // ── batch graph-traversal ANN: many probes, one dataflow ──────────
@@ -1466,6 +1493,63 @@ object Vector {
            |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rk
            |  FROM bm$GsHops)
            |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin
+      }
+    ),
+
+    // ── beam-width sweep: the graph index's recall/cost tuning curve ──
+    // The ann_nprobe_sweep convention for the graph family: beam width
+    // is THE serving knob of graph-traversal ANN (HNSW's efSearch), so
+    // sweep it — each width runs the shared deterministic unroll, its
+    // top-10 joins the exact brute-force truth, and the row reports
+    // (beam, hits, recall@10, hops_used). Wider beams explore strictly
+    // more (hits non-decreasing on this corpus — pinned in
+    // Round15Spec); hops_used is the latency proxy (sequential hop
+    // depth). The width-24 row is exactly ann_graph_search's result by
+    // construction, making the sweep self-checking. Oracle replays the
+    // index build once and all three unrolls as parallel CTE chains.
+    Q(
+      "ann_beam_sweep",
+      (s, d) => {
+        val (e, n, adj) = nnSearchIndex(s, d)
+        val truth = e.filter(col("id") =!= 0L)
+          .crossJoin(broadcast(e.filter(col("id") === 0L).select(col("v").as("qv"))))
+          .select(col("id"), cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("id").asc).limit(10)
+          .select(col("id"))
+          .transform(GenSnap.snap)
+        GsSweepWidths.map { wd =>
+          val beam = gsBeamUnroll(e, adj, n, wd)
+          val w = Window.orderBy(col("sim").desc, col("id").asc)
+          val top = beam.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 10).select(col("id"), col("eh"))
+          top.join(truth, "id")
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(broadcast(beam.agg(max("eh").as("meh"))))
+            .select(lit(wd).as("beam"), col("hits"),
+              (col("hits").cast("double") / lit(10.0)).as("recall_at_10"),
+              (col("meh") + 1).cast("int").as("hops_used"))
+        }.reduce(_ union _).orderBy("beam")
+      },
+      Some {
+        val chains = GsSweepWidths
+          .map(wd => sqlGsHops(wd, s"w$wd")).mkString(",\n")
+        val rows = GsSweepWidths.map { wd =>
+          s"""SELECT $wd AS beam,
+             |  CAST((SELECT count(*) FROM (
+             |    SELECT id FROM (
+             |      SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+             |      FROM w$wd$GsHops) WHERE rk <= 10) t
+             |    JOIN truth USING (id)) AS BIGINT) AS hits,
+             |  CAST((SELECT max(eh) + 1 FROM w$wd$GsHops) AS INT) AS hops_used""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $sqlGsIndexCtes,
+           |truth AS (
+           |  SELECT e.id FROM e CROSS JOIN q WHERE e.id <> 0
+           |  ORDER BY ${sqlCosine("e.v", "q.qv")} DESC, e.id ASC LIMIT 10),
+           |$chains
+           |SELECT beam, hits, CAST(hits AS DOUBLE) / 10.0 AS recall_at_10, hops_used
+           |FROM ($rows)
+           |ORDER BY beam""".stripMargin
       }
     ),
 

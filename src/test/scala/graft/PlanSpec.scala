@@ -688,6 +688,7 @@ object PlanSpec {
     "text_zipf_slope" -> "OLS rank window over the top-1000 vocab tail (bounded)",
     "ann_hybrid_rrf" -> "RRF rank windows over the two top-20 retrieval legs (LIMIT-bounded, 20 rows each)",
     "ann_graph_search" -> "beam re-cut windows over beam ∪ candidates (≤ 24 + 24·16 rows/hop — candidate-sized by the frontier expansion, never corpus)",
+    "ann_beam_sweep" -> "the same beam re-cut windows at widths 8/16/24 (candidate-sized per hop, never corpus)",
     "ann_mrr_report" -> "mrank windows over each tier's own ≤20-row cached top-k frame (LIMIT-bounded)")
 
 }

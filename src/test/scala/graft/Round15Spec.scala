@@ -131,6 +131,25 @@ class Round15Spec extends SparkSpec {
     assert(used < bound)
   }
 
+  test("beam sweep: recall non-decreasing in width, width-24 ties the search query") {
+    val sweep = SparkEntry.queries("ann_beam_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+      .sortBy(_._1)
+    info(s"sweep: ${sweep.mkString(", ")}")
+    assert(sweep.map(_._1).toSeq == Seq(8, 16, 24))
+    assert(sweep.sliding(2).forall { case Array(a, b) => a._2 <= b._2 },
+      "wider beams must not lose recall on this corpus")
+    // width 24 = the production query's beam: the sweep row's hit count
+    // must equal ann_graph_search's own overlap with the exact truth
+    val truthIds = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val searchHits = SparkEntry.queries("ann_graph_search")(spark, sf)
+      .collect().map(_.getLong(1)).count(truthIds.contains)
+    assert(sweep.last._2 == searchHits.toLong,
+      "the width-24 sweep row diverged from ann_graph_search")
+  }
+
   test("SPRT llr replays the sequential recurrence exactly") {
     val rows = SparkEntry.queries("evt_sprt")(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
