@@ -563,9 +563,15 @@ object PropertyGraph {
     }
 
   // ── Louvain shared machinery (graph_louvain_one_level / _two_level) ─
-  /** One semi-synchronous Louvain half-step: every mover (one conflict-
-    * free class at a time) evaluates moving to each NEIGHBORING
-    * community and takes the strictly-positive best gain over staying.
+  /** One semi-synchronous Louvain half-step: every mover evaluates
+    * moving to each NEIGHBORING community and takes the strictly-
+    * positive best gain over staying. The mover class is CONFLICT-FREE
+    * only in the bipartite level-1 case (one side moves against the
+    * frozen other side); the quotient levels use community-id parity as
+    * a coloring HEURISTIC (ADVICE r15) — two adjacent same-parity
+    * communities can move simultaneously against stale labels, so
+    * quotient-level ascent is fixture-pinned (Round15Spec), not
+    * structurally guaranteed.
     * All gain comparisons are EXACT BIGINTs scaled by 2m²:
     * gain_fp = 2m·w_vc − k_v·Σtot'_c. Self-loop rows (present in the
     * level-2 quotient graph; absent in the bipartite level-1 graph) are

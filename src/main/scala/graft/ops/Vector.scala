@@ -1351,11 +1351,11 @@ object Vector {
     // and re-cuts the top 24 by (sim DESC, id ASC). The beam's k-th
     // similarity is monotone non-decreasing, so an evicted node can
     // never re-enter and the frontier provably empties; the hop unroll
-    // is FIXED at 8 with a loud in-kernel require that the last hop
-    // added nothing (the temporal-reach exact-unroll convention), usage
-    // BoundProbe'd and margin-pinned at sf0.1. Every pick is
-    // deterministic, so the oracle replays the full index build AND all
-    // 8 hops as chained CTEs. SCALE: each hop's exchanges are
+    // is FIXED at GsHops (10) with a loud in-kernel require that the
+    // last hop added nothing (the temporal-reach exact-unroll
+    // convention), usage BoundProbe'd and margin-pinned at sf0.1. Every
+    // pick is deterministic, so the oracle replays the full index build
+    // AND all GsHops hops as chained CTEs. SCALE: each hop's exchanges are
     // candidate-sized (≤ beam × degree rows — plan-pinned in
     // Round15Spec); the corpus-side scoring join is an equi-join on id
     // against the cached index corpus, which at 100 TB becomes point
@@ -1522,12 +1522,17 @@ object Vector {
           val w = Window.orderBy(col("sim").desc, col("id").asc)
           val top = beam.withColumn("rk", row_number().over(w))
             .filter(col("rk") <= 10).select(col("id"), col("eh"))
+          // converged: the unroll finished with at least one trailing
+          // hop that added nothing (ADVICE r15 — a narrow width still
+          // growing at hop GsHops must say so in its own row, not hide
+          // behind hops_used = GsHops + 1 as the only hint)
           top.join(truth, "id")
             .agg(count(lit(1)).as("hits"))
             .crossJoin(broadcast(beam.agg(max("eh").as("meh"))))
             .select(lit(wd).as("beam"), col("hits"),
               (col("hits").cast("double") / lit(10.0)).as("recall_at_10"),
-              (col("meh") + 1).cast("int").as("hops_used"))
+              (col("meh") + 1).cast("int").as("hops_used"),
+              (col("meh") < GsHops).as("converged"))
         }.reduce(_ union _).orderBy("beam")
       },
       Some {
@@ -1540,14 +1545,16 @@ object Vector {
              |      SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
              |      FROM w$wd$GsHops) WHERE rk <= 10) t
              |    JOIN truth USING (id)) AS BIGINT) AS hits,
-             |  CAST((SELECT max(eh) + 1 FROM w$wd$GsHops) AS INT) AS hops_used""".stripMargin
+             |  CAST((SELECT max(eh) + 1 FROM w$wd$GsHops) AS INT) AS hops_used,
+             |  (SELECT max(eh) FROM w$wd$GsHops) < $GsHops AS converged""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH $sqlGsIndexCtes,
            |truth AS (
            |  SELECT e.id FROM e CROSS JOIN q WHERE e.id <> 0
            |  ORDER BY ${sqlCosine("e.v", "q.qv")} DESC, e.id ASC LIMIT 10),
            |$chains
-           |SELECT beam, hits, CAST(hits AS DOUBLE) / 10.0 AS recall_at_10, hops_used
+           |SELECT beam, hits, CAST(hits AS DOUBLE) / 10.0 AS recall_at_10, hops_used,
+           |  converged
            |FROM ($rows)
            |ORDER BY beam""".stripMargin
       }
