@@ -195,8 +195,13 @@ object Vector {
     * ann_graph_search answers queries from it without touching the
     * build again (the nnExistingGraph convention, full corpus). */
   private val nnSearchIndexMemo = graft.SessionMemo[(DataFrame, Long, DataFrame)]()
+  /** Spec probe: how many times the descent BUILD actually ran in this
+    * process (any session) — the persisted serve path must leave it
+    * untouched (Round16Spec). */
+  private[graft] val nnIndexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def nnSearchIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) =
     nnSearchIndexMemo.getOrCompute(s, d) {
+      nnIndexBuilds.incrementAndGet()
       val e = embeddings(s, d)
         .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
         .cache()
@@ -256,6 +261,104 @@ object Vector {
         .transform(GenSnap.snap)
     }
     beam
+  }
+
+  // ── persisted index: build once, serve from storage ─────────────────
+  // VERDICT-r15 task 1 — the graph index lived only in a SessionMemo,
+  // so every fresh session paid the full NN-descent rebuild: exactly
+  // what a 100 TB system must not do. The build is now a write-once JOB
+  // (adjacency + 1-row meta as real parquet tables under a DURABLE
+  // staging dir) and the search SERVES by reading the artifact — many
+  // sessions, one build. Publication is crash/concurrency-safe: the
+  // build lands in a pid-keyed scratch dir and is published by one
+  // atomic rename; a loser of the publish race discards its scratch and
+  // reads the winner's (the build is deterministic, so both are
+  // byte-equal). The dir name embeds the BUILD PARAMETERS, so a
+  // parameter change can never serve a stale artifact written under the
+  // old ones — it simply misses and rebuilds.
+
+  /** Version token naming the persisted-index layout — derived from the
+    * build parameters (descent rounds, build degree). */
+  private def gsIdxToken: String = s"ann1r${NnRounds}k$NnKb"
+
+  /** Spec probe: how many times this process actually BUILT (descended
+    * and wrote) a persisted index — the serve-without-rebuild pin. */
+  private[graft] val gsPersistBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val gsPersistMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic order-independent corpus fingerprint: the meta key
+    * the ORACLE uses to pick this dataset's rows out of the durable-dir
+    * glob (sf0.001 and sf0.01 share n = 500, so a row count alone cannot
+    * disambiguate). floor is exact on both engines and the float32→
+    * double widening plus the ·1e6 product round identically (IEEE), so
+    * Spark's stored value and DuckDB's recomputed one agree bit-for-bit. */
+  private def corpusFingerprint(s: SparkSession, d: String): Long =
+    embeddings(s, d).agg(
+      sum((col("vec_id") + lit(1L)) *
+        floor(element_at(vec(col("embedding")), 1) * lit(1e6)))).head().getLong(0)
+
+  private def sqlCorpusFingerprint: String =
+    "CAST(sum((vec_id + 1) * CAST(FLOOR(CAST(embedding[1] AS DOUBLE) " +
+      "* 1000000.0) AS BIGINT)) AS BIGINT)"
+
+  /** The published artifact dir for this dataset — building and
+    * publishing it first if no process has yet. Returns a dir holding
+    * `adj` (ds, src, dst) and `meta` (ds, n, fp) parquet tables. */
+  private[graft] def gsPersistedIndex(s: SparkSession, d: String): String = {
+    val ds = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    gsPersistMemo.computeIfAbsent(ds, _ => {
+      val target = java.nio.file.Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/graft_idx_${gsIdxToken}_$ds")
+      if (!java.nio.file.Files.exists(target)) {
+        gsPersistBuilds.incrementAndGet()
+        val (_, n, adj) = nnSearchIndex(s, d)
+        val fp = corpusFingerprint(s, d) // 1-value driver boundary (meta row)
+        val stage = graft.tools.Staging.durableDir(gsIdxToken + "stage", d)
+        adj.withColumn("ds", lit(ds))
+          .write.mode("overwrite").parquet(s"$stage/adj")
+        val spark = s; import spark.implicits._
+        Seq((ds, n, fp)).toDF("ds", "n", "fp")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+        try java.nio.file.Files.move(java.nio.file.Paths.get(stage), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException if java.nio.file.Files.exists(target) =>
+          // lost the publish race — the winner's artifact is identical
+          // (deterministic build); drop the scratch copy
+          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(stage))
+          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally w.close()
+        }
+      }
+      target.toString
+    })
+  }
+
+  /** The oracle-side serve prefix: corpus/query/entry CTEs as in
+    * [[sqlGsIndexCtes]], but `adj` READS THE PUBLISHED ARTIFACT (the
+    * same parquet the Spark side serves from) instead of replaying the
+    * descent — the fp-keyed meta row selects this dataset's slice of
+    * the durable-dir glob. */
+  private def sqlGsPersistedCtes: String = {
+    val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${gsIdxToken}_*"
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |cfp AS (SELECT $sqlCorpusFingerprint AS fp FROM embeddings),
+       |meta AS (SELECT ds FROM read_parquet('$glob/meta/*.parquet')
+       |         WHERE fp = (SELECT fp FROM cfp)
+       |           AND n = (SELECT n FROM n)),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst FROM read_parquet('$glob/adj/*.parquet')
+       |  WHERE ds = (SELECT ds FROM meta)),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |ent AS (SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
+       |        FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
+       |        CROSS JOIN n
+       |        WHERE (s2.s * 2654435761) % n.n <> 0)""".stripMargin
   }
 
   /** The oracle twin of [[gsBeamUnroll]]: the hop CTE chain at the given
@@ -1558,6 +1661,50 @@ object Vector {
            |FROM ($rows)
            |ORDER BY beam""".stripMargin
       }
+    ),
+
+    // ── persisted-index serve: the build-once/serve-many search ───────
+    // VERDICT-r15 task 1. Identical semantics to ann_graph_search, but
+    // the adjacency comes from the PUBLISHED parquet artifact (see
+    // gsPersistedIndex) instead of the session memo: the serve plan
+    // contains no NN-descent stage — its only inputs are the artifact
+    // scan and the corpus scan (plan-asserted in Round16Spec, which
+    // also pins row-for-row equality with ann_graph_search and that a
+    // SECOND session serves with zero rebuilds). The ORACLE reads the
+    // same staged artifact (fp-keyed out of the durable glob), so the
+    // gate checks the serve path proper; the artifact's own correctness
+    // is covered transitively by the equality pin against
+    // ann_graph_search, whose oracle replays the full build. SCALE:
+    // this is the production split — the descent is a periodic index
+    // JOB; serving sessions read an id-bucketed adjacency table and pay
+    // beam-sized point lookups per hop, never a rebuild.
+    Q(
+      "ann_graph_search_persisted",
+      (s, d) => {
+        val base = gsPersistedIndex(s, d)
+        // 1-row driver boundary: the meta row's corpus count seeds the
+        // hash-fixed entry ids, exactly as the memoized path's count()
+        val n = s.read.parquet(s"$base/meta").head().getAs[Long]("n")
+        val adj = s.read.parquet(s"$base/adj").select("src", "dst")
+        val e = embeddings(s, d)
+          .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
+        val beam = gsBeamUnroll(e, adj, n, GsBeam)
+        val maxEh = beam.agg(max("eh")).head().getInt(0)
+        graft.tools.BoundProbe.record("graph_beam_search_persisted", maxEh + 1, GsHops)
+        require(maxEh < GsHops,
+          s"beam still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        val w = Window.orderBy(col("sim").desc, col("id").asc)
+        beam.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+          .select(col("rank").cast("int").as("rank"),
+            col("id").as("vec_id"), col("sim"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH $sqlGsPersistedCtes,
+              |${sqlGsHops(GsBeam, "pm")}
+              |SELECT CAST(rk AS INT) AS rank, id AS vec_id, sim FROM (
+              |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+              |  FROM pm$GsHops)
+              |WHERE rk <= 10 ORDER BY rank""".stripMargin)
     ),
 
     // ── LSH-bucketed ANN: bucket histogram ─────────────────────────────

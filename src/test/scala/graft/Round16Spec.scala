@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 pins: the persisted ANN index must genuinely separate build
+  * from serve (VERDICT-r15 task 1) — same answers as the memoized
+  * search, a serve plan whose only inputs are the artifact and the
+  * corpus, and zero rebuilds for a second (fresh-memo) session. */
+class Round16Spec extends SparkSpec {
+
+  test("persisted graph search: serve ≡ memoized search, row for row") {
+    val served = SparkEntry.queries("ann_graph_search_persisted")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val memoed = SparkEntry.queries("ann_graph_search")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == memoed,
+      "the persisted-index serve must reproduce the memoized search exactly")
+  }
+
+  test("persisted graph search: a second session serves with zero rebuilds") {
+    // prime: this session has built + published (idempotent)
+    SparkEntry.queries("ann_graph_search_persisted")(spark, sf).count()
+    val writes = ops.Vector.gsPersistBuilds.get()
+    val builds = ops.Vector.nnIndexBuilds.get()
+    val fresh = spark.newSession() // fresh SessionMemo keys, shared context
+    val rows = SparkEntry.queries("ann_graph_search_persisted")(fresh, sf).count()
+    assert(rows == 10)
+    assert(ops.Vector.gsPersistBuilds.get() == writes,
+      "a fresh session must serve from the published artifact, not re-publish")
+    // the behavioral form of "the serve path contains no NN-descent
+    // stage": the descent's only entry point is nnSearchIndex, whose
+    // compute probe must not fire for the fresh session's serve
+    assert(ops.Vector.nnIndexBuilds.get() == builds,
+      "a fresh session's serve must not run the NN-descent build")
+  }
+
+  test("persisted graph search: the serve actually reads the artifact") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    SparkEntry.queries("ann_graph_search_persisted")(spark, sf).count()
+    val base = Paths.get(ops.Vector.gsPersistedIndex(spark, sf))
+    val aside = Paths.get(base.toString + ".aside")
+    // with the artifact moved away, a fresh-memo session must FAIL to
+    // serve — proving the answers come from the published parquet, not
+    // from any in-session state the memoized twin left behind
+    Files.move(base, aside, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      val fresh = spark.newSession()
+      intercept[Exception] {
+        SparkEntry.queries("ann_graph_search_persisted")(fresh, sf).count()
+      }
+    } finally Files.move(aside, base, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  test("beam sweep rows are self-describing about convergence") {
+    val rows = SparkEntry.queries("ann_beam_sweep")(spark, sf).collect()
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("converged"))))
+    rows.foreach { r =>
+      val hops = r.getInt(r.fieldIndex("hops_used"))
+      val conv = r.getBoolean(r.fieldIndex("converged"))
+      assert(conv == (hops <= 10), s"converged flag disagrees with hops_used=$hops")
+    }
+  }
+}
