@@ -227,6 +227,10 @@ object Vector {
   private val GsHops = 10 // sf0.1 usage: 5 single-probe, 7 batch (one far probe) — margin ≥ 3, Sf01BoundsSpec-pinned
   private val GsEntrySeeds = Seq(48L, 85L, 122L, 159L)
   private val GsSweepWidths = Seq(8, 16, 24) // efSearch-style serving knob
+  // filtered search runs WIDER (the filtered-HNSW/ACORN rule of thumb:
+  // predicate selectivity ~1/10 thins the visited set ~10×, so the beam
+  // doubles to keep the survivor pool ≥ k with margin)
+  private val GsFilteredBeam = 48
 
   /** One deterministic single-probe beam-search unroll over the memoized
     * index at the given beam WIDTH: hash-fixed entries scored, each hop
@@ -235,7 +239,19 @@ object Vector {
     * Returns the final (id, sim, eh) beam — shared by ann_graph_search
     * (width 24) and ann_beam_sweep (the width tuning curve). */
   private def gsBeamUnroll(e: DataFrame, adj: DataFrame, n: Long,
-      width: Int): DataFrame = {
+      width: Int): DataFrame = gsBeamUnrollScored(e, adj, n, width)._1
+
+  /** The unroll plus every candidate it ever SCORED — (id, sim, eh),
+    * entry scores included, pre-cut. The filtered search ranks
+    * predicate survivors out of this visited set (the ACORN/
+    * filtered-HNSW shape), not just the surviving beam: filtering the
+    * GRAPH would disconnect it, and filtering only the final beam
+    * starves when survivors of a width cut are < k. Lazily unioned —
+    * each hop's scored frame is one shallow join off an already-snapped
+    * beam, so the single materialization in the filtered query re-pays
+    * each hop's candidate-sized scoring once, never the unroll. */
+  private def gsBeamUnrollScored(e: DataFrame, adj: DataFrame, n: Long,
+      width: Int): (DataFrame, DataFrame) = {
     val q = e.filter(col("id") === 0L).select(col("v").as("qv"))
     val entryIds = GsEntrySeeds.map(sj => (sj * 2654435761L) % n)
       .distinct.filterNot(_ == 0L)
@@ -243,8 +259,10 @@ object Vector {
       ids.join(e, "id").crossJoin(broadcast(q))
         .select(col("id"), cosine(col("v"), col("qv")).as("sim"))
     val w = Window.orderBy(col("sim").desc, col("id").asc)
-    var beam = score(e.select("id").filter(col("id").isin(entryIds: _*)))
+    val s0 = score(e.select("id").filter(col("id").isin(entryIds: _*)))
       .withColumn("eh", lit(0))
+    var scoredAll = s0
+    var beam = s0
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= width).drop("rk")
       .transform(GenSnap.snap) // per-hop snap: the MMR 2^hops lesson
@@ -255,12 +273,13 @@ object Vector {
         .filter(col("id") =!= 0L).distinct()
         .join(beam.select("id"), Seq("id"), "left_anti")
       val scored = score(cand).withColumn("eh", lit(h))
+      scoredAll = scoredAll.unionByName(scored)
       beam = beam.unionByName(scored)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= width).drop("rk")
         .transform(GenSnap.snap)
     }
-    beam
+    (beam, scoredAll)
   }
 
   // ── persisted index: build once, serve from storage ─────────────────
@@ -1705,6 +1724,75 @@ object Vector {
               |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
               |  FROM pm$GsHops)
               |WHERE rk <= 10 ORDER BY rank""".stripMargin)
+    ),
+
+    // ── filtered graph search: metadata predicate over the beam ───────
+    // VERDICT-r15 task 4 — the dominant production RAG query: top-k
+    // UNDER A METADATA FILTER (here label = 3, the ann_filtered_topk
+    // predicate). Filtering the graph itself would disconnect it, and
+    // post-filtering only the final beam starves when a width cut
+    // leaves < k survivors — so the beam NAVIGATES unfiltered (the
+    // filtered-HNSW/ACORN shape) at a widened width (48: predicate
+    // selectivity ~1/10 thins the pool ~10×), and the answer ranks
+    // predicate survivors out of EVERYTHING the search scored (the
+    // visited set). A straggler scored twice across hops dedups by id
+    // (identical sim — the search is deterministic). Output self-audits
+    // vs the exact filtered brute force (in_exact_topk, the
+    // ann_filtered_topk convention); recall is pinned ≥ the IVF
+    // filtered tier in Round16Spec. SCALE: the visited set is
+    // (hops × beam × degree)-bounded, never corpus-sized; the predicate
+    // join is a broadcast of the survivor id set's matching bucket at
+    // 100 TB (label-bucketed metadata table), and the truth side exists
+    // only for the self-audit, not the serving path.
+    Q(
+      "ann_graph_search_filtered",
+      (s, d) => {
+        val (e, n, adj) = nnSearchIndex(s, d)
+        val (beamF, scoredAll) = gsBeamUnrollScored(e, adj, n, GsFilteredBeam)
+        val maxEh = beamF.agg(max("eh")).head().getInt(0)
+        graft.tools.BoundProbe.record("graph_beam_search_filtered", maxEh + 1, GsHops)
+        require(maxEh < GsHops,
+          s"filtered beam still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        val pass = embeddings(s, d)
+          .filter(col("label") === 3 && col("vec_id") =!= 0L)
+          .select(col("vec_id").as("id"))
+        val hits = scoredAll.join(pass, "id")
+          .groupBy("id").agg(max("sim").as("sim"))
+          .orderBy(col("sim").desc, col("id").asc).limit(10)
+        val query = e.filter(col("id") === 0L).select(col("v").as("qv"))
+        val truth = embeddings(s, d)
+          .filter(col("vec_id") =!= 0L && col("label") === 3)
+          .crossJoin(broadcast(query))
+          .select(col("vec_id").as("id"),
+            cosine(vec(col("embedding")), col("qv")).as("tsim"))
+          .orderBy(col("tsim").desc, col("id").asc).limit(10)
+          .select(col("id"), lit(true).as("in_exact_topk"))
+        hits.join(broadcast(truth), Seq("id"), "left")
+          .select(col("id").as("vec_id"), col("sim"),
+            coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+      },
+      Some {
+        val scoredUnion = (0 to GsHops)
+          .map(h => s"SELECT id, sim FROM sfm$h").mkString("\nUNION ALL\n")
+        s"""WITH $sqlGsIndexCtes,
+           |${sqlGsHops(GsFilteredBeam, "fm")},
+           |pass AS (SELECT vec_id AS id FROM embeddings
+           |         WHERE label = 3 AND vec_id <> 0),
+           |visited AS ($scoredUnion),
+           |hits AS (
+           |  SELECT v.id, max(v.sim) AS sim
+           |  FROM visited v JOIN pass USING (id)
+           |  GROUP BY v.id ORDER BY sim DESC, id ASC LIMIT 10),
+           |truth AS (
+           |  SELECT e.id, TRUE AS in_exact_topk
+           |  FROM e JOIN pass USING (id) CROSS JOIN q
+           |  ORDER BY ${sqlCosine("e.v", "q.qv")} DESC, e.id ASC LIMIT 10)
+           |SELECT h.id AS vec_id, h.sim,
+           |  coalesce(t.in_exact_topk, FALSE) AS in_exact_topk
+           |FROM hits h LEFT JOIN truth t ON t.id = h.id
+           |ORDER BY h.sim DESC, vec_id ASC""".stripMargin
+      }
     ),
 
     // ── LSH-bucketed ANN: bucket histogram ─────────────────────────────

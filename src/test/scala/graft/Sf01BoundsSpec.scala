@@ -42,7 +42,9 @@ class Sf01BoundsSpec extends SparkSpec {
     ("kcore_peel",       "dedup_kcore",           2),
     ("ktruss_peel",      "dedup_ktruss",          2),
     ("graph_beam_search", "ann_graph_search",     2),
-    ("graph_beam_search_batch", "ann_graph_search_batch", 2))
+    ("graph_beam_search_batch", "ann_graph_search_batch", 2),
+    ("graph_beam_search_persisted", "ann_graph_search_persisted", 2),
+    ("graph_beam_search_filtered", "ann_graph_search_filtered", 2))
 
   test("every bounded kernel drains at sf0.1 with documented margin") {
     // ADVICE r14: BoundProbe is a process-global max-used merge — another
