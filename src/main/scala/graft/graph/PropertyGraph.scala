@@ -634,6 +634,95 @@ object PropertyGraph {
         "wrap in the exact gain — rescale edge weights")
   }
 
+  /** Four parity-alternating half-steps over one QUOTIENT graph `qe`
+    * (src, dst, w — self-loops carry 2× intra mass): degrees + overflow
+    * guard + identity init + sweeps. Shared by `graph_louvain_two_level`
+    * (one call) and `graph_louvain_hierarchy` (one call per level).
+    * Returns the (id, c) labels after the level's sweeps. */
+  private def louvainQuotientSweeps(qe: DataFrame, level: String): DataFrame = {
+    val qdeg = qe.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+      .transform(GenSnap.snap) // read by every half-step
+    louvainOverflowGuard(qdeg, level)
+    val twoM = qe.agg(sum("w").as("m2")) // Σw preserved by contraction = 2m
+    var comm = qdeg.select(col("id"), col("id").as("c"))
+    for (h <- 1 to 4) {
+      val parity = h % 2 // odd ids first, sides alternate
+      comm = louvainSweep(qe, qdeg, twoM, comm,
+        idCol => idCol % 2 === lit(parity.toLong))
+    }
+    comm
+  }
+
+  /** Contract a weighted graph by a label map: one (edges ⋈ labels ⋈
+    * labels) equi-join + hash aggregation into the community-sized
+    * quotient (self-loops absorb intra mass, degrees/2m exactly
+    * preserved) — the graph_scc_condensation shape. */
+  private def louvainContract(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"), col("c").as("cs")), "src")
+      .join(labels.select(col("id").as("dst"), col("c").as("cd")), "dst")
+      .groupBy(col("cs").as("src"), col("cd").as("dst"))
+      .agg(sum("w").as("w"))
+      .transform(GenSnap.snap) // read by every half-step of the level
+
+  /** Hierarchy level cap (level 1 = bipartite sweeps + up to 7 quotient
+    * levels). Usage probed ("louvain_levels") and margin-pinned at
+    * sf0.1 in Sf01BoundsSpec; the driver loop stops at the first
+    * no-move level, the oracle unrolls all of them (trailing levels are
+    * provably no-ops). */
+  private val LouvainMaxLevels = 8
+
+  private val louvainL2Memo = graft.SessionMemo[(DataFrame, DataFrame)]()
+
+  /** Level-2 Louvain state — (the level-1 quotient graph `qe2`, its
+    * post-sweep labels) — one build per (session, dir), shared by
+    * `graph_louvain_two_level` and `graph_louvain_hierarchy` (which
+    * continues contracting from exactly this state): the level-2
+    * contraction is the hierarchy's only |E|-sized join, so sharing it
+    * is the same persisted-partition economics as the L1 memo. */
+  private def louvainLevel2(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    louvainL2Memo.getOrCompute(s, d) {
+      val (_, c1) = louvainLevel1(s, d)
+      val qe = louvainContract(weightedUndirectedEdges(s, d), c1)
+      (qe, louvainQuotientSweeps(qe, "level-2").cache())
+    }
+
+  /** The composed (original id → community) label frame after each
+    * hierarchy level (index 0 = level 1), stopping at the first no-move
+    * level. Shared by graph_louvain_hierarchy (last frame + length) and
+    * Round16Spec's per-level modularity-ascent pin. The driver loop's
+    * per-level mover count is a 1-row boundary, ≤ LouvainMaxLevels of
+    * them; the level count is probed and require'd. */
+  private[graft] def louvainHierarchyTrail(s: SparkSession, d: String): Seq[DataFrame] = {
+    val (_, c1) = louvainLevel1(s, d)
+    val (qe2, comm2) = louvainLevel2(s, d)
+    var labels = c1
+    var qe = qe2
+    val trail = scala.collection.mutable.ArrayBuffer[DataFrame](c1)
+    var lvl = 2
+    var moved = -1L
+    while (lvl <= LouvainMaxLevels && moved != 0L) {
+      val comm =
+        if (lvl == 2) comm2 // the memoized level-2 sweep state
+        else louvainQuotientSweeps(qe, s"level-$lvl")
+      moved = comm.filter(col("id") =!= col("c")).count()
+      if (moved != 0L) {
+        labels = labels
+          .join(comm.select(col("id").as("c"), col("c").as("cNew")), "c")
+          .select(col("id"), col("cNew").as("c"))
+          .transform(GenSnap.snap)
+        qe = louvainContract(qe, comm)
+        trail += labels
+      }
+      lvl += 1
+    }
+    graft.tools.BoundProbe.record("louvain_levels", trail.length, LouvainMaxLevels)
+    require(moved == 0L,
+      s"louvain still merging at level $LouvainMaxLevels — raise " +
+        "LouvainMaxLevels (and the oracle unroll)")
+    trail.toSeq
+  }
+
   private val louvainL1Memo = graft.SessionMemo[(DataFrame, DataFrame)]()
 
   /** Level-1 Louvain state — (weighted degree (id, k), labels (id, c)) —
@@ -1808,24 +1897,8 @@ object PropertyGraph {
     Q(
       "graph_louvain_two_level",
       (s, d) => {
-        val (deg1, c1) = louvainLevel1(s, d)
-        val ue = weightedUndirectedEdges(s, d)
-        val qe = ue
-          .join(c1.select(col("id").as("src"), col("c").as("cs")), "src")
-          .join(c1.select(col("id").as("dst"), col("c").as("cd")), "dst")
-          .groupBy(col("cs").as("src"), col("cd").as("dst"))
-          .agg(sum("w").as("w"))
-          .transform(GenSnap.snap) // read by every half-step
-        val qdeg = qe.groupBy(col("src").as("id")).agg(sum("w").as("k"))
-          .transform(GenSnap.snap)
-        louvainOverflowGuard(qdeg, "level-2")
-        val twoM = qe.agg(sum("w").as("m2")) // = level-1 2m exactly
-        var comm = qdeg.select(col("id"), col("id").as("c"))
-        for (h <- 1 to 4) {
-          val parity = h % 2 // odd ids first, sides alternate
-          comm = louvainSweep(qe, qdeg, twoM, comm,
-            idCol => idCol % 2 === lit(parity.toLong))
-        }
+        val (_, c1) = louvainLevel1(s, d)
+        val (_, comm) = louvainLevel2(s, d)
         c1.join(comm.select(col("id").as("c"), col("c").as("community")), "c")
           .select(col("id"), col("community")).orderBy("id")
       },
@@ -1845,6 +1918,70 @@ object PropertyGraph {
            |$sweeps
            |SELECT c4.id, d4.c AS community FROM c4 JOIN d4 ON d4.id = c4.c
            |ORDER BY c4.id""".stripMargin
+      }
+    ),
+
+    // ── Louvain full hierarchy (contract until no ascent) ──────────────
+    // VERDICT-r15 task 5 — real Louvain (Blondel et al. 2008 §2)
+    // iterates contraction until a level's sweeps move NOTHING. Levels
+    // 2..LouvainMaxLevels re-run the shared quotient machinery, each
+    // level contracting the PREVIOUS quotient (community-sized work —
+    // never re-touching |E| after level 2); the driver counts movers
+    // per level (1-row boundary, ≤ LouvainMaxLevels of them, the
+    // kmeans-loop convention), stops at the first no-move level, probes
+    // the level count (BoundProbe + require — the temporal-reach
+    // exact-unroll convention), and emits every ORIGINAL node's final
+    // community plus levels_used. The ORACLE replays ALL
+    // LouvainMaxLevels levels: a converged level contracts to the
+    // IDENTICAL quotient, whose deterministic sweeps move nothing
+    // again, so trailing levels are no-ops and the fixed unroll matches
+    // the early-stopping driver bit-for-bit; its levels_used is the
+    // same count computed in SQL (1 + levels with any mover). SCALE:
+    // level ℓ's state is community-sized and shrinks monotonically; the
+    // one |E|-sized join is the level-2 contraction, shared with
+    // graph_louvain_two_level's plan shape.
+    Q(
+      "graph_louvain_hierarchy",
+      (s, d) => {
+        val trail = louvainHierarchyTrail(s, d)
+        trail.last.select(col("id"), col("c").as("community"),
+          lit(trail.length).as("levels_used")).orderBy("id")
+      },
+      Some {
+        val levels = (2 to LouvainMaxLevels).map { l =>
+          val prevQe = if (l == 2) "ue" else s"qe${l - 1}"
+          // the contraction labels live on the PREVIOUS QUOTIENT's nodes
+          // (h{l-1}_4: level-(l-2) community → level-(l-1) community);
+          // lab{l-1} maps ORIGINAL nodes and only composes the output
+          val prevLab = if (l == 2) "c4" else s"h${l - 1}_4"
+          val sweeps = (1 to 4).map { k =>
+            val parity = k % 2
+            sqlLouvainSweep(s"h${l}_${k - 1}", s"h${l}_$k",
+              id => s"$id % 2 = $parity", s"qe$l", s"qdeg$l")
+          }.mkString(",\n")
+          s"""qe$l AS MATERIALIZED (
+             |  SELECT ls.c AS src, ld.c AS dst, CAST(sum(p.w) AS BIGINT) AS w
+             |  FROM $prevQe p JOIN $prevLab ls ON ls.id = p.src
+             |  JOIN $prevLab ld ON ld.id = p.dst
+             |  GROUP BY 1, 2),
+             |qdeg$l AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS k
+             |           FROM qe$l GROUP BY src),
+             |h${l}_0 AS (SELECT id, id AS c FROM qdeg$l),
+             |$sweeps,
+             |lab$l AS MATERIALIZED (
+             |  SELECT l.id, s.c FROM ${if (l == 2) "c4" else s"lab${l - 1}"} l
+             |  JOIN h${l}_4 s ON s.id = l.c)""".stripMargin
+        }.mkString(",\n")
+        val changed = (2 to LouvainMaxLevels).map(l =>
+          s"CASE WHEN (SELECT count(*) FROM h${l}_4 WHERE id <> c) > 0 " +
+            "THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH ${sqlLouvainL1Ctes},
+           |$levels,
+           |lvl AS (SELECT CAST(1 + $changed AS INT) AS levels_used)
+           |SELECT lab$LouvainMaxLevels.id, lab$LouvainMaxLevels.c AS community,
+           |  lvl.levels_used
+           |FROM lab$LouvainMaxLevels CROSS JOIN lvl
+           |ORDER BY id""".stripMargin
       }
     ),
 

@@ -67,6 +67,38 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  // Q·(2m)² = Σ_c (2m·in2_c − tot_c²) over the ORIGINAL weighted graph —
+  // exact BigInt throughout (the Round15Spec/graph_modularity convention)
+  private def qfp(cm: org.apache.spark.sql.DataFrame): BigInt = {
+    val ue = graph.PropertyGraph.weightedUndirectedEdges(spark, sf)
+    val m2 = ue.agg(sum("w")).head().getLong(0)
+    val deg = ue.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+    val in2 = ue
+      .join(cm.select(col("id").as("src"), col("c").as("cs")), "src")
+      .join(cm.select(col("id").as("dst"), col("c").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("c")).agg(sum("w").as("in2"))
+    val tot = cm.join(deg, "id").groupBy("c").agg(sum("k").as("tot"))
+    tot.join(in2, Seq("c"), "left")
+      .select((lit(m2) * coalesce(col("in2"), lit(0L))
+        - col("tot") * col("tot")).as("contrib"))
+      .collect().map(r => BigInt(r.getLong(0))).sum
+  }
+
+  test("louvain hierarchy: modularity non-decreasing at EVERY level") {
+    val trail = graph.PropertyGraph.louvainHierarchyTrail(spark, sf)
+    val qs = trail.map(qfp)
+    info(s"Qfp per level: ${qs.mkString(" -> ")} (${trail.length} levels)")
+    assert(trail.length >= 2, "the fixture graph must merge beyond level 1")
+    qs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"a contraction level DECREASED exact modularity: $a -> $b")
+    }
+    // the query's levels_used must be the trail length and its labels
+    // the trail's last frame
+    val q = SparkEntry.queries("graph_louvain_hierarchy")(spark, sf)
+    assert(q.select("levels_used").head().getInt(0) == trail.length)
+  }
+
   test("beam sweep rows are self-describing about convergence") {
     val rows = SparkEntry.queries("ann_beam_sweep")(spark, sf).collect()
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("converged"))))
