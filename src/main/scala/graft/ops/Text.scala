@@ -3479,6 +3479,114 @@ object Text {
            |WHERE cum - n_chars < b.budget_chars
            |ORDER BY r.source, pick_rank""".stripMargin
       }
+    ),
+
+    // ── end-to-end corpus manifest: filter → dedup → mixture → pack ───
+    // VERDICT-r15 task 6 — the composition a real 100 TB curation run
+    // executes as ONE dataflow, with every doc carrying its stage
+    // verdict: exact-dup/length/quality gates (text_filter_pipeline's
+    // exact thresholds), the MinHash ≥0.5-Jaccard near-dup drop list
+    // (dedup_keep_list's memoized pair spine), DoReMi per-source char
+    // budgets over the SURVIVORS (text_doremi_manifest's exact integer
+    // budgets + hash-ranked take-until-crossed window), and finally
+    // 4096-char bin packing offsets for the kept picks. The oracle
+    // chains all four parents' CTE stacks (sketch/pairs, DoReMi rounds,
+    // the filter CTEs, the window), transitively re-proving each shared
+    // artifact one level up. SCALE: one corpus scan feeds the filter
+    // signals; the near-dup join is against the pair-spine's id set
+    // (duplicate-count-sized); the budget join broadcasts a 20-row
+    // frame; the window is one partitioned pass per source — no stage
+    // ever holds more than the corpus partition it is streaming.
+    Q(
+      "text_corpus_manifest",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val TotalChars = 200000L
+        val budgets = doremiDomainWeights(s, d)
+          .map { case (src, _, _, _, w) => (src, w * TotalChars / 16777216L) }
+          .toSeq.toDF("source", "budget_chars")
+        val drops = dupEdges(s, d)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("nd", lit(true))
+        val base = documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            length(col("text")).as("len"), md5(col("text")).as("h"),
+            markerScore(tokens(col("text")), stopwords).as("stop_cnt"))
+          .withColumn("keeper", min("doc_id").over(Window.partitionBy("h")))
+        val flagged = base
+          .join(drops, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            when(col("doc_id") =!= col("keeper"), "dup_exact")
+              .when(col("len") < 100, "too_short")
+              .when(col("len") > 20000 || col("stop_cnt") === 0, "low_quality")
+              .when(col("nd"), "near_dup")
+              .otherwise("pass").as("v0"))
+        val ord = Window.partitionBy("source")
+          .orderBy(col("hh").asc, col("doc_id").asc)
+        val picked = flagged.filter(col("v0") === "pass")
+          .withColumn("hh", Tables.detHash(col("doc_id")))
+          .withColumn("rk", row_number().over(ord))
+          .withColumn("cum", sum("n_chars").over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .join(broadcast(budgets), "source")
+          .withColumn("in_budget", col("cum") - col("n_chars") < col("budget_chars"))
+          .select(col("doc_id"), col("source"),
+            when(col("in_budget"), "kept").otherwise("over_budget").as("verdict"),
+            when(col("in_budget"), col("rk").cast("int")).as("pick_rank"),
+            when(col("in_budget"),
+              floor((col("cum") - col("n_chars")) / lit(4096))).as("bin"))
+        val rest = flagged.filter(col("v0") =!= "pass")
+          .select(col("doc_id"), col("source"), col("v0").as("verdict"),
+            lit(null).cast("int").as("pick_rank"),
+            lit(null).cast("long").as("bin"))
+        picked.unionByName(rest).orderBy("doc_id")
+      },
+      Some {
+        val t = "string_split(text, ' ')"
+        val h = Tables.detHashSql("doc_id")
+        s"""WITH $sqlSketchCtes,
+           |$sqlPairCtes,
+           |$sqlDoremiCtes,
+           |budgets AS (SELECT source,
+           |  CAST((w * 200000) // 16777216 AS BIGINT) AS budget_chars FROM w8),
+           |drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= 0.5),
+           |base AS (
+           |  SELECT doc_id, source, n_chars, length(text) AS len, md5(text) AS h,
+           |         ${sqlMarkerScore(t, stopwords)} AS stop_cnt
+           |  FROM documents),
+           |keeper AS (SELECT h, min(doc_id) AS keeper FROM base GROUP BY h),
+           |flagged AS (
+           |  SELECT b.doc_id, b.source, b.n_chars,
+           |    CASE WHEN b.doc_id <> k.keeper THEN 'dup_exact'
+           |         WHEN b.len < 100 THEN 'too_short'
+           |         WHEN b.len > 20000 OR b.stop_cnt = 0 THEN 'low_quality'
+           |         WHEN dr.doc_id IS NOT NULL THEN 'near_dup'
+           |         ELSE 'pass' END AS v0
+           |  FROM base b JOIN keeper k USING (h)
+           |  LEFT JOIN drops dr ON dr.doc_id = b.doc_id),
+           |ranked AS (
+           |  SELECT doc_id, source, n_chars,
+           |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk,
+           |    sum(n_chars) OVER (PARTITION BY source ORDER BY $h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM flagged WHERE v0 = 'pass'),
+           |picked AS (
+           |  SELECT r.doc_id, r.source,
+           |    CASE WHEN r.cum - r.n_chars < b.budget_chars
+           |         THEN 'kept' ELSE 'over_budget' END AS verdict,
+           |    CASE WHEN r.cum - r.n_chars < b.budget_chars
+           |         THEN CAST(r.rk AS INT) END AS pick_rank,
+           |    CASE WHEN r.cum - r.n_chars < b.budget_chars
+           |         THEN CAST((r.cum - r.n_chars) // 4096 AS BIGINT) END AS bin
+           |  FROM ranked r JOIN budgets b USING (source))
+           |SELECT doc_id, source, verdict, pick_rank, bin FROM picked
+           |UNION ALL
+           |SELECT doc_id, source, v0 AS verdict, CAST(NULL AS INT) AS pick_rank,
+           |  CAST(NULL AS BIGINT) AS bin
+           |FROM flagged WHERE v0 <> 'pass'
+           |ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }

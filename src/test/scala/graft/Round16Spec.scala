@@ -99,6 +99,28 @@ class Round16Spec extends SparkSpec {
     assert(q.select("levels_used").head().getInt(0) == trail.length)
   }
 
+  test("corpus manifest verdicts agree with the parent stages") {
+    val m = SparkEntry.queries("text_corpus_manifest")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val f = SparkEntry.queries("text_filter_pipeline")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.keySet == f.keySet, "the manifest must carry EVERY doc")
+    m.foreach { case (id, v) =>
+      v match {
+        // the manifest's quality gates are the filter pipeline's, verbatim
+        case "too_short" | "low_quality" => assert(f(id) == v, s"doc $id: $v vs ${f(id)}")
+        case "dup_exact"                 => assert(f(id) == "dup", s"doc $id")
+        // docs the mixture stages ever see must have passed the filter
+        case "kept" | "over_budget" | "near_dup" =>
+          assert(f(id) == "kept", s"doc $id reached the mixture but filter says ${f(id)}")
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+    val kept = m.values.count(_ == "kept")
+    info(s"verdicts: ${m.values.groupBy(identity).view.mapValues(_.size).toMap}")
+    assert(kept > 0, "the manifest must keep something on the fixture corpus")
+  }
+
   test("beam sweep rows are self-describing about convergence") {
     val rows = SparkEntry.queries("ann_beam_sweep")(spark, sf).collect()
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("converged"))))
