@@ -356,6 +356,81 @@ object Vector {
     })
   }
 
+  // ── index maintenance under churn: deletions (VERDICT-r15 task 7) ──
+  /** Deterministic ~5% tombstone slice; the query vector (id 0) is
+    * never deleted. */
+  private def gsTombPred(id: Column): Column =
+    Tables.detHash(id) % 20 === lit(7L) && id =!= lit(0L)
+  private def sqlGsTombPred(id: String): String =
+    s"(${Tables.detHashSql(id)}) % 20 = 7 AND $id <> 0"
+
+  /** Tombstone + repair over the built index (the FreshDiskANN
+    * delete-consolidation shape): survivors keep their surviving
+    * neighbors untouched; a node that LOST a neighbor t adopts
+    * candidates from t's own adjacency list and its list alone is
+    * re-scored and re-cut to the build degree. Work is DELETE-BATCH
+    * LOCAL — candidate volume ≤ (edges into tombstones) × degree, and
+    * only affected nodes' lists are re-scored; never corpus², never an
+    * index-wide rescore. Returns (survivor corpus, full-corpus n for
+    * the entry hash, repaired adjacency). */
+  private def gsRepairedIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
+    val (e, n, adj) = nnSearchIndex(s, d)
+    val tomb = e.select("id").filter(gsTombPred(col("id")))
+    val eS = e.join(tomb, Seq("id"), "left_anti")
+    val adjS = adj.join(tomb.select(col("id").as("src")), Seq("src"), "left_anti")
+    val lost = adjS.join(tomb.select(col("id").as("dst")), "dst")
+      .select("src", "dst")
+    val surv = adjS.join(tomb.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val aff = lost.select("src").distinct()
+    val cand = lost.select(col("src"), col("dst").as("t"))
+      .join(adj.select(col("src").as("t"), col("dst").as("w")), "t")
+      .select(col("src"), col("w").as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .join(tomb.select(col("id").as("dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    val pool = surv.join(aff, "src").select("src", "dst")
+      .union(cand).distinct()
+    val scored = pool
+      .join(eS.select(col("id").as("src"), col("v").as("va")), "src")
+      .join(eS.select(col("id").as("dst"), col("v").as("vb")), "dst")
+      .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("sim"))
+    val rep = scored.withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rk") <= NnKb).select("src", "dst")
+    val adj2 = surv.join(aff, Seq("src"), "left_anti").select("src", "dst")
+      .union(rep).transform(GenSnap.snap)
+    (eS, n, adj2)
+  }
+
+  /** Spec-only floor: rebuild the index FROM SCRATCH on the survivor
+    * corpus (same descent, same seeds modulo the full id space — holes
+    * drop in the scoring join) and search it; returns exact-top-10 hits.
+    * Round16Spec pins the repaired index's recall ≥ this floor — repair
+    * must not be worse than paying the full rebuild. */
+  private[graft] def gsRebuiltRecallFloor(s: SparkSession, d: String): Long = {
+    val (e, n, _) = nnSearchIndex(s, d)
+    val eS = e.join(e.select("id").filter(gsTombPred(col("id"))), Seq("id"), "left_anti")
+      .cache()
+    var b = strideSeeds(eS, n).transform(GenSnap.snap)
+    var adj: DataFrame = null
+    for (r <- 1 to NnRounds) {
+      val scored = nnDescentRound(b, eS, r)
+      if (r < NnRounds)
+        b = scored.filter(col("rk") <= NnKb).select("src", "dst")
+          .transform(GenSnap.snap)
+      else adj = scored.filter(col("rk") <= NnKb).select("src", "dst")
+    }
+    val beam = gsBeamUnroll(eS, adj, n, GsBeam)
+    val query = eS.filter(col("id") === 0L).select(col("v").as("qv"))
+    val truth = eS.filter(col("id") =!= 0L).crossJoin(broadcast(query))
+      .select(col("id"), cosine(col("v"), col("qv")).as("ts"))
+      .orderBy(col("ts").desc, col("id").asc).limit(10).select("id")
+    val w = Window.orderBy(col("sim").desc, col("id").asc)
+    beam.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .join(truth, "id").count()
+  }
+
   /** The oracle-side serve prefix: corpus/query/entry CTEs as in
     * [[sqlGsIndexCtes]], but `adj` READS THE PUBLISHED ARTIFACT (the
     * same parquet the Spark side serves from) instead of replaying the
@@ -381,22 +456,25 @@ object Vector {
   }
 
   /** The oracle twin of [[gsBeamUnroll]]: the hop CTE chain at the given
-    * width, reading index CTEs `adj`/`e`/`q`/`ent`, emitting beam CTEs
-    * `$pfx0..$pfx$GsHops`. */
-  private def sqlGsHops(width: Int, pfx: String): String = {
-    val c = sqlCosine("e.v", "q.qv")
+    * width, reading index CTEs `$adjRel`/`$eRel`/`q`/`ent` (defaults =
+    * the shared build CTE names; the delete-repair oracle re-points them
+    * at the repaired adjacency and the survivor corpus), emitting beam
+    * CTEs `$pfx0..$pfx$GsHops`. */
+  private def sqlGsHops(width: Int, pfx: String,
+      adjRel: String = "adj", eRel: String = "e"): String = {
+    val c = sqlCosine(s"$eRel.v", "q.qv")
     val s0 =
-      s"""s${pfx}0 AS (SELECT e.id, $c AS sim, 0 AS eh
-         |       FROM ent JOIN e ON e.id = ent.id CROSS JOIN q),
+      s"""s${pfx}0 AS (SELECT $eRel.id, $c AS sim, 0 AS eh
+         |       FROM ent JOIN $eRel ON $eRel.id = ent.id CROSS JOIN q),
          |${pfx}0 AS MATERIALIZED (SELECT id, sim, eh FROM (
          |  SELECT id, sim, eh, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
          |  FROM s${pfx}0) WHERE rk <= $width)""".stripMargin
     val hops = (1 to GsHops).map { h =>
       s"""f$pfx$h AS (SELECT id AS src FROM $pfx${h - 1} WHERE eh = ${h - 1}),
-         |c$pfx$h AS (SELECT DISTINCT adj.dst AS id FROM f$pfx$h JOIN adj ON adj.src = f$pfx$h.src
-         |        WHERE adj.dst <> 0 AND adj.dst NOT IN (SELECT id FROM $pfx${h - 1})),
+         |c$pfx$h AS (SELECT DISTINCT $adjRel.dst AS id FROM f$pfx$h JOIN $adjRel ON $adjRel.src = f$pfx$h.src
+         |        WHERE $adjRel.dst <> 0 AND $adjRel.dst NOT IN (SELECT id FROM $pfx${h - 1})),
          |s$pfx$h AS (SELECT cc.id, $c AS sim, $h AS eh
-         |        FROM c$pfx$h cc JOIN e ON e.id = cc.id CROSS JOIN q),
+         |        FROM c$pfx$h cc JOIN $eRel ON $eRel.id = cc.id CROSS JOIN q),
          |$pfx$h AS MATERIALIZED (SELECT id, sim, eh FROM (
          |  SELECT id, sim, eh, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
          |  FROM (SELECT * FROM $pfx${h - 1} UNION ALL SELECT * FROM s$pfx$h))
@@ -1792,6 +1870,92 @@ object Vector {
            |  coalesce(t.in_exact_topk, FALSE) AS in_exact_topk
            |FROM hits h LEFT JOIN truth t ON t.id = h.id
            |ORDER BY h.sim DESC, vec_id ASC""".stripMargin
+      }
+    ),
+
+    // ── index maintenance under churn: delete + repair + search ───────
+    // VERDICT-r15 task 7 — ann_nndescent_incremental handles INSERTS;
+    // production indexes also tombstone and repair after DELETES
+    // (FreshDiskANN-style consolidation). A deterministic ~5% slice is
+    // tombstoned; edges FROM tombstones drop with their node; a
+    // survivor that lost a neighbor t adopts candidates from t's own
+    // adjacency (t's list is the best local approximation of t's
+    // neighborhood) and its list alone is re-scored and re-cut to the
+    // build degree — delete-batch-local work, plan-bounded: candidates
+    // ≤ (edges into tombstones) × degree, unaffected lists untouched.
+    // The beam search then serves from the repaired index over the
+    // survivor corpus (entries hash modulo the FULL id space — a
+    // tombstoned entry simply drops, deterministically on both
+    // engines). Output self-audits vs the exact survivor brute force
+    // (in_exact_topk); Round16Spec pins recall ≥ the rebuilt-from-
+    // scratch floor. The ORACLE replays build + tombstones + repair +
+    // all hops as chained CTEs. SCALE: at 100 TB the tombstone set is a
+    // tiny side table; repair touches only lists adjacent to the batch,
+    // the id-bucketed scoring join reads matching buckets only.
+    Q(
+      "ann_graph_delete_repair",
+      (s, d) => {
+        val (eS, n, adj2) = gsRepairedIndex(s, d)
+        val beam = gsBeamUnroll(eS, adj2, n, GsBeam)
+        val maxEh = beam.agg(max("eh")).head().getInt(0)
+        graft.tools.BoundProbe.record("graph_beam_search_repair", maxEh + 1, GsHops)
+        require(maxEh < GsHops,
+          s"post-repair beam still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        val query = eS.filter(col("id") === 0L).select(col("v").as("qv"))
+        val truth = eS.filter(col("id") =!= 0L)
+          .crossJoin(broadcast(query))
+          .select(col("id"), cosine(col("v"), col("qv")).as("ts"))
+          .orderBy(col("ts").desc, col("id").asc).limit(10)
+          .select(col("id"), lit(true).as("in_exact_topk"))
+        val w = Window.orderBy(col("sim").desc, col("id").asc)
+        beam.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+          .join(broadcast(truth), Seq("id"), "left")
+          .select(col("id").as("vec_id"), col("sim"),
+            coalesce(col("in_exact_topk"), lit(false)).as("in_exact_topk"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+      },
+      Some {
+        val c = sqlCosine("ea.v", "eb.v")
+        s"""WITH $sqlGsIndexCtes,
+           |tomb AS (SELECT id FROM e WHERE ${sqlGsTombPred("id")}),
+           |es AS MATERIALIZED (
+           |  SELECT id, v FROM e WHERE id NOT IN (SELECT id FROM tomb)),
+           |adjs AS (SELECT src, dst FROM adj
+           |         WHERE src NOT IN (SELECT id FROM tomb)),
+           |lost AS (SELECT src, dst FROM adjs
+           |         WHERE dst IN (SELECT id FROM tomb)),
+           |surv AS (SELECT src, dst FROM adjs
+           |         WHERE dst NOT IN (SELECT id FROM tomb)),
+           |aff AS (SELECT DISTINCT src FROM lost),
+           |cnd AS (SELECT DISTINCT l.src, t.dst
+           |        FROM lost l JOIN adj t ON t.src = l.dst
+           |        WHERE t.dst <> l.src
+           |          AND t.dst NOT IN (SELECT id FROM tomb)),
+           |pool AS (SELECT src, dst FROM surv
+           |         WHERE src IN (SELECT src FROM aff)
+           |         UNION SELECT src, dst FROM cnd),
+           |sc AS (SELECT p.src, p.dst, $c AS sim
+           |       FROM pool p JOIN es ea ON ea.id = p.src
+           |       JOIN es eb ON eb.id = p.dst),
+           |rep AS (SELECT src, dst FROM (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk
+           |  FROM sc) WHERE rk <= $NnKb),
+           |adj2 AS MATERIALIZED (
+           |  SELECT src, dst FROM surv WHERE src NOT IN (SELECT src FROM aff)
+           |  UNION ALL SELECT src, dst FROM rep),
+           |${sqlGsHops(GsBeam, "rm", adjRel = "adj2", eRel = "es")},
+           |truth AS (
+           |  SELECT es.id, TRUE AS in_exact_topk FROM es CROSS JOIN q
+           |  WHERE es.id <> 0
+           |  ORDER BY ${sqlCosine("es.v", "q.qv")} DESC, es.id ASC LIMIT 10)
+           |SELECT b.id AS vec_id, b.sim,
+           |  coalesce(t.in_exact_topk, FALSE) AS in_exact_topk
+           |FROM (SELECT id, sim FROM (
+           |    SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+           |    FROM rm$GsHops) WHERE rk <= 10) b
+           |LEFT JOIN truth t ON t.id = b.id
+           |ORDER BY b.sim DESC, vec_id ASC""".stripMargin
       }
     ),
 

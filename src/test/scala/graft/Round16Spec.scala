@@ -99,6 +99,18 @@ class Round16Spec extends SparkSpec {
     assert(q.select("levels_used").head().getInt(0) == trail.length)
   }
 
+  test("delete-repair: post-repair recall ≥ the rebuilt-from-scratch floor") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val repaired = SparkEntry.queries("ann_graph_delete_repair")(spark, dir)
+        .filter(col("in_exact_topk")).count()
+      val floor = ops.Vector.gsRebuiltRecallFloor(spark, dir)
+      info(s"$dir: repaired=$repaired rebuilt-floor=$floor")
+      assert(repaired >= floor,
+        s"batch-local repair recall $repaired fell below the full-rebuild " +
+          s"floor $floor at $dir — consolidation is destroying navigability")
+    }
+  }
+
   test("corpus manifest verdicts agree with the parent stages") {
     val m = SparkEntry.queries("text_corpus_manifest")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
