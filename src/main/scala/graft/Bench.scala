@@ -108,31 +108,42 @@ object Bench {
     * bounded time rather than record a lie. */
   private val LoadThreshold = 2.0
 
-  /** Pass-total dispersion gate (VERDICT-r14 task 4): the skew metric
-    * (mean-pass-wall / best-of-total) tolerates ONE bad pass by
-    * construction — BENCH_r14 shipped pass totals [267, 368, 296]
-    * (one pass +38%, another +11%) at skew 1.255 < 1.5, overstating
-    * the best-of total ~12% vs the judge's quiet box (whose passes
-    * agreed within 2.5%). max/min over the pass totals catches exactly
-    * that shape: a quiet warm run sits ≤ ~1.1 (pass 1 pays lazy JIT
-    * tails the warm-up already absorbed), so 1.25 is a loose-but-real
-    * ceiling; breaching it marks the measurement tainted and the
-    * existing bounded retry loop re-measures after a quiet wait. */
+  /** Pass-total dispersion — max/min over per-pass wall totals, 1.0
+    * when passes agree. Since r16 an ANNOTATION, not a taint trigger:
+    * r15 burned all 3 attempts and shipped `tainted:true` on pass-level
+    * dispersion 1.456 while the per-query best-of-3 was sound within 6%
+    * of the judge's quiet box (VERDICT-r15 task 2) — one noisy window
+    * poisons a pass total even when every query's minimum is
+    * corroborated by another pass. */
   val DispersionThreshold = 1.25
 
-  /** max/min over per-pass wall totals — 1.0 when passes agree. */
   def passDispersion(passTotals: Seq[Double]): Double =
     if (passTotals.nonEmpty && passTotals.min > 0)
       passTotals.max / passTotals.min
     else 1.0
 
-  /** The taint decision, pure so BenchSpec can drive it with synthetic
-    * measurements: pre-existing load, external CPU during the window,
-    * mean-vs-best skew, or one elevated pass (dispersion) each flag. */
-  def isTainted(loadStart: Double, otherCpuCores: Double, skew: Double,
-                passTotals: Seq[Double]): Boolean =
-    loadStart > LoadThreshold || otherCpuCores > LoadThreshold ||
-      skew > 1.5 || passDispersion(passTotals) > DispersionThreshold
+  // ── per-query taint (VERDICT-r15 task 2) ───────────────────────────
+  /** A query's best-of time is CORROBORATED when its second-smallest
+    * recorded time is within 20% (+50 ms absolute slack — sub-100 ms
+    * queries jitter past any ratio on a shared box without their
+    * best-of being wrong) of the minimum: the minimum was reproduced,
+    * not a fluke. 20% measured on this box: at 15% the driver-sync-heavy
+    * graph queries (4-6 s, scheduling-latency-bound) sat marginally
+    * over (e.g. 4.2 vs 4.9 s) through five samples while their best-of
+    * was honest — the gate is about catching a LYING minimum, not about
+    * forcing shared-tenant scheduling variance to zero. Pure so
+    * BenchSpec drives it synthetically. */
+  val QueryAgreeRatio = 1.20
+  val QueryAgreeSlackSec = 0.05
+  def corroborated(times: Seq[Double]): Boolean = {
+    val s = times.sorted
+    s.size >= 2 && s(1) <= s.head * QueryAgreeRatio + QueryAgreeSlackSec
+  }
+
+  /** How many targeted extra passes may re-time disagreeing queries —
+    * each pass runs ONLY the still-uncorroborated set, so three passes
+    * cost minutes, not another full measurement. */
+  val MaxRetimePasses = 3
 
   private def awaitQuietStart(): Unit = {
     var waited = 0
@@ -143,14 +154,18 @@ object Bench {
     }
   }
 
-  /** One full timed measurement: 3 passes, best-of merge, contamination
-    * annotations. Kept as a unit so the tainted-retry loop in main() can
-    * re-run the WHOLE measurement (VERDICT-r13 task 2: a self-flagged
-    * tainted artifact is a do-not-ship; retry beats recording a lie). */
+  /** One full timed measurement: 3 passes, per-query best-of merge,
+    * TARGETED re-timing of uncorroborated queries (VERDICT-r15 task 2),
+    * contamination annotations. Taint is decided per QUERY: the
+    * artifact is tainted only when some query's minimum could not be
+    * corroborated within [[MaxRetimePasses]] extra targeted passes —
+    * pass-level totals (dispersion/skew) and box-load numbers stay as
+    * annotations. Kept as a unit so the tainted-retry loop in main()
+    * can re-run the WHOLE measurement as the last resort. */
   private final case class Measurement(
     results: Seq[QTime], wallTimed: Double, passTotals: Seq[Double],
     skew: Double, otherCpuCores: Double, loadStart: Double, loadEnd: Double,
-    tainted: Boolean)
+    tainted: Boolean, requeried: Int, unconverged: Seq[String])
 
   private def measure(spark: SparkSession, sfDir: String,
                       qs: Seq[(String, (SparkSession, String) => DataFrame)]): Measurement = {
@@ -166,24 +181,43 @@ object Bench {
     val passes = Seq(runPass(spark, sfDir, qs), runPass(spark, sfDir, qs), runPass(spark, sfDir, qs))
     val wallTimed = (System.nanoTime() - tWall0) / 1e9
     val busy1 = busyJiffiesAll(); val self1 = selfJiffies()
-    val results = merge(passes)
     val loadEnd = loadAvg1m()
-    // Load annotations (judge r7 task 1, refined per r8 advice): the
-    // reported total is the best-of-3 per-query minimum, but external
-    // tenant load can still contaminate all three passes. Make a
-    // corrupted run machine-detectable WITHOUT self-tainting on the
-    // bench's own CPU (the r8 flaw: loadEnd > 2 fired on every run
-    // because the bench itself drives load to ~4-5):
+    val names = qs.map(_._1)
+    val times = scala.collection.mutable.Map[String, Vector[Double]]() ++
+      names.zipWithIndex.map { case (n, i) => n -> passes.map(_(i).sec).toVector }
+    val errs = scala.collection.mutable.Map[String, String]()
+    for (p <- passes; q <- p; e <- q.err) errs.getOrElseUpdate(q.name, e)
+    // targeted re-timing: only the queries whose minimum no other pass
+    // corroborates re-run, up to MaxRetimePasses times — a noisy window
+    // costs a handful of re-timed queries, not the whole 3-pass
+    // measurement (r15 shipped tainted:true on exactly that waste)
+    def needy: Seq[String] =
+      names.filter(n => !errs.contains(n) && !corroborated(times(n)))
+    val retimed = scala.collection.mutable.Set[String]()
+    var extra = 0
+    var need = needy
+    while (need.nonEmpty && extra < MaxRetimePasses) {
+      retimed ++= need
+      System.err.println(s"[bench] re-timing ${need.size} uncorroborated " +
+        s"queries (targeted pass ${extra + 1}/$MaxRetimePasses): " +
+        need.take(8).mkString(", "))
+      val sub = qs.filter(q => need.contains(q._1))
+      for (q <- runPass(spark, sfDir, sub)) {
+        times(q.name) = times(q.name) :+ q.sec
+        q.err.foreach(e => errs.getOrElseUpdate(q.name, e))
+      }
+      extra += 1
+      need = needy
+    }
+    val results = names.map(n => QTime(n, times(n).min, errs.get(n)))
+    // Load annotations (judge r7 task 1, refined per r8 advice) — all
+    // annotation-only since r16; see corroborated() for the taint rule:
     //  - other_cpu_cores: average cores consumed by OTHER processes over
     //    the timed window, from /proc/stat busy-jiffies minus this JVM's
     //    /proc/self/stat jiffies. Immune to our own load by construction.
-    //  - load_start: pre-bench 1-min loadavg (pre-existing contention).
-    //  - skew: mean-pass-wall vs best-of-total. Quiet box with the
-    //    session memos warm: passes agree, skew ~1.0-1.3 (pass 1 still
-    //    pays lazy JIT/page-cache tails the minimum discards); a loaded
-    //    box inflates some pass and skew climbs past ~1.5.
-    // load_end stays as an annotation only — it measures us + them and
-    // cannot distinguish the two.
+    //  - load_start/load_end: 1-min loadavg around the window.
+    //  - skew: mean-pass-wall vs best-of-total; pass_dispersion:
+    //    max/min pass totals.
     val passTotals = passes.map(_.map(_.sec).sum)
     val total = results.map(_.sec).sum
     val skew = if (total > 0) (wallTimed / passes.size) / total else 1.0
@@ -192,8 +226,9 @@ object Bench {
       if (busy0 >= 0 && busy1 >= 0 && self0 >= 0 && self1 >= 0 && wallTimed > 0)
         ((busy1 - busy0) - (self1 - self0)) / hz / wallTimed
       else -1.0
-    val tainted = isTainted(loadStart, otherCpuCores, skew, passTotals)
-    Measurement(results, wallTimed, passTotals, skew, otherCpuCores, loadStart, loadEnd, tainted)
+    Measurement(results, wallTimed, passTotals, skew, otherCpuCores,
+      loadStart, loadEnd, tainted = need.nonEmpty, requeried = retimed.size,
+      unconverged = need)
   }
 
   // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
@@ -216,7 +251,21 @@ object Bench {
     // the failure signal survives and a timing tail is what gets lost.
     val errDetail = errQ.take(5).map(q => s"""\"${q.name}\":\"${q.err.get.take(80)}\"""")
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errQ.size},"errors_detail":$errDetail,"timed":${okQ.size},"attempts":$attempts,"load_start":${ms(m.loadStart)},"load_end":${ms(m.loadEnd)},"other_cpu_cores":${ms(m.otherCpuCores)},"wall_timed":${ms(m.wallTimed)},"pass_totals":[${m.passTotals.map(ms).mkString(",")}],"skew":${ms(m.skew)},"pass_dispersion":${ms(passDispersion(m.passTotals))},"tainted":${m.tainted},"storage_mb":${m.storageMb},"storage_disk_mb":${m.storageDiskMb},"storage_ok":${m.storageMb <= StorageBudgetMb},"queries":$qjson,"sf":"$sfDir"}"""
+    // taint is per-query since r16: name the unconverged queries so a
+    // tainted artifact says WHICH timings not to trust (capped to keep
+    // the line inside the driver's stdout tail)
+    val unconv =
+      if (m.unconverged.isEmpty) ""
+      else s""","unconverged":[${m.unconverged.take(5)
+        .map(n => "\"" + n + "\"").mkString(",")}]"""
+    // over-budget storage itemizes its top retained RDDs so a real
+    // accumulation names its culprit (VERDICT-r15 task 3)
+    val storTop =
+      if (m.storageTop.isEmpty) ""
+      else s""","storage_top":{${m.storageTop.take(10).map { case (n, mb) =>
+        "\"" + n.replaceAll("""["\\]""", " ").take(40) + "\":" + mb
+      }.mkString(",")}}"""
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${errQ.size},"errors_detail":$errDetail,"timed":${okQ.size},"attempts":$attempts,"requeried":${m.requeried}$unconv,"load_start":${ms(m.loadStart)},"load_end":${ms(m.loadEnd)},"other_cpu_cores":${ms(m.otherCpuCores)},"wall_timed":${ms(m.wallTimed)},"pass_totals":[${m.passTotals.map(ms).mkString(",")}],"skew":${ms(m.skew)},"pass_dispersion":${ms(passDispersion(m.passTotals))},"tainted":${m.tainted},"storage_mb":${m.storageMb},"storage_disk_mb":${m.storageDiskMb},"storage_ok":${m.storageMb <= StorageBudgetMb}$storTop,"queries":$qjson,"sf":"$sfDir"}"""
   }
 
   /** The render-facing slice of a measurement (storage read separately so
@@ -224,7 +273,9 @@ object Bench {
   final case class Measurement0(
     results: Seq[QTime], wallTimed: Double, passTotals: Seq[Double],
     skew: Double, otherCpuCores: Double, loadStart: Double, loadEnd: Double,
-    tainted: Boolean, storageMb: Long, storageDiskMb: Long)
+    tainted: Boolean, storageMb: Long, storageDiskMb: Long,
+    requeried: Int = 0, unconverged: Seq[String] = Nil,
+    storageTop: Seq[(String, Long)] = Nil)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -253,9 +304,10 @@ object Bench {
       attempts += 1
       accepted = !m.tainted || attempts >= 3
       if (!accepted) {
-        System.err.println(s"[bench] attempt $attempts tainted (skew=${ms(m.skew)}, " +
-          s"pass_dispersion=${ms(passDispersion(m.passTotals))}, " +
-          s"other_cpu_cores=${ms(m.otherCpuCores)}); awaiting quiet and retrying")
+        System.err.println(s"[bench] attempt $attempts tainted — " +
+          s"${m.unconverged.size} queries uncorroborated after " +
+          s"$MaxRetimePasses targeted re-timings " +
+          s"(${m.unconverged.take(8).mkString(", ")}); awaiting quiet and retrying")
         awaitQuietStart()
       }
     }
@@ -276,16 +328,32 @@ object Bench {
     // (adjacency tables, sigma towers, dedup pair sets). The r13 612 MB
     // reading did not reproduce on a quiet box; storage_ok pins the
     // ≤ 200 MB budget machine-readably so a regression self-flags.
-    val (storUsedMb, storDiskMb) = {
-      val st = spark.sparkContext.getRDDStorageInfo
+    // VERDICT-r15 task 3: the reading RACES the async ContextCleaner —
+    // after retry passes on a loaded box, not-yet-reclaimed per-pass
+    // staging checkpoints inflated r15's number to 272 MB (109 MB quiet,
+    // same code). localCheckpoint RDDs unpersist once their last
+    // reference is GC'd; force that path (the StorageAudit drain
+    // convention) so the number measures the RETAINED set, then itemize
+    // the top residents whenever the budget is still breached so a real
+    // accumulation names its culprit.
+    System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(3000)
+    val st = spark.sparkContext.getRDDStorageInfo
+    val (storUsedMb, storDiskMb) =
       (st.map(_.memSize).sum / 1048576, st.map(_.diskSize).sum / 1048576)
-    }
+    val storageTop: Seq[(String, Long)] =
+      if (storUsedMb > StorageBudgetMb)
+        st.sortBy(-_.memSize).take(10)
+          .map(i => (Option(i.name).getOrElse(s"rdd_${i.id}"), i.memSize / 1048576))
+          .toSeq
+      else Nil
     if (storUsedMb > StorageBudgetMb)
       System.err.println(s"[bench] storage ${storUsedMb} MB exceeds the " +
-        s"$StorageBudgetMb MB post-suite budget — run graft.tools.StorageAudit")
+        s"$StorageBudgetMb MB post-suite budget even after a cleaner " +
+        s"drain — top residents: ${storageTop.mkString("; ")}")
     val line = renderJson(
       Measurement0(m.results, m.wallTimed, m.passTotals, m.skew, m.otherCpuCores,
-        m.loadStart, m.loadEnd, m.tainted, storUsedMb, storDiskMb),
+        m.loadStart, m.loadEnd, m.tainted, storUsedMb, storDiskMb,
+        m.requeried, m.unconverged, storageTop),
       sfDir, attempts)
     println(line)
     // also land the line in a file: stdout goes through sbt's [info]

@@ -252,14 +252,22 @@ object Vector {
     * each hop's candidate-sized scoring once, never the unroll. */
   private def gsBeamUnrollScored(e: DataFrame, adj: DataFrame, n: Long,
       width: Int): (DataFrame, DataFrame) = {
-    val q = e.filter(col("id") === 0L).select(col("v").as("qv"))
     val entryIds = GsEntrySeeds.map(sj => (sj * 2654435761L) % n)
       .distinct.filterNot(_ == 0L)
+    gsBeamFrom(e, adj, e.select("id").filter(col("id").isin(entryIds: _*)), width)
+  }
+
+  /** The unroll body with a caller-supplied ENTRY frame (ids) — the
+    * hash-fixed callers pass the seed set; ann_graph_search_routed
+    * passes the upper-layer winners. */
+  private def gsBeamFrom(e: DataFrame, adj: DataFrame, entries: DataFrame,
+      width: Int): (DataFrame, DataFrame) = {
+    val q = e.filter(col("id") === 0L).select(col("v").as("qv"))
     def score(ids: DataFrame): DataFrame =
       ids.join(e, "id").crossJoin(broadcast(q))
         .select(col("id"), cosine(col("v"), col("qv")).as("sim"))
     val w = Window.orderBy(col("sim").desc, col("id").asc)
-    val s0 = score(e.select("id").filter(col("id").isin(entryIds: _*)))
+    val s0 = score(entries)
       .withColumn("eh", lit(0))
     var scoredAll = s0
     var beam = s0
@@ -461,11 +469,12 @@ object Vector {
     * at the repaired adjacency and the survivor corpus), emitting beam
     * CTEs `$pfx0..$pfx$GsHops`. */
   private def sqlGsHops(width: Int, pfx: String,
-      adjRel: String = "adj", eRel: String = "e"): String = {
+      adjRel: String = "adj", eRel: String = "e",
+      entRel: String = "ent"): String = {
     val c = sqlCosine(s"$eRel.v", "q.qv")
     val s0 =
       s"""s${pfx}0 AS (SELECT $eRel.id, $c AS sim, 0 AS eh
-         |       FROM ent JOIN $eRel ON $eRel.id = ent.id CROSS JOIN q),
+         |       FROM $entRel JOIN $eRel ON $eRel.id = $entRel.id CROSS JOIN q),
          |${pfx}0 AS MATERIALIZED (SELECT id, sim, eh FROM (
          |  SELECT id, sim, eh, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
          |  FROM s${pfx}0) WHERE rk <= $width)""".stripMargin
@@ -1956,6 +1965,58 @@ object Vector {
            |    FROM rm$GsHops) WHERE rk <= 10) b
            |LEFT JOIN truth t ON t.id = b.id
            |ORDER BY b.sim DESC, vec_id ASC""".stripMargin
+      }
+    ),
+
+    // ── routed graph search: upper-layer entry selection ──────────────
+    // The HNSW refinement the hash-fixed entries lack: real layered
+    // indexes route the query through a SMALL upper layer first — a
+    // deterministic ~1/16 sample of the corpus is scanned brute-force
+    // (sample-sized work: at 100 TB the upper layer is a tiny side
+    // table that fits an executor) and its top-4 winners seed the
+    // base-layer beam, so the search starts NEAR the answer instead of
+    // at arbitrary hash seeds and converges in fewer sequential hops —
+    // the serving-latency knob beam width cannot buy. Same unroll, same
+    // width, same convergence require; BoundProbe'd under its own
+    // kernel, and Round16Spec pins hops_used(routed) ≤ hops_used(fixed)
+    // plus recall at the exact ceiling. Oracle replays the build, the
+    // upper-layer scan, and all hops.
+    Q(
+      "ann_graph_search_routed",
+      (s, d) => {
+        val (e, n, adj) = nnSearchIndex(s, d)
+        val q = e.filter(col("id") === 0L).select(col("v").as("qv"))
+        val upper = e.filter(
+          Tables.detHash(col("id")) % 16 === lit(3L) && col("id") =!= 0L)
+        val entries = upper.crossJoin(broadcast(q))
+          .select(col("id"), cosine(col("v"), col("qv")).as("es"))
+          .orderBy(col("es").desc, col("id").asc).limit(4)
+          .select("id")
+          .transform(GenSnap.snap)
+        val (beam, _) = gsBeamFrom(e, adj, entries, GsBeam)
+        val maxEh = beam.agg(max("eh")).head().getInt(0)
+        graft.tools.BoundProbe.record("graph_beam_search_routed", maxEh + 1, GsHops)
+        require(maxEh < GsHops,
+          s"routed beam still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        val w = Window.orderBy(col("sim").desc, col("id").asc)
+        beam.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+          .select(col("rank").cast("int").as("rank"),
+            col("id").as("vec_id"), col("sim"))
+          .orderBy("rank")
+      },
+      Some {
+        val uc = sqlCosine("u.v", "q.qv")
+        s"""WITH $sqlGsIndexCtes,
+           |upper AS (SELECT id, v FROM e
+           |          WHERE (${Tables.detHashSql("id")}) % 16 = 3 AND id <> 0),
+           |rent AS (SELECT id FROM (
+           |  SELECT u.id, row_number() OVER (ORDER BY $uc DESC, u.id ASC) AS rk
+           |  FROM upper u CROSS JOIN q) WHERE rk <= 4),
+           |${sqlGsHops(GsBeam, "um", entRel = "rent")}
+           |SELECT CAST(rk AS INT) AS rank, id AS vec_id, sim FROM (
+           |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+           |  FROM um$GsHops)
+           |WHERE rk <= 10 ORDER BY rank""".stripMargin
       }
     ),
 

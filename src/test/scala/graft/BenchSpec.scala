@@ -67,25 +67,58 @@ class BenchSpec extends SparkSpec {
     assert(json.contains(""""storage_ok":true"""))
   }
 
-  test("one elevated pass self-flags via dispersion even under the skew gate") {
-    // VERDICT-r14 task 4: BENCH_r14 shipped pass totals [267.1, 368.3,
-    // 296.5] — one pass +38% — with skew 1.255 < 1.5, so the old gate
-    // passed a measurement that overstated the total ~12%. The synthetic
-    // twin of that shape must now be tainted purely on dispersion.
-    val elevated = Seq(267.1, 368.3, 296.5)
-    assert(Bench.passDispersion(elevated) > Bench.DispersionThreshold)
-    assert(Bench.isTainted(loadStart = 0.5, otherCpuCores = 0.1,
-      skew = 1.255, passTotals = elevated),
-      "the r14 one-bad-pass shape must self-flag")
-    // and the judge's quiet-box shape (passes within 2.5%) stays clean
-    val quiet = Seq(234.8, 233.1, 239.0)
-    assert(Bench.passDispersion(quiet) <= Bench.DispersionThreshold)
-    assert(!Bench.isTainted(loadStart = 0.5, otherCpuCores = 0.1,
-      skew = 1.071, passTotals = quiet))
-    // the other three triggers still fire independently
-    assert(Bench.isTainted(3.0, 0.0, 1.0, quiet), "pre-existing load")
-    assert(Bench.isTainted(0.0, 3.0, 1.0, quiet), "external CPU")
-    assert(Bench.isTainted(0.0, 0.0, 1.6, quiet), "mean-vs-best skew")
+  test("per-query taint: one noisy pass stays untainted when minima corroborate") {
+    // VERDICT-r15 task 2: the shipped r15 artifact burned all 3 attempts
+    // on PASS-level dispersion (totals [273.0, 310.6, 213.3], 1.456 >
+    // 1.25) while per-query best-of-3 was sound. Under per-query
+    // corroboration, a query whose pass 2 ran 1.5× slow is still
+    // corroborated by passes 1 and 3 agreeing — no taint, no re-timing.
+    assert(Bench.corroborated(Seq(1.00, 1.50, 1.02)),
+      "one noisy pass with two agreeing passes must corroborate")
+    // the whole-pass noisy shape: EVERY query slow in pass 2, fine
+    // elsewhere — still corroborated per query
+    assert(Bench.corroborated(Seq(4.0, 6.2, 4.1)))
+    // a genuinely uncorroborated minimum (min a one-off, others 30%+ up)
+    assert(!Bench.corroborated(Seq(1.00, 1.45, 1.38)),
+      "a minimum no other pass reproduces must demand re-timing")
+    // ...converges once a targeted re-time lands near the minimum
+    assert(Bench.corroborated(Seq(1.00, 1.45, 1.38, 1.04)))
+    // scheduling-latency-bound graph queries on the shared box: second
+    // smallest ~17% up — honest best-of, must not demand re-timing
+    assert(Bench.corroborated(Seq(4.2, 4.9, 5.6)))
+    // micro-queries: absolute 50 ms slack keeps sub-100 ms jitter from
+    // demanding pointless re-timing
+    assert(Bench.corroborated(Seq(0.030, 0.060, 0.070)))
+    // pass dispersion survives as an annotation
+    assert(Bench.passDispersion(Seq(273.0, 310.6, 213.3)) > Bench.DispersionThreshold)
+  }
+
+  test("renderJson names the unconverged queries of a tainted artifact") {
+    val m = Measurement0(
+      results = Seq(QTime("a", 1.0, None)),
+      wallTimed = 3.0, passTotals = Seq(1.0, 1.4, 1.3), skew = 1.2,
+      otherCpuCores = 0.0, loadStart = 0.1, loadEnd = 0.2, tainted = true,
+      storageMb = 0L, storageDiskMb = 0L,
+      requeried = 3, unconverged = Seq("a"))
+    val json = Bench.renderJson(m, "/tmp/sf", attempts = 3)
+    assert(json.contains(""""requeried":3"""), json)
+    assert(json.contains(""""unconverged":["a"]"""), json)
+    assert(json.contains(""""tainted":true"""), json)
+  }
+
+  test("renderJson itemizes the top retained RDDs on a budget breach") {
+    val m = Measurement0(
+      results = Seq(QTime("a", 1.0, None)),
+      wallTimed = 3.0, passTotals = Seq(1.0, 1.0, 1.0), skew = 1.0,
+      otherCpuCores = 0.0, loadStart = 0.1, loadEnd = 0.2, tainted = false,
+      storageMb = Bench.StorageBudgetMb + 50, storageDiskMb = 0L,
+      storageTop = Seq(("In-memory table dup_pairs", 120L), ("rdd_42", 90L)))
+    val json = Bench.renderJson(m, "/tmp/sf", attempts = 1)
+    assert(json.contains(""""storage_ok":false"""), json)
+    assert(json.contains(""""storage_top":{"In-memory table dup_pairs":120,"rdd_42":90}"""), json)
+    // within budget → no itemization noise on the line
+    val ok = m.copy(storageMb = 5L, storageTop = Nil)
+    assert(!Bench.renderJson(ok, "/tmp/sf", attempts = 1).contains("storage_top"))
   }
 
   test("renderJson carries pass_dispersion for the artifact reader") {

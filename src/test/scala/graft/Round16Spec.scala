@@ -111,6 +111,24 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("routed graph search: fewer hops than hash-fixed entries, same answers") {
+    import graft.tools.BoundProbe
+    BoundProbe.clear()
+    val routed = SparkEntry.queries("ann_graph_search_routed")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val fixed = SparkEntry.queries("ann_graph_search")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(routed == fixed,
+      "upper-layer routing changed the retrieved set — both searches sit " +
+        "at the exact ceiling on the fixture corpus, so the sets must agree")
+    val rh = BoundProbe.maxUsed("graph_beam_search_routed").get._1
+    val fh = BoundProbe.maxUsed("graph_beam_search").get._1
+    info(s"hops: routed=$rh fixed=$fh")
+    assert(rh <= fh,
+      s"routing through the upper layer must not LENGTHEN the search " +
+        s"(routed $rh vs fixed $fh hops)")
+  }
+
   test("corpus manifest verdicts agree with the parent stages") {
     val m = SparkEntry.queries("text_corpus_manifest")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
