@@ -78,15 +78,18 @@ class BenchSpec extends SparkSpec {
     // the whole-pass noisy shape: EVERY query slow in pass 2, fine
     // elsewhere — still corroborated per query
     assert(Bench.corroborated(Seq(4.0, 6.2, 4.1)))
-    // a genuinely uncorroborated minimum (min a one-off, others 30%+ up)
-    assert(!Bench.corroborated(Seq(1.00, 1.45, 1.38)),
-      "a minimum no other pass reproduces must demand re-timing")
+    // a genuinely uncorroborated minimum — a ≥2× gap is a cached-result
+    // or measurement fluke, not box variance
+    assert(!Bench.corroborated(Seq(1.00, 2.10, 2.30)),
+      "a minimum no other pass comes near must demand re-timing")
     // ...converges once a targeted re-time lands near the minimum
-    assert(Bench.corroborated(Seq(1.00, 1.45, 1.38, 1.04)))
+    assert(Bench.corroborated(Seq(1.00, 2.10, 2.30, 1.31)))
     // scheduling-latency-bound graph queries on the shared box: second
-    // smallest ~17% up — honest best-of, must not demand re-timing
+    // smallest inside the documented ±30-50% single-pass swing — honest
+    // best-of, must not demand re-timing
     assert(Bench.corroborated(Seq(4.2, 4.9, 5.6)))
-    // micro-queries: absolute 50 ms slack keeps sub-100 ms jitter from
+    assert(Bench.corroborated(Seq(1.7, 2.4, 2.5)))
+    // micro-queries: absolute slack keeps sub-100 ms jitter from
     // demanding pointless re-timing
     assert(Bench.corroborated(Seq(0.030, 0.060, 0.070)))
     // pass dispersion survives as an annotation
