@@ -687,13 +687,26 @@ object PropertyGraph {
       (qe, louvainQuotientSweeps(qe, "level-2").cache())
     }
 
+  private val louvainTrailMemo = graft.SessionMemo[Seq[DataFrame]]()
+
   /** The composed (original id → community) label frame after each
     * hierarchy level (index 0 = level 1), stopping at the first no-move
     * level. Shared by graph_louvain_hierarchy (last frame + length) and
     * Round16Spec's per-level modularity-ascent pin. The driver loop's
     * per-level mover count is a 1-row boundary, ≤ LouvainMaxLevels of
-    * them; the level count is probed and require'd. */
-  private[graft] def louvainHierarchyTrail(s: SparkSession, d: String): Seq[DataFrame] = {
+    * them; the level count is probed and require'd. One build per
+    * (session, dir) — the L1/L2 memo convention one rung up: the
+    * hierarchy labels are the persisted community artifact a production
+    * stack builds once and every consumer reads (the final frame is
+    * cached; intermediates stay as their level's checkpoint). */
+  private[graft] def louvainHierarchyTrail(s: SparkSession, d: String): Seq[DataFrame] =
+    louvainTrailMemo.getOrCompute(s, d) {
+      val t = louvainHierarchyBuild(s, d)
+      t.last.cache()
+      t
+    }
+
+  private def louvainHierarchyBuild(s: SparkSession, d: String): Seq[DataFrame] = {
     val (_, c1) = louvainLevel1(s, d)
     val (qe2, comm2) = louvainLevel2(s, d)
     var labels = c1

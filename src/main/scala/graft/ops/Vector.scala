@@ -380,8 +380,18 @@ object Vector {
     * LOCAL — candidate volume ≤ (edges into tombstones) × degree, and
     * only affected nodes' lists are re-scored; never corpus², never an
     * index-wide rescore. Returns (survivor corpus, full-corpus n for
-    * the entry hash, repaired adjacency). */
-  private def gsRepairedIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
+    * the entry hash, repaired adjacency). One repair per (session, dir)
+    * — the nnSearchIndex memo convention: the post-consolidation
+    * adjacency IS the index a production system serves until the next
+    * delete batch, so consumers read one materialization. */
+  private val gsRepairMemo = graft.SessionMemo[(DataFrame, Long, DataFrame)]()
+  private def gsRepairedIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) =
+    gsRepairMemo.getOrCompute(s, d) {
+      val (eS, n, adj2) = gsRepairBuild(s, d)
+      (eS.cache(), n, adj2.cache())
+    }
+
+  private def gsRepairBuild(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
     val (e, n, adj) = nnSearchIndex(s, d)
     val tomb = e.select("id").filter(gsTombPred(col("id")))
     val eS = e.join(tomb, Seq("id"), "left_anti")

@@ -689,6 +689,9 @@ object PlanSpec {
     "ann_hybrid_rrf" -> "RRF rank windows over the two top-20 retrieval legs (LIMIT-bounded, 20 rows each)",
     "ann_graph_search" -> "beam re-cut windows over beam ∪ candidates (≤ 24 + 24·16 rows/hop — candidate-sized by the frontier expansion, never corpus)",
     "ann_beam_sweep" -> "the same beam re-cut windows at widths 8/16/24 (candidate-sized per hop, never corpus)",
+    "ann_graph_search_persisted" -> "the ann_graph_search final-rank window over the ≤24-row snapped beam (the serve path shares the unroll)",
+    "ann_graph_search_routed" -> "the same final-rank window over the ≤24-row snapped beam (upper-layer entries change seeds, not the cut)",
+    "ann_graph_delete_repair" -> "the same final-rank window over the ≤24-row post-repair beam; the repair re-cut itself partitions by src",
     "ann_mrr_report" -> "mrank windows over each tier's own ≤20-row cached top-k frame (LIMIT-bounded)")
 
 }
