@@ -687,26 +687,28 @@ object PropertyGraph {
       (qe, louvainQuotientSweeps(qe, "level-2").cache())
     }
 
-  private val louvainTrailMemo = graft.SessionMemo[Seq[DataFrame]]()
+  private val louvainFinalMemo = graft.SessionMemo[(DataFrame, Int)]()
+
+  /** The FINAL hierarchy labels + level count, one build per (session,
+    * dir) — the L1/L2 memo convention one rung up: the hierarchy labels
+    * are the persisted community artifact a production stack builds
+    * once and every consumer reads. Only the last (checkpointed) frame
+    * is retained — holding the whole trail pinned every level's
+    * intermediate checkpoints in the block manager (+70 MB post-suite
+    * at sf0.1 against the 200 MB budget). */
+  private[graft] def louvainHierarchyFinal(s: SparkSession, d: String): (DataFrame, Int) =
+    louvainFinalMemo.getOrCompute(s, d) {
+      val t = louvainHierarchyTrail(s, d)
+      (t.last.cache(), t.length)
+    }
 
   /** The composed (original id → community) label frame after each
     * hierarchy level (index 0 = level 1), stopping at the first no-move
-    * level. Shared by graph_louvain_hierarchy (last frame + length) and
-    * Round16Spec's per-level modularity-ascent pin. The driver loop's
+    * level — UNMEMOIZED (Round16Spec's per-level modularity pin rebuilds
+    * it; the query reads [[louvainHierarchyFinal]]). The driver loop's
     * per-level mover count is a 1-row boundary, ≤ LouvainMaxLevels of
-    * them; the level count is probed and require'd. One build per
-    * (session, dir) — the L1/L2 memo convention one rung up: the
-    * hierarchy labels are the persisted community artifact a production
-    * stack builds once and every consumer reads (the final frame is
-    * cached; intermediates stay as their level's checkpoint). */
-  private[graft] def louvainHierarchyTrail(s: SparkSession, d: String): Seq[DataFrame] =
-    louvainTrailMemo.getOrCompute(s, d) {
-      val t = louvainHierarchyBuild(s, d)
-      t.last.cache()
-      t
-    }
-
-  private def louvainHierarchyBuild(s: SparkSession, d: String): Seq[DataFrame] = {
+    * them; the level count is probed and require'd. */
+  private[graft] def louvainHierarchyTrail(s: SparkSession, d: String): Seq[DataFrame] = {
     val (_, c1) = louvainLevel1(s, d)
     val (qe2, comm2) = louvainLevel2(s, d)
     var labels = c1
@@ -1956,9 +1958,13 @@ object PropertyGraph {
     Q(
       "graph_louvain_hierarchy",
       (s, d) => {
-        val trail = louvainHierarchyTrail(s, d)
-        trail.last.select(col("id"), col("c").as("community"),
-          lit(trail.length).as("levels_used")).orderBy("id")
+        val (labels, levels) = louvainHierarchyFinal(s, d)
+        // re-record on every call (not only inside the memoized build),
+        // so Sf01BoundsSpec's clear-then-probe sweep sees the usage even
+        // when another suite already built the labels for this session
+        graft.tools.BoundProbe.record("louvain_levels", levels, LouvainMaxLevels)
+        labels.select(col("id"), col("c").as("community"),
+          lit(levels).as("levels_used")).orderBy("id")
       },
       Some {
         val levels = (2 to LouvainMaxLevels).map { l =>
