@@ -111,6 +111,21 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("persisted keep-list: serve ≡ memoized keep-list, zero pair rebuilds") {
+    val served = SparkEntry.queries("dedup_keep_list_persisted")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val memoed = SparkEntry.queries("dedup_keep_list")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(served == memoed,
+      "the persisted pair artifact must reproduce the memoized keep-list exactly")
+    val builds = ops.Text.dupPairBuilds.get()
+    val fresh = spark.newSession()
+    SparkEntry.queries("dedup_keep_list_persisted")(fresh, sf).count()
+    assert(ops.Text.dupPairBuilds.get() == builds,
+      "a fresh session must serve the keep-list from the published artifact, " +
+        "not rebuild the sketch/pair spine")
+  }
+
   test("routed graph search: fewer hops than hash-fixed entries, same answers") {
     import graft.tools.BoundProbe
     BoundProbe.clear()
