@@ -23,6 +23,8 @@ object Recall {
 
   private val Methods = Seq(
     "graph" -> "ann_graph_search",
+    "graph_persisted" -> "ann_graph_search_persisted",
+    "graph_routed" -> "ann_graph_search_routed",
     "ivf" -> "ann_ivf_topk",
     "ivfpq" -> "ann_ivfpq_topk",
     "lsh" -> "ann_lsh_topk",
@@ -56,6 +58,8 @@ object Recall {
   private val MrrMethods: Seq[(String, String, String, Boolean)] = Seq(
     ("bruteforce", "ann_bruteforce_topk", "sim", false),
     ("graph", "ann_graph_search", "sim", false),
+    ("graph_persisted", "ann_graph_search_persisted", "sim", false),
+    ("graph_routed", "ann_graph_search_routed", "sim", false),
     ("ivf", "ann_ivf_topk", "sim", false),
     ("ivfpq", "ann_ivfpq_topk", "sim", false),
     ("lsh", "ann_lsh_topk", "sim", false),
