@@ -230,8 +230,17 @@ object Bench {
       if (busy0 >= 0 && busy1 >= 0 && self0 >= 0 && self1 >= 0 && wallTimed > 0)
         ((busy1 - busy0) - (self1 - self0)) / hz / wallTimed
       else -1.0
+    // Taint triggers (ADVICE r16): per-query corroboration failure OR
+    // sustained external CPU over the whole timed window. The latter is
+    // the one contamination corroboration cannot see — uniform external
+    // load inflates every pass alike, so each query's minimum is
+    // "corroborated" at the inflated level. other_cpu_cores measures
+    // ONLY other processes' CPU by construction (busy-jiffies minus this
+    // JVM's), so it cannot re-introduce the r15 self-load false positive.
     Measurement(results, wallTimed, passTotals, skew, otherCpuCores,
-      loadStart, loadEnd, tainted = need.nonEmpty, requeried = retimed.size,
+      loadStart, loadEnd,
+      tainted = need.nonEmpty || otherCpuCores > LoadThreshold,
+      requeried = retimed.size,
       unconverged = need)
   }
 

@@ -246,8 +246,16 @@ object Text {
     * whole tokenize→hash→shingle pipeline inside per-element lambdas
     * (the quadratic re-evaluation pitfall; measured 65 s vs 1.5 s on
     * text_decontaminate at sf0.1). */
+  /** Spec probe: how many times the corpus sketch was actually computed
+    * in this process — the artifact-era streaming serve must read the
+    * PUBLISHED sketch table, never re-sketch the corpus (Round17Spec). */
+  private[graft] val sketchBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def cachedSketch(s: SparkSession, d: String): DataFrame =
-    sketchMemo.getOrCompute(s, d) { docSketch(s, d).cache() }
+    sketchMemo.getOrCompute(s, d) {
+      sketchBuilds.incrementAndGet()
+      docSketch(s, d).cache()
+    }
 
   // The ≥0.5-Jaccard near-dup pair set — the SPINE of the dedup
   // pipeline: clustering, triangle counting, and the keep list all
@@ -280,13 +288,22 @@ object Text {
   // ── persisted pair spine: build once, serve many (the ANN-index
   // convention generalized — VERDICT-r15 named the pattern, not just
   // the ANN instance: "every other shared artifact lives in a
-  // SessionMemo"). The ≥0.5-Jaccard pair set is published as parquet
-  // under a durable staging dir by atomic rename; the dir name embeds
-  // the sketch/threshold version so parameter changes miss instead of
-  // serving stale pairs; the oracle reads the SAME artifact, keyed by
-  // an exact corpus fingerprint (sum((doc_id+1)·n_chars) — BIGINT on
-  // both engines).
-  private def dupIdxToken: String = "dup1j50"
+  // SessionMemo"). The ≥0.5-Jaccard pair set AND the corpus sketch
+  // (doc_id, sig, sh — the band/verify table ingest-time dedup probes)
+  // are published as an immutable VERSION dir via graft.tools.Artifact:
+  // the token folds every sketch/band parameter (ADVICE r16 — a perm or
+  // threshold change must miss, never serve stale pairs), the corpus
+  // fingerprint is RE-CHECKED on every first-serve-per-process (a
+  // regenerated corpus misses and republishes instead of silently
+  // serving stale pairs), and the oracle reads the same artifact keyed
+  // by the fingerprint it recomputes (sum((doc_id+1)·n_chars) — exact
+  // BIGINT on both engines) with the publish-unique `ak` selecting one
+  // version's rows.
+  private[graft] def dupIdxToken: String = {
+    val sig = (((0 until 8).flatMap(j => Seq(permA(j), permB(j))) :+ P32)
+      .mkString(",").hashCode.toLong & 0xffffffffL).toHexString
+    s"dup2j50s$sig"
+  }
   private val dupPersistMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -297,30 +314,69 @@ object Text {
   private def sqlDocsFingerprint: String =
     "CAST(sum((doc_id + 1) * n_chars) AS BIGINT)"
 
+  /** Distributed (rank, running sum) over `PARTITION BY part ORDER BY
+    * h, doc_id` — the two-level prefix scan (text_weighted_sample's
+    * shape, generalized per VERDICT-r16 task 4: the manifest/mixture
+    * queries ran this as ONE window per source, a single reducer task
+    * pulling terabytes per source at 100 TB). Level 1 ranks and sums
+    * within (part, block) — block = the hash's top bits, a coarsening
+    * of the sort key, so block order IS sort order — in parallel across
+    * blocks; level 2 joins back a broadcast (parts × blocks)-sized
+    * offset table. Values are identical to the flat window (the oracle
+    * replays the flat form).
+    *
+    * @param df   input with columns `part`, doc_id, `h` (bigint in
+    *             [0, 2^32) — [[Tables.detHash]]), `w` (weight)
+    * @return     df plus `rk` (1-based rank, long) and `cum` (running
+    *             sum of w), minus no input columns */
+  private def blockedRankCum(df: DataFrame, part: String, h: String,
+      w: String): DataFrame = {
+    val bw = Window.partitionBy(col(part), col("blk"))
+      .orderBy(col(h).asc, col("doc_id").asc)
+    val inBlk = df.withColumn("blk", (col(h) / lit(268435456L)).cast("long"))
+      .withColumn("brk", row_number().over(bw))
+      .withColumn("bcum", sum(w).over(
+        bw.rowsBetween(Window.unboundedPreceding, 0)))
+    val ow = Window.partitionBy(col(part)).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = inBlk.groupBy(col(part), col("blk"))
+      .agg(count(lit(1)).as("bn"), sum(w).as("bt"))
+      .select(col(part), col("blk"),
+        coalesce(sum("bn").over(ow), lit(0L)).as("roff"),
+        coalesce(sum("bt").over(ow), lit(0L)).as("boff"))
+    inBlk.join(broadcast(offs), Seq(part, "blk"))
+      .withColumn("rk", col("roff") + col("brk"))
+      .withColumn("cum", col("boff") + col("bcum"))
+      .drop("blk", "brk", "bcum", "roff", "boff")
+  }
+
+  private def dupMetaMatches(s: SparkSession, dir: String, fp: Long): Boolean =
+    try s.read.parquet(s"$dir/meta").select("fp").head().getLong(0) == fp
+    catch { case _: Throwable => false }
+
   private[graft] def dupPersistedPairs(s: SparkSession, d: String): String = {
-    val ds = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = dupPersistMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      dupPersistMemo.remove(ds, cached)
     dupPersistMemo.computeIfAbsent(ds, _ => {
-      val target = java.nio.file.Paths.get(
-        s"${System.getProperty("java.io.tmpdir")}/graft_idx_${dupIdxToken}_$ds")
-      if (!java.nio.file.Files.exists(target)) {
-        val fp = docsFingerprint(s, d) // 1-value driver boundary (meta row)
-        val stage = graft.tools.Staging.durableDir(dupIdxToken + "stage", d)
-        dupEdges(s, d).withColumn("ds", lit(ds))
-          .write.mode("overwrite").parquet(s"$stage/pairs")
-        val spark = s; import spark.implicits._
-        Seq((ds, fp)).toDF("ds", "fp")
-          .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
-        try java.nio.file.Files.move(java.nio.file.Paths.get(stage), target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException if java.nio.file.Files.exists(target) =>
-          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(stage))
-          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          finally w.close()
+      val fp = docsFingerprint(s, d) // 1-row boundary: serve-time fp check
+      graft.tools.Artifact.resolve(dupIdxToken, ds)(dupMetaMatches(s, _, fp))
+        .getOrElse {
+          val out = graft.tools.Artifact.publish(dupIdxToken, ds) { stage =>
+            val ak = graft.tools.Artifact.newAk(ds)
+            dupEdges(s, d).withColumn("ak", lit(ak))
+              .write.mode("overwrite").parquet(s"$stage/pairs")
+            cachedSketch(s, d)
+              .write.mode("overwrite").parquet(s"$stage/sketch")
+            val spark = s; import spark.implicits._
+            Seq((ak, ds, fp)).toDF("ak", "ds", "fp")
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+          }
+          // a re-used version slot must not serve a stale file listing
+          s.catalog.refreshByPath(out)
+          out
         }
-      }
-      target.toString
     })
   }
 
@@ -2908,12 +2964,16 @@ object Text {
       },
       Some {
         val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${dupIdxToken}_*"
+        // the recomputed fingerprint picks the version; ORDER BY ak
+        // LIMIT 1 keeps the scalar subquery single-row even when two
+        // fp-matching versions exist (identical content — ADVICE r16)
         s"""WITH cfp AS (SELECT $sqlDocsFingerprint AS fp FROM documents),
-           |meta AS (SELECT ds FROM read_parquet('$glob/meta/*.parquet')
-           |         WHERE fp = (SELECT fp FROM cfp)),
+           |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
+           |         WHERE fp = (SELECT fp FROM cfp)
+           |         ORDER BY ak LIMIT 1),
            |drops AS (SELECT DISTINCT id_b AS doc_id
            |          FROM read_parquet('$glob/pairs/*.parquet')
-           |          WHERE ds = (SELECT ds FROM meta))
+           |          WHERE ak = (SELECT ak FROM meta))
            |SELECT lang, count(*) AS kept FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
            |GROUP BY lang ORDER BY lang""".stripMargin
@@ -3485,14 +3545,15 @@ object Text {
       "text_mixture_sample",
       (s, d) => {
         val budget = when(col("lang") === "en", 20000L).otherwise(5000L)
-        val ord = Window.partitionBy("lang")
-          .orderBy(col("h").asc, col("doc_id").asc)
-        documents(s, d)
-          .select(col("doc_id"), col("lang"), col("n_chars"),
-            Tables.detHash(col("doc_id")).as("h"))
-          .withColumn("rk", row_number().over(ord))
-          .withColumn("cum", sum("n_chars").over(
-            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        // VERDICT-r16 task 4: rank + running sum via the DISTRIBUTED
+        // two-level prefix scan (text_weighted_sample's shape) instead
+        // of one window per language — at 100 TB a per-language window
+        // is a single reducer pulling the whole language through it
+        blockedRankCum(
+          documents(s, d)
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              Tables.detHash(col("doc_id")).as("h")),
+          "lang", "h", "n_chars")
           .filter(col("cum") - col("n_chars") < budget)
           .select(col("lang"), col("rk").cast("int").as("pick_rank"),
             col("doc_id"), col("n_chars"), col("cum").as("cum_chars"))
@@ -3536,14 +3597,12 @@ object Text {
         val budgets = doremiDomainWeights(s, d)
           .map { case (src, _, _, _, w) => (src, w * TotalChars / 16777216L) }
           .toSeq.toDF("source", "budget_chars")
-        val ord = Window.partitionBy("source")
-          .orderBy(col("h").asc, col("doc_id").asc)
-        documents(s, d)
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            Tables.detHash(col("doc_id")).as("h"))
-          .withColumn("rk", row_number().over(ord))
-          .withColumn("cum", sum("n_chars").over(
-            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        // two-level prefix scan per source (VERDICT-r16 task 4)
+        blockedRankCum(
+          documents(s, d)
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              Tables.detHash(col("doc_id")).as("h")),
+          "source", "h", "n_chars")
           .join(broadcast(budgets), "source")
           .filter(col("cum") - col("n_chars") < col("budget_chars"))
           .select(col("source"), col("rk").cast("int").as("pick_rank"),
@@ -3611,13 +3670,13 @@ object Text {
               .when(col("len") > 20000 || col("stop_cnt") === 0, "low_quality")
               .when(col("nd"), "near_dup")
               .otherwise("pass").as("v0"))
-        val ord = Window.partitionBy("source")
-          .orderBy(col("hh").asc, col("doc_id").asc)
-        val picked = flagged.filter(col("v0") === "pass")
-          .withColumn("hh", Tables.detHash(col("doc_id")))
-          .withColumn("rk", row_number().over(ord))
-          .withColumn("cum", sum("n_chars").over(
-            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        // two-level prefix scan per source (VERDICT-r16 task 4): the
+        // budget-crossing selection over the survivors never funnels a
+        // source through one reducer
+        val picked = blockedRankCum(
+            flagged.filter(col("v0") === "pass")
+              .withColumn("hh", Tables.detHash(col("doc_id"))),
+            "source", "hh", "n_chars")
           .join(broadcast(budgets), "source")
           .withColumn("in_budget", col("cum") - col("n_chars") < col("budget_chars"))
           .select(col("doc_id"), col("source"),

@@ -188,33 +188,49 @@ object Vector {
   }
 
   // ── graph-traversal ANN search (VERDICT-r14 task 1) ─────────────────
-  /** The production ANN search INDEX: the full-corpus NN-descent graph
-    * kept at BUILD degree 2k = 16, one build per (session, dir).
-    * `ann_nndescent_graph` times the BUILD; this memo is the persisted
-    * steady-state index the HNSW/DiskANN-family serving path traverses —
-    * ann_graph_search answers queries from it without touching the
-    * build again (the nnExistingGraph convention, full corpus). */
-  private val nnSearchIndexMemo = graft.SessionMemo[(DataFrame, Long, DataFrame)]()
-  /** Spec probe: how many times the descent BUILD actually ran in this
-    * process (any session) — the persisted serve path must leave it
-    * untouched (Round16Spec). */
+  /** The raw NN-descent BUILD of the full-corpus degree-2k index — the
+    * periodic index JOB. Reached only through [[gsPersistedIndex]]'s
+    * publish-on-miss path (and the build-timing query
+    * `ann_nndescent_graph`, which replays it inline): serving never
+    * calls this directly. */
   private[graft] val nnIndexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def nnIndexBuild(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
+    nnIndexBuilds.incrementAndGet()
+    val e = embeddings(s, d)
+      .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
+      .cache()
+    val n = e.count() // 1-value driver boundary (mod-N seed space)
+    var b = strideSeeds(e, n).transform(GenSnap.snap)
+    var adj: DataFrame = null
+    for (r <- 1 to NnRounds) {
+      val scored = nnDescentRound(b, e, r)
+      if (r < NnRounds)
+        b = scored.filter(col("rk") <= NnKb).select("src", "dst")
+          .transform(GenSnap.snap)
+      else adj = scored.filter(col("rk") <= NnKb).select("src", "dst").cache()
+    }
+    (e, n, adj)
+  }
+
+  /** The production ANN search INDEX every serve-path query reads: a
+    * READ-THROUGH CACHE over the PUBLISHED artifact (VERDICT-r16 task
+    * 1 — previously only the single-probe persisted query read storage
+    * while batch/filtered/routed/sweep rebuilt via this memo). The memo
+    * now resolves the fingerprint-matched version dir (building and
+    * publishing one descent only if no process has), reads the bucketed
+    * adjacency + 1-row meta back from parquet, and caches the frames
+    * for the session — so adj's lineage is a FileScan of the artifact,
+    * a fresh session pays ZERO descents for the whole family, and every
+    * consumer serves the same bytes the oracle's glob reads. */
+  private val nnSearchIndexMemo = graft.SessionMemo[(DataFrame, Long, DataFrame)]()
   private[graft] def nnSearchIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) =
     nnSearchIndexMemo.getOrCompute(s, d) {
-      nnIndexBuilds.incrementAndGet()
+      val base = gsPersistedIndex(s, d)
+      val n = s.read.parquet(s"$base/meta").head().getAs[Long]("n")
       val e = embeddings(s, d)
         .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
         .cache()
-      val n = e.count() // 1-value driver boundary (mod-N seed space)
-      var b = strideSeeds(e, n).transform(GenSnap.snap)
-      var adj: DataFrame = null
-      for (r <- 1 to NnRounds) {
-        val scored = nnDescentRound(b, e, r)
-        if (r < NnRounds)
-          b = scored.filter(col("rk") <= NnKb).select("src", "dst")
-            .transform(GenSnap.snap)
-        else adj = scored.filter(col("rk") <= NnKb).select("src", "dst").cache()
-      }
+      val adj = gsAdjTable(s, base).select("src", "dst").cache()
       (e, n, adj)
     }
 
@@ -290,23 +306,80 @@ object Vector {
     (beam, scoredAll)
   }
 
-  // ── persisted index: build once, serve from storage ─────────────────
-  // VERDICT-r15 task 1 — the graph index lived only in a SessionMemo,
-  // so every fresh session paid the full NN-descent rebuild: exactly
-  // what a 100 TB system must not do. The build is now a write-once JOB
-  // (adjacency + 1-row meta as real parquet tables under a DURABLE
-  // staging dir) and the search SERVES by reading the artifact — many
-  // sessions, one build. Publication is crash/concurrency-safe: the
-  // build lands in a pid-keyed scratch dir and is published by one
-  // atomic rename; a loser of the publish race discards its scratch and
-  // reads the winner's (the build is deterministic, so both are
-  // byte-equal). The dir name embeds the BUILD PARAMETERS, so a
-  // parameter change can never serve a stale artifact written under the
-  // old ones — it simply misses and rebuilds.
+  /** The STORAGE-SERVING unroll: identical semantics to [[gsBeamFrom]]
+    * with the hash-fixed entries, but the adjacency is the published
+    * BUCKETED artifact table and each hop's frontier ids (≤ beam rows —
+    * a bounded driver boundary, the beam is in serving memory by
+    * construction) are pushed as a LITERAL `src IN (...)` so the scan
+    * prunes to the frontier's buckets instead of reading the whole
+    * artifact per hop — at 100 TB a hop reads a few of thousands of
+    * storage buckets (SelectedBucketsCount plan-pinned in Round17Spec).
+    * An empty frontier short-circuits the remaining hops (the beam is
+    * provably fixed once no hop adds entrants), which the final
+    * convergence require still checks via max(eh). */
+  private def gsBeamServe(e: DataFrame, adjT: DataFrame, n: Long,
+      width: Int): DataFrame = {
+    val entryIds = GsEntrySeeds.map(sj => (sj * 2654435761L) % n)
+      .distinct.filterNot(_ == 0L)
+    val q = e.filter(col("id") === 0L).select(col("v").as("qv"))
+    def score(ids: DataFrame): DataFrame =
+      ids.join(e, "id").crossJoin(broadcast(q))
+        .select(col("id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.orderBy(col("sim").desc, col("id").asc)
+    var beam = score(e.select("id").filter(col("id").isin(entryIds: _*)))
+      .withColumn("eh", lit(0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= width).drop("rk")
+      .transform(GenSnap.snap)
+    var h = 1
+    var frontier = beam.filter(col("eh") === 0).select("id")
+      .collect().map(_.getLong(0)) // ≤ width ids: the serving beam state
+    while (h <= GsHops && frontier.nonEmpty) {
+      val cand = adjT.filter(col("src").isin(frontier: _*)) // bucket-pruned
+        .select(col("dst").as("id"))
+        .filter(col("id") =!= 0L).distinct()
+        .join(beam.select("id"), Seq("id"), "left_anti")
+      beam = beam.unionByName(score(cand).withColumn("eh", lit(h)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= width).drop("rk")
+        .transform(GenSnap.snap)
+      frontier = beam.filter(col("eh") === h).select("id")
+        .collect().map(_.getLong(0))
+      h += 1
+    }
+    beam
+  }
 
-  /** Version token naming the persisted-index layout — derived from the
-    * build parameters (descent rounds, build degree). */
-  private def gsIdxToken: String = s"ann1r${NnRounds}k$NnKb"
+  // ── persisted index: build once, serve from storage ─────────────────
+  // VERDICT-r15 task 1, generalized in r16/r17 — the descent build is a
+  // write-once JOB (bucketed adjacency + 1-row meta as real parquet
+  // tables), published as an immutable VERSION dir via graft.tools.
+  // Artifact, and EVERY graph-search query serves by reading the
+  // artifact: nnSearchIndex below is a read-through cache over the
+  // published version, so a fresh session pays zero descents for the
+  // whole family (single/batch/filtered/routed/sweep/repair/recall
+  // tiers). Version selection is by CONTENT — each serve re-matches a
+  // freshly computed corpus fingerprint against candidate meta rows,
+  // newest version first — so a dataset regenerated in place misses and
+  // republishes instead of silently serving a stale adjacency (ADVICE
+  // r16), and a churn re-publish (delete-repair below) coexists as
+  // version N+1 without touching N.
+
+  /** Version token naming the persisted-index layout — derived from
+    * EVERY build parameter (descent rounds, build degree, and the seed
+    * strides — ADVICE r16: a strides change must miss, not reuse the
+    * old dir), so a parameter change can never serve a stale artifact. */
+  private[graft] def gsIdxToken: String = {
+    val sig = (NnStrides.mkString(",").hashCode.toLong & 0xffffffffL).toHexString
+    s"ann2r${NnRounds}k${NnKb}s$sig"
+  }
+
+  /** Bucket count for the published adjacency: hop lookups filter
+    * `src IN (frontier)` so a bucketed table prunes to the frontier's
+    * buckets instead of scanning the artifact per hop (the ann_lsh_topk
+    * SelectedBucketsCount convention; at 100 TB this is thousands of
+    * buckets and a hop reads only the beam's few). */
+  private val GsAdjBuckets = 8
 
   /** Spec probe: how many times this process actually BUILT (descended
     * and wrote) a persisted index — the serve-without-rebuild pin. */
@@ -321,46 +394,106 @@ object Vector {
     * disambiguate). floor is exact on both engines and the float32→
     * double widening plus the ·1e6 product round identically (IEEE), so
     * Spark's stored value and DuckDB's recomputed one agree bit-for-bit. */
-  private def corpusFingerprint(s: SparkSession, d: String): Long =
-    embeddings(s, d).agg(
-      sum((col("vec_id") + lit(1L)) *
-        floor(element_at(vec(col("embedding")), 1) * lit(1e6)))).head().getLong(0)
+  private def fpTerm: Column =
+    (col("vec_id") + lit(1L)) *
+      floor(element_at(vec(col("embedding")), 1) * lit(1e6))
+  private def sqlFpTerm: String =
+    "(vec_id + 1) * CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)"
 
-  private def sqlCorpusFingerprint: String =
-    "CAST(sum((vec_id + 1) * CAST(FLOOR(CAST(embedding[1] AS DOUBLE) " +
-      "* 1000000.0) AS BIGINT)) AS BIGINT)"
+  /** (full-corpus fingerprint, n) in one 1-row driver boundary. */
+  private def corpusFpN(s: SparkSession, d: String): (Long, Long) = {
+    val r = embeddings(s, d)
+      .agg(sum(fpTerm).as("fp"), count(lit(1)).as("n")).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
-  /** The published artifact dir for this dataset — building and
-    * publishing it first if no process has yet. Returns a dir holding
-    * `adj` (ds, src, dst) and `meta` (ds, n, fp) parquet tables. */
+  private def sqlCorpusFingerprint: String = s"CAST(sum($sqlFpTerm) AS BIGINT)"
+
+  /** One meta-match probe against a candidate version dir: accept iff
+    * its 1-row meta carries exactly this (fp, n) — the serve-time
+    * staleness re-check (ADVICE r16). Unreadable/missing meta → miss. */
+  private def gsMetaMatches(s: SparkSession, dir: String, fp: Long, n: Long): Boolean =
+    try {
+      val m = s.read.parquet(s"$dir/meta").select("fp", "n").head()
+      m.getLong(0) == fp && m.getLong(1) == n
+    } catch { case _: Throwable => false }
+
+  /** Write one index version into a scratch dir: bucketed `adj`
+    * (src, dst, ak) + 1-row `meta` (ak, ds, n, fp). The bucketed write
+    * goes through a transient catalog table (bucketBy requires
+    * saveAsTable); the external files stay when the name is dropped. */
+  private def gsWriteIndex(s: SparkSession, stage: String, ds: String,
+      adj: DataFrame, n: Long, fp: Long): Unit = {
+    val ak = graft.tools.Artifact.newAk(ds)
+    val tmpName = s"graft_pub_${ProcessHandle.current().pid()}_${System.nanoTime().toHexString}"
+    adj.select(col("src"), col("dst"), lit(ak).as("ak"))
+      .write.format("parquet")
+      .bucketBy(GsAdjBuckets, "src").sortBy("src")
+      .option("path", s"$stage/adj").saveAsTable(tmpName)
+    s.sql(s"DROP TABLE IF EXISTS $tmpName") // external: the files remain
+    val spark = s; import spark.implicits._
+    Seq((ak, ds, n, fp)).toDF("ak", "ds", "n", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+  }
+
+  /** Post-publish cache hygiene for a RE-USED version slot (the
+    * vanished-artifact re-resolve path): refreshByPath drops the cache
+    * manager's data + FileStatusCache entries under the dir, and — the
+    * part refreshByPath does NOT reach — an already-registered catalog
+    * table for the slot has its relation/file-index cache invalidated
+    * explicitly, or the next serve would list the OLD build's files. */
+  private def gsRefreshPublished(s: SparkSession, dir: String): Unit = {
+    s.catalog.refreshByPath(dir)
+    val name = "graft_" + java.nio.file.Paths.get(dir).getFileName.toString
+    if (s.catalog.tableExists(name)) s.catalog.refreshTable(name)
+  }
+
+  /** The published adjacency as a BUCKETED catalog table over the
+    * version dir — bucket metadata lives in the catalog, so each
+    * process re-declares the external table once per artifact (the
+    * files carry bucket ids in their names from the bucketed write). */
+  private[graft] def gsAdjTable(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_" + java.nio.file.Paths.get(dir).getFileName.toString
+    // DisableUnnecessaryBucketedScan considers only join/agg
+    // interestingness, not PRUNING — left on, the hop lookups' literal
+    // src IN (frontier) filters would read every bucket (the ann_lsh_topk
+    // lesson, VectorSpec "LSH cells stored bucketed")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s.sql(s"CREATE TABLE IF NOT EXISTS $name (src BIGINT, dst BIGINT, ak STRING) " +
+      s"USING PARQUET CLUSTERED BY (src) SORTED BY (src) INTO $GsAdjBuckets BUCKETS " +
+      s"LOCATION '$dir/adj'")
+    // NO per-call REFRESH: it would invalidate the family's shared
+    // cached adjacency on every serve. Stale listings can only arise
+    // when a version slot is re-used in-process (the vanished-artifact
+    // re-resolve), and the publish paths refreshByPath for exactly that.
+    s.table(name)
+  }
+
+  /** The published artifact dir serving this dataset's CURRENT corpus —
+    * resolved by fingerprint among existing versions, else built (one
+    * descent) and published as the next version. The per-process memo is
+    * a cache over resolution; a memoized dir that vanished (age prune,
+    * manual rm) is re-resolved instead of failing the serve (ADVICE
+    * r16). */
   private[graft] def gsPersistedIndex(s: SparkSession, d: String): String = {
-    val ds = java.nio.file.Paths.get(d).toAbsolutePath.normalize.toString
-      .replaceAll("[^a-zA-Z0-9]", "_")
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = gsPersistMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      gsPersistMemo.remove(ds, cached)
     gsPersistMemo.computeIfAbsent(ds, _ => {
-      val target = java.nio.file.Paths.get(
-        s"${System.getProperty("java.io.tmpdir")}/graft_idx_${gsIdxToken}_$ds")
-      if (!java.nio.file.Files.exists(target)) {
-        gsPersistBuilds.incrementAndGet()
-        val (_, n, adj) = nnSearchIndex(s, d)
-        val fp = corpusFingerprint(s, d) // 1-value driver boundary (meta row)
-        val stage = graft.tools.Staging.durableDir(gsIdxToken + "stage", d)
-        adj.withColumn("ds", lit(ds))
-          .write.mode("overwrite").parquet(s"$stage/adj")
-        val spark = s; import spark.implicits._
-        Seq((ds, n, fp)).toDF("ds", "n", "fp")
-          .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
-        try java.nio.file.Files.move(java.nio.file.Paths.get(stage), target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.io.IOException if java.nio.file.Files.exists(target) =>
-          // lost the publish race — the winner's artifact is identical
-          // (deterministic build); drop the scratch copy
-          val w = java.nio.file.Files.walk(java.nio.file.Paths.get(stage))
-          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          finally w.close()
+      val (fp, n) = corpusFpN(s, d) // 1-row boundary: serve-time fp re-check
+      graft.tools.Artifact.resolve(gsIdxToken, ds)(gsMetaMatches(s, _, fp, n))
+        .getOrElse {
+          gsPersistBuilds.incrementAndGet()
+          val (eB, _, adjB) = nnIndexBuild(s, d)
+          val out = graft.tools.Artifact.publish(gsIdxToken, ds)(
+            gsWriteIndex(s, _, ds, adjB, n, fp))
+          // the build's caches are scaffolding once the artifact exists —
+          // serving reads the parquet back (nnSearchIndex), not these
+          adjB.unpersist(); eB.unpersist()
+          gsRefreshPublished(s, out)
+          out
         }
-      }
-      target.toString
     })
   }
 
@@ -385,7 +518,7 @@ object Vector {
     * adjacency IS the index a production system serves until the next
     * delete batch, so consumers read one materialization. */
   private val gsRepairMemo = graft.SessionMemo[(DataFrame, Long, DataFrame)]()
-  private def gsRepairedIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) =
+  private[graft] def gsRepairedIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) =
     gsRepairMemo.getOrCompute(s, d) {
       val (eS, n, adj2) = gsRepairBuild(s, d)
       (eS.cache(), n, adj2.cache())
@@ -449,23 +582,82 @@ object Vector {
       .join(truth, "id").count()
   }
 
+  // ── churn re-publish: version N → N+1 (VERDICT-r16 task 2) ──────────
+  // Production consolidation does not discard its work: after a delete
+  // batch, the REPAIRED adjacency is published as the next artifact
+  // version (same atomic machinery as the base build) and serving picks
+  // it up by content — the survivor corpus's fingerprint matches only
+  // the repaired version, so full-corpus queries keep serving version N
+  // untouched while post-churn queries serve N+1, and a fresh session
+  // serves the repaired index with zero descents AND zero repairs.
+
+  /** Spec probe: how many times this process actually ran the repair and
+    * published a new version. */
+  private[graft] val gsRepairPublishes = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val gsRepairPubMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (survivor-corpus fingerprint, full-corpus n) — the repaired
+    * version's meta key: fp over SURVIVORS only (the corpus state this
+    * version serves), n over the full id space (the entry-hash domain,
+    * unchanged by deletes). */
+  private def survivorFpN(s: SparkSession, d: String): (Long, Long) = {
+    val r = embeddings(s, d).agg(
+      sum(when(!gsTombPred(col("vec_id")), fpTerm)).as("fp"),
+      count(lit(1)).as("n")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def sqlSurvivorFingerprint: String =
+    s"CAST(sum(CASE WHEN NOT (${sqlGsTombPred("vec_id")}) THEN $sqlFpTerm END) AS BIGINT)"
+
+  /** The published version serving the POST-DELETE corpus — resolved by
+    * survivor fingerprint among existing versions, else repaired from
+    * the served base index and published as version N+1. */
+  private[graft] def gsRepairPublished(s: SparkSession, d: String): String = {
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = gsRepairPubMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      gsRepairPubMemo.remove(ds, cached)
+    gsRepairPubMemo.computeIfAbsent(ds, _ => {
+      val (fp, n) = survivorFpN(s, d) // 1-row boundary, serve-time fp check
+      graft.tools.Artifact.resolve(gsIdxToken, ds)(gsMetaMatches(s, _, fp, n))
+        .getOrElse {
+          gsRepairPublishes.incrementAndGet()
+          val (_, nFull, adj2) = gsRepairedIndex(s, d)
+          val out = graft.tools.Artifact.publish(gsIdxToken, ds)(
+            gsWriteIndex(s, _, ds, adj2, nFull, fp))
+          gsRefreshPublished(s, out)
+          out
+        }
+    })
+  }
+
   /** The oracle-side serve prefix: corpus/query/entry CTEs as in
     * [[sqlGsIndexCtes]], but `adj` READS THE PUBLISHED ARTIFACT (the
     * same parquet the Spark side serves from) instead of replaying the
-    * descent — the fp-keyed meta row selects this dataset's slice of
-    * the durable-dir glob. */
+    * descent — the freshly recomputed corpus fingerprint selects this
+    * dataset's version out of the durable-dir glob, and the chosen
+    * meta row's publish-unique `ak` selects exactly that version's adj
+    * rows. Two fp-matching versions hold identical deterministic
+    * content; `ORDER BY ak LIMIT 1` keeps the scalar subquery
+    * single-row either way (ADVICE r16). Shared by every serve-path
+    * oracle in the family (single/batch/filtered/routed/sweep) —
+    * artifact-content correctness is anchored transitively by
+    * ann_graph_search's full descent-replay oracle, whose Spark side
+    * serves the same artifact. */
   private def sqlGsPersistedCtes: String = {
     val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${gsIdxToken}_*"
     s"""e AS MATERIALIZED (
        |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |cfp AS (SELECT $sqlCorpusFingerprint AS fp FROM embeddings),
-       |meta AS (SELECT ds FROM read_parquet('$glob/meta/*.parquet')
+       |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
        |         WHERE fp = (SELECT fp FROM cfp)
-       |           AND n = (SELECT n FROM n)),
+       |           AND n = (SELECT n FROM n)
+       |         ORDER BY ak LIMIT 1),
        |adj AS MATERIALIZED (
        |  SELECT src, dst FROM read_parquet('$glob/adj/*.parquet')
-       |  WHERE ds = (SELECT ds FROM meta)),
+       |  WHERE ak = (SELECT ak FROM meta)),
        |q AS (SELECT v AS qv FROM e WHERE id = 0),
        |ent AS (SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
        |        FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
@@ -1563,7 +1755,8 @@ object Vector {
     // VERDICT-r14 task 1 — the graph is built and incrementally
     // maintained but was never SEARCHED, yet graph traversal is the
     // production ANN shape (HNSW/DiskANN family). Deterministic greedy
-    // beam best-first search over the memoized degree-2k index: 4
+    // beam best-first search over the PUBLISHED degree-2k index (since
+    // r17 nnSearchIndex is a read-through cache over the artifact): 4
     // hash-fixed entry points are scored against the query (vec 0), the
     // best 24 form the beam, and each hop expands only the beam's NEW
     // entrants (their adjacency rows), scores the unseen candidates,
@@ -1574,7 +1767,10 @@ object Vector {
     // last hop added nothing (the temporal-reach exact-unroll
     // convention), usage BoundProbe'd and margin-pinned at sf0.1. Every
     // pick is deterministic, so the oracle replays the full index build
-    // AND all GsHops hops as chained CTEs. SCALE: each hop's exchanges are
+    // AND all GsHops hops as chained CTEs — the ANCHOR oracle proving
+    // the published artifact's content equals the descent it claims to
+    // be (the sibling serve-path oracles read the artifact itself).
+    // SCALE: each hop's exchanges are
     // candidate-sized (≤ beam × degree rows — plan-pinned in
     // Round15Spec); the corpus-side scoring join is an equi-join on id
     // against the cached index corpus, which at 100 TB becomes point
@@ -1610,7 +1806,7 @@ object Vector {
     // ── batch graph-traversal ANN: many probes, one dataflow ──────────
     // The production serving shape for a QUERY BATCH (the ann_knn_join
     // convention: probes = the first 10 vectors): every probe runs the
-    // same deterministic beam search over the shared memoized index
+    // same deterministic beam search over the shared PUBLISHED index
     // simultaneously — beam state is (probe_id, id, sim, eh) and every
     // window is PARTITIONED BY probe_id, so per-hop work is
     // (probes × beam)-sized and the whole batch costs one unroll, not
@@ -1665,8 +1861,6 @@ object Vector {
           .orderBy("probe_id", "rk")
       },
       Some {
-        val rounds = (1 to NnRounds)
-          .map(r => sqlNnRound(r, s"b${r - 1}", s"b$r", "e")).mkString(",\n")
         val c = sqlCosine("e.v", "p.pv")
         val hops = (1 to GsHops).map { h =>
           s"""f$h AS (SELECT probe_id, id AS src FROM bm${h - 1} WHERE eh = ${h - 1}),
@@ -1684,24 +1878,22 @@ object Vector {
              |  FROM (SELECT * FROM bm${h - 1} UNION ALL SELECT * FROM s$h))
              |  WHERE rk <= $GsBeam)""".stripMargin
         }.mkString(",\n")
-        s"""WITH e AS MATERIALIZED (
-           |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
-           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-           |st(s) AS (VALUES ${NnStrides.map(x => s"($x)").mkString(", ")}),
-           |b0 AS MATERIALIZED (
-           |  SELECT id AS src, (id + s) % n AS dst FROM e CROSS JOIN n CROSS JOIN st),
-           |$rounds,
-           |adj AS MATERIALIZED (SELECT src, dst FROM rk_b$NnRounds WHERE rk <= $NnKb),
+        // `adj` comes from the PUBLISHED artifact (sqlGsPersistedCtes)
+        // instead of a descent replay — the oracle checks the batch
+        // SERVE path; artifact content is anchored by ann_graph_search's
+        // full-replay oracle over the same artifact. `bent` avoids the
+        // prefix's single-probe `ent`.
+        s"""WITH $sqlGsPersistedCtes,
            |p AS (SELECT id AS probe_id, v AS pv FROM e WHERE id < 10),
-           |ent AS (SELECT p.probe_id, x.id
+           |bent AS (SELECT p.probe_id, x.id
            |        FROM p CROSS JOIN (
            |          SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
            |          FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
            |          CROSS JOIN n) x
            |        WHERE x.id <> p.probe_id),
-           |s0 AS (SELECT ent.probe_id, e.id, $c AS sim, 0 AS eh
-           |       FROM ent JOIN e ON e.id = ent.id
-           |       JOIN p ON p.probe_id = ent.probe_id),
+           |s0 AS (SELECT bent.probe_id, e.id, $c AS sim, 0 AS eh
+           |       FROM bent JOIN e ON e.id = bent.id
+           |       JOIN p ON p.probe_id = bent.probe_id),
            |bm0 AS MATERIALIZED (SELECT probe_id, id, sim, eh FROM (
            |  SELECT probe_id, id, sim, eh,
            |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, id ASC) AS rk
@@ -1724,8 +1916,9 @@ object Vector {
     // more (hits non-decreasing on this corpus — pinned in
     // Round15Spec); hops_used is the latency proxy (sequential hop
     // depth). The width-24 row is exactly ann_graph_search's result by
-    // construction, making the sweep self-checking. Oracle replays the
-    // index build once and all three unrolls as parallel CTE chains.
+    // construction, making the sweep self-checking. Oracle reads the
+    // published artifact (the serve path — r17) and runs all three
+    // unrolls as parallel CTE chains.
     Q(
       "ann_beam_sweep",
       (s, d) => {
@@ -1739,15 +1932,17 @@ object Vector {
         GsSweepWidths.map { wd =>
           val beam = gsBeamUnroll(e, adj, n, wd)
           val w = Window.orderBy(col("sim").desc, col("id").asc)
-          val top = beam.withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= 10).select(col("id"), col("eh"))
-          // converged: the unroll finished with at least one trailing
-          // hop that added nothing (ADVICE r15 — a narrow width still
-          // growing at hop GsHops must say so in its own row, not hide
-          // behind hops_used = GsHops + 1 as the only hint)
-          top.join(truth, "id")
-            .agg(count(lit(1)).as("hits"))
-            .crossJoin(broadcast(beam.agg(max("eh").as("meh"))))
+          // ONE aggregation reads each beam once: the truth hits among
+          // the top-10 (rank ≤ 10 ∧ in the exact set) and the
+          // convergence max(eh) — a trailing hop that added nothing
+          // (ADVICE r15) — fold into the same pass. VERDICT-r16: the
+          // converged column's original max(eh) crossJoin re-read every
+          // beam frame and cost the sweep ~26%.
+          beam.withColumn("rk", row_number().over(w))
+            .join(broadcast(truth.withColumn("t", lit(true))), Seq("id"), "left")
+            .agg(
+              sum(when(col("rk") <= 10 && col("t"), 1L).otherwise(0L)).as("hits"),
+              max("eh").as("meh"))
             .select(lit(wd).as("beam"), col("hits"),
               (col("hits").cast("double") / lit(10.0)).as("recall_at_10"),
               (col("meh") + 1).cast("int").as("hops_used"),
@@ -1767,7 +1962,7 @@ object Vector {
              |  CAST((SELECT max(eh) + 1 FROM w$wd$GsHops) AS INT) AS hops_used,
              |  (SELECT max(eh) FROM w$wd$GsHops) < $GsHops AS converged""".stripMargin
         }.mkString("\nUNION ALL\n")
-        s"""WITH $sqlGsIndexCtes,
+        s"""WITH $sqlGsPersistedCtes,
            |truth AS (
            |  SELECT e.id FROM e CROSS JOIN q WHERE e.id <> 0
            |  ORDER BY ${sqlCosine("e.v", "q.qv")} DESC, e.id ASC LIMIT 10),
@@ -1801,10 +1996,12 @@ object Vector {
         // 1-row driver boundary: the meta row's corpus count seeds the
         // hash-fixed entry ids, exactly as the memoized path's count()
         val n = s.read.parquet(s"$base/meta").head().getAs[Long]("n")
-        val adj = s.read.parquet(s"$base/adj").select("src", "dst")
         val e = embeddings(s, d)
           .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
-        val beam = gsBeamUnroll(e, adj, n, GsBeam)
+        // the bucketed-artifact unroll: per hop, the ≤ beam frontier ids
+        // are pushed as literals so the adjacency scan bucket-prunes
+        // (Round17Spec pins SelectedBucketsCount in this shape)
+        val beam = gsBeamServe(e, gsAdjTable(s, base), n, GsBeam)
         val maxEh = beam.agg(max("eh")).head().getInt(0)
         graft.tools.BoundProbe.record("graph_beam_search_persisted", maxEh + 1, GsHops)
         require(maxEh < GsHops,
@@ -1872,7 +2069,7 @@ object Vector {
       Some {
         val scoredUnion = (0 to GsHops)
           .map(h => s"SELECT id, sim FROM sfm$h").mkString("\nUNION ALL\n")
-        s"""WITH $sqlGsIndexCtes,
+        s"""WITH $sqlGsPersistedCtes,
            |${sqlGsHops(GsFilteredBeam, "fm")},
            |pass AS (SELECT vec_id AS id FROM embeddings
            |         WHERE label = 3 AND vec_id <> 0),
@@ -1978,6 +2175,67 @@ object Vector {
       }
     ),
 
+    // ── churn re-publish + serve: version N → N+1 (VERDICT-r16 task 2) ─
+    // ann_graph_delete_repair proves the consolidation math (its oracle
+    // replays build + tombstones + repair); THIS query proves the
+    // lifecycle: the repaired adjacency is PUBLISHED as the next
+    // artifact version (atomic, content-keyed by the SURVIVOR
+    // fingerprint — so the base version keeps serving full-corpus
+    // queries untouched) and the answer is served by reading that
+    // version back from storage with the bucket-pruned unroll. The
+    // ORACLE reads the same published v2 out of the durable glob, keyed
+    // by the survivor fingerprint it recomputes — adjacency correctness
+    // is anchored transitively by delete_repair's replay oracle plus
+    // Round17Spec's v2 ≡ memo-repaired equality pin and the
+    // fresh-session zero-descent/zero-repair probe. SCALE: this is the
+    // production churn loop — consolidate a delete batch, re-publish,
+    // serve the new version; never rebuild, never mutate version N.
+    Q(
+      "ann_graph_repair_publish",
+      (s, d) => {
+        val base = gsRepairPublished(s, d)
+        val n = s.read.parquet(s"$base/meta").head().getAs[Long]("n")
+        val eS = embeddings(s, d)
+          .filter(!gsTombPred(col("vec_id")))
+          .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
+        val beam = gsBeamServe(eS, gsAdjTable(s, base), n, GsBeam)
+        val maxEh = beam.agg(max("eh")).head().getInt(0)
+        graft.tools.BoundProbe.record("graph_beam_search_repair_pub", maxEh + 1, GsHops)
+        require(maxEh < GsHops,
+          s"repaired-serve beam still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        val w = Window.orderBy(col("sim").desc, col("id").asc)
+        beam.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+          .select(col("rank").cast("int").as("rank"),
+            col("id").as("vec_id"), col("sim"))
+          .orderBy("rank")
+      },
+      Some {
+        val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${gsIdxToken}_*"
+        s"""WITH es AS MATERIALIZED (
+           |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings
+           |  WHERE NOT (${sqlGsTombPred("vec_id")})),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |cfp AS (SELECT $sqlSurvivorFingerprint AS fp FROM embeddings),
+           |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
+           |         WHERE fp = (SELECT fp FROM cfp)
+           |           AND n = (SELECT n FROM n)
+           |         ORDER BY ak LIMIT 1),
+           |adj AS MATERIALIZED (
+           |  SELECT src, dst FROM read_parquet('$glob/adj/*.parquet')
+           |  WHERE ak = (SELECT ak FROM meta)),
+           |q AS (SELECT v AS qv FROM es WHERE id = 0),
+           |ent AS (SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
+           |        FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
+           |        CROSS JOIN n
+           |        WHERE (s2.s * 2654435761) % n.n <> 0),
+           |${sqlGsHops(GsBeam, "pp", eRel = "es")}
+           |SELECT CAST(rk AS INT) AS rank, id AS vec_id, sim FROM (
+           |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+           |  FROM pp$GsHops)
+           |WHERE rk <= 10 ORDER BY rank""".stripMargin
+      }
+    ),
+
     // ── routed graph search: upper-layer entry selection ──────────────
     // The HNSW refinement the hash-fixed entries lack: real layered
     // indexes route the query through a SMALL upper layer first — a
@@ -1989,8 +2247,9 @@ object Vector {
     // the serving-latency knob beam width cannot buy. Same unroll, same
     // width, same convergence require; BoundProbe'd under its own
     // kernel, and Round16Spec pins hops_used(routed) ≤ hops_used(fixed)
-    // plus recall at the exact ceiling. Oracle replays the build, the
-    // upper-layer scan, and all hops.
+    // plus recall at the exact ceiling. Oracle reads the published
+    // artifact (the serve path) and replays the upper-layer scan and
+    // all hops.
     Q(
       "ann_graph_search_routed",
       (s, d) => {
@@ -2016,7 +2275,7 @@ object Vector {
       },
       Some {
         val uc = sqlCosine("u.v", "q.qv")
-        s"""WITH $sqlGsIndexCtes,
+        s"""WITH $sqlGsPersistedCtes,
            |upper AS (SELECT id, v FROM e
            |          WHERE (${Tables.detHashSql("id")}) % 16 = 3 AND id <> 0),
            |rent AS (SELECT id FROM (

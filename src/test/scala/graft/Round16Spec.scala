@@ -34,21 +34,47 @@ class Round16Spec extends SparkSpec {
       "a fresh session's serve must not run the NN-descent build")
   }
 
-  test("persisted graph search: the serve actually reads the artifact") {
+  test("persisted graph search: a vanished artifact re-resolves and republishes") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    SparkEntry.queries("ann_graph_search_persisted")(spark, sf).count()
-    val base = Paths.get(ops.Vector.gsPersistedIndex(spark, sf))
-    val aside = Paths.get(base.toString + ".aside")
-    // with the artifact moved away, a fresh-memo session must FAIL to
-    // serve — proving the answers come from the published parquet, not
-    // from any in-session state the memoized twin left behind
+    // r16 pinned hard FAILURE when the artifact vanished mid-process;
+    // r17 (ADVICE r16) pins the production behavior instead: the serve
+    // path re-resolves, finds no fingerprint-matching version, REBUILDS
+    // and republishes — same answers, one extra build, no stale state.
+    // Runs against a THROWAWAY COPY of the dataset: destroying the
+    // shared fixture's artifact would orphan the file listings inside
+    // every other suite's session memos (the shared-SparkSession rule
+    // in TestSpark's doc).
+    val ds = tempDir("graft-vanish")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      Paths.get(s"$ds/embeddings.parquet"))
+    val before = SparkEntry.queries("ann_graph_search_persisted")(spark, ds)
+      .collect().map(_.toSeq).toSeq
+    val base = Paths.get(ops.Vector.gsPersistedIndex(spark, ds))
+    // park the artifact OUTSIDE the family glob so resolution must miss
+    val aside = Paths.get(base.toString.replace("graft_idx_", "graft_aside_"))
     Files.move(base, aside, StandardCopyOption.ATOMIC_MOVE)
     try {
-      val fresh = spark.newSession()
-      intercept[Exception] {
-        SparkEntry.queries("ann_graph_search_persisted")(fresh, sf).count()
+      val writes = ops.Vector.gsPersistBuilds.get()
+      val after = SparkEntry.queries("ann_graph_search_persisted")(spark, ds)
+        .collect().map(_.toSeq).toSeq
+      assert(ops.Vector.gsPersistBuilds.get() == writes + 1,
+        "a vanished artifact must trigger exactly one rebuild+republish")
+      assert(after == before, "the republished artifact must serve the same answers")
+    } finally {
+      // reclaim both the aside copy and the republished family now —
+      // the dataset dir dies with the JVM, its artifacts should too
+      for (d <- aside.toString +: graft.tools.Artifact
+          .versions(ops.Vector.gsIdxToken, graft.tools.Artifact.dsKey(ds))
+          .map(_._2)) {
+        val p = Paths.get(d)
+        if (Files.exists(p)) {
+          val s = Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally s.close()
+        }
       }
-    } finally Files.move(aside, base, StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   test("filtered graph search: recall ≥ the IVF filtered tier") {

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Round-17 pins: the whole graph-search family serves from the
+  * published artifact (VERDICT-r16 task 1), churn re-publishes version
+  * N+1 without touching N (task 2), hop lookups bucket-prune the
+  * published adjacency (task 5), the budget-crossing windows run as the
+  * distributed two-level prefix scan (task 4), and the streaming
+  * keep-list serves the published dedup artifact exactly-once (task 7). */
+class Round17Spec extends SparkSpec {
+
+  test("whole graph-search family: a fresh session serves with ZERO descents") {
+    // prime: build + publish once (idempotent across the suite run)
+    SparkEntry.queries("ann_graph_search")(spark, sf).count()
+    val descents = ops.Vector.nnIndexBuilds.get()
+    val publishes = ops.Vector.gsPersistBuilds.get()
+    val fresh = spark.newSession()
+    for (q <- Seq("ann_graph_search", "ann_graph_search_batch",
+        "ann_graph_search_filtered", "ann_graph_search_routed",
+        "ann_beam_sweep", "ann_graph_search_persisted"))
+      assert(SparkEntry.queries(q)(fresh, sf).count() > 0, q)
+    assert(ops.Vector.nnIndexBuilds.get() == descents,
+      "every family member must serve from the published artifact — no descent")
+    assert(ops.Vector.gsPersistBuilds.get() == publishes,
+      "serving must not re-publish")
+  }
+
+  test("serve path reads the artifact: adj lineage is a FileScan of the published parquet") {
+    val (_, _, adj) = ops.Vector.nnSearchIndex(spark, sf)
+    val plan = adj.queryExecution.executedPlan.toString()
+    assert(plan.contains("graft_idx_") || plan.contains("InMemoryTableScan"),
+      s"the served adjacency must come from the artifact (or its cache):\n$plan")
+    // the analyzed (pre-cache) lineage must be a scan, not a descent:
+    // no join/window/aggregate anywhere under the logical plan
+    val logical = adj.queryExecution.logical.toString()
+    assert(!logical.contains("Join") && !logical.contains("Window"),
+      s"the served adjacency's lineage must be a storage scan, not a rebuild:\n$logical")
+  }
+
+  test("persisted hop lookups bucket-prune the published adjacency") {
+    val base = ops.Vector.gsPersistedIndex(spark, sf)
+    val t = ops.Vector.gsAdjTable(spark, base)
+    // the gsBeamServe shape: a literal frontier IN-filter on src
+    val scan = t.filter(col("src").isin(7L, 11L, 42L))
+    val plan = scan.queryExecution.executedPlan.toString()
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"hop scan must be bucket-pruned:\n$plan")
+    assert(sel.get.group(1).toInt <= 3,
+      s"a 3-id frontier must read ≤ 3 buckets: ${sel.get.matched}")
+  }
+
+  test("repair publish: v2 serves the repaired index, v1 stays intact, fresh session pays nothing") {
+    import java.nio.file.{Files, Paths}
+    // prime the base artifact and snapshot its dir listing
+    val v1 = Paths.get(ops.Vector.gsPersistedIndex(spark, sf))
+    def listing(p: java.nio.file.Path): Seq[(String, Long)] = {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(f => (f.toString, Files.size(f))).toSeq.sortBy(_._1)
+      } finally s.close()
+    }
+    val before = listing(v1)
+    val served = SparkEntry.queries("ann_graph_repair_publish")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // v1 untouched by the v2 publish
+    assert(listing(v1) == before, "publishing v2 must not touch v1's bytes")
+    // the published v2 adjacency IS the memo-repaired adjacency
+    val v2 = ops.Vector.gsRepairPublished(spark, sf)
+    assert(v2 != v1.toString, "the repaired version must be a NEW dir")
+    val published = spark.read.parquet(s"$v2/adj").select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val memoed = ops.Vector.gsRepairedIndex(spark, sf)._3
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(published == memoed,
+      "version N+1 must hold exactly the consolidation's repaired adjacency")
+    // the serve answers match the oracle-checked delete-repair query
+    val repairTop = SparkEntry.queries("ann_graph_delete_repair")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(served == repairTop,
+      "serving the published v2 must answer exactly like the replayed repair")
+    // a fresh session serves v2 with zero descents AND zero repairs
+    val descents = ops.Vector.nnIndexBuilds.get()
+    val repairs = ops.Vector.gsRepairPublishes.get()
+    val fresh = spark.newSession()
+    assert(SparkEntry.queries("ann_graph_repair_publish")(fresh, sf).count() == 10)
+    assert(ops.Vector.nnIndexBuilds.get() == descents &&
+      ops.Vector.gsRepairPublishes.get() == repairs,
+      "a fresh session must serve the published v2 — no rebuild, no re-repair")
+  }
+
+  test("budget windows run the two-level prefix scan, values unchanged") {
+    // plan pin: in each rewritten query, any Window over a single
+    // partition column must sit above an Aggregate (the block-offset
+    // table — blocks-count-sized); the corpus-scale sort must partition
+    // by (part, blk)
+    for (q <- Seq("text_mixture_sample", "text_doremi_manifest",
+        "text_corpus_manifest")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val optimized = df.queryExecution.optimizedPlan
+      val windows = optimized.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, s"$q must still use windows")
+      windows.foreach { w =>
+        // the scale hazard is an ORDERED (running-sum / rank) window over
+        // a corpus-scale frame with one partition key — one reducer per
+        // source/lang. Unordered per-group windows (the md5 keeper) are
+        // group-local by construction.
+        if (w.orderSpec.nonEmpty && w.partitionSpec.size < 2) {
+          val hasAgg = w.child.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }.isDefined
+          assert(hasAgg,
+            s"$q: a single-key ORDERED window must read the aggregated " +
+              s"block-offset table, not the corpus:\n$w")
+        }
+      }
+    }
+    // value pin: the blocked scan reproduces the flat window exactly
+    val flat = {
+      val ord = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Tables.detHash(col("doc_id")).as("h"))
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum("n_chars").over(ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("cum") - col("n_chars") <
+          when(col("lang") === "en", 20000L).otherwise(5000L))
+        .select(col("lang"), col("rk").cast("int").as("pick_rank"),
+          col("doc_id"), col("n_chars"), col("cum").as("cum_chars"))
+        .collect().map(_.toSeq).toSet
+    }
+    val blocked = SparkEntry.queries("text_mixture_sample")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(blocked == flat, "the two-level scan must reproduce the flat window")
+  }
+
+  test("streaming keep-list over the published dedup artifact: batch ≡ stream, exactly once, zero re-sketches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = ops.Text.dupPersistedPairs(spark, sf)
+    val isNew = col("doc_id") % 10 === 7
+    // the static side comes from STORAGE: the artifact's sketch table,
+    // restricted to the already-ingested corpus (the batch plays the
+    // incoming stream)
+    val corpus = spark.read.parquet(s"$base/sketch").filter(!isNew)
+      .localCheckpoint(false)
+    val newDocs = Tables.documents(spark, sf).filter(isNew)
+      .select("doc_id", "text")
+    val sketches = ops.Text.sketchBuilds.get()
+    val batch = streaming.Streams.keepListVerdicts(newDocs, corpus)
+      .collect().map(v => (v.doc_id, v.verdict, v.dup_of, v.jaccard)).toSet
+    assert(ops.Text.sketchBuilds.get() == sketches,
+      "the artifact-era serve must read the published sketch, not re-sketch the corpus")
+    assert(batch.map(_._1) ==
+      newDocs.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "every incoming doc gets exactly one verdict")
+    // grounding: verdicts agree with the oracle-checked incremental query
+    val incr = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+        if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))
+      .map { case (id, o, j) =>
+        (id, if (o == null) "keep" else "drop", o, j) }.toSet
+    assert(batch == incr,
+      "keep/drop verdicts must match dedup_incremental's best-match rows")
+    // the SAME function as a stream: two micro-batches + a re-sent doc
+    val input = MemoryStream[(Long, String)]
+    val q = streaming.Streams
+      .keepListVerdicts(input.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("keep_verdicts")
+      .outputMode("append").start()
+    try {
+      val rows = newDocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      // re-send the first doc: exactly-once means NO second verdict
+      input.addData((rows.head +: rows.drop(rows.length / 2)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val emitted = spark.table("keep_verdicts").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      assert(emitted.toSet == batch, "stream verdicts must equal the batch run")
+      assert(emitted.length == batch.size,
+        "a re-sent doc_id must not emit a second verdict")
+    } finally q.stop()
+  }
+}

@@ -47,6 +47,7 @@ class Sf01BoundsSpec extends SparkSpec {
     ("graph_beam_search_filtered", "ann_graph_search_filtered", 2),
     ("louvain_levels",   "graph_louvain_hierarchy", 2),
     ("graph_beam_search_repair", "ann_graph_delete_repair", 2),
+    ("graph_beam_search_repair_pub", "ann_graph_repair_publish", 2),
     ("graph_beam_search_routed", "ann_graph_search_routed", 2))
 
   test("every bounded kernel drains at sf0.1 with documented margin") {

@@ -15,7 +15,13 @@ sort crashes on):
    where Decimal('...0') vs float canon diverges, exactly like the
    driver's hash).
 
-Usage: python3 tools/check.py <sfDir> <outDir> [only_prefix]
+Usage: python3 tools/check.py <sfDir> <outDir> [only_prefix] [--json=PATH]
+
+--json=PATH additionally writes the driver-shaped per-query artifact
+({name: {rows_match, schema_match, hash_match}}) — committed each round
+as CORRECTNESS_local_r{N}.json so an empty driver-side artifact (r16
+shipped `{}` and nothing noticed) is instantly visible and diagnosable
+against the builder's own gate run (VERDICT-r16 task 3).
 """
 import datetime
 import glob
@@ -51,16 +57,19 @@ def canon_cell(x):
     return str(x)
 
 
-def main(sf_dir, out_dir, only=None):
+def main(sf_dir, out_dir, only=None, json_out=None):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracles.items()):
         if only and not name.startswith(only):
             continue
+        rows_m = schema_m = hash_m = False
+        err = None
         try:
             got = read_spark(out_dir, name)
             want = con.sql(sql).df()
@@ -69,8 +78,10 @@ def main(sf_dir, out_dir, only=None):
             if list(got.columns) != list(want.columns):
                 raise AssertionError(
                     f"columns differ: spark={list(got.columns)} duckdb={list(want.columns)}")
+            schema_m = True
             if len(got) != len(want):
                 raise AssertionError(f"rowcount differ: spark={len(got)} duckdb={len(want)}")
+            rows_m = True
             cols = list(got.columns)
             # the driver's sort-then-hash: sort_values raises on
             # unsortable (list) columns -> that IS the failure mode we
@@ -84,14 +95,29 @@ def main(sf_dir, out_dir, only=None):
                     if xs != ys:
                         raise AssertionError(
                             f"col {c} row {i}: spark={xs!r} duckdb={ys!r}")
+            hash_m = True
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+            err = f"{type(e).__name__}: {str(e)[:300]}"
+            print(f"FAIL {name}: {err}")
             n_fail += 1
+        entry = {"rows_match": rows_m, "schema_match": schema_m,
+                 "hash_match": hash_m}
+        if err:
+            entry["error"] = err
+        report[name] = entry
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"pass": n_pass, "fail": n_fail, "queries": report},
+                      f, indent=0, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:4]))
+    argv = [a for a in sys.argv[1:] if not a.startswith("--json=")]
+    jpath = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                  if a.startswith("--json=")), None)
+    sys.exit(main(*argv[:3], json_out=jpath))
