@@ -632,6 +632,150 @@ object Vector {
     })
   }
 
+  // ── ingestion re-publish: insert batch → version N+1 (r17) ─────────
+  // The churn loop's other half: ann_nndescent_incremental proves the
+  // batch-local descent math (its oracle replays the old build AND every
+  // incremental round), but a production ingestion does not discard the
+  // merged graph — it PUBLISHES it and serves the post-insert state from
+  // storage. The merged graph is a separate artifact FAMILY (its content
+  // differs from the base descent index over the same corpus: old-graph
+  // rounds + batch rounds + emit degree k, not the 4-round degree-2k
+  // build), so its token folds every one of ITS build inputs and the
+  // base family's versions are never shadowed.
+
+  /** Batch-local descent rounds for an incoming ingestion batch. */
+  private val GsIncRounds = 3
+
+  /** Version token of the post-insert merged-graph family — folds every
+    * build input (old-graph rounds, incremental rounds, build + emit
+    * degrees, seed strides), so a parameter change misses instead of
+    * serving an artifact written under the old parameters. */
+  private[graft] def gsIncToken: String = {
+    val sig = (NnStrides.mkString(",").hashCode.toLong & 0xffffffffL).toHexString
+    s"anninc${NnOldRounds}i${GsIncRounds}k${NnK}b${NnKb}s$sig"
+  }
+
+  /** Spec probe: how many times this process ran the incremental merge
+    * (old-graph build + batch rounds) — the serve path must pay zero. */
+  private[graft] val gsIncBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The post-insert merged KNN graph at emit degree k: the existing
+    * corpus's persisted degree-2k graph (nnExistingGraph), the incoming
+    * ~10% batch seeded against the full corpus and descended
+    * [[GsIncRounds]] rounds touching only batch-adjacent candidates,
+    * then one merge — old lists ∪ reverse of the batch edges ∪ the
+    * batch lists, re-ranked once. One build per (session, dir); the
+    * publish path below writes THIS frame, so the artifact and the
+    * oracle-checked ann_nndescent_incremental rows are the same bytes.
+    * @return (src, dst, sim, rk) with rk ≤ emit degree. */
+  private val gsIncMemo = graft.SessionMemo[DataFrame]()
+  private[graft] def gsIncMergedGraph(s: SparkSession, d: String): DataFrame =
+    gsIncMemo.getOrCompute(s, d) {
+      gsIncBuilds.incrementAndGet()
+      val isNew = col("id") % 10 === 7
+      val (e, n, gOld) = nnExistingGraph(s, d)
+      // incoming batch: stride seeds into the full corpus, then
+      // GsIncRounds of batch-local descent
+      var bn = strideSeeds(e.filter(isNew), n)
+        .filter(col("src") =!= col("dst"))
+        .join(e.select(col("id").as("dst")), "dst") // drop non-existent targets
+        .select(col("src"), col("dst"), lit(0.0).as("sim"))
+        .transform(GenSnap.snap)
+      for (r <- 1 to GsIncRounds) {
+        val mNew = bn.select(col("dst").as("piv"), col("src").as("nbr"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("piv").orderBy(
+              ((col("nbr") + lit(r.toLong)) * lit(2654435761L) % lit(4294967296L)).asc,
+              col("nbr").asc)))
+          .filter(col("rk") <= NnKb).drop("rk")
+        // pivots' own adjacency: existing graph ∪ current batch edges
+        // (src sides are disjoint — old vs new — so no dedup needed)
+        val gAll = gOld.select("src", "dst").union(bn.select("src", "dst"))
+        val mFwd = mNew.select("piv").distinct()
+          .join(gAll.select(col("src").as("piv"), col("dst").as("nbr")), "piv")
+        val members = mNew.union(mFwd).distinct()
+        val cand = mNew.select(col("piv"), col("nbr").as("src"))
+          .join(members.select(col("piv"), col("nbr").as("dst")), "piv")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst")
+          .union(bn.select("src", "dst"))
+          .distinct()
+        bn = cand
+          .join(e.select(col("id").as("src"), col("v").as("va")), "src")
+          .join(e.select(col("id").as("dst"), col("v").as("vb")), "dst")
+          .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("sim"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+          .filter(col("rk") <= NnKb).select("src", "dst", "sim")
+          .transform(GenSnap.snap)
+      }
+      // merge: old lists ∪ reverse of the batch edges (old nodes gain
+      // new arrivals that beat their k-th; new-new reverse edges flow
+      // into new nodes the same way) ∪ the batch lists, one re-rank
+      val rev = bn.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+      gOld.union(rev).union(bn)
+        .groupBy("src", "dst").agg(max("sim").as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+        .filter(col("rk") <= NnK)
+        .cache()
+    }
+
+  /** Spec probe: how many times this process published a post-insert
+    * version. */
+  private[graft] val gsInsertPublishes = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val gsInsertPubMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The published version serving the POST-INSERT corpus — resolved by
+    * the full-corpus fingerprint among the incremental family's
+    * versions, else merged (old graph + batch rounds) and published as
+    * the family's next version. Same serve-time staleness re-check,
+    * vanished-dir re-resolve, and atomic-rename publish as the base
+    * index. */
+  private[graft] def gsInsertPublished(s: SparkSession, d: String): String = {
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = gsInsertPubMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      gsInsertPubMemo.remove(ds, cached)
+    gsInsertPubMemo.computeIfAbsent(ds, _ => {
+      val (fp, n) = corpusFpN(s, d) // 1-row boundary, serve-time fp check
+      graft.tools.Artifact.resolve(gsIncToken, ds)(gsMetaMatches(s, _, fp, n))
+        .getOrElse {
+          gsInsertPublishes.incrementAndGet()
+          val adj = gsIncMergedGraph(s, d).select("src", "dst")
+          val out = graft.tools.Artifact.publish(gsIncToken, ds)(
+            gsWriteIndex(s, _, ds, adj, n, fp))
+          gsRefreshPublished(s, out)
+          out
+        }
+    })
+  }
+
+  /** The oracle-side serve prefix for the POST-INSERT family: identical
+    * shape to [[sqlGsPersistedCtes]] but the glob reads the incremental
+    * token's versions — the recomputed full-corpus fingerprint selects
+    * the merged graph this dataset's ingestion published. */
+  private def sqlGsIncPersistedCtes: String = {
+    val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${gsIncToken}_*"
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id AS id, ${sqlVec("embedding")} AS v FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |cfp AS (SELECT $sqlCorpusFingerprint AS fp FROM embeddings),
+       |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
+       |         WHERE fp = (SELECT fp FROM cfp)
+       |           AND n = (SELECT n FROM n)
+       |         ORDER BY ak LIMIT 1),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst FROM read_parquet('$glob/adj/*.parquet')
+       |  WHERE ak = (SELECT ak FROM meta)),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |ent AS (SELECT DISTINCT (s2.s * 2654435761) % n.n AS id
+       |        FROM (VALUES ${GsEntrySeeds.map(x => s"($x)").mkString(", ")}) s2(s)
+       |        CROSS JOIN n
+       |        WHERE (s2.s * 2654435761) % n.n <> 0)""".stripMargin
+  }
+
   /** The oracle-side serve prefix: corpus/query/entry CTEs as in
     * [[sqlGsIndexCtes]], but `adj` READS THE PUBLISHED ARTIFACT (the
     * same parquet the Spark side serves from) instead of replaying the
@@ -773,6 +917,86 @@ object Vector {
   private[graft] def lshTableBucket(v: Column, t: Int): Column = lshBucketOf(v, tablePlanes(t))
   private[graft] def sqlLshTableBucket(vexpr: String, t: Int): String =
     sqlLshBucketOf(vexpr, tablePlanes(t))
+
+  // ── persisted LSH cells: the online-serving index family (r17) ──────
+  // The third artifact family: ann_lsh_topk's (table, bucket) cells,
+  // built once per corpus and PUBLISHED bucketed by the combined cell
+  // key — the serve path's `cell IN (probe cells)` filter prunes to ≤ L
+  // of the storage buckets (the VectorSpec "LSH cells stored bucketed"
+  // shape, productized), and the STREAMING serve
+  // (Streams.annTopkVerdicts) reads the same artifact as its
+  // stream-static side. Same lifecycle machinery as the graph families:
+  // content-keyed resolution, serve-time fingerprint re-check, atomic
+  // versioned publish, vanished-dir re-resolve.
+
+  private[graft] val LshCellBuckets = 32
+
+  /** Version token of the LSH-cells family — the planes are a pure
+    * function of (tables, bits) via [[hyperplane]], so the token folds
+    * every build input. */
+  private[graft] def lshToken: String =
+    s"lsht${LshTables}b${LshBits}c$LshCellBuckets"
+
+  /** Spec probe: corpus cell-builds this process ran (serving = zero). */
+  private[graft] val lshCellBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val lshPersistMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (vec_id, v, cell), one row per (vector, table): cell = tbl·256 +
+    * bucket — a single column so Spark bucket-prunes the probe's IN
+    * filter (multi-column bucketing never prunes). */
+  private def lshCellsOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        explode(array((0 until LshTables).map(t =>
+          lit(t * 256) + lshTableBucket(col("v"), t)): _*)).as("cell"))
+
+  /** The published version serving this corpus's LSH cells — resolved
+    * by fingerprint among existing versions, else built (one corpus
+    * pass) and published as the family's next version. */
+  private[graft] def lshPersistedCells(s: SparkSession, d: String): String = {
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = lshPersistMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      lshPersistMemo.remove(ds, cached)
+    lshPersistMemo.computeIfAbsent(ds, _ => {
+      val (fp, n) = corpusFpN(s, d) // 1-row boundary, serve-time fp check
+      graft.tools.Artifact.resolve(lshToken, ds)(gsMetaMatches(s, _, fp, n))
+        .getOrElse {
+          lshCellBuilds.incrementAndGet()
+          val out = graft.tools.Artifact.publish(lshToken, ds) { stage =>
+            val ak = graft.tools.Artifact.newAk(ds)
+            val tmpName =
+              s"graft_pub_${ProcessHandle.current().pid()}_${System.nanoTime().toHexString}"
+            lshCellsOf(embeddings(s, d)).withColumn("ak", lit(ak))
+              .write.format("parquet")
+              .bucketBy(LshCellBuckets, "cell").sortBy("cell")
+              .option("path", s"$stage/cells").saveAsTable(tmpName)
+            s.sql(s"DROP TABLE IF EXISTS $tmpName") // external: files remain
+            val spark = s; import spark.implicits._
+            Seq((ak, ds, n, fp)).toDF("ak", "ds", "n", "fp")
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+          }
+          gsRefreshPublished(s, out)
+          out
+        }
+    })
+  }
+
+  /** The published cells as a BUCKETED catalog table over the version
+    * dir (the gsAdjTable convention — bucket metadata lives in the
+    * catalog, each process re-declares the external table once). */
+  private[graft] def lshCellsTable(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_" + java.nio.file.Paths.get(dir).getFileName.toString
+    // pruning IS the utilization — see gsAdjTable on why auto-bucketed
+    // scan stays off
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s.sql(s"CREATE TABLE IF NOT EXISTS $name " +
+      s"(vec_id BIGINT, v ARRAY<DOUBLE>, cell INT, ak STRING) " +
+      s"USING PARQUET CLUSTERED BY (cell) SORTED BY (cell) INTO $LshCellBuckets BUCKETS " +
+      s"LOCATION '$dir/cells'")
+    s.table(name)
+  }
 
   // ── product-quantization kernel (benched path of ann_pq_topk) ────────
   final case class PqScore(vec_id: Long, adist: Double)
@@ -1628,66 +1852,13 @@ object Vector {
     // the old build AND every incremental round as chained CTEs.
     Q(
       "ann_nndescent_incremental",
-      (s, d) => {
-        val IncRounds = 3
-        val isNew = col("id") % 10 === 7
-        // existing graph at BUILD degree (2k) — PERSISTED state: a
-        // production pipeline keeps the current KNN graph as a table
-        // and only the batch rounds run per ingestion, so the build is
-        // a session artifact (the r8 memo convention; rebuilding it per
-        // call measured the wrong thing — the steady state is what the
-        // bench times)
-        val (e, n, gOld) = nnExistingGraph(s, d)
-        // incoming batch: stride seeds into the full corpus, then
-        // IncRounds of batch-local descent
-        var bn = strideSeeds(e.filter(isNew), n)
-          .filter(col("src") =!= col("dst"))
-          .join(e.select(col("id").as("dst")), "dst") // drop non-existent targets
-          .select(col("src"), col("dst"), lit(0.0).as("sim"))
-          .transform(GenSnap.snap)
-        for (r <- 1 to IncRounds) {
-          val mNew = bn.select(col("dst").as("piv"), col("src").as("nbr"))
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("piv").orderBy(
-                ((col("nbr") + lit(r.toLong)) * lit(2654435761L) % lit(4294967296L)).asc,
-                col("nbr").asc)))
-            .filter(col("rk") <= NnKb).drop("rk")
-          // pivots' own adjacency: existing graph ∪ current batch edges
-          // (src sides are disjoint — old vs new — so no dedup needed)
-          val gAll = gOld.select("src", "dst").union(bn.select("src", "dst"))
-          val mFwd = mNew.select("piv").distinct()
-            .join(gAll.select(col("src").as("piv"), col("dst").as("nbr")), "piv")
-          val members = mNew.union(mFwd).distinct()
-          val cand = mNew.select(col("piv"), col("nbr").as("src"))
-            .join(members.select(col("piv"), col("nbr").as("dst")), "piv")
-            .filter(col("src") =!= col("dst"))
-            .select("src", "dst")
-            .union(bn.select("src", "dst"))
-            .distinct()
-          bn = cand
-            .join(e.select(col("id").as("src"), col("v").as("va")), "src")
-            .join(e.select(col("id").as("dst"), col("v").as("vb")), "dst")
-            .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("sim"))
-            .withColumn("rk", row_number().over(
-              Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
-            .filter(col("rk") <= NnKb).select("src", "dst", "sim")
-            .transform(GenSnap.snap)
-        }
-        // merge: old lists ∪ reverse of the batch edges (old nodes gain
-        // new arrivals that beat their k-th; new-new reverse edges flow
-        // into new nodes the same way) ∪ the batch lists, one re-rank
-        val rev = bn.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
-        gOld.union(rev).union(bn)
-          .groupBy("src", "dst").agg(max("sim").as("sim"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
-          .filter(col("rk") <= NnK)
+      (s, d) =>
+        gsIncMergedGraph(s, d)
           .select(col("src").as("vec_id"), col("rk").cast("int").as("rank"),
             col("dst").as("nbr"), col("sim"))
-          .orderBy("vec_id", "rank")
-      },
+          .orderBy("vec_id", "rank"),
       Some {
-        val IncRounds = 3
+        val IncRounds = GsIncRounds
         val c = sqlCosine("ea.v", "eb.v")
         val oldRounds = (1 to NnOldRounds)
           .map(r => sqlNnRound(r, s"g${r - 1}", s"g$r", "eold")).mkString(",\n")
@@ -2236,6 +2407,110 @@ object Vector {
       }
     ),
 
+    // ── ingestion re-publish + serve: insert batch → version N+1 ──────
+    // ann_nndescent_incremental proves the batch-local merge math (its
+    // oracle replays the old build and every incremental round); THIS
+    // query proves the ingestion lifecycle: the merged post-insert graph
+    // is PUBLISHED as its family's next version (atomic, content-keyed
+    // by the full-corpus fingerprint — a separate token from the base
+    // index, so neither family shadows the other) and a beam search is
+    // served by reading that version back from storage with the
+    // bucket-pruned unroll — the inserted vectors are reachable through
+    // the served graph. The ORACLE reads the same published version out
+    // of the durable glob keyed by the fingerprint it recomputes;
+    // adjacency correctness is anchored transitively by
+    // ann_nndescent_incremental's replay oracle plus Round17Spec's
+    // published ≡ memo-merged equality pin and the fresh-session
+    // zero-merge probe. SCALE: the production ingestion loop — batch
+    // lands, batch-local descent, re-publish, serve; never a full
+    // rebuild, never a mutation of the prior version.
+    Q(
+      "ann_graph_insert_publish",
+      (s, d) => {
+        val base = gsInsertPublished(s, d)
+        val n = s.read.parquet(s"$base/meta").head().getAs[Long]("n")
+        val e = embeddings(s, d)
+          .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
+        val beam = gsBeamServe(e, gsAdjTable(s, base), n, GsBeam)
+        val maxEh = beam.agg(max("eh")).head().getInt(0)
+        graft.tools.BoundProbe.record("graph_beam_search_insert_pub", maxEh + 1, GsHops)
+        require(maxEh < GsHops,
+          s"post-insert serve beam still growing at hop $GsHops — raise GsHops (and the oracle unroll)")
+        val w = Window.orderBy(col("sim").desc, col("id").asc)
+        beam.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+          .select(col("rank").cast("int").as("rank"),
+            col("id").as("vec_id"), col("sim"))
+          .orderBy("rank")
+      },
+      Some {
+        s"""WITH $sqlGsIncPersistedCtes,
+           |${sqlGsHops(GsBeam, "ip")}
+           |SELECT CAST(rk AS INT) AS rank, id AS vec_id, sim FROM (
+           |  SELECT id, sim, row_number() OVER (ORDER BY sim DESC, id ASC) AS rk
+           |  FROM ip$GsHops)
+           |WHERE rk <= 10 ORDER BY rank""".stripMargin
+      }
+    ),
+
+    // ── artifact lifecycle visibility: the versions report ─────────────
+    // The DESCRIBE-HISTORY of the index store: after the lifecycle jobs
+    // ran (base build, delete-consolidation, ingestion merge), list the
+    // published versions SERVING this corpus across both ANN families —
+    // which family each belongs to, its publication key, corpus size and
+    // fingerprint, and the serving ROLE its fingerprint proves (the
+    // current full corpus / the post-delete survivor corpus / the
+    // post-insert merge). Scoping is by CONTENT, not by path: only
+    // versions whose meta fingerprint matches one the report recomputes
+    // from the live corpus appear, so other datasets' artifacts and
+    // stale versions of a regenerated corpus drop out on both engines
+    // identically (the oracle SQL is static — it cannot embed the
+    // dataset path, and does not need to). SCALE: meta is one row per
+    // version; the report never touches adjacency data.
+    Q(
+      "ann_index_versions",
+      (s, d) => {
+        // ensure the lifecycle ran (each is memoized/served, not rebuilt)
+        gsPersistedIndex(s, d); gsRepairPublished(s, d); gsInsertPublished(s, d)
+        val (fpFull, _) = corpusFpN(s, d)
+        val (fpSurv, _) = survivorFpN(s, d)
+        val tmp = System.getProperty("java.io.tmpdir")
+        def metas(token: String, family: String) =
+          s.read.parquet(s"$tmp/graft_idx_${token}_*/meta")
+            .select(lit(family).as("family"), col("ak"), col("n"), col("fp"))
+        metas(gsIdxToken, "graph").unionByName(metas(gsIncToken, "graph_incremental"))
+          .filter(col("fp").isin(fpFull, fpSurv))
+          .withColumn("role",
+            when(col("family") === "graph" && col("fp") === lit(fpFull),
+              lit("serving_base"))
+              .when(col("family") === "graph" && col("fp") === lit(fpSurv),
+                lit("serving_post_delete"))
+              .otherwise(lit("serving_post_insert")))
+          .orderBy("family", "ak")
+      },
+      Some {
+        val tmp = System.getProperty("java.io.tmpdir")
+        val g1 = s"$tmp/graft_idx_${gsIdxToken}_*"
+        val g2 = s"$tmp/graft_idx_${gsIncToken}_*"
+        s"""WITH cfp AS (SELECT $sqlCorpusFingerprint AS fp FROM embeddings),
+           |sfp AS (SELECT $sqlSurvivorFingerprint AS fp FROM embeddings),
+           |m AS (
+           |  SELECT 'graph' AS family, ak, n, fp
+           |  FROM read_parquet('$g1/meta/*.parquet')
+           |  UNION ALL
+           |  SELECT 'graph_incremental' AS family, ak, n, fp
+           |  FROM read_parquet('$g2/meta/*.parquet'))
+           |SELECT family, ak, n, fp,
+           |  CASE WHEN family = 'graph' AND fp = (SELECT fp FROM cfp)
+           |         THEN 'serving_base'
+           |       WHEN family = 'graph' AND fp = (SELECT fp FROM sfp)
+           |         THEN 'serving_post_delete'
+           |       ELSE 'serving_post_insert' END AS role
+           |FROM m
+           |WHERE fp IN ((SELECT fp FROM cfp), (SELECT fp FROM sfp))
+           |ORDER BY family, ak""".stripMargin
+      }
+    ),
+
     // ── routed graph search: upper-layer entry selection ──────────────
     // The HNSW refinement the hash-fixed entries lack: real layered
     // indexes route the query through a SMALL upper layer first — a
@@ -2349,6 +2624,62 @@ object Vector {
            |q AS (SELECT tbl, bucket, v AS qv FROM cells WHERE vec_id = 0)
            |SELECT c.vec_id, max(${sqlCosine("c.v", "q.qv")}) AS sim
            |FROM cells c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           |WHERE c.vec_id <> 0
+           |GROUP BY c.vec_id
+           |ORDER BY sim DESC, c.vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
+    // ── persisted LSH serve: probe the published cells artifact ───────
+    // ann_lsh_topk proves the probe math (its oracle replays the cells
+    // and the candidate ranking); THIS query proves the ONLINE-serving
+    // lifecycle: the cells are published once (bucketed by the combined
+    // cell key) and a probe serves by reading ≤ L of the artifact's
+    // storage buckets — the probe's own L cells push as a literal
+    // `cell IN (...)` (an L-row driver boundary: the probe's cells ARE
+    // serving memory), so SelectedBucketsCount ≤ L is plan-pinned in
+    // Round17Spec, and the same artifact is the stream-static side of
+    // Streams.annTopkVerdicts. The ORACLE reads the published cells out
+    // of the durable glob keyed by the fingerprint it recomputes;
+    // content is anchored by ann_lsh_topk's full replay oracle plus the
+    // spec's persisted ≡ full-pipeline equality pin. SCALE: at 100 TB
+    // the cells artifact is thousands of buckets; a query touches L.
+    Q(
+      "ann_lsh_topk_persisted",
+      (s, d) => {
+        val base = lshPersistedCells(s, d)
+        val cellsT = lshCellsTable(s, base)
+        // the probe's L cells + query vector: an L-row driver boundary
+        val probe = lshCellsOf(embeddings(s, d).filter(col("vec_id") === 0L))
+          .collect()
+        val cellIds = probe.map(_.getInt(2)).distinct.toSeq
+        val qv = probe.head.getAs[scala.collection.Seq[Double]]("v").toArray
+        cellsT.filter(col("cell").isin(cellIds: _*)) // bucket-pruned: ≤ L
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), cosine(col("v"), typedLit(qv)).as("sim"))
+          .groupBy("vec_id").agg(max(col("sim")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${lshToken}_*"
+        val buckets = (0 until LshTables).map(t =>
+          s"WHEN $t THEN ${sqlLshTableBucket("b.v", t)}").mkString(" ")
+        s"""WITH b AS (SELECT ${sqlVec("embedding")} AS v FROM embeddings WHERE vec_id = 0),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |cfp AS (SELECT $sqlCorpusFingerprint AS fp FROM embeddings),
+           |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
+           |         WHERE fp = (SELECT fp FROM cfp)
+           |           AND n = (SELECT n FROM n)
+           |         ORDER BY ak LIMIT 1),
+           |cells AS MATERIALIZED (
+           |  SELECT vec_id, v, cell FROM read_parquet('$glob/cells/*.parquet')
+           |  WHERE ak = (SELECT ak FROM meta)),
+           |probe AS (
+           |  SELECT t.tbl * 256 + (CASE t.tbl $buckets END) AS cell, b.v AS qv
+           |  FROM b, (SELECT unnest(range(0, $LshTables)) AS tbl) t)
+           |SELECT c.vec_id, max(${sqlCosine("c.v", "p.qv")}) AS sim
+           |FROM cells c JOIN probe p ON c.cell = p.cell
            |WHERE c.vec_id <> 0
            |GROUP BY c.vec_id
            |ORDER BY sim DESC, c.vec_id ASC LIMIT 10""".stripMargin

@@ -679,4 +679,65 @@ object Streams {
             }
           })
   }
+
+  /** One served ANN hit: rank ∈ [1, k] within its query. */
+  final case class AnnHit(qid: Long, rank: Int, vec_id: Long, sim: Double)
+
+  /** Streaming ANN top-k over the PUBLISHED LSH-cells artifact (r17 —
+    * the online-serving half of the index store): an unbounded stream
+    * of (qid, v) query vectors is cell-hashed per row with the same L
+    * tables the artifact was built with, stream-static INNER-joined
+    * against the artifact's cells (the candidate union — never the
+    * corpus), exact-cosine scored, and reduced to one top-k list per
+    * query, EXACTLY-once per qid across micro-batches (the
+    * keepListVerdicts discipline: the static side never changes, so a
+    * query's candidates are complete in its own micro-batch; a re-sent
+    * qid finds its seen-bit and emits nothing). A corpus row streamed
+    * as its own query never ranks itself (the vec_id = qid guard).
+    * State is one boolean per qid — bounded by an ingest-time watermark
+    * in a real deployment. Works identically on a batch frame; the
+    * Round17Spec runs the SAME function both ways over the SAME
+    * artifact and pins equality with the oracle-checked
+    * ann_lsh_topk_persisted rows.
+    *
+    * @param queries      streaming (or batch) frame of (qid, v) with v
+    *                     an array<double> embedding.
+    * @param corpusCells  the published artifact's cells table
+    *                     (vec_id, v, cell), e.g.
+    *                     `spark.read.parquet(s"$artifactDir/cells")`. */
+  def annTopkVerdicts(queries: DataFrame, corpusCells: DataFrame,
+      k: Int = 10): Dataset[AnnHit] = {
+    val V = graft.ops.Vector
+    val qc = queries.toDF("qid", "qv")
+      .select(col("qid"), col("qv"),
+        explode(array((0 until V.LshTables).map(t =>
+          lit(t * 256) + V.lshTableBucket(col("qv"), t)): _*)).as("cell"))
+    val joined = qc
+      .join(corpusCells.select(col("vec_id"), col("v"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), V.cosine(col("v"), col("qv")).as("sim"))
+    implicit val enc = Encoders.product[AnnHit]
+    implicit val tup = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stEnc = Encoders.scalaBoolean
+    joined.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // max-dedup (a neighbor can collide in several tables), then
+            // rank — candidate-sized work, bounded by L buckets
+            val best = scala.collection.mutable.Map.empty[Long, Double]
+            rows.foreach { case (_, vid, s) =>
+              if (best.getOrElse(vid, -2.0) < s) best(vid) = s }
+            best.toSeq.sortBy { case (vid, s) => (-s, vid) }.take(k)
+              .zipWithIndex
+              .map { case ((vid, s), i) => AnnHit(qid, i + 1, vid, s) }
+              .iterator
+          })
+  }
 }

@@ -693,6 +693,7 @@ object PlanSpec {
     "ann_graph_search_routed" -> "the same final-rank window over the ≤24-row snapped beam (upper-layer entries change seeds, not the cut)",
     "ann_graph_delete_repair" -> "the same final-rank window over the ≤24-row post-repair beam; the repair re-cut itself partitions by src",
     "ann_graph_repair_publish" -> "the same final-rank window over the ≤24-row beam served from the published v2 artifact (gsBeamServe shares the cut)",
+    "ann_graph_insert_publish" -> "the same final-rank window over the ≤24-row beam served from the published post-insert version (gsBeamServe shares the cut)",
     "ann_mrr_report" -> "mrank windows over each tier's own ≤20-row cached top-k frame (LIMIT-bounded)")
 
 }

@@ -141,6 +141,120 @@ class Round17Spec extends SparkSpec {
     assert(blocked == flat, "the two-level scan must reproduce the flat window")
   }
 
+  test("insert publish: the post-insert merge serves from its own published version") {
+    import java.nio.file.{Files, Paths}
+    // prime the BASE family and snapshot it: the ingestion publish must
+    // land in its own family without touching the base bytes
+    val v1 = Paths.get(ops.Vector.gsPersistedIndex(spark, sf))
+    def listing(p: java.nio.file.Path): Seq[(String, Long)] = {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(f => (f.toString, Files.size(f))).toSeq.sortBy(_._1)
+      } finally s.close()
+    }
+    val before = listing(v1)
+    val served = SparkEntry.queries("ann_graph_insert_publish")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(listing(v1) == before,
+      "the ingestion publish must not touch the base family's bytes")
+    // the published version holds exactly the memo-merged adjacency
+    // (whose rows are the oracle-checked ann_nndescent_incremental set)
+    val v = ops.Vector.gsInsertPublished(spark, sf)
+    val published = spark.read.parquet(s"$v/adj").select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val memoed = ops.Vector.gsIncMergedGraph(spark, sf).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(published == memoed,
+      "the ingestion version must hold exactly the merged post-insert graph")
+    // the inserted batch is REACHABLE through the served graph: batch
+    // members appear in the merged adjacency's target lists the beam walks
+    assert(published.exists(_._2 % 10 == 7),
+      "inserted vectors must be linked into the served graph")
+    assert(served.length == 10 && served.map(_._2).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1)),
+      "the served top-10 must be rank-ordered by similarity")
+    // a fresh session serves with zero merges and zero publishes
+    val merges = ops.Vector.gsIncBuilds.get()
+    val publishes = ops.Vector.gsInsertPublishes.get()
+    val fresh = spark.newSession()
+    assert(SparkEntry.queries("ann_graph_insert_publish")(fresh, sf).count() == 10)
+    assert(ops.Vector.gsIncBuilds.get() == merges &&
+      ops.Vector.gsInsertPublishes.get() == publishes,
+      "a fresh session must serve the published merge — no rebuild, no re-publish")
+  }
+
+  test("versions report: one serving role per lifecycle stage, content-scoped") {
+    val rows = SparkEntry.queries("ann_index_versions")(spark, sf).collect()
+    val roles = rows.map(_.getString(4)).toSet
+    assert(roles == Set("serving_base", "serving_post_delete",
+      "serving_post_insert"),
+      s"the report must surface every lifecycle stage once the jobs ran: $roles")
+    // content scoping: every row carries one of THIS corpus's two
+    // fingerprints — other datasets' artifacts under the same tokens
+    // (other scale factors, throwaway spec datasets) never leak in
+    val fps = rows.map(_.getLong(3)).toSet
+    assert(fps.size <= 2, s"only the full and survivor fingerprints may appear: $fps")
+    val families = rows.map(r => (r.getString(0), r.getString(4))).toSet
+    assert(families.contains(("graph", "serving_base")) &&
+      families.contains(("graph", "serving_post_delete")) &&
+      families.contains(("graph_incremental", "serving_post_insert")))
+  }
+
+  test("persisted LSH cells: bucket-pruned probe, streaming top-k ≡ batch, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = ops.Vector.lshPersistedCells(spark, sf)
+    // plan pin: the serve scan reads ≤ L of the artifact's buckets
+    val df = SparkEntry.queries("ann_lsh_topk_persisted")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"the probe scan must be bucket-pruned:\n$plan")
+    assert(sel.get.group(1).toInt <= ops.Vector.LshTables &&
+      sel.get.group(2).toInt == ops.Vector.LshCellBuckets,
+      s"a probe must read ≤ L of the cell buckets: ${sel.get.matched}")
+    // value pin: the persisted serve ≡ the oracle-checked full pipeline
+    val full = SparkEntry.queries("ann_lsh_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == full,
+      "serving the published cells must answer exactly like the full pipeline")
+    // a fresh session serves with zero cell builds
+    val builds = ops.Vector.lshCellBuilds.get()
+    val fresh = spark.newSession()
+    assert(SparkEntry.queries("ann_lsh_topk_persisted")(fresh, sf).count() == 10)
+    assert(ops.Vector.lshCellBuilds.get() == builds,
+      "a fresh session must serve the published cells — no rebuild")
+    // the streaming serve over the SAME artifact: batch form first
+    val cells = spark.read.parquet(s"$base/cells")
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), ops.Vector.vec(col("embedding")).as("v"))
+    val batch = streaming.Streams.annTopkVerdicts(queries, cells)
+      .collect().map(h => (h.qid, h.rank, h.vec_id, h.sim)).toSet
+    assert(batch == full.zipWithIndex
+      .map { case ((vid, s), i) => (0L, i + 1, vid, s) }.toSet,
+      "streamed verdicts must equal the persisted serve's ranked rows")
+    // the SAME function as a stream: two micro-batches + a re-sent qid
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = streaming.Streams
+      .annTopkVerdicts(input.toDF().toDF("qid", "v"), cells)
+      .writeStream.format("memory").queryName("ann_verdicts")
+      .outputMode("append").start()
+    try {
+      val qrow = queries.collect().map(r =>
+        (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq)).head
+      input.addData(qrow)
+      q.processAllAvailable()
+      input.addData(qrow) // re-sent qid: exactly-once means no new rows
+      q.processAllAvailable()
+      val emitted = spark.table("ann_verdicts").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(emitted.toSet == batch, "stream verdicts must equal the batch run")
+      assert(emitted.length == batch.size,
+        "a re-sent qid must not emit a second top-k")
+    } finally q.stop()
+  }
+
   test("streaming keep-list over the published dedup artifact: batch ≡ stream, exactly once, zero re-sketches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
