@@ -23,11 +23,13 @@ object Recall {
 
   private val Methods = Seq(
     "graph" -> "ann_graph_search",
+    "graph_inserted" -> "ann_graph_insert_publish",
     "graph_persisted" -> "ann_graph_search_persisted",
     "graph_routed" -> "ann_graph_search_routed",
     "ivf" -> "ann_ivf_topk",
     "ivfpq" -> "ann_ivfpq_topk",
     "lsh" -> "ann_lsh_topk",
+    "lsh_persisted" -> "ann_lsh_topk_persisted",
     "pq" -> "ann_pq_topk",
     "prefix" -> "ann_prefix_rerank",
     "rq" -> "ann_rq_topk",
@@ -58,11 +60,13 @@ object Recall {
   private val MrrMethods: Seq[(String, String, String, Boolean)] = Seq(
     ("bruteforce", "ann_bruteforce_topk", "sim", false),
     ("graph", "ann_graph_search", "sim", false),
+    ("graph_inserted", "ann_graph_insert_publish", "sim", false),
     ("graph_persisted", "ann_graph_search_persisted", "sim", false),
     ("graph_routed", "ann_graph_search_routed", "sim", false),
     ("ivf", "ann_ivf_topk", "sim", false),
     ("ivfpq", "ann_ivfpq_topk", "sim", false),
     ("lsh", "ann_lsh_topk", "sim", false),
+    ("lsh_persisted", "ann_lsh_topk_persisted", "sim", false),
     ("pq", "ann_pq_topk", "adist", true),
     ("prefix", "ann_prefix_rerank", "sim", false),
     ("rq", "ann_rq_topk", "adist", true),
