@@ -202,6 +202,56 @@ class Round17Spec extends SparkSpec {
       families.contains(("graph_incremental", "serving_post_insert")))
   }
 
+  test("dedup ingest publish: batch-local derivation, v1 intact, verdicts ≡ dedup_incremental") {
+    import java.nio.file.{Files, Paths}
+    def listing(p: java.nio.file.Path): Seq[(String, Long)] = {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(f => (f.toString, Files.size(f))).toSeq.sortBy(_._1)
+      } finally s.close()
+    }
+    // prime the pre-ingest artifact FIRST, then snapshot the corpus-work
+    // counters: the ingest derivation itself must be batch-local
+    val v1 = Paths.get(ops.Text.dupPersistedPairs(spark, sf))
+    val before = listing(v1)
+    val pairBuilds = ops.Text.dupPairBuilds.get()
+    val sketches = ops.Text.sketchBuilds.get()
+    val res = SparkEntry.queries("dedup_ingest_publish")(spark, sf).collect()
+    assert(res.nonEmpty && res.map(_.getLong(1)).sum > 0, "some docs keep")
+    assert(listing(v1) == before,
+      "the ingest publish must not touch the pre-ingest version's bytes")
+    assert(ops.Text.dupPairBuilds.get() == pairBuilds &&
+      ops.Text.sketchBuilds.get() == sketches,
+      "the ingest derivation must be batch-local: no corpus re-sketch, " +
+        "no pair-spine rebuild")
+    // the published drop edges ≡ the oracle-checked dedup_incremental
+    val v2 = ops.Text.dupIngestPublished(spark, sf)
+    assert(v2 != v1.toString)
+    val pubEdges = spark.read.parquet(s"$v2/pairs")
+      .filter(col("id_b") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(pubEdges == incr,
+      "published ingest edges must be exactly dedup_incremental's best-match verdicts")
+    // the existing side of v2 ≡ v1's pairs among existing ids
+    val v1e = spark.read.parquet(s"$v1/pairs")
+      .filter(col("id_a") % 10 =!= 7 && col("id_b") % 10 =!= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v2e = spark.read.parquet(s"$v2/pairs")
+      .filter(col("id_b") % 10 =!= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v2e == v1e, "pre-ingest pairs must carry over verbatim")
+    // a fresh session serves v2 with zero publishes
+    val pubs = ops.Text.dupIncPublishes.get()
+    val fresh = spark.newSession()
+    assert(SparkEntry.queries("dedup_ingest_publish")(fresh, sf).count() > 0)
+    assert(ops.Text.dupIncPublishes.get() == pubs,
+      "a fresh session must serve the published post-ingest state")
+  }
+
   test("persisted LSH cells: bucket-pruned probe, streaming top-k ≡ batch, exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

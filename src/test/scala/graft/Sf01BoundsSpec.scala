@@ -48,6 +48,7 @@ class Sf01BoundsSpec extends SparkSpec {
     ("louvain_levels",   "graph_louvain_hierarchy", 2),
     ("graph_beam_search_repair", "ann_graph_delete_repair", 2),
     ("graph_beam_search_repair_pub", "ann_graph_repair_publish", 2),
+    ("graph_beam_search_insert_pub", "ann_graph_insert_publish", 2),
     ("graph_beam_search_routed", "ann_graph_search_routed", 2))
 
   test("every bounded kernel drains at sf0.1 with documented margin") {
