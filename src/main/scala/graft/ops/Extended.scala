@@ -1507,12 +1507,20 @@ object Extended {
             lit(4.0) * mean * (col("s3").cast("double") / nD) +
             lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
             lit(3.0) * mean * mean * mean * mean
+          // zero-variance guard: a singleton (or all-equal) group has
+          // m2 = 0 and its skewness/kurtosis are UNDEFINED — emit NULL
+          // instead of dividing by zero (ANSI Spark raises, and at
+          // 100 TB fine-grain rollups WILL contain singleton groups;
+          // surfaced by the sf0.001 smoke, whose single-order months
+          // threw). m2 < 0 (float cancellation on near-constant groups)
+          // rides the same branch; both engines compute the identical
+          // m2 double, so the CASE branches agree bit-for-bit.
           df.select(lit(grain).as("grain"), col("yr"), moCol.as("mo"),
             nGuard.as("n"),
             (mean / 100.0).as("mean_dollars"),
-            (sqrt(m2) / 100.0).as("stddev_dollars"),
-            (m3 / (m2 * sqrt(m2))).as("skewness"),
-            (m4 / (m2 * m2) - 3.0).as("excess_kurtosis"))
+            when(m2 >= 0.0, sqrt(m2) / 100.0).as("stddev_dollars"),
+            when(m2 > 0.0, m3 / (m2 * sqrt(m2))).as("skewness"),
+            when(m2 > 0.0, m4 / (m2 * m2) - 3.0).as("excess_kurtosis"))
         }
         stats(monthly, "month", col("mo"))
           .unionByName(stats(yearly, "year", lit(null).cast("int")))
@@ -1564,9 +1572,9 @@ object Extended {
            |  FROM yearly)
            |SELECT grain, yr, mo, n,
            |  mean / 100.0 AS mean_dollars,
-           |  sqrt(m2) / 100.0 AS stddev_dollars,
-           |  m3 / (m2 * sqrt(m2)) AS skewness,
-           |  m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+           |  CASE WHEN m2 >= 0.0 THEN sqrt(m2) / 100.0 END AS stddev_dollars,
+           |  CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+           |  CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END AS excess_kurtosis
            |FROM mm ORDER BY grain, yr, coalesce(mo, 0)""".stripMargin
       }
     ),

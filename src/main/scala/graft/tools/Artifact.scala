@@ -114,6 +114,29 @@ object Artifact {
     out
   }
 
+  /** Retention for a family: delete every version the caller does NOT
+    * recognize as serving live corpus state, provided it has also aged
+    * past `graceMs` since its last serve (every serve [[touch]]es the
+    * version dir, so the mtime IS the serve lease — a version another
+    * long-lived process is actively reading keeps renewing itself and
+    * is never reaped, the same discipline that protects artifacts from
+    * [[Staging]]'s 48 h prune). Returns the reclaimed dirs. This is the
+    * lifecycle's REAP step: publish → serve → churn re-publish → retain;
+    * without it a 100 TB store accretes one superseded adjacency per
+    * corpus regeneration forever. Callers pass the same content check
+    * they serve with (fingerprint-match against the live corpus), e.g.
+    * {{{ Artifact.retain(gsIdxToken, ds)(dir => fps.exists(gsMetaMatches(s, dir, _, n))) }}} */
+  def retain(token: String, ds: String, graceMs: Long = 3600000L)(
+      serving: String => Boolean): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    versions(token, ds).collect {
+      case (_, dir) if !serving(dir) &&
+          (try Files.getLastModifiedTime(Paths.get(dir)).toMillis < cutoff
+           catch { case _: Throwable => false }) =>
+        deleteRecursively(Paths.get(dir)); dir
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

@@ -202,6 +202,41 @@ class Round17Spec extends SparkSpec {
       families.contains(("graph_incremental", "serving_post_insert")))
   }
 
+  test("artifact retention: reaps aged superseded versions, spares serving and fresh ones") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val token = s"rettest${System.nanoTime().toHexString}"
+    val ds = "retention_spec_ds"
+    def pub(tag: String): String = tools.Artifact.publish(token, ds) { stage =>
+      Files.createDirectories(Paths.get(stage))
+      Files.writeString(Paths.get(stage, "meta.txt"), tag)
+    }
+    def tagOf(dir: String): String =
+      Files.readString(Paths.get(dir, "meta.txt"))
+    val vStale = pub("stale")   // superseded AND aged → reaped
+    val vServe = pub("serving") // aged but still serving → spared
+    val vFresh = pub("fresh")   // superseded but inside the lease → spared
+    // age the first two past the grace window (reads would re-touch)
+    for (v <- Seq(vStale, vServe))
+      Files.setLastModifiedTime(Paths.get(v),
+        FileTime.fromMillis(System.currentTimeMillis() - 7200000L))
+    try {
+      val reaped = tools.Artifact.retain(token, ds)(d => tagOf(d) == "serving")
+      assert(reaped == Seq(vStale),
+        s"exactly the aged superseded version must be reaped: $reaped")
+      assert(!tools.Artifact.exists(vStale))
+      assert(tools.Artifact.exists(vServe),
+        "a version still matching live corpus state is never reaped")
+      assert(tools.Artifact.exists(vFresh),
+        "a version inside its serve lease is never reaped, serving or not")
+      // resolve still finds the serving version afterwards
+      assert(tools.Artifact.resolve(token, ds)(d => tagOf(d) == "serving")
+        .contains(vServe))
+    } finally
+      for (v <- Seq(vServe, vFresh) if tools.Artifact.exists(v))
+        tools.Artifact.retain(token, ds, graceMs = -1000L)(_ => false)
+  }
+
   test("dedup ingest publish: batch-local derivation, v1 intact, verdicts ≡ dedup_incremental") {
     import java.nio.file.{Files, Paths}
     def listing(p: java.nio.file.Path): Seq[(String, Long)] = {
