@@ -3113,6 +3113,54 @@ object Text {
       }
     ),
 
+    // ── dedup artifact lifecycle visibility: the versions report ──────
+    // The dedup twin of ann_index_versions: after the lifecycle jobs ran
+    // (pair-spine publish, ingest re-publish), list the published
+    // versions serving this corpus across both dedup families with
+    // publication key, fingerprint, and serving ROLE. Content-scoped
+    // like the ANN report: only versions whose meta fingerprint matches
+    // the freshly recomputed docs fingerprint appear, so other datasets'
+    // artifacts drop out identically on both engines and the static
+    // oracle SQL needs no dataset path. SCALE: meta is one row per
+    // version; the report never reads pair or sketch data.
+    Q(
+      "dedup_pair_versions",
+      (s, d) => {
+        // ensure the lifecycle ran (each is memoized/served, not rebuilt)
+        dupPersistedPairs(s, d); dupIngestPublished(s, d)
+        val fp = docsFingerprint(s, d)
+        val tmp = System.getProperty("java.io.tmpdir")
+        def metas(token: String, family: String) =
+          s.read.parquet(s"$tmp/graft_idx_${token}_*/meta")
+            .select(lit(family).as("family"), col("ak"), col("fp"))
+        metas(dupIdxToken, "pair_spine")
+          .unionByName(metas(dupIncToken, "post_ingest"))
+          .filter(col("fp") === lit(fp))
+          .withColumn("role",
+            when(col("family") === "pair_spine", lit("serving_spine"))
+              .otherwise(lit("serving_post_ingest")))
+          .orderBy("family", "ak")
+      },
+      Some {
+        val tmp = System.getProperty("java.io.tmpdir")
+        val g1 = s"$tmp/graft_idx_${dupIdxToken}_*"
+        val g2 = s"$tmp/graft_idx_${dupIncToken}_*"
+        s"""WITH cfp AS (SELECT $sqlDocsFingerprint AS fp FROM documents),
+           |m AS (
+           |  SELECT 'pair_spine' AS family, ak, fp
+           |  FROM read_parquet('$g1/meta/*.parquet')
+           |  UNION ALL
+           |  SELECT 'post_ingest' AS family, ak, fp
+           |  FROM read_parquet('$g2/meta/*.parquet'))
+           |SELECT family, ak, fp,
+           |  CASE WHEN family = 'pair_spine' THEN 'serving_spine'
+           |       ELSE 'serving_post_ingest' END AS role
+           |FROM m
+           |WHERE fp = (SELECT fp FROM cfp)
+           |ORDER BY family, ak""".stripMargin
+      }
+    ),
+
     // ── SimHash (16-bit) per document ──────────────────────────────────
     // bit i of the fingerprint = sign of Σ_tokens (±1 by token-hash bit i).
     // The token-hash array is STAGED as a real column in its own select:

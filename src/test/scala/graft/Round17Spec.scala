@@ -285,6 +285,12 @@ class Round17Spec extends SparkSpec {
     assert(SparkEntry.queries("dedup_ingest_publish")(fresh, sf).count() > 0)
     assert(ops.Text.dupIncPublishes.get() == pubs,
       "a fresh session must serve the published post-ingest state")
+    // the dedup versions report surfaces both serving roles
+    val roles = SparkEntry.queries("dedup_pair_versions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(3))).toSet
+    assert(roles.contains(("pair_spine", "serving_spine")) &&
+      roles.contains(("post_ingest", "serving_post_ingest")),
+      s"both dedup families must report their serving version: $roles")
   }
 
   test("persisted LSH cells: bucket-pruned probe, streaming top-k ≡ batch, exactly once") {
