@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Vector.queries ++ cluster.KMeans.queries ++
       ops.Text.queries ++ ops.Events.queries ++ ops.Multimodal.queries ++
       graph.PropertyGraph.queries ++ ops.Extended.queries ++
-      cluster.Classify.queries ++ ops.Image.queries ++ ops.Recall.queries
+      cluster.Classify.queries ++ ops.Image.queries ++ ops.Recall.queries ++
+      ops.Artifacts.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -225,6 +225,81 @@ object KMeans {
        |FROM embeddings e, cents c""".stripMargin
   }
 
+  // ── persisted IVF index: the build/serve split for the cell layout ──
+  // The fourth artifact family (graph / graph_incremental / lsh-cells /
+  // THIS): ann_ivf_topk's corpus pass — assign every vector to its
+  // nearest init centroid — is the expensive index BUILD; at 100 TB it
+  // is a periodic job, not something every probe re-runs. The cells are
+  // published bucketed by cid so a probe's literal `cid IN (nprobe
+  // cells)` prunes to nprobe of the storage buckets (the
+  // ann_lsh_topk_persisted convention, IVF-shaped: Milvus/FAISS-on-disk
+  // serve exactly this layout). Same lifecycle machinery as the other
+  // families: content-keyed resolution (serve-time fingerprint
+  // re-check), atomic versioned publish, vanished-dir re-resolve.
+
+  private[graft] val IvfK = 8
+  private[graft] val IvfCellBuckets = 8
+
+  /** Version token of the IVF family — folds every build input (k, the
+    * bucket geometry, and the init convention version). */
+  private[graft] def ivfToken: String = s"ivf1k${IvfK}c$IvfCellBuckets"
+
+  /** Spec probe: corpus assignment-builds this process ran (serve = 0). */
+  private[graft] val ivfCellBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ivfPersistMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The published version serving this corpus's IVF cells — resolved by
+    * fingerprint among existing versions, else built (ONE corpus
+    * assignment pass) and published as the family's next version. */
+  private[graft] def ivfPersistedIndex(s: SparkSession, d: String): String = {
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = ivfPersistMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      ivfPersistMemo.remove(ds, cached)
+    ivfPersistMemo.computeIfAbsent(ds, _ => {
+      val (fp, n) = corpusFpN(s, d) // 1-row boundary, serve-time fp check
+      graft.tools.Artifact.resolve(ivfToken, ds)(gsMetaMatches(s, _, fp, n))
+        .getOrElse {
+          ivfCellBuilds.incrementAndGet()
+          val out = graft.tools.Artifact.publish(ivfToken, ds) { stage =>
+            val ak = graft.tools.Artifact.newAk(ds)
+            val e = embeddings(s, d)
+            val cents = initCentroids(e, IvfK)
+            val tmpName =
+              s"graft_pub_${ProcessHandle.current().pid()}_${System.nanoTime().toHexString}"
+            assign(e, cents).select(col("vec_id"), col("cid"), col("v"))
+              .withColumn("ak", lit(ak))
+              .write.format("parquet")
+              .bucketBy(IvfCellBuckets, "cid").sortBy("cid")
+              .option("path", s"$stage/cells").saveAsTable(tmpName)
+            s.sql(s"DROP TABLE IF EXISTS $tmpName") // external: files remain
+            cents.withColumn("ak", lit(ak))
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/cents")
+            val spark = s; import spark.implicits._
+            Seq((ak, ds, n, fp)).toDF("ak", "ds", "n", "fp")
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+          }
+          gsRefreshPublished(s, out)
+          out
+        }
+    })
+  }
+
+  /** The published cells as a BUCKETED catalog table over the version
+    * dir (the gsAdjTable convention). */
+  private[graft] def ivfCellsTable(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_" + java.nio.file.Paths.get(dir).getFileName.toString
+    // pruning IS the utilization — see gsAdjTable on why auto-bucketed
+    // scan stays off
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s.sql(s"CREATE TABLE IF NOT EXISTS $name " +
+      s"(vec_id BIGINT, cid BIGINT, v ARRAY<DOUBLE>, ak STRING) " +
+      s"USING PARQUET CLUSTERED BY (cid) SORTED BY (cid) INTO $IvfCellBuckets BUCKETS " +
+      s"LOCATION '$dir/cells'")
+    s.table(name)
+  }
+
   val queries: Seq[Q] = Seq(
     // Q7: deterministic centroid init (hash-ordered k-sample). The
     // centroid vector is emitted one (cid, pos, v) row per dimension:
@@ -453,6 +528,65 @@ object KMeans {
            |FROM assigned a JOIN probe p ON a.cid = p.cid, q
            |WHERE a.vec_id <> 0
            |ORDER BY sim DESC, a.vec_id ASC LIMIT 10""".stripMargin
+      }
+    ),
+
+    // ── persisted IVF serve: probe the published cell artifact ─────────
+    // ann_ivf_topk proves the probe math (its oracle replays the k-means
+    // assignment); THIS query proves the IVF LIFECYCLE: the corpus
+    // assignment runs once as an index job and is PUBLISHED bucketed by
+    // cid; a probe reads the 8-row cents side table, picks its nprobe
+    // cells (an nprobe-row driver boundary — the probe's cells ARE
+    // serving memory, the gsBeamServe convention), and scans ONLY those
+    // cells' storage buckets (SelectedBucketsCount ≤ nprobe, plan-pinned
+    // in Round17Spec alongside persisted ≡ in-session equality). The
+    // ORACLE reads the published cells and cents out of the durable glob
+    // keyed by the fingerprint it recomputes — the artifact's CONTENT is
+    // the gate, anchored by ann_ivf_topk's full replay. SCALE: at 100 TB
+    // the cells artifact is thousands of buckets; a probe touches nprobe.
+    Q(
+      "ann_ivf_topk_persisted",
+      (s, d) => {
+        val dir = ivfPersistedIndex(s, d)
+        val cellsT = ivfCellsTable(s, dir)
+        val cents = s.read.parquet(s"$dir/cents").select("cid", "cv")
+        // the query vector: one corpus point lookup (probe-local state)
+        val qv = embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(vec(col("embedding")).as("qv")).head()
+          .getAs[scala.collection.Seq[Double]]("qv").toArray
+        // nprobe-row driver boundary over the k-row cents side table
+        val probed = cents
+          .select(col("cid"), cosine(col("cv"), typedLit(qv)).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc).limit(2)
+          .collect().map(_.getAs[Long]("cid")).toSeq
+        cellsT.filter(col("cid").isin(probed: _*)) // bucket-pruned: ≤ nprobe
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), cosine(col("v"), typedLit(qv)).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some {
+        val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${ivfToken}_*"
+        s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+           |cfp AS (SELECT $sqlCorpusFingerprint AS fp FROM embeddings),
+           |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
+           |         WHERE fp = (SELECT fp FROM cfp)
+           |           AND n = (SELECT n FROM n)
+           |         ORDER BY ak LIMIT 1),
+           |cents AS (
+           |  SELECT cid, cv FROM read_parquet('$glob/cents/*.parquet')
+           |  WHERE ak = (SELECT ak FROM meta)),
+           |cells AS MATERIALIZED (
+           |  SELECT vec_id, cid, v FROM read_parquet('$glob/cells/*.parquet')
+           |  WHERE ak = (SELECT ak FROM meta)),
+           |q AS (SELECT ${sqlVec("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT cid FROM cents c, q
+           |  ORDER BY ${sqlCosine("c.cv", "q.qv")} DESC, cid ASC LIMIT 2)
+           |SELECT c.vec_id, ${sqlCosine("c.v", "q.qv")} AS sim
+           |FROM cells c JOIN probe p ON c.cid = p.cid, q
+           |WHERE c.vec_id <> 0
+           |ORDER BY sim DESC, c.vec_id ASC LIMIT 10""".stripMargin
       }
     ),
 

@@ -27,6 +27,7 @@ object Recall {
     "graph_persisted" -> "ann_graph_search_persisted",
     "graph_routed" -> "ann_graph_search_routed",
     "ivf" -> "ann_ivf_topk",
+    "ivf_persisted" -> "ann_ivf_topk_persisted",
     "ivfpq" -> "ann_ivfpq_topk",
     "lsh" -> "ann_lsh_topk",
     "lsh_persisted" -> "ann_lsh_topk_persisted",
@@ -64,6 +65,7 @@ object Recall {
     ("graph_persisted", "ann_graph_search_persisted", "sim", false),
     ("graph_routed", "ann_graph_search_routed", "sim", false),
     ("ivf", "ann_ivf_topk", "sim", false),
+    ("ivf_persisted", "ann_ivf_topk_persisted", "sim", false),
     ("ivfpq", "ann_ivfpq_topk", "sim", false),
     ("lsh", "ann_lsh_topk", "sim", false),
     ("lsh_persisted", "ann_lsh_topk_persisted", "sim", false),

@@ -307,11 +307,11 @@ object Text {
   private val dupPersistMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def docsFingerprint(s: SparkSession, d: String): Long =
+  private[graft] def docsFingerprint(s: SparkSession, d: String): Long =
     documents(s, d).agg(
       sum((col("doc_id") + lit(1L)) * col("n_chars"))).head().getLong(0)
 
-  private def sqlDocsFingerprint: String =
+  private[graft] def sqlDocsFingerprint: String =
     "CAST(sum((doc_id + 1) * n_chars) AS BIGINT)"
 
   /** Distributed (rank, running sum) over `PARTITION BY part ORDER BY
@@ -533,11 +533,74 @@ object Text {
   private val BpeMerges = 8
 
   // trained-tokenizer artifact: (post-merge word table (word, w, cnt),
-  // ordered merge list) — built once per (session, dir) and shared by
-  // the training query and the encoder (in production this is the
-  // tokenizer file every job loads; the sq8/cachedSketch convention)
+  // ordered merge list) — TRAINED once per corpus and PUBLISHED as the
+  // `tokbpe` artifact family (in production this is the tokenizer file
+  // every job loads — frozen at train time, shipped to every encode
+  // job). [[bpeTrained]] is a read-through cache over the published
+  // version, the nnSearchIndex convention: a fresh process re-resolves
+  // by docs fingerprint and pays ZERO training rounds; a regenerated
+  // corpus misses and retrains+republishes.
   private val bpeMemo =
     graft.SessionMemo[(DataFrame, Seq[(Int, String, String, Long)])]()
+
+  /** Version token of the tokenizer family — folds every build input
+    * (the merge-round count and the whitespace-token staging v1). */
+  private[graft] def bpeToken: String = s"tokbpe${BpeMerges}v1"
+
+  /** Spec probe: training loops this process actually ran (serve = 0). */
+  private[graft] val bpeTrains = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val bpePersistMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The published version serving this corpus's trained tokenizer —
+    * resolved by docs fingerprint among existing versions, else trained
+    * (the k-round loop) and published as the family's next version:
+    * `words` (word, w, cnt — each distinct word's final segmentation),
+    * `merges` (r, a, b, f — the ordered merge list), 1-row `meta`. */
+  private[graft] def bpePersistedTokenizer(s: SparkSession, d: String): String = {
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = bpePersistMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      bpePersistMemo.remove(ds, cached)
+    bpePersistMemo.computeIfAbsent(ds, _ => {
+      val fp = docsFingerprint(s, d) // 1-row boundary: serve-time fp check
+      graft.tools.Artifact.resolve(bpeToken, ds)(dupMetaMatches(s, _, fp))
+        .getOrElse {
+          bpeTrains.incrementAndGet()
+          val (words, merges) = bpeTrainRaw(s, d)
+          val out = graft.tools.Artifact.publish(bpeToken, ds) { stage =>
+            val ak = graft.tools.Artifact.newAk(ds)
+            words.withColumn("ak", lit(ak))
+              .write.mode("overwrite").parquet(s"$stage/words")
+            val spark = s; import spark.implicits._
+            merges.toDF("r", "a", "b", "f").withColumn("ak", lit(ak))
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/merges")
+            Seq((ak, ds, fp)).toDF("ak", "ds", "fp")
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+          }
+          // a re-used version slot must not serve a stale file listing
+          s.catalog.refreshByPath(out)
+          out
+        }
+    })
+  }
+
+  /** Serve the trained tokenizer from the published artifact: the
+    * per-session memo caches the LOADED artifact (vocab-sized), never a
+    * re-derivation — every consumer (merges report, corpus encode,
+    * fertility comparison) reads the one frozen tokenizer file. */
+  private def bpeTrained(s: SparkSession,
+      d: String): (DataFrame, Seq[(Int, String, String, Long)]) =
+    bpeMemo.getOrCompute(s, d) {
+      val dir = bpePersistedTokenizer(s, d)
+      val words = s.read.parquet(s"$dir/words")
+        .select("word", "w", "cnt").cache()
+      val merges = s.read.parquet(s"$dir/merges")
+        .select("r", "a", "b", "f").orderBy("r").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toList
+      (words, merges)
+    }
 
   /** The Sennrich BPE training loop. Words are staged as spaced symbol
     * strings (' x  a  b  ' — TWO spaces between symbols, single-space
@@ -552,9 +615,8 @@ object Text {
     * replace. Training runs on the WORD-COUNT table — vocabulary-sized
     * no matter how many tokens, the reason BPE trains in minutes on
     * trillion-token corpora. */
-  private def bpeTrained(s: SparkSession,
-      d: String): (DataFrame, Seq[(Int, String, String, Long)]) =
-    bpeMemo.getOrCompute(s, d) {
+  private def bpeTrainRaw(s: SparkSession,
+      d: String): (DataFrame, Seq[(Int, String, String, Long)]) = {
       var words = documents(s, d)
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
@@ -588,8 +650,8 @@ object Text {
             .transform(GenSnap.snap)
         }
       }
-      (words.cache(), merges.toList)
-    }
+      (words, merges.toList)
+  }
 
   /** The identical training rounds as MATERIALIZED DuckDB CTEs — w0..wK
     * carry (word, w, cnt); topI is round i's winning pair (empty when no
@@ -640,10 +702,10 @@ object Text {
   private val UnigramInf = 1099511627776L // 2^40 — unreachable-state cost
 
   // trained artifact: (final vocab (piece, cnt, cost), final-cost word
-  // segmentations (word, cnt, dpcost, seg)) — one build per (session,
-  // dir), shared by the training query and the encoder (the bpeMemo
+  // segmentations (word, cnt, dpcost, seg)) — trained once per corpus
+  // and PUBLISHED as the `tokuni` artifact family (the bpe family's
   // convention: in production this is the tokenizer file every job
-  // loads).
+  // loads); the per-session memo caches the LOADED artifact.
   private val unigramMemo = graft.SessionMemo[(DataFrame, DataFrame)]()
 
   /** Viterbi segmentation of `words` (word, cnt) under driver-side
@@ -716,8 +778,65 @@ object Text {
           * 1048576.0).cast("long").as("cost"))
   }
 
+  /** Version token of the unigram-tokenizer family — folds every build
+    * input (seed multiplier, max piece length, the keep schedule). */
+  private[graft] def uniToken: String =
+    s"tokuni${(Seq(UnigramSeedMulti, UnigramMaxPiece) ++ UnigramKeeps).mkString("x")}v1"
+
+  /** Spec probe: hard-EM training runs this process paid (serve = 0). */
+  private[graft] val uniTrains = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val uniPersistMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The published version serving this corpus's trained unigram model —
+    * resolved by docs fingerprint among existing versions, else trained
+    * (the hard-EM loop) and published as the family's next version:
+    * `vocab` (piece, cnt, cost), `seg` (word, cnt, dpcost, seg — the
+    * final-cost Viterbi segmentations the encoder broadcasts), 1-row
+    * `meta`. The bpe family's twin — production ships BOTH tokenizer
+    * files. */
+  private[graft] def uniPersistedTokenizer(s: SparkSession, d: String): String = {
+    val ds = graft.tools.Artifact.dsKey(d)
+    val cached = uniPersistMemo.get(ds)
+    if (cached != null && !graft.tools.Artifact.exists(cached))
+      uniPersistMemo.remove(ds, cached)
+    uniPersistMemo.computeIfAbsent(ds, _ => {
+      val fp = docsFingerprint(s, d) // 1-row boundary: serve-time fp check
+      graft.tools.Artifact.resolve(uniToken, ds)(dupMetaMatches(s, _, fp))
+        .getOrElse {
+          uniTrains.incrementAndGet()
+          val (vocab, seg) = unigramTrainRaw(s, d)
+          val out = graft.tools.Artifact.publish(uniToken, ds) { stage =>
+            val ak = graft.tools.Artifact.newAk(ds)
+            vocab.withColumn("ak", lit(ak))
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/vocab")
+            seg.withColumn("ak", lit(ak))
+              .write.mode("overwrite").parquet(s"$stage/seg")
+            val spark = s; import spark.implicits._
+            Seq((ak, ds, fp)).toDF("ak", "ds", "fp")
+              .coalesce(1).write.mode("overwrite").parquet(s"$stage/meta")
+          }
+          // a re-used version slot must not serve a stale file listing
+          s.catalog.refreshByPath(out)
+          out
+        }
+    })
+  }
+
+  /** Serve the trained unigram model from the published artifact — the
+    * per-session memo caches the LOADED artifact (vocab-sized), never a
+    * re-derivation (the bpeTrained convention). */
   private def unigramTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
     unigramMemo.getOrCompute(s, d) {
+      val dir = uniPersistedTokenizer(s, d)
+      val vocab = s.read.parquet(s"$dir/vocab")
+        .select("piece", "cnt", "cost").cache()
+      val seg = s.read.parquet(s"$dir/seg")
+        .select("word", "cnt", "dpcost", "seg").cache()
+      (vocab, seg)
+    }
+
+  private def unigramTrainRaw(s: SparkSession, d: String): (DataFrame, DataFrame) = {
       val words = documents(s, d)
         .select(explode(tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
@@ -739,8 +858,8 @@ object Text {
         vocab = unigramVocabFrom(chars, cnts, keep)
       }
       val finalSeg = viterbiSegment(words, costMap(vocab))
-      (vocab.cache(), finalSeg.cache())
-    }
+      (vocab, finalSeg)
+  }
 
   /** The identical training rounds as DuckDB CTEs: a recursive-CTE
     * Viterbi DP per round (each row carries the last 4 DP states and
@@ -1310,6 +1429,62 @@ object Text {
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
     ),
 
+    // ── persisted-tokenizer encode: serve the published tokenizer file ─
+    // text_bpe_encode proves the tokenizer MATH (its oracle replays all
+    // training rounds); THIS query proves the tokenizer LIFECYCLE: the
+    // trained word table is published once (the frozen tokenizer file
+    // every pretraining job ships) and the encode serves by reading the
+    // artifact DIRECTLY — its Spark path touches parquet, not the
+    // training loop, and its ORACLE reads the same published words out
+    // of the durable glob keyed by the docs fingerprint it recomputes,
+    // so the driver gate pins the ARTIFACT's segmentations byte-exact
+    // (seg_md5) against Spark's serve. Content is anchored by
+    // text_bpe_merges/text_bpe_encode's full training replay plus the
+    // Round17Spec equality + zero-trains-for-a-fresh-session probes.
+    // SCALE: the serve side is a vocab-sized broadcast join — the one
+    // corpus scan is the encode itself, exactly the production shape.
+    Q(
+      "text_bpe_encode_persisted",
+      (s, d) => {
+        val dir = bpePersistedTokenizer(s, d)
+        val enc = s.read.parquet(s"$dir/words")
+          .select(col("word"),
+            size(split(trim(col("w")), "  ")).as("n_syms"),
+            trim(col("w")).as("segs"))
+        documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+          .join(broadcast(enc), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_syms")).as("n_bpe"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("segs")))),
+              e => e.getField("segs")), " | ")).as("seg_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${bpeToken}_*"
+        s"""WITH cfp AS (SELECT $sqlDocsFingerprint AS fp FROM documents),
+           |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
+           |         WHERE fp = (SELECT fp FROM cfp)
+           |         ORDER BY ak LIMIT 1),
+           |enc AS MATERIALIZED (
+           |  SELECT word, len(string_split(trim(w), '  ')) AS n_syms, trim(w) AS segs
+           |  FROM read_parquet('$glob/words/*.parquet')
+           |  WHERE ak = (SELECT ak FROM meta)),
+           |tok AS (
+           |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS pos
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(e.n_syms) AS BIGINT) AS n_bpe,
+           |  md5(string_agg(e.segs, ' | ' ORDER BY t.pos)) AS seg_md5
+           |FROM tok t JOIN enc e USING (word)
+           |WHERE t.word <> ''
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      }
+    ),
+
     // ── unigram-LM tokenizer training (the SentencePiece loop) ─────────
     // Hard-EM over the word-count table: seed substring counts → cost →
     // Viterbi segment → usage counts → prune-to-top-K + re-cost, twice
@@ -1367,6 +1542,56 @@ object Text {
               |FROM tok t JOIN enc e USING (word)
               |WHERE t.word <> ''
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+    ),
+
+    // ── persisted unigram encode: serve the published model file ───────
+    // The text_bpe_encode_persisted twin for the OTHER production
+    // tokenizer: text_unigram_encode's oracle replays the full hard-EM
+    // training (recursive-CTE Viterbi per round); THIS query's Spark
+    // path reads the published segmentation table directly and its
+    // oracle reads the SAME artifact out of the durable glob keyed by
+    // the docs fingerprint it recomputes — the driver gate pins the
+    // published model's segmentations byte-exact against the serve.
+    // Content is anchored by text_unigram_train/text_unigram_encode's
+    // replay plus Round17Spec's equality + zero-trains probes.
+    Q(
+      "text_unigram_encode_persisted",
+      (s, d) => {
+        val dir = uniPersistedTokenizer(s, d)
+        val enc = s.read.parquet(s"$dir/seg")
+          .select(col("word"), size(split(col("seg"), " ")).as("np"), col("seg"))
+        documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+          .join(broadcast(enc), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("np")).as("n_pieces"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("seg")))),
+              e => e.getField("seg")), " | ")).as("seg_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val glob = s"${System.getProperty("java.io.tmpdir")}/graft_idx_${uniToken}_*"
+        s"""WITH cfp AS (SELECT $sqlDocsFingerprint AS fp FROM documents),
+           |meta AS (SELECT ak FROM read_parquet('$glob/meta/*.parquet')
+           |         WHERE fp = (SELECT fp FROM cfp)
+           |         ORDER BY ak LIMIT 1),
+           |enc AS MATERIALIZED (
+           |  SELECT word, len(string_split(seg, ' ')) AS np, seg
+           |  FROM read_parquet('$glob/seg/*.parquet')
+           |  WHERE ak = (SELECT ak FROM meta)),
+           |tok AS (
+           |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS pos
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           |  md5(string_agg(e.seg, ' | ' ORDER BY t.pos)) AS seg_md5
+           |FROM tok t JOIN enc e USING (word)
+           |WHERE t.word <> ''
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+      }
     ),
 
     // ── character-level entropy (gibberish / encoding-glitch signal) ───

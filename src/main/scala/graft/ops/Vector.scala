@@ -401,18 +401,18 @@ object Vector {
     "(vec_id + 1) * CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)"
 
   /** (full-corpus fingerprint, n) in one 1-row driver boundary. */
-  private def corpusFpN(s: SparkSession, d: String): (Long, Long) = {
+  private[graft] def corpusFpN(s: SparkSession, d: String): (Long, Long) = {
     val r = embeddings(s, d)
       .agg(sum(fpTerm).as("fp"), count(lit(1)).as("n")).head()
     (r.getLong(0), r.getLong(1))
   }
 
-  private def sqlCorpusFingerprint: String = s"CAST(sum($sqlFpTerm) AS BIGINT)"
+  private[graft] def sqlCorpusFingerprint: String = s"CAST(sum($sqlFpTerm) AS BIGINT)"
 
   /** One meta-match probe against a candidate version dir: accept iff
     * its 1-row meta carries exactly this (fp, n) — the serve-time
     * staleness re-check (ADVICE r16). Unreadable/missing meta → miss. */
-  private def gsMetaMatches(s: SparkSession, dir: String, fp: Long, n: Long): Boolean =
+  private[graft] def gsMetaMatches(s: SparkSession, dir: String, fp: Long, n: Long): Boolean =
     try {
       val m = s.read.parquet(s"$dir/meta").select("fp", "n").head()
       m.getLong(0) == fp && m.getLong(1) == n
@@ -442,7 +442,7 @@ object Vector {
     * part refreshByPath does NOT reach — an already-registered catalog
     * table for the slot has its relation/file-index cache invalidated
     * explicitly, or the next serve would list the OLD build's files. */
-  private def gsRefreshPublished(s: SparkSession, dir: String): Unit = {
+  private[graft] def gsRefreshPublished(s: SparkSession, dir: String): Unit = {
     s.catalog.refreshByPath(dir)
     val name = "graft_" + java.nio.file.Paths.get(dir).getFileName.toString
     if (s.catalog.tableExists(name)) s.catalog.refreshTable(name)
@@ -601,13 +601,13 @@ object Vector {
     * version's meta key: fp over SURVIVORS only (the corpus state this
     * version serves), n over the full id space (the entry-hash domain,
     * unchanged by deletes). */
-  private def survivorFpN(s: SparkSession, d: String): (Long, Long) = {
+  private[graft] def survivorFpN(s: SparkSession, d: String): (Long, Long) = {
     val r = embeddings(s, d).agg(
       sum(when(!gsTombPred(col("vec_id")), fpTerm)).as("fp"),
       count(lit(1)).as("n")).head()
     (r.getLong(0), r.getLong(1))
   }
-  private def sqlSurvivorFingerprint: String =
+  private[graft] def sqlSurvivorFingerprint: String =
     s"CAST(sum(CASE WHEN NOT (${sqlGsTombPred("vec_id")}) THEN $sqlFpTerm END) AS BIGINT)"
 
   /** The published version serving the POST-DELETE corpus — resolved by

@@ -740,4 +740,64 @@ object Streams {
               .iterator
           })
   }
+
+  /** One tokenized-document verdict: the text_bpe_encode row shape. */
+  final case class TokenizeVerdict(doc_id: Long, n_words: Long,
+      n_bpe: Long, seg_md5: String)
+
+  /** Streaming corpus tokenization over the PUBLISHED tokenizer file
+    * (r17 — the online half of the tokenizer lifecycle): an unbounded
+    * stream of (doc_id, text) docs is word-split per row, stream-static
+    * joined against the published vocab-sized word table (each distinct
+    * word's frozen segmentation — broadcast, never the training loop),
+    * and reduced to ONE row per doc — word count, token count, and the
+    * in-order segmentation md5, the exact text_bpe_encode row —
+    * EXACTLY-once per doc_id across micro-batches (the keepListVerdicts
+    * discipline: the static side never changes, so a doc's token rows
+    * are complete in its own micro-batch; a re-sent doc_id finds its
+    * seen-bit and emits nothing). State is one boolean per doc —
+    * bounded by an ingest-time watermark in a real deployment. Works
+    * identically on a batch frame; Round17Spec runs the SAME function
+    * both ways over the SAME artifact and pins equality with the
+    * oracle-checked text_bpe_encode_persisted rows.
+    *
+    * @param newDocs  streaming (or batch) frame of (doc_id, text).
+    * @param words    the published tokenizer's word table
+    *                 (word, w, cnt), e.g.
+    *                 `spark.read.parquet(s"$artifactDir/words")`. */
+  def tokenizeVerdicts(newDocs: DataFrame, words: DataFrame): Dataset[TokenizeVerdict] = {
+    val enc = words.select(col("word"),
+      size(split(trim(col("w")), "  ")).as("n_syms"),
+      trim(col("w")).as("segs"))
+    val toks = newDocs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(graft.ops.Text.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), "word")
+      .select(col("doc_id"), col("pos"), col("n_syms"), col("segs"))
+    implicit val outEnc = Encoders.product[TokenizeVerdict]
+    implicit val tup = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaInt, Encoders.scalaInt, Encoders.STRING)
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stEnc = Encoders.scalaBoolean
+    toks.as[(Long, Int, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[(Long, Int, Int, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // doc-sized work: order by token position, then one md5 over
+            // the joined segmentations — byte-identical to the relational
+            // md5(array_join(...)) form (same string, same UTF-8 bytes)
+            val sorted = rows.toSeq.sortBy(_._2)
+            val seg = sorted.map(_._4).mkString(" | ")
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(seg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            Iterator(TokenizeVerdict(id, sorted.length.toLong,
+              sorted.map(_._3.toLong).sum, md))
+          })
+  }
 }

@@ -397,4 +397,148 @@ class Round17Spec extends SparkSpec {
         "a re-sent doc_id must not emit a second verdict")
     } finally q.stop()
   }
+
+  test("persisted IVF: serve ≡ in-session probe, zero builds fresh, bucket-pruned") {
+    val base = SparkEntry.queries("ann_ivf_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = SparkEntry.queries("ann_ivf_topk_persisted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == base,
+      "serving the published cells must answer exactly like the in-session probe")
+    // content pin: the published cells ARE the in-session assignment
+    val dir = cluster.KMeans.ivfPersistedIndex(spark, sf)
+    val pub = spark.read.parquet(s"$dir/cells").select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.embeddings(spark, sf)
+    val memo = cluster.KMeans
+      .assign(e, cluster.KMeans.initCentroids(e, cluster.KMeans.IvfK))
+      .select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pub == memo,
+      "the published cells must hold exactly the corpus assignment")
+    // a fresh session serves with zero assignment builds
+    val builds = cluster.KMeans.ivfCellBuilds.get()
+    val fresh = spark.newSession()
+    assert(SparkEntry.queries("ann_ivf_topk_persisted")(fresh, sf).count() == 10)
+    assert(cluster.KMeans.ivfCellBuilds.get() == builds,
+      "a fresh session must serve the published cells — no corpus re-assignment")
+    // an nprobe-sized literal IN prunes to ≤ nprobe storage buckets
+    val t = cluster.KMeans.ivfCellsTable(spark, dir)
+    val plan = t.filter(col("cid").isin(3L, 5L))
+      .queryExecution.executedPlan.toString()
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"the probe scan must be bucket-pruned:\n$plan")
+    assert(sel.get.group(1).toInt <= 2,
+      s"an nprobe=2 probe must read ≤ 2 buckets: ${sel.get.matched}")
+  }
+
+  test("persisted tokenizer: encode serves the artifact, fresh session pays zero trains") {
+    val base = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val served = SparkEntry.queries("text_bpe_encode_persisted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(served == base,
+      "encoding with the published tokenizer must match the in-session encode")
+    // content pin: the artifact's merge list IS the trained merge list
+    // (whose content text_bpe_merges' oracle replays from scratch)
+    val dir = ops.Text.bpePersistedTokenizer(spark, sf)
+    val pub = spark.read.parquet(s"$dir/merges").select("r", "a", "b", "f")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    val trained = SparkEntry.queries("text_bpe_merges")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    assert(pub == trained,
+      "the published merges must be exactly the trained merge list")
+    // a fresh session serves the WHOLE bpe family (merges report, corpus
+    // encode, persisted encode) with zero training loops
+    val trains = ops.Text.bpeTrains.get()
+    val fresh = spark.newSession()
+    assert(SparkEntry.queries("text_bpe_encode_persisted")(fresh, sf).count() > 0)
+    assert(SparkEntry.queries("text_bpe_merges")(fresh, sf).count() > 0)
+    assert(SparkEntry.queries("text_bpe_encode")(fresh, sf).count() > 0)
+    assert(ops.Text.bpeTrains.get() == trains,
+      "a fresh session must load the published tokenizer, not retrain")
+  }
+
+  test("persisted unigram model: encode serves the artifact, fresh session pays zero EM runs") {
+    val base = SparkEntry.queries("text_unigram_encode")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val served = SparkEntry.queries("text_unigram_encode_persisted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(served == base,
+      "encoding with the published model must match the in-session encode")
+    // content pin: the artifact's vocab IS the trained vocab (whose
+    // content text_unigram_train's oracle replays from scratch)
+    val dir = ops.Text.uniPersistedTokenizer(spark, sf)
+    val pub = spark.read.parquet(s"$dir/vocab").select("piece", "cnt", "cost")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val trained = SparkEntry.queries("text_unigram_train")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pub == trained,
+      "the published vocab must be exactly the trained model")
+    // a fresh session serves the whole unigram family with zero EM runs
+    val trains = ops.Text.uniTrains.get()
+    val fresh = spark.newSession()
+    assert(SparkEntry.queries("text_unigram_encode_persisted")(fresh, sf).count() > 0)
+    assert(SparkEntry.queries("text_unigram_encode")(fresh, sf).count() > 0)
+    assert(ops.Text.uniTrains.get() == trains,
+      "a fresh session must load the published model, not re-run EM")
+  }
+
+  test("streaming tokenize over the published tokenizer: batch ≡ stream ≡ gated encode, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = ops.Text.bpePersistedTokenizer(spark, sf)
+    val words = spark.read.parquet(s"$dir/words")
+    val newDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+    // the batch form must reproduce the oracle-checked persisted encode
+    val batch = streaming.Streams.tokenizeVerdicts(newDocs, words)
+      .collect().map(v => (v.doc_id, v.n_words, v.n_bpe, v.seg_md5)).toSet
+    val gated = SparkEntry.queries("text_bpe_encode_persisted")(spark, sf)
+      .filter(col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(batch == gated,
+      "batch tokenize verdicts must equal the gated persisted encode rows")
+    // the SAME function as a stream: two micro-batches + a re-sent doc
+    val input = MemoryStream[(Long, String)]
+    val q = streaming.Streams
+      .tokenizeVerdicts(input.toDF().toDF("doc_id", "text"), words)
+      .writeStream.format("memory").queryName("tok_verdicts")
+      .outputMode("append").start()
+    try {
+      val rows = newDocs.collect().map(r => (r.getLong(0), r.getString(1)))
+      input.addData(rows.take(rows.length / 2).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData((rows.head +: rows.drop(rows.length / 2)).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val emitted = spark.table("tok_verdicts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(emitted.toSet == batch, "stream verdicts must equal the batch run")
+      assert(emitted.length == batch.size,
+        "a re-sent doc_id must not emit a second verdict")
+    } finally q.stop()
+  }
+
+  test("artifact catalog: all eight families serving the live corpus, content-scoped") {
+    val rows = SparkEntry.queries("artifact_catalog")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set(
+      "ann_graph", "ann_graph_incremental", "ann_lsh_cells", "ann_ivf_cells",
+      "dedup_pairs", "dedup_post_ingest", "tokenizer_bpe", "tokenizer_unigram"),
+      s"every artifact family must appear: ${rows.map(_.getString(0)).toSet}")
+    // the base graph family carries both lifecycle roles (base + repair);
+    // every other family serves exactly one role
+    val g = rows.filter(_.getString(0) == "ann_graph").map(_.getString(3)).toSet
+    assert(g == Set("serving_base", "serving_post_delete"), s"graph roles: $g")
+    rows.groupBy(_.getString(0)).foreach { case (fam, rs) =>
+      if (fam != "ann_graph")
+        assert(rs.map(_.getString(3)).distinct.length == 1,
+          s"$fam must serve one role: ${rs.map(_.getString(3)).toSeq}")
+    }
+    // content scoping: only the live corpus's three keys may appear
+    assert(rows.map(_.getLong(2)).toSet.size <= 3,
+      "only the full/survivor/docs fingerprints may appear")
+  }
 }
