@@ -740,13 +740,26 @@ object Classify {
           .select(floor(col("s").cast("double") / col("n").cast("double") + 0.5)
             .cast("long").as("v0"))
           .collect()(0).getLong(0) // 1-value driver boundary: the init
+        // r17 optimization round, guide §1.2/§2.3: the residual table is
+        // a PURE MAP chain off the one snapped raw table (each round's
+        // update is a select — no self-join, no lineage compounding), so
+        // the per-round 600 k-row checkpoint write bought nothing; and
+        // round t's train_mse (Σr² after update t) is exactly what
+        // round t+1's groupBy scans anyway, so the Σr² rides the SAME
+        // per-qty aggregation (integer group sums re-sum exactly) and
+        // only round K pays a separate final Σr² pass. 3 actions per
+        // round → 1; identical integers, identical doubles.
         var resid = raw.select(col("qty"), (col("c") - lit(v0)).as("r"))
-          .transform(GenSnap.snap)
         val rows = Seq.newBuilder[(Int, Int, Long, Long, Long, Long, Double, Double)]
+        var pending: Option[(Int, Int, Long, Long, Long, Long, Double)] = None
+        def mseOf(n: Long, ssq: java.math.BigDecimal): Double =
+          ssq.doubleValue() / n.toDouble / 10000.0 / 10000.0
         for (t <- 1 to K) {
           val byQty = resid.groupBy("qty")
-            .agg(count(lit(1)).as("cnt"), sum("r").as("sr"))
-          val tot = byQty.agg(sum("cnt").as("n"), sum("sr").as("s"))
+            .agg(count(lit(1)).as("cnt"), sum("r").as("sr"),
+              sum(dec38(col("r")) * col("r")).as("ssqp"))
+          val tot = byQty.agg(sum("cnt").as("n"), sum("sr").as("s"),
+            sum("ssqp").as("ssq"))
           val wCum = Window.orderBy("qty")
             .rowsBetween(Window.unboundedPreceding, 0)
           val best = byQty
@@ -767,21 +780,29 @@ object Classify {
                   (col("s") - col("sl")).cast("double") /
                   (col("n") - col("nl")).cast("double") -
                 col("s").cast("double") * col("s").cast("double") /
-                  col("n").cast("double")) / 10000.0).as("gain"))
+                  col("n").cast("double")) / 10000.0).as("gain"),
+              col("n"), col("ssq"))
             .orderBy(col("gain").desc, col("qty").asc).limit(1)
             .collect()(0) // 1-row driver boundary: the round's stump
           val (q, nl, nr) = (best.getInt(0), best.getLong(1), best.getLong(2))
           val (vl, vr, gain) = (best.getLong(3), best.getLong(4), best.getDouble(5))
+          // this round's scan saw the PREVIOUS update's residuals: its
+          // Σr²/n completes the previous round's reported train_mse
+          pending.foreach { case (pt, pq, pnl, pnr, pvl, pvr, pg) =>
+            rows += ((pt, pq, pnl, pnr, pvl, pvr, pg,
+              mseOf(best.getLong(6), best.getDecimal(7))))
+          }
+          pending = Some((t, q, nl, nr, vl, vr, gain))
           resid = resid.select(col("qty"),
-              (col("r") - when(col("qty") <= lit(q), lit(vl)).otherwise(lit(vr)))
-                .as("r"))
-            .transform(GenSnap.snap)
-          val m = resid.agg(count(lit(1)).as("n"),
-              sum(dec38(col("r")) * col("r")).as("ssq"))
-            .select((col("ssq").cast("double") / col("n").cast("double") /
-              10000.0 / 10000.0).as("mse"))
-            .collect()(0).getDouble(0)
-          rows += ((t, q, nl, nr, vl, vr, gain, m))
+            (col("r") - when(col("qty") <= lit(q), lit(vl)).otherwise(lit(vr)))
+              .as("r"))
+        }
+        // round K's mse: the one residual pass no later round subsumes
+        val fin = resid.agg(count(lit(1)).as("n"),
+            sum(dec38(col("r")) * col("r")).as("ssq")).collect()(0)
+        pending.foreach { case (pt, pq, pnl, pnr, pvl, pvr, pg) =>
+          rows += ((pt, pq, pnl, pnr, pvl, pvr, pg,
+            mseOf(fin.getLong(0), fin.getDecimal(1))))
         }
         import s.implicits._
         rows.result().toDF("round", "split_qty", "n_left", "n_right",

@@ -88,13 +88,28 @@ object PropertyGraph {
     * trick GraphX needs for any multi-label graph). */
   val PartIdOffset = 1000000L
 
-  // The edge list (lineitem.distinct, the expensive part) is cached once
+  // The edge list (lineitem.distinct, the expensive part) is staged once
   // per (session, dir) and the handle memoized: every graph query in a
   // session reuses ONE materialization instead of recomputing the
-  // distinct per query, and no query re-issues cache() on an
-  // already-cached plan (which only logs CacheManager warning spam). At
-  // 100 TB this is a persisted edge table written once. The map is
-  // bounded by (#sessions × #sf dirs) — a handful in any harness run.
+  // distinct per query. At 100 TB this is a persisted edge table written
+  // once. The map is bounded by (#sessions × #sf dirs) — a handful in
+  // any harness run.
+  //
+  // STAGING FORM (r17 optimization round): an eagerly-materialized
+  // localCheckpoint LEAF, not cache(). Measured at sf0.1, the cache()
+  // form cost every fixpoint superstep ~0.2 s/task re-reading the
+  // "cached" edges — the per-query listener showed InMemoryTableScan
+  // stages burning 70-110 s of summed executor CPU per query
+  // (graph_temporal_reach 100 s, lpa_converged 80 s, hits 13 s for a
+  // 320 k-row edge list), consistent with the scan recomputing the
+  // cached child rather than reading built blocks. Swapping the memo to
+  // a materialized checkpoint leaf dropped graph_temporal_reach's
+  // executor CPU 100 s → 2.6 s and wall 11.6 → 5.0 s with zero plan
+  // changes downstream. The leaf is the same shape a persisted
+  // adjacency table has at 100 TB (a concrete stored table, scanned,
+  // never re-derived); guide §1.2 step 1 / §2.4.
+  private def stage(df: DataFrame): DataFrame = GenSnap.staged(df)
+
   private val graphMemo = graft.SessionMemo[PropertyGraph]()
 
   def supplierPartGraph(s: SparkSession, d: String): PropertyGraph =
@@ -108,7 +123,7 @@ object PropertyGraph {
         .select(col("l_suppkey").as("src"), (col("l_partkey") + PartIdOffset).as("dst"))
         .distinct()
         .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"), lit(1.0).as("weight"))
-        .cache()
+        .transform(stage)
       PropertyGraph(sup.unionByName(prt), es)
     }
 
@@ -121,10 +136,12 @@ object PropertyGraph {
   // the staged forms once per (session, dir), same explicit-sharing
   // policy as the dedup pair set (ops/Text.scala dupEdgesMemo): at
   // 100 TB these ARE persisted adjacency tables, built once by the
-  // ingestion job and read by every downstream graph query. cache()
-  // (not localCheckpoint) because the handle's lifetime is the session
-  // and the CacheManager keeps the hash-partitioning-on-src metadata,
-  // so every superstep join shuffles only the small frontier side.
+  // ingestion job and read by every downstream graph query. Staged as
+  // materialized checkpoint LEAVES since the r17 optimization round —
+  // see [[stage]] for the measured cache() pathology this replaced
+  // (the earlier "cache keeps the src partitioning metadata" rationale
+  // was moot in practice: Spark 4.1 re-exchanged the cached side each
+  // superstep anyway, and the cached scan itself cost ~70× a leaf scan).
 
   private val undirectedMemo = graft.SessionMemo[DataFrame]()
 
@@ -134,7 +151,7 @@ object PropertyGraph {
     undirectedMemo.getOrCompute(s, d) {
       val e = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")).cache()
+        .repartition(col("src")).transform(stage)
     }
 
   private val degAdjMemo = graft.SessionMemo[DataFrame]()
@@ -148,7 +165,7 @@ object PropertyGraph {
     degAdjMemo.getOrCompute(s, d) {
       val ue = undirectedEdges(s, d)
       val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
-      ue.join(deg, "src").cache()
+      ue.join(deg, "src").transform(stage)
     }
 
   private val nodeIdsMemo = graft.SessionMemo[DataFrame]()
@@ -168,7 +185,7 @@ object PropertyGraph {
   def nodeIdsPartitioned(s: SparkSession, d: String): DataFrame =
     nodeIdsMemo.getOrCompute(s, d) {
       supplierPartGraph(s, d).nodes.select(col("id"))
-        .repartition(col("id")).cache()
+        .repartition(col("id")).transform(stage)
     }
 
   private val weightedUeMemo = graft.SessionMemo[DataFrame]()
@@ -182,7 +199,7 @@ object PropertyGraph {
         .agg(min(col("l_quantity")).cast("long").as("w"))
       e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
         .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
-        .repartition(col("src")).cache()
+        .repartition(col("src")).transform(stage)
     }
 
   /** Landmark vertices and the BFS depth bound shared by the Spark and
@@ -227,7 +244,7 @@ object PropertyGraph {
   private[graft] def closenessDist(s: SparkSession, d: String): DataFrame =
     closenessDistMemo.getOrCompute(s, d) {
       Components.multiBfs(undirectedEdges(s, d), ClosenessSeeds, SpMaxDepth)
-        .cache()
+        .transform(stage)
     }
 
   /** Unroll depth for `graph_path_counts`' per-level MATERIALIZED-CTE
@@ -305,14 +322,42 @@ object PropertyGraph {
     var frontier = arr
     var levels = 0 // levels relaxed so far (improving or not)
     var live = true
-    def relax(f: DataFrame, base: DataFrame): DataFrame = et
-      .join(f.select(col("id").as("src"), col("arr").as("va")), "src")
-      .filter(col("t") >= col("va"))
-      .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
-      .join(base.select(col("id").as("id2"), col("arr").as("old")),
-        col("id") === col("id2"), "left")
-      .filter(col("old").isNull || col("cand") < col("old"))
-      .select(col("id"), col("cand").as("arr"))
+    // One level = ONE snapped full-outer join (r17 optimization round):
+    // the former shape paid two id-keyed joins per level (the improve
+    // check inside relax + a left_anti merge) and kept `merged` as a
+    // LAZY union chain within a batch — each level's merge re-evaluated
+    // every earlier level's anti-join, compounding ~2^batch recomputes
+    // (measured: 205 jobs / ~100 s summed executor CPU at sf0.1 for a
+    // 1.2 M-edge graph). Now candidates full-outer-join the running
+    // arrivals once, the joined frame is snapped, and BOTH the
+    // improvement frontier and the new merged view are cheap filters
+    // over that one materialization — same relaxation algebra, same
+    // fixpoint, one id-exchange per level instead of two, O(1)
+    // re-evaluation. Guide §2.4 (remove shuffles) + §1.2 step 1.
+    def level(f: DataFrame, base: DataFrame, snapIt: Boolean): (DataFrame, DataFrame) = {
+      val cands = et
+        .join(f.select(col("id").as("src"), col("arr").as("va")), "src")
+        .filter(col("t") >= col("va"))
+        .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
+      val j0 = base.select(col("id"), col("arr").as("old"))
+        .join(cands, Seq("id"), "full_outer")
+      // snap only the BATCH-final join: within a batch the two readers
+      // of a mid-batch level (next level's frontier + its merge input)
+      // share the level's exchanges via ReuseExchange — the fused
+      // single-join shape has no union chain left to compound — so one
+      // checkpoint per batch bounds lineage at a third of the
+      // materialization cost of one per level
+      val j = if (snapIt) j0.transform(GenSnap.snap) else j0
+      val imp = j
+        .filter(col("old").isNull ||
+          (col("cand").isNotNull && col("cand") < col("old")))
+        .select(col("id"), col("cand").as("arr"))
+      val merged = j.select(col("id"),
+        when(col("cand").isNotNull &&
+          (col("old").isNull || col("cand") < col("old")), col("cand"))
+          .otherwise(col("old")).as("arr"))
+      (imp, merged)
+    }
     while (live) {
       // Guard semantics (ADVICE r13 rework): the guard must match the
       // unroll EXACTLY — return iff the temporal diameter ≤ unroll
@@ -331,11 +376,10 @@ object PropertyGraph {
       val thisBatch = math.min(batch, unroll + 1 - levels)
       var imp = frontier
       var merged = arr
-      for (_ <- 1 to thisBatch) {
-        val next = relax(imp, merged).transform(GenSnap.snap)
-        merged = next.union(
-          merged.join(next.select(col("id")), Seq("id"), "left_anti"))
-        imp = next
+      for (lv <- 1 to thisBatch) {
+        val (nextImp, nextMerged) = level(imp, merged, snapIt = lv == thisBatch)
+        imp = nextImp
+        merged = nextMerged
       }
       levels += thisBatch
       if (imp.count() == 0L) {
@@ -348,7 +392,7 @@ object PropertyGraph {
         require(levels <= unroll,
           s"temporal relaxation past $unroll levels — raise the unroll")
         frontier = imp
-        arr = merged.transform(GenSnap.snap)
+        arr = merged
       }
     }
     arr
@@ -371,7 +415,7 @@ object PropertyGraph {
           "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")).as("t"))
       e0.select(col("a").as("src"), col("b").as("dst"), col("t"))
         .union(e0.select(col("b").as("src"), col("a").as("dst"), col("t")))
-        .repartition(col("src")).cache()
+        .repartition(col("src")).transform(stage)
     }
 
   // ── directed graph for SCC (the reference's graph is DIRECTED:
@@ -415,7 +459,7 @@ object PropertyGraph {
           col("a.sk") === col("b.sk") && col("b.rn") === col("a.rn") + 1)
         .filter(col("a.p") =!= col("b.p"))
         .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-        .cache()
+        .transform(stage)
     }
 
   private val sccLabelsMemo = graft.SessionMemo[DataFrame]()
@@ -431,7 +475,7 @@ object PropertyGraph {
         .union(de.select(col("dst").as("id"))).distinct()
       val (scc, rounds) = Components.sccColoring(nodes, de, SccMaxRounds)
       require(rounds <= SccMaxRounds, s"SCC peel used $rounds rounds")
-      scc.cache()
+      scc.transform(stage)
     }
 
   /** The chain-graph + definitional-SCC CTEs shared by both oracles:
@@ -486,7 +530,7 @@ object PropertyGraph {
       ue.withColumn("rn", row_number().over(
           Window.partitionBy("src").orderBy("dst")))
         .join(ue.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-        .cache()
+        .transform(stage)
     }
 
   private val walkMemo = graft.SessionMemo[DataFrame]()
@@ -517,7 +561,7 @@ object PropertyGraph {
       // hash(walker) exchange at build time collapses the cache to the
       // session partition count AND co-locates each walker's steps for
       // the skip-gram self-join.
-      steps.reduce(_ unionByName _).repartition(col("walker")).cache()
+      steps.reduce(_ unionByName _).repartition(col("walker")).transform(stage)
     }
 
   /** The walk unroll as a complete SELECT — shared by
@@ -559,7 +603,7 @@ object PropertyGraph {
       Components.lpa(supplierPartGraph(s, d).nodes.select(col("id")),
           undirectedEdges(s, d), LpaIters, stageEdges = false)
         .select(col("id"), col("l").as("community"))
-        .cache()
+        .transform(stage)
     }
 
   // ── Louvain shared machinery (graph_louvain_one_level / _two_level) ─
@@ -684,7 +728,7 @@ object PropertyGraph {
     louvainL2Memo.getOrCompute(s, d) {
       val (_, c1) = louvainLevel1(s, d)
       val qe = louvainContract(weightedUndirectedEdges(s, d), c1)
-      (qe, louvainQuotientSweeps(qe, "level-2").cache())
+      (qe, louvainQuotientSweeps(qe, "level-2").transform(stage))
     }
 
   private val louvainFinalMemo = graft.SessionMemo[(DataFrame, Int)]()
@@ -699,7 +743,7 @@ object PropertyGraph {
   private[graft] def louvainHierarchyFinal(s: SparkSession, d: String): (DataFrame, Int) =
     louvainFinalMemo.getOrCompute(s, d) {
       val t = louvainHierarchyTrail(s, d)
-      (t.last.cache(), t.length)
+      (t.last.transform(stage), t.length)
     }
 
   /** The composed (original id → community) label frame after each
@@ -760,7 +804,7 @@ object PropertyGraph {
         comm = louvainSweep(ue, deg, twoM, comm,
           idCol => (idCol >= PartIdOffset) === lit(moverIsPart))
       }
-      (deg, comm.cache())
+      (deg, comm.transform(stage))
     }
 
   /** One Louvain half-step as chained CTEs — the oracle twin of
@@ -836,7 +880,7 @@ object PropertyGraph {
   private def sigmaTower(s: SparkSession, d: String): DataFrame =
     sigmaMemo.getOrCompute(s, d) {
       Components.multiBfsCounts(undirectedEdges(s, d), SpLandmarks, SigmaUnroll)
-        .cache()
+        .transform(stage)
     }
 
   /** The σ tower (multi-source shortest-path counts) as DuckDB CTEs —
@@ -1461,7 +1505,7 @@ object PropertyGraph {
         // per (session, dir) instead of re-running the forward BFS
         val tower = sampledTowerMemo.getOrCompute(s, d) {
           Components.multiBfsCounts(undirectedEdges(s, d), seeds, SigmaUnroll)
-            .cache()
+            .transform(stage)
         }
         Components.betweenness(undirectedEdges(s, d), seeds, SigmaUnroll,
             tower = Some(tower))
@@ -2954,7 +2998,7 @@ object PropertyGraph {
             .select(col("cs").as("src"), col("cd").as("dst")).distinct()
             .transform(GenSnap.snap)
           val cnodes = lbl.select(col("scc").as("id")).distinct()
-          Components.dagLayers(cnodes, cond, SccMaxRounds * 4).cache()
+          Components.dagLayers(cnodes, cond, SccMaxRounds * 4).transform(stage)
         }
         val sizes = sccLabels(s, d).groupBy("scc").agg(count(lit(1)).as("size"))
         layers.join(sizes, col("id") === col("scc"))
@@ -3086,7 +3130,7 @@ object PropertyGraph {
               .when(col("isIn") === 1, "in")
               .when(col("isOut") === 1, "out")
               .otherwise("other").as("component_class"))
-            .cache()
+            .transform(stage)
         }
         classes
           .groupBy("component_class").agg(count(lit(1)).as("n_vertices"))

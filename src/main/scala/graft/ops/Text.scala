@@ -254,7 +254,7 @@ object Text {
   private def cachedSketch(s: SparkSession, d: String): DataFrame =
     sketchMemo.getOrCompute(s, d) {
       sketchBuilds.incrementAndGet()
-      docSketch(s, d).cache()
+      docSketch(s, d).transform(GenSnap.staged)
     }
 
   // The ≥0.5-Jaccard near-dup pair set — the SPINE of the dedup
@@ -282,7 +282,7 @@ object Text {
     dupEdgesMemo.getOrCompute(s, d) {
       dupPairBuilds.incrementAndGet()
       minhashPairs(s, d).filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b").cache()
+        .select("id_a", "id_b").transform(GenSnap.staged)
     }
 
   // ── persisted pair spine: build once, serve many (the ANN-index
@@ -478,7 +478,7 @@ object Text {
         .join(dup.toDF("x", "z"), Seq("x", "z"))
         .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
-        .cache()
+        .transform(GenSnap.staged)
     }
 
   // Near-dup cluster labels (doc_id → component min-label) — ONE
@@ -495,7 +495,7 @@ object Text {
       val pairs = dupEdges(s, d)
       val ue = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .cache()
+        .transform(GenSnap.snap)
       val lbl = graft.graph.Components.minLabel(ue)
       // labels are checkpointed (lineage-free) — the edge cache is dead
       // weight once they exist, so release it before consumers run.
@@ -509,7 +509,7 @@ object Text {
   private val simhashMemo = graft.SessionMemo[DataFrame]()
 
   private def cachedSimhash(s: SparkSession, d: String): DataFrame =
-    simhashMemo.getOrCompute(s, d) { simhashSigs(s, d).cache() }
+    simhashMemo.getOrCompute(s, d) { simhashSigs(s, d).transform(GenSnap.staged) }
 
   /** Unroll depth for `dedup_kcore`'s oracle — must be ≥ the peel
     * rounds the Spark fixpoint actually needed (require'd in the
@@ -594,7 +594,7 @@ object Text {
     bpeMemo.getOrCompute(s, d) {
       val dir = bpePersistedTokenizer(s, d)
       val words = s.read.parquet(s"$dir/words")
-        .select("word", "w", "cnt").cache()
+        .select("word", "w", "cnt").transform(GenSnap.staged)
       val merges = s.read.parquet(s"$dir/merges")
         .select("r", "a", "b", "f").orderBy("r").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
@@ -830,9 +830,9 @@ object Text {
     unigramMemo.getOrCompute(s, d) {
       val dir = uniPersistedTokenizer(s, d)
       val vocab = s.read.parquet(s"$dir/vocab")
-        .select("piece", "cnt", "cost").cache()
+        .select("piece", "cnt", "cost").transform(GenSnap.staged)
       val seg = s.read.parquet(s"$dir/seg")
-        .select("word", "cnt", "dpcost", "seg").cache()
+        .select("word", "cnt", "dpcost", "seg").transform(GenSnap.staged)
       (vocab, seg)
     }
 
@@ -2902,9 +2902,23 @@ object Text {
           .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
         val da = docs.select(col("doc_id").as("id_a"), col("sh").as("sa"))
         val db = docs.select(col("doc_id").as("id_b"), col("sh").as("sb"))
-        val truth = candTrue.join(da, "id_a").join(db, "id_b")
-          .filter((size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb")))) >= 0.5)
+        // r17 optimization round, two changes to the exact-verify stage:
+        //  - |A∪B| = |A|+|B|−|A∩B| (sh is list_distinct by construction)
+        //    drops the array_union hash-set build — one set op per pair
+        //    instead of two, identical division and boundary;
+        //  - the verify is CPU-dense with tiny bytes, so AQE's byte-based
+        //    coalescing squeezed it to ~8 tasks of ~1.6 s (stragglers,
+        //    guide §2.5); pinning the pre-verify exchange at the session
+        //    shuffle parallelism (scale-configured, not a constant)
+        //    keeps the stage wide — the arrays move exactly once, in the
+        //    exchange the id_b join needed anyway.
+        val np = s.sessionState.conf.numShufflePartitions
+        val truth = candTrue.repartition(np, col("id_a"), col("id_b"))
+          .join(da, "id_a").join(db, "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sa"), col("sb"))).as("i"),
+            (size(col("sa")) + size(col("sb"))).as("ab"))
+          .filter(col("i").cast("double") / (col("ab") - col("i")) >= 0.5)
           .select("id_a", "id_b")
           .transform(GenSnap.snap) // counted twice below
         val found = dupEdges(s, d)

@@ -123,7 +123,7 @@ object Vector {
           g = scored.filter(col("rk") <= NnKb).select("src", "dst")
             .transform(GenSnap.snap)
         else gOld = scored.filter(col("rk") <= NnKb)
-          .select("src", "dst", "sim").cache()
+          .select("src", "dst", "sim").transform(GenSnap.staged)
       }
       (e, n, gOld)
     }
@@ -198,8 +198,8 @@ object Vector {
     nnIndexBuilds.incrementAndGet()
     val e = embeddings(s, d)
       .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
-      .cache()
-    val n = e.count() // 1-value driver boundary (mod-N seed space)
+      .transform(GenSnap.snap)
+    val n = e.count() // 1-value driver boundary (mod-N seed space); materializes the snap
     var b = strideSeeds(e, n).transform(GenSnap.snap)
     var adj: DataFrame = null
     for (r <- 1 to NnRounds) {
@@ -207,7 +207,7 @@ object Vector {
       if (r < NnRounds)
         b = scored.filter(col("rk") <= NnKb).select("src", "dst")
           .transform(GenSnap.snap)
-      else adj = scored.filter(col("rk") <= NnKb).select("src", "dst").cache()
+      else adj = scored.filter(col("rk") <= NnKb).select("src", "dst").transform(GenSnap.staged)
     }
     (e, n, adj)
   }
@@ -229,8 +229,8 @@ object Vector {
       val n = s.read.parquet(s"$base/meta").head().getAs[Long]("n")
       val e = embeddings(s, d)
         .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
-        .cache()
-      val adj = gsAdjTable(s, base).select("src", "dst").cache()
+        .transform(GenSnap.staged)
+      val adj = gsAdjTable(s, base).select("src", "dst").transform(GenSnap.staged)
       (e, n, adj)
     }
 
@@ -521,7 +521,7 @@ object Vector {
   private[graft] def gsRepairedIndex(s: SparkSession, d: String): (DataFrame, Long, DataFrame) =
     gsRepairMemo.getOrCompute(s, d) {
       val (eS, n, adj2) = gsRepairBuild(s, d)
-      (eS.cache(), n, adj2.cache())
+      (eS.transform(GenSnap.staged), n, adj2.transform(GenSnap.staged))
     }
 
   private def gsRepairBuild(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
@@ -562,7 +562,7 @@ object Vector {
   private[graft] def gsRebuiltRecallFloor(s: SparkSession, d: String): Long = {
     val (e, n, _) = nnSearchIndex(s, d)
     val eS = e.join(e.select("id").filter(gsTombPred(col("id"))), Seq("id"), "left_anti")
-      .cache()
+      .transform(GenSnap.staged)
     var b = strideSeeds(eS, n).transform(GenSnap.snap)
     var adj: DataFrame = null
     for (r <- 1 to NnRounds) {
@@ -718,7 +718,7 @@ object Vector {
         .withColumn("rk", row_number().over(
           Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
         .filter(col("rk") <= NnK)
-        .cache()
+        .transform(GenSnap.staged)
     }
 
   /** Spec probe: how many times this process published a post-insert
@@ -1296,7 +1296,7 @@ object Vector {
   private val sq8Memo = graft.SessionMemo[DataFrame]()
 
   private[graft] def sq8(s: SparkSession, d: String): DataFrame =
-    sq8Memo.getOrCompute(s, d) { sq8Build(s, d).cache() }
+    sq8Memo.getOrCompute(s, d) { sq8Build(s, d).transform(GenSnap.staged) }
 
   private def sq8Build(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -2100,8 +2100,21 @@ object Vector {
           .orderBy(col("sim").desc, col("id").asc).limit(10)
           .select(col("id"))
           .transform(GenSnap.snap)
-        GsSweepWidths.map { wd =>
-          val beam = gsBeamUnroll(e, adj, n, wd)
+        // The three width unrolls are INDEPENDENT 10-hop driver chains
+        // whose per-hop snaps materialize sequentially inside one
+        // action; overlapping them from a small thread pool (guide
+        // §2.6) makes the sweep's wall the slowest width, not the sum.
+        // Each unroll is deterministic and the count() only forces the
+        // chain's existing checkpoints — the reported rows are
+        // unchanged. Futures on the global pool; 3 in flight.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val materialized = GsSweepWidths.map { wd =>
+          wd -> Future { val b = gsBeamUnroll(e, adj, n, wd); b.count(); b }
+        }
+        materialized.map { case (wd, fut) =>
+          val beam = Await.result(fut, Duration.Inf)
           val w = Window.orderBy(col("sim").desc, col("id").asc)
           // ONE aggregation reads each beam once: the truth hits among
           // the top-10 (rank ≤ 10 ∧ in the exact set) and the
@@ -3091,20 +3104,26 @@ object Vector {
       (s, d) => {
         import s.implicits._
         val SM = 1L << 26; val S = 1L << 20; val T = 12
+        // stage the cast array as a real column FIRST: a HOF lambda
+        // re-evaluates captured subexpressions per element, so indexing
+        // vec(embedding) inside the transform paid 64 array casts per row
         val lvls = transform(sequence(lit(0), lit(63)), i =>
           least(greatest(
-            floor((element_at(vec(col("embedding")), (i + 1).cast("int")) + 0.5) * 256)
+            floor((element_at(col("ve"), (i + 1).cast("int")) + 0.5) * 256)
               .cast("long"), lit(0L)), lit(255L)))
-        val lv = embeddings(s, d).select(lvls.as("lvl"))
-        val n = lv.count()
-        val sums = lv.select(posexplode(col("lvl")).as(Seq("i", "x")))
-          .groupBy("i").agg(sum(col("x")).as("s"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val gram = lv.select(posexplode(transform(sequence(lit(0), lit(4095)), k =>
-            element_at(col("lvl"), (k / 64).cast("int") + 1) *
-              element_at(col("lvl"), (k % 64) + 1))).as(Seq("k", "p")))
-          .groupBy("k").agg(sum(col("p")).as("g"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val lv = embeddings(s, d).select(vec(col("embedding")).as("ve"))
+          .select(lvls.as("lvl"))
+        // ONE fused corpus pass (count + Σx + Σx·xᵀ, see GramAgg) in
+        // place of the former three (count / posexplode-64 sum /
+        // posexplode-4096 gram); integer sums are order-free so the
+        // fusion is bit-exact and the DuckDB oracle is untouched.
+        import org.apache.spark.sql.graft.{Bridge, GramAgg}
+        val momRow = lv.agg(Bridge.column(
+          GramAgg(Bridge.expression(col("lvl")), 64).toAggregateExpression())
+          .as("m")).head().getSeq[Long](0)
+        val n = momRow(0)
+        val sums = Array.tabulate(64)(i => momRow(1 + i))
+        val gram = Array.tabulate(4096)(k => momRow(65 + k))
         def renorm(mm: Array[Array[Long]], scale: Long): Array[Array[Long]] = {
           val m = mm.iterator.flatten.map(math.abs).max
           require(m > 0, "degenerate scatter — squaring collapses to zero")

@@ -73,7 +73,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_simhash stages the token-hash array as a real column") {
-    val p = SparkEntry.queries("dedup_simhash")(spark, sf)
+    // the memoized serve path is a staged leaf since r17, so the pin
+    // moves to the BUILD plan (the one place the HOF lambdas live): if
+    // CollapseProject inlined hs back into the per-bit lambdas, the
+    // staged attribute would vanish and the fold would re-run per bit
+    val p = ops.Text.simhashSigs(spark, sf)
       .queryExecution.optimizedPlan.toString
     assert(p.contains("hs#"), s"hs must survive as a staged attribute:\n$p")
   }

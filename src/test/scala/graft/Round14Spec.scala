@@ -191,9 +191,18 @@ class Round14Spec extends SparkSpec {
     val ecc = SparkEntry.queries("graph_eccentricity")(spark, sf)
     closeness.count(); ecc.count()
     for ((name, df) <- Seq("closeness" -> closeness, "eccentricity" -> ecc)) {
+      // the tower is a materialized staging LEAF since the r17 staging
+      // swap (GenSnap.staged, not cache()): both consumers must read
+      // that leaf — a plain ExistingRDD scan with NO join anywhere (a
+      // tower rebuild would need one equi-join per BFS hop)
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("InMemoryTableScan"),
-        s"$name must read the cached shared tower, got:\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name must read the staged shared tower, got:\n$plan")
+      // consumers may join AGGREGATES of the tower (eccentricity's d90
+      // quantile join), but never re-run the BFS itself — whose hop
+      // shape is the settled-set LeftAnti join
+      assert(!plan.contains("LeftAnti"),
+        s"$name must not rebuild the BFS tower, got:\n$plan")
     }
   }
 }

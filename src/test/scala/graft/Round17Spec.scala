@@ -27,13 +27,24 @@ class Round17Spec extends SparkSpec {
       "serving must not re-publish")
   }
 
-  test("serve path reads the artifact: adj lineage is a FileScan of the published parquet") {
+  test("serve path reads the artifact: adj is a staged leaf over the published parquet") {
+    // provenance: the artifact table the memo stages from is a FileScan
+    // of the published dir (the r17 staging swap truncates the served
+    // frame's lineage to an ExistingRDD leaf, so the FileScan pin moves
+    // to the pre-staging read; the ZERO-descents probe above covers the
+    // no-rebuild half for the whole family)
+    val base = ops.Vector.gsPersistedIndex(spark, sf)
+    val filePlan = ops.Vector.gsAdjTable(spark, base)
+      .queryExecution.executedPlan.toString()
+    assert(filePlan.contains("graft_idx_"),
+      s"the staged adjacency must read the published parquet:\n$filePlan")
+    // and the served frame is the materialized staging leaf: a plain
+    // scan, no join/window/aggregate anywhere — scanning it per hop
+    // costs RDD-read, never a descent re-derivation
     val (_, _, adj) = ops.Vector.nnSearchIndex(spark, sf)
     val plan = adj.queryExecution.executedPlan.toString()
-    assert(plan.contains("graft_idx_") || plan.contains("InMemoryTableScan"),
-      s"the served adjacency must come from the artifact (or its cache):\n$plan")
-    // the analyzed (pre-cache) lineage must be a scan, not a descent:
-    // no join/window/aggregate anywhere under the logical plan
+    assert(plan.contains("Scan ExistingRDD"),
+      s"the served adjacency must be a staged leaf:\n$plan")
     val logical = adj.queryExecution.logical.toString()
     assert(!logical.contains("Join") && !logical.contains("Window"),
       s"the served adjacency's lineage must be a storage scan, not a rebuild:\n$logical")
