@@ -408,21 +408,123 @@ object Classify {
     Q(
       "ml_kfold_cv",
       (s, d) => {
-        // scalar aggregates (no groupBy): an EMPTY fold — possible on a
-        // tiny corpus whose id hashes miss a residue — must still emit
-        // its row (n_test = 0, accuracy 0.0), exactly like the oracle's
-        // scalar count; a groupBy would silently drop it on one engine
-        val perFold = (0 until 5).map { f =>
-          nbPredictions(s, d, f)
-            .agg(count(lit(1)).as("n_test"),
-              coalesce(sum(when(col("pred") === col("true_lang"), 1L)
-                .otherwise(0L)), lit(0L)).as("n_correct"))
-            .select(lit(f).as("fold"), col("n_test"), col("n_correct"))
-        }.reduce(_ union _)
-        perFold
+        // r17 optimization round (guide §1.2 step 1): the former shape
+        // ran FIVE independent NB chains — ten corpus tokenizations, a
+        // dozen single-task documents.parquet scan stages (the probe's
+        // top-12). The five folds partition the corpus by the SAME
+        // id-hash residue, so every fold-f statistic is derivable from
+        // per-residue slices of ONE tokenization: train_f counts =
+        // all-residue counts MINUS residue f's (exact BIGINT
+        // subtraction), train_f vocabulary = all terms minus the terms
+        // whose ONLY residue is f, priors likewise — and every test doc
+        // belongs to exactly one fold, so all five scoring passes ride
+        // one tf frame. The -log/floor quantization sees identical
+        // integer operands and the per-(doc, lang) sums are dyadic on
+        // the 2^-20 grid (order-free in double), so every nll — and the
+        // 5-row report — is bit-identical to the unfused chains (pinned
+        // per fold in OptimizeR17Spec; the stacked 5-chain oracle is
+        // untouched).
+        import graft.ops.Text.tokens
+        val grid = lit(1048576.0)
+        val docs = documents(s, d)
+          .withColumn("res", detHash(col("doc_id")) % 5)
+        val toks = docs
+          .select(col("res"), col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("term"))
+          .transform(GenSnap.snap) // models + tf read ONE tokenization
+        // per-(lang, term): all-residue count + the 5 residue slices
+        val cwcPiv = toks.groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("cntAll"),
+            (0 until 5).map(r =>
+              sum(when(col("res") === r, 1L).otherwise(0L)).as(s"c$r")): _*)
+        // per-(fold, lang) model table: train token totals, vocab size,
+        // prior — a ≤ 5×|langs| frame, broadcast into the scoring join
+        val folds = s.range(0, 5).select(col("id").as("fold"))
+        val rtot = toks.groupBy("res", "lang").agg(count(lit(1)).as("rt"))
+        val ctotF = folds.crossJoin(
+            rtot.groupBy("lang").agg(sum("rt").as("ta")))
+          .join(rtot.select(col("res").as("tr"), col("lang").as("tl"),
+              col("rt")),
+            col("tr") === col("fold") && col("tl") === col("lang"), "left")
+          .select(col("fold"), col("lang"),
+            (col("ta") - coalesce(col("rt"), lit(0L))).as("tot"))
+          // a candidate lang for fold f is one with ≥ 1 train TOKEN —
+          // exactly the per-fold ctot's key set in the unfused chains
+          .filter(col("tot") > 0)
+        val singles = toks.select("res", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("k"), min("res").as("r0"))
+        val vF = folds.crossJoin(
+            broadcast(singles.agg(count(lit(1)).as("vAll"))))
+          .join(singles.filter(col("k") === 1).groupBy(col("r0"))
+              .agg(count(lit(1)).as("only")),
+            col("r0") === col("fold"), "left")
+          .select(col("fold").as("vfold"),
+            (col("vAll") - coalesce(col("only"), lit(0L))).as("v"))
+        val dres = docs.groupBy("res", "lang").agg(count(lit(1)).as("nd"))
+        val priorF = folds.crossJoin(
+            dres.groupBy("lang").agg(sum("nd").as("nda")))
+          .crossJoin(broadcast(dres.agg(sum("nd").as("nAll"))))
+          .join(dres.select(col("res").as("pr"), col("lang").as("pl"),
+              col("nd")),
+            col("pr") === col("fold") && col("pl") === col("lang"), "left")
+          .join(dres.groupBy("res").agg(sum("nd").as("nr"))
+              .select(col("res").as("qr"), col("nr")),
+            col("qr") === col("fold"), "left")
+          .select(col("fold").as("pfold"), col("lang").as("plang"),
+            (floor(-log(
+              (col("nda") - coalesce(col("nd"), lit(0L))).cast("double") /
+              (col("nAll") - coalesce(col("nr"), lit(0L))).cast("double"))
+              * grid) / grid).as("psq"))
+        val mt = ctotF
+          .join(vF, col("fold") === col("vfold"))
+          .join(priorF,
+            col("fold") === col("pfold") && col("lang") === col("plang"))
+          .select(col("fold"), col("lang"), col("tot"), col("v"), col("psq"))
+        // one tf pass over ALL test docs (each doc tests in exactly its
+        // own residue's fold)
+        val tf = toks
+          .groupBy(col("res"), col("doc_id"), col("lang").as("true_lang"),
+            col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val ownCnt = expr("CASE res WHEN 0 THEN c0 WHEN 1 THEN c1 " +
+          "WHEN 2 THEN c2 WHEN 3 THEN c3 ELSE c4 END")
+        val scored = tf
+          .join(broadcast(mt), col("fold") === col("res"))
+          .join(cwcPiv.select(col("lang").as("cl"), col("term").as("ct"),
+              col("cntAll"), col("c0"), col("c1"), col("c2"), col("c3"),
+              col("c4")),
+            col("cl") === col("lang") && col("ct") === col("term"), "left")
+          .select(col("res"), col("doc_id"), col("true_lang"), col("lang"),
+            col("psq"), col("tf"),
+            (floor(-log(
+              (coalesce(col("cntAll") - ownCnt, lit(0L)) + 1L).cast("double") /
+              (col("tot") + col("v")).cast("double")) * grid) / grid).as("sq"))
+          .groupBy(col("res"), col("doc_id"), col("true_lang"), col("lang"),
+            col("psq"))
+          .agg(sum(col("tf").cast("double") * col("sq")).as("llsum"))
+          .select(col("res"), col("doc_id"), col("true_lang"), col("lang"),
+            (col("psq") + col("llsum")).as("nll"))
+        // each doc_id belongs to exactly one fold, so the per-doc argmin
+        // window is the five per-fold windows in one pass
+        val preds = scored.withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("nll").asc, col("lang").asc)))
+          .filter(col("rk") === 1)
+        val perFold = preds.groupBy(col("res").as("fold"))
+          .agg(count(lit(1)).as("nt"),
+            sum(when(col("lang") === col("true_lang"), 1L).otherwise(0L))
+              .as("nc"))
+        // an EMPTY fold must still emit its row (n_test = 0, accuracy
+        // 0.0), exactly like the oracle's scalar count — the static
+        // fold axis left-joins the observed counts
+        folds.join(perFold, Seq("fold"), "left")
+          .select(col("fold").cast("int").as("fold"),
+            coalesce(col("nt"), lit(0L)).as("n_test"),
+            coalesce(col("nc"), lit(0L)).as("n_correct"))
           .select(col("fold"), col("n_test"), col("n_correct"),
             when(col("n_test") === 0L, 0.0)
-              .otherwise(col("n_correct").cast("double") / col("n_test").cast("double"))
+              .otherwise(col("n_correct").cast("double") /
+                col("n_test").cast("double"))
               .as("accuracy"))
           .orderBy("fold")
       },

@@ -36,6 +36,29 @@ import org.apache.spark.sql.graft.GenSnap
   */
 object Components {
 
+  /** Packed deterministic vote argmax (r17 optimization round, guide
+    * §1.2 step 2): LPA's tie rule max(struct(cnt, -label)) plans as a
+    * SortAggregate — struct orderings are not hash-aggregable, and the
+    * probe showed the per-superstep vote sorts as graph_lpa_converged's
+    * top stages. With labels < 2^21 (always vertex ids here, loudly
+    * require'd by callers) and per-(dst, label) vote counts ≤ degree <
+    * |V| < 2^21, the total order packs into ONE BIGINT
+    * cnt·2^21 + (2^21−1−label), whose plain max IS the lexicographic
+    * (cnt DESC, ties to the smallest label) winner — HashAggregate-
+    * planned, decoded by exact mask arithmetic, bit-identical labels. */
+  private val VotePackLim = 1L << 21
+  private def votePack(cnt: Column, nl: Column): Column =
+    cnt * lit(VotePackLim) + (lit(VotePackLim - 1) - nl)
+  private def voteUnpack(pk: Column): Column =
+    lit(VotePackLim - 1) - pk.bitwiseAND(lit(VotePackLim - 1))
+  private def requireVoteDomain(nodes: DataFrame, who: String): Unit = {
+    val r = nodes.agg(max(col("id"))).head()
+    if (!r.isNullAt(0))
+      require(r.getLong(0) < VotePackLim,
+        s"$who packed-vote domain: max vertex id ${r.getLong(0)} >= 2^21 — " +
+          "widen the vote encoding before ids this large")
+  }
+
   /** @param ue undirected edges (src, dst) — both directions present.
     * @return (id, l) — one row per vertex that appears in `ue`, with
     *         l = min vertex id reachable (the component label). */
@@ -329,13 +352,14 @@ object Components {
     var lbl = nodes.select(col("id"), col("id").as("l"))
       .repartition(col("id"))
       .transform(GenSnap.snap)
+    requireVoteDomain(nodes, "lpa")
     for (_ <- 1 to iters) {
       val votes = ueBySrc
         .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
         .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
       val best = votes.groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
-        .select(col("dst").as("id"), (-col("b.negl")).as("bl"))
+        .agg(max(votePack(col("cnt"), col("nl"))).as("pk"))
+        .select(col("dst").as("id"), voteUnpack(col("pk")).as("bl"))
       lbl = lbl.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
         .transform(GenSnap.snap)
@@ -414,6 +438,7 @@ object Components {
     var lbl = nodes.select(col("id"), col("id").as("l"), lit(false).as("ch"))
       .repartition(col("id"))
       .transform(GenSnap.snap)
+    requireVoteDomain(nodes, "lpaConverged")
     val history = scala.collection.mutable.ArrayBuffer.empty[Long]
     var live = true
     while (live && history.size < maxIters) {
@@ -422,8 +447,8 @@ object Components {
           .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
           .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
         val best = votes.groupBy(col("dst"))
-          .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
-          .select(col("dst").as("id"), (-col("b.negl")).as("bl"))
+          .agg(max(votePack(col("cnt"), col("nl"))).as("pk"))
+          .select(col("dst").as("id"), voteUnpack(col("pk")).as("bl"))
         // merge = one zero-exchange left join: vertices best covers (the
         // updating color's non-isolated set) take the vote winner; every
         // other vertex — the other color AND this color's isolated
@@ -811,22 +836,61 @@ object Components {
     // collapse to their pair-minimum, which preserves every possible
     // argmin winner), so only round 1 ever touches the full edge list —
     // unlike a vertex-labels formulation that rescans |E| every round.
+    //
+    // ARGMIN ENCODING (r17 optimization round, guide §1.2 step 2): the
+    // lexicographic (w, lo, hi) argmins used to run as min(struct(...)),
+    // which Spark can only plan as a SortAggregate — the probe showed
+    // the per-round sorts burning ~17 s summed executor CPU at sf0.1
+    // (the top-4 stages of the query). Packing the total order into ONE
+    // BIGINT pk = (w << 42) | (lo << 21) | hi makes every argmin a
+    // plain HashAggregate min; the pick's `other` endpoint rides a
+    // min_by over the same key, which is deterministic because an
+    // original edge (lo, hi) connects exactly one component pair, so pk
+    // is unique within a component's candidate list. Decoding is exact
+    // integer shift/mask arithmetic — the forest is bit-identical and
+    // the oracle is untouched. The domain requires are LOUD bounds, not
+    // silent truncation: both fail before any wrong answer is possible.
+    val lim = 1L << 21
+    val dom = ue.agg(max(greatest(col("src"), col("dst"))).as("mi"),
+      max(col("w")).as("mw")).head()
+    if (!dom.isNullAt(0)) { // empty graph: nothing to encode
+      require(dom.getLong(0) < lim,
+        s"Borůvka pack domain: max vertex id ${dom.getLong(0)} >= 2^21 — " +
+          "widen the (w, lo, hi) encoding before ids this large")
+      require(dom.getLong(1) < lim,
+        s"Borůvka pack domain: max weight ${dom.getLong(1)} >= 2^21 — " +
+          "widen the (w, lo, hi) encoding before weights this large")
+    }
+    def pack(w: Column, lo: Column, hi: Column): Column =
+      w * lit(1L << 42) + lo * lit(1L << 21) + hi
+    // exact shift/mask decode — never float division, which rounds
+    // above 2^53
+    val unpackW = shiftright(col("pk"), 42)
+    val unpackLo = shiftright(col("pk"), 21).bitwiseAND(lit(lim - 1))
+    val unpackHi = col("pk").bitwiseAND(lit(lim - 1))
+    // initial canonical pairs: lo = a and hi = b are CONSTANT within a
+    // (src, dst) group, so the former min(struct(w, lo, hi)) is just
+    // min(w) — hash-aggregable directly, no pack needed
     var edges = ue.filter(col("src") < col("dst"))
       .groupBy(col("src").as("a"), col("dst").as("b"))
-      .agg(min(struct(col("w"), col("src").as("lo"), col("dst").as("hi"))).as("m"))
-      .select(col("a"), col("b"), col("m.w").as("w"), col("m.lo").as("lo"),
-        col("m.hi").as("hi"))
+      .agg(min(col("w")).as("w"))
+      .select(col("a"), col("b"), col("w"), col("a").as("lo"),
+        col("b").as("hi"))
       .transform(GenSnap.snap)
     var mst: DataFrame = null
     var rounds = 0
     var live = true
     while (live) {
       val cand = edges
-        .select(col("a").as("c"),
-          struct(col("w"), col("lo"), col("hi"), col("b").as("other")).as("k"))
+        .select(col("a").as("c"), pack(col("w"), col("lo"), col("hi")).as("pk"),
+          col("b").as("other"))
         .union(edges.select(col("b").as("c"),
-          struct(col("w"), col("lo"), col("hi"), col("a").as("other")).as("k")))
-      val pick = cand.groupBy("c").agg(min("k").as("k")).transform(GenSnap.snap)
+          pack(col("w"), col("lo"), col("hi")).as("pk"), col("a").as("other")))
+      val pick = cand.groupBy("c")
+        .agg(min("pk").as("pk"), min_by(col("other"), col("pk")).as("other"))
+        .select(col("c"), unpackW.as("w"), unpackLo.as("lo"),
+          unpackHi.as("hi"), col("other"))
+        .transform(GenSnap.snap)
       val nPick = pick.count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[boruvka] round=${rounds + 1} picks=$nPick")
@@ -834,7 +898,7 @@ object Components {
       else {
         rounds += 1
         val chosen = pick
-          .select(col("k.lo").as("lo"), col("k.hi").as("hi"), col("k.w").as("w"))
+          .select(col("lo"), col("hi"), col("w"))
           .distinct()
           .select(lit(rounds).as("round"), col("lo"), col("hi"), col("w"))
           .transform(GenSnap.snap)
@@ -861,7 +925,7 @@ object Components {
         // without the round-12 createDataFrame re-wrap's
         // InternalRow→Row→InternalRow round-trip.
         def snap(df: DataFrame): DataFrame = GenSnap.snap(df)
-        val pk = pick.select(col("c"), col("k.other").as("o"))
+        val pk = pick.select(col("c"), col("other").as("o"))
         var par = snap(pk
           .join(pk.select(col("c").as("oc"), col("o").as("oo")),
             col("o") === col("oc"), "left")
@@ -892,9 +956,9 @@ object Components {
           .filter(col("na") =!= col("nb"))
           .groupBy(least(col("na"), col("nb")).as("a"),
             greatest(col("na"), col("nb")).as("b"))
-          .agg(min(struct(col("w"), col("lo"), col("hi"))).as("m"))
-          .select(col("a"), col("b"), col("m.w").as("w"), col("m.lo").as("lo"),
-            col("m.hi").as("hi"))
+          .agg(min(pack(col("w"), col("lo"), col("hi"))).as("pk"))
+          .select(col("a"), col("b"), unpackW.as("w"), unpackLo.as("lo"),
+            unpackHi.as("hi"))
           .transform(GenSnap.snap)
       }
     }

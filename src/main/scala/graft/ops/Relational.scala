@@ -1354,16 +1354,45 @@ object Relational {
             struct(lit("l_quantity").as("c"),
               col("l_quantity").cast("double").as("x")))).as("e"))
           .select(col("e.c").as("c"), col("e.x").as("x"))
-        val ranked = st.withColumn("rn",
-          row_number().over(Window.partitionBy("c").orderBy(col("x").asc)))
-          .transform(GenSnap.snap) // nine rank lookups read one materialization
-        val stats = st.groupBy("c").agg(
-          count(lit(1)).as("n"), countDistinct(col("x")).as("ndv"))
+        // r17 optimization round (guide §2.5): the former per-column
+        // row_number sorted the FULL column inside ONE window task per
+        // profiled column (two 600 k-row straggler sorts at sf0.1). The
+        // value AT a rank is tie-invariant, so the rank axis moves to
+        // the DISTINCT values: one (c, x) count aggregation — the same
+        // pass the NDV needs anyway — a running-count window over the
+        // ndv-sized value list, and rank k falls in value x's occupancy
+        // interval (cum-cnt, cum]. Same nine values per column, same
+        // oracle; the window now orders ndv rows, never the data.
+        val byVal = st.groupBy(col("c"), col("x"))
+          .agg(count(lit(1)).as("cnt"))
+          .transform(GenSnap.snap) // stats + rank lookup read ONE pass
+        val stats = byVal.groupBy("c").agg(
+          sum("cnt").as("n"), count(lit(1)).as("ndv"))
         val ks = stats.select(col("c"), col("n"), col("ndv"),
             explode(sequence(lit(0), lit(8))).as("i"))
           .withColumn("k", expr("(CAST(i AS BIGINT) * (n - 1)) div 8 + 1"))
-        ks.join(ranked.select(col("c").as("rc"), col("rn"), col("x")),
-            col("rc") === col("c") && col("rn") === col("k"))
+        // running count over the value list, RANGE-PARTITIONED like
+        // rel_skyline: per-(c, value-block) local prefix sums in
+        // parallel window tasks + a tiny cumulated per-block carry
+        // broadcast back — sum is associative over the block split, so
+        // cum is identical to the flat per-c window's
+        val blocked = byVal.withColumn("blk",
+          floor(col("x") / 1024.0).cast("long"))
+        val wLoc = Window.partitionBy("c", "blk").orderBy(col("x").asc)
+        val carry = blocked.groupBy("c", "blk")
+          .agg(sum("cnt").as("bsum"))
+          .withColumn("cin", coalesce(sum("bsum").over(
+            Window.partitionBy("c").orderBy("blk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("c").as("cc"), col("blk").as("cblk"), col("cin"))
+        val cum = blocked
+          .withColumn("cum_local", sum("cnt").over(wLoc))
+          .join(broadcast(carry),
+            col("c") === col("cc") && col("blk") === col("cblk"))
+          .withColumn("cum", col("cum_local") + col("cin"))
+        cum.select(col("c").as("rc"), col("x"), col("cnt"), col("cum"))
+          .join(broadcast(ks), col("rc") === col("c") &&
+            col("k") > col("cum") - col("cnt") && col("k") <= col("cum"))
           .groupBy(col("c").as("col_name"), col("n"), col("ndv"))
           .agg(max(when(col("i") === 0, col("x"))).as("d0"),
             (1 to 8).map(j =>

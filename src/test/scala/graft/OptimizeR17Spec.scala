@@ -36,4 +36,24 @@ class OptimizeR17Spec extends SparkSpec {
     (0 until 64).foreach(i => assert(m(1 + i) == sums(i), s"sum slot $i"))
     (0 until 4096).foreach(k => assert(m(65 + k) == gram(k), s"gram slot $k"))
   }
+
+  test("fused k-fold CV report equals the five unfused NB chains bit-for-bit") {
+    // the r17 fused rewrite derives every fold's model from per-residue
+    // slices of ONE tokenization; this pins the 5-row report against
+    // the replaced shape (five independent nbPredictions chains)
+    val fused = SparkEntry.queries("ml_kfold_cv")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val unfused = (0 until 5).map { f =>
+      val r = cluster.Classify.nbPredictions(spark, sf, f)
+        .agg(count(lit(1)).as("n_test"),
+          coalesce(sum(when(col("pred") === col("true_lang"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_correct"))
+        .head()
+      val (nt, nc) = (r.getLong(0), r.getLong(1))
+      Seq(f, nt, nc,
+        if (nt == 0L) 0.0 else nc.toDouble / nt.toDouble)
+    }
+    assert(fused == unfused,
+      s"fused=$fused\nunfused=$unfused")
+  }
 }
