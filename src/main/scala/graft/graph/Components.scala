@@ -51,6 +51,21 @@ object Components {
     cnt * lit(VotePackLim) + (lit(VotePackLim - 1) - nl)
   private def voteUnpack(pk: Column): Column =
     lit(VotePackLim - 1) - pk.bitwiseAND(lit(VotePackLim - 1))
+  /** A plan is an acceptable PRE-STAGED edge artifact when its root is
+    * a checkpoint leaf, possibly under projections/filters only (r17:
+    * the consolidated master edge leaf serves undirectedEdges et al. as
+    * column projections — a projection of a materialized leaf scans at
+    * RDD cost and cannot reintroduce the per-superstep build shuffle
+    * this precondition exists to catch; any join/aggregate/exchange
+    * in the lineage still fails it). */
+  private def stagedView(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project => stagedView(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => stagedView(f.child)
+      case _ => false
+    }
+
   private def requireVoteDomain(nodes: DataFrame, who: String): Unit = {
     val r = nodes.agg(max(col("id"))).head()
     if (!r.isNullAt(0))
@@ -335,7 +350,7 @@ object Components {
         // would accept any unpersisted derivative of a checkpointed frame
         // and silently reintroduce the per-superstep full-edge shuffle
         val persisted = ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
-          ue.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+          stagedView(ue.queryExecution.analyzed)
         require(persisted,
           "lpa(stageEdges = false) requires a persisted, src-partitioned edge list " +
             "(cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")
@@ -429,7 +444,7 @@ object Components {
         // would accept any unpersisted derivative of a checkpointed frame
         // and silently reintroduce the per-superstep full-edge shuffle
         val persisted = ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
-          ue.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+          stagedView(ue.queryExecution.analyzed)
         require(persisted,
           "lpaConverged(stageEdges = false) requires a persisted, src-partitioned " +
             "edge list (cache() or localCheckpoint it, e.g. PropertyGraph.undirectedEdges)")

@@ -112,6 +112,59 @@ object PropertyGraph {
 
   private val graphMemo = graft.SessionMemo[PropertyGraph]()
 
+  // ── THE master edge leaf (r17 storage consolidation) ────────────────
+  // One staged undirected (src, dst, w, deg) table per (session, dir):
+  // the supplier↔part distinct pair set in both directions, w = min
+  // l_quantity per pair, deg = undirected degree. supplierPartGraph's
+  // directed edge list, [[undirectedEdges]], [[degreeAdjacency]] and
+  // [[weightedUndirectedEdges]] are all PROJECTIONS of this leaf — the
+  // post-suite block-manager audit measured the four separate
+  // materializations at 362 MB of a 696 MB total (the 200 MB budget
+  // breach the checkpoint swap introduced); one leaf carries the same
+  // information in one footprint. Projections/filters over a
+  // materialized leaf scan at RDD cost and can never reintroduce a
+  // build shuffle.
+  private val masterEdgeMemo = graft.SessionMemo[DataFrame]()
+
+  private def masterEdges(s: SparkSession, d: String): DataFrame =
+    masterEdgeMemo.getOrCompute(s, d) {
+      val e0 = lineitem(s, d)
+        .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
+        .agg(min(col("l_quantity")).cast("long").as("w"),
+          // the temporal edge view rides the SAME pair aggregation —
+          // min ship day per pair (TZ-independent datediff, see the
+          // former temporalEdges note); one column instead of a second
+          // 65 MB materialization of the identical pair set
+          min(expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)"))
+            .as("t"))
+      val ue = e0.select(col("a").as("src"), col("b").as("dst"), col("w"), col("t"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w"), col("t")))
+      val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
+      // STORED NARROW (guide §2.3): ids < 2^21 (loud require), w = a
+      // min l_quantity ≤ 2^31, deg ≤ |V| — all fit INT, halving the
+      // retained leaf; the views cast back to the LONG schema every
+      // consumer expects (int→long is lossless, so results are
+      // bit-identical).
+      val maxId = e0.agg(max(col("b"))).head().getLong(0)
+      require(maxId < (1L << 21),
+        s"master edge leaf int encoding: max vertex id $maxId >= 2^21 — " +
+          "widen the stored columns before ids this large")
+      ue.join(deg, "src")
+        .select(col("src").cast("int").as("src"),
+          col("dst").cast("int").as("dst"),
+          col("w").cast("int").as("w"),
+          col("t").cast("int").as("t"),
+          col("deg").cast("int").as("deg"))
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedBy(_, col("src")))
+    }
+
+  /** The master leaf re-widened to the LONG schema consumers expect. */
+  private def masterEdgesL(s: SparkSession, d: String): DataFrame =
+    masterEdges(s, d).select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"),
+      col("t").cast("long").as("t"), col("deg").cast("long").as("deg"))
+
   def supplierPartGraph(s: SparkSession, d: String): PropertyGraph =
     graphMemo.getOrCompute(s, d) {
       val sup = supplier(s, d)
@@ -119,11 +172,11 @@ object PropertyGraph {
       val prt = part(s, d)
         .select((col("p_partkey") + PartIdOffset).as("id"), lit("Part").as("label"),
           col("p_name").as("name"))
-      val es = lineitem(s, d)
-        .select(col("l_suppkey").as("src"), (col("l_partkey") + PartIdOffset).as("dst"))
-        .distinct()
-        .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"), lit(1.0).as("weight"))
-        .transform(stage)
+      // the supplier→part direction of the master leaf IS the distinct
+      // directed edge list (suppliers sit below PartIdOffset)
+      val es = masterEdgesL(s, d).filter(col("src") < PartIdOffset)
+        .select(col("src"), col("dst"), lit("SUPPLIES").as("rel_type"),
+          lit(1.0).as("weight"))
       PropertyGraph(sup.unionByName(prt), es)
     }
 
@@ -149,9 +202,7 @@ object PropertyGraph {
     * on the superstep join key `src`, cached once per (session, dir). */
   def undirectedEdges(s: SparkSession, d: String): DataFrame =
     undirectedMemo.getOrCompute(s, d) {
-      val e = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
-      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src")).transform(stage)
+      masterEdgesL(s, d).select("src", "dst")
     }
 
   private val degAdjMemo = graft.SessionMemo[DataFrame]()
@@ -163,9 +214,7 @@ object PropertyGraph {
     * extra shuffle of the edge list. */
   def degreeAdjacency(s: SparkSession, d: String): DataFrame =
     degAdjMemo.getOrCompute(s, d) {
-      val ue = undirectedEdges(s, d)
-      val deg = ue.groupBy("src").agg(count(lit(1)).as("deg"))
-      ue.join(deg, "src").transform(stage)
+      masterEdgesL(s, d).select("src", "dst", "deg")
     }
 
   private val nodeIdsMemo = graft.SessionMemo[DataFrame]()
@@ -185,7 +234,7 @@ object PropertyGraph {
   def nodeIdsPartitioned(s: SparkSession, d: String): DataFrame =
     nodeIdsMemo.getOrCompute(s, d) {
       supplierPartGraph(s, d).nodes.select(col("id"))
-        .repartition(col("id")).transform(stage)
+        .transform(stage)
     }
 
   private val weightedUeMemo = graft.SessionMemo[DataFrame]()
@@ -194,12 +243,7 @@ object PropertyGraph {
     * (supplier, part) — the SSSP relaxation input, staged once. */
   def weightedUndirectedEdges(s: SparkSession, d: String): DataFrame =
     weightedUeMemo.getOrCompute(s, d) {
-      val e0 = lineitem(s, d)
-        .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
-        .agg(min(col("l_quantity")).cast("long").as("w"))
-      e0.select(col("a").as("src"), col("b").as("dst"), col("w"))
-        .union(e0.select(col("b").as("src"), col("a").as("dst"), col("w")))
-        .repartition(col("src")).transform(stage)
+      masterEdgesL(s, d).select("src", "dst", "w")
     }
 
   /** Landmark vertices and the BFS depth bound shared by the Spark and
@@ -244,7 +288,7 @@ object PropertyGraph {
   private[graft] def closenessDist(s: SparkSession, d: String): DataFrame =
     closenessDistMemo.getOrCompute(s, d) {
       Components.multiBfs(undirectedEdges(s, d), ClosenessSeeds, SpMaxDepth)
-        .transform(stage)
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedWide)
     }
 
   /** Unroll depth for `graph_path_counts`' per-level MATERIALIZED-CTE
@@ -403,19 +447,7 @@ object PropertyGraph {
     * per (session, dir) like the other adjacency artifacts. */
   private def temporalEdges(s: SparkSession, d: String): DataFrame =
     temporalMemo.getOrCompute(s, d) {
-      val e0 = lineitem(s, d)
-        .groupBy(col("l_suppkey").as("a"), (col("l_partkey") + PartIdOffset).as("b"))
-        .agg(min(expr(
-          // NTZ → DATE → day count vs the epoch: TZ-INDEPENDENT (the
-          // previous CAST-to-TIMESTAMP path silently shifted arrival
-          // days for any library caller whose session TZ wasn't the
-          // UTC our entrypoints set; datediff over dates never looks
-          // at the session TZ and matches the DuckDB oracle's
-          // epoch(l_shipdate)//86400 because ship dates are midnight)
-          "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")).as("t"))
-      e0.select(col("a").as("src"), col("b").as("dst"), col("t"))
-        .union(e0.select(col("b").as("src"), col("a").as("dst"), col("t")))
-        .repartition(col("src")).transform(stage)
+      masterEdgesL(s, d).select("src", "dst", "t")
     }
 
   // ── directed graph for SCC (the reference's graph is DIRECTED:
@@ -530,7 +562,15 @@ object PropertyGraph {
       ue.withColumn("rn", row_number().over(
           Window.partitionBy("src").orderBy("dst")))
         .join(ue.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        // stored narrow (ids < 2^21 — the master leaf's loud require;
+        // rn/deg ≤ degree), re-widened to the consumer schema below
+        .select(col("src").cast("int").as("src"),
+          col("dst").cast("int").as("dst"), col("rn"),
+          col("deg").cast("int").as("deg"))
         .transform(stage)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("rn"),
+          col("deg").cast("long").as("deg"))
     }
 
   private val walkMemo = graft.SessionMemo[DataFrame]()
@@ -561,7 +601,7 @@ object PropertyGraph {
       // hash(walker) exchange at build time collapses the cache to the
       // session partition count AND co-locates each walker's steps for
       // the skip-gram self-join.
-      steps.reduce(_ unionByName _).repartition(col("walker")).transform(stage)
+      steps.reduce(_ unionByName _).transform(org.apache.spark.sql.graft.GenSnap.stagedBy(_, col("walker")))
     }
 
   /** The walk unroll as a complete SELECT — shared by
@@ -707,7 +747,10 @@ object PropertyGraph {
       .join(labels.select(col("id").as("dst"), col("c").as("cd")), "dst")
       .groupBy(col("cs").as("src"), col("cd").as("dst"))
       .agg(sum("w").as("w"))
-      .transform(GenSnap.snap) // read by every half-step of the level
+      // staged (eager, SERIALIZED): read by every half-step of the
+      // level, and the level-2 quotient is session-retained via
+      // louvainL2Memo — the audit read the deserialized snap at 60 MB
+      .transform(GenSnap.staged)
 
   /** Hierarchy level cap (level 1 = bipartite sweeps + up to 7 quotient
     * levels). Usage probed ("louvain_levels") and margin-pinned at
@@ -880,7 +923,7 @@ object PropertyGraph {
   private def sigmaTower(s: SparkSession, d: String): DataFrame =
     sigmaMemo.getOrCompute(s, d) {
       Components.multiBfsCounts(undirectedEdges(s, d), SpLandmarks, SigmaUnroll)
-        .transform(stage)
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedWide)
     }
 
   /** The σ tower (multi-source shortest-path counts) as DuckDB CTEs —
@@ -1505,7 +1548,7 @@ object PropertyGraph {
         // per (session, dir) instead of re-running the forward BFS
         val tower = sampledTowerMemo.getOrCompute(s, d) {
           Components.multiBfsCounts(undirectedEdges(s, d), seeds, SigmaUnroll)
-            .transform(stage)
+            .transform(org.apache.spark.sql.graft.GenSnap.stagedWide)
         }
         Components.betweenness(undirectedEdges(s, d), seeds, SigmaUnroll,
             tower = Some(tower))

@@ -290,7 +290,18 @@ object Vector {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= width).drop("rk")
       .transform(GenSnap.snap) // per-hop snap: the MMR 2^hops lesson
-    for (h <- 1 to GsHops) {
+    // EARLY EXIT (r17 optimization round): a hop whose cut admits no
+    // new entrant leaves the beam — and therefore every later hop — a
+    // no-op, so the unroll stops there (the gsBeamServe convention,
+    // extended to the memo-index unrolls). The per-hop count is a full
+    // scan of the just-snapped beam (safe for the lazy checkpoint, the
+    // minLabel discipline) and replaces the ~6 AQE stage-jobs each dead
+    // trailing hop used to cost; the search uses 5-7 of the 10 bounded
+    // hops at sf0.1, so 3-5 dead unrolls drop per query. Results are
+    // identical; the convergence require still reads max(eh).
+    var h = 1
+    var live = true
+    while (live && h <= GsHops) {
       val frontier = beam.filter(col("eh") === h - 1)
         .select(col("id").as("src"))
       val cand = frontier.join(adj, "src").select(col("dst").as("id"))
@@ -302,6 +313,8 @@ object Vector {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= width).drop("rk")
         .transform(GenSnap.snap)
+      if (beam.filter(col("eh") === h).count() == 0L) live = false
+      h += 1
     }
     (beam, scoredAll)
   }
@@ -2009,7 +2022,12 @@ object Vector {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= GsBeam).drop("rk")
           .transform(GenSnap.snap)
-        for (h <- 1 to GsHops) {
+        // early exit once NO probe's beam admitted a new entrant this
+        // hop — all probes' remaining unrolls are then no-ops (the
+        // gsBeamFrom note); the batch uses 7-8 of the 10 bounded hops
+        var h = 1
+        var live = true
+        while (live && h <= GsHops) {
           val frontier = beam.filter(col("eh") === h - 1)
             .select(col("probe_id"), col("id").as("src"))
           val cand = frontier.join(adj, "src")
@@ -2021,6 +2039,8 @@ object Vector {
             .withColumn("rk", row_number().over(w))
             .filter(col("rk") <= GsBeam).drop("rk")
             .transform(GenSnap.snap)
+          if (beam.filter(col("eh") === h).count() == 0L) live = false
+          h += 1
         }
         val maxEh = beam.agg(max("eh")).head().getInt(0)
         graft.tools.BoundProbe.record("graph_beam_search_batch", maxEh + 1, GsHops)

@@ -22,8 +22,14 @@ object StorageAudit {
       println(s"== $tag: ${st.length} cached RDDs, " +
         s"${st.map(_.memSize).sum / 1048576} MB mem, " +
         s"${st.map(_.diskSize).sum / 1048576} MB disk ==")
+      // rdd.toString carries the creation call site (the graft frame —
+      // GenSnap lives under org.apache.spark so Spark's callsite walker
+      // skips it), which names WHICH memo a resident belongs to
+      val live = spark.sparkContext.getPersistentRDDs
       st.take(15).foreach { i =>
-        println(f"${i.memSize / 1048576.0}%9.1f MB  id=${i.id}%-6d ${i.name.take(80)}")
+        val site = live.get(i.id).map(_.toString.take(110))
+          .getOrElse(i.name.take(80))
+        println(f"${i.memSize / 1048576.0}%9.1f MB  id=${i.id}%-6d $site")
       }
     }
     for (p <- 1 to passes) {

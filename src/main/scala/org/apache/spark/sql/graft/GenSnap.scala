@@ -67,15 +67,79 @@ object GenSnap {
     * being re-evaluated rather than served from built blocks. A
     * materialized checkpoint leaf scans at plain-RDD cost (the same
     * queries dropped to 2-6 s executor CPU) and is the honest 100 TB
-    * shape anyway: a persisted table, written once, read many times. */
-  def staged(df: DataFrame): DataFrame = {
-    val s = snap(df)
+    * shape anyway: a persisted table, written once, read many times.
+    *
+    * Partitioning note (r17, measured twice): the staged leaf records
+    * UnknownPartitioning — and that is the RIGHT trade. An AQE-off
+    * build that records the true hash partitioning was tried mid-round:
+    * the claimed co-partitioning makes the planner keep sort-merge
+    * joins STATICALLY (no exchange ⇒ no runtime stats ⇒ no AQE
+    * broadcast conversion), so every fixpoint superstep re-SORTED the
+    * edge side — graph_temporal_reach summed executor CPU 2.6 → 46 s,
+    * graph_hits 3 → 18 s. The per-consumer Exchange of the leaf is the
+    * cheaper side, exactly as the snap() DEAD-END note concluded for
+    * per-generation checkpoints.
+    *
+    * Width note (r17, measured on the checkpoint bench, BOTH ways): a
+    * staged leaf's partition count is FROZEN at materialization, and
+    * the build's final exchange is AQE-coalesced — a 600 k-row artifact
+    * checkpoints at ~4 partitions, so a CPU-DENSE consumer stage rooted
+    * at the leaf (the common-neighbors pair explosion, the
+    * jaccard/butterfly wedge joins, the Brandes backward sweep) runs on
+    * 4 of 32 cores (graph_common_neighbors_salted 2.19 → 5.01 s). Leaf
+    * scans cannot be re-widened by AQE downstream. The inverse also
+    * measured: widening EVERY leaf taxes the many-tiny-scans consumers
+    * (a beam hop scans its adjacency 10×/query; ann_graph_search_batch
+    * 3.5 → 5.8 s at uniform width 32). So width is a PER-ARTIFACT
+    * choice: [[stagedWide]]/[[stagedBy]] repartition the build to the
+    * SESSION SHUFFLE PARALLELISM (scale-adaptive — the conf, not a
+    * constant) for substrates with CPU-dense consumers; plain
+    * [[staged]] keeps the build's natural width for
+    * point-scan/serving artifacts. */
+  def staged(df: DataFrame): DataFrame = eagerSnap(df)
+
+  /** [[staged]] at the session shuffle parallelism (round-robin) — for
+    * artifacts whose consumers do CPU-dense work directly over the leaf
+    * scan. */
+  def stagedWide(df: DataFrame): DataFrame =
+    eagerSnap(df.repartition(numShufflePartitions(df)))
+
+  /** [[stagedWide]] with the leaf rows CLUSTERED by `keys` (hash layout
+    * at the session parallelism) — keeps co-located keys for consumers'
+    * map-side partial aggregations where the old cache() sites
+    * repartitioned by key. The leaf still advertises
+    * UnknownPartitioning (see the partitioning note). */
+  def stagedBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    eagerSnap(df.repartition(numShufflePartitions(df), keys: _*))
+
+  private def numShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Session-lifetime artifacts persist SERIALIZED (r17): the
+    * deserialized default kept each UnsafeRow as a separate object
+    * (~100-160 B for a 2-4 long row — the post-suite block-manager
+    * audit read 696 MB against the 200 MB budget after the cache()→
+    * checkpoint swap, vs ~30-40 B/row serialized). Scans pay one
+    * Externalizable UnsafeRow read per row — a byte copy, measured in
+    * the noise for every consumer family — and the artifact footprint
+    * drops ~2.5-3×. Per-generation [[snap]]s stay at the default level:
+    * they are reclaimed within a pass, so only peak (not retained)
+    * memory would change. */
+  private def eagerSnap(df: DataFrame): DataFrame = {
+    val s = snapAt(df,
+      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     s.count()
     s
   }
 
-  def snap(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(eager = false)
+  def snap(df: DataFrame): DataFrame = snapAt(df, None)
+
+  private def snapAt(df: DataFrame,
+      level: Option[org.apache.spark.storage.StorageLevel]): DataFrame = {
+    val ck = level match {
+      case Some(l) => df.localCheckpoint(eager = false, l)
+      case None    => df.localCheckpoint(eager = false)
+    }
     ck.queryExecution.logical match {
       case lr: LogicalRDD if lr.stats.sizeInBytes > CapBytes =>
         val rowCount = lr.stats.rowCount.filter(_ <= BigInt(Long.MaxValue))
