@@ -793,7 +793,7 @@ object Components {
     val BcastMax = 1000000L
     def bcastIf(rows: Long, df: DataFrame): DataFrame =
       if (rows <= BcastMax) broadcast(df) else df
-    while (live) {
+    GenSnap.noAqe(spark) { while (live) {
       rounds += 1
       val cand = ue
         .join(bcastIf(frontierRows,
@@ -822,7 +822,7 @@ object Components {
               Seq("id"), "left_anti"))
           .transform(GenSnap.snap)
       }
-    }
+    } }
     (dist, rounds)
   }
 

@@ -59,7 +59,11 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // throwaway experiment knobs (PROBE_CONF="k=v,k=v")
+      .config(sys.env.get("PROBE_CONF").map(_.split(",").map(_.split("=", 2))
+        .collect { case Array(k, v) => (k, v) }.toMap).getOrElse(Map.empty[String, String]))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)

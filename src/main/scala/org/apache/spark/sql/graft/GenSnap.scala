@@ -56,6 +56,36 @@ import org.apache.spark.sql.execution.LogicalRDD
 object GenSnap {
   val CapBytes: BigInt = BigInt(1L) << 36
 
+  /** Run `body` with AQE disabled on `s`'s session conf, restoring the
+    * previous value after (r18 optimization round, guide §1.2-3 +
+    * VERDICT-r17 task 3). Scope: the driver-synced FIXPOINT loops whose
+    * per-superstep exchanges AQE cannot improve — every exchange in a
+    * superstep has a statically known, frontier/label-sized shape (the
+    * adjacency side is a materialized leaf of known size; the join
+    * strategies are already pinned by explicit broadcast hints or
+    * leaf-size estimates), so runtime re-planning changes no decision
+    * and its only observable effect is one extra driver-synced job
+    * submission per exchange materialization. Measured at sf0.1 that
+    * job wave is the WALL of the whole iterative family (probe:
+    * graph_mst_boruvka 117 jobs for 19 s summed executor CPU;
+    * graph_weighted_sssp 52 jobs for a kernel whose warm per-round ops
+    * cost 0.27 s) — and the 8-core bench beating the 32-core bench
+    * (BENCH_r17_c8 204 s vs 242 s) says the same: per-stage driver
+    * latency, not compute, bounds these queries. This is NOT a
+    * local-mode-only setting: the superstep exchanges stay at the
+    * session shuffle parallelism (the conf, not a constant), and the
+    * per-exchange job-wave cost this removes exists on a cluster too.
+    * AQE stays ON everywhere else — artifact builds and one-shot
+    * queries keep runtime re-optimization (the r17 dead-end where an
+    * AQE-off BUILD cost ml_isotonic_calibration 2 s → 47 s is exactly
+    * why this helper scopes to the loop, never the producer). */
+  def noAqe[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = try s.conf.get(k) catch { case _: Throwable => "true" }
+    s.conf.set(k, "false")
+    try body finally s.conf.set(k, prev)
+  }
+
   /** Eagerly-materialized snapshot for session-memoized ARTIFACTS (the
     * staged adjacencies, parsed-embedding tables, sketch tables — built
     * once per session, scanned by every consumer). Replaces the former
