@@ -79,11 +79,28 @@ object GenSnap {
     * queries keep runtime re-optimization (the r17 dead-end where an
     * AQE-off BUILD cost ml_isotonic_calibration 2 s → 47 s is exactly
     * why this helper scopes to the loop, never the producer). */
+  // Depth-counted so CONCURRENT noAqe bodies (Verify's parallel dump
+  // pool runs several fixpoint queries at once) restore correctly: a
+  // naive save/restore pair interleaved across two threads re-reads
+  // "false" as the "previous" value and leaves AQE off for the rest of
+  // the session. The conf flips off at the first enter and back to the
+  // true prior value at the last exit. One session per process (Bench /
+  // Verify / Probe all build exactly one), so a single counter suffices.
+  private val aqeOffDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private var aqeSavedPrev: String = "true"
+  private val aqeLock = new Object
   def noAqe[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    if (sys.env.contains("GRAFT_NOAQE_OFF")) return body // probe A/B escape hatch
     val k = "spark.sql.adaptive.enabled"
-    val prev = try s.conf.get(k) catch { case _: Throwable => "true" }
-    s.conf.set(k, "false")
-    try body finally s.conf.set(k, prev)
+    aqeLock.synchronized {
+      if (aqeOffDepth.getAndIncrement() == 0) {
+        aqeSavedPrev = try s.conf.get(k) catch { case _: Throwable => "true" }
+        s.conf.set(k, "false")
+      }
+    }
+    try body finally aqeLock.synchronized {
+      if (aqeOffDepth.decrementAndGet() == 0) s.conf.set(k, aqeSavedPrev)
+    }
   }
 
   /** Eagerly-materialized snapshot for session-memoized ARTIFACTS (the
