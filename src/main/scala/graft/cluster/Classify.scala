@@ -856,45 +856,53 @@ object Classify {
         var pending: Option[(Int, Int, Long, Long, Long, Long, Double)] = None
         def mseOf(n: Long, ssq: java.math.BigDecimal): Double =
           ssq.doubleValue() / n.toDouble / 10000.0 / 10000.0
+        // r18 optimization round (guide §1.2-1/§2.6): the per-round scan
+        // pass is ONE partial-agg'd groupBy over ~50 qty groups — so the
+        // cum-sum window, the totals crossJoin (which re-computed the
+        // whole aggregation for the broadcast side), and the top-1 sort
+        // all moved to the DRIVER over the collected ≤50-row aggregate
+        // (the same driver-boundary class as the 1-row stump collect it
+        // replaces — a reduction result, never row data). One job per
+        // round instead of four; the scalar math is the identical IEEE64
+        // expression tree (casts, floor(x + 0.5), the gain formula), the
+        // cum sums are exact BIGINTs in the same qty order, and the Σr²
+        // total is an exact integer-decimal sum — so every emitted
+        // number is bit-identical (Round12Spec/Round18Spec pin it).
         for (t <- 1 to K) {
           val byQty = resid.groupBy("qty")
             .agg(count(lit(1)).as("cnt"), sum("r").as("sr"),
               sum(dec38(col("r")) * col("r")).as("ssqp"))
-          val tot = byQty.agg(sum("cnt").as("n"), sum("sr").as("s"),
-            sum("ssqp").as("ssq"))
-          val wCum = Window.orderBy("qty")
-            .rowsBetween(Window.unboundedPreceding, 0)
-          val best = byQty
-            .withColumn("nl", sum("cnt").over(wCum))
-            .withColumn("sl", sum("sr").over(wCum))
-            .crossJoin(broadcast(tot))
-            .filter(col("nl") < col("n"))
-            .select(col("qty"), col("nl"), (col("n") - col("nl")).as("nr"),
-              floor(col("sl").cast("double") /
-                (lit(2.0) * col("nl").cast("double")) + 0.5)
-                .cast("long").as("vl"),
-              floor((col("s") - col("sl")).cast("double") /
-                (lit(2.0) * (col("n") - col("nl")).cast("double")) + 0.5)
-                .cast("long").as("vr"),
-              ((col("sl").cast("double") * col("sl").cast("double") /
-                col("nl").cast("double") +
-                (col("s") - col("sl")).cast("double") *
-                  (col("s") - col("sl")).cast("double") /
-                  (col("n") - col("nl")).cast("double") -
-                col("s").cast("double") * col("s").cast("double") /
-                  col("n").cast("double")) / 10000.0).as("gain"),
-              col("n"), col("ssq"))
-            .orderBy(col("gain").desc, col("qty").asc).limit(1)
-            .collect()(0) // 1-row driver boundary: the round's stump
-          val (q, nl, nr) = (best.getInt(0), best.getLong(1), best.getLong(2))
-          val (vl, vr, gain) = (best.getLong(3), best.getLong(4), best.getDouble(5))
+            .collect() // ≤ |distinct qty| ≈ 50-row driver boundary
+            .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+            .sortBy(_._1)
+          val n = byQty.map(_._2).sum
+          val sTot = byQty.map(_._3).sum
+          val ssq = byQty.map(_._4).foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          var nl = 0L; var sl = 0L
+          var bq = 0; var bnl = 0L; var bvl = 0L; var bvr = 0L
+          var bg = Double.NegativeInfinity
+          for ((q, cnt, sr, _) <- byQty) {
+            nl += cnt; sl += sr
+            if (nl < n) {
+              val gain = (sl.toDouble * sl.toDouble / nl.toDouble +
+                (sTot - sl).toDouble * (sTot - sl).toDouble / (n - nl).toDouble -
+                sTot.toDouble * sTot.toDouble / n.toDouble) / 10000.0
+              if (gain > bg) { // ascending qty scan ⇒ first max wins the qty ASC tie
+                bg = gain; bq = q; bnl = nl
+                bvl = math.floor(sl.toDouble / (2.0 * nl.toDouble) + 0.5).toLong
+                bvr = math.floor((sTot - sl).toDouble /
+                  (2.0 * (n - nl).toDouble) + 0.5).toLong
+              }
+            }
+          }
+          val (q, nl2, nr) = (bq, bnl, n - bnl)
+          val (vl, vr, gain) = (bvl, bvr, bg)
           // this round's scan saw the PREVIOUS update's residuals: its
           // Σr²/n completes the previous round's reported train_mse
           pending.foreach { case (pt, pq, pnl, pnr, pvl, pvr, pg) =>
-            rows += ((pt, pq, pnl, pnr, pvl, pvr, pg,
-              mseOf(best.getLong(6), best.getDecimal(7))))
+            rows += ((pt, pq, pnl, pnr, pvl, pvr, pg, mseOf(n, ssq)))
           }
-          pending = Some((t, q, nl, nr, vl, vr, gain))
+          pending = Some((t, q, nl2, nr, vl, vr, gain))
           resid = resid.select(col("qty"),
             (col("r") - when(col("qty") <= lit(q), lit(vl)).otherwise(lit(vr)))
               .as("r"))

@@ -63,6 +63,9 @@ object Components {
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case pr: org.apache.spark.sql.catalyst.plans.logical.Project => stagedView(pr.child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => stagedView(f.child)
+      // hot leaves carry a no-broadcast ResolvedHint (GenSnap) — a
+      // transparent unary wrapper over the materialized leaf
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => stagedView(h.child)
       case _ => false
     }
 

@@ -156,7 +156,10 @@ object PropertyGraph {
           col("w").cast("int").as("w"),
           col("t").cast("int").as("t"),
           col("deg").cast("int").as("deg"))
-        .transform(org.apache.spark.sql.graft.GenSnap.stagedBy(_, col("src")))
+        // HOT: every fixpoint superstep scans this leaf (a 30-round SSSP
+        // alone reads it 30×) — columnar-cached, disk-backed (GenSnap
+        // stagedByHot scaladoc has the measured SER-scan-tax numbers)
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedByHot(_, col("src")))
     }
 
   /** The master leaf re-widened to the LONG schema consumers expect. */
@@ -234,7 +237,9 @@ object PropertyGraph {
   def nodeIdsPartitioned(s: SparkSession, d: String): DataFrame =
     nodeIdsMemo.getOrCompute(s, d) {
       supplierPartGraph(s, d).nodes.select(col("id"))
-        .transform(stage)
+        // HOT: the loop-invariant LEFT side of every power-iteration
+        // merge — scanned once per superstep by pagerank/ppr/katz
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedHot)
     }
 
   private val weightedUeMemo = graft.SessionMemo[DataFrame]()
@@ -288,7 +293,7 @@ object PropertyGraph {
   private[graft] def closenessDist(s: SparkSession, d: String): DataFrame =
     closenessDistMemo.getOrCompute(s, d) {
       Components.multiBfs(undirectedEdges(s, d), ClosenessSeeds, SpMaxDepth)
-        .transform(org.apache.spark.sql.graft.GenSnap.stagedWide)
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedWideHot)
     }
 
   /** Unroll depth for `graph_path_counts`' per-level MATERIALIZED-CTE
@@ -567,7 +572,11 @@ object PropertyGraph {
         .select(col("src").cast("int").as("src"),
           col("dst").cast("int").as("dst"), col("rn"),
           col("deg").cast("int").as("deg"))
-        .transform(stage)
+        // HOT + clustered at session width: node2vec alone scans this
+        // substrate 12×/query (nbr + adj per step), and its consumer
+        // stages were width-starved at the natural (AQE-coalesced) leaf
+        // width — the r17 regression VERDICT task 1 names
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedByHot(_, col("src")))
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"), col("rn"),
           col("deg").cast("long").as("deg"))
@@ -601,7 +610,7 @@ object PropertyGraph {
       // hash(walker) exchange at build time collapses the cache to the
       // session partition count AND co-locates each walker's steps for
       // the skip-gram self-join.
-      steps.reduce(_ unionByName _).transform(org.apache.spark.sql.graft.GenSnap.stagedBy(_, col("walker")))
+      steps.reduce(_ unionByName _).transform(org.apache.spark.sql.graft.GenSnap.stagedByHot(_, col("walker")))
     }
 
   /** The walk unroll as a complete SELECT — shared by
@@ -747,10 +756,11 @@ object PropertyGraph {
       .join(labels.select(col("id").as("dst"), col("c").as("cd")), "dst")
       .groupBy(col("cs").as("src"), col("cd").as("dst"))
       .agg(sum("w").as("w"))
-      // staged (eager, SERIALIZED): read by every half-step of the
-      // level, and the level-2 quotient is session-retained via
-      // louvainL2Memo — the audit read the deserialized snap at 60 MB
-      .transform(GenSnap.staged)
+      // staged HOT (columnar cache over a disk leaf): read by every
+      // half-step of the level, and the level-2 quotient is
+      // session-retained via louvainL2Memo — the r18 audit read the SER
+      // snap at 32.7 MB; columnar is both smaller and ~5× cheaper/scan
+      .transform(GenSnap.stagedHot)
 
   /** Hierarchy level cap (level 1 = bipartite sweeps + up to 7 quotient
     * levels). Usage probed ("louvain_levels") and margin-pinned at
@@ -923,7 +933,7 @@ object PropertyGraph {
   private def sigmaTower(s: SparkSession, d: String): DataFrame =
     sigmaMemo.getOrCompute(s, d) {
       Components.multiBfsCounts(undirectedEdges(s, d), SpLandmarks, SigmaUnroll)
-        .transform(org.apache.spark.sql.graft.GenSnap.stagedWide)
+        .transform(org.apache.spark.sql.graft.GenSnap.stagedWideHot)
     }
 
   /** The σ tower (multi-source shortest-path counts) as DuckDB CTEs —
@@ -1548,7 +1558,7 @@ object PropertyGraph {
         // per (session, dir) instead of re-running the forward BFS
         val tower = sampledTowerMemo.getOrCompute(s, d) {
           Components.multiBfsCounts(undirectedEdges(s, d), seeds, SigmaUnroll)
-            .transform(org.apache.spark.sql.graft.GenSnap.stagedWide)
+            .transform(org.apache.spark.sql.graft.GenSnap.stagedWideHot)
         }
         Components.betweenness(undirectedEdges(s, d), seeds, SigmaUnroll,
             tower = Some(tower))

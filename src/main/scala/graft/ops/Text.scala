@@ -2403,7 +2403,16 @@ object Text {
       "dedup_setsim_prefix",
       (s, d) => {
         val W = 5
+        // Width before CPU (guide §2.5, the dedup_recall_report recipe):
+        // the 5-gram rolling-hash sketch below is interpreted-HOF work
+        // (~6 s executor CPU at sf0.1) and the documents scan is 1-2
+        // input splits — unrepartitioned, the whole sketch ran on ≤2 of
+        // 32 cores (probe: 10 tasks across 8 stages for the entire
+        // query). One tiny exchange of the raw docs buys 32-wide
+        // sketching; results are row-order-independent (set semantics +
+        // final ORDER BY).
         val sk = documents(s, d)
+          .repartition(s.sessionState.conf.numShufflePartitions)
           .select(col("doc_id"), wordHashes(tokens(col("text"))).as("wh"))
           .select(col("doc_id"),
             array_distinct(when(size(col("wh")) >= W,
@@ -3708,12 +3717,22 @@ object Text {
         // the engines diverge on the degenerate case — Spark's
         // split()[1] yields NULL (null-rejected by the equi-join) where
         // DuckDB's split_part yields '' (which would join).
+        // Width before CPU (guide §2.5): the block join explodes ~20 k
+        // parts into ~1 M candidate pairs and runs levenshtein INSIDE
+        // the probe stage of the broadcast join — whose width is the
+        // part.parquet scan's 1-2 input splits. Repartitioning the
+        // streamed side to the session parallelism runs the verify on
+        // all cores; one ~20 k-row exchange, result order-independent
+        // (total-order ORDER BY + LIMIT at the end).
         val p = part(s, d)
           .filter(col("p_name").contains(" "))
           .select(col("p_partkey"), col("p_name"), col("p_brand"),
             split(col("p_name"), " ").getItem(1).as("noun"))
-        val a = p.toDF("pa", "name_a", "brand", "noun")
-        val b = p.toDF("pb", "name_b", "brand", "noun")
+        // both sides widened: the planner broadcasts whichever side it
+        // likes, and the OTHER side's width is what the verify runs at
+        val wide = p.repartition(s.sessionState.conf.numShufflePartitions)
+        val a = wide.toDF("pa", "name_a", "brand", "noun")
+        val b = wide.toDF("pb", "name_b", "brand", "noun")
         a.join(b, Seq("brand", "noun"))
           .filter(col("pa") < col("pb"))
           .select(col("pa"), col("pb"), col("name_a"), col("name_b"),

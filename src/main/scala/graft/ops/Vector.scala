@@ -230,7 +230,10 @@ object Vector {
       val e = embeddings(s, d)
         .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
         .transform(GenSnap.staged)
-      val adj = gsAdjTable(s, base).select("src", "dst").transform(GenSnap.staged)
+      // HOT: every beam hop of every serve query scans the adjacency
+      // (~10 hops × 8 queries per pass) — columnar int columns
+      val adj = gsAdjTable(s, base).select("src", "dst")
+        .transform(GenSnap.stagedHot)
       (e, n, adj)
     }
 

@@ -67,19 +67,32 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
-    for (n <- names; pass <- 1 to 2) {
-      if (pass == 1 && sys.env.contains("PROBE_EXPLAIN"))
-        graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      acc.reset()
-      val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // settle the async listener bus before reading the counters
-      Thread.sleep(300)
-      println(s"PROBE $n pass=$pass rows=$rows sec=$sec")
-      println(s"METRICS $n pass=$pass ${acc.line}")
-      if (sys.env.contains("PROBE_STAGES") && pass == 2)
-        acc.topStages(12).foreach(println)
+    // best-of-N (PROBE_PASSES, default 2): the box's external tenant
+    // swings single-pass wall ±50%; the min over N warm passes is the
+    // steady-state estimate, same rationale as Bench's best-of-3
+    val passes = sys.env.get("PROBE_PASSES").map(_.toInt).getOrElse(2)
+    for (n <- names) {
+      var best = Double.MaxValue; var bestCpu = Double.MaxValue
+      for (pass <- 1 to passes) {
+        if (pass == 1 && sys.env.contains("PROBE_EXPLAIN"))
+          graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+        acc.reset()
+        val t0 = System.nanoTime()
+        val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // settle the async listener bus before reading the counters
+        Thread.sleep(300)
+        println(s"PROBE $n pass=$pass rows=$rows sec=$sec")
+        println(s"METRICS $n pass=$pass ${acc.line}")
+        if (pass > 1) { // warm passes only
+          best = math.min(best, sec)
+          bestCpu = math.min(bestCpu, acc.cpuMs.get / 1000.0)
+        }
+        if (sys.env.contains("PROBE_STAGES") && pass == passes)
+          acc.topStages(12).foreach(println)
+      }
+      if (passes > 1)
+        println(f"BEST $n sec=$best%.3f execCpu=$bestCpu%.1fs")
     }
     spark.stop()
   }

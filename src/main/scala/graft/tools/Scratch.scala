@@ -51,8 +51,47 @@ object Scratch {
       println(f"SCRATCH $mode/$name memMB=${st.map(_.memSize).sum / 1048576}")
       ck.unpersist(true)
     }
+    if (mode == "leaf") {
+      // the REAL master-leaf view: is the columnar cache serving scans?
+      val ue = graft.graph.PropertyGraph.undirectedEdges(spark, "/root/testdata/sf0.1")
+      ue.explain("formatted")
+      for (p <- 1 to 3) {
+        acc.cpu.set(0)
+        val t0 = System.nanoTime()
+        ue.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"SCRATCH leaf scan p$p sec=$sec%.3f cpu=${acc.cpu.get / 1000.0}%.2fs")
+      }
+      val st = spark.sparkContext.getRDDStorageInfo
+      st.sortBy(-_.memSize).take(5).foreach(i =>
+        println(f"SCRATCH leaf resident mem=${i.memSize / 1048576.0}%.1f disk=${i.diskSize / 1048576.0}%.1f MB ${i.name}"))
+      spark.stop(); return
+    }
     if (mode == "java") trial("deser", StorageLevel.MEMORY_AND_DISK)
     trial("ser", StorageLevel.MEMORY_AND_DISK_SER)
+    // columnar cache OVER a serialized checkpoint leaf: does the
+    // InMemoryTableScan serve built columnar batches (small + fast), or
+    // re-evaluate the child per scan (r17's cache() pathology)?
+    if (mode == "java") {
+      val ck = base.localCheckpoint(eager = false,
+        StorageLevel.MEMORY_AND_DISK_SER)
+      ck.count()
+      val c2 = ck.cache()
+      c2.count()
+      for (p <- 1 to 3) {
+        acc.cpu.set(0)
+        val t0 = System.nanoTime()
+        c2.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        println(f"SCRATCH cache-over-leaf scan p$p sec=$sec%.3f cpu=${acc.cpu.get / 1000.0}%.2fs")
+      }
+      val st = spark.sparkContext.getRDDStorageInfo
+      st.sortBy(-_.memSize).take(3).foreach(i =>
+        println(f"SCRATCH cache-over-leaf resident ${i.memSize / 1048576.0}%.1f MB ${i.name}"))
+      c2.unpersist(true); ck.unpersist(true)
+    }
     spark.stop()
   }
 }

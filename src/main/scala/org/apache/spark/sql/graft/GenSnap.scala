@@ -143,13 +143,13 @@ object GenSnap {
     * constant) for substrates with CPU-dense consumers; plain
     * [[staged]] keeps the build's natural width for
     * point-scan/serving artifacts. */
-  def staged(df: DataFrame): DataFrame = eagerSnap(df)
+  def staged(df: DataFrame): DataFrame = eagerSnap(df, hot = false)
 
   /** [[staged]] at the session shuffle parallelism (round-robin) — for
     * artifacts whose consumers do CPU-dense work directly over the leaf
     * scan. */
   def stagedWide(df: DataFrame): DataFrame =
-    eagerSnap(df.repartition(numShufflePartitions(df)))
+    eagerSnap(df.repartition(numShufflePartitions(df)), hot = false)
 
   /** [[stagedWide]] with the leaf rows CLUSTERED by `keys` (hash layout
     * at the session parallelism) — keeps co-located keys for consumers'
@@ -157,7 +157,39 @@ object GenSnap {
     * repartitioned by key. The leaf still advertises
     * UnknownPartitioning (see the partitioning note). */
   def stagedBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
-    eagerSnap(df.repartition(numShufflePartitions(df), keys: _*))
+    eagerSnap(df.repartition(numShufflePartitions(df), keys: _*), hot = false)
+
+  // ── HOT variants: columnar-cached leaves for scan-hot substrates ────
+  // (r18 optimization round, guide §1.2-2/§5.) The SER level taxes every
+  // scan with a per-row Externalizable UnsafeRow read + object churn:
+  // measured on a synthetic 1.3 M × 5-int leaf (tools/Scratch), a
+  // steady-state full scan costs 0.9-1.1 s executor CPU serialized vs
+  // ~0.1 s deserialized — and the fixpoint family scans its substrate
+  // leaves EVERY superstep (a 30-round SSSP scans the 2.6 M-row edge
+  // leaf 30×/query; the probe showed those scan stages at ~250 ms/task,
+  // ~10× the deserialized cost, with matching GC). Deserialized rows are
+  // no answer either (133 MB vs 82 MB SER for that frame — the budget
+  // breaks). The measured winner is a COLUMNAR cache() LAYERED OVER the
+  // checkpoint leaf: 17.7 MB resident (compressed int columns), scans at
+  // 0.06 s wall / 0.2 s CPU (tools/Scratch "cache-over-leaf"). The r17
+  // cache() pathology (cached child re-evaluated per scan) does not
+  // apply — the cached child here is the materialized LEAF, a plan with
+  // no exchanges for AQE to re-plan, so the columnar build happens once
+  // and every scan reads built batches. The leaf itself drops to
+  // DISK_ONLY: after the columnar build it is read again only if the
+  // cache is evicted, so it stops occupying block-manager memory
+  // entirely (the post-suite storage budget counts memory; the disk
+  // copy is the honest persisted-table backing a 100 TB substrate has
+  // anyway). Consumers' plans still root at the leaf (cache() does not
+  // rewrite the logical plan), so Components' staged-edge preconditions
+  // keep holding.
+  def stagedHot(df: DataFrame): DataFrame = eagerSnap(df, hot = true)
+
+  def stagedWideHot(df: DataFrame): DataFrame =
+    eagerSnap(df.repartition(numShufflePartitions(df)), hot = true)
+
+  def stagedByHot(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    eagerSnap(df.repartition(numShufflePartitions(df), keys: _*), hot = true)
 
   private def numShufflePartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
@@ -172,12 +204,49 @@ object GenSnap {
     * drops ~2.5-3×. Per-generation [[snap]]s stay at the default level:
     * they are reclaimed within a pass, so only peak (not retained)
     * memory would change. */
-  private def eagerSnap(df: DataFrame): DataFrame = {
-    val s = snapAt(df,
-      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
-    s.count()
-    s
-  }
+  private def eagerSnap(df: DataFrame, hot: Boolean): DataFrame =
+    if (hot) {
+      // Hot = columnar cache re-wrapped as a stats-honest LEAF. Two
+      // rejected designs, both measured on the mini-bench:
+      //  1. returning the cache()d frame directly: once built,
+      //     InMemoryRelation.computeStats advertises the COMPRESSED
+      //     batch size (8.8 MB for the 2.6 M-row master edge leaf) —
+      //     under the 10 MB auto-broadcast threshold, so superstep
+      //     joins flipped to broadcasting millions of edge rows
+      //     (graph_temporal_reach 4.6 → 14.3 s, fixpoint family
+      //     +30-100%);
+      //  2. fencing with an internal NO_BROADCAST_HASH ResolvedHint:
+      //     EliminateResolvedHint attaches the hint to the nearest JOIN
+      //     ABOVE the leaf, so every derived frame transitively
+      //     containing the substrate — including tiny aggregated
+      //     frontiers — lost broadcast eligibility and forced SMJ
+      //     (graph_betweenness 4.4 → 7.6 s on the same box window).
+      // The leaf wrap gives the planner the same honest row-size stats
+      // the SER leaf had (no join-strategy change anywhere) while every
+      // scan decodes the columnar cache (~0.1 s CPU vs 0.9-1.1 s SER
+      // per 1.3 M-row scan, tools/Scratch). The wrapped RDD is the
+      // cached plan's executed RDD — reading it re-decodes built
+      // batches; the InMemoryRelation stays referenced through it.
+      val leaf = snapAt(df,
+        Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      val cached = leaf.cache()
+      cached.count() // one pass: disk leaf + columnar build
+      val lr = leaf.queryExecution.logical.asInstanceOf[LogicalRDD]
+      val rdd = cached.queryExecution.executedPlan.execute()
+      val out = new LogicalRDD(
+        lr.output, rdd, lr.outputPartitioning, lr.outputOrdering,
+        lr.isStreaming, lr.stream)(
+        df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        Some(Statistics(sizeInBytes = lr.stats.sizeInBytes,
+          rowCount = lr.stats.rowCount)),
+        Some(lr.constraints))
+      Bridge.ofRows(df.sparkSession, out)
+    } else {
+      val s = snapAt(df,
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      s.count()
+      s
+    }
 
   def snap(df: DataFrame): DataFrame = snapAt(df, None)
 
