@@ -372,8 +372,14 @@ object Components {
       .transform(GenSnap.snap)
     requireVoteDomain(nodes, "lpa")
     for (_ <- 1 to iters) {
+      // ONE exchange per vote (r18, guide §2.4): hash(dst) satisfies
+      // the clustered distribution of BOTH the (dst, nl) count and the
+      // by-dst argmax, so an explicit dst repartition lets the two
+      // aggregations run partition-local over a single shuffle instead
+      // of one exchange each. Counts and the packed max are unchanged.
       val votes = ueBySrc
         .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
       val best = votes.groupBy(col("dst"))
         .agg(max(votePack(col("cnt"), col("nl"))).as("pk"))
@@ -461,8 +467,10 @@ object Components {
     var live = true
     while (live && history.size < maxIters) {
       for (c <- 0 to 1) {
+        // same one-exchange vote shape as [[lpa]] (r18, guide §2.4)
         val votes = ueBySrc.filter(color(col("dst")) === c)
           .join(lbl.select(col("id").as("src"), col("l").as("nl")), "src")
+          .repartition(col("dst"))
           .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
         val best = votes.groupBy(col("dst"))
           .agg(max(votePack(col("cnt"), col("nl"))).as("pk"))
@@ -796,7 +804,12 @@ object Components {
     val BcastMax = 1000000L
     def bcastIf(rows: Long, df: DataFrame): DataFrame =
       if (rows <= BcastMax) broadcast(df) else df
-    GenSnap.noAqe(spark) { while (live) {
+    // noAqe wrap REVERTED (r18): the interrupted session wrapped this
+    // loop unbenched; the full bench measured it 3.37 -> 4.64 s (0.73x).
+    // Without AQE the per-round exchanges stay at 32 partitions and the
+    // coalesced-to-few task shape AQE gives these tiny frontier
+    // aggregations is worth more than the per-exchange job-wave it costs.
+    while (live) {
       rounds += 1
       val cand = ue
         .join(bcastIf(frontierRows,
@@ -825,7 +838,7 @@ object Components {
               Seq("id"), "left_anti"))
           .transform(GenSnap.snap)
       }
-    } }
+    }
     (dist, rounds)
   }
 
@@ -844,9 +857,19 @@ object Components {
     * nothing driver-side but the round counter.
     *
     * @param ue weighted undirected edges (src, dst, w) — both directions.
+    * @param uniquePairs caller asserts ue has EXACTLY ONE row per
+    *        directed (src, dst) pair with w already the pair minimum —
+    *        true for the session substrate, whose build IS a
+    *        groupBy(pair).min aggregation (PropertyGraph.masterEdges).
+    *        Skips round 1's canonicalizing re-aggregation, which the
+    *        r18 probe measured at ~13 s summed executor CPU (the
+    *        query's top-2 stages) re-deriving what the leaf already
+    *        holds. The filter to src < dst alone then yields the same
+    *        one-row-per-pair frame (min over a singleton group), so the
+    *        forest is bit-identical.
     * @return ((round, lo, hi, w) — the forest edges, tagged with the
     *         round that picked them; rounds run). */
-  def boruvkaMst(ue: DataFrame): (DataFrame, Int) = {
+  def boruvkaMst(ue: DataFrame, uniquePairs: Boolean = false): (DataFrame, Int) = {
     // Contracted representation: one canonical row per CURRENT component
     // pair, carrying the lightest original edge (w, lo, hi) between them
     // — the textbook Borůvka contraction. The work set shrinks
@@ -889,12 +912,16 @@ object Components {
     // initial canonical pairs: lo = a and hi = b are CONSTANT within a
     // (src, dst) group, so the former min(struct(w, lo, hi)) is just
     // min(w) — hash-aggregable directly, no pack needed
-    var edges = ue.filter(col("src") < col("dst"))
-      .groupBy(col("src").as("a"), col("dst").as("b"))
-      .agg(min(col("w")).as("w"))
-      .select(col("a"), col("b"), col("w"), col("a").as("lo"),
+    var edges = {
+      val half = ue.filter(col("src") < col("dst"))
+      val canon =
+        if (uniquePairs) half.select(col("src").as("a"), col("dst").as("b"), col("w"))
+        else half
+          .groupBy(col("src").as("a"), col("dst").as("b"))
+          .agg(min(col("w")).as("w"))
+      canon.select(col("a"), col("b"), col("w"), col("a").as("lo"),
         col("b").as("hi"))
-      .transform(GenSnap.snap)
+    }.transform(GenSnap.snap)
     var mst: DataFrame = null
     var rounds = 0
     var live = true

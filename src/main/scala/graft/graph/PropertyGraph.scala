@@ -2423,8 +2423,11 @@ object PropertyGraph {
     Q(
       "graph_hits",
       (s, d) => {
+        // r18: the per-invocation snap dropped — the edge view is now a
+        // projection of the HOT master leaf (columnar-cached), so the 10
+        // half-step joins already read a materialization; the snap only
+        // added a 1.3 M-row checkpoint write per invocation
         val es = supplierPartGraph(s, d).edges.select(col("src"), col("dst"))
-          .transform(GenSnap.snap) // 2 joins per iteration read one materialization
         def normalized(raw: DataFrame): DataFrame = {
           val tot = raw.agg(sum("raw").as("tot"))
           raw.crossJoin(broadcast(tot))
@@ -2884,7 +2887,10 @@ object PropertyGraph {
     Q(
       "graph_mst_boruvka",
       (s, d) => {
-        val (mst, rounds) = Components.boruvkaMst(weightedUndirectedEdges(s, d))
+        // uniquePairs: the substrate IS the groupBy(pair).min aggregation
+        // (masterEdges) — round 1's re-canonicalization would be a no-op
+        val (mst, rounds) = Components.boruvkaMst(weightedUndirectedEdges(s, d),
+          uniquePairs = true)
         require(rounds <= MstUnroll,
           s"Borůvka converged in $rounds rounds > unroll depth $MstUnroll — " +
             "raise MstUnroll or the oracle under-contracts")

@@ -230,15 +230,26 @@ object GenSnap {
       val leaf = snapAt(df,
         Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
       val cached = leaf.cache()
-      cached.count() // one pass: disk leaf + columnar build
+      val rowCount = cached.count() // one pass: disk leaf + columnar build
       val lr = leaf.queryExecution.logical.asInstanceOf[LogicalRDD]
       val rdd = cached.queryExecution.executedPlan.execute()
+      // HONEST stats from the MEASURED row count × schema row width —
+      // neither the build plan's estimate (r17's int narrowing shrank
+      // the ranked-adjacency estimate under the 10 MB auto-broadcast
+      // threshold, so every node2vec step BROADCAST the 2.6 M-row
+      // adjacency: 12 broadcast-exchange stages per query in the probe,
+      // and the likely cause of its 4.1 → 6.7 s r17 regression) nor the
+      // compressed columnar size (the mini-bench disaster above). A
+      // big substrate advertises big; a genuinely small artifact keeps
+      // its honest small size and stays broadcastable.
+      val sizePerRow = org.apache.spark.sql.catalyst.plans.logical
+        .statsEstimation.EstimationUtils.getSizePerRow(lr.output)
       val out = new LogicalRDD(
         lr.output, rdd, lr.outputPartitioning, lr.outputOrdering,
         lr.isStreaming, lr.stream)(
         df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        Some(Statistics(sizeInBytes = lr.stats.sizeInBytes,
-          rowCount = lr.stats.rowCount)),
+        Some(Statistics(sizeInBytes = sizePerRow * rowCount,
+          rowCount = Some(rowCount))),
         Some(lr.constraints))
       Bridge.ofRows(df.sparkSession, out)
     } else {

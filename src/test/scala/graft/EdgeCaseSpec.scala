@@ -500,6 +500,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rounds === 1)
   }
 
+  test("Borůvka uniquePairs path is forest-identical to the canonicalizing path") {
+    import spark.implicits._
+    // unique per directed pair, w = the pair minimum — the substrate's
+    // contract; both paths must pick the identical forest
+    val e = Seq((1L, 2L, 7L), (2L, 3L, 4L), (3L, 4L, 7L), (1L, 4L, 9L),
+      (5L, 6L, 2L))
+    val ue = (e ++ e.map(x => (x._2, x._1, x._3))).toDF("src", "dst", "w")
+    val (ma, ra) = graph.Components.boruvkaMst(ue)
+    val (mb, rb) = graph.Components.boruvkaMst(ue, uniquePairs = true)
+    assert(ra === rb)
+    assert(ma.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ===
+      mb.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
   test("CUSUM prefix identity clamps at zero through a long negative stretch") {
     // pure-driver check of the identity the query relies on: a deep dip
     // followed by a rise must restart from 0, not from the dip's depth
