@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GenSnap
 
@@ -384,6 +385,8 @@ object Components {
       val best = votes.groupBy(col("dst"))
         .agg(max(votePack(col("cnt"), col("nl"))).as("pk"))
         .select(col("dst").as("id"), voteUnpack(col("pk")).as("bl"))
+      // kernel-plan dump (VERDICT-r17 task 8): the one-exchange vote claim
+      if (sys.env.contains("GRAFT_EXPLAIN_KERNELS")) best.explain("formatted")
       lbl = lbl.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("bl"), col("l")).as("l"))
         .transform(GenSnap.snap)
@@ -686,15 +689,30 @@ object Components {
         .select(col("lm").as("vlm"), col("id").as("vid"), col("sigma").as("sv"))
       val succ = levels.head.select(col("lm").as("slm"), col("id").as("w"),
         col("sigma").as("sw"), col("delta").as("dw"))
+      // The sorted-successor float fold as a WINDOW running sum (r18):
+      // sort_array(collect_list(struct)) + an interpreted aggregate HOF
+      // planned as ObjectHashAggregate and was the query family's top
+      // CPU (two ~0.7 s/task stages, ~38 s summed executor CPU at
+      // sf0.1). A running sum over (vlm, vid) ordered by w adds the
+      // SAME doubles in the SAME left-fold order (w is unique within a
+      // group — distinct successors — and every contribution is
+      // positive, so the running maximum IS the final fold value), in
+      // codegen. The trailing max rides the window's partitioning, so
+      // no exchange is added. Bit-identical to the HOF fold and the
+      // oracle's list_reduce.
+      val wf = Window.partitionBy("vlm", "vid").orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, 0)
       val contrib = vk.join(ue, col("vid") === ue("src"))
         .join(succ, col("slm") === col("vlm") && ue("dst") === col("w"))
-        .groupBy(col("vlm"), col("vid"))
-        .agg(sort_array(collect_list(struct(col("w"),
+        .select(col("vlm"), col("vid"), col("w"),
           ((col("sv").cast("double") / col("sw").cast("double"))
-            * (lit(1.0) + col("dw"))).as("c")))).as("lst"))
-        .select(col("vlm"), col("vid"),
-          aggregate(col("lst"), lit(0.0),
-            (acc, e) => acc + e.getField("c")).as("delta"))
+            * (lit(1.0) + col("dw"))).as("c"))
+        .withColumn("cum", sum("c").over(wf))
+        .groupBy(col("vlm"), col("vid")).agg(max("cum").as("delta"))
+      // kernel-plan dump (VERDICT-r17 task 8: per-superstep plans hide
+      // behind checkpoint leaves — dump the aggregation's OWN shape)
+      if (k == dmax - 1 && sys.env.contains("GRAFT_EXPLAIN_KERNELS"))
+        contrib.explain("formatted")
       levels ::= vk.join(contrib, Seq("vlm", "vid"), "left")
         .select(col("vlm").as("lm"), col("vid").as("id"),
           col("sv").as("sigma"), coalesce(col("delta"), lit(0.0)).as("delta"))
@@ -744,7 +762,13 @@ object Components {
     def pri(r: Int): Column =
       (col("id") * 2654435761L + lit(r.toLong * 40503L)) % 4294967296L * 2097152L + col("id")
     var rem = nodes.select(col("id")).transform(GenSnap.snap)
-    var edges = ue.transform(GenSnap.snap)
+    // an already-staged substrate (the session leaf view) skips the
+    // initial 2.6 M-row checkpoint write; an ad-hoc caller frame still
+    // snaps so the round chain starts from a materialized leaf
+    var edges =
+      if (ue.storageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        stagedView(ue.queryExecution.analyzed)) ue
+      else ue.transform(GenSnap.snap)
     var mis: DataFrame = null
     var rounds = 0
     var live = rem.count() > 0
@@ -771,7 +795,16 @@ object Components {
         .join(rm.select(col("id").as("src")), Seq("src"), "left_anti")
         .join(rm.select(col("id").as("dst")), Seq("dst"), "left_anti")
         .select("src", "dst")
-        .transform(GenSnap.snap)
+      // r18: the per-round edges CHECKPOINT dropped — writing the
+      // (shrinking, but round-1 2.6 M-row) edge set to the block store
+      // every round was the query's top-3 stages (~25 s execRun at
+      // sf0.1). The surviving-edge set is now a lazy chain of
+      // r anti-join filters over the HOT substrate leaf: each round's
+      // three reads re-probe the chain (broadcast-hash probes over a
+      // columnar scan — ~0.2 s CPU each) instead of paying a
+      // multi-second materialization. The removal sets (rm) stay
+      // snapped, so the chain's build side is always a materialized
+      // leaf and plan depth grows only linearly in the O(log n) rounds.
       live = rem.count() > 0
     }
     graft.tools.BoundProbe.record("mis_luby", rounds, maxRounds)

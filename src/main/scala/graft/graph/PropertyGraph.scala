@@ -369,6 +369,8 @@ object PropertyGraph {
     import spark.implicits._
     var arr = Seq((seed, 0L)).toDF("id", "arr").localCheckpoint()
     var frontier = arr
+    var frontierRows = 1L // batch-end improvement count (broadcast guard)
+    val BcastMax = 1000000L // the minDist guard: past this, shuffle joins
     var levels = 0 // levels relaxed so far (improving or not)
     var live = true
     // One level = ONE snapped full-outer join (r17 optimization round):
@@ -383,20 +385,37 @@ object PropertyGraph {
     // over that one materialization — same relaxation algebra, same
     // fixpoint, one id-exchange per level instead of two, O(1)
     // re-evaluation. Guide §2.4 (remove shuffles) + §1.2 step 1.
-    def level(f: DataFrame, base: DataFrame, snapIt: Boolean): (DataFrame, DataFrame) = {
+    def level(f: DataFrame, base: DataFrame, bcastFrontier: Boolean): (DataFrame, DataFrame) = {
+      // frontier side explicitly broadcast under the minDist guard
+      // (r18): the honest-stats leaf wrap removed the accidental
+      // small-estimate broadcast this join used to get, and the static
+      // fallback exchanged the EDGE side per level (probe: shuffle
+      // writes 79 → 203 MB, et re-exchanged each of ~18 levels). The
+      // frontier is node-bounded (one arrival row per vertex); the
+      // guard uses the batch-end improvement count — at scale the
+      // fallback is the shuffle join, the broadcast is a latency win,
+      // never a correctness requirement.
+      val fr = f.select(col("id").as("src"), col("arr").as("va"))
       val cands = et
-        .join(f.select(col("id").as("src"), col("arr").as("va")), "src")
+        .join(if (bcastFrontier) broadcast(fr) else fr, "src")
         .filter(col("t") >= col("va"))
         .groupBy(col("dst").as("id")).agg(min("t").as("cand"))
       val j0 = base.select(col("id"), col("arr").as("old"))
         .join(cands, Seq("id"), "full_outer")
-      // snap only the BATCH-final join: within a batch the two readers
-      // of a mid-batch level (next level's frontier + its merge input)
-      // share the level's exchanges via ReuseExchange — the fused
-      // single-join shape has no union chain left to compound — so one
-      // checkpoint per batch bounds lineage at a third of the
-      // materialization cost of one per level
-      val j = if (snapIt) j0.transform(GenSnap.snap) else j0
+      // EVERY level snaps (r18, reverting the r17 batch-final-only
+      // choice): the snaps stay LAZY, so the batch still pays ONE
+      // driver sync — the batch-end count materializes all three
+      // checkpoints through the lineage in a single action — but each
+      // level now materializes exactly once. The r17 shape leaned on
+      // ReuseExchange to bound mid-batch re-evaluation; after the hot
+      // leaf's honest-stats change flipped the mid-batch join picks,
+      // the probe measured the re-evaluation cascade back (103 jobs /
+      // 51 s executor CPU, wall 4.6 → 7.0 s): a mid-batch frontier is
+      // read by the next level's join AND the merge, and any broadcast
+      // build of an unmaterialized frontier re-evaluates every earlier
+      // level. The checkpoints are node-sized (|V| rows) — their write
+      // cost is noise against one re-evaluated relaxation.
+      val j = j0.transform(GenSnap.snap)
       val imp = j
         .filter(col("old").isNull ||
           (col("cand").isNotNull && col("cand") < col("old")))
@@ -425,13 +444,15 @@ object PropertyGraph {
       val thisBatch = math.min(batch, unroll + 1 - levels)
       var imp = frontier
       var merged = arr
-      for (lv <- 1 to thisBatch) {
-        val (nextImp, nextMerged) = level(imp, merged, snapIt = lv == thisBatch)
+      for (_ <- 1 to thisBatch) {
+        val (nextImp, nextMerged) = level(imp, merged,
+          bcastFrontier = frontierRows <= BcastMax)
         imp = nextImp
         merged = nextMerged
       }
       levels += thisBatch
-      if (imp.count() == 0L) {
+      frontierRows = imp.count()
+      if (frontierRows == 0L) {
         // `levels` includes the convergence-proving level, so the
         // capacity it is measured against is unroll + 1
         graft.tools.BoundProbe.record("temporal_reach", levels, unroll + 1)

@@ -1814,6 +1814,14 @@ object Vector {
           .select(col("vec_id").as("id"), vec(col("embedding")).as("v"))
           .transform(GenSnap.snap) // id+vector staging read by every round
         val n = e.count() // 1-value driver boundary: corpus size for the mod-N seeds
+        // noAqe over the descent rounds: TRIED AND REVERTED (r18). The
+        // wrap (with an in-wrap materialization so the rounds actually
+        // plan AQE-off) cut the job count 28 → 11, but static planning
+        // replaced the scoring joins' runtime corpus broadcast with
+        // sort-merge joins — summed executor CPU 7 → 61 s, tasks
+        // 63 → 653, wall flat. The descent keeps AQE; its remaining
+        // wall is per-stage-job driver latency with a genuinely small
+        // CPU floor.
         var b = strideSeeds(e, n).transform(GenSnap.snap)
         var out: DataFrame = null
         for (r <- 1 to NnRounds) {
@@ -1823,8 +1831,8 @@ object Vector {
               .transform(GenSnap.snap)
           else out = scored.filter(col("rk") <= NnK)
         }
-        out.select(col("src").as("vec_id"), col("rk").cast("int").as("rank"),
-            col("dst").as("nbr"), col("sim"))
+        out.select(col("src").as("vec_id"),
+            col("rk").cast("int").as("rank"), col("dst").as("nbr"), col("sim"))
           .orderBy("vec_id", "rank")
       },
       Some {
